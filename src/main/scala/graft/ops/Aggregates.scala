@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.{Det, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators: hash aggregate (TPC-H Q1 shape), distinct
+  * counts, approximate sketches, rollup/cube/grouping sets.
+  *
+  * The reference computes no aggregates at all (SURVEY.md §2 negative
+  * results) — this is Tier-B surface.
+  *
+  * Scale notes: groupBy on low-cardinality keys gets map-side partial
+  * aggregation for free (HashAggregate partial → shuffle tiny →
+  * final); count(DISTINCT x) is planned by Catalyst as a two-phase
+  * expand+agg; rollup/cube use the Expand operator (rows × number of
+  * grouping sets) — at 100 TB prefer ROLLUP over CUBE when the
+  * hierarchy allows, since Expand multiplies the shuffle volume.
+  *
+  * NULL-vs-ALL: rollup/cube emit NULL for rolled-up keys; we COALESCE
+  * them to a sentinel so the oracle compare never sorts NULL keys
+  * (Spark and DuckDB default NULL sort order differ).
+  */
+object Aggregates extends QueryPack {
+
+  /** TPC-H Q1 shape: the canonical partial+final hash aggregate. */
+  private def aggGroup(s: SparkSession, d: String): DataFrame = {
+    val disc  = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charge = disc * (lit(1) + col("l_tax"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.dsum(col("l_quantity"), 2).as("sum_qty"),
+        Det.dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        Det.dsum(disc, 6).as("sum_disc_price"),
+        Det.dsum(charge, 6).as("sum_charge"),
+        Det.davg(col("l_quantity"), 2).as("avg_qty"),
+        Det.davg(col("l_extendedprice"), 2).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private def aggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Approximate sketches (HLL++, quantile digest) — no SQL oracle;
+    * driver records the rows-only check. ScalaTest asserts the HLL
+    * estimate is within its published error bound of the exact. */
+  private def aggApprox(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
+      .orderBy("l_returnflag")
+
+  private def sentinel(df: DataFrame): DataFrame =
+    df.select(
+      coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+      coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+      col("sum_qty"), col("n_rows"))
+      .orderBy("rf", "ls")
+
+  private def aggRollup(s: SparkSession, d: String): DataFrame =
+    sentinel(Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(Det.dsum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_rows")))
+
+  private def aggCube(s: SparkSession, d: String): DataFrame =
+    sentinel(Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(Det.dsum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_rows")))
+
+  private def aggGsets(s: SparkSession, d: String): DataFrame =
+    sentinel(Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(Det.dsum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_rows")))
+
+  override val queries: Map[String, Q] = Map(
+    "q_agg_group"    -> aggGroup,
+    "q_agg_distinct" -> aggDistinct,
+    "q_agg_approx"   -> aggApprox,
+    "q_agg_rollup"   -> aggRollup,
+    "q_agg_cube"     -> aggCube,
+    "q_agg_gsets"    -> aggGsets,
+  )
+
+  private val q1Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       ${Det.dsumSql("l_quantity", 2)} AS sum_qty,
+       |       ${Det.dsumSql("l_extendedprice", 2)} AS sum_base_price,
+       |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
+       |       ${Det.dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+       |       ${Det.davgSql("l_quantity", 2)} AS avg_qty,
+       |       ${Det.davgSql("l_extendedprice", 2)} AS avg_price,
+       |       COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private def sentinelSql(groupBody: String): String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       |       COALESCE(l_linestatus, 'ALL') AS ls,
+       |       ${Det.dsumSql("l_quantity", 2)} AS sum_qty,
+       |       COUNT(*) AS n_rows
+       |FROM lineitem
+       |GROUP BY $groupBody
+       |ORDER BY rf, ls""".stripMargin
+
+  override val oracles: Map[String, String] = Map(
+    "q_agg_group" -> q1Sql,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_agg_rollup" -> sentinelSql("ROLLUP (l_returnflag, l_linestatus)"),
+    "q_agg_cube"   -> sentinelSql("CUBE (l_returnflag, l_linestatus)"),
+    "q_agg_gsets"  -> sentinelSql("GROUPING SETS ((l_returnflag), (l_linestatus), ())"),
+  )
+}

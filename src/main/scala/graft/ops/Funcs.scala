@@ -1,0 +1,171 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function families: string, date/time, math, array
+  * (higher-order), and JSON/map extraction.
+  *
+  * Reference analogs: string concat is the remarks join
+  * (/root/reference/task.ts:183-185, A9); URL construction
+  * (/root/reference/task.ts:216-226, A13) is the same concat/format
+  * family; epoch-seconds handling mirrors the reference's
+  * date_added/last_online integers (/root/reference/task.ts:55-58).
+  *
+  * All functions here are Catalyst built-ins — whole-stage-codegen
+  * friendly, no UDFs in the hot path. Dialect care for the DuckDB
+  * oracle: 1-based list indexing on both sides, `weekday()+1` =
+  * DuckDB `isodow`, explicit DOUBLE casts on float lists.
+  */
+object Funcs extends QueryPack {
+
+  private def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        lower(col("p_type")).as("type_lower"),
+        substring(col("p_name"), 1, 5).as("name_pre5"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        element_at(split(col("p_name"), " "), 1).as("first_tok"),
+        element_at(split(col("p_name"), " "), -1).as("last_tok"),
+        col("p_name").like("%red%").as("is_red"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+        regexp_replace(col("p_brand"), "Brand#", "B").as("brand_short"),
+        trim(lit("  pad  ")).as("trimmed"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"))
+      .orderBy("p_partkey")
+
+  private def dateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("q"),
+        (weekday(col("o_orderdate")) + 1).as("isodow"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+        last_day(col("o_orderdate")).as("month_end"),
+        unix_timestamp(col("o_orderdate")).as("epoch_sec"),
+        timestamp_seconds(unix_timestamp(col("o_orderdate"))).as("roundtrip_ts"))
+      .orderBy("o_orderkey")
+
+  private def mathFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 1000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") / 7, 4).as("div7"),
+        abs(col("l_discount") - 0.05).as("abs_off"),
+        ceil(col("l_quantity") / 3).as("ceil3"),
+        floor(col("l_quantity") / 3).as("floor3"),
+        round(log(col("l_extendedprice")), 4).as("ln_price"),
+        round(exp(col("l_discount")), 4).as("exp_disc"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        (col("l_orderkey") % 7).as("mod7"),
+        round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+        signum(col("l_discount") - 0.05).as("sign_off"))
+      // (l_orderkey, l_linenumber) non-unique: div7/exp_disc/qty_sq are
+      // injective in extendedprice/discount/quantity, pinning all
+      // remaining derived columns for a total order.
+      .orderBy("l_orderkey", "l_linenumber", "div7", "exp_disc", "qty_sq")
+
+  private def arrayFuncs(s: SparkSession, d: String): DataFrame = {
+    val asDouble = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+        round(aggregate(asDouble, lit(0.0), (acc, x) => acc + x), 4).as("sum_all"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        round(aggregate(transform(slice(col("embedding"), 1, 4), x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 4).as("first4_sum"),
+        round(array_max(col("embedding")).cast("double"), 4).as("max_e"))
+      .orderBy("vec_id")
+  }
+
+  private def mapJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod10"))
+      .orderBy("event_id")
+
+  override val queries: Map[String, Q] = Map(
+    "q_string_funcs" -> stringFuncs,
+    "q_date_funcs"   -> dateFuncs,
+    "q_math_funcs"   -> mathFuncs,
+    "q_array_funcs"  -> arrayFuncs,
+    "q_map_json"     -> mapJson,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |       UPPER(p_name) AS name_upper,
+        |       LOWER(p_type) AS type_lower,
+        |       SUBSTRING(p_name, 1, 5) AS name_pre5,
+        |       LENGTH(p_name) AS name_len,
+        |       CONCAT_WS('-', p_brand, p_type) AS brand_type,
+        |       string_split(p_name, ' ')[1] AS first_tok,
+        |       string_split(p_name, ' ')[-1] AS last_tok,
+        |       p_name LIKE '%red%' AS is_red,
+        |       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        |       regexp_replace(p_brand, 'Brand#', 'B') AS brand_short,
+        |       TRIM('  pad  ') AS trimmed,
+        |       LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |       CAST(YEAR(o_orderdate) AS INT) AS y,
+        |       CAST(MONTH(o_orderdate) AS INT) AS m,
+        |       CAST(DAYOFMONTH(o_orderdate) AS INT) AS dom,
+        |       CAST(QUARTER(o_orderdate) AS INT) AS q,
+        |       CAST(ISODOW(o_orderdate) AS INT) AS isodow,
+        |       DATE_TRUNC('month', o_orderdate) AS month_start,
+        |       CAST(DATE_DIFF('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since,
+        |       LAST_DAY(o_orderdate) AS month_end,
+        |       CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_sec,
+        |       CAST(TO_TIMESTAMP(CAST(EPOCH(o_orderdate) AS BIGINT)) AS TIMESTAMP) AS roundtrip_ts
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       ROUND(l_extendedprice / 7, 4) AS div7,
+        |       ABS(l_discount - 0.05) AS abs_off,
+        |       CAST(CEIL(l_quantity / 3) AS BIGINT) AS ceil3,
+        |       CAST(FLOOR(l_quantity / 3) AS BIGINT) AS floor3,
+        |       ROUND(LN(l_extendedprice), 4) AS ln_price,
+        |       ROUND(EXP(l_discount), 4) AS exp_disc,
+        |       POW(l_quantity, 2) AS qty_sq,
+        |       l_orderkey % 7 AS mod7,
+        |       ROUND(SQRT(l_extendedprice), 4) AS sqrt_price,
+        |       CASE WHEN l_discount - 0.05 > 0 THEN 1.0 WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS sign_off
+        |FROM lineitem
+        |WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber, div7, exp_disc, qty_sq""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |       CAST(LEN(embedding) AS INT) AS n_dims,
+        |       ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e1,
+        |       ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_all,
+        |       CAST(LEN(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |       ROUND(list_sum(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))), 4) AS first4_sum,
+        |       ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_e
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+    "q_map_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+  )
+}

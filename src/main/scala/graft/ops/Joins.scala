@@ -1,0 +1,187 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators: inner/broadcast/outer/semi/anti equi-joins, a
+  * theta (range-band) join, and an as-of join.
+  *
+  * Reference analogs: the broadcast hash join is the lease-map
+  * build+probe (/root/reference/task.ts:114-125, probe :228, A11);
+  * the semi join is the streamable-camera membership test
+  * (/root/reference/task.ts:209-212, A10).
+  *
+  * Scale notes:
+  * - Dimension sides (part, supplier, filtered orders) are explicitly
+  *   `broadcast()` so the fact scan never shuffles for them; at 100 TB
+  *   the same shape holds as long as dims stay under the broadcast
+  *   threshold — AQE converts to shuffled hash join otherwise.
+  * - The theta join keeps BOTH inputs pre-filtered and broadcasts the
+  *   small side; a BroadcastNestedLoopJoin over unfiltered fact tables
+  *   would be O(n·m) and is exactly what we avoid.
+  * - The as-of join uses the union+window technique: one shuffle by
+  *   user_id, one ordered pass — no O(n·m) inequality join. This is
+  *   the formulation that survives 1000 executors.
+  */
+object Joins extends QueryPack {
+
+  private def joinInner(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).as("o")
+      .join(Tables.customer(s, d).as("c"), col("o.o_custkey") === col("c.c_custkey"), "inner")
+      .select(col("o.o_orderkey"), col("c.c_custkey"), col("c.c_name"), col("o.o_totalprice"))
+      .orderBy("o_orderkey")
+
+  private def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).as("l")
+      .join(broadcast(Tables.part(s, d).as("p")), col("l.l_partkey") === col("p.p_partkey"))
+      .join(broadcast(Tables.supplier(s, d).as("s")), col("l.l_suppkey") === col("s.s_suppkey"))
+      .groupBy(col("p.p_brand"), col("s.s_name"))
+      .agg(count(lit(1)).as("n_items"), graft.Det.dsum(col("l.l_quantity"), 2).as("sum_qty"))
+      .orderBy("p_brand", "s_name")
+
+  private def joinLeft(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).as("c")
+      .join(
+        Tables.orders(s, d).filter(col("o_totalprice") > 400000).as("o"),
+        col("c.c_custkey") === col("o.o_custkey"), "left_outer")
+      .select(col("c.c_custkey"), col("o.o_orderkey"), col("o.o_totalprice"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+
+  private def joinFull(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val rich = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_acctbal"))
+    perCust.join(rich, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(col("o_custkey"), col("c_custkey"), col("n_orders"), col("c_acctbal"))
+      .orderBy(col("o_custkey").asc_nulls_first, col("c_custkey").asc_nulls_first)
+  }
+
+  private def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).as("c")
+      .join(
+        Tables.orders(s, d).filter(col("o_totalprice") > 450000).as("o"),
+        col("c.c_custkey") === col("o.o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  private def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).as("c")
+      .join(
+        Tables.orders(s, d).filter(col("o_totalprice") > 450000).as("o"),
+        col("c.c_custkey") === col("o.o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** Range-band theta join: both sides pre-filtered small, small side
+    * broadcast, so the inequality join is a bounded nested loop. */
+  private def joinTheta(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 495000).as("o")
+    val l = Tables.lineitem(s, d).filter(col("l_quantity") >= 49).as("l")
+    l.join(broadcast(o),
+        col("l.l_extendedprice") >= col("o.o_totalprice") / 100
+          && col("l.l_extendedprice") <= col("o.o_totalprice") / 100 + 200)
+      .select(col("o.o_orderkey"), col("l.l_orderkey"), col("l.l_linenumber"),
+        col("l.l_extendedprice"), col("o.o_totalprice"))
+      .orderBy("o_orderkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+  }
+
+  /** As-of join: for each 'error' event, the latest 'click' by the
+    * same user at ts <= error ts (DuckDB ASOF JOIN semantics, inner).
+    *
+    * Union+window formulation: tag both sides, sort within user_id by
+    * (ts, side) — clicks first on ties so `>=` semantics hold — and
+    * carry the last non-null click forward. One shuffle, no n·m join.
+    * (user_id, ts) is unique in the events table, so tie-breaking
+    * between clicks at identical ts never arises; event_id is in the
+    * sort anyway for full determinism. */
+  private def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("event_id").as("oid"), col("value").as("c_value"), col("ts").as("c_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id").as("oid"), lit(null).cast("double").as("c_value"),
+        lit(null).cast("timestamp").as("c_ts"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("side").asc, col("oid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(errors)
+      .withColumn("click_ts", last(col("c_ts"), ignoreNulls = true).over(w))
+      .withColumn("click_value", last(col("c_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("click_ts").isNotNull)
+      .select(col("oid").as("event_id"), col("user_id"), col("ts"),
+        col("click_ts"), col("click_value"))
+      .orderBy("event_id")
+  }
+
+  override val queries: Map[String, Q] = Map(
+    "q_join_inner"     -> joinInner,
+    "q_join_broadcast" -> joinBroadcast,
+    "q_join_left"      -> joinLeft,
+    "q_join_full"      -> joinFull,
+    "q_join_semi"      -> joinSemi,
+    "q_join_anti"      -> joinAnti,
+    "q_join_theta"     -> joinTheta,
+    "q_join_asof"      -> joinAsof,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_broadcast" ->
+      s"""SELECT p_brand, s_name, COUNT(*) AS n_items,
+         |       ${graft.Det.dsumSql("l_quantity", 2)} AS sum_qty
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY p_brand, s_name
+         |ORDER BY p_brand, s_name""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_join_full" ->
+      """SELECT o_custkey, c_custkey, n_orders, c_acctbal
+        |FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |      WHERE o_orderstatus = 'F' GROUP BY o_custkey) o
+        |FULL JOIN (SELECT c_custkey, c_acctbal FROM customer
+        |           WHERE c_acctbal > 9000) c
+        |  ON o_custkey = c_custkey
+        |ORDER BY o_custkey ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_theta" ->
+      """SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_totalprice
+        |FROM (SELECT * FROM lineitem WHERE l_quantity >= 49) l
+        |JOIN (SELECT * FROM orders WHERE o_totalprice > 495000) o
+        |  ON l.l_extendedprice >= o.o_totalprice / 100
+        | AND l.l_extendedprice <= o.o_totalprice / 100 + 200
+        |ORDER BY o_orderkey, l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+    "q_join_asof" ->
+      """SELECT e.event_id, e.user_id, e.ts, c.ts AS click_ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY e.event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,22 @@
+#!/bin/bash
+# Local iteration loop: compile, run graft.Verify, DuckDB-compare.
+# Usage: tools/verify_local.sh [sfDir] [outDir]
+set -e
+cd /root/repo
+SF=${1:-/root/testdata/sf0.01}
+OUT=${2:-/tmp/verify_out}
+sbt -batch -error package >/dev/null
+rm -rf "$OUT"
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+java $ADD_OPENS -Xmx8g \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.Verify "$SF" "$OUT" 2>&1 | grep -v '^\(2[0-9]\|WARN\|INFO\)' || true
+python3 tools/check_oracle.py "$SF" "$OUT"
