@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column builders for text-similarity primitives: tokenization,
+  * shingling, MinHash signatures, LSH banding, SimHash, and vector
+  * cosine — all composed from codegen'd built-ins / higher-order
+  * functions (no Scala UDFs in the hot path; SURVEY.md §4 item 2).
+  *
+  * Everything is deterministic: hash family = xxhash64 with a
+  * per-plane string salt; no RNG anywhere.
+  */
+object TextSim {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct n-token shingles joined with a space. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+
+  /** MinHash signature: k independent hash functions simulated by
+    * salting xxhash64, min over the shingle set per hash.
+    * O(k·|shingles|) per row, fully partition-parallel. */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingleSet, sh => xxhash64(concat(sh, lit(s"#mh$i")))))
+    }: _*)
+
+  /** LSH bands: signature split into `nBands` contiguous slices,
+    * each slice hashed to one bucket id. Returns array<struct<band,
+    * bucket>> ready to explode + self-join (the banding trick turns
+    * O(n²) all-pairs into per-bucket candidate generation). */
+  def lshBands(signature: Column, nBands: Int, rowsPerBand: Int): Column =
+    array((0 until nBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand), lit(b)).as("bucket"))
+    }: _*)
+
+  /** 64-bit SimHash over a token list (multiset-weighted, so token
+    * permutations hash identically). Built with SQL lambdas because
+    * the shift amount is the lambda variable. Disjoint bit values
+    * make `+` an exact bitwise OR. */
+  def simhash64(toksCol: String): Column =
+    expr(
+      s"""aggregate(
+         |  zip_with(
+         |    transform(
+         |      aggregate(
+         |        transform($toksCol, t -> xxhash64(t)),
+         |        cast(array_repeat(0, 64) as array<int>),
+         |        (acc, h) -> zip_with(acc,
+         |          transform(sequence(0, 63),
+         |            i -> case when shiftrightunsigned(h, i) % 2 = 1 then 1 else -1 end),
+         |          (a, b) -> a + b)),
+         |      c -> case when c > 0 then 1 else 0 end),
+         |    sequence(0, 63),
+         |    (bit, i) -> case when bit = 1 then shiftleft(cast(1 as bigint), i)
+         |                else cast(0 as bigint) end),
+         |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin)
+
+  /** Exact Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Dot product of two numeric arrays in double precision. The
+    * per-element cast keeps float inputs bit-stable vs the DuckDB
+    * oracle; sequential fold matches DuckDB's list_sum order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Random-hyperplane LSH bucket for a vector: `bits` sign bits from
+    * deterministic pseudo-hyperplanes (hash-derived coefficients, no
+    * RNG), packed into an int. */
+  def hyperplaneBucket(vec: Column, bits: Int, dims: Int): Column = {
+    def plane(i: Int): Seq[Double] =
+      (0 until dims).map { j =>
+        val h = (i.toLong * 1609587929392839161L + j.toLong * 2654435761L) % 1000003L
+        (math.abs(h).toDouble / 1000003.0) * 2.0 - 1.0
+      }
+    (0 until bits).map { i =>
+      when(dot(vec, typedlit(plane(i))) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+}

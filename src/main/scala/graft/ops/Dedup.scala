@@ -1,0 +1,150 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import graft.functions.TextSim._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication tier: exact (keyed first-wins — the reference's
+  * last-wins lease dedup analog, /root/reference/task.ts:121-125 /
+  * CHANGELOG.md:16), MinHash+LSH near-dup, SimHash near-dup,
+  * token-set Jaccard near-dup, and embedding-cosine near-dup.
+  *
+  * Scale posture (100 TB): every near-dup variant generates
+  * candidates through a blocking key (LSH band bucket, SimHash
+  * chunk, or a data key) and only scores within buckets — never an
+  * unrestricted O(n²) cross join. The exact-Jaccard rescoring join
+  * touches only candidate pairs.
+  */
+object Dedup extends QueryPack {
+
+  /** Exact dedup, first-wins on a normalized key (first 5 tokens).
+    * row_number() over a deterministic tie-break — the order-stable
+    * formulation of dropDuplicates (SURVEY.md A7). */
+  private def dedupExact(s: SparkSession, d: String): DataFrame = {
+    val key = lower(array_join(slice(split(col("text"), " "), 1, 5), " "))
+    val w = Window.partitionBy("norm_key").orderBy("doc_id")
+    Tables.documents(s, d)
+      .withColumn("norm_key", key)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash(32) + LSH(8 bands × 4 rows) near-dup pairs, rescored
+    * with exact shingle Jaccard >= 0.8. */
+  private def dedupNear(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+    val sigs = docs.select(col("doc_id"),
+      lshBands(minhashSignature(col("sh"), 32), 8, 4).as("bands"))
+    val buckets = sigs.select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bucket"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("j"))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup: 64-bit signatures, candidates via 4×16-bit
+    * chunk blocking (pigeonhole: hamming<=6 pairs share a chunk with
+    * high probability; hamming<=3 pairs share one always), verified
+    * with bit_count(xor) <= 6. */
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sim", simhash64("toks"))
+      .select(col("doc_id"), col("sim"))
+    val chunks = sigs.select(col("doc_id"), col("sim"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))
+        }: _*)).as("b"))
+      .select(col("doc_id"), col("sim"), col("b.chunk"), col("b.ck"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Token-set (1-gram) Jaccard near-dup within (lang, source)
+    * blocks — the SQL-expressible variant, oracle-checked. */
+  private def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    docs.as("a")
+      .join(docs.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        jaccard(col("a.toks"), col("b.toks")).as("j"))
+      // threshold on the UNROUNDED value (matches the oracle's WHERE);
+      // round only the output column
+      .filter(col("j") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by the label column
+    * (at 100 TB: replace the data-given block with hyperplane LSH —
+    * see Similarity.annLsh — the scoring join is identical). */
+  private def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .filter(col("c") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  override val queries: Map[String, Q] = Map(
+    "q_dedup_exact"   -> dedupExact,
+    "q_dedup_near"    -> dedupNear,
+    "q_dedup_simhash" -> dedupSimhash,
+    "q_dedup_ngram"   -> dedupNgram,
+    "q_dedup_embed"   -> dedupEmbed,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY LOWER(array_to_string(string_split(text, ' ')[1:5], ' '))
+        |           ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_ngram" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       ROUND(CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |             / LEN(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        |FROM (SELECT doc_id, lang, source, list_distinct(string_split(text,' ')) toks FROM documents) a
+        |JOIN (SELECT doc_id, lang, source, list_distinct(string_split(text,' ')) toks FROM documents) b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / LEN(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}

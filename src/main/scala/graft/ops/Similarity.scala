@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import graft.functions.TextSim._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column.
+  *
+  * - q_sim_search: brute-force cosine top-k against a probe vector —
+  *   the exact baseline. One pass over the table with the probe
+  *   broadcast; TakeOrderedAndProject merges per-partition top-k, so
+  *   no global sort materializes. This is the shape that scales to
+  *   100 TB: O(n) scan, O(k) result per partition.
+  * - q_sim_ann_lsh: the approximate scale path — random-hyperplane
+  *   LSH buckets (deterministic hash-derived planes), probe only
+  *   scored against its own bucket. Bucket count tunes the
+  *   recall/cost trade; at 1000 executors the bucket column is the
+  *   shuffle key.
+  */
+object Similarity extends QueryPack {
+
+  private val ProbeId = 0L
+
+  private def probeDf(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") === ProbeId)
+      .select(col("embedding").as("probe"))
+
+  private def simSearch(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") =!= ProbeId)
+      .crossJoin(broadcast(probeDf(s, d)))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("probe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+
+  private def annLsh(s: SparkSession, d: String): DataFrame = {
+    val bucketed = Tables.embeddings(s, d)
+      .withColumn("bucket", hyperplaneBucket(col("embedding"), 4, 64))
+    val probe = bucketed.filter(col("vec_id") === ProbeId)
+      .select(col("bucket").as("p_bucket"), col("embedding").as("probe"))
+    bucketed
+      .filter(col("vec_id") =!= ProbeId)
+      .join(broadcast(probe), col("bucket") === col("p_bucket"))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("probe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  override val queries: Map[String, Q] = Map(
+    "q_sim_search"  -> simSearch,
+    "q_sim_ann_lsh" -> annLsh,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_sim_search" ->
+      """WITH p AS (SELECT embedding AS probe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |       ROUND(
+        |         list_sum(list_transform(list_zip(e.embedding, p.probe),
+        |                  t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+        |         / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |            * SQRT(list_sum(list_transform(p.probe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+        |FROM embeddings e, p
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos DESC, vec_id ASC
+        |LIMIT 10""".stripMargin,
+  )
+}

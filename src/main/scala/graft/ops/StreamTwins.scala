@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.{Det, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch twins of the streaming operators (SURVEY.md §2): tumbling
+  * windows, session windows, and keyed dedup. The streaming versions
+  * (readStream + watermark) live in graft.streaming and are
+  * MemoryStream-tested; these batch formulations are the oracle-
+  * checked semantics both must agree on.
+  *
+  * Scale notes: window()/session_window() group on (window, key) with
+  * partial aggregation; session merge is per-key ordered state — in
+  * streaming this is exactly the mapGroupsWithState layout, keyed
+  * shuffle then per-key ordering.
+  */
+object StreamTwins extends QueryPack {
+
+  private def tumble(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value"), 2).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  /** Session windows, 30-minute gap, per user. session_window's
+    * interval is [start, last+gap); an event exactly at the previous
+    * end starts a new session — the oracle's gaps-and-islands twin
+    * uses `>=` on the gap for the same boundary rule. */
+  private def session(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("last_ts"))
+      .orderBy("user_id", "session_start")
+
+  /** Keyed dedup, first event per (user_id, event_type) by time —
+    * the batch twin of dropDuplicatesWithinWatermark. */
+  private def dedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .orderBy("user_id", "event_type")
+  }
+
+  override val queries: Map[String, Q] = Map(
+    "q_stream_tumble"  -> tumble,
+    "q_stream_session" -> session,
+    "q_stream_dedup"   -> dedup,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_stream_tumble" ->
+      s"""SELECT CAST(TO_TIMESTAMP(CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT)) AS TIMESTAMP) AS w_start,
+         |       event_type, COUNT(*) AS n,
+         |       ${Det.dsumSql("value", 2)} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY w_start, event_type""".stripMargin,
+    "q_stream_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   >= INTERVAL 30 MINUTE
+        |              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events, MAX(ts) AS last_ts
+        |FROM numbered
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT user_id, event_type, event_id, ts
+        |FROM (SELECT user_id, event_type, event_id, ts,
+        |             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+  )
+}

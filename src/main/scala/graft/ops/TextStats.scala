@@ -1,0 +1,162 @@
+package graft.ops
+
+import graft.{Det, QueryPack, Tables}
+import graft.functions.TextSim._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis tier: corpus statistics, heuristic language ID,
+  * quality scoring, token counting, and document fingerprinting —
+  * the per-document passes a training-data pipeline runs before
+  * filtering/sampling.
+  *
+  * All per-document work is embarrassingly parallel (no shuffle);
+  * only the per-language rollups aggregate, on a 5-value key with
+  * map-side partials. No UDFs — split/explode/HOFs keep everything
+  * inside whole-stage codegen.
+  */
+object TextStats extends QueryPack {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def textStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+    val perLang = docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      Det.davg(size(col("toks")).cast("double"), 0).as("avg_tokens"),
+      sum(col("n_chars")).as("total_chars"))
+    val distinctToks = docs
+      .select(col("lang"), explode(col("toks")).as("tok"))
+      .groupBy("lang")
+      .agg(countDistinct(col("tok")).as("n_distinct_tokens"))
+    perLang.join(distinctToks, "lang").orderBy("lang")
+  }
+
+  /** Heuristic language ID: score = stopword hits per candidate list,
+    * argmax with a fixed tie order. (The mechanics of n-gram lang-ID;
+    * the seed lists are tiny here because the corpus is synthetic.) */
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    val en = Seq("the", "a", "of")
+    val xx = Seq("query", "data", "row")
+    val zz = Seq("spark", "join", "merge")
+    def score(words: Seq[String]) =
+      size(filter(tokens(col("text")), t => t.isin(words.map(lit(_)): _*)))
+    Tables.documents(s, d)
+      .withColumn("s_en", score(en))
+      .withColumn("s_xx", score(xx))
+      .withColumn("s_zz", score(zz))
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_xx") && col("s_en") >= col("s_zz"), "en")
+          .when(col("s_xx") >= col("s_zz"), "xx")
+          .otherwise("zz"))
+      .select(col("doc_id"), col("lang"), col("s_en"), col("s_xx"), col("s_zz"),
+        col("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: token count, mean token length, stopword ratio,
+    * distinct-token ratio, and a composite score. Ratios are double
+    * divisions of exact integers — deterministic on both engines. */
+  private def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nToks = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*))).cast("double")
+    val nUniq = size(array_distinct(toks)).cast("double")
+    val meanTokLen = (length(col("text")) - (size(toks) - 1)).cast("double") / size(toks)
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        round(meanTokLen, 4).as("mean_tok_len"),
+        round(nStop / nToks, 4).as("stopword_ratio"),
+        round(nUniq / nToks, 4).as("uniq_ratio"),
+        round((nUniq / nToks) * (lit(1.0) - nStop / nToks) * least(nToks / 50, lit(1.0)), 4)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).as("n_word_tokens"),
+        ceil(length(col("text")).cast("double") / 4).as("n_bpe_est"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: min-of-shingle-hashes (winnowing's keep-min
+    * rule over the whole doc) + the SimHash — two compact signatures
+    * for downstream clustering. No oracle (engine-specific hashes). */
+  private def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        array_min(transform(shingles(col("toks"), 4), sh => xxhash64(sh))).as("min_shingle_hash"),
+        simhash64("toks").as("simhash"))
+      .orderBy("doc_id")
+
+  override val queries: Map[String, Q] = Map(
+    "q_text_stats"    -> textStats,
+    "q_lang_id"       -> langId,
+    "q_quality_score" -> qualityScore,
+    "q_token_count"   -> tokenCount,
+    "q_fingerprint"   -> fingerprint,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT d.lang, d.n_docs, d.avg_tokens, d.total_chars, t.n_distinct_tokens
+         |FROM (SELECT lang, COUNT(*) AS n_docs,
+         |             ${Det.davgSql("LEN(string_split(text, ' '))", 0)} AS avg_tokens,
+         |             SUM(n_chars) AS total_chars
+         |      FROM documents GROUP BY lang) d
+         |JOIN (SELECT lang, COUNT(DISTINCT tok) AS n_distinct_tokens
+         |      FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+         |      GROUP BY lang) t
+         |  ON d.lang = t.lang
+         |ORDER BY d.lang""".stripMargin,
+    "q_lang_id" ->
+      """SELECT doc_id, lang,
+        |       CAST(LEN(list_filter(string_split(text,' '), t -> t IN ('the','a','of'))) AS INT) AS s_en,
+        |       CAST(LEN(list_filter(string_split(text,' '), t -> t IN ('query','data','row'))) AS INT) AS s_xx,
+        |       CAST(LEN(list_filter(string_split(text,' '), t -> t IN ('spark','join','merge'))) AS INT) AS s_zz,
+        |       CASE WHEN LEN(list_filter(string_split(text,' '), t -> t IN ('the','a','of')))
+        |                 >= LEN(list_filter(string_split(text,' '), t -> t IN ('query','data','row')))
+        |             AND LEN(list_filter(string_split(text,' '), t -> t IN ('the','a','of')))
+        |                 >= LEN(list_filter(string_split(text,' '), t -> t IN ('spark','join','merge')))
+        |            THEN 'en'
+        |            WHEN LEN(list_filter(string_split(text,' '), t -> t IN ('query','data','row')))
+        |                 >= LEN(list_filter(string_split(text,' '), t -> t IN ('spark','join','merge')))
+        |            THEN 'xx'
+        |            ELSE 'zz' END AS pred_lang
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         CAST(LEN(string_split(text,' ')) AS DOUBLE) AS nt,
+        |         CAST(LEN(list_filter(string_split(text,' '),
+        |              t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS ns,
+        |         CAST(LEN(list_distinct(string_split(text,' '))) AS DOUBLE) AS nu,
+        |         CAST(LENGTH(text) - (LEN(string_split(text,' ')) - 1) AS DOUBLE)
+        |           / LEN(string_split(text,' ')) AS mtl
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(nt AS INT) AS n_tokens,
+        |       ROUND(mtl, 4) AS mean_tok_len,
+        |       ROUND(ns / nt, 4) AS stopword_ratio,
+        |       ROUND(nu / nt, 4) AS uniq_ratio,
+        |       ROUND((nu / nt) * (1.0 - ns / nt) * LEAST(nt / 50, 1.0), 4) AS quality
+        |FROM q
+        |ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |       CAST(LEN(string_split(text,' ')) AS INT) AS n_ws_tokens,
+        |       CAST(LEN(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_word_tokens,
+        |       CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / 4) AS BIGINT) AS n_bpe_est
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+  )
+}
