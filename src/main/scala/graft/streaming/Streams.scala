@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event row shape of the events table (FIXTURES.md). */
+case class Event(
+  event_id: Long,
+  ts: java.sql.Timestamp,
+  user_id: Long,
+  event_type: String,
+  value: Double,
+  props: String)
+
+/** Per-user session state for the custom-state operator. */
+case class SessionState(nEvents: Long, startMs: Long, lastMs: Long)
+case class SessionOut(user_id: Long, session_start: Long, n_events: Long, last_ms: Long)
+
+/** Structured Streaming operators (SURVEY.md §2 streaming tier +
+  * A19's scheduled-snapshot model upgraded to incremental streams).
+  *
+  * Each transform takes the (possibly streaming) events DataFrame, so
+  * the same code path serves `readStream` in production and
+  * MemoryStream in tests; the batch twins in ops.StreamTwins pin the
+  * semantics via the DuckDB oracle.
+  *
+  * Watermarks bound state: 10-minute lateness on a 5-minute window
+  * means at most ~3 open windows per key partition; session state is
+  * evicted once the watermark passes start+gap. At scale the state
+  * store shards by the groupBy key — user_id keys distribute evenly
+  * (no skew in this domain).
+  */
+object Streams {
+
+  /** Tumbling 5-minute counts/sums with 10-minute watermark. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows (30-minute gap) per user. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("last_ts"))
+
+  /** Streaming exact dedup on event_id within the watermark. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the
+    * mapGroupsWithState surface (SURVEY.md §2 Tier B), emitting a
+    * session row whenever a 30-minute gap closes one. Equivalent
+    * results to sessionAgg for completed sessions; used to cover the
+    * arbitrary-stateful API, not to replace session_window. */
+  def statefulSessions(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(st) if t - st.lastMs < gapMs =>
+                cur = Some(st.copy(nEvents = st.nEvents + 1, lastMs = t))
+              case Some(st) =>
+                closed += SessionOut(user, st.startMs, st.nEvents, st.lastMs)
+                cur = Some(SessionState(1, t, t))
+              case None =>
+                cur = Some(SessionState(1, t, t))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

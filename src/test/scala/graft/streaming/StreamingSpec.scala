@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** MemoryStream tests (SURVEY.md §5.4): streaming-vs-batch
+  * equivalence on the events table, watermark late-row drop, and the
+  * custom-state sessionizer. */
+class StreamingSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling agg matches batch twin on real events") {
+    import spark.implicits._
+    val batch = graft.Tables.events(spark, sf)
+    val rows = batch.as[Event].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    ms.addData(rows)
+    val out = runToMemory(Streams.tumblingAgg(ms.toDF()), "tumble_out", "complete")
+    val expected = graft.ops.StreamTwins.queries("q_stream_tumble")(spark, sf)
+      .select("w_start", "event_type", "n")
+    val got = out.select("w_start", "event_type", "n")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("watermark drops late rows in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val df = Streams.tumblingAgg(ms.toDF())
+    val q = df.writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    // batch 1: events at minute 0-4 (window [0,5)), then minute 40 to
+    // push the watermark to 30 — finalizing window [0,5)
+    ms.addData(Seq(
+      Event(1, ts(0), 1, "click", 1.0, "{}"),
+      Event(2, ts(4), 1, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    ms.addData(Seq(Event(3, ts(40), 1, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    // batch 2: a late event for the already-finalized [0,5) window
+    ms.addData(Seq(Event(4, ts(1), 1, "click", 99.0, "{}")))
+    q.processAllAvailable()
+    // batch 3: advance watermark far enough to flush everything open
+    ms.addData(Seq(Event(5, ts(59), 1, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+    // window [0,5) was emitted with 2 events; the late event 4 did NOT
+    // re-emit or bump it
+    assert(out("2024-01-01 00:00:00.0") == 2L)
+  }
+
+  test("streaming dedup drops duplicate event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    ms.addData(Seq(
+      Event(10, ts(0), 1, "click", 1.0, "{}"),
+      Event(10, ts(0, 30), 1, "click", 1.0, "{}"),
+      Event(11, ts(1), 2, "view", 2.0, "{}")))
+    val out = runToMemory(Streams.dedupEvents(ms.toDF()), "dedup_out")
+    assert(out.count() == 2)
+    assert(out.select("event_id").as[Long].collect().toSet == Set(10L, 11L))
+  }
+
+  test("stateful sessionizer closes sessions on 30-minute gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    ms.addData(Seq(
+      Event(1, ts(0), 7, "click", 1.0, "{}"),
+      Event(2, ts(10), 7, "view", 1.0, "{}"),
+      // 35-minute gap closes session 1 (2 events)
+      Event(3, ts(45), 7, "click", 1.0, "{}"),
+      // other user, single open session — never closed, never emitted
+      Event(4, ts(0), 8, "click", 1.0, "{}")))
+    val out = runToMemory(Streams.statefulSessions(ms.toDS()).toDF(), "sess_out")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rows == Set((7L, 2L)))
+  }
+
+  test("streaming session windows match batch twin for closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.Tables.events(spark, sf).as[Event].collect().toSeq
+    val ms = MemoryStream[Event]
+    ms.addData(rows)
+    val out = runToMemory(Streams.sessionAgg(ms.toDF()), "sess_twin_out", "complete")
+    val expected = graft.ops.StreamTwins.queries("q_stream_session")(spark, sf)
+    val got = out.select("user_id", "session_start", "n_events", "last_ts")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+}
