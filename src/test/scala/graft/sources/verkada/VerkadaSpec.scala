@@ -1,0 +1,191 @@
+package graft.sources.verkada
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.net.InetSocketAddress
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+import scala.jdk.CollectionConverters._
+
+/** Connector end-to-end tests against a stub HTTP server replaying
+  * the FIXTURES.md §B fixtures: paginated leases (wrong-layer,
+  * missing-source_id, duplicate-source_id rows), cursor-paginated
+  * cameras including a NON-ADVANCING token page (task.ts:160-166
+  * guard), permission grant with site-only/camera-only/unreachable
+  * cameras, and upsert responses with and without protocols.hls.
+  */
+class VerkadaSpec extends SparkSpec {
+
+  private def camJson(id: String, site: String, name: String, lat: Double, lon: Double): String =
+    s"""{"camera_id":"$id","cloud_retention":30,"date_added":1700000000,
+       |"device_retention":null,"firmware":"1.0","firmware_update_schedule":"auto",
+       |"last_online":1700000500,"local_ip":null,"location":"hq","location_angle":45.0,
+       |"location_lat":$lat,"location_lon":$lon,"mac":"aa:bb","model":"CD52",
+       |"name":"$name","people_history_enabled":true,"serial":"S-$id","site":"Site $site",
+       |"site_id":"$site","status":"online","timezone":"UTC",
+       |"vehicle_history_enabled":false}""".stripMargin.replaceAll("\n", "")
+
+  private val devicePages = new AtomicInteger(0)
+  private val patches = new ConcurrentLinkedQueue[String]()
+  private val posts = new AtomicInteger(0)
+  private val submitted = new ConcurrentLinkedQueue[String]()
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val b = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(code, b.length)
+    ex.getResponseBody.write(b); ex.close()
+  }
+
+  private def startServer(): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/token", ex => respond(ex, 200, """{"token":"tok123"}"""))
+    server.createContext("/cameras/v1/footage/token", ex => respond(ex, 200,
+      """{"accessibleCameras":["cam-3"],"accessibleSites":["site-A"],
+        |"expiration":2000000000,"expiresAt":2000000000,"jwt":"jwt-xyz",
+        |"permission":["live"]}""".stripMargin.replaceAll("\n", "")))
+    // cursor-paginated devices: p1 -> "p2", p2 -> "p3", p3 -> "p3"
+    // (non-advancing: the guard must stop the scan)
+    server.createContext("/cameras/v1/devices", ex => {
+      devicePages.incrementAndGet()
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val body =
+        if (!q.contains("page_token"))
+          s"""{"cameras":[${camJson("cam-1", "site-A", "Lobby", 39.1, -104.8)},
+             |${camJson("cam-2", "site-B", "Dock", 39.2, -104.9)}],
+             |"next_page_token":"p2"}""".stripMargin.replaceAll("\n", "")
+        else if (q.contains("page_token=p2"))
+          s"""{"cameras":[${camJson("cam-3", "site-B", "Gate", 39.3, -105.0)},
+             |${camJson("cam-4", "site-C", "Roof", 39.4, -105.1)}],
+             |"next_page_token":"p3"}""".stripMargin.replaceAll("\n", "")
+        else
+          s"""{"cameras":[${camJson("cam-5", "site-A", "Yard", 39.5, -105.2)}],
+             |"next_page_token":"p3"}""".stripMargin.replaceAll("\n", "")
+      respond(ex, 200, body)
+    })
+    // offset-paginated leases: total=5 over pageSize=2 -> 3 pages.
+    // Includes wrong-layer, null source_id, and duplicate source_id
+    // (cam-1 on pages 1 and 3 — last page wins).
+    server.createContext("/video/lease", ex => {
+      ex.getRequestMethod match {
+        case "GET" =>
+          val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+          val page = "page=(\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt).getOrElse(1)
+          val items = page match {
+            case 1 => """{"id":"L1","layer":7,"source_id":"cam-1"},
+                        |{"id":"L2","layer":99,"source_id":"cam-2"}""" // wrong layer
+            case 2 => """{"id":"L3","layer":7,"source_id":null},
+                        |{"id":"L4","layer":7,"source_id":"cam-3"}"""
+            case _ => """{"id":"L9","layer":7,"source_id":"cam-1"}""" // dup, last wins
+          }
+          respond(ex, 200,
+            s"""{"items":[${items.stripMargin.replaceAll("\n", "")}],"total":5}""")
+        case "POST" =>
+          posts.incrementAndGet()
+          respond(ex, 200, """{"protocols":{"hls":{"url":"https://hls/new.m3u8"}}}""")
+        case m => respond(ex, 405, s"""{"err":"$m"}""")
+      }
+    })
+    // PATCH /video/lease/{id} — L9 responds WITHOUT protocols.hls
+    // (enrichment guard, task.ts:245)
+    server.createContext("/video/lease/", ex => {
+      val id = ex.getRequestURI.getPath.split("/").last
+      patches.add(id)
+      if (id == "L9") respond(ex, 200, """{}""")
+      else respond(ex, 200, s"""{"protocols":{"hls":{"url":"https://hls/$id.m3u8"}}}""")
+    })
+    server.createContext("/layer/", ex => {
+      submitted.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      respond(ex, 200, """{}""")
+    })
+    // a devices endpoint with a type-corrupt camera row for FAILFAST
+    server.createContext("/bad/cameras/v1/devices", ex => respond(ex, 200,
+      """{"cameras":[{"camera_id":"cam-x","location_lat":"not-a-number"}],
+        |"next_page_token":null}""".stripMargin.replaceAll("\n", "")))
+    server.start()
+    server
+  }
+
+  private def cfg(server: HttpServer) = {
+    val base = s"http://localhost:${server.getAddress.getPort}"
+    VerkadaPipeline.Config(apiBase = base, serverBase = base, apiKey = "k", layerId = 7,
+      concurrency = 4, leasePageSize = 2)
+  }
+
+  test("full pipeline: scan, dedup, semi-join, upsert, enrich, submit") {
+    val server = startServer()
+    try {
+      val c = cfg(server)
+      val out = VerkadaPipeline.run(spark, c).collect().sortBy(_.getAs[String]("id"))
+
+      // streamable: site-A cameras (cam-1, cam-5) + cam-3 by camera id;
+      // cam-2/cam-4 excluded (A10 branches)
+      assert(out.map(_.getAs[String]("id")).toSeq == Seq("cam-1", "cam-3", "cam-5"))
+
+      // cursor guard: exactly 3 device pages fetched despite p3
+      // repeating its token
+      assert(devicePages.get() == 3)
+
+      // upsert split: cam-1 has lease L9 (last-wins over L1!) -> PATCH;
+      // cam-3 has L4 -> PATCH; cam-5 -> POST
+      assert(patches.asScala.toSet == Set("L9", "L4"))
+      assert(posts.get() == 1)
+
+      // enrichment: L9's PATCH response had no protocols.hls -> cam-1
+      // has no video field; cam-3 and cam-5 do
+      def video(r: org.apache.spark.sql.Row): Option[String] = {
+        val props = r.getAs[org.apache.spark.sql.Row]("properties")
+        if (props.schema.fieldNames.contains("video") && props.getAs[AnyRef]("video") != null)
+          Some(props.getAs[org.apache.spark.sql.Row]("video").getAs[String]("url"))
+        else None
+      }
+      assert(video(out(0)).isEmpty)
+      assert(video(out(1)).contains("https://hls/L4.m3u8"))
+      assert(video(out(2)).contains("https://hls/new.m3u8"))
+
+      // submit: one FeatureCollection with the 3 features
+      assert(submitted.size() == 1)
+      val fc = Json.parse(submitted.peek())
+      assert(fc.get("type").asText() == "FeatureCollection")
+      assert(fc.get("features").size() == 3)
+      // feature order is partition-dependent — look cam-1 up by id
+      val f0 = fc.get("features").elements().asScala
+        .find(_.get("id").asText() == "cam-1").get
+      assert(f0.get("properties").get("type").asText() == "b-m-p-s-p-loc")
+      assert(f0.get("geometry").get("coordinates").get(0).asDouble() == -104.8)
+    } finally server.stop(0)
+  }
+
+  test("lease source plans one partition per page and dedups last-wins") {
+    val server = startServer()
+    try {
+      val c = cfg(server)
+      val ls = VerkadaPipeline.leases(spark, c, "tok123").collect()
+      // layer filter drops L2; null source_id drops L3; dup cam-1
+      // resolves to the later page's L9
+      assert(ls.map(r => (r.getString(1), r.getString(0))).toMap ==
+        Map("cam-1" -> "L9", "cam-3" -> "L4"))
+    } finally server.stop(0)
+  }
+
+  test("FAILFAST decode rejects a type-corrupt camera row") {
+    val server = startServer()
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}/bad"
+      val c = VerkadaPipeline.Config(base, base, "k", 7)
+      val ex = intercept[Exception] {
+        VerkadaPipeline.cameras(spark, c, "tok123").collect()
+      }
+      assert(ex.toString.contains("Malformed") || ex.getCause != null)
+    } finally server.stop(0)
+  }
+
+  test("camera source honors limit pushdown") {
+    val server = startServer()
+    try {
+      val c = cfg(server)
+      val n = VerkadaPipeline.cameras(spark, c, "tok123").limit(3).count()
+      assert(n == 3)
+    } finally server.stop(0)
+  }
+}
