@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     ops.Core, ops.Joins, ops.Aggregates, ops.Windows, ops.Funcs,
-    ops.Dedup, ops.Similarity, ops.TextStats, ops.Multimodal, ops.StreamTwins)
+    ops.Dedup, ops.Similarity, ops.TextStats, ops.Multimodal, ops.StreamTwins,
+    ops.Custom)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import graft.functions.{CosineSimilarity, WeightedAvg}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Custom-function surface: the typed Aggregator UDAF and the native
+  * codegen Expression, each exercised through a query.
+  */
+object Custom extends QueryPack {
+
+  /** Weighted average via Aggregator UDAF (partial+final merge like a
+    * built-in). Oracle: SUM(x*w)/SUM(w). The quotient normalizes the
+    * FP summation-order noise to ~1e-10 relative, far inside the
+    * ROUND(4) guard band. */
+  private def udafWavg(s: SparkSession, d: String): DataFrame = {
+    val wavg = udaf(new WeightedAvg(),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q_sim_search twin through the native CosineSimilarity expression
+    * (single fused codegen loop) — same oracle as the HOF version,
+    * proving bit-identical semantics. */
+  private def simSearchNative(s: SparkSession, d: String): DataFrame = {
+    val probe = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(CosineSimilarity.cosine_sim(col("embedding"), col("probe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  override val queries: Map[String, Q] = Map(
+    "q_udaf_wavg"        -> udafWavg,
+    "q_sim_search_native" -> simSearchNative,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_udaf_wavg" ->
+      """SELECT l_returnflag,
+        |       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_sim_search_native" -> Similarity.oracles("q_sim_search"),
+  )
+}

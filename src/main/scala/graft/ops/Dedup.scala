@@ -111,7 +111,10 @@ object Dedup extends QueryPack {
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.embedding"), col("b.embedding")).as("c"))
+        // native fused-loop expression (bit-identical to TextSim.cosine,
+        // single pass instead of three HOF folds)
+        graft.functions.CosineSimilarity.cosine_sim(
+          col("a.embedding"), col("b.embedding")).as("c"))
       .filter(col("c") >= 0.4)
       .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
       .orderBy("vec_a", "vec_b")

@@ -44,7 +44,8 @@ object Similarity extends QueryPack {
       .filter(col("vec_id") =!= ProbeId)
       .join(broadcast(probe), col("bucket") === col("p_bucket"))
       .select(col("vec_id"), col("label"),
-        round(cosine(col("embedding"), col("probe")), 4).as("cos"))
+        round(graft.functions.CosineSimilarity.cosine_sim(
+          col("embedding"), col("probe")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(5)
   }
