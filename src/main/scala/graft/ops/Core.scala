@@ -81,6 +81,12 @@ object Core extends QueryPack {
   private def exceptQ(s: SparkSession, d: String): DataFrame =
     highBal(s, d).except(building(s, d)).orderBy("c_custkey")
 
+  private def intersectAllQ(s: SparkSession, d: String): DataFrame =
+    highBal(s, d).intersectAll(building(s, d)).orderBy("c_custkey")
+
+  private def exceptAllQ(s: SparkSession, d: String): DataFrame =
+    unionAll(s, d).exceptAll(building(s, d)).orderBy("c_custkey")
+
   override val queries: Map[String, Q] = Map(
     "q_scan_project" -> scanProject,
     "q_filter_pred"  -> filterPred,
@@ -89,6 +95,8 @@ object Core extends QueryPack {
     "q_union"        -> unionAll,
     "q_intersect"    -> intersectQ,
     "q_except"       -> exceptQ,
+    "q_intersect_all" -> intersectAllQ,
+    "q_except_all"   -> exceptAllQ,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -132,6 +140,18 @@ object Core extends QueryPack {
     "q_except" ->
       """SELECT c_custkey FROM customer WHERE c_acctbal > 7000
         |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+        |INTERSECT ALL
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+    "q_except_all" ->
+      """(SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+        | UNION ALL
+        | SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |EXCEPT ALL
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY c_custkey""".stripMargin,
   )

@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** scalacheck-generated property tests (SURVEY.md §5.3): relational
+  * algebra laws the engine's join / set-op / window rewrites must
+  * preserve. Generators are sampled with fixed seeds (no scalatestplus
+  * bridge in the offline dependency set, and determinism is a feature
+  * here).
+  */
+class PropertySpec extends SparkSpec {
+
+  private val keyVal: Gen[List[(Int, Int)]] =
+    Gen.listOfN(40, Gen.zip(Gen.choose(0, 8), Gen.choose(0, 100)))
+
+  /** Deterministically sample n values from a generator. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def df(rows: List[(Int, Int)], k: String = "k", v: String = "v") = {
+    val schema = StructType(Seq(StructField(k, IntegerType), StructField(v, IntegerType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 3), schema)
+  }
+
+  private def cases2: Seq[(List[(Int, Int)], List[(Int, Int)])] =
+    samples(Gen.zip(keyVal, keyVal), 5)
+
+  test("semi + anti partition the left side; semi = distinct-key inner") {
+    cases2.foreach { case (l, r) =>
+      val left = df(l); val right = df(r, "k2", "v2")
+      val cond = left("k") === right("k2")
+      val semi = left.join(right, cond, "left_semi")
+      val anti = left.join(right, cond, "left_anti")
+      assert(semi.count() + anti.count() == left.count())
+      assert(semi.unionAll(anti).exceptAll(left).isEmpty)
+      val innerKeys = left.join(right, cond, "inner").select("k").distinct()
+      assert(semi.select("k").distinct().exceptAll(innerKeys).isEmpty)
+      assert(innerKeys.exceptAll(semi.select("k").distinct()).isEmpty)
+    }
+  }
+
+  test("union/except cardinality laws") {
+    cases2.foreach { case (a, b) =>
+      val da = df(a); val db = df(b)
+      assert(da.unionAll(db).count() == da.count() + db.count())
+      // |A exceptAll B| = |A| - |A intersectAll B|
+      assert(da.exceptAll(db).count() == da.count() - da.intersectAll(db).count())
+      // distinct union == distinct of unionAll
+      assert(da.union(db).distinct().count() == da.unionAll(db).distinct().count())
+    }
+  }
+
+  test("dedup idempotence and containment") {
+    samples(keyVal, 5).foreach { rows =>
+      val d = df(rows)
+      val once = d.dropDuplicates("k")
+      val twice = once.dropDuplicates("k")
+      assert(once.count() == twice.count())
+      // containment checked row-wise: exceptAll(self-ancestor) trips
+      // a Spark attribute-binding bug on shared lineage
+      val allRows = d.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(once.collect().map(r => (r.getInt(0), r.getInt(1))).forall(allRows.contains))
+      assert(once.count() == d.select("k").distinct().count())
+    }
+  }
+
+  test("window running sum per partition ends at the group sum") {
+    samples(keyVal, 5).foreach { rows =>
+      val d = df(rows)
+      // v >= 0, so the running sum is monotone and max == final
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+        .orderBy("v").rowsBetween(Long.MinValue, 0)
+      val lastRunning = d.withColumn("rs", sum("v").over(w))
+        .groupBy("k").agg(max("rs").as("final_rs"))
+      val groupSum = d.groupBy("k").agg(sum("v").as("s"))
+      val joined = lastRunning.join(groupSum, "k")
+        .filter(col("final_rs") =!= col("s"))
+      assert(joined.isEmpty)
+    }
+  }
+
+  test("full outer join row accounting") {
+    cases2.foreach { case (l, r) =>
+      val left = df(l).select("k").distinct()
+      val right = df(r, "k2", "v2").select("k2").distinct()
+      val full = left.join(right, left("k") === right("k2"), "full_outer")
+      val inner = left.join(right, left("k") === right("k2"), "inner")
+      assert(full.count() == left.count() + right.count() - inner.count())
+    }
+  }
+
+  test("udf() registration surface: squared-distance UDF round-trips") {
+    // the one sanctioned UDF demo (SURVEY.md §2 UDF/UDAF/UDTF row) —
+    // everything in the library proper uses built-ins/Expressions
+    val sq = spark.udf.register("graft_sq", (x: Double) => x * x)
+    import spark.implicits._
+    val out = Seq(1.5, -2.0).toDF("x")
+      .select(sq(col("x")).as("a"), expr("graft_sq(x)").as("b")).collect()
+    assert(out.map(_.getDouble(0)).toSeq == Seq(2.25, 4.0))
+    assert(out.map(_.getDouble(1)).toSeq == Seq(2.25, 4.0))
+  }
+}
