@@ -16,17 +16,31 @@ object TextSim {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct n-token shingles joined with a space. */
-  def shingles(toks: Column, n: Int): Column =
+  /** Distinct n-token shingles joined with a space — native
+    * single-pass Expression (see Shingles). */
+  def shingles(toks: Column, n: Int): Column = Shingles.shingles(toks, n)
+
+  /** HOF twin of [[shingles]], kept as the semantic reference for
+    * equivalence tests: O(n²) per evaluation (per-index slice +
+    * array_join) and subject to Catalyst expression duplication. */
+  def shinglesHof(toks: Column, n: Int): Column =
     array_distinct(
       transform(
         sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
         i => array_join(slice(toks, i, lit(n)), " ")))
 
-  /** MinHash signature: k independent hash functions simulated by
-    * salting xxhash64, min over the shingle set per hash.
-    * O(k·|shingles|) per row, fully partition-parallel. */
+  /** MinHash signature — delegates to the native single-pass
+    * Expression (see MinHashSignature's scaladoc for why the HOF
+    * formulation below is a plan-shape hazard). */
   def minhashSignature(shingleSet: Column, k: Int): Column =
+    MinHashSignature.minhash_signature(shingleSet, k)
+
+  /** HOF formulation kept as the reference/baseline twin: k salted
+    * transform+array_min passes. Semantically a valid MinHash but
+    * O(k·|shingles|) per EVALUATION — and Catalyst may duplicate the
+    * expression per consumer. Tests compare its collision behavior
+    * with the native version; production paths use the native one. */
+  def minhashSignatureHof(shingleSet: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(shingleSet, sh => xxhash64(concat(sh, lit(s"#mh$i")))))
     }: _*)
@@ -56,7 +70,7 @@ object TextSim {
          |        cast(array_repeat(0, 64) as array<int>),
          |        (acc, h) -> zip_with(acc,
          |          transform(sequence(0, 63),
-         |            i -> case when shiftrightunsigned(h, i) % 2 = 1 then 1 else -1 end),
+         |            i -> case when (shiftrightunsigned(h, i) & 1) = 1 then 1 else -1 end),
          |          (a, b) -> a + b)),
          |      c -> case when c > 0 then 1 else 0 end),
          |    sequence(0, 63),

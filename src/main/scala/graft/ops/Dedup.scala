@@ -34,26 +34,40 @@ object Dedup extends QueryPack {
   }
 
   /** MinHash(32) + LSH(8 bands × 4 rows) near-dup pairs, rescored
-    * with exact shingle Jaccard >= 0.8. */
+    * with exact shingle Jaccard >= 0.8.
+    *
+    * Plan shape matters here: the signature is computed by the native
+    * single-pass Expression BEFORE the band explode, and each band's
+    * bucket is derived from the materialized signature attribute —
+    * explode-then-bucket. Building an array of 8 band structs over
+    * the raw signature expression instead lets CollapseProject
+    * duplicate the whole MinHash tree into every struct field (and
+    * the explode's implicit size filter), which measured ~50× slower
+    * at sf0.1. */
   private def dedupNear(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
-    val sigs = docs.select(col("doc_id"),
-      lshBands(minhashSignature(col("sh"), 32), 8, 4).as("bands"))
-    val buckets = sigs.select(col("doc_id"), explode(col("bands")).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bucket"))
-    val cand = buckets.as("x")
+    val sigs = docs.select(col("doc_id"), col("sh"),
+      minhashSignature(col("sh"), 32).as("sig"))
+    // Shingle sets ride along through the band join, so a candidate
+    // pair is rescored in place — no distinct+rejoin round trips.
+    // (The id-only-candidates-then-rejoin variant shuffles less per
+    // row but adds three joins; with banded buckets the carried
+    // payload is bounded by bucket width, and a pair is rescored at
+    // most once per colliding band before the final pair-dedup.)
+    val buckets = sigs
+      .select(col("doc_id"), col("sh"), explode(sequence(lit(0), lit(7))).as("band"), col("sig"))
+      .select(col("doc_id"), col("sh"), col("band"),
+        xxhash64(slice(col("sig"), col("band") * 4 + 1, lit(4)), col("band")).as("bucket"))
+    buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("j"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        jaccard(col("x.sh"), col("y.sh")).as("j"))
       .filter(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -64,14 +78,13 @@ object Dedup extends QueryPack {
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val sigs = Tables.documents(s, d)
       .withColumn("toks", tokens(col("text")))
-      .withColumn("sim", simhash64("toks"))
+      .withColumn("sim", graft.functions.SimHash64.simhash64(col("toks")))
       .select(col("doc_id"), col("sim"))
-    val chunks = sigs.select(col("doc_id"), col("sim"),
-        explode(array((0 until 4).map { c =>
-          struct(lit(c).as("chunk"),
-            shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))
-        }: _*)).as("b"))
-      .select(col("doc_id"), col("sim"), col("b.chunk"), col("b.ck"))
+    // explode-then-chunk (same plan-shape rule as dedupNear)
+    val chunks = sigs
+      .select(col("doc_id"), col("sim"), explode(sequence(lit(0), lit(3))).as("chunk"))
+      .select(col("doc_id"), col("sim"), col("chunk"),
+        expr("shiftrightunsigned(sim, CAST(chunk * 16 AS INT)) & 65535").as("ck"))
     chunks.as("x")
       .join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck")

@@ -94,7 +94,7 @@ object TextStats extends QueryPack {
       .select(
         col("doc_id"),
         array_min(transform(shingles(col("toks"), 4), sh => xxhash64(sh))).as("min_shingle_hash"),
-        simhash64("toks").as("simhash"))
+        graft.functions.SimHash64.simhash64(col("toks")).as("simhash"))
       .orderBy("doc_id")
 
   override val queries: Map[String, Q] = Map(

@@ -50,6 +50,48 @@ class FunctionsSpec extends SparkSpec {
     assert(viaPlan == interpreted)
   }
 
+  test("native SimHash64 is bit-identical to the HOF formulation") {
+    val docs = graft.Tables.documents(spark, sf).limit(100)
+      .withColumn("toks", split(col("text"), " "))
+    val n = docs.select(
+        SimHash64.simhash64(col("toks")).as("a"),
+        TextSim.simhash64("toks").as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(n == 0)
+  }
+
+  test("native Shingles is set-identical to the HOF formulation") {
+    val docs = graft.Tables.documents(spark, sf).limit(100)
+      .withColumn("toks", split(col("text"), " "))
+    val n = docs.select(
+        array_sort(TextSim.shingles(col("toks"), 3)).as("a"),
+        array_sort(TextSim.shinglesHof(col("toks"), 3)).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(n == 0)
+    // short-input guard: fewer tokens than n -> whole input as one shingle
+    import spark.implicits._
+    val short = Seq(Seq("only", "two")).toDF("t")
+      .select(TextSim.shingles(col("t"), 3)).head.getSeq[String](0)
+    assert(short == Seq("only two"))
+  }
+
+  test("native MinHash signature: min-merge property and determinism") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a b c", "d e f"), Seq("g h i")),
+      (Seq("a b c", "d e f", "g h i"), Seq[String]())).toDF("x", "y")
+    // sig(x ++ y) == elementwise min(sig(x), sig(y ++ x)) when x++y
+    // covers the same element set — check via the concatenated column
+    val sigs = df.select(
+      MinHashSignature.minhash_signature(concat(col("x"), col("y")), 16).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1)) // same element multiset -> same signature
+    // empty input -> sentinel array
+    val empty = Seq(Seq.empty[String]).toDF("x")
+      .select(MinHashSignature.minhash_signature(col("x"), 4)).head.getSeq[Long](0)
+    assert(empty.forall(_ == Long.MaxValue))
+  }
+
   test("WeightedAvg aggregator: hand-checked groups and merge path") {
     import spark.implicits._
     val wavg = udaf(new WeightedAvg(),
