@@ -56,6 +56,25 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each error event joined to click
+    * events by the same user within the preceding 10 minutes. Both
+    * sides watermarked so the join state is bounded (clicks retained
+    * only inside the interval + watermark). */
+  def errorClickJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+      .withWatermark("c_ts", "10 minutes")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("e_id"))
+      .withWatermark("e_ts", "10 minutes")
+    errors.join(clicks,
+      col("e_user") === col("c_user") &&
+        col("c_ts") >= col("e_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("e_ts"))
+  }
+
   /** Custom-state sessionization via flatMapGroupsWithState — the
     * mapGroupsWithState surface (SURVEY.md §2 Tier B), emitting a
     * session row whenever a 30-minute gap closes one. Equivalent

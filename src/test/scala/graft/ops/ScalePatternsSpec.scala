@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Executable demonstrations of the 100 TB scale patterns the README
+  * documents: bucketed co-located joins (no exchange), skew salting
+  * (same result, bounded per-task keys), and partition-count
+  * hygiene. These are plan-shape assertions — the point is the
+  * absence of shuffles, not the row values.
+  */
+class ScalePatternsSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle exchange") {
+    // spark.sql.warehouse.dir is static config — use external tables
+    // with explicit paths under a temp dir instead
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    graft.Tables.orders(spark, sf)
+      .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/b_orders")
+      .mode("overwrite").saveAsTable("b_orders")
+    graft.Tables.customer(spark, sf)
+      .write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/b_customer")
+      .mode("overwrite").saveAsTable("b_customer")
+    // co-located: both sides pre-bucketed on the join key
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() ==
+        graft.Tables.orders(spark, sf).join(graft.Tables.customer(spark, sf),
+          col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    // two-phase salt-then-merge for skewed keys: results identical
+    val li = graft.Tables.lineitem(spark, sf)
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+    val salted = li
+      .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+      .groupBy("l_returnflag", "salt")
+      .agg(sum("l_quantity").as("ps"), count(lit(1)).as("pn"))
+      .groupBy("l_returnflag")
+      .agg(sum("ps").as("s"), sum("pn").as("n"))
+    assert(direct.exceptAll(salted).isEmpty && salted.exceptAll(direct).isEmpty)
+  }
+
+  test("sort+limit plans as TakeOrderedAndProject, not a global sort") {
+    val plan = Core.queries("q_sort_limit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("broadcast hint is honored in the dimension join") {
+    val plan = Joins.queries("q_join_broadcast")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}

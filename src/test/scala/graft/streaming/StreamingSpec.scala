@@ -92,6 +92,18 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((7L, 2L)))
   }
 
+  test("stream-stream interval join matches the batch formulation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.Tables.events(spark, sf).as[Event].collect().toSeq
+    val ms = MemoryStream[Event]
+    ms.addData(rows)
+    val out = runToMemory(Streams.errorClickJoin(ms.toDF()), "ssj_out")
+    val batch = Streams.errorClickJoin(graft.Tables.events(spark, sf))
+    assert(out.count() == batch.count())
+    assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
+  }
+
   test("streaming session windows match batch twin for closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
