@@ -33,7 +33,8 @@ object VerkadaPipeline {
     apiKey: String,
     layerId: Long,
     concurrency: Int = 20, // reference batch size, task.ts:201
-    leasePageSize: Int = 50) // reference page size, task.ts:119
+    leasePageSize: Int = 50, // reference page size, task.ts:119
+    orgId: String = "org")
 
   case class StreamGrant(accessibleCameras: Seq[String], accessibleSites: Seq[String], jwt: String)
 
@@ -110,16 +111,35 @@ object VerkadaPipeline {
       col("site_id").isin(grant.accessibleSites: _*) ||
       col("id").isin(grant.accessibleCameras: _*))
 
+  /** A13: the stream proxy URL — 6 constant params + url-encoded jwt,
+    * camera_id, org_id (task.ts:216-226) — built as a codegen'd
+    * column expression, evaluated per row on executors. */
+  def proxyUrl(cfg: Config, jwt: String): org.apache.spark.sql.Column =
+    concat(
+      lit(s"${cfg.apiBase}/stream/cameras/v1/footage/stream/stream.m3u8" +
+        "?start_time=0&end_time=0&codec=hevc&resolution=high_res" +
+        "&type=stream&transcode=false&jwt="),
+      url_encode(lit(jwt)),
+      lit("&camera_id="), url_encode(col("id")),
+      lit("&org_id="), url_encode(lit(cfg.orgId)))
+
+  /** A18: schema discovery — the input (camera) schema for the
+    * incoming flow, empty for outgoing (task.ts:78-91). */
+  def discoverSchema(flow: String): org.apache.spark.sql.types.StructType =
+    if (flow == "incoming") CameraSource.cameraSchema
+    else new org.apache.spark.sql.types.StructType()
+
   /** A11+A14+A15+A16: left-join leases, PATCH-or-POST upsert per
     * camera with per-partition HTTP, enrich the feature with the HLS
     * URL when the response carries one. Failures are counted and
     * surfaced (the reference swallows them — task.ts:276 TODO). */
   def upsertAndEnrich(features: DataFrame, leasesDf: DataFrame, cfg: Config,
-      token: String): DataFrame = {
+      token: String, jwt: String): DataFrame = {
     val spark = features.sparkSession
     import spark.implicits._
     val joined = features
       .join(broadcast(leasesDf), features("id") === leasesDf("source_id"), "left_outer")
+      .withColumn("proxy", proxyUrl(cfg, jwt))
       .repartition(cfg.concurrency)
 
     val schema = org.apache.spark.sql.types.StructType(
@@ -143,7 +163,7 @@ object VerkadaPipeline {
         body.put("source_id", camId)
         body.put("source_type", "fixed")
         body.put("source_model", s"Verkada $model")
-        body.put("proxy", s"${cfg.apiBase}/stream/$camId/low_res")
+        body.put("proxy", r.getAs[String]("proxy"))
         val resp =
           try {
             val out = leaseId match {
@@ -187,7 +207,7 @@ object VerkadaPipeline {
     val cams = cameras(spark, cfg, token)
     val feats = toFeatures(cams)
     val live = streamable(feats, grant)
-    val enriched = upsertAndEnrich(live, ls, cfg, token).cache()
+    val enriched = upsertAndEnrich(live, ls, cfg, token, grant.jwt).cache()
     submit(enriched, cfg, token)
     enriched
   }

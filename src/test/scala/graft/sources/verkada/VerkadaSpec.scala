@@ -30,6 +30,7 @@ class VerkadaSpec extends SparkSpec {
   private val patches = new ConcurrentLinkedQueue[String]()
   private val posts = new AtomicInteger(0)
   private val submitted = new ConcurrentLinkedQueue[String]()
+  private val upsertBodies = new ConcurrentLinkedQueue[String]()
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val b = body.getBytes("UTF-8")
@@ -42,7 +43,7 @@ class VerkadaSpec extends SparkSpec {
     server.createContext("/token", ex => respond(ex, 200, """{"token":"tok123"}"""))
     server.createContext("/cameras/v1/footage/token", ex => respond(ex, 200,
       """{"accessibleCameras":["cam-3"],"accessibleSites":["site-A"],
-        |"expiration":2000000000,"expiresAt":2000000000,"jwt":"jwt-xyz",
+        |"expiration":2000000000,"expiresAt":2000000000,"jwt":"jwt+x/y==",
         |"permission":["live"]}""".stripMargin.replaceAll("\n", "")))
     // cursor-paginated devices: p1 -> "p2", p2 -> "p3", p3 -> "p3"
     // (non-advancing: the guard must stop the scan)
@@ -82,6 +83,7 @@ class VerkadaSpec extends SparkSpec {
             s"""{"items":[${items.stripMargin.replaceAll("\n", "")}],"total":5}""")
         case "POST" =>
           posts.incrementAndGet()
+          upsertBodies.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
           respond(ex, 200, """{"protocols":{"hls":{"url":"https://hls/new.m3u8"}}}""")
         case m => respond(ex, 405, s"""{"err":"$m"}""")
       }
@@ -91,6 +93,7 @@ class VerkadaSpec extends SparkSpec {
     server.createContext("/video/lease/", ex => {
       val id = ex.getRequestURI.getPath.split("/").last
       patches.add(id)
+      upsertBodies.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
       if (id == "L9") respond(ex, 200, """{}""")
       else respond(ex, 200, s"""{"protocols":{"hls":{"url":"https://hls/$id.m3u8"}}}""")
     })
@@ -142,6 +145,20 @@ class VerkadaSpec extends SparkSpec {
       assert(video(out(0)).isEmpty)
       assert(video(out(1)).contains("https://hls/L4.m3u8"))
       assert(video(out(2)).contains("https://hls/new.m3u8"))
+
+      // A13: proxy URL carries the 6 constants + url-encoded jwt,
+      // camera_id, org_id (task.ts:216-226)
+      val aBody = upsertBodies.asScala.find(_.contains("cam-3")).get
+      val proxy = Json.parse(aBody).get("proxy").asText()
+      assert(proxy.contains("/stream/cameras/v1/footage/stream/stream.m3u8?"))
+      assert(proxy.contains("start_time=0") && proxy.contains("end_time=0")
+        && proxy.contains("codec=hevc") && proxy.contains("resolution=high_res")
+        && proxy.contains("type=stream") && proxy.contains("transcode=false"))
+      assert(proxy.contains("jwt=jwt%2Bx%2Fy%3D%3D"))
+      assert(proxy.contains("camera_id=cam-3"))
+      // A18: schema discovery
+      assert(VerkadaPipeline.discoverSchema("incoming") == CameraSource.cameraSchema)
+      assert(VerkadaPipeline.discoverSchema("outgoing").isEmpty)
 
       // submit: one FeatureCollection with the 3 features
       assert(submitted.size() == 1)
