@@ -97,15 +97,76 @@ object Funcs extends QueryPack {
         (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod10"))
       .orderBy("event_id")
 
+  /** Second string family: case/charset transforms, edit distance
+    * (levenshtein — the character-level near-dup primitive),
+    * format_string (reference A13's URL-building family). */
+  private def stringFuncs2(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        initcap(lower(col("c_mktsegment"))).as("seg_title"),
+        translate(col("c_name"), "#0", "-x").as("name_trans"),
+        levenshtein(col("c_name"), lit("Customer#000000000")).as("edit_dist"),
+        format_string("%s/%d", col("c_mktsegment"), col("c_custkey")).as("seg_key"),
+        reverse(col("c_name")).as("name_rev"),
+        repeat(lit("ab"), 3).as("rep"),
+        instr(col("c_name"), "#").as("hash_pos"),
+        left(col("c_name"), lit(8)).as("name_left"),
+        right(col("c_name"), lit(4)).as("name_right"))
+      .orderBy("c_custkey")
+
+  /** Conditional / null-handling family: CASE, nullif, coalesce,
+    * greatest/least, if. */
+  private def condFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 400000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("bucket"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_or_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING")).as("status_filled"),
+        greatest(col("o_totalprice"), lit(250000.0)).as("floor_price"),
+        least(col("o_custkey") % 100, col("o_orderkey") % 100).as("min_mod"),
+        expr("IF(o_orderstatus = 'F', 1, 0)").as("is_final"))
+      .orderBy("o_orderkey")
+
   override val queries: Map[String, Q] = Map(
-    "q_string_funcs" -> stringFuncs,
-    "q_date_funcs"   -> dateFuncs,
-    "q_math_funcs"   -> mathFuncs,
-    "q_array_funcs"  -> arrayFuncs,
-    "q_map_json"     -> mapJson,
+    "q_string_funcs"  -> stringFuncs,
+    "q_string_funcs2" -> stringFuncs2,
+    "q_cond_funcs"    -> condFuncs,
+    "q_date_funcs"    -> dateFuncs,
+    "q_math_funcs"    -> mathFuncs,
+    "q_array_funcs"   -> arrayFuncs,
+    "q_map_json"      -> mapJson,
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_string_funcs2" ->
+      """SELECT c_custkey,
+        |       UPPER(LEFT(c_mktsegment, 1)) || LOWER(SUBSTRING(c_mktsegment, 2)) AS seg_title,
+        |       TRANSLATE(c_name, '#0', '-x') AS name_trans,
+        |       CAST(LEVENSHTEIN(c_name, 'Customer#000000000') AS INT) AS edit_dist,
+        |       FORMAT('{}/{}', c_mktsegment, c_custkey) AS seg_key,
+        |       REVERSE(c_name) AS name_rev,
+        |       REPEAT('ab', 3) AS rep,
+        |       CAST(INSTR(c_name, '#') AS INT) AS hash_pos,
+        |       LEFT(c_name, 8) AS name_left,
+        |       RIGHT(c_name, 4) AS name_right
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q_cond_funcs" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 400000 THEN 'high'
+        |            WHEN o_totalprice > 100000 THEN 'mid'
+        |            ELSE 'low' END AS bucket,
+        |       NULLIF(o_orderstatus, 'P') AS status_or_null,
+        |       COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+        |       GREATEST(o_totalprice, 250000.0) AS floor_price,
+        |       LEAST(o_custkey % 100, o_orderkey % 100) AS min_mod,
+        |       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_final
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     "q_string_funcs" ->
       """SELECT p_partkey,
         |       UPPER(p_name) AS name_upper,

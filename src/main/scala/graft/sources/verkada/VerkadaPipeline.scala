@@ -134,9 +134,12 @@ object VerkadaPipeline {
     * URL when the response carries one. Failures are counted and
     * surfaced (the reference swallows them — task.ts:276 TODO). */
   def upsertAndEnrich(features: DataFrame, leasesDf: DataFrame, cfg: Config,
-      token: String, jwt: String): DataFrame = {
+      token: String, jwt: String): (DataFrame, org.apache.spark.util.LongAccumulator) = {
     val spark = features.sparkSession
     import spark.implicits._
+    // the reference swallows upsert failures (task.ts:276 TODO);
+    // we count them in an accumulator and surface the tally
+    val failures = spark.sparkContext.longAccumulator("graft.verkada.upsertFailures")
     val joined = features
       .join(broadcast(leasesDf), features("id") === leasesDf("source_id"), "left_outer")
       .withColumn("proxy", proxyUrl(cfg, jwt))
@@ -176,7 +179,7 @@ object VerkadaPipeline {
             if (node.has("protocols") && node.get("protocols").hasNonNull("hls"))
               node.get("protocols").get("hls").get("url").asText()
             else null
-          } catch { case _: Exception => null }
+          } catch { case _: Exception => failures.add(1); null }
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ resp)
       }
     }(enc)
@@ -184,7 +187,7 @@ object VerkadaPipeline {
         col("properties").withField("video",
           when(col("hls_url").isNotNull, struct(col("hls_url").as("url")))
             .otherwise(lit(null).cast("struct<url:string>"))))
-      .select("id", "type", "properties", "geometry")
+      .select("id", "type", "properties", "geometry") -> failures
   }
 
   /** A17: submit the FeatureCollection to the layer endpoint
@@ -207,8 +210,17 @@ object VerkadaPipeline {
     val cams = cameras(spark, cfg, token)
     val feats = toFeatures(cams)
     val live = streamable(feats, grant)
-    val enriched = upsertAndEnrich(live, ls, cfg, token, grant.jwt).cache()
+    val (enrichedRaw, failures) = upsertAndEnrich(live, ls, cfg, token, grant.jwt)
+    val enriched = enrichedRaw.cache()
     submit(enriched, cfg, token)
+    if (failures.value > 0)
+      spark.sparkContext.setLocalProperty("graft.verkada.lastFailures",
+        failures.value.toString)
     enriched
   }
+
+  /** Last run's upsert-failure tally (0 if none). */
+  def lastFailures(spark: SparkSession): Long =
+    Option(spark.sparkContext.getLocalProperty("graft.verkada.lastFailures"))
+      .map(_.toLong).getOrElse(0L)
 }

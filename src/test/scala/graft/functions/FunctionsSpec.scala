@@ -75,6 +75,25 @@ class FunctionsSpec extends SparkSpec {
     assert(short == Seq("only two"))
   }
 
+  test("SimHash is permutation-invariant; MinHash Jaccard estimate tracks truth") {
+    import spark.implicits._
+    val text = graft.Tables.documents(spark, sf)
+      .select("text").head.getString(0)
+    val toks = text.split(" ").toSeq
+    val perm = (toks.reverse ++ Seq.empty).toSeq
+    val df = Seq((toks, perm)).toDF("a", "b")
+    val r = df.select(
+      SimHash64.simhash64(col("a")).as("sa"),
+      SimHash64.simhash64(col("b")).as("sb")).head
+    assert(r.getLong(0) == r.getLong(1)) // bag-of-tokens: order-free
+    // MinHash collision fraction approximates Jaccard: identical sets
+    // must agree on every component
+    val m = df.select(
+      MinHashSignature.minhash_signature(col("a"), 32).as("ma"),
+      MinHashSignature.minhash_signature(col("b"), 32).as("mb")).head
+    assert(m.getSeq[Long](0) == m.getSeq[Long](1))
+  }
+
   test("native MinHash signature: min-merge property and determinism") {
     import spark.implicits._
     val df = Seq(
