@@ -85,6 +85,41 @@ object Aggregates extends QueryPack {
         col("l_returnflag"), col("l_linestatus"))
       .agg(Det.dsum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_rows")))
 
+  /** Exact interpolated median (continuous percentile). Spark
+    * `percentile` and DuckDB `quantile_cont` both sort exactly, so
+    * the result is order-independent; ROUND(4) guards the final
+    * interpolation arithmetic. */
+  private def aggMedian(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("q1_qty"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("q3_qty"))
+      .orderBy("l_returnflag")
+
+  /** Moment statistics computed from exact decimal sums (sum, sum of
+    * squares) so the std-dev is order-independent — the built-in
+    * streaming stddev differs across engines in low bits. */
+  private def aggStats(s: SparkSession, d: String): DataFrame = {
+    val x = col("o_totalprice")
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.davg(x, 2).as("mean_price"),
+        Det.dsum(x * x, 4).as("sum_sq"),
+        Det.dsum(x, 2).as("sum_x"),
+        min(x).as("min_price"),
+        max(x).as("max_price"))
+      .select(
+        col("o_orderstatus"), col("n"), round(col("mean_price"), 4).as("mean_r"),
+        round(sqrt((col("sum_sq") - col("sum_x") * col("sum_x") / col("n"))
+          / (col("n") - 1)), 4).as("stddev_r"),
+        col("min_price"), col("max_price"))
+      .orderBy("o_orderstatus")
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_agg_group"    -> aggGroup,
     "q_agg_distinct" -> aggDistinct,
@@ -92,6 +127,8 @@ object Aggregates extends QueryPack {
     "q_agg_rollup"   -> aggRollup,
     "q_agg_cube"     -> aggCube,
     "q_agg_gsets"    -> aggGsets,
+    "q_agg_median"   -> aggMedian,
+    "q_agg_stats"    -> aggStats,
   )
 
   private val q1Sql =
@@ -127,6 +164,25 @@ object Aggregates extends QueryPack {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_agg_median" ->
+      """SELECT l_returnflag,
+        |       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |       ROUND(quantile_cont(l_quantity, 0.25), 4) AS q1_qty,
+        |       ROUND(quantile_cont(l_quantity, 0.75), 4) AS q3_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_agg_stats" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |       ROUND(${Det.davgSql("o_totalprice", 2)}, 4) AS mean_r,
+         |       ROUND(SQRT((${Det.dsumSql("o_totalprice * o_totalprice", 4)}
+         |                   - ${Det.dsumSql("o_totalprice", 2)} * ${Det.dsumSql("o_totalprice", 2)} / COUNT(*))
+         |                  / (COUNT(*) - 1)), 4) AS stddev_r,
+         |       MIN(o_totalprice) AS min_price,
+         |       MAX(o_totalprice) AS max_price
+         |FROM orders
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
     "q_agg_rollup" -> sentinelSql("ROLLUP (l_returnflag, l_linestatus)"),
     "q_agg_cube"   -> sentinelSql("CUBE (l_returnflag, l_linestatus)"),
     "q_agg_gsets"  -> sentinelSql("GROUPING SETS ((l_returnflag), (l_linestatus), ())"),

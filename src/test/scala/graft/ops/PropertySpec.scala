@@ -95,6 +95,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("approx sketches stay inside their error bounds vs exact") {
+    val li = graft.Tables.lineitem(spark, sf)
+    val exact = li.select(countDistinct("l_partkey")).head.getLong(0)
+    val approx = li.select(approx_count_distinct("l_partkey")).head.getLong(0)
+    // default rsd = 0.05; allow 3 sigma
+    assert(math.abs(approx - exact) <= math.max(1, (0.15 * exact).toLong),
+      s"HLL estimate $approx too far from exact $exact")
+    val exactMedian = li.select(expr("percentile(l_extendedprice, 0.5)")).head.getDouble(0)
+    val approxMedian = li.select(percentile_approx(col("l_extendedprice"), lit(0.5),
+      lit(1000))).head.getDouble(0)
+    assert(math.abs(approxMedian - exactMedian) / exactMedian < 0.05)
+  }
+
   test("udf() registration surface: squared-distance UDF round-trips") {
     // the one sanctioned UDF demo (SURVEY.md §2 UDF/UDAF/UDTF row) —
     // everything in the library proper uses built-ins/Expressions
