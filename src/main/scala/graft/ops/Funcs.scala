@@ -94,7 +94,9 @@ object Funcs extends QueryPack {
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"),
-        (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod10"))
+        (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod10"),
+        // schema-full parse -> MapType, then key access (A5 analog)
+        element_at(from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")), "k").as("map_k"))
       .orderBy("event_id")
 
   /** Second string family: case/charset transforms, edit distance
@@ -225,7 +227,8 @@ object Funcs extends QueryPack {
     "q_map_json" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS INT) AS k,
-        |       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10
+        |       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS map_k
         |FROM events
         |ORDER BY event_id""".stripMargin,
   )
