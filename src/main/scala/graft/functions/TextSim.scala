@@ -78,8 +78,13 @@ object TextSim {
          |                else cast(0 as bigint) end),
          |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin)
 
-  /** Exact Jaccard similarity of two distinct-element arrays. */
-  def jaccard(a: Column, b: Column): Column =
+  /** Exact Jaccard similarity of two distinct-element arrays —
+    * native fused pass (see JaccardCoeff). */
+  def jaccard(a: Column, b: Column): Column = JaccardCoeff.jaccard_coeff(a, b)
+
+  /** Built-in-composed twin of [[jaccard]], kept as the semantic
+    * reference for equivalence tests. */
+  def jaccardHof(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** Dot product of two numeric arrays in double precision. The

@@ -50,6 +50,18 @@ class FunctionsSpec extends SparkSpec {
     assert(viaPlan == interpreted)
   }
 
+  test("native JaccardCoeff equals the array_intersect/union formulation") {
+    val docs = graft.Tables.documents(spark, sf).limit(80)
+      .withColumn("toks", array_distinct(split(col("text"), " ")))
+    val pairs = docs.select(col("toks").as("a"))
+      .crossJoin(docs.select(col("toks").as("b")).limit(20))
+    val n = pairs.select(
+        TextSim.jaccard(col("a"), col("b")).as("x"),
+        TextSim.jaccardHof(col("a"), col("b")).as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(n == 0)
+  }
+
   test("native SimHash64 is bit-identical to the HOF formulation") {
     val docs = graft.Tables.documents(spark, sf).limit(100)
       .withColumn("toks", split(col("text"), " "))
