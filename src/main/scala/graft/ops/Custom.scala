@@ -38,9 +38,30 @@ object Custom extends QueryPack {
       .limit(10)
   }
 
+  /** q_topk's semantics through the bounded-heap TopK Aggregator:
+    * partial buffers of k rows -> shuffle carries k rows per
+    * group×partition, not the whole table. Shares q_topk's oracle —
+    * two physical strategies, one verified result. */
+  private def topkAgg(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByPrice(3),
+      Encoders.product[graft.functions.LineRef])
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(topk(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber")).as("top"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("pos") + 1).cast("int").as("rk"),
+        col("r.okey").as("l_orderkey"), col("r.lineno").as("l_linenumber"),
+        col("r.price").as("l_extendedprice"))
+      .orderBy("l_returnflag", "l_linestatus", "rk")
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_udaf_wavg"        -> udafWavg,
     "q_sim_search_native" -> simSearchNative,
+    "q_topk_agg"         -> topkAgg,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -51,5 +72,6 @@ object Custom extends QueryPack {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_sim_search_native" -> Similarity.oracles("q_sim_search"),
+    "q_topk_agg"          -> Core.oracles("q_topk"),
   )
 }
