@@ -39,9 +39,56 @@ object Advanced extends QueryPack {
       .orderBy("c_custkey")
   }
 
+  /** The SQL-string surface: TPC-H Q3 shape parsed and planned by
+    * Spark SQL over temp views — same Catalyst pipeline as the
+    * DataFrame DSL, one parser earlier. */
+  private def sqlTpch(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("v_customer")
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      s"""SELECT l_orderkey,
+         |       ${graft.Det.dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+         |       o_orderdate, o_orderpriority
+         |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+         |JOIN v_lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin)
+  }
+
+  /** Time-range window frame: events per user within the preceding
+    * hour (RANGE BETWEEN INTERVAL ... PRECEDING AND CURRENT ROW). */
+  private def windowRangeTime(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .selectExpr("event_id", "user_id", "ts",
+        """count(*) OVER (PARTITION BY user_id ORDER BY ts
+          |RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour""".stripMargin)
+      .orderBy("event_id")
+
+  private def dateFuncs2(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        hour(col("ts")).as("h"),
+        minute(col("ts")).as("mi"),
+        second(col("ts")).as("sec"),
+        dayofyear(col("ts")).as("doy"),
+        weekofyear(col("ts")).as("woy"),
+        date_add(col("ts").cast("date"), 5).as("plus5d"),
+        add_months(col("ts").cast("date"), 1).as("plus1m"),
+        date_trunc("hour", col("ts")).as("hour_start"))
+      .orderBy("event_id")
+
   override val queries: Map[String, Q] = Map(
-    "q_pivot"       -> pivot,
-    "q_scalar_subq" -> scalarSubq,
+    "q_pivot"            -> pivot,
+    "q_scalar_subq"      -> scalarSubq,
+    "q_sql_tpch"         -> sqlTpch,
+    "q_window_range_time" -> windowRangeTime,
+    "q_date_funcs2"      -> dateFuncs2,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -53,6 +100,36 @@ object Advanced extends QueryPack {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_tpch" ->
+      s"""SELECT l_orderkey,
+         |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+         |       o_orderdate, o_orderpriority
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+    "q_window_range_time" ->
+      """SELECT event_id, user_id, ts,
+        |       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+        |                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q_date_funcs2" ->
+      """SELECT event_id,
+        |       CAST(HOUR(ts) AS INT) AS h,
+        |       CAST(MINUTE(ts) AS INT) AS mi,
+        |       CAST(SECOND(ts) AS INT) AS sec,
+        |       CAST(DAYOFYEAR(ts) AS INT) AS doy,
+        |       CAST(WEEKOFYEAR(ts) AS INT) AS woy,
+        |       CAST(ts AS DATE) + 5 AS plus5d,
+        |       CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus1m,
+        |       DATE_TRUNC('hour', ts) AS hour_start
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
     "q_scalar_subq" ->
       s"""SELECT c_custkey, c_mktsegment, c_acctbal,
          |       ROUND(seg_avg, 4) AS seg_avg_r
