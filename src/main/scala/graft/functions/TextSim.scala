@@ -45,16 +45,11 @@ object TextSim {
       array_min(transform(shingleSet, sh => xxhash64(concat(sh, lit(s"#mh$i")))))
     }: _*)
 
-  /** LSH bands: signature split into `nBands` contiguous slices,
-    * each slice hashed to one bucket id. Returns array<struct<band,
-    * bucket>> ready to explode + self-join (the banding trick turns
-    * O(n²) all-pairs into per-bucket candidate generation). */
-  def lshBands(signature: Column, nBands: Int, rowsPerBand: Int): Column =
-    array((0 until nBands).map { b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand), lit(b)).as("bucket"))
-    }: _*)
+  /** LSH band bucket for one band index: hash of the band's slice of
+    * the signature. Used after exploding the band index (see
+    * Dedup.dedupNear for why banding must be explode-then-derive). */
+  def lshBandBucket(signature: Column, bandIndex: Column, rowsPerBand: Int): Column =
+    xxhash64(slice(signature, bandIndex * rowsPerBand + 1, lit(rowsPerBand)), bandIndex)
 
   /** 64-bit SimHash over a token list (multiset-weighted, so token
     * permutations hash identically). Built with SQL lambdas because

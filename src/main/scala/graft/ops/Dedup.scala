@@ -58,7 +58,7 @@ object Dedup extends QueryPack {
     val buckets = sigs
       .select(col("doc_id"), col("sh"), explode(sequence(lit(0), lit(7))).as("band"), col("sig"))
       .select(col("doc_id"), col("sh"), col("band"),
-        xxhash64(slice(col("sig"), col("band") * 4 + 1, lit(4)), col("band")).as("bucket"))
+        lshBandBucket(col("sig"), col("band"), 4).as("bucket"))
     buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")

@@ -56,6 +56,16 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** foreachBatch sink: per-micro-batch custom write — the streaming
+    * analog of the reference's batched submit (A17); each batch gets
+    * the full DataFrame API (joins, upserts, multi-sink writes). */
+  def runForeachBatch(out: DataFrame, onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    out.writeStream
+      .outputMode("update")
+      .foreachBatch(onBatch)
+      .start()
+
   /** Stream-stream interval join: each error event joined to click
     * events by the same user within the preceding 10 minutes. Both
     * sides watermarked so the join state is bounded (clicks retained

@@ -104,6 +104,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
   }
 
+  test("foreachBatch sink receives update-mode batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val agg = ms.toDF().groupBy("event_type").count()
+    val q = Streams.runForeachBatch(agg, (df, id) => { seen.add((id, df.count())) })
+    ms.addData(Seq(Event(1, ts(0), 1, "click", 1.0, "{}"),
+      Event(2, ts(1), 1, "view", 1.0, "{}")))
+    q.processAllAvailable()
+    ms.addData(Seq(Event(3, ts(2), 1, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val batches = seen.asScala.toSeq.sortBy(_._1)
+    assert(batches.head._2 == 2)          // first batch: click+view rows
+    assert(batches.last._2 == 1)          // update mode: only the changed row
+  }
+
   test("AvailableNow scheduled run is incremental across invocations") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft-anow").toString
