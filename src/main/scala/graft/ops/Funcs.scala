@@ -133,6 +133,34 @@ object Funcs extends QueryPack {
         expr("IF(o_orderstatus = 'F', 1, 0)").as("is_final"))
       .orderBy("o_orderkey")
 
+  /** Second array family: sort, containment, zip, flatten, sequence,
+    * reverse, distinct-count — over the token arrays of documents. */
+  private def arrayFuncs2(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        element_at(array_sort(toks), 1).as("first_sorted"),
+        array_contains(toks, "spark").as("has_spark"),
+        size(array_distinct(toks)).as("n_uniq"),
+        element_at(reverse(toks), 1).as("last_tok"),
+        size(flatten(array(slice(toks, 1, 3), slice(toks, 1, 2)))).as("flat5"),
+        size(sequence(lit(1), col("n_chars") % 10 + 1)).as("seq_n"),
+        array_position(toks, "the").cast("int").as("the_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** Regex family (patterns kept dialect-portable). */
+  private def regexFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        col("c_name").rlike("0{3}").as("has_000"),
+        regexp_count(col("c_name"), lit("0")).as("n_zeros"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"))
+      .orderBy("c_custkey")
+
   override val queries: Map[String, Q] = Map(
     "q_string_funcs"  -> stringFuncs,
     "q_string_funcs2" -> stringFuncs2,
@@ -140,10 +168,31 @@ object Funcs extends QueryPack {
     "q_date_funcs"    -> dateFuncs,
     "q_math_funcs"    -> mathFuncs,
     "q_array_funcs"   -> arrayFuncs,
+    "q_array_funcs2"  -> arrayFuncs2,
+    "q_regex_funcs"   -> regexFuncs,
     "q_map_json"      -> mapJson,
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_array_funcs2" ->
+      """SELECT doc_id,
+        |       list_sort(string_split(text, ' '))[1] AS first_sorted,
+        |       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |       CAST(LEN(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+        |       list_reverse(string_split(text, ' '))[1] AS last_tok,
+        |       CAST(LEN(flatten([string_split(text,' ')[1:3], string_split(text,' ')[1:2]])) AS INT) AS flat5,
+        |       CAST(LEN(range(1, n_chars % 10 + 2)) AS INT) AS seq_n,
+        |       CAST(COALESCE(list_position(string_split(text, ' '), 'the'), 0) AS INT) AS the_pos
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_regex_funcs" ->
+      """SELECT c_custkey,
+        |       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |       regexp_matches(c_name, '0{3}') AS has_000,
+        |       CAST(LEN(regexp_extract_all(c_name, '0')) AS INT) AS n_zeros,
+        |       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
     "q_string_funcs2" ->
       """SELECT c_custkey,
         |       UPPER(LEFT(c_mktsegment, 1)) || LOWER(SUBSTRING(c_mktsegment, 2)) AS seg_title,
