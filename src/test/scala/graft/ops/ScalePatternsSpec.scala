@@ -44,6 +44,32 @@ class ScalePatternsSpec extends SparkSpec {
     }
   }
 
+  test("partitioned write prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.Tables.events(spark, sf)
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = back.queryExecution.executedPlan.toString
+    // the filter must land in PartitionFilters (directory pruning),
+    // not as a data filter over all partitions
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    val expected = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(back.count() == expected)
+  }
+
+  test("csv and json sources round-trip the relational subset") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val src = graft.Tables.customer(spark, sf)
+    src.write.option("header", "true").mode("overwrite").csv(s"$dir/csv")
+    src.write.mode("overwrite").json(s"$dir/json")
+    val csvBack = spark.read.option("header", "true")
+      .schema(src.schema).csv(s"$dir/csv")
+    val jsonBack = spark.read.schema(src.schema).json(s"$dir/json")
+    assert(csvBack.exceptAll(src).isEmpty && src.exceptAll(csvBack).isEmpty)
+    assert(jsonBack.exceptAll(src).isEmpty && src.exceptAll(jsonBack).isEmpty)
+  }
+
   test("salted aggregation equals direct aggregation") {
     // two-phase salt-then-merge for skewed keys: results identical
     val li = graft.Tables.lineitem(spark, sf)
