@@ -21,15 +21,21 @@ class TopKByPrice(k: Int) extends Aggregator[LineRef, List[LineRef], Seq[LineRef
       (a.price == b.price && (a.okey < b.okey ||
         (a.okey == b.okey && a.lineno < b.lineno)))
 
-  private def trim(xs: List[LineRef]): List[LineRef] =
-    xs.sortWith(lt).take(k)
+  // Invariant: buffers are kept sorted (best first) and bounded at k,
+  // so reduce is an O(k) ordered insert with an O(1) early exit for
+  // rows that can't make the cut — not a per-row sort.
+  private def insert(buf: List[LineRef], in: LineRef): List[LineRef] = {
+    if (buf.lengthCompare(k) >= 0 && !lt(in, buf.last)) return buf
+    val (better, rest) = buf.span(b => lt(b, in))
+    (better ::: in :: rest).take(k)
+  }
 
   override def zero: List[LineRef] = Nil
   override def reduce(buf: List[LineRef], in: LineRef): List[LineRef] =
-    trim(in :: buf)
+    insert(buf, in)
   override def merge(a: List[LineRef], b: List[LineRef]): List[LineRef] =
-    trim(a ++ b)
-  override def finish(buf: List[LineRef]): Seq[LineRef] = buf.sortWith(lt)
+    b.foldLeft(a)(insert)
+  override def finish(buf: List[LineRef]): Seq[LineRef] = buf
   override def bufferEncoder: Encoder[List[LineRef]] = Encoders.kryo[List[LineRef]]
   override def outputEncoder: Encoder[Seq[LineRef]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[LineRef]]()

@@ -114,7 +114,9 @@ class CameraReader(p: CameraPartition) extends PartitionReader[InternalRow] {
   private var current: InternalRow = _
 
   private def fetchPage(): Unit = {
-    val url = p.url + pageToken.map(t => s"?page_token=$t").getOrElse("")
+    // cursors are opaque server strings — URL-encode them
+    val url = p.url + pageToken.map(t =>
+      s"?page_token=${java.net.URLEncoder.encode(t, "UTF-8")}").getOrElse("")
     val body = Json.parse(Json.get(client, url, headers))
     page += 1
     val cams = body.get("cameras").elements().asScala.map { c =>

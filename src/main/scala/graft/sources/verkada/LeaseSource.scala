@@ -62,15 +62,17 @@ class LeaseScan(options: Map[String, String], limit: Option[Int]) extends Scan w
     val pageSize = options.getOrElse("pagesize", "50").toInt
     val token = options.getOrElse("token", "")
     // planning-time probe for `total` (the reference reads it from the
-    // first page response, task.ts:127)
-    val body = Json.parse(Json.get(Json.httpClient(),
-      s"$url?limit=$pageSize&page=1", authHeaders(token)))
-    val total = body.get("total").asLong()
+    // first page response, task.ts:127); the probe's body is handed to
+    // the page-1 partition so that page is not fetched twice
+    val page1Body = Json.get(Json.httpClient(),
+      s"$url?limit=$pageSize&page=1", authHeaders(token))
+    val total = Json.parse(page1Body).get("total").asLong()
     val capped = limit.map(l => math.min(l, total)).getOrElse(total)
     val nPages = math.max(1, math.ceil(capped.toDouble / pageSize).toInt)
     (1 to nPages).map(p =>
       LeasePartition(url, pageSize, p, token,
-        limit.map(l => l - (p - 1) * pageSize)): InputPartition).toArray
+        limit.map(l => l - (p - 1) * pageSize),
+        if (p == 1) Some(page1Body) else None): InputPartition).toArray
   }
 
   private def authHeaders(token: String): Map[String, String] =
@@ -80,7 +82,7 @@ class LeaseScan(options: Map[String, String], limit: Option[Int]) extends Scan w
 }
 
 case class LeasePartition(url: String, pageSize: Int, page: Int, token: String,
-  remaining: Option[Int]) extends InputPartition
+  remaining: Option[Int], prefetchedBody: Option[String]) extends InputPartition
 
 class LeaseReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -92,8 +94,9 @@ class LeaseReader(p: LeasePartition) extends PartitionReader[InternalRow] {
     val headers =
       if (p.token.isEmpty) Map.empty[String, String]
       else Map("Authorization" -> s"Bearer ${p.token}")
-    val body = Json.parse(Json.get(Json.httpClient(),
-      s"${p.url}?limit=${p.pageSize}&page=${p.page}", headers))
+    val body = Json.parse(p.prefetchedBody.getOrElse(
+      Json.get(Json.httpClient(),
+        s"${p.url}?limit=${p.pageSize}&page=${p.page}", headers)))
     val all = body.get("items").elements().asScala.map { it =>
       InternalRow(
         UTF8String.fromString(it.get("id").asText()),

@@ -213,9 +213,9 @@ object VerkadaPipeline {
     val (enrichedRaw, failures) = upsertAndEnrich(live, ls, cfg, token, grant.jwt)
     val enriched = enrichedRaw.cache()
     submit(enriched, cfg, token)
-    if (failures.value > 0)
-      spark.sparkContext.setLocalProperty("graft.verkada.lastFailures",
-        failures.value.toString)
+    // always set (including 0) so a clean run clears a prior tally
+    spark.sparkContext.setLocalProperty("graft.verkada.lastFailures",
+      failures.value.toString)
     enriched
   }
 

@@ -87,34 +87,48 @@ object Streams {
 
   /** Custom-state sessionization via flatMapGroupsWithState — the
     * mapGroupsWithState surface (SURVEY.md §2 Tier B), emitting a
-    * session row whenever a 30-minute gap closes one. Equivalent
-    * results to sessionAgg for completed sessions; used to cover the
-    * arbitrary-stateful API, not to replace session_window. */
+    * session row when a 30-minute gap closes one, and flushing/
+    * evicting idle state via EventTimeTimeout once the watermark
+    * passes last_event + gap — so state is bounded by the number of
+    * ACTIVE users, not all users ever seen. Equivalent results to
+    * sessionAgg for completed sessions. (Per-trigger batch sort is
+    * bounded by the trigger's batch size, not the group's history.) */
   def statefulSessions(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = 30L * 60 * 1000
     events
+      .withWatermark("ts", "30 minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(st) if t - st.lastMs < gapMs =>
-                cur = Some(st.copy(nEvents = st.nEvents + 1, lastMs = t))
-              case Some(st) =>
-                closed += SessionOut(user, st.startMs, st.nEvents, st.lastMs)
-                cur = Some(SessionState(1, t, t))
-              case None =>
-                cur = Some(SessionState(1, t, t))
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the session can never extend
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, st.startMs, st.nEvents, st.lastMs))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.lastMs < gapMs =>
+                  cur = Some(st.copy(nEvents = st.nEvents + 1, lastMs = t))
+                case Some(st) =>
+                  closed += SessionOut(user, st.startMs, st.nEvents, st.lastMs)
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastMs + gapMs)
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 }

@@ -76,20 +76,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").as[Long].collect().toSet == Set(10L, 11L))
   }
 
-  test("stateful sessionizer closes sessions on 30-minute gaps") {
+  test("stateful sessionizer closes sessions on gaps and flushes idle state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Event]
+    val q = Streams.statefulSessions(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
     ms.addData(Seq(
       Event(1, ts(0), 7, "click", 1.0, "{}"),
       Event(2, ts(10), 7, "view", 1.0, "{}"),
       // 35-minute gap closes session 1 (2 events)
       Event(3, ts(45), 7, "click", 1.0, "{}"),
-      // other user, single open session — never closed, never emitted
+      // other user, single session left open for now
       Event(4, ts(0), 8, "click", 1.0, "{}")))
-    val out = runToMemory(Streams.statefulSessions(ms.toDS()).toDF(), "sess_out")
-    val rows = out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    assert(rows == Set((7L, 2L)))
+    q.processAllAvailable()
+    val afterBatch1 = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(afterBatch1 == Set((7L, 2L)))
+    // advance the watermark far past every open session's last+gap:
+    // EventTimeTimeout must flush and evict users 7 and 8
+    ms.addData(Seq(Event(5, Timestamp.valueOf("2024-01-01 03:00:00"), 9, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    ms.addData(Seq(Event(6, Timestamp.valueOf("2024-01-01 03:01:00"), 9, "view", 1.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(all.contains((7L, 1L)) && all.contains((8L, 1L)),
+      s"idle sessions not flushed: $all")
   }
 
   test("stream-stream interval join matches the batch formulation") {
