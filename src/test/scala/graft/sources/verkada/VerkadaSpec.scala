@@ -45,23 +45,27 @@ class VerkadaSpec extends SparkSpec {
       """{"accessibleCameras":["cam-3"],"accessibleSites":["site-A"],
         |"expiration":2000000000,"expiresAt":2000000000,"jwt":"jwt+x/y==",
         |"permission":["live"]}""".stripMargin.replaceAll("\n", "")))
-    // cursor-paginated devices: p1 -> "p2", p2 -> "p3", p3 -> "p3"
-    // (non-advancing: the guard must stop the scan)
+    // cursor-paginated devices: p1 -> "p 2+/=" (reserved chars — must
+    // arrive URL-encoded), p2 -> "p3", p3 -> "p3" (non-advancing: the
+    // guard must stop the scan)
     server.createContext("/cameras/v1/devices", ex => {
       devicePages.incrementAndGet()
-      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      // raw query string: encoded cursor must appear encoded on the wire
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
       val body =
         if (!q.contains("page_token"))
           s"""{"cameras":[${camJson("cam-1", "site-A", "Lobby", 39.1, -104.8)},
              |${camJson("cam-2", "site-B", "Dock", 39.2, -104.9)}],
-             |"next_page_token":"p2"}""".stripMargin.replaceAll("\n", "")
-        else if (q.contains("page_token=p2"))
+             |"next_page_token":"p 2+/="}""".stripMargin.replaceAll("\n", "")
+        else if (q.contains("page_token=p+2%2B%2F%3D"))
           s"""{"cameras":[${camJson("cam-3", "site-B", "Gate", 39.3, -105.0)},
              |${camJson("cam-4", "site-C", "Roof", 39.4, -105.1)}],
              |"next_page_token":"p3"}""".stripMargin.replaceAll("\n", "")
-        else
+        else if (q.contains("page_token=p3"))
           s"""{"cameras":[${camJson("cam-5", "site-A", "Yard", 39.5, -105.2)}],
              |"next_page_token":"p3"}""".stripMargin.replaceAll("\n", "")
+        else // unencoded/garbled cursor reached the server: fail loudly
+          s"""{"cameras":[],"next_page_token":null}"""
       respond(ex, 200, body)
     })
     // offset-paginated leases: total=5 over pageSize=2 -> 3 pages.
