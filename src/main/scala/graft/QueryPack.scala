@@ -41,4 +41,15 @@ object Det {
 
   def davgSql(expr: String, scale: Int = 6): String =
     s"(CAST(SUM(CAST(($expr) AS DECIMAL(18,$scale))) AS DOUBLE) / COUNT($expr))"
+
+  /** Cross-engine-deterministic 4-decimal rounding: floor(x·10⁴+0.5)
+    * /10⁴ — every step is an IEEE op on a bit-identical double, so
+    * both engines agree ALWAYS, including at .00005 ties where
+    * Spark's exact HALF_UP and DuckDB's multiply-based ROUND can
+    * split (observed on ratio-valued columns at sf0.1). Use for
+    * rounded ratios/products of ratios; plain ROUND is fine for
+    * decimal-exact sums. */
+  def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
+  def r4Sql(expr: String): String = s"(FLOOR(($expr) * 10000 + 0.5) / 10000)"
 }

@@ -68,10 +68,10 @@ object TextStats extends QueryPack {
       .select(
         col("doc_id"),
         size(toks).as("n_tokens"),
-        round(meanTokLen, 4).as("mean_tok_len"),
-        round(nStop / nToks, 4).as("stopword_ratio"),
-        round(nUniq / nToks, 4).as("uniq_ratio"),
-        round((nUniq / nToks) * (lit(1.0) - nStop / nToks) * least(nToks / 50, lit(1.0)), 4)
+        Det.r4(meanTokLen).as("mean_tok_len"),
+        Det.r4(nStop / nToks).as("stopword_ratio"),
+        Det.r4(nUniq / nToks).as("uniq_ratio"),
+        Det.r4((nUniq / nToks) * (lit(1.0) - nStop / nToks) * least(nToks / 50, lit(1.0)))
           .as("quality"))
       .orderBy("doc_id")
   }
@@ -134,23 +134,23 @@ object TextStats extends QueryPack {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "q_quality_score" ->
-      """WITH q AS (
-        |  SELECT doc_id,
-        |         CAST(LEN(string_split(text,' ')) AS DOUBLE) AS nt,
-        |         CAST(LEN(list_filter(string_split(text,' '),
-        |              t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS ns,
-        |         CAST(LEN(list_distinct(string_split(text,' '))) AS DOUBLE) AS nu,
-        |         CAST(LENGTH(text) - (LEN(string_split(text,' ')) - 1) AS DOUBLE)
-        |           / LEN(string_split(text,' ')) AS mtl
-        |  FROM documents)
-        |SELECT doc_id,
-        |       CAST(nt AS INT) AS n_tokens,
-        |       ROUND(mtl, 4) AS mean_tok_len,
-        |       ROUND(ns / nt, 4) AS stopword_ratio,
-        |       ROUND(nu / nt, 4) AS uniq_ratio,
-        |       ROUND((nu / nt) * (1.0 - ns / nt) * LEAST(nt / 50, 1.0), 4) AS quality
-        |FROM q
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |         CAST(LEN(string_split(text,' ')) AS DOUBLE) AS nt,
+         |         CAST(LEN(list_filter(string_split(text,' '),
+         |              t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS ns,
+         |         CAST(LEN(list_distinct(string_split(text,' '))) AS DOUBLE) AS nu,
+         |         CAST(LENGTH(text) - (LEN(string_split(text,' ')) - 1) AS DOUBLE)
+         |           / LEN(string_split(text,' ')) AS mtl
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(nt AS INT) AS n_tokens,
+         |       ${Det.r4Sql("mtl")} AS mean_tok_len,
+         |       ${Det.r4Sql("ns / nt")} AS stopword_ratio,
+         |       ${Det.r4Sql("nu / nt")} AS uniq_ratio,
+         |       ${Det.r4Sql("(nu / nt) * (1.0 - ns / nt) * LEAST(nt / 50, 1.0)")} AS quality
+         |FROM q
+         |ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |       CAST(LEN(string_split(text,' ')) AS INT) AS n_ws_tokens,
