@@ -35,7 +35,7 @@ object Advanced extends QueryPack {
       .join(broadcast(segAvg), col("c_mktsegment") === col("seg"))
       .filter(col("c_acctbal") > col("seg_avg"))
       .select(col("c_custkey"), col("c_mktsegment"),
-        col("c_acctbal"), round(col("seg_avg"), 4).as("seg_avg_r"))
+        col("c_acctbal"), Det.r4(col("seg_avg")).as("seg_avg_r"))
       .orderBy("c_custkey")
   }
 
@@ -132,7 +132,7 @@ object Advanced extends QueryPack {
         |ORDER BY event_id""".stripMargin,
     "q_scalar_subq" ->
       s"""SELECT c_custkey, c_mktsegment, c_acctbal,
-         |       ROUND(seg_avg, 4) AS seg_avg_r
+         |       ${Det.r4Sql("seg_avg")} AS seg_avg_r
          |FROM customer
          |JOIN (SELECT c_mktsegment AS seg,
          |             ${Det.davgSql("c_acctbal", 2)} AS seg_avg

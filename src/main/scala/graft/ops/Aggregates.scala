@@ -93,9 +93,9 @@ object Aggregates extends QueryPack {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
-        round(expr("percentile(l_quantity, 0.25)"), 4).as("q1_qty"),
-        round(expr("percentile(l_quantity, 0.75)"), 4).as("q3_qty"))
+        Det.r4(expr("percentile(l_extendedprice, 0.5)")).as("median_price"),
+        Det.r4(expr("percentile(l_quantity, 0.25)")).as("q1_qty"),
+        Det.r4(expr("percentile(l_quantity, 0.75)")).as("q3_qty"))
       .orderBy("l_returnflag")
 
   /** Moment statistics computed from exact decimal sums (sum, sum of
@@ -113,9 +113,9 @@ object Aggregates extends QueryPack {
         min(x).as("min_price"),
         max(x).as("max_price"))
       .select(
-        col("o_orderstatus"), col("n"), round(col("mean_price"), 4).as("mean_r"),
-        round(sqrt((col("sum_sq") - col("sum_x") * col("sum_x") / col("n"))
-          / (col("n") - 1)), 4).as("stddev_r"),
+        col("o_orderstatus"), col("n"), Det.r4(col("mean_price")).as("mean_r"),
+        Det.r4(sqrt((col("sum_sq") - col("sum_x") * col("sum_x") / col("n"))
+          / (col("n") - 1))).as("stddev_r"),
         col("min_price"), col("max_price"))
       .orderBy("o_orderstatus")
   }
@@ -165,19 +165,19 @@ object Aggregates extends QueryPack {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_agg_median" ->
-      """SELECT l_returnflag,
-        |       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
-        |       ROUND(quantile_cont(l_quantity, 0.25), 4) AS q1_qty,
-        |       ROUND(quantile_cont(l_quantity, 0.75), 4) AS q3_qty
+      s"""SELECT l_returnflag,
+        |       ${Det.r4Sql("quantile_cont(l_extendedprice, 0.5)")} AS median_price,
+        |       ${Det.r4Sql("quantile_cont(l_quantity, 0.25)")} AS q1_qty,
+        |       ${Det.r4Sql("quantile_cont(l_quantity, 0.75)")} AS q3_qty
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_agg_stats" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
-         |       ROUND(${Det.davgSql("o_totalprice", 2)}, 4) AS mean_r,
-         |       ROUND(SQRT((${Det.dsumSql("o_totalprice * o_totalprice", 4)}
+         |       ${Det.r4Sql(Det.davgSql("o_totalprice", 2))} AS mean_r,
+         |       ${Det.r4Sql(s"""SQRT((${Det.dsumSql("o_totalprice * o_totalprice", 4)}
          |                   - ${Det.dsumSql("o_totalprice", 2)} * ${Det.dsumSql("o_totalprice", 2)} / COUNT(*))
-         |                  / (COUNT(*) - 1)), 4) AS stddev_r,
+         |                  / (COUNT(*) - 1))""")} AS stddev_r,
          |       MIN(o_totalprice) AS min_price,
          |       MAX(o_totalprice) AS max_price
          |FROM orders

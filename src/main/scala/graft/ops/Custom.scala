@@ -19,7 +19,7 @@ object Custom extends QueryPack {
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"))
+      .agg(graft.Det.r4(wavg(col("l_extendedprice"), col("l_quantity"))).as("wavg_price"))
       .orderBy("l_returnflag")
   }
 
@@ -33,7 +33,7 @@ object Custom extends QueryPack {
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), col("label"),
-        round(CosineSimilarity.cosine_sim(col("embedding"), col("probe")), 4).as("cos"))
+        graft.Det.r4(CosineSimilarity.cosine_sim(col("embedding"), col("probe"))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -66,8 +66,8 @@ object Custom extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "q_udaf_wavg" ->
-      """SELECT l_returnflag,
-        |       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg_price
+      s"""SELECT l_returnflag,
+        |       ${graft.Det.r4Sql("SUM(l_extendedprice * l_quantity) / SUM(l_quantity)")} AS wavg_price
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,

@@ -66,7 +66,7 @@ object Dedup extends QueryPack {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         jaccard(col("x.sh"), col("y.sh")).as("j"))
       .filter(col("j") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), graft.Det.r4(col("j")).as("jaccard"))
       .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
@@ -111,7 +111,7 @@ object Dedup extends QueryPack {
       // threshold on the UNROUNDED value (matches the oracle's WHERE);
       // round only the output column
       .filter(col("j") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), graft.Det.r4(col("j")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -129,7 +129,7 @@ object Dedup extends QueryPack {
         graft.functions.CosineSimilarity.cosine_sim(
           col("a.embedding"), col("b.embedding")).as("c"))
       .filter(col("c") >= 0.4)
-      .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
+      .select(col("vec_a"), col("vec_b"), graft.Det.r4(col("c")).as("cos"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -154,8 +154,8 @@ object Dedup extends QueryPack {
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       ROUND(CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |             / LEN(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        |       FLOOR((CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |             / LEN(list_distinct(list_concat(a.toks, b.toks)))) * 10000 + 0.5) / 10000 AS jaccard
         |FROM (SELECT doc_id, lang, source, list_distinct(string_split(text,' ')) toks FROM documents) a
         |JOIN (SELECT doc_id, lang, source, list_distinct(string_split(text,' ')) toks FROM documents) b
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id

@@ -59,15 +59,15 @@ object Funcs extends QueryPack {
       .filter(col("l_orderkey") < 1000)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") / 7, 4).as("div7"),
+        graft.Det.r4(col("l_extendedprice") / 7).as("div7"),
         abs(col("l_discount") - 0.05).as("abs_off"),
         ceil(col("l_quantity") / 3).as("ceil3"),
         floor(col("l_quantity") / 3).as("floor3"),
-        round(log(col("l_extendedprice")), 4).as("ln_price"),
-        round(exp(col("l_discount")), 4).as("exp_disc"),
+        graft.Det.r4(log(col("l_extendedprice"))).as("ln_price"),
+        graft.Det.r4(exp(col("l_discount"))).as("exp_disc"),
         pow(col("l_quantity"), 2).as("qty_sq"),
         (col("l_orderkey") % 7).as("mod7"),
-        round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+        graft.Det.r4(sqrt(col("l_extendedprice"))).as("sqrt_price"),
         signum(col("l_discount") - 0.05).as("sign_off"))
       // (l_orderkey, l_linenumber) non-unique: div7/exp_disc/qty_sq are
       // injective in extendedprice/discount/quantity, pinning all
@@ -80,12 +80,12 @@ object Funcs extends QueryPack {
       .select(
         col("vec_id"),
         size(col("embedding")).as("n_dims"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
-        round(aggregate(asDouble, lit(0.0), (acc, x) => acc + x), 4).as("sum_all"),
+        graft.Det.r4(element_at(col("embedding"), 1).cast("double")).as("e1"),
+        graft.Det.r4(aggregate(asDouble, lit(0.0), (acc, x) => acc + x)).as("sum_all"),
         size(filter(col("embedding"), x => x > 0)).as("n_pos"),
-        round(aggregate(transform(slice(col("embedding"), 1, 4), x => x.cast("double")),
-          lit(0.0), (acc, x) => acc + x), 4).as("first4_sum"),
-        round(array_max(col("embedding")).cast("double"), 4).as("max_e"))
+        graft.Det.r4(aggregate(transform(slice(col("embedding"), 1, 4), x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)).as("first4_sum"),
+        graft.Det.r4(array_max(col("embedding")).cast("double")).as("max_e"))
       .orderBy("vec_id")
   }
 

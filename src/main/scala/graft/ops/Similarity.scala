@@ -31,7 +31,7 @@ object Similarity extends QueryPack {
       .filter(col("vec_id") =!= ProbeId)
       .crossJoin(broadcast(probeDf(s, d)))
       .select(col("vec_id"), col("label"),
-        round(cosine(col("embedding"), col("probe")), 4).as("cos"))
+        graft.Det.r4(cosine(col("embedding"), col("probe"))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
 
@@ -44,8 +44,8 @@ object Similarity extends QueryPack {
       .filter(col("vec_id") =!= ProbeId)
       .join(broadcast(probe), col("bucket") === col("p_bucket"))
       .select(col("vec_id"), col("label"),
-        round(graft.functions.CosineSimilarity.cosine_sim(
-          col("embedding"), col("probe")), 4).as("cos"))
+        graft.Det.r4(graft.functions.CosineSimilarity.cosine_sim(
+          col("embedding"), col("probe"))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(5)
   }
@@ -98,7 +98,7 @@ object Similarity extends QueryPack {
       .filter(col("vec_id") =!= ProbeId)
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), col("label"),
-        round(cosine_sim(col("embedding"), col("probe")), 4).as("cos"))
+        graft.Det.r4(cosine_sim(col("embedding"), col("probe"))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(5)
   }
@@ -113,11 +113,12 @@ object Similarity extends QueryPack {
     "q_sim_search" ->
       """WITH p AS (SELECT embedding AS probe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,
-        |       ROUND(
+        |       FLOOR((
         |         list_sum(list_transform(list_zip(e.embedding, p.probe),
         |                  t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
         |         / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |            * SQRT(list_sum(list_transform(p.probe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+        |            * SQRT(list_sum(list_transform(p.probe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |       ) * 10000 + 0.5) / 10000 AS cos
         |FROM embeddings e, p
         |WHERE e.vec_id <> 0
         |ORDER BY cos DESC, vec_id ASC
