@@ -110,7 +110,7 @@ object TextStats extends QueryPack {
       s"""SELECT d.lang, d.n_docs, d.avg_tokens, d.total_chars, t.n_distinct_tokens
          |FROM (SELECT lang, COUNT(*) AS n_docs,
          |             ${Det.davgSql("LEN(string_split(text, ' '))", 0)} AS avg_tokens,
-         |             SUM(n_chars) AS total_chars
+         |             CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |      FROM documents GROUP BY lang) d
          |JOIN (SELECT lang, COUNT(DISTINCT tok) AS n_distinct_tokens
          |      FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents)

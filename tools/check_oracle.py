@@ -35,6 +35,14 @@ def main():
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
         bad = None
+        # Dtype-kind mismatch (e.g. DuckDB HUGEINT -> float64 vs Spark
+        # BIGINT -> int64) passes == but fails the driver's value hash.
+        kind_bad = [(c, str(got[c].dtype), str(want[c].dtype))
+                    for c in got.columns
+                    if got[c].dtype.kind != want[c].dtype.kind]
+        if kind_bad:
+            print(f"FAIL {name}: dtype kind mismatch {kind_bad}")
+            n_fail += 1; continue
         for c in got.columns:
             a, b = got[c], want[c]
             try:
