@@ -52,12 +52,33 @@ object Core extends QueryPack {
 
   /** Per-group top-k via rank-filter: top 3 lineitems by extendedprice
     * per (returnflag, linestatus); ties broken on the unique
-    * (orderkey, linenumber) so row_number is deterministic. */
+    * (orderkey, linenumber) so row_number is deterministic.
+    *
+    * Two-phase plan (the PLANS.md "pre-aggregation" scale posture):
+    * phase 1 computes each group's k-th-largest price with the
+    * bounded-heap TopK aggregate (map-side partials, shuffle carries
+    * ≤ k rows per group×partition); phase 2 broadcast-joins the
+    * 6-row threshold table back and runs the window only over rows
+    * at-or-above the cut. The full table is scanned twice but never
+    * shuffled — at 100 TB the window sorts a few dozen rows instead
+    * of the whole fact table. Price is the primary sort key, so every
+    * row ranked ≤ k has price ≥ the k-th price; ties at the cut are
+    * kept and resolved by the same deterministic row_number order. */
   private def topK(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val topk = udaf(new graft.functions.TopKByPrice(3),
+      org.apache.spark.sql.Encoders.product[graft.functions.LineRef])
+    val thresholds = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(topk(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")).as("top"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        element_at(col("top"), least(size(col("top")), lit(3)))
+          .getField("price").as("cut"))
     val w = Window.partitionBy("l_returnflag", "l_linestatus")
       .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
     Tables.lineitem(s, d)
+      .join(broadcast(thresholds), Seq("l_returnflag", "l_linestatus"))
+      .filter(col("l_extendedprice") >= col("cut"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("l_returnflag"), col("l_linestatus"), col("rk"),
