@@ -120,7 +120,35 @@ object Aggregates extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
+  /** Bitwise aggregates — order-independent by construction (AND/OR/
+    * XOR are commutative+associative), so partial aggregation is
+    * always safe. */
+  private def aggBitwise(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(
+        expr("bit_or(p_size)").cast("long").as("size_or"),
+        expr("bit_and(p_size)").cast("long").as("size_and"),
+        expr("bit_xor(p_size)").cast("long").as("size_xor"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand")
+
+  /** Ordered collection aggregate: collect_list is accumulation-order
+    * nondeterministic under parallel partials, so a deterministic
+    * engine must sort the collected array (or use an order-insensitive
+    * digest) before exposing it — serialized to a string here so the
+    * oracle compare is scalar. */
+  private def aggCollect(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .groupBy(col("n_regionkey"))
+      .agg(
+        array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_bitwise"  -> aggBitwise,
+    "q_agg_collect"  -> aggCollect,
     "q_agg_group"    -> aggGroup,
     "q_agg_distinct" -> aggDistinct,
     "q_agg_approx"   -> aggApprox,
@@ -155,6 +183,22 @@ object Aggregates extends QueryPack {
        |ORDER BY rf, ls""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "q_agg_bitwise" ->
+      """SELECT p_brand,
+        |       CAST(BIT_OR(p_size) AS BIGINT) AS size_or,
+        |       CAST(BIT_AND(p_size) AS BIGINT) AS size_and,
+        |       CAST(BIT_XOR(p_size) AS BIGINT) AS size_xor,
+        |       COUNT(*) AS n
+        |FROM part
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT n_regionkey,
+        |       STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+        |       COUNT(*) AS n
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin,
     "q_agg_group" -> q1Sql,
     "q_agg_distinct" ->
       """SELECT l_returnflag,

@@ -133,7 +133,26 @@ object Dedup extends QueryPack {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Edit-distance near-dup: Levenshtein over an 80-char prefix
+    * within (lang, source) blocks. The prefix cap bounds the O(L²)
+    * DP cost per pair; blocking bounds the pair count — same
+    * candidate-generation discipline as every other variant here. */
+  private def dedupEdit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        substring(col("text"), 1, 80).as("pfx"))
+    docs.as("a")
+      .join(docs.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.pfx"), col("b.pfx")).cast("long").as("dist"))
+      .filter(col("dist") <= 50)
+      .orderBy("doc_a", "doc_b")
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_dedup_edit"    -> dedupEdit,
     "q_dedup_exact"   -> dedupExact,
     "q_dedup_near"    -> dedupNear,
     "q_dedup_simhash" -> dedupSimhash,
@@ -142,6 +161,14 @@ object Dedup extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_dedup_edit" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       levenshtein(LEFT(a.text, 80), LEFT(b.text, 80)) AS dist
+        |FROM documents a
+        |JOIN documents b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE levenshtein(LEFT(a.text, 80), LEFT(b.text, 80)) <= 50
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM (

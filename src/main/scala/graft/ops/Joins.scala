@@ -120,7 +120,31 @@ object Joins extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** Cartesian product of the two bounded dims (5 × 25 rows) — the
+    * one join shape that is ONLY safe when at least one side is known
+    * tiny; planned as BroadcastNestedLoopJoin, never over facts. */
+  private def joinCross(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select(col("r_name"), col("n_name"))
+      .orderBy("r_name", "n_name")
+
+  /** Null-safe equi self-join (<=>): NULL keys match each other,
+    * unlike plain `=` where NULL = NULL is NULL and the rows vanish.
+    * Keys are made sparse-null deterministically with nullif. */
+  private def joinNullsafe(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"), expr("nullif(s_nationkey % 5, 0)").as("k"))
+    sup.as("a")
+      .join(sup.as("b"),
+        col("a.k") <=> col("b.k") && col("a.s_suppkey") < col("b.s_suppkey"))
+      .groupBy(col("a.k").as("k"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_join_cross"     -> joinCross,
+    "q_join_nullsafe"  -> joinNullsafe,
     "q_join_inner"     -> joinInner,
     "q_join_broadcast" -> joinBroadcast,
     "q_join_left"      -> joinLeft,
@@ -132,6 +156,17 @@ object Joins extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_join_cross" ->
+      """SELECT r_name, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_join_nullsafe" ->
+      """SELECT a.k, COUNT(*) AS n_pairs
+        |FROM (SELECT s_suppkey, NULLIF(s_nationkey % 5, 0) AS k FROM supplier) a
+        |JOIN (SELECT s_suppkey, NULLIF(s_nationkey % 5, 0) AS k FROM supplier) b
+        |  ON a.k IS NOT DISTINCT FROM b.k AND a.s_suppkey < b.s_suppkey
+        |GROUP BY a.k
+        |ORDER BY a.k NULLS FIRST""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -49,13 +49,40 @@ object StreamTwins extends QueryPack {
       .orderBy("user_id", "event_type")
   }
 
+  /** Sliding (hopping) windows: 10-minute windows every 5 minutes —
+    * each event lands in exactly 2 windows. The oracle derives the
+    * same window set arithmetically: starts at floor₅(ts) and
+    * floor₅(ts) − 5 min (both epoch-aligned, as Spark's window()
+    * is). Row multiplication = window/slide ratio, applied before
+    * partial aggregation — state stays (windows × types). */
+  private def slide(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+      .orderBy("w_start", "event_type")
+
   override val queries: Map[String, Q] = Map(
+    "q_stream_slide"   -> slide,
     "q_stream_tumble"  -> tumble,
     "q_stream_session" -> session,
     "q_stream_dedup"   -> dedup,
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_stream_slide" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |         make_timestamp(CAST(epoch_us(ts) // 300000000 * 300000000 AS BIGINT)) AS s1
+        |  FROM events),
+        |u AS (
+        |  SELECT event_type, s1 AS ws FROM x
+        |  UNION ALL
+        |  SELECT event_type, s1 - INTERVAL 5 MINUTE FROM x)
+        |SELECT ws AS w_start, event_type, COUNT(*) AS n
+        |FROM u
+        |GROUP BY ws, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
     "q_stream_tumble" ->
       s"""SELECT CAST(TO_TIMESTAMP(CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT)) AS TIMESTAMP) AS w_start,
          |       event_type, COUNT(*) AS n,

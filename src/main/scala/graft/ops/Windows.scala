@@ -68,10 +68,32 @@ object Windows extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** Distribution functions: percent_rank and cume_dist over an
+    * ordering WITH ties (peer groups share the value, so both are
+    * deterministic without a tie-break key — that's their defining
+    * semantics); nth_value over the running frame with a unique
+    * order. Ratios are (rank-1)/(n-1) style divisions of exact ints,
+    * guarded by Det.r4. */
+  private def windowDist(s: SparkSession, d: String): DataFrame = {
+    val peers = Window.partitionBy("c_mktsegment").orderBy(floor(col("c_acctbal")).asc)
+    val uniq = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.customer(s, d)
+      .select(
+        col("c_mktsegment"), col("c_custkey"),
+        floor(col("c_acctbal")).as("bal_floor"),
+        graft.Det.r4(percent_rank().over(peers)).as("pct_rank"),
+        graft.Det.r4(cume_dist().over(peers)).as("cum_dist"),
+        nth_value(col("c_custkey"), 2).over(uniq).as("second_seen"))
+      .orderBy("c_custkey")
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_window_rank"     -> windowRank,
     "q_window_analytic" -> windowAnalytic,
     "q_window_frame"    -> windowFrame,
+    "q_window_dist"     -> windowDist,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -107,5 +129,14 @@ object Windows extends QueryPack {
         |                      RANGE BETWEEN CURRENT ROW AND 10 FOLLOWING) AS n_within_10
         |FROM events
         |ORDER BY event_id""".stripMargin,
+    "q_window_dist" ->
+      s"""SELECT c_mktsegment, c_custkey,
+         |       CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
+         |       ${graft.Det.r4Sql("PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY FLOOR(c_acctbal) ASC)")} AS pct_rank,
+         |       ${graft.Det.r4Sql("CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY FLOOR(c_acctbal) ASC)")} AS cum_dist,
+         |       NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC
+         |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_seen
+         |FROM customer
+         |ORDER BY c_custkey""".stripMargin,
   )
 }
