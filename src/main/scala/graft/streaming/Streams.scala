@@ -41,6 +41,17 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding 10-minute windows every 5 minutes (each event in 2
+    * windows) with 10-minute watermark; state is bounded by
+    * (open windows × types), open windows ≤ window/slide + watermark
+    * slack per key. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
   /** Session windows (30-minute gap) per user. */
   def sessionAgg(events: DataFrame): DataFrame =
     events

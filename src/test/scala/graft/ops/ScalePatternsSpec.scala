@@ -96,4 +96,77 @@ class ScalePatternsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  /** Runs `df` to completion and returns the FINAL adaptive plan
+    * (AQE re-plans during execution; the pre-execution plan is only
+    * the starting point). */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    // one hot key (0) carrying ~100x the rows of every other key;
+    // thresholds lowered so local-scale bytes trigger the same
+    // skew-split decision a 100 TB hot key would
+    val conf = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      // incompressible per-row payload — shuffle sizes are measured on
+      // lz4-compressed bytes, so a constant pad would defeat the demo
+      val pad = sha2(concat(lit("pad"), col("id").cast("string")), 512)
+      // key 0 carries ~98% of the table; the other ~100 keys share the rest
+      val skewed = spark.range(0, 500000)
+        .select(when(col("id") < 490000, lit(0L)).otherwise(col("id") % 100).as("k"), pad.as("p"))
+      val dim = spark.range(0, 100).select(col("id").as("k"), pad.as("d"))
+      val joined = skewed.join(dim, "k")
+      val plan = finalPlan(joined)
+      assert(plan.contains("skew=true"), s"expected a skew-split join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE coalesces excess shuffle partitions at runtime") {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      // 6-group aggregate through 64 declared partitions: AQE folds
+      // the nearly-empty outputs back together instead of launching
+      // 64 reduce tasks
+      val agg = graft.Tables.lineitem(spark, sf)
+        .groupBy("l_returnflag", "l_linestatus").count()
+      val plan = finalPlan(agg)
+      assert(plan.contains("AQEShuffleRead coalesced"), plan)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  test("AQE switches a planned sort-merge join to broadcast at runtime") {
+    // static threshold off -> initial plan is SortMergeJoin; AQE's own
+    // threshold (explicit, since it defaults to the static one) sees
+    // the small runtime size of the filtered side -> broadcast join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    try {
+      val smallSide = graft.Tables.customer(spark, sf)
+        .filter(col("c_acctbal") > 9000) // a handful of rows at runtime
+      val joined = graft.Tables.orders(spark, sf)
+        .join(smallSide, col("o_custkey") === col("c_custkey"))
+      val initial = joined.queryExecution.executedPlan.toString
+      assert(initial.contains("SortMergeJoin"), initial)
+      val plan = finalPlan(joined)
+      assert(plan.contains("BroadcastHashJoin"), s"AQE should have switched:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }

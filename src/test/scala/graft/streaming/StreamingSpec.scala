@@ -35,6 +35,19 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("streaming sliding agg matches batch twin on real events") {
+    import spark.implicits._
+    val rows = graft.Tables.events(spark, sf).as[Event].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    ms.addData(rows)
+    val out = runToMemory(Streams.slidingAgg(ms.toDF()), "slide_out", "complete")
+    val expected = graft.ops.StreamTwins.queries("q_stream_slide")(spark, sf)
+      .select("w_start", "event_type", "n")
+    val got = out.select("w_start", "event_type", "n")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("watermark drops late rows in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
