@@ -58,10 +58,31 @@ object Custom extends QueryPack {
       .orderBy("l_returnflag", "l_linestatus", "rk")
   }
 
+  /** The extension-registered SQL surface: the native Expressions
+    * resolved by NAME inside a SQL string (GraftExtensions
+    * injectFunction) — cosine against a probe vector plus Jaccard
+    * against a seed token set, through the same Catalyst pipeline as
+    * the DSL twins. */
+  private def sqlFuncs(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("v_documents")
+    Tables.embeddings(s, d).createOrReplaceTempView("v_embeddings")
+    s.sql(
+      s"""SELECT d.doc_id,
+         |       ${graft.Det.r4Sql("cosine_sim(e.embedding, p.probe)")} AS cos_probe,
+         |       ${graft.Det.r4Sql(
+               "jaccard_coeff(array_distinct(split(d.text, ' ')), array('data','spark','query'))")} AS j_seed
+         |FROM v_documents d
+         |JOIN v_embeddings e ON d.doc_id = e.vec_id
+         |CROSS JOIN (SELECT embedding AS probe FROM v_embeddings WHERE vec_id = 0) p
+         |WHERE d.doc_id <> 0
+         |ORDER BY d.doc_id""".stripMargin)
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_udaf_wavg"        -> udafWavg,
     "q_sim_search_native" -> simSearchNative,
     "q_topk_agg"         -> topkAgg,
+    "q_sql_funcs"        -> sqlFuncs,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -73,5 +94,24 @@ object Custom extends QueryPack {
         |ORDER BY l_returnflag""".stripMargin,
     "q_sim_search_native" -> Similarity.oracles("q_sim_search"),
     "q_topk_agg"          -> Core.oracles("q_topk"),
+    "q_sql_funcs" ->
+      """WITH p AS (SELECT embedding AS probe FROM embeddings WHERE vec_id = 0),
+        |     t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents)
+        |SELECT d.doc_id,
+        |       FLOOR((
+        |         list_sum(list_transform(list_zip(e.embedding, p.probe),
+        |                  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |         / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |            * SQRT(list_sum(list_transform(p.probe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |       ) * 10000 + 0.5) / 10000 AS cos_probe,
+        |       FLOOR((CAST(LEN(list_intersect(t.toks, ['data','spark','query'])) AS DOUBLE)
+        |              / LEN(list_distinct(list_concat(t.toks, ['data','spark','query'])))) * 10000 + 0.5) / 10000 AS j_seed
+        |FROM documents d
+        |JOIN t ON d.doc_id = t.doc_id
+        |JOIN embeddings e ON d.doc_id = e.vec_id
+        |CROSS JOIN p
+        |WHERE d.doc_id <> 0
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }
