@@ -59,14 +59,17 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), col("sh"), explode(sequence(lit(0), lit(7))).as("band"), col("sig"))
       .select(col("doc_id"), col("sh"), col("band"),
         lshBandBucket(col("sig"), col("band"), 4).as("bucket"))
+    // One fused And keeps the conjunct order cheap→expensive (id
+    // ordering halves the directed pairs BEFORE the shingle-set
+    // Jaccard runs — Catalyst preserves order inside a conjunction
+    // and codegen short-circuits; separate Filters get reordered).
     buckets.as("x")
       .join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
-          && col("x.doc_id") < col("y.doc_id"))
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id")
+        && jaccard(col("x.sh"), col("y.sh")) >= 0.8)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        jaccard(col("x.sh"), col("y.sh")).as("j"))
-      .filter(col("j") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), graft.Det.r4(col("j")).as("jaccard"))
+        graft.Det.r4(jaccard(col("x.sh"), col("y.sh"))).as("jaccard"))
       .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
