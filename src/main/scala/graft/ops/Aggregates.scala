@@ -146,7 +146,21 @@ object Aggregates extends QueryPack {
         count(lit(1)).as("n"))
       .orderBy("n_regionkey")
 
+  /** Discrete percentiles (percentile_disc / quantile_disc): both
+    * engines return the smallest element whose cumulative fraction
+    * reaches p — an actual data value, so no interpolation arithmetic
+    * and no rounding guard needed. */
+  private def aggDisc(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95"))
+      .orderBy("l_returnflag")
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_disc"     -> aggDisc,
     "q_agg_bitwise"  -> aggBitwise,
     "q_agg_collect"  -> aggCollect,
     "q_agg_group"    -> aggGroup,
@@ -183,6 +197,14 @@ object Aggregates extends QueryPack {
        |ORDER BY rf, ls""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "q_agg_disc" ->
+      """SELECT l_returnflag,
+        |       quantile_disc(l_extendedprice, 0.25) AS p25,
+        |       quantile_disc(l_extendedprice, 0.5) AS p50,
+        |       quantile_disc(l_extendedprice, 0.95) AS p95
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_agg_bitwise" ->
       """SELECT p_brand,
         |       CAST(BIT_OR(p_size) AS BIGINT) AS size_or,

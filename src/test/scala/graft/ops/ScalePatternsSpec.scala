@@ -58,16 +58,19 @@ class ScalePatternsSpec extends SparkSpec {
     assert(back.count() == expected)
   }
 
-  test("csv and json sources round-trip the relational subset") {
+  test("csv, json, and orc sources round-trip the relational subset") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
     val src = graft.Tables.customer(spark, sf)
     src.write.option("header", "true").mode("overwrite").csv(s"$dir/csv")
     src.write.mode("overwrite").json(s"$dir/json")
+    src.write.mode("overwrite").orc(s"$dir/orc")
     val csvBack = spark.read.option("header", "true")
       .schema(src.schema).csv(s"$dir/csv")
     val jsonBack = spark.read.schema(src.schema).json(s"$dir/json")
+    val orcBack = spark.read.orc(s"$dir/orc")
     assert(csvBack.exceptAll(src).isEmpty && src.exceptAll(csvBack).isEmpty)
     assert(jsonBack.exceptAll(src).isEmpty && src.exceptAll(jsonBack).isEmpty)
+    assert(orcBack.exceptAll(src).isEmpty && src.exceptAll(orcBack).isEmpty)
   }
 
   test("salted aggregation equals direct aggregation") {
