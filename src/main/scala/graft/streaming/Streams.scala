@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Event row shape of the events table (FIXTURES.md). */
 case class Event(
@@ -16,6 +17,34 @@ case class Event(
 /** Per-user session state for the custom-state operator. */
 case class SessionState(nEvents: Long, startMs: Long, lastMs: Long)
 case class SessionOut(user_id: Long, session_start: Long, n_events: Long, last_ms: Long)
+
+/** Output row of the transformWithState running aggregate. */
+case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+/** Spark 4 arbitrary-state API (transformWithState successor of
+  * flatMapGroupsWithState): a per-user running count/sum held in a
+  * typed ValueState, emitted once per key per micro-batch. State
+  * lives in the RocksDB state store (the API requires it), shards by
+  * the groupByKey key, and — unlike the GroupState API — supports
+  * independent named state variables, TTL per variable, and timers
+  * decoupled from output mode. */
+class RunningTotalsProcessor
+    extends StatefulProcessor[Long, Event, UserRunning] {
+  @transient private var totals: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)](
+      "totals", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+      TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[UserRunning] = {
+    var (n, sum) = Option(totals.get()).getOrElse((0L, 0.0))
+    rows.foreach { e => n += 1; sum += e.value }
+    totals.update((n, sum))
+    Iterator.single(UserRunning(user, n, sum))
+  }
+}
 
 /** Structured Streaming operators (SURVEY.md §2 streaming tier +
   * A19's scheduled-snapshot model upgraded to incremental streams).
@@ -94,6 +123,17 @@ object Streams {
       col("e_user") === col("c_user") &&
         col("c_ts") >= col("e_ts") - expr("INTERVAL 10 MINUTES") &&
         col("c_ts") <= col("e_ts"))
+  }
+
+  /** Running per-user totals via the Spark 4 transformWithState API
+    * (see [[RunningTotalsProcessor]]). Requires the RocksDB state
+    * store provider. */
+  def runningTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Custom-state sessionization via flatMapGroupsWithState — the

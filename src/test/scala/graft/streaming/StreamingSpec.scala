@@ -119,6 +119,37 @@ class StreamingSpec extends SparkSpec {
       s"idle sessions not flushed: $all")
   }
 
+  test("transformWithState accumulates per-user totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = Streams.runningTotals(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("tws_out").outputMode("update").start()
+      ms.addData(Seq(
+        Event(1, ts(0), 1, "click", 2.0, "{}"),
+        Event(2, ts(1), 1, "click", 3.0, "{}"),
+        Event(3, ts(1), 2, "view", 10.0, "{}")))
+      q.processAllAvailable()
+      ms.addData(Seq(Event(4, ts(2), 1, "click", 5.0, "{}")))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // batch 1 emitted (1, 2, 5.0) and (2, 1, 10.0); batch 2's state
+      // CARRIED OVER from batch 1: (1, 3, 10.0)
+      assert(rows.contains((1L, 2L, 5.0)))
+      assert(rows.contains((2L, 1L, 10.0)))
+      assert(rows.contains((1L, 3L, 10.0)), rows.mkString(","))
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join matches the batch formulation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
