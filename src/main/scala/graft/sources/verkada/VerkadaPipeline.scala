@@ -80,6 +80,33 @@ object VerkadaPipeline {
         Map("mode" -> "FAILFAST").asJava).as("c"))
       .select(col("c.*"))
 
+  /** A5 PERMISSIVE twin of [[cameras]]: schema-mismatching records
+    * are QUARANTINED (decoded struct null, raw json retained in a
+    * side output) instead of failing the job — the posture a 100 TB
+    * scan needs when one bad record must not kill the run. Returns
+    * (valid decoded rows, quarantined raw rows). */
+  def camerasQuarantine(spark: SparkSession, cfg: Config, token: String)
+      : (DataFrame, DataFrame) = {
+    // PERMISSIVE marks partially-decodable records via the declared
+    // corrupt-record column (a bad field alone does NOT null the
+    // whole struct, so a sentinel field test would miss it)
+    val schema = CameraSource.cameraSchema
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val decoded = spark.read.format(classOf[CameraSource].getName)
+      .option("url", s"${cfg.apiBase}/cameras/v1/devices")
+      .option("token", token)
+      .load()
+      .select(col("json"),
+        from_json(col("json"), schema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record").asJava).as("c"))
+    val valid = decoded.filter(col("c._corrupt_record").isNull)
+      .select(col("c.*")).drop("_corrupt_record")
+    val quarantined = decoded.filter(col("c._corrupt_record").isNotNull)
+      .select(col("json"))
+    (valid, quarantined)
+  }
+
   /** A8: camera → GeoJSON Feature projection (task.ts:168-195). */
   def toFeatures(cams: DataFrame): DataFrame =
     cams.select(

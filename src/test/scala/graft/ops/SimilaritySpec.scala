@@ -30,4 +30,34 @@ class SimilaritySpec extends SparkSpec {
     assert(scores == scores.sorted.reverse)
     assert(scores.forall(s => s >= -1.0 && s <= 1.0))
   }
+
+  test("written ANN index prunes partitions for the probe's bucket") {
+    import org.apache.spark.sql.functions._
+    // the persisted-index form of the ANN path: cluster/bucket is a
+    // PARTITION COLUMN of the written index, so a probe search reads
+    // only its bucket's directories — at 100 TB the scan cost is
+    // |bucket|, not |table|
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val e = graft.Tables.embeddings(spark, sf)
+    e.withColumn("bucket",
+        graft.functions.TextSim.hyperplaneBucket(col("embedding"), 2, 64))
+      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val probeBucket = index.filter(col("vec_id") === 0)
+      .select("bucket").head().getInt(0)
+    val searched = index
+      .filter(col("bucket") === probeBucket && col("vec_id") =!= 0)
+    val plan = searched.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    // candidates scored with the fused kernel, true cosine ordering
+    val probe = index.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    val top = searched.crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        graft.functions.CosineSimilarity.cosine_sim(
+          col("embedding"), col("probe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(5).collect()
+    assert(top.length == 5)
+    assert(top.map(_.getDouble(1)).forall(s => s >= -1.0 && s <= 1.0))
+  }
 }

@@ -201,6 +201,19 @@ class VerkadaSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("PERMISSIVE decode quarantines the corrupt row instead of failing") {
+    val server = startServer()
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}/bad"
+      val c = VerkadaPipeline.Config(base, base, "k", 7)
+      val (valid, quarantined) = VerkadaPipeline.camerasQuarantine(spark, c, "tok123")
+      assert(quarantined.count() == 1)
+      // the raw json is preserved for replay/debugging
+      assert(quarantined.head().getString(0).contains("not-a-number"))
+      assert(valid.count() == 0)
+    } finally server.stop(0)
+  }
+
   test("camera source honors limit pushdown") {
     val server = startServer()
     try {
