@@ -83,7 +83,26 @@ object Advanced extends QueryPack {
         date_trunc("hour", col("ts")).as("hour_start"))
       .orderBy("event_id")
 
+  /** Correlated LATERAL subquery: per-order aggregate computed by a
+    * dependent subquery. Catalyst decorrelates the DependentJoin into
+    * an aggregate + equi-join — same physical shape as the hand-
+    * decorrelated q_scalar_subq, arrived at from SQL. The scalar
+    * aggregate always yields one row, so orders without lineitems
+    * survive with (NULL, 0). */
+  private def joinLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT o.o_orderkey, l.maxp, l.n
+        |FROM v_orders o,
+        |LATERAL (SELECT MAX(l_extendedprice) AS maxp, COUNT(*) AS n
+        |         FROM v_lineitem WHERE l_orderkey = o.o_orderkey) l
+        |WHERE o.o_totalprice > 450000
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_join_lateral"     -> joinLateral,
     "q_pivot"            -> pivot,
     "q_scalar_subq"      -> scalarSubq,
     "q_sql_tpch"         -> sqlTpch,
@@ -92,6 +111,13 @@ object Advanced extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_join_lateral" ->
+      """SELECT o.o_orderkey, l.maxp, l.n
+        |FROM orders o,
+        |LATERAL (SELECT MAX(l_extendedprice) AS maxp, COUNT(*) AS n
+        |         FROM lineitem WHERE l_orderkey = o.o_orderkey) l
+        |WHERE o.o_totalprice > 450000
+        |ORDER BY o_orderkey""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

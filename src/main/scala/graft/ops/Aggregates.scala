@@ -159,7 +159,25 @@ object Aggregates extends QueryPack {
         expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95"))
       .orderBy("l_returnflag")
 
+  /** Grouping metadata: GROUPING marks per rolled-up key and the
+    * combined grouping_id bitmask — how a consumer distinguishes a
+    * real NULL key from a rollup subtotal. */
+  private def aggGid(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("g_rf"), col("g_ls"), col("gid"), col("n_rows"))
+      .orderBy("rf", "ls")
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_gid"      -> aggGid,
     "q_agg_disc"     -> aggDisc,
     "q_agg_bitwise"  -> aggBitwise,
     "q_agg_collect"  -> aggCollect,
@@ -197,6 +215,16 @@ object Aggregates extends QueryPack {
        |ORDER BY rf, ls""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "q_agg_gid" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
     "q_agg_disc" ->
       """SELECT l_returnflag,
         |       quantile_disc(l_extendedprice, 0.25) AS p25,

@@ -73,6 +73,20 @@ class ScalePatternsSpec extends SparkSpec {
     assert(orcBack.exceptAll(src).isEmpty && src.exceptAll(orcBack).isEmpty)
   }
 
+  test("seeded sample and sampleBy are deterministic across runs") {
+    val c = graft.Tables.customer(spark, sf)
+    // Bernoulli sample with a fixed seed: identical row set on re-run
+    val s1 = c.sample(withReplacement = false, 0.2, seed = 42).collect().toSeq
+    val s2 = c.sample(withReplacement = false, 0.2, seed = 42).collect().toSeq
+    assert(s1 == s2 && s1.nonEmpty)
+    // stratified sampleBy: same guarantee per stratum, fractions honored loosely
+    val fracs = Map("BUILDING" -> 0.5, "MACHINERY" -> 0.1)
+    val b1 = c.stat.sampleBy("c_mktsegment", fracs, 7L).collect().toSeq
+    val b2 = c.stat.sampleBy("c_mktsegment", fracs, 7L).collect().toSeq
+    assert(b1 == b2 && b1.nonEmpty)
+    assert(b1.forall(r => fracs.contains(r.getString(4))))
+  }
+
   test("salted aggregation equals direct aggregation") {
     // two-phase salt-then-merge for skewed keys: results identical
     val li = graft.Tables.lineitem(spark, sf)
