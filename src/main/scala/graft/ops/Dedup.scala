@@ -45,7 +45,12 @@ object Dedup extends QueryPack {
     * the explode's implicit size filter), which measured ~50× slower
     * at sf0.1. */
   private def dedupNear(s: SparkSession, d: String): DataFrame = {
+    // explicit-count repartition BEFORE the signature computation:
+    // the one-file scan otherwise runs the whole MinHash pass in a
+    // single task per join side (AQE would re-coalesce a column-only
+    // repartition of so small an input)
     val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
     val sigs = docs.select(col("doc_id"), col("sh"),
       minhashSignature(col("sh"), 32).as("sig"))
@@ -80,6 +85,7 @@ object Dedup extends QueryPack {
     * with bit_count(xor) <= 6. */
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val sigs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism) // parallel signature pass
       .withColumn("toks", tokens(col("text")))
       .withColumn("sim", graft.functions.SimHash64.simhash64(col("toks")))
       .select(col("doc_id"), col("sim"))
@@ -105,16 +111,25 @@ object Dedup extends QueryPack {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(split(col("text"), " ")).as("toks"))
-    docs.as("a")
+    // Length-ratio bound (PPJoin-style): J(A,B) <= min(|A|,|B|) /
+    // max(|A|,|B|), so pairs failing the O(1) size test can never
+    // reach the threshold — provably no result change, but the O(n)
+    // set intersection is skipped for most pairs. One fused And keeps
+    // the conjunct order cheap→expensive (threshold on the UNROUNDED
+    // value, matching the oracle's WHERE).
+    val na = size(col("a.toks")).cast("double")
+    val nb = size(col("b.toks")).cast("double")
+    // repartition with an explicit count: spread pair generation
+    // beyond the single input partition, immune to AQE re-coalescing
+    // (see dedupEdit)
+    docs.repartition(s.sparkContext.defaultParallelism, col("doc_id")).as("a")
       .join(docs.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
-          && col("a.doc_id") < col("b.doc_id"))
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source"))
+      .filter(col("a.doc_id") < col("b.doc_id")
+        && least(na, nb) / greatest(na, nb) >= 0.5
+        && jaccard(col("a.toks"), col("b.toks")) >= 0.5)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        jaccard(col("a.toks"), col("b.toks")).as("j"))
-      // threshold on the UNROUNDED value (matches the oracle's WHERE);
-      // round only the output column
-      .filter(col("j") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), graft.Det.r4(col("j")).as("jaccard"))
+        graft.Det.r4(jaccard(col("a.toks"), col("b.toks"))).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -155,14 +170,31 @@ object Dedup extends QueryPack {
     // Jaccard runs, and the Levenshtein DP sees only Jaccard
     // survivors. With all three inside the equality join's condition
     // the pair never materializes off-heap either.
-    docs.as("a")
+    val na = size(col("a.toks")).cast("double")
+    val nb = size(col("b.toks")).cast("double")
+    // The docs table arrives in O(1) input partitions (one small
+    // parquet file), and under a broadcast join the streamed side's
+    // partitioning IS the pair-generation parallelism — repartition
+    // by doc_id so the O(pairs) scoring work spreads across the
+    // cluster instead of one task. The EXPLICIT count matters: a
+    // column-only repartition is an AQE-coalescible exchange, and on
+    // a small build input AQE folds it back to ONE partition,
+    // re-serializing the whole quadratic stage (measured: a single
+    // 2.5s task carried the query).
+    docs.repartition(s.sparkContext.defaultParallelism, col("doc_id")).as("a")
       .join(docs.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source"))
       .filter(col("a.doc_id") < col("b.doc_id")
-        && jaccard(col("a.toks"), col("b.toks")) >= 0.5)
+        // PPJoin-style length bound: J <= min/max, so this O(1) test
+        // provably rejects only sub-threshold pairs
+        && least(na, nb) / greatest(na, nb) >= 0.5
+        && jaccard(col("a.toks"), col("b.toks")) >= 0.5
+        // distance threshold INSIDE the conjunction: the DP runs once
+        // per candidate here; the projection below re-evaluates it
+        // only for final survivors (~40x fewer rows)
+        && levenshtein(col("a.pfx"), col("b.pfx")) <= 30)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         levenshtein(col("a.pfx"), col("b.pfx")).cast("long").as("dist"))
-      .filter(col("dist") <= 30)
       .orderBy("doc_a", "doc_b")
   }
 
