@@ -17,6 +17,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // sized to the test scale: the largest sf0.1 table is ~25MB in
+      // one file, which at the 128MB default scans as ONE task; 16MB
+      // gives the fact-table scans 2-4 way parallelism without
+      // flooding the 70 sub-second queries with task overhead
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
       .withExtensions(new plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
