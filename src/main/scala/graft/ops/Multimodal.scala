@@ -71,9 +71,40 @@ object Multimodal extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling through the imperative batched surface — the
+    * Scala analog of a pandas-batch decode UDF. The payload is
+    * chunked into fixed 64-char "frames" and every 4th is kept, all
+    * inside mapPartitions: the contract is an ITERATOR of rows in,
+    * lazily flat-mapped iterator out — no per-partition
+    * materialization, no shuffle (row multiplication happens inside
+    * the stage), partition-parallel by construction. A real media
+    * pipeline swaps the chunker for a decoder behind the same
+    * iterator contract; the md5 stands in for per-frame features.
+    * Differentially oracle-checked (the rare mapPartitions operator
+    * with a SQL twin). */
+  private def multimodalFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    src.mapPartitions { rows =>
+      rows.flatMap { case (id, text) =>
+        val nFrames = (text.length + 63) / 64
+        (0 until nFrames).iterator.filter(_ % 4 == 0).map { i =>
+          val frame = text.substring(i * 64, math.min((i + 1) * 64, text.length))
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(frame.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          (id, i, frame.length, md5)
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "frame_len", "frame_md5")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   override val queries: Map[String, Q] = Map(
-    "q_multimodal"      -> multimodal,
-    "q_multimodal_blob" -> multimodalBlob,
+    "q_multimodal"        -> multimodal,
+    "q_multimodal_blob"   -> multimodalBlob,
+    "q_multimodal_frames" -> multimodalFrames,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -81,5 +112,14 @@ object Multimodal extends QueryPack {
       """SELECT d.doc_id, d.lang, d.n_chars, e.label, CAST(LEN(e.embedding) AS INT) AS n_dims
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |ORDER BY doc_id""".stripMargin,
+    "q_multimodal_frames" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |       CAST(LENGTH(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS INT) AS frame_len,
+        |       md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |             UNNEST(range(CAST(CEIL(LENGTH(text) / 64.0) AS BIGINT))) AS i
+        |      FROM documents)
+        |WHERE i % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
