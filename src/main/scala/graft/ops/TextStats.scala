@@ -97,7 +97,26 @@ object TextStats extends QueryPack {
         graft.functions.SimHash64.simhash64(col("toks")).as("simhash"))
       .orderBy("doc_id")
 
+  /** Top terms per language: explode → count → rank-filter, ties
+    * broken lexicographically. The shuffle key is (lang, tok) with
+    * map-side partial counts — at 100 TB the count table, not the
+    * corpus, feeds the ranking window. */
+  private def topTerms(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tok").asc)
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("tok"), col("n"))
+      .orderBy("lang", "rk")
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_top_terms"     -> topTerms,
     "q_text_stats"    -> textStats,
     "q_lang_id"       -> langId,
     "q_quality_score" -> qualityScore,
@@ -106,6 +125,15 @@ object TextStats extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_top_terms" ->
+      """SELECT lang, CAST(rk AS INT) AS rk, tok, n FROM (
+        |  SELECT lang, tok, n,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rk
+        |  FROM (SELECT lang, tok, COUNT(*) AS n
+        |        FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        |        GROUP BY lang, tok))
+        |WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
     "q_text_stats" ->
       s"""SELECT d.lang, d.n_docs, d.avg_tokens, d.total_chars, t.n_distinct_tokens
          |FROM (SELECT lang, COUNT(*) AS n_docs,
