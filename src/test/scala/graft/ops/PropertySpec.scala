@@ -108,6 +108,22 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(approxMedian - exactMedian) / exactMedian < 0.05)
   }
 
+  test("freqItems heavy-hitter guarantee: frequent keys always surface") {
+    // single-pass approximate frequent items (Karp-style): any value
+    // with true frequency > support MUST appear (false positives
+    // allowed, false negatives not) — the heavy-hitters primitive a
+    // top-terms pass uses when the vocabulary won't fit an exact count
+    val li = graft.Tables.lineitem(spark, sf)
+    val support = 0.3
+    val hits = li.stat.freqItems(Array("l_returnflag"), support)
+      .head.getSeq[String](0).toSet
+    val n = li.count()
+    val mustHave = li.groupBy("l_returnflag").count()
+      .filter(col("count") > n * support)
+      .collect().map(_.getString(0)).toSet
+    assert(mustHave.subsetOf(hits), s"missing heavy hitters: ${mustHave -- hits}")
+  }
+
   test("udf() registration surface: squared-distance UDF round-trips") {
     // the one sanctioned UDF demo (SURVEY.md §2 UDF/UDAF/UDTF row) —
     // everything in the library proper uses built-ins/Expressions
