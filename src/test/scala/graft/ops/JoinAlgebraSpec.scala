@@ -36,6 +36,21 @@ class JoinAlgebraSpec extends SparkSpec {
     assert(joined.count() == out.count())
   }
 
+  test("null-safe join equals equi-join on sentinel-coalesced keys") {
+    // a <=> b  ≡  coalesce(a, S) = coalesce(b, S) for any sentinel S
+    // outside the key domain — the rewrite an engine without <=> uses
+    val sup = graft.Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), expr("nullif(s_nationkey % 5, 0)").as("k"))
+    val nullsafe = sup.as("a").join(sup.as("b"),
+        col("a.k") <=> col("b.k") && col("a.s_suppkey") < col("b.s_suppkey"))
+      .select(col("a.s_suppkey"), col("b.s_suppkey"))
+    val sentinel = sup.as("a").join(sup.as("b"),
+        coalesce(col("a.k"), lit(-999)) === coalesce(col("b.k"), lit(-999))
+          && col("a.s_suppkey") < col("b.s_suppkey"))
+      .select(col("a.s_suppkey"), col("b.s_suppkey"))
+    assert(nullsafe.exceptAll(sentinel).isEmpty && sentinel.exceptAll(nullsafe).isEmpty)
+  }
+
   test("dedup idempotence: q_dedup outputs distinct keys") {
     val topk = Core.queries("q_topk")(spark, sf)
     assert(topk.groupBy("l_returnflag", "l_linestatus").count()
