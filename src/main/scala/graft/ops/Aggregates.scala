@@ -176,7 +176,24 @@ object Aggregates extends QueryPack {
         col("g_rf"), col("g_ls"), col("gid"), col("n_rows"))
       .orderBy("rf", "ls")
 
+  /** Conditional aggregation via the SQL FILTER clause — per-branch
+    * partial aggregation in one pass (the alternative to pivot or
+    * CASE-inside-SUM). */
+  private def aggFilter(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT o_orderpriority,
+        |       COUNT(*) AS n,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sum_open
+        |FROM v_orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_filter"   -> aggFilter,
     "q_agg_gid"      -> aggGid,
     "q_agg_disc"     -> aggDisc,
     "q_agg_bitwise"  -> aggBitwise,
@@ -215,6 +232,15 @@ object Aggregates extends QueryPack {
        |ORDER BY rf, ls""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "q_agg_filter" ->
+      """SELECT o_orderpriority,
+        |       COUNT(*) AS n,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sum_open
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_agg_gid" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
         |       COALESCE(l_linestatus, 'ALL') AS ls,

@@ -161,7 +161,22 @@ object Funcs extends QueryPack {
         regexp_replace(col("c_name"), "[0-9]", "#").as("masked"))
       .orderBy("c_custkey")
 
+  /** Spark 4 VARIANT type over the semi-structured props column:
+    * parse once into the binary variant encoding, then typed path
+    * extraction — the open-schema path a pipeline takes when JSON
+    * shapes drift (vs the fixed-schema from_json in q_map_json). */
+  private def variantFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("v", parse_json(col("props")))
+      .select(
+        col("event_id"),
+        try_variant_get(col("v"), "$.k", "int").as("k_int"),
+        try_variant_get(col("v"), "$.k", "string").as("k_str"),
+        try_variant_get(col("v"), "$.missing", "int").as("absent"))
+      .orderBy("event_id")
+
   override val queries: Map[String, Q] = Map(
+    "q_variant"       -> variantFuncs,
     "q_string_funcs"  -> stringFuncs,
     "q_string_funcs2" -> stringFuncs2,
     "q_cond_funcs"    -> condFuncs,
@@ -174,6 +189,13 @@ object Funcs extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_variant" ->
+      """SELECT event_id,
+        |       CAST(json_extract(props, '$.k') AS INT) AS k_int,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(NULL AS INT) AS absent
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
     "q_array_funcs2" ->
       """SELECT doc_id,
         |       list_sort(string_split(text, ' '))[1] AS first_sorted,

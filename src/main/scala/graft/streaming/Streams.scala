@@ -106,6 +106,13 @@ object Streams {
       .foreachBatch(onBatch)
       .start()
 
+  /** Stream-static enrichment join: each micro-batch joins against a
+    * bounded static dimension (broadcast — the dimension is planned
+    * once, re-read per batch only if its source changes). The
+    * streaming analog of the reference's lease-map probe (A11). */
+  def enrichEvents(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left_outer")
+
   /** Stream-stream interval join: each error event joined to click
     * events by the same user within the preceding 10 minutes. Both
     * sides watermarked so the join state is bounded (clicks retained

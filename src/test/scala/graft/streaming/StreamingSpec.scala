@@ -150,6 +150,21 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static join enriches each micro-batch against the dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val ms = MemoryStream[Event]
+    ms.addData(Seq(
+      Event(1, ts(0), 1, "click", 1.0, "{}"),
+      Event(2, ts(1), 2, "view", 2.0, "{}"),
+      Event(3, ts(2), 9, "view", 3.0, "{}"))) // no dim row -> null tier
+    val out = runToMemory(Streams.enrichEvents(ms.toDF(), dim), "ss_out")
+    val tiers = out.select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(tiers == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+  }
+
   test("stream-stream interval join matches the batch formulation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
