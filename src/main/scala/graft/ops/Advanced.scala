@@ -101,7 +101,36 @@ object Advanced extends QueryPack {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** TPC-H Q5 shape: the six-table join — region → nation → customer
+    * → orders → lineitem → supplier with the nation-match condition —
+    * exercising Catalyst's join-order planning over a star-plus-snowflake
+    * graph. Dims flow into broadcasts; the two fact tables meet in one
+    * keyed shuffle. */
+  private def sqlTpch5(s: SparkSession, d: String): DataFrame = {
+    Tables.region(s, d).createOrReplaceTempView("v_region")
+    Tables.nation(s, d).createOrReplaceTempView("v_nation")
+    Tables.customer(s, d).createOrReplaceTempView("v_customer")
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+    s.sql(
+      s"""SELECT n_name,
+         |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+         |       COUNT(*) AS n_items
+         |FROM v_region
+         |JOIN v_nation ON n_regionkey = r_regionkey
+         |JOIN v_customer ON c_nationkey = n_nationkey
+         |JOIN v_orders ON o_custkey = c_custkey
+         |JOIN v_lineitem ON l_orderkey = o_orderkey
+         |JOIN v_supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name IN ('AFRICA', 'AMERICA')
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_sql_tpch5"        -> sqlTpch5,
     "q_join_lateral"     -> joinLateral,
     "q_pivot"            -> pivot,
     "q_scalar_subq"      -> scalarSubq,
@@ -111,6 +140,20 @@ object Advanced extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_sql_tpch5" ->
+      s"""SELECT n_name,
+         |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+         |       COUNT(*) AS n_items
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name IN ('AFRICA', 'AMERICA')
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
     "q_join_lateral" ->
       """SELECT o.o_orderkey, l.maxp, l.n
         |FROM orders o,

@@ -177,6 +177,31 @@ class StreamingSpec extends SparkSpec {
     assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
   }
 
+  test("streaming state survives a query restart from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val ms = MemoryStream[Event]
+    def start() = Streams.tumblingAgg(ms.toDF()).writeStream
+      .format("memory").queryName("ckpt_out").outputMode("complete")
+      .option("checkpointLocation", ckpt).start()
+    // run 1: two events into window [0,5)
+    val q1 = start()
+    ms.addData(Seq(
+      Event(1, ts(0), 1, "click", 1.0, "{}"),
+      Event(2, ts(2), 1, "click", 1.0, "{}")))
+    q1.processAllAvailable(); q1.stop()
+    // run 2: SAME checkpoint — the restarted query must resume the
+    // window's count at 2, not rebuild from zero
+    val q2 = start()
+    ms.addData(Seq(Event(3, ts(3), 1, "click", 1.0, "{}")))
+    q2.processAllAvailable(); q2.stop()
+    val n = spark.table("ckpt_out")
+      .filter(col("w_start") === ts(0).toString.replace(".0", ""))
+      .select("n").as[Long].head()
+    assert(n == 3L, s"expected window count 3 after restart, got $n")
+  }
+
   test("foreachBatch sink receives update-mode batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
