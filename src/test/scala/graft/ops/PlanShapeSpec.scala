@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Plan-shape regression guards for the properties PLANS.md records —
+  * each was load-bearing for correctness-at-scale or a measured
+  * performance fix, and each could silently regress under a Spark
+  * upgrade or an innocent-looking query edit.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_filter_pred pushes predicates into the parquet scan") {
+    val p = plan("q_filter_pred")
+    // the WHOLE disjunction is pushed as one Or tree (plan string
+    // truncates the tail, so match the head)
+    assert(p.contains("PushedFilters: [Or(And("), p)
+  }
+
+  test("q_scan_project prunes the scan to referenced columns") {
+    val p = plan("q_scan_project")
+    // 4 of lineitem's columns referenced; the full table has 16
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_extendedprice:double,l_discount:double>"), p)
+  }
+
+  test("q_sim_search_native scans without a data shuffle") {
+    val p = plan("q_sim_search_native")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_dedup_edit join condition stays ordered cheap-to-expensive") {
+    val p = plan("q_dedup_edit")
+    val cond = p.linesIterator.find(_.contains("jaccardcoeff")).getOrElse("")
+    val idPos = cond.indexOf("doc_id")
+    val jacPos = cond.indexOf("jaccardcoeff")
+    val levPos = cond.indexOf("levenshtein")
+    assert(idPos >= 0 && jacPos > idPos && levPos > jacPos,
+      s"conjunct order regressed (id<@$idPos jac@$jacPos lev@$levPos):\n$cond")
+  }
+
+  test("q_dedup_edit pair stage is not AQE-coalescible to one partition") {
+    // REPARTITION_BY_NUM must survive in the plan — a column-only
+    // repartition is re-coalesced on small inputs, serializing the
+    // quadratic stage (the measured 14x regression)
+    val p = plan("q_dedup_edit")
+    assert(p.contains("REPARTITION_BY_NUM"), p)
+  }
+
+  test("q_agg_group plans partial-then-final hash aggregation") {
+    val p = plan("q_agg_group")
+    assert(p.split("HashAggregate").length >= 3, p) // partial + final
+  }
+}
