@@ -100,8 +100,11 @@ object Dedup extends QueryPack {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the pair-dedup: hamming is O(1), so the
+      // distinct (a shuffle) sees only matching pairs, not every
+      // band collision
       .filter(col("hamming") <= 6)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
