@@ -5,24 +5,33 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR
   * and prints one JSON line. A warmup pass at sf0.001 (~60× smaller)
   * runs first so timings measure plan/execution quality, not
-  * first-query JIT/classloading noise.
+  * first-query JIT/classloading noise. Each query is then timed
+  * ITERS times at the target SF and the median reported — a
+  * single-iteration sample in a long-lived JVM conflates GC /
+  * scheduling jitter with plan regressions (round-2 post-mortem:
+  * q_stream_dedup "7.4× regression" that re-measured at 0.87s).
+  * A query that throws is reported in an "errors" object (name →
+  * exception) and excluded from "queries", never as a fast near-zero
+  * timing.
   */
 object Bench {
+  private val Iters = 3
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus)
       // sized to the test scale: the largest sf0.1 table is ~25MB in
       // one file, which at the 128MB default scans as ONE task; 16MB
       // gives the fact-table scans 2-4 way parallelism without
       // flooding the 70 sub-second queries with task overhead
       .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
-      .withExtensions(new plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -30,16 +39,28 @@ object Bench {
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val timed = Map.newBuilder[String, Double]
+    val errors = Map.newBuilder[String, String]
+    names.foreach { name =>
+      val samples = (1 to Iters).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          None
+        }
+      }
+      if (samples.size == Iters) timed += name -> median(samples)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = timed.result().toSeq.sortBy(_._1)
+    val errs = errors.result().toSeq.sortBy(_._1)
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
+    val qsJson = qs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errs.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = qs.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"errors":$errJson,"iters":$Iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

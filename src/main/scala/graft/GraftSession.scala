@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place that knows how to build a graft session. All mains
+  * (Bench / Verify / TimeQuery / PlanDump) and the shared test session
+  * use this, so session-scoped settings live here instead of being
+  * scattered — in particular the TIMESTAMP(NANOS) legacy read conf the
+  * events fixture needs (FIXTURES.md), which used to be set as a side
+  * effect inside `Tables.events`.
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.ts is physically TIMESTAMP(NANOS), which the vectorized
+      // reader rejects; read it as raw nanos (Tables.events truncates
+      // to µs to match DuckDB). Session-scoped by design: set once at
+      // build, never mutated by loaders.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new plans.GraftExtensions)
+}

@@ -23,13 +23,15 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   /** events.ts is physically TIMESTAMP(NANOS) parquet, which Spark's
-    * vectorized reader rejects. Read it as raw nanos (legacy conf) and
-    * truncate to microseconds — the same ns→µs truncation DuckDB
-    * applies on read, so oracle values agree. `div` keeps the
-    * arithmetic integral (a double roundtrip would lose precision on
-    * 1.7e18-scale nanos). */
+    * vectorized reader rejects. Read it as raw nanos (legacy conf,
+    * owned by [[GraftSession]] at session build) and truncate to
+    * microseconds — the same ns→µs truncation DuckDB applies on read,
+    * so oracle values agree. `div` keeps the arithmetic integral (a
+    * double roundtrip would lose precision on 1.7e18-scale nanos). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): build the session via " +
+        "GraftSession.builder (sets spark.sql.legacy.parquet.nanosAsLong)")
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -11,19 +11,13 @@ object TimeQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new plans.GraftExtensions)
-      .getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { q =>
       SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, sfDir).count()
-      println(s"$q rows=$n time=${(System.nanoTime() - t0) / 1e9}%.3f".replace("%.3f", ""))
+      println(f"$q rows=$n time=${(System.nanoTime() - t0) / 1e9}%.3f")
     }
     spark.stop()
   }

@@ -14,11 +14,11 @@ import org.apache.spark.sql.functions._
   *
   * The token-budget cut is the interesting scale piece: a global
   * running sum is a SINGLE-partition window in naive form. Here it is
-  * the classic two-phase distributed prefix sum — range-partition by
-  * the global order key, running sums within each partition, then a
-  * P-row offset table (P = parallelism, driver-scale) broadcast back
-  * and added. Identical results to the naive window at any partition
-  * count; scales to any corpus.
+  * the classic two-phase distributed prefix sum — bucket by the
+  * global order key (data-derived, order-preserving), running sums
+  * within each bucket, then a P-row offset table (P = parallelism,
+  * driver-scale) broadcast back and added. Identical results to the
+  * naive window at any partition count; scales to any corpus.
   */
 object Curation extends QueryPack {
 
@@ -67,17 +67,29 @@ object Curation extends QueryPack {
       .select(col("doc_id"), col("lang"), col("n_tokens").cast("long").as("n_tokens"))
 
     // 5. global token budget via two-phase distributed prefix sum:
-    //    range-partition on the order key → per-partition running
-    //    sums → P-row offset table broadcast back
-    val parted = sampled
-      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+    //    bucket on the order key → per-bucket running sums → P-row
+    //    offset table broadcast back. The bucket id is DERIVED FROM
+    //    DATA (monotone range bucketing of doc_id against its min/max,
+    //    a broadcast 1-row aggregate) rather than
+    //    spark_partition_id() after repartitionByRange: a physical
+    //    partition id is only consistent across the two evaluations of
+    //    this subtree (offsets aggregate + final join input) while
+    //    spark.sql.exchange.reuse deduplicates the identical
+    //    exchanges, whereas the data-derived bucket is deterministic
+    //    unconditionally — and needs no explicit repartition (the
+    //    per-bucket window supplies the hash shuffle).
+    val p = s.sparkContext.defaultParallelism
+    val bounds = sampled.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val parted = sampled.crossJoin(broadcast(bounds))
+      .withColumn("pid",
+        ((col("doc_id") - col("lo")) * p / (col("hi") - col("lo") + 1)).cast("int"))
+      .drop("lo", "hi")
     val wIn = Window.partitionBy("pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withIn = parted.withColumn("in_sum", sum(col("n_tokens")).over(wIn))
     val wOff = Window.orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withIn.groupBy("pid").agg(sum(col("n_tokens")).as("psum"))
+    val offsets = parted.groupBy("pid").agg(sum(col("n_tokens")).as("psum"))
       .withColumn("offset", coalesce(sum(col("psum")).over(wOff), lit(0L)))
       .select("pid", "offset")
     withIn.join(broadcast(offsets), "pid")

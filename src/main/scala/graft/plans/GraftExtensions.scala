@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
 
 /** The engine's SparkSessionExtensions (SURVEY.md §4 "custom pieces"):
   *
@@ -98,11 +98,23 @@ object FuseHofCosine extends Rule[LogicalPlan] {
     }
   }
 
+  /** CosineSimilarity reads elements via ArrayData.getFloat, and the
+    * optimizer does not re-run checkInputDataTypes on rewritten
+    * output — so the fusion must only fire on ARRAY<FLOAT> operands.
+    * stripCast removes the double-widening casts, which makes the
+    * structural pattern also match double-array inputs; without this
+    * guard those would be silently miscompiled. */
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressionsWithSubqueries {
       case Divide(Dot(a, b), Multiply(Sqrt(Dot(a2, a3)), Sqrt(Dot(b2, b3)), _), _)
           if a2.semanticEquals(a) && a3.semanticEquals(a) &&
-            b2.semanticEquals(b) && b3.semanticEquals(b) =>
+            b2.semanticEquals(b) && b3.semanticEquals(b) &&
+            isFloatArray(a) && isFloatArray(b) =>
         CosineSimilarity(a, b)
     }
 }

@@ -47,6 +47,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(hof.exceptAll(native).isEmpty && native.exceptAll(hof).isEmpty)
   }
 
+  test("FuseHofCosine does not fire on double arrays (kernel is float-only)") {
+    // Same HOF shape over ARRAY<DOUBLE>: the fused kernel reads via
+    // getFloat, so the rule must leave the HOF tree alone — and the
+    // un-rewritten HOF must still compute the right value.
+    val df = spark.sql("SELECT array(3.0D, 4.0D) AS a, array(4.0D, 3.0D) AS b")
+      .select(TextSim.cosine(col("a"), col("b")).as("cos"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("cosinesimilarity"),
+      s"rule fired on ARRAY<DOUBLE>:\n$optimized")
+    assert(math.abs(df.head().getDouble(0) - 24.0 / 25.0) < 1e-12)
+  }
+
   test("FuseHofCosine leaves a bare dot product untouched") {
     val df = graft.Tables.embeddings(spark, sf).limit(5)
       .select(TextSim.dot(col("embedding"), col("embedding")).as("d"))
