@@ -34,7 +34,32 @@ object VerkadaPipeline {
     layerId: Long,
     concurrency: Int = 20, // reference batch size, task.ts:201
     leasePageSize: Int = 50, // reference page size, task.ts:119
-    orgId: String = "org")
+    orgId: String = "org",
+    debug: Boolean = false, // reference DEBUG flag, task.ts:23-26
+    // None = reference-faithful single FeatureCollection POST
+    // (task.ts:280-285); Some(n) = chunked per-partition POSTs of at
+    // most n features each — the scale path with no driver collect
+    submitChunkSize: Option[Int] = None)
+
+  object Config {
+    /** The reference's API_Region enum (task.ts:15-22). */
+    val Regions: Set[String] = Set("api", "api.eu", "api.au")
+
+    /** Construction-time-validated counterpart of the reference's
+      * TypeBox InputSchema (task.ts:8-27): API_KEY + API_ORG_ID
+      * required, API_Region an enum with default 'api', DEBUG default
+      * false. Fails fast on an invalid region instead of issuing
+      * requests against a garbage host. */
+    def fromInput(apiKey: String, orgId: String, serverBase: String, layerId: Long,
+        region: String = "api", debug: Boolean = false): Config = {
+      require(Regions.contains(region),
+        s"API_Region must be one of ${Regions.toSeq.sorted.mkString(", ")}; got '$region'")
+      require(apiKey.nonEmpty, "API_KEY must be non-empty")
+      require(orgId.nonEmpty, "API_ORG_ID must be non-empty")
+      Config(apiBase = s"https://$region.verkada.com", serverBase = serverBase,
+        apiKey = apiKey, layerId = layerId, orgId = orgId, debug = debug)
+    }
+  }
 
   case class StreamGrant(accessibleCameras: Seq[String], accessibleSites: Seq[String], jwt: String)
 
@@ -129,14 +154,36 @@ object VerkadaPipeline {
         array(col("location_lon"), col("location_lat")).as("coordinates")).as("geometry"),
       col("site_id"), col("model"), col("name").as("cam_name"))
 
+  /** Above this many grant keys, [[streamable]] stops inlining them
+    * as isin literals (plan bloat) and switches to the broadcast
+    * semi-join formulation. */
+  val GrantInlineLimit = 1000
+
   /** A10: streamable iff site or camera is in the grant
-    * (task.ts:209-212). Small sets → isin compiles to a broadcast
-    * membership test; for unbounded sets switch to a left-semi
-    * broadcast join on the union of keys. */
+    * (task.ts:209-212). Small sets → isin compiles to an inline
+    * membership test; large sets → [[streamableSemi]]. */
   def streamable(features: DataFrame, grant: StreamGrant): DataFrame =
-    features.filter(
+    if (grant.accessibleSites.size + grant.accessibleCameras.size > GrantInlineLimit)
+      streamableSemi(features, grant)
+    else features.filter(
       col("site_id").isin(grant.accessibleSites: _*) ||
       col("id").isin(grant.accessibleCameras: _*))
+
+  /** Large-grant variant of A10: the OR of two memberships as
+    * shuffle-free broadcast HASH joins — semi(site) ∪ (anti(site) ⋉
+    * cam) — rather than a single OR-condition join (which would plan
+    * as a nested-loop) or a union+dropDuplicates (which would
+    * shuffle). Row-equivalent to the isin form for any grant. */
+  def streamableSemi(features: DataFrame, grant: StreamGrant): DataFrame = {
+    val s = features.sparkSession
+    import s.implicits._
+    val sites = broadcast(grant.accessibleSites.toDF("site_key"))
+    val cams = broadcast(grant.accessibleCameras.toDF("cam_key"))
+    val bySite = features.join(sites, col("site_id") === col("site_key"), "left_semi")
+    val byCamOnly = features.join(sites, col("site_id") === col("site_key"), "left_anti")
+      .join(cams, col("id") === col("cam_key"), "left_semi")
+    bySite.unionAll(byCamOnly)
+  }
 
   /** A13: the stream proxy URL — 6 constant params + url-encoded jwt,
     * camera_id, org_id (task.ts:216-226) — built as a codegen'd
@@ -156,29 +203,41 @@ object VerkadaPipeline {
     if (flow == "incoming") CameraSource.cameraSchema
     else new org.apache.spark.sql.types.StructType()
 
+  /** The two outputs of [[upsertAndEnrich]]: the enriched features
+    * (successful upserts) and a quarantine side output of the rows
+    * whose upsert failed — (camera_id, lease_id, error) — so a
+    * caller can retry or alert on exactly what failed instead of just
+    * knowing a tally (reference `task.ts:276` "TODO Surface errors"
+    * swallows even that). `failureCount` is the executor-side
+    * accumulator tally (cheap to read without running the quarantine
+    * branch). */
+  case class UpsertResult(features: DataFrame, failed: DataFrame,
+      failureCount: org.apache.spark.util.LongAccumulator)
+
   /** A11+A14+A15+A16: left-join leases, PATCH-or-POST upsert per
     * camera with per-partition HTTP, enrich the feature with the HLS
-    * URL when the response carries one. Failures are counted and
-    * surfaced (the reference swallows them — task.ts:276 TODO). */
+    * URL when the response carries one. Failures are counted AND
+    * captured row-by-row in a quarantine side output (the reference
+    * swallows them — task.ts:276 TODO). The upsert stage is cached:
+    * both returned frames derive from one pass, so consuming both
+    * never replays the HTTP calls. */
   def upsertAndEnrich(features: DataFrame, leasesDf: DataFrame, cfg: Config,
-      token: String, jwt: String): (DataFrame, org.apache.spark.util.LongAccumulator) = {
+      token: String, jwt: String): UpsertResult = {
     val spark = features.sparkSession
     import spark.implicits._
-    // the reference swallows upsert failures (task.ts:276 TODO);
-    // we count them in an accumulator and surface the tally
     val failures = spark.sparkContext.longAccumulator("graft.verkada.upsertFailures")
     val joined = features
       .join(broadcast(leasesDf), features("id") === leasesDf("source_id"), "left_outer")
       .withColumn("proxy", proxyUrl(cfg, jwt))
       .repartition(cfg.concurrency)
 
+    val stringField = (n: String) => org.apache.spark.sql.types.StructField(
+      n, org.apache.spark.sql.types.StringType, nullable = true)
     val schema = org.apache.spark.sql.types.StructType(
-      joined.schema.fields :+
-        org.apache.spark.sql.types.StructField("hls_url",
-          org.apache.spark.sql.types.StringType, nullable = true))
+      joined.schema.fields :+ stringField("hls_url") :+ stringField("upsert_error"))
     val enc = org.apache.spark.sql.Encoders.row(schema)
 
-    joined.mapPartitions { rows =>
+    val raw = joined.mapPartitions { rows =>
       val client = Json.httpClient()
       val headers = Map("Authorization" -> s"Bearer $token")
       rows.map { r =>
@@ -194,7 +253,7 @@ object VerkadaPipeline {
         body.put("source_type", "fixed")
         body.put("source_model", s"Verkada $model")
         body.put("proxy", r.getAs[String]("proxy"))
-        val resp =
+        val (hls, err) =
           try {
             val out = leaseId match {
               case Some(idv) => Json.send(client, "PATCH",
@@ -203,30 +262,76 @@ object VerkadaPipeline {
                 s"${cfg.serverBase}/video/lease", body.toString, headers)
             }
             val node = Json.parse(out)
-            if (node.has("protocols") && node.get("protocols").hasNonNull("hls"))
+            val h = if (node.has("protocols") && node.get("protocols").hasNonNull("hls"))
               node.get("protocols").get("hls").get("url").asText()
             else null
-          } catch { case _: Exception => failures.add(1); null }
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ resp)
+            (h, null: String)
+          } catch { case e: Exception =>
+            failures.add(1)
+            (null: String, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+          }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ hls :+ err)
       }
-    }(enc)
+    }(enc).cache()
+
+    // reference semantics: a failed upsert still leaves its feature in
+    // the output (Promise.allSettled, task.ts:278 — nothing is
+    // removed), just without video enrichment; the quarantine is an
+    // ADDITIONAL side output, not an exclusion
+    val ok = raw
       .withColumn("properties",
         col("properties").withField("video",
           when(col("hls_url").isNotNull, struct(col("hls_url").as("url")))
             .otherwise(lit(null).cast("struct<url:string>"))))
-      .select("id", "type", "properties", "geometry") -> failures
+      .select("id", "type", "properties", "geometry")
+    val failed = raw.filter(col("upsert_error").isNotNull)
+      .select(col("id").as("camera_id"), col("lease_id"),
+        col("upsert_error").as("error"))
+    UpsertResult(ok, failed, failures)
   }
 
   /** A17: submit the FeatureCollection to the layer endpoint
-    * (task.ts:280-285). Driver-side POST of the collected features —
-    * the reference's sink is a single HTTP call; a scale deployment
-    * would swap this for a partitioned writer. */
-  def submit(features: DataFrame, cfg: Config, token: String): Int = {
-    val rows = features.toJSON.collect()
-    val fc = s"""{"type":"FeatureCollection","features":[${rows.mkString(",")}]}"""
-    Json.send(Json.httpClient(), "POST", s"${cfg.serverBase}/layer/${cfg.layerId}/features",
-      fc, Map("Authorization" -> s"Bearer $token"))
-    rows.length
+    * (task.ts:280-285). Two modes, selected by
+    * [[Config.submitChunkSize]]:
+    *  - None (default): reference-faithful single POST of the whole
+    *    collection, materialized on the driver — fine at
+    *    camera-inventory cardinality, and the only mode whose wire
+    *    behavior matches task.ts exactly.
+    *  - Some(n): [[submitPartitioned]] — each partition POSTs its
+    *    features as chunked FeatureCollections of ≤ n, nothing ever
+    *    crosses the driver. The mode a 100 TB feature set needs.
+    * Returns the number of features submitted. */
+  def submit(features: DataFrame, cfg: Config, token: String): Int =
+    cfg.submitChunkSize match {
+      case Some(n) => submitPartitioned(features, cfg, token, n)
+      case None =>
+        val rows = features.toJSON.collect()
+        val fc = s"""{"type":"FeatureCollection","features":[${rows.mkString(",")}]}"""
+        Json.send(Json.httpClient(), "POST",
+          s"${cfg.serverBase}/layer/${cfg.layerId}/features",
+          fc, Map("Authorization" -> s"Bearer $token"))
+        rows.length
+    }
+
+  /** Scale variant of A17: executor-side chunked submit. The union of
+    * all POSTed chunks is exactly the single-POST feature set (each
+    * row lands in exactly one chunk of one partition). */
+  def submitPartitioned(features: DataFrame, cfg: Config, token: String,
+      chunk: Int): Int = {
+    require(chunk > 0, s"submit chunk size must be positive; got $chunk")
+    val sent = features.sparkSession.sparkContext
+      .longAccumulator("graft.verkada.submittedFeatures")
+    val url = s"${cfg.serverBase}/layer/${cfg.layerId}/features"
+    val auth = Map("Authorization" -> s"Bearer $token")
+    features.toJSON.foreachPartition { (it: Iterator[String]) =>
+      val client = Json.httpClient()
+      it.grouped(chunk).foreach { batch =>
+        val fc = s"""{"type":"FeatureCollection","features":[${batch.mkString(",")}]}"""
+        Json.send(client, "POST", url, fc, auth)
+        sent.add(batch.size)
+      }
+    }
+    sent.value.toInt
   }
 
   /** Full control() replay. Returns the enriched features. */
@@ -237,12 +342,14 @@ object VerkadaPipeline {
     val cams = cameras(spark, cfg, token)
     val feats = toFeatures(cams)
     val live = streamable(feats, grant)
-    val (enrichedRaw, failures) = upsertAndEnrich(live, ls, cfg, token, grant.jwt)
-    val enriched = enrichedRaw.cache()
+    val res = upsertAndEnrich(live, ls, cfg, token, grant.jwt)
+    val enriched = res.features.cache()
     submit(enriched, cfg, token)
+    if (cfg.debug) // reference DEBUG=true prints results (task.ts:23-26)
+      enriched.toJSON.collect().foreach(println)
     // always set (including 0) so a clean run clears a prior tally
     spark.sparkContext.setLocalProperty("graft.verkada.lastFailures",
-      failures.value.toString)
+      res.failureCount.value.toString)
     enriched
   }
 

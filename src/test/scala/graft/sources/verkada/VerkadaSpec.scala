@@ -31,6 +31,13 @@ class VerkadaSpec extends SparkSpec {
   private val posts = new AtomicInteger(0)
   private val submitted = new ConcurrentLinkedQueue[String]()
   private val upsertBodies = new ConcurrentLinkedQueue[String]()
+  // lease ids whose PATCH should 500 (failure-injection tests)
+  private val failPatches = new ConcurrentLinkedQueue[String]()
+
+  private def resetCounters(): Unit = {
+    devicePages.set(0); patches.clear(); posts.set(0)
+    submitted.clear(); upsertBodies.clear(); failPatches.clear()
+  }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val b = body.getBytes("UTF-8")
@@ -98,7 +105,8 @@ class VerkadaSpec extends SparkSpec {
       val id = ex.getRequestURI.getPath.split("/").last
       patches.add(id)
       upsertBodies.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
-      if (id == "L9") respond(ex, 200, """{}""")
+      if (failPatches.contains(id)) respond(ex, 500, """{"err":"boom"}""")
+      else if (id == "L9") respond(ex, 200, """{}""")
       else respond(ex, 200, s"""{"protocols":{"hls":{"url":"https://hls/$id.m3u8"}}}""")
     })
     server.createContext("/layer/", ex => {
@@ -211,6 +219,94 @@ class VerkadaSpec extends SparkSpec {
       // the raw json is preserved for replay/debugging
       assert(quarantined.head().getString(0).contains("not-a-number"))
       assert(valid.count() == 0)
+    } finally server.stop(0)
+  }
+
+  test("chunked submit: N>1 POSTs reassemble to the single-POST feature set") {
+    val server = startServer()
+    try {
+      resetCounters()
+      val c = cfg(server).copy(submitChunkSize = Some(1))
+      VerkadaPipeline.run(spark, c).collect()
+      assert(submitted.size() > 1, s"expected chunked POSTs, got ${submitted.size()}")
+      val ids = submitted.asScala.flatMap { fc =>
+        val node = Json.parse(fc)
+        assert(node.get("type").asText() == "FeatureCollection")
+        node.get("features").elements().asScala.map(_.get("id").asText()).toSeq
+      }.toSeq
+      // exactly the single-POST set, each feature in exactly one chunk
+      assert(ids.sorted == Seq("cam-1", "cam-3", "cam-5"))
+    } finally server.stop(0)
+  }
+
+  test("upsert failure lands in the quarantine side output with its error") {
+    val server = startServer()
+    try {
+      resetCounters()
+      failPatches.add("L4") // cam-3's PATCH will 500
+      val c = cfg(server)
+      val token = VerkadaPipeline.fetchToken(c)
+      val grant = VerkadaPipeline.fetchStreamGrant(c)
+      val live = VerkadaPipeline.streamable(
+        VerkadaPipeline.toFeatures(VerkadaPipeline.cameras(spark, c, token)), grant)
+      val res = VerkadaPipeline.upsertAndEnrich(live,
+        VerkadaPipeline.leases(spark, c, token), c, token, grant.jwt)
+      val out = res.features.collect().sortBy(_.getAs[String]("id"))
+      // reference semantics: the failed feature is still emitted (just
+      // unenriched) — allSettled drops nothing
+      assert(out.map(_.getAs[String]("id")).toSeq == Seq("cam-1", "cam-3", "cam-5"))
+      val failedRows = res.failed.collect()
+      assert(failedRows.length == 1)
+      val f = failedRows.head
+      assert(f.getAs[String]("camera_id") == "cam-3")
+      assert(f.getAs[String]("lease_id") == "L4")
+      assert(f.getAs[String]("error").contains("500"))
+      assert(res.failureCount.value == 1L)
+      // and cam-3 got no video enrichment
+      val cam3 = out(1).getAs[org.apache.spark.sql.Row]("properties")
+      assert(cam3.getAs[AnyRef]("video") == null)
+    } finally server.stop(0)
+  }
+
+  test("Config.fromInput validates the region enum and defaults") {
+    val c = VerkadaPipeline.Config.fromInput("key", "org-1", "https://srv", 7)
+    assert(c.apiBase == "https://api.verkada.com") // default region 'api'
+    assert(!c.debug)                               // DEBUG default false
+    val eu = VerkadaPipeline.Config.fromInput("key", "org-1", "https://srv", 7,
+      region = "api.eu", debug = true)
+    assert(eu.apiBase == "https://api.eu.verkada.com" && eu.debug)
+    val bad = intercept[IllegalArgumentException] {
+      VerkadaPipeline.Config.fromInput("key", "org-1", "https://srv", 7, region = "api.cn")
+    }
+    assert(bad.getMessage.contains("API_Region"))
+    intercept[IllegalArgumentException] {
+      VerkadaPipeline.Config.fromInput("", "org-1", "https://srv", 7)
+    }
+  }
+
+  test("streamableSemi ≡ isin streamable, via broadcast hash joins") {
+    val server = startServer()
+    try {
+      val c = cfg(server)
+      val grant = VerkadaPipeline.fetchStreamGrant(c)
+      val feats = VerkadaPipeline.toFeatures(
+        VerkadaPipeline.cameras(spark, c, "tok123"))
+      val viaIsin = VerkadaPipeline.streamable(feats, grant)
+        .select("id").collect().map(_.getString(0)).toSet
+      val semi = VerkadaPipeline.streamableSemi(feats, grant)
+      val viaSemi = semi.select("id").collect().map(_.getString(0)).toSet
+      assert(viaSemi == viaIsin && viaSemi == Set("cam-1", "cam-3", "cam-5"))
+      // both memberships must plan as broadcast HASH joins — an
+      // OR-condition formulation would degrade to nested-loop
+      val plan = semi.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      // dispatch: a grant wider than the inline limit takes the semi path
+      val wide = grant.copy(accessibleCameras =
+        grant.accessibleCameras ++ (1 to VerkadaPipeline.GrantInlineLimit).map(i => s"x-$i"))
+      val disp = VerkadaPipeline.streamable(feats, wide)
+      assert(disp.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(disp.select("id").collect().map(_.getString(0)).toSet == viaIsin)
     } finally server.stop(0)
   }
 
