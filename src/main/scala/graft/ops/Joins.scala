@@ -120,6 +120,38 @@ object Joins extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** Salt-factor for [[joinSkew]]: the hot key's rows spread over
+    * this many shuffle tasks instead of one. */
+  private val SkewSalts = 8
+
+  /** Skew-resilient join: lineitem is keyed so that ~4/7 of all rows
+    * share ONE hot supplier key — at scale that key's shuffle
+    * partition would straggle the whole stage. The salted two-phase
+    * pattern bounds per-task work: every fact row gets a
+    * deterministic salt in [0, S); the dim side is replicated ×S
+    * (explode of a literal range — dim·S stays dim-sized); the join
+    * key becomes (key, salt), so the hot key occupies S tasks. The
+    * dim is shuffle-hash-hinted precisely because this query models
+    * the case where the dim is TOO BIG to broadcast (a broadcast
+    * join would sidestep skew entirely — see q_join_broadcast).
+    * The oracle is the PLAIN unsalted join: salting must be
+    * result-invariant, and the hash-compare proves it. */
+  private def joinSkew(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.lineitem(s, d)
+      .select(
+        when(col("l_linenumber") <= 4, lit(1L)).otherwise(col("l_suppkey")).as("k"),
+        col("l_quantity"),
+        pmod(col("l_orderkey") + col("l_linenumber"), lit(SkewSalts)).as("salt"))
+    val dim = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"),
+        explode(sequence(lit(0), lit(SkewSalts - 1))).as("salt"))
+    fact.join(dim.hint("shuffle_hash"),
+        col("k") === col("s_suppkey") && fact("salt") === dim("salt"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"), graft.Det.dsum(col("l_quantity"), 2).as("sum_qty"))
+      .orderBy("s_nationkey")
+  }
+
   /** Cartesian product of the two bounded dims (5 × 25 rows) — the
     * one join shape that is ONLY safe when at least one side is known
     * tiny; planned as BroadcastNestedLoopJoin, never over facts. */
@@ -153,6 +185,7 @@ object Joins extends QueryPack {
     "q_join_anti"      -> joinAnti,
     "q_join_theta"     -> joinTheta,
     "q_join_asof"      -> joinAsof,
+    "q_join_skew"      -> joinSkew,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -218,5 +251,15 @@ object Joins extends QueryPack {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts
         |ORDER BY e.event_id""".stripMargin,
+    // the UNSALTED join: the hash-compare proves salting is
+    // result-invariant
+    "q_join_skew" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n_items,
+         |       ${graft.Det.dsumSql("l_quantity", 2)} AS sum_qty
+         |FROM (SELECT CASE WHEN l_linenumber <= 4 THEN 1 ELSE l_suppkey END AS k,
+         |             l_quantity FROM lineitem) f
+         |JOIN supplier ON f.k = s_suppkey
+         |GROUP BY s_nationkey
+         |ORDER BY s_nationkey""".stripMargin,
   )
 }

@@ -54,4 +54,26 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_agg_group")
     assert(p.split("HashAggregate").length >= 3, p) // partial + final
   }
+
+  test("q_join_skew shuffles on the SALTED key, not the raw key") {
+    val p = plan("q_join_skew")
+    // the pre-join exchange must hash on (k, salt): the salt column
+    // appearing in the partitioning is the whole point of the pattern
+    val exch = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning"))
+      .filter(l => l.contains("salt")).toSeq
+    assert(exch.nonEmpty, s"no salted exchange found:\n$p")
+    // and it is a shuffled hash join (the dim is modeled too big to
+    // broadcast; a broadcast join would make the demo vacuous)
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q_sim_ann_indexed prunes index partitions via dynamic pruning") {
+    val p = plan("q_sim_ann_indexed")
+    // the probe's bucket must reach the scan as a partition filter
+    // (dynamicpruning subquery on the bucket partition column), so
+    // only the probe's bucket directory is read
+    assert(p.contains("PartitionFilters") && p.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the index scan:\n$p")
+  }
 }

@@ -31,6 +31,15 @@ class SimilaritySpec extends SparkSpec {
     assert(scores.forall(s => s >= -1.0 && s <= 1.0))
   }
 
+  test("q_sim_ann_indexed returns exactly q_sim_ann_lsh's rows") {
+    // same buckets (4-bit hyperplane LSH over 64 dims) and scoring —
+    // persisting the index must not change the candidate set
+    val viaIndex = SparkEntry_queries("q_sim_ann_indexed").collect().toSeq
+    val viaLsh = SparkEntry_queries("q_sim_ann_lsh").collect().toSeq
+    assert(viaIndex == viaLsh, s"index: $viaIndex\nlsh: $viaLsh")
+    assert(viaIndex.nonEmpty)
+  }
+
   test("written ANN index prunes partitions for the probe's bucket") {
     import org.apache.spark.sql.functions._
     // the persisted-index form of the ANN path: cluster/bucket is a
