@@ -95,15 +95,17 @@ object TextSim {
 
   /** Random-hyperplane LSH bucket for a vector: `bits` sign bits from
     * deterministic pseudo-hyperplanes (hash-derived coefficients, no
-    * RNG), packed into an int. */
-  def hyperplaneBucket(vec: Column, bits: Int, dims: Int): Column = {
+    * RNG), packed into an int. `planeOffset` selects a disjoint plane
+    * family, so `planeOffset = t * bits` yields T independent hash
+    * tables for OR-amplified candidate generation. */
+  def hyperplaneBucket(vec: Column, bits: Int, dims: Int, planeOffset: Int = 0): Column = {
     def plane(i: Int): Seq[Double] =
       (0 until dims).map { j =>
         val h = (i.toLong * 1609587929392839161L + j.toLong * 2654435761L) % 1000003L
         (math.abs(h).toDouble / 1000003.0) * 2.0 - 1.0
       }
     (0 until bits).map { i =>
-      when(dot(vec, typedlit(plane(i))) >= 0, lit(1 << i)).otherwise(lit(0))
+      when(dot(vec, typedlit(plane(planeOffset + i))) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
   }
 }

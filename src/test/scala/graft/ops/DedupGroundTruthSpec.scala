@@ -64,7 +64,7 @@ class DedupGroundTruthSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
-  test("q_dedup_embed ≡ brute same-label cosine >= 0.4; cross-label misses documented") {
+  test("q_dedup_embed vs brute cosine >= 0.4: precision 1.0, label pairs complete, recall bounded") {
     val got = pairSet(SparkEntry.queries("q_dedup_embed")(spark, sf01)
       .select("vec_a", "vec_b"))
     val e = Tables.embeddings(spark, sf01)
@@ -75,19 +75,23 @@ class DedupGroundTruthSpec extends SparkSpec {
           && graft.functions.CosineSimilarity.cosine_sim(
                col("a.embedding"), col("b.embedding")) >= 0.4)
         .select(col("a.vec_id"), col("b.vec_id")))
-    // within the operator's declared semantics (label blocks) the
-    // match must be EXACT — set equality, both directions
-    val sameLabel = bruteWith(col("a.label") === col("b.label"))
-    assert(got == sameLabel,
-      s"extra: ${got -- sameLabel}; missed: ${sameLabel -- got}")
-    // vs the unblocked ground truth, anything missed must be a
-    // cross-label pair — the documented blocking trade-off (at scale
-    // the label block is swapped for hyperplane LSH)
+    // precision 1.0 is structural: every candidate is rescored with
+    // the exact kernel
     val unblocked = bruteWith(lit(true))
-    val crossLabelMisses = unblocked -- got
-    println(s"embed blocking: ${got.size}/${unblocked.size} pairs found; " +
-      s"${crossLabelMisses.size} cross-label misses: ${crossLabelMisses.toSeq.sorted}")
-    assert((got -- unblocked).isEmpty)
+    assert((got -- unblocked).isEmpty, s"false positives: ${got -- unblocked}")
+    // the label generator is part of the union, so every same-label
+    // true pair MUST be present — exact containment
+    val sameLabel = bruteWith(col("a.label") === col("b.label"))
+    assert((sameLabel -- got).isEmpty, s"label-block misses: ${sameLabel -- got}")
+    // OR-amplified LSH (6 tables x 4 bits) over the rest: recall is
+    // probabilistic near the 0.4 threshold; document and bound it
+    // (label-only blocking measured 5/59 here — the LSH union must
+    // do meaningfully better)
+    val missed = unblocked -- got
+    println(s"embed label∪LSH blocking: ${got.size}/${unblocked.size} true pairs; " +
+      s"${missed.size} misses: ${missed.toSeq.sorted}")
+    assert(got.size.toDouble / unblocked.size >= 0.6,
+      s"recall ${got.size}/${unblocked.size} below 0.6")
     assert(got.nonEmpty)
   }
 }
