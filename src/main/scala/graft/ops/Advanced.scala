@@ -129,8 +129,58 @@ object Advanced extends QueryPack {
          |ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
+  /** TPC-H Q10 shape: returned-item revenue per customer — fact-fact
+    * join (orders⋈lineitem) with a selective lineitem filter, dims
+    * broadcast, wide group-by (one group per customer) ranked by
+    * revenue. Unlike Q5's few-group agg, the shuffle here is
+    * customer-cardinality: the top-k is TakeOrderedAndProject, never
+    * a global sort. */
+  private def sqlTpch10(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("v_nation")
+    Tables.customer(s, d).createOrReplaceTempView("v_customer")
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      s"""SELECT c_custkey, c_name, n_name,
+         |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+         |       COUNT(*) AS n_items
+         |FROM v_customer
+         |JOIN v_nation ON c_nationkey = n_nationkey
+         |JOIN v_orders ON o_custkey = c_custkey
+         |JOIN v_lineitem ON l_orderkey = o_orderkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin)
+  }
+
+  /** TPC-H Q18 shape: large-volume orders — a HAVING-aggregated
+    * subquery feeding a semi-join back against the same fact table.
+    * The inner aggregate is the map-side-combine shape (partial sums
+    * shuffled per orderkey); its survivors are a tiny set that
+    * broadcasts into the outer join. */
+  private def sqlTpch18(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("v_customer")
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      s"""SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |       ${Det.dsumSql("l_quantity", 2)} AS sum_qty
+         |FROM v_customer
+         |JOIN v_orders ON c_custkey = o_custkey
+         |JOIN v_lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM v_lineitem
+         |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
+         |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_sql_tpch5"        -> sqlTpch5,
+    "q_sql_tpch10"       -> sqlTpch10,
+    "q_sql_tpch18"       -> sqlTpch18,
     "q_join_lateral"     -> joinLateral,
     "q_pivot"            -> pivot,
     "q_scalar_subq"      -> scalarSubq,
@@ -140,6 +190,30 @@ object Advanced extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_sql_tpch10" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+         |       COUNT(*) AS n_items
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+    "q_sql_tpch18" ->
+      s"""SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |       ${Det.dsumSql("l_quantity", 2)} AS sum_qty
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM lineitem
+         |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
+         |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
     "q_sql_tpch5" ->
       s"""SELECT n_name,
          |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,

@@ -120,6 +120,25 @@ object Joins extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** Interval/range join, window formulation: for each 'error' event,
+    * how many 'click' events by the same user landed in the preceding
+    * 10 minutes. The naive form is an inequality join (O(n·m) pairs
+    * per user); expressed as a RANGE-frame window over the unioned
+    * stream it is ONE keyed shuffle + one ordered pass — the same
+    * technique as the as-of join, generalized to an interval
+    * aggregate. Scales like any keyed window: state per user is
+    * bounded by the interval width. */
+  private def joinRange(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "click", 1).otherwise(0).as("is_click"))
+      .selectExpr("event_id", "user_id", "ts", "event_type",
+        """sum(is_click) OVER (PARTITION BY user_id ORDER BY ts
+          |RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW) AS n_clicks""".stripMargin)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"), col("n_clicks"))
+      .orderBy("event_id")
+
   /** Salt-factor for [[joinSkew]]: the hot key's rows spread over
     * this many shuffle tasks instead of one. */
   private val SkewSalts = 8
@@ -186,6 +205,7 @@ object Joins extends QueryPack {
     "q_join_theta"     -> joinTheta,
     "q_join_asof"      -> joinAsof,
     "q_join_skew"      -> joinSkew,
+    "q_join_range"     -> joinRange,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -261,5 +281,14 @@ object Joins extends QueryPack {
          |JOIN supplier ON f.k = s_suppkey
          |GROUP BY s_nationkey
          |ORDER BY s_nationkey""".stripMargin,
+    // the INEQUALITY-JOIN form: the window formulation must agree
+    "q_join_range" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |       (SELECT COUNT(*) FROM events c
+        |        WHERE c.event_type = 'click' AND c.user_id = e.user_id
+        |          AND c.ts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts) AS n_clicks
+        |FROM events e
+        |WHERE e.event_type = 'error'
+        |ORDER BY e.event_id""".stripMargin,
   )
 }
