@@ -177,6 +177,23 @@ class StreamingSpec extends SparkSpec {
     assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
   }
 
+  test("q_join_range (window form) ≡ stream-stream interval join, per error") {
+    // the registered batch query computes the same interval semantics
+    // as Streams.errorClickJoin: clicks by the same user in the 10
+    // minutes up to each error. Group the pair join by error and
+    // compare counts (the inner join has no row for 0-click errors).
+    import org.apache.spark.sql.functions._
+    val viaJoin = Streams.errorClickJoin(graft.Tables.events(spark, sf))
+      .groupBy(col("e_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaWindow = graft.SparkEntry.queries("q_join_range")(spark, sf)
+      .filter(col("n_clicks") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(viaJoin == viaWindow,
+      s"only-in-join: ${viaJoin.toSet -- viaWindow.toSet}; only-in-window: ${viaWindow.toSet -- viaJoin.toSet}")
+    assert(viaWindow.nonEmpty)
+  }
+
   test("streaming state survives a query restart from checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
