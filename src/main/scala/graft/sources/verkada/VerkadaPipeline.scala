@@ -197,11 +197,31 @@ object VerkadaPipeline {
       lit("&camera_id="), url_encode(col("id")),
       lit("&org_id="), url_encode(lit(cfg.orgId)))
 
-  /** A18: schema discovery — the input (camera) schema for the
-    * incoming flow, empty for outgoing (task.ts:78-91). */
-  def discoverSchema(flow: String): org.apache.spark.sql.types.StructType =
-    if (flow == "incoming") CameraSource.cameraSchema
-    else new org.apache.spark.sql.types.StructType()
+  /** The reference's TypeBox InputSchema (task.ts:8-27) as a Spark
+    * StructType: required API_KEY / API_ORG_ID, the API_Region enum
+    * and DEBUG defaults carried as field metadata. */
+  val inputSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val regionMeta = new MetadataBuilder()
+      .putString("default", "api")
+      .putStringArray("enum", Config.Regions.toArray.sorted).build()
+    val debugMeta = new MetadataBuilder().putBoolean("default", false).build()
+    StructType(Seq(
+      StructField("API_KEY", StringType, nullable = false),
+      StructField("API_ORG_ID", StringType, nullable = false),
+      StructField("API_Region", StringType, nullable = true, regionMeta),
+      StructField("DEBUG", BooleanType, nullable = true, debugMeta)))
+  }
+
+  /** A18: schema discovery (task.ts:78-91) — (type, flow) dispatch
+    * exactly as the reference: incoming+input → the config input
+    * schema, incoming+output → the camera schema, any outgoing flow →
+    * empty. */
+  def discoverSchema(schemaType: String, flow: String = "incoming")
+      : org.apache.spark.sql.types.StructType =
+    if (flow != "incoming") new org.apache.spark.sql.types.StructType()
+    else if (schemaType == "input") inputSchema
+    else CameraSource.cameraSchema
 
   /** The two outputs of [[upsertAndEnrich]]: the enriched features
     * (successful upserts) and a quarantine side output of the rows

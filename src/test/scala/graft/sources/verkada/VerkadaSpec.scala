@@ -168,9 +168,11 @@ class VerkadaSpec extends SparkSpec {
         && proxy.contains("type=stream") && proxy.contains("transcode=false"))
       assert(proxy.contains("jwt=jwt%2Bx%2Fy%3D%3D"))
       assert(proxy.contains("camera_id=cam-3"))
-      // A18: schema discovery
-      assert(VerkadaPipeline.discoverSchema("incoming") == CameraSource.cameraSchema)
-      assert(VerkadaPipeline.discoverSchema("outgoing").isEmpty)
+      // A18: schema discovery — (type, flow) dispatch as task.ts:78-91
+      assert(VerkadaPipeline.discoverSchema("output") == CameraSource.cameraSchema)
+      assert(VerkadaPipeline.discoverSchema("input") == VerkadaPipeline.inputSchema)
+      assert(VerkadaPipeline.discoverSchema("input", "outgoing").isEmpty)
+      assert(VerkadaPipeline.inputSchema("API_Region").metadata.getString("default") == "api")
 
       // submit: one FeatureCollection with the 3 features
       assert(submitted.size() == 1)
