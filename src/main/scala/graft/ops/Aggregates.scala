@@ -61,6 +61,23 @@ object Aggregates extends QueryPack {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
       .orderBy("l_returnflag")
 
+  /** The MERGEABLE-sketch surface (Datasketches HLL): per-subgroup
+    * binary sketches built in one pass, then RE-aggregated with
+    * hll_union_agg — the two-level pattern a 100 TB deployment uses
+    * (persist per-partition/per-day sketches, merge at query time
+    * without touching raw data). Distinct from q_agg_approx's
+    * approx_count_distinct, which hides the sketch: here the sketch
+    * is a value that survives a shuffle/write between build and
+    * merge. Approximate → no oracle; error vs exact is bounded in
+    * PropertySpec. */
+  private def aggSketch(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_parts"))
+      .orderBy("l_returnflag")
+
   private def sentinel(df: DataFrame): DataFrame =
     df.select(
       coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
@@ -201,6 +218,7 @@ object Aggregates extends QueryPack {
     "q_agg_group"    -> aggGroup,
     "q_agg_distinct" -> aggDistinct,
     "q_agg_approx"   -> aggApprox,
+    "q_agg_sketch"   -> aggSketch,
     "q_agg_rollup"   -> aggRollup,
     "q_agg_cube"     -> aggCube,
     "q_agg_gsets"    -> aggGsets,

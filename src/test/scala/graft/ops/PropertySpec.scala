@@ -108,6 +108,24 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(approxMedian - exactMedian) / exactMedian < 0.05)
   }
 
+  test("q_agg_sketch two-level HLL union stays near exact per-group distincts") {
+    val li = graft.Tables.lineitem(spark, sf)
+    val exact = li.groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketched = graft.SparkEntry.queries("q_agg_sketch")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketched.keySet == exact.keySet)
+    // Datasketches HLL at default lgK=12 is ~1.6% rsd; allow 3 sigma.
+    // The point under test: sketches built per (rf, ls) subgroup and
+    // UNION-MERGED per rf agree with a direct exact count — i.e. the
+    // sketch survives re-aggregation losslessly enough to be the
+    // persist-then-merge primitive.
+    sketched.foreach { case (k, est) =>
+      assert(math.abs(est - exact(k)) <= math.max(1, (0.05 * exact(k)).toLong),
+        s"group $k: union estimate $est vs exact ${exact(k)}")
+    }
+  }
+
   test("freqItems heavy-hitter guarantee: frequent keys always surface") {
     // single-pass approximate frequent items (Karp-style): any value
     // with true frequency > support MUST appear (false positives
