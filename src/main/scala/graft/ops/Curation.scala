@@ -66,34 +66,12 @@ object Curation extends QueryPack {
       .filter((col("srn") - 1) % 2 === 0)
       .select(col("doc_id"), col("lang"), col("n_tokens").cast("long").as("n_tokens"))
 
-    // 5. global token budget via two-phase distributed prefix sum:
-    //    bucket on the order key → per-bucket running sums → P-row
-    //    offset table broadcast back. The bucket id is DERIVED FROM
-    //    DATA (monotone range bucketing of doc_id against its min/max,
-    //    a broadcast 1-row aggregate) rather than
-    //    spark_partition_id() after repartitionByRange: a physical
-    //    partition id is only consistent across the two evaluations of
-    //    this subtree (offsets aggregate + final join input) while
-    //    spark.sql.exchange.reuse deduplicates the identical
-    //    exchanges, whereas the data-derived bucket is deterministic
-    //    unconditionally — and needs no explicit repartition (the
-    //    per-bucket window supplies the hash shuffle).
-    val p = s.sparkContext.defaultParallelism
-    val bounds = sampled.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
-    val parted = sampled.crossJoin(broadcast(bounds))
-      .withColumn("pid",
-        ((col("doc_id") - col("lo")) * p / (col("hi") - col("lo") + 1)).cast("int"))
-      .drop("lo", "hi")
-    val wIn = Window.partitionBy("pid").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withIn = parted.withColumn("in_sum", sum(col("n_tokens")).over(wIn))
-    val wOff = Window.orderBy("pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = parted.groupBy("pid").agg(sum(col("n_tokens")).as("psum"))
-      .withColumn("offset", coalesce(sum(col("psum")).over(wOff), lit(0L)))
-      .select("pid", "offset")
-    withIn.join(broadcast(offsets), "pid")
-      .withColumn("cum_tokens", col("in_sum") + col("offset"))
+    // 5. global token budget via the two-phase distributed prefix sum
+    //    ([[Dist.prefixSum]]): data-derived monotone buckets →
+    //    per-bucket running sums → P-row offset table broadcast back.
+    //    Deterministic regardless of exchange reuse (CurationSpec
+    //    proves it with reuse disabled).
+    Dist.prefixSum(sampled, "doc_id", "n_tokens", "cum_tokens")
       .filter(col("cum_tokens") <= 3000)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
       .orderBy("doc_id")

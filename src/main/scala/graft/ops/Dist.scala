@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed formulations of operations that are single-partition
+  * scale-killers in their naive window form.
+  */
+object Dist {
+
+  /** Two-phase distributed prefix sum: inclusive running total of
+    * `valCol` (integral) in `orderCol` order, as `cumCol` — without a
+    * global single-partition window at any point.
+    *
+    * Phase 0 buckets rows by a DATA-DERIVED monotone range bucket of
+    * `orderCol` (against a broadcast 1-row min/max aggregate), so the
+    * assignment is deterministic regardless of physical partitioning
+    * or exchange reuse. Phase 1 computes running sums within each
+    * bucket (keyed window = one hash shuffle); phase 2 broadcasts the
+    * P-row per-bucket totals, turns them into exclusive offsets with
+    * a P-row window, and adds them back. P = defaultParallelism.
+    *
+    * Requires `orderCol` values unique (they define the total order).
+    */
+  def prefixSum(df: DataFrame, orderCol: String, valCol: String,
+      cumCol: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val bounds = df.agg(min(col(orderCol)).as("__lo"), max(col(orderCol)).as("__hi"))
+    val parted = df.crossJoin(broadcast(bounds))
+      .withColumn("__pid",
+        ((col(orderCol) - col("__lo")) * p / (col("__hi") - col("__lo") + 1)).cast("int"))
+      .drop("__lo", "__hi")
+    val wIn = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = parted.withColumn("__in_sum", sum(col(valCol)).over(wIn))
+    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy("__pid").agg(sum(col(valCol)).as("__psum"))
+      .withColumn("__offset", coalesce(sum(col("__psum")).over(wOff), lit(0L)))
+      .select("__pid", "__offset")
+    withIn.join(broadcast(offsets), "__pid")
+      .withColumn(cumCol, col("__in_sum") + col("__offset"))
+      .drop("__pid", "__in_sum", "__offset")
+  }
+}
