@@ -27,9 +27,13 @@ object Dist {
       cumCol: String): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     val bounds = df.agg(min(col(orderCol)).as("__lo"), max(col(orderCol)).as("__hi"))
+    // Column `/` is double division; the least() guard pins the top
+    // value into bucket p-1 even if FP rounding at extreme key ranges
+    // nudges the quotient up to exactly p. Monotonicity is unaffected.
     val parted = df.crossJoin(broadcast(bounds))
-      .withColumn("__pid",
-        ((col(orderCol) - col("__lo")) * p / (col("__hi") - col("__lo") + 1)).cast("int"))
+      .withColumn("__pid", least(
+        ((col(orderCol) - col("__lo")) * p / (col("__hi") - col("__lo") + 1)).cast("int"),
+        lit(p - 1)))
       .drop("__lo", "__hi")
     val wIn = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -68,6 +68,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q_decontaminate broadcasts the benchmark shingle set") {
+    val p = plan("q_decontaminate")
+    // the corpus side must stream through a broadcast hash join — a
+    // sort-merge join would shuffle the exploded corpus by shingle
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_pack_seq prefix sum windows the full data by bucket, not globally") {
+    val p = plan("q_pack_seq")
+    // the running sum over the documents table must shuffle by the
+    // derived bucket id; the only no-partition windows left are over
+    // the P-row offset table. (A naive global running sum would have
+    // no hashpartitioned window at all.)
+    assert(p.contains("hashpartitioning(__pid"), p)
+    val fullDataWindow = p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("windowspecdefinition(doc_id"))
+    assert(!fullDataWindow, s"full-data global window found:\n$p")
+  }
+
   test("q_sim_ann_indexed prunes index partitions via dynamic pruning") {
     val p = plan("q_sim_ann_indexed")
     // the probe's bucket must reach the scan as a partition filter
