@@ -126,6 +126,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Dist.prefixSum equals the naive global window on random data") {
+    val gen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(1, 200)
+      keys <- Gen.pick(n, 0L until 10000L)
+      vals <- Gen.listOfN(n, Gen.choose(0L, 1000L))
+    } yield keys.toList.zip(vals)
+    samples(gen, 5).foreach { rows =>
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType)))
+      val d = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 3), schema)
+      val got = Dist.prefixSum(d, "id", "v", "cum")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val expected = rows.sortBy(_._1)
+        .scanLeft((0L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }
+        .drop(1).toMap
+      assert(got == expected, s"rows=${rows.size}")
+    }
+  }
+
   test("freqItems heavy-hitter guarantee: frequent keys always surface") {
     // single-pass approximate frequent items (Karp-style): any value
     // with true frequency > support MUST appear (false positives
