@@ -108,9 +108,10 @@ object Dedup extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Token-set (1-gram) Jaccard near-dup within (lang, source)
-    * blocks — the SQL-expressible variant, oracle-checked. */
-  private def dedupNgram(s: SparkSession, d: String): DataFrame = {
+  /** The (lang, source)-blocked token-Jaccard candidate pairs shared
+    * by [[dedupNgram]] (scored output) and [[dedupCluster]] (graph
+    * edges). */
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(split(col("text"), " ")).as("toks"))
@@ -132,8 +133,62 @@ object Dedup extends QueryPack {
         && least(na, nb) / greatest(na, nb) >= 0.5
         && jaccard(col("a.toks"), col("b.toks")) >= 0.5)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        graft.Det.r4(jaccard(col("a.toks"), col("b.toks"))).as("jaccard"))
+        jaccard(col("a.toks"), col("b.toks")).as("j"))
+  }
+
+  /** Token-set (1-gram) Jaccard near-dup within (lang, source)
+    * blocks — the SQL-expressible variant, oracle-checked. */
+  private def dedupNgram(s: SparkSession, d: String): DataFrame =
+    ngramPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), graft.Det.r4(col("j")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+
+  /** Duplicate CLUSTERS from the near-dup pair graph: connected
+    * components via iterative min-label propagation — each doc in any
+    * pair gets the smallest doc_id reachable through near-dup edges
+    * as its cluster id (so the cluster id IS the canonical
+    * representative). This is the step that turns pairwise dedup into
+    * an actionable keep/drop decision.
+    *
+    * Shape: the classic fixpoint of distributed joins (GraphX-pregel
+    * style) — per round, every node takes the min label over itself
+    * and its neighbors; converges in graph-diameter rounds. Near-dup
+    * graphs are shallow (duplicates of a duplicate are near the
+    * original), so [[ClusterRounds]] rounds suffice and the oracle's
+    * exact recursive-CTE components would catch any shortfall. Each
+    * round is one keyed join + partial-agg min — no driver-side data,
+    * no actions inside the loop; at 100 TB the same loop runs with
+    * the edge list partitioned by src (the large-star/small-star
+    * optimization drops rounds to ~log n if diameter ever grows).
+    *
+    * Two plan-shape rules make the loop viable (70s -> ~1s at sf0.1):
+    * the edge list carries SELF-LOOPS so a round is ONE join + min
+    * referencing the previous labels exactly once (a second reference
+    * — e.g. `labels.unionAll(fromNeighbors)` — doubles the lineage
+    * every round: 2^rounds copies of the base plan), and the edge
+    * list is persisted so the ngram self-join is computed once, not
+    * once per round. */
+  private val ClusterRounds = 8
+
+  private def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val nodes = pairs.select(col("doc_a").as("node"))
+      .unionAll(pairs.select(col("doc_b").as("node"))).distinct()
+    // undirected (both directions) + self-loops; cached across rounds
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .unionAll(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .persist()
+    var labels = nodes.withColumn("lbl", col("node"))
+    for (_ <- 1 to ClusterRounds) {
+      labels = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(edges("src")).agg(min(col("lbl")).as("lbl"))
+        .select(col("src").as("node"), col("lbl"))
+    }
+    labels
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("node") === col("lbl")).as("is_representative"))
+      .orderBy("doc_id")
   }
 
   /** Embedding-cosine near-dup pairs. Candidates come from the UNION
@@ -233,6 +288,7 @@ object Dedup extends QueryPack {
     "q_dedup_near"    -> dedupNear,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_ngram"   -> dedupNgram,
+    "q_dedup_cluster" -> dedupCluster,
     "q_dedup_embed"   -> dedupEmbed,
   )
 
@@ -269,5 +325,29 @@ object Dedup extends QueryPack {
         |WHERE CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |      / LEN(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // exact connected components over the same pair graph, via
+    // min-label-reachability recursive CTE — the oracle's exactness
+    // cross-checks the fixed-round propagation
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM (SELECT doc_id, lang, source, list_distinct(string_split(text,' ')) toks FROM documents) a
+        |  JOIN (SELECT doc_id, lang, source, list_distinct(string_split(text,' ')) toks FROM documents) b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / LEN(list_distinct(list_concat(a.toks, b.toks))) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.node)
+        |SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+        |       node = MIN(lbl) AS is_representative
+        |FROM reach
+        |GROUP BY node
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -64,6 +64,35 @@ class DedupGroundTruthSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q_dedup_cluster ≡ driver union-find over the pair graph; labels are a fixpoint") {
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sf01)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find with path compression — the definition
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    // canonical min-id per component (union-find roots are order-dependent)
+    val expect = nodes.groupBy(find).iterator.flatMap { case (_, ns) =>
+      val m = ns.min; ns.map(_ -> m)
+    }.toMap
+    val got = SparkEntry.queries("q_dedup_cluster")(spark, sf01).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.view.mapValues(_._1).toMap === expect)
+    got.foreach { case (doc, (cl, rep)) => assert(rep === (doc == cl)) }
+    // fixpoint: a converged labeling gives both endpoints of every
+    // edge the same cluster — the property an 8-round shortfall breaks
+    pairs.foreach { case (a, b) =>
+      assert(got(a)._1 === got(b)._1, s"edge ($a,$b) crosses clusters")
+    }
+  }
+
   test("q_dedup_embed vs brute cosine >= 0.4: precision 1.0, label pairs complete, recall bounded") {
     val got = pairSet(SparkEntry.queries("q_dedup_embed")(spark, sf01)
       .select("vec_a", "vec_b"))
