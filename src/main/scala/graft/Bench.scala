@@ -34,7 +34,12 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional name filter for local bisection: `Bench q_a q_b` times
+    // only those queries; the driver passes no args (full suite)
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq
+      (if (args.nonEmpty) all.filter(args.contains(_)) else all).sorted
+    }
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
@@ -51,6 +56,10 @@ object Bench {
         }
       }
       if (samples.size == Iters) timed += name -> median(samples)
+      // queries may persist() intermediates (e.g. the cluster query's
+      // edge list); drop them so one query's cache never contaminates
+      // the next query's memory budget or timing
+      spark.catalog.clearCache()
     }
     val qs = timed.result().toSeq.sortBy(_._1)
     val errs = errors.result().toSeq.sortBy(_._1)

@@ -55,9 +55,103 @@ object TrainPrep extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window chunking: split each document into 64-token
+    * chunks at stride 48 (16-token overlap) — the retrieval/context
+    * windowing step of a training pipeline. Chunk generation is a
+    * per-row generator (sequence + posexplode): narrow, no shuffle,
+    * row multiplication stays inside the scan stage — the same shape
+    * at 100 TB. */
+  private def chunk(s: SparkSession, d: String): DataFrame = {
+    val ChunkLen = 64
+    val Stride   = 48
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_starts",
+        (ceil(greatest(size(col("toks")) - ChunkLen, lit(0)) / Stride.toDouble) + 1)
+          .cast("int"))
+    docs
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), col("n_starts") - 1)).as(Seq("chunk_id", "i")))
+      .withColumn("start", col("i") * Stride)
+      .withColumn("chunk_toks", slice(col("toks"), col("start") + 1, lit(ChunkLen)))
+      .select(col("doc_id"), col("chunk_id"),
+        col("start").cast("long").as("start"),
+        size(col("chunk_toks")).as("n_chunk_tokens"),
+        array_join(col("chunk_toks"), " ").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Deterministic mixture sampling: per-source keep rates (source
+    * srcK keeps at rate (20-K)/20) applied via a Lehmer hash of
+    * doc_id — the domain-mixing step that reweights a corpus toward
+    * a target source distribution. Engine-reproducible (pure integer
+    * arithmetic, no RNG) and embarrassingly parallel: the keep
+    * decision is a per-row predicate, pushed into the scan. */
+  private def mixSample(s: SparkSession, d: String): DataFrame = {
+    val rate = (lit(20) - substring(col("source"), 4, 10).cast("int")) / 20.0
+    // two Lehmer rounds: one round leaves small ids clustered near 0;
+    // the first mod bounds the second product at (M-1)*48271 < 2^63,
+    // so the arithmetic never overflows BIGINT for any doc_id — the
+    // same expression is exact on both engines at any corpus size
+    val M = 2147483647L
+    val u = pmod(pmod(col("doc_id") * 48271L, lit(M)) * 48271L, lit(M))
+      .cast("double") / M.toDouble
+    Tables.documents(s, d)
+      .withColumn("rate", rate)
+      .withColumn("u", u)
+      .filter(col("u") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        Det.r4(col("rate")).as("rate"), Det.r4(col("u")).as("u"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition filter (Gopher-style): per-document top-bigram
+    * fraction, top-token fraction, and duplicate-token fraction, plus
+    * the composite flag. Frequency tables are (doc, unit)-keyed
+    * aggregations with map-side partials — the shuffle carries one
+    * row per distinct unit per doc, never the corpus text. */
+  private def repetition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      // raw (non-distinct) bigrams: zip of toks with its own tail
+      .withColumn("bgs",
+        zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)))
+    // three consumers each re-scan the (column-pruned) source rather
+    // than caching the tokenized corpus — at 100 TB the scan is the
+    // cheap part and a corpus-sized cache would thrash storage memory
+    def topFreq(unit: org.apache.spark.sql.Column, outMax: String, outTot: String) =
+      docs.select(col("doc_id"), explode(unit).as("u"))
+        .groupBy("doc_id", "u").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as(outMax), sum(col("c")).as(outTot))
+    val tokF = topFreq(col("toks"), "top_tok", "n_tok_t")
+    val bgF  = topFreq(col("bgs"), "top_bg", "n_bg")
+    docs.select(col("doc_id"), col("n_tok"),
+        size(array_distinct(col("toks"))).as("n_uniq"))
+      .join(tokF, "doc_id")
+      .join(bgF, "doc_id")
+      .select(
+        col("doc_id"),
+        Det.r4(col("top_tok").cast("double") / col("n_tok")).as("top_tok_frac"),
+        Det.r4(col("top_bg").cast("double") / col("n_bg")).as("top_bg_frac"),
+        Det.r4((col("n_tok") - col("n_uniq")).cast("double") / col("n_tok"))
+          .as("dup_tok_frac"),
+        (col("top_bg").cast("double") / col("n_bg") > 0.18
+          || (col("n_tok") - col("n_uniq")).cast("double") / col("n_tok") > 0.5)
+          .as("is_repetitive"))
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_decontaminate" -> decontaminate,
     "q_pack_seq"      -> packSeq,
+    "q_chunk"         -> chunk,
+    "q_mix_sample"    -> mixSample,
+    "q_repetition"    -> repetition,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -89,5 +183,64 @@ object TrainPrep extends QueryPack {
         |FROM (SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // DuckDB list slicing toks[a:b] is 1-based inclusive, so
+    // [start+1 : start+64] is exactly Spark's slice(toks, start+1, 64)
+    "q_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST(CEIL(GREATEST(LEN(string_split(text, ' ')) - 64, 0) / 48.0) AS INT) + 1 AS n_starts
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, UNNEST(range(n_starts)) AS chunk_id, toks FROM d)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |       CAST(chunk_id * 48 AS BIGINT) AS start,
+        |       CAST(LEN(toks[chunk_id*48 + 1 : chunk_id*48 + 64]) AS INT) AS n_chunk_tokens,
+        |       array_to_string(toks[chunk_id*48 + 1 : chunk_id*48 + 64], ' ') AS chunk
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_mix_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, source,
+         |         (20 - CAST(SUBSTR(source, 4) AS INT)) / 20 AS rate,
+         |         CAST(((doc_id * 48271) % 2147483647) * 48271 % 2147483647 AS DOUBLE)
+         |           / 2147483647 AS u
+         |  FROM documents)
+         |SELECT doc_id, lang, source,
+         |       ${Det.r4Sql("rate")} AS rate, ${Det.r4Sql("u")} AS u
+         |FROM d WHERE u < rate
+         |ORDER BY doc_id""".stripMargin,
+    // raw bigrams via LEAD over token position (the last token's
+    // NULL partner is dropped) — same multiset as the Spark zip
+    "q_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         UNNEST(string_split(text, ' ')) AS tok,
+         |         UNNEST(range(LEN(string_split(text, ' ')))) AS pos
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id,
+         |         CAST(LEN(string_split(text, ' ')) AS INT) AS n_tok,
+         |         CAST(LEN(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, bg FROM (
+         |    SELECT doc_id, tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+         |    FROM t) WHERE bg IS NOT NULL),
+         |tokf AS (
+         |  SELECT doc_id, MAX(c) AS top_tok FROM (
+         |    SELECT doc_id, COUNT(*) AS c FROM t GROUP BY doc_id, tok)
+         |  GROUP BY doc_id),
+         |bgf AS (
+         |  SELECT doc_id, MAX(c) AS top_bg, SUM(c) AS n_bg FROM (
+         |    SELECT doc_id, COUNT(*) AS c FROM bg GROUP BY doc_id, bg)
+         |  GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |       ${Det.r4Sql("CAST(top_tok AS DOUBLE) / n_tok")} AS top_tok_frac,
+         |       ${Det.r4Sql("CAST(top_bg AS DOUBLE) / n_bg")} AS top_bg_frac,
+         |       ${Det.r4Sql("CAST(n_tok - n_uniq AS DOUBLE) / n_tok")} AS dup_tok_frac,
+         |       (CAST(top_bg AS DOUBLE) / n_bg > 0.18
+         |         OR CAST(n_tok - n_uniq AS DOUBLE) / n_tok > 0.5) AS is_repetitive
+         |FROM base b JOIN tokf USING (doc_id) JOIN bgf USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
   )
 }

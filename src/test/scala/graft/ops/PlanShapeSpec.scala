@@ -96,4 +96,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PartitionFilters") && p.contains("dynamicpruning"),
       s"expected dynamic partition pruning on the index scan:\n$p")
   }
+
+  test("q_bm25 broadcasts idf/stats and never sort-merge-joins the corpus") {
+    val p = plan("q_bm25")
+    // the term filter must precede the (doc, term) shuffle: the only
+    // joins are broadcasts of the |terms|-row idf and 1-row stats
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join in BM25 plan:\n$p")
+  }
+
+  test("q_chunk generates chunks without any shuffle before the sort") {
+    val p = plan("q_chunk")
+    // generator + projection only; the single exchange is the final
+    // presentation ORDER BY
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the output-sort exchange:\n$p")
+  }
 }

@@ -1,0 +1,110 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Ground truths for the chunking / mixture-sampling / repetition /
+  * BM25 operators beyond their DuckDB oracles: coverage and overlap
+  * invariants for q_chunk, rate calibration for q_mix_sample, a
+  * driver-side exact recompute for q_repetition's bigram stats, and
+  * a from-scratch BM25 differential.
+  */
+class TrainPrepSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.001"
+  private val sf01  = "/root/testdata/sf0.01"
+
+  test("q_chunk covers every token exactly and overlaps by stride") {
+    val chunks = SparkEntry.queries("q_chunk")(spark, sf001)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+    // full coverage: chunks start at 0 and the last chunk ends at n_tok
+    val cov = chunks.groupBy("doc_id")
+      .agg(min(col("start")).as("lo"),
+        max(col("start") + col("n_chunk_tokens")).as("hi"),
+        count(lit(1)).as("n_chunks"))
+      .join(docs, "doc_id")
+    assert(cov.filter(col("lo") =!= 0 || col("hi") =!= col("n_tok")).isEmpty)
+    // stride: consecutive chunks start exactly 48 apart
+    val gaps = chunks.select(col("doc_id"), col("chunk_id"), col("start"))
+      .withColumn("next_start", lead("start", 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("chunk_id")))
+      .filter(col("next_start").isNotNull && col("next_start") - col("start") =!= 48)
+    assert(gaps.isEmpty)
+    // every non-final chunk is full-length (64), so overlap is 16
+    val short = chunks.withColumn("max_id",
+        max("chunk_id").over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .filter(col("chunk_id") < col("max_id") && col("n_chunk_tokens") =!= 64)
+    assert(short.isEmpty)
+  }
+
+  test("q_mix_sample keeps src0 fully and calibrates to the rate") {
+    val kept = SparkEntry.queries("q_mix_sample")(spark, sf01)
+    val perSource = spark.read.parquet(s"$sf01/documents.parquet")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .join(kept.groupBy("source").agg(count(lit(1)).as("k")), Seq("source"), "left")
+      .na.fill(0L, Seq("k"))
+      .withColumn("sfx", substring(col("source"), 4, 10).cast("int"))
+      .withColumn("rate", (lit(20) - col("sfx")) / 20.0)
+      .collect()
+    perSource.foreach { r =>
+      val (n, k, rate) = (r.getAs[Long]("n"), r.getAs[Long]("k"), r.getAs[Double]("rate"))
+      if (rate >= 1.0) assert(k == n, s"src rate 1.0 must keep all: $r")
+      // binomial-ish tolerance at n=25 per source
+      assert(math.abs(k.toDouble / n - rate) <= 0.35, s"calibration: $r")
+    }
+  }
+
+  test("q_repetition matches a driver-side exact recompute") {
+    val got = SparkEntry.queries("q_repetition")(spark, sf001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+    assert(docs.nonEmpty && got.nonEmpty)
+    docs.foreach { row =>
+      val id = row.getLong(0)
+      val toks = row.getString(1).split(" ", -1)
+      val bgs = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      if (bgs.nonEmpty) {
+        val topTok = toks.groupBy(identity).values.map(_.size).max.toDouble / toks.length
+        val topBg = bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size
+        val dup = (toks.length - toks.distinct.length).toDouble / toks.length
+        val (gTok, gBg, gDup, gFlag) = got(id)
+        assert(gTok == r4(topTok) && gBg == r4(topBg) && gDup == r4(dup),
+          s"doc $id: got ($gTok,$gBg,$gDup) want (${r4(topTok)},${r4(topBg)},${r4(dup)})")
+        assert(gFlag == (topBg > 0.18 || dup > 0.5), s"flag for doc $id")
+      }
+    }
+  }
+
+  test("q_bm25 matches a from-scratch scoring") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val terms = Seq("data", "query", "spark")
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.size.toLong).sum.toDouble / n
+    val tf = for {
+      (id, toks) <- docs.toSeq; t <- terms
+      c = toks.count(_ == t) if c > 0
+    } yield (id, t, c, toks.size)
+    val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size }
+    val idf = df.map { case (t, d) => t -> math.log(1.0 + (n - d + 0.5) / (d + 0.5)) }
+    def dec6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scores = tf.groupBy(_._1).map { case (id, xs) =>
+      id -> xs.map { case (_, t, c, dl) =>
+        dec6(idf(t) * (c * 2.2) / (c + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+      }.sum
+    }
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val want = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+      .map { case (id, s) => (id, r4(s)) }
+    val gotRows = SparkEntry.queries("q_bm25")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(gotRows.toSeq == want, s"got ${gotRows.toSeq}\nwant $want")
+  }
+}
