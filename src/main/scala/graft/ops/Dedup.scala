@@ -175,9 +175,13 @@ object Dedup extends QueryPack {
     val nodes = pairs.select(col("doc_a").as("node"))
       .unionAll(pairs.select(col("doc_b").as("node"))).distinct()
     // undirected (both directions) + self-loops; cached across rounds
+    // ALREADY HASH-PARTITIONED on the join key: the cached blocks
+    // satisfy every round's required distribution, so only the (small)
+    // label side shuffles per round — the edge exchange happens once
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .unionAll(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .repartition(col("dst"))
       .persist()
     var labels = nodes.withColumn("lbl", col("node"))
     for (_ <- 1 to ClusterRounds) {
