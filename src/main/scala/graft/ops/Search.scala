@@ -60,8 +60,78 @@ object Search extends QueryPack {
       .limit(10)
   }
 
+  /** Sharded inverted index: term → sorted doc-id postings, SHARDED
+    * by doc-id range (shard = doc_id >> 8) so no single output row
+    * ever carries an unbounded postings list — the stop-word term
+    * that appears in a billion documents becomes ~4M bounded rows,
+    * not one 8 GB array. df per shard; global df is a sum over
+    * shards (mergeable). */
+  private def inverted(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      .withColumn("shard", shiftright(col("doc_id"), 8))
+      .groupBy("term", "shard")
+      .agg(count(lit(1)).as("df_shard"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .orderBy("term", "shard")
+
+  /** Top-3 terms per document by tf–idf (idf = ln(N/df), raw tf).
+    * The df table is |vocabulary|-sized — the tf→df join shuffles on
+    * term, never on the corpus; ties break lexicographically so the
+    * rank is total on both engines. */
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, "term").crossJoin(n)
+      .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+        Det.r4(col("tfidf")).as("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Term co-occurrence PMI over the top-16 vocabulary: document-level
+    * pair counts → pointwise mutual information. The quadratic pair
+    * stage is BOUNDED by the broadcast vocabulary filter (≤16 distinct
+    * terms per doc → ≤120 pairs) — the corpus never self-joins
+    * unrestricted; this is the blocked-candidate discipline of the
+    * dedup tier applied to co-occurrence mining. */
+  private def cooccur(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val occ = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+    val vocab = occ.groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc).limit(16)
+    val hits = occ.join(broadcast(vocab), "term")
+      .select(col("doc_id"), col("term"), col("c"))
+    val pairs = hits.as("a").join(hits.as("b"), "doc_id")
+      .filter(col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"),
+        col("a.c").as("c_a"), col("b.c").as("c_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    pairs.crossJoin(n)
+      .withColumn("pmi",
+        log(col("c_ab").cast("double") * col("n_docs")
+          / (col("c_a") * col("c_b"))))
+      .select(col("term_a"), col("term_b"), col("c_a"), col("c_b"), col("c_ab"),
+        Det.r4(col("pmi")).as("pmi"))
+      .orderBy("term_a", "term_b")
+  }
+
   override val queries: Map[String, Q] = Map(
-    "q_bm25" -> bm25,
+    "q_bm25"     -> bm25,
+    "q_inverted" -> inverted,
+    "q_tfidf"    -> tfidf,
+    "q_cooccur"  -> cooccur,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -92,5 +162,48 @@ object Search extends QueryPack {
          |GROUP BY doc_id
          |ORDER BY score DESC, doc_id
          |LIMIT 10""".stripMargin,
+    "q_inverted" ->
+      """SELECT term, doc_id // 256 AS shard, COUNT(*) AS df_shard,
+        |       LIST(doc_id ORDER BY doc_id) AS postings
+        |FROM (SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS term
+        |      FROM documents)
+        |GROUP BY term, shard
+        |ORDER BY term, shard""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term, tf.tf,
+         |         tf.tf * LN(CAST(n_docs AS DOUBLE) / df) AS tfidf
+         |  FROM tf JOIN df USING (term), n)
+         |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf,
+         |       ${Det.r4Sql("tfidf")} AS tfidf
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                  ORDER BY tfidf DESC, term ASC) AS rk
+         |      FROM scored)
+         |WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin,
+    "q_cooccur" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS term
+         |  FROM documents),
+         |vocab AS (
+         |  SELECT term, COUNT(*) AS c FROM occ GROUP BY term
+         |  ORDER BY c DESC, term ASC LIMIT 16),
+         |hits AS (SELECT doc_id, occ.term, c FROM occ JOIN vocab USING (term)),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |pairs AS (
+         |  SELECT a.term AS term_a, b.term AS term_b, a.c AS c_a, b.c AS c_b,
+         |         COUNT(*) AS c_ab
+         |  FROM hits a JOIN hits b ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT term_a, term_b, c_a, c_b, c_ab,
+         |       ${Det.r4Sql("LN(CAST(c_ab AS DOUBLE) * n_docs / (c_a * c_b))")} AS pmi
+         |FROM pairs, n
+         |ORDER BY term_a, term_b""".stripMargin,
   )
 }

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Structural ground truths for the retrieval tier beyond the DuckDB
+  * oracles: the inverted index must round-trip to the corpus, and
+  * co-occurrence counts must respect their marginals.
+  */
+class SearchSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.001"
+
+  test("q_inverted round-trips: postings rebuild the corpus term sets") {
+    val fromIndex = SparkEntry.queries("q_inverted")(spark, sf001)
+      .select(col("term"), explode(col("postings")).as("doc_id"))
+    val fromCorpus = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .select("term", "doc_id")
+    assert(fromIndex.exceptAll(fromCorpus).isEmpty
+      && fromCorpus.exceptAll(fromIndex).isEmpty,
+      "postings ≠ corpus (term, doc) pairs")
+    // shard bound: no postings row exceeds its 256-doc shard capacity
+    val over = SparkEntry.queries("q_inverted")(spark, sf001)
+      .filter(size(col("postings")) > 256)
+    assert(over.isEmpty)
+  }
+
+  test("q_cooccur counts respect marginals and PMI bounds") {
+    val rows = SparkEntry.queries("q_cooccur")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ca, cb, cab) = (r.getAs[Long]("c_a"), r.getAs[Long]("c_b"), r.getAs[Long]("c_ab"))
+      assert(cab <= math.min(ca, cb), s"pair count exceeds marginal: $r")
+      assert(r.getAs[String]("term_a") < r.getAs[String]("term_b"), s"pair order: $r")
+    }
+  }
+
+  test("q_tfidf ranks exactly 3 terms per doc with distinct ranks") {
+    val t = SparkEntry.queries("q_tfidf")(spark, sf001)
+    val bad = t.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("rk")).as("nrk"))
+      .filter(col("n") =!= 3 || col("nrk") =!= 3)
+    assert(bad.isEmpty)
+  }
+}
