@@ -132,11 +132,65 @@ object Similarity extends QueryPack {
       .limit(5)
   }
 
+  /** Distributed k-means (Lloyd's) over the embedding column: k=8,
+    * 5 rounds, deterministic init (the k lowest vec_ids). Per round:
+    * assignment is a narrow pass against BROADCAST centroid literals
+    * (k×dims doubles — the only thing that ever reaches the driver);
+    * the update is one (cluster, dim) aggregation whose DECIMAL-cast
+    * sums make the new centroids bit-identical at any partition
+    * count. The corpus-sized table shuffles only as (cluster, dim,
+    * partial-sum) rows — this is exactly how k-means runs on 10⁹
+    * vectors: broadcast centroids out, k×dims numbers back. */
+  private val KmeansK = 8
+  private val KmeansRounds = 5
+
+  private def assignTo(vecs: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+    // ONE k-element distance array per row (2-D centroid literal +
+    // transform), then argmin = array_min + first array_position —
+    // never a per-centroid when-chain, whose nested else branches
+    // embed every previous distance twice (2^k expression blowup,
+    // measured 25s; this form is 0.6s at sf0.1). array_position's
+    // first-match rule is the deterministic first-wins tie-break.
+    val dists = transform(typedlit(centroids), c =>
+      aggregate(
+        zip_with(col("embedding"), c,
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, x) => acc + x))
+    vecs.withColumn("dists", dists)
+      .withColumn("dist2", array_min(col("dists")))
+      .withColumn("cluster",
+        (array_position(col("dists"), col("dist2")) - 1).cast("int"))
+      .drop("dists")
+  }
+
+  private def kmeans(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    var centroids: Seq[Seq[Double]] = vecs.orderBy("vec_id").limit(KmeansK)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    for (_ <- 1 to KmeansRounds) {
+      val means = assignTo(vecs, centroids)
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg((graft.Det.dsum(col("x").cast("double")) / count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+      // an empty cluster keeps its previous centroid (no index shift)
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+    }
+    assignTo(vecs, centroids)
+      .select(col("vec_id"), col("cluster"),
+        graft.Det.r4(col("dist2")).as("dist2"))
+      .orderBy("vec_id")
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_sim_search"      -> simSearch,
     "q_sim_ann_lsh"     -> annLsh,
     "q_sim_ann_ivf"     -> annIvf,
     "q_sim_ann_indexed" -> annIndexed,
+    "q_kmeans"          -> kmeans,
   )
 
   override val oracles: Map[String, String] = Map(

@@ -146,12 +146,45 @@ object TrainPrep extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM quality scoring (the CCNet recipe): train MLE bigram
+    * probabilities on the corpus itself, score each document by its
+    * mean log-probability — low scores mark incoherent/outlier text
+    * for filtering. Every doc bigram exists in the count table by
+    * construction, so the MLE needs no smoothing here.
+    *
+    * Scale shape: the model is the (distinct-bigram)-sized count
+    * table — vocabulary-bounded, not corpus-bounded; scoring joins
+    * the exploded doc bigrams against it on the bigram key with
+    * map-side partial counts on both sides. The corpus text itself
+    * shuffles only as (doc, bigram) occurrence rows. */
+  private def lmScore(s: SparkSession, d: String): DataFrame = {
+    val docBigrams = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val bgCounts = docBigrams.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val w1Counts = docBigrams.groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
+    docBigrams
+      .join(bgCounts, "bg")
+      .join(w1Counts, "w1")
+      .withColumn("logp", log(col("c_bg").cast("double") / col("c_w1")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Det.r4(Det.davg(col("logp"))).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_decontaminate" -> decontaminate,
     "q_pack_seq"      -> packSeq,
     "q_chunk"         -> chunk,
     "q_mix_sample"    -> mixSample,
     "q_repetition"    -> repetition,
+    "q_lm_score"      -> lmScore,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -242,5 +275,22 @@ object TrainPrep extends QueryPack {
          |         OR CAST(n_tok - n_uniq AS DOUBLE) / n_tok > 0.5) AS is_repetitive
          |FROM base b JOIN tokf USING (doc_id) JOIN bgf USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin,
+    "q_lm_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         UNNEST(string_split(text, ' ')) AS tok,
+         |         UNNEST(range(LEN(string_split(text, ' ')))) AS pos
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM (
+         |    SELECT doc_id, tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+         |    FROM t) WHERE bg IS NOT NULL),
+         |bgc AS (SELECT bg, COUNT(*) AS c_bg FROM bg GROUP BY bg),
+         |w1c AS (SELECT w1, COUNT(*) AS c_w1 FROM bg GROUP BY w1)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |       ${Det.r4Sql(Det.davgSql("LN(CAST(c_bg AS DOUBLE) / c_w1)"))} AS avg_logp
+         |FROM bg JOIN bgc USING (bg) JOIN w1c USING (w1)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
   )
 }

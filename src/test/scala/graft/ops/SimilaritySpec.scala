@@ -69,4 +69,46 @@ class SimilaritySpec extends SparkSpec {
     assert(top.length == 5)
     assert(top.map(_.getDouble(1)).forall(s => s >= -1.0 && s <= 1.0))
   }
+
+  test("q_kmeans matches a driver-side Lloyd run exactly") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def dec6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cents: Seq[Array[Double]] = vecs.take(8).map(_._2.clone).toSeq
+    def assign(v: Array[Double]): (Int, Double) = {
+      var bi = 0; var bd = Double.MaxValue
+      cents.zipWithIndex.foreach { case (c, i) =>
+        var s = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) - c(j); s += t * t; j += 1 }
+        if (s < bd) { bd = s; bi = i } // first-wins tie-break
+      }
+      (bi, bd)
+    }
+    for (_ <- 1 to 5) {
+      val byC = vecs.map { case (_, v) => (assign(v)._1, v) }.groupBy(_._1)
+      cents = cents.indices.map { i =>
+        byC.get(i) match {
+          case Some(members) =>
+            val n = members.length
+            Array.tabulate(cents(i).length) { j =>
+              // decimal(18,6)-cast sum / count, mirroring Det.dsum
+              members.map(m => BigDecimal(m._2(j))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+                .sum.toDouble / n
+            }
+          case None => cents(i)
+        }
+      }
+    }
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val want = vecs.map { case (id, v) =>
+      val (c, d2) = assign(v); (id, c, r4(d2)) }.toSeq
+    val got = graft.SparkEntry.queries("q_kmeans")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == want,
+      got.zip(want).filter { case (g, w) => g != w }.take(5).toString)
+  }
 }
