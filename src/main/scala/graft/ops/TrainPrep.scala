@@ -178,6 +178,25 @@ object TrainPrep extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Deterministic global shuffle: reproducible training-data order
+    * without RNG. Each doc gets a Lehmer-hash key; shard = key mod 32
+    * is the shuffle/partition key and the within-shard rank is a
+    * per-shard window — shard count scales with data so no window
+    * partition is ever corpus-sized, and (epoch-seed ⊕ doc_id) in
+    * place of doc_id reshuffles per epoch with the same plan. */
+  private def shuffleDet(s: SparkSession, d: String): DataFrame = {
+    val M = 2147483647L
+    val key = pmod(pmod(col("doc_id") * 48271L, lit(M)) * 48271L, lit(M))
+    Tables.documents(s, d)
+      .withColumn("key", key)
+      .withColumn("shard", pmod(col("key"), lit(32L)))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("key", "doc_id")))
+      .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))
+      .orderBy("shard", "pos")
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_decontaminate" -> decontaminate,
     "q_pack_seq"      -> packSeq,
@@ -185,6 +204,7 @@ object TrainPrep extends QueryPack {
     "q_mix_sample"    -> mixSample,
     "q_repetition"    -> repetition,
     "q_lm_score"      -> lmScore,
+    "q_shuffle_det"   -> shuffleDet,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -292,5 +312,14 @@ object TrainPrep extends QueryPack {
          |FROM bg JOIN bgc USING (bg) JOIN w1c USING (w1)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    "q_shuffle_det" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         ((doc_id * 48271) % 2147483647) * 48271 % 2147483647 AS key
+        |  FROM documents)
+        |SELECT doc_id, key % 32 AS shard,
+        |       ROW_NUMBER() OVER (PARTITION BY key % 32 ORDER BY key, doc_id) AS pos
+        |FROM k
+        |ORDER BY shard, pos""".stripMargin,
   )
 }
