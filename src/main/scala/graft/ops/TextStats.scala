@@ -115,6 +115,24 @@ object TextStats extends QueryPack {
       .orderBy("lang", "rk")
   }
 
+  /** Token-distribution entropy per document: H = −Σ (c/n)·ln(c/n)
+    * over the doc's token frequencies — low entropy flags repetitive
+    * or template text (complements q_repetition's max-based stats).
+    * The shuffle carries (doc, distinct-token) count rows; the
+    * DECIMAL-cast term sum keeps H order-independent. */
+  private def entropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .groupBy("doc_id")
+      .agg(first(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        Det.r4(-Det.dsum(col("p") * log(col("p")))).as("entropy"))
+      .orderBy("doc_id")
+
   override val queries: Map[String, Q] = Map(
     "q_top_terms"     -> topTerms,
     "q_text_stats"    -> textStats,
@@ -122,6 +140,7 @@ object TextStats extends QueryPack {
     "q_quality_score" -> qualityScore,
     "q_token_count"   -> tokenCount,
     "q_fingerprint"   -> fingerprint,
+    "q_entropy"       -> entropy,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -178,6 +197,18 @@ object TextStats extends QueryPack {
          |       ${Det.r4Sql("nu / nt")} AS uniq_ratio,
          |       ${Det.r4Sql("(nu / nt) * (1.0 - ns / nt) * LEAST(nt / 50, 1.0)")} AS quality
          |FROM q
+         |ORDER BY doc_id""".stripMargin,
+    "q_entropy" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+         |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |p AS (
+         |  SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM f)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+         |       ${Det.r4Sql("-" + Det.dsumSql("(CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n)"))} AS entropy
+         |FROM p
+         |GROUP BY doc_id, n
          |ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
