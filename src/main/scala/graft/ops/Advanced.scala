@@ -177,7 +177,23 @@ object Advanced extends QueryPack {
          |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)
   }
 
+  /** TPC-H Q6 shape: forecast-revenue — the pure scan+filter+agg
+    * probe (no join, one output row); every predicate must reach the
+    * parquet scan as a pushed filter. */
+  private def sqlTpch6(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      s"""SELECT ${Det.dsumSql("l_extendedprice * l_discount", 6)} AS revenue,
+         |       COUNT(*) AS n_rows
+         |FROM v_lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.03 AND 0.07
+         |  AND l_quantity < 25""".stripMargin)
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_sql_tpch6"        -> sqlTpch6,
     "q_sql_tpch5"        -> sqlTpch5,
     "q_sql_tpch10"       -> sqlTpch10,
     "q_sql_tpch18"       -> sqlTpch18,
@@ -214,6 +230,14 @@ object Advanced extends QueryPack {
          |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
          |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
          |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    "q_sql_tpch6" ->
+      s"""SELECT ${Det.dsumSql("l_extendedprice * l_discount", 6)} AS revenue,
+         |       COUNT(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.03 AND 0.07
+         |  AND l_quantity < 25""".stripMargin,
     "q_sql_tpch5" ->
       s"""SELECT n_name,
          |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,

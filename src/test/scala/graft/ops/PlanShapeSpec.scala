@@ -106,6 +106,21 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus-side sort-merge join in BM25 plan:\n$p")
   }
 
+  test("q_sql_tpch6 pushes every predicate into the lineitem scan") {
+    // formatted mode shows the full filter list (the simple plan
+    // string truncates it)
+    val p = graft.SparkEntry.queries("q_sql_tpch6")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate")
+      && p.contains("LessThan(l_shipdate")
+      && p.contains("GreaterThanOrEqual(l_discount,0.03)")
+      && p.contains("LessThanOrEqual(l_discount,0.07)")
+      && p.contains("LessThan(l_quantity,25.0)"), p)
+    assert(p.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"), p)
+  }
+
   test("q_chunk generates chunks without any shuffle before the sort") {
     val p = plan("q_chunk")
     // generator + projection only; the single exchange is the final
