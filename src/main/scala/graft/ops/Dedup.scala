@@ -170,7 +170,10 @@ object Dedup extends QueryPack {
     * once per round. */
   private val ClusterRounds = 8
 
-  private def dedupCluster(s: SparkSession, d: String): DataFrame = {
+  /** The propagation loop, shared by [[dedupCluster]] (scored output)
+    * and TrainPrep's q_pipeline_train (duplicate pruning): (node, lbl)
+    * per doc appearing in any near-dup pair. */
+  private[ops] def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = ngramPairs(s, d).select(col("doc_a"), col("doc_b"))
     val nodes = pairs.select(col("doc_a").as("node"))
       .unionAll(pairs.select(col("doc_b").as("node"))).distinct()
@@ -190,10 +193,13 @@ object Dedup extends QueryPack {
         .select(col("src").as("node"), col("lbl"))
     }
     labels
+  }
+
+  private def dedupCluster(s: SparkSession, d: String): DataFrame =
+    clusterLabels(s, d)
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
         (col("node") === col("lbl")).as("is_representative"))
       .orderBy("doc_id")
-  }
 
   /** Embedding-cosine near-dup pairs. Candidates come from the UNION
     * of two generators — the data-given label block AND T independent

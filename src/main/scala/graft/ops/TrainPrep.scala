@@ -197,14 +197,73 @@ object TrainPrep extends QueryPack {
       .orderBy("shard", "pos")
   }
 
+  /** Capstone #2: the corpus→training-shards pipeline, composing this
+    * round's operators end-to-end as ONE oracle-checked query —
+    * quality gates → duplicate-CLUSTER pruning (keep each cluster's
+    * representative, not just pairwise drops) → deterministic mixture
+    * sampling → sliding-window chunking → deterministic sharding.
+    * Every stage is the partition-parallel formulation of its
+    * standalone operator; nothing here is corpus-sized on the driver
+    * or in any single window partition.
+    *
+    * The shard key packs (doc_id, chunk_id) as doc_id·128 + chunk_id
+    * — valid while docs stay under ~6.1k tokens (128 chunks at
+    * stride 48); a 100 TB deployment widens the factor with the
+    * corpus's real max-doc bound. */
+  private def pipelineTrain(s: SparkSession, d: String): DataFrame = {
+    val ChunkLen = 64
+    val Stride   = 48
+    val M        = 2147483647L
+    // 1. quality gates: length + duplicate-token fraction (array-local)
+    val toks = tokens(col("text"))
+    val gated = Tables.documents(s, d)
+      .withColumn("toks", toks)
+      .withColumn("n_tok", size(col("toks")))
+      .filter(col("n_tok") >= 10
+        && (col("n_tok") - size(array_distinct(col("toks")))).cast("double")
+           / col("n_tok") <= 0.5)
+    // 2. near-dup cluster pruning: drop non-representative members
+    val dupMembers = Dedup.clusterLabels(s, d)
+      .filter(col("node") =!= col("lbl"))
+      .select(col("node").as("doc_id"))
+    val unique = gated.join(dupMembers, Seq("doc_id"), "left_anti")
+    // 3. deterministic mixture sampling (two-round Lehmer, as q_mix_sample)
+    val u = pmod(pmod(col("doc_id") * 48271L, lit(M)) * 48271L, lit(M))
+      .cast("double") / M.toDouble
+    val rate = (lit(20) - substring(col("source"), 4, 10).cast("int")) / 20.0
+    val sampled = unique.filter(u < rate)
+    // 4. sliding-window chunking (as q_chunk)
+    val chunks = sampled
+      .withColumn("n_starts",
+        (ceil(greatest(col("n_tok") - ChunkLen, lit(0)) / Stride.toDouble) + 1).cast("int"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), col("n_starts") - 1)).as(Seq("chunk_id", "i")))
+      .withColumn("chunk_toks",
+        slice(col("toks"), col("i") * Stride + 1, lit(ChunkLen)))
+    // 5. deterministic sharding of chunks (as q_shuffle_det)
+    val key = pmod(pmod((col("doc_id") * 128 + col("chunk_id")) * 48271L, lit(M))
+      * 48271L, lit(M))
+    chunks
+      .withColumn("key", key)
+      .withColumn("shard", pmod(col("key"), lit(16L)))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("key", "doc_id", "chunk_id")))
+      .select(col("doc_id"), col("chunk_id"), col("shard"),
+        col("pos").cast("long").as("pos"),
+        size(col("chunk_toks")).as("n_chunk_tokens"))
+      .orderBy("shard", "pos")
+  }
+
   override val queries: Map[String, Q] = Map(
-    "q_decontaminate" -> decontaminate,
-    "q_pack_seq"      -> packSeq,
-    "q_chunk"         -> chunk,
-    "q_mix_sample"    -> mixSample,
-    "q_repetition"    -> repetition,
-    "q_lm_score"      -> lmScore,
-    "q_shuffle_det"   -> shuffleDet,
+    "q_decontaminate"  -> decontaminate,
+    "q_pack_seq"       -> packSeq,
+    "q_chunk"          -> chunk,
+    "q_mix_sample"     -> mixSample,
+    "q_repetition"     -> repetition,
+    "q_lm_score"       -> lmScore,
+    "q_shuffle_det"    -> shuffleDet,
+    "q_pipeline_train" -> pipelineTrain,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -312,6 +371,54 @@ object TrainPrep extends QueryPack {
          |FROM bg JOIN bgc USING (bg) JOIN w1c USING (w1)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    // the cluster CTE mirrors q_dedup_cluster's oracle; downstream
+    // stages reuse the standalone operators' oracle arithmetic
+    "q_pipeline_train" ->
+      """WITH RECURSIVE p0 AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM (SELECT doc_id, lang, source, list_distinct(string_split(text,' ')) toks FROM documents) a
+        |  JOIN (SELECT doc_id, lang, source, list_distinct(string_split(text,' ')) toks FROM documents) b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / LEN(list_distinct(list_concat(a.toks, b.toks))) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM p0
+        |  UNION ALL SELECT doc_b, doc_a FROM p0),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.node),
+        |members AS (
+        |  SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> MIN(lbl)),
+        |gated AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+        |         CAST(LEN(string_split(text, ' ')) AS INT) AS n_tok
+        |  FROM documents
+        |  WHERE LEN(string_split(text, ' ')) >= 10
+        |    AND CAST(LEN(string_split(text, ' '))
+        |             - LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / LEN(string_split(text, ' ')) <= 0.5),
+        |uniq AS (
+        |  SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM members)),
+        |sampled AS (
+        |  SELECT * FROM uniq
+        |  WHERE CAST(((doc_id * 48271) % 2147483647) * 48271 % 2147483647 AS DOUBLE)
+        |          / 2147483647
+        |        < (20 - CAST(SUBSTR(source, 4) AS INT)) / 20),
+        |chunks AS (
+        |  SELECT doc_id, toks,
+        |         UNNEST(range(CAST(CEIL(GREATEST(n_tok - 64, 0) / 48.0) AS INT) + 1)) AS cid
+        |  FROM sampled),
+        |keyed AS (
+        |  SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+        |         ((doc_id * 128 + cid) * 48271 % 2147483647) * 48271 % 2147483647 AS key,
+        |         CAST(LEN(toks[cid*48 + 1 : cid*48 + 64]) AS INT) AS n_chunk_tokens
+        |  FROM chunks)
+        |SELECT doc_id, chunk_id, key % 16 AS shard,
+        |       ROW_NUMBER() OVER (PARTITION BY key % 16 ORDER BY key, doc_id, chunk_id) AS pos,
+        |       n_chunk_tokens
+        |FROM keyed
+        |ORDER BY shard, pos""".stripMargin,
     "q_shuffle_det" ->
       """WITH k AS (
         |  SELECT doc_id,
