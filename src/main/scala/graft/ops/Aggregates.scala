@@ -224,7 +224,51 @@ object Aggregates extends QueryPack {
     "q_agg_gsets"    -> aggGsets,
     "q_agg_median"   -> aggMedian,
     "q_agg_stats"    -> aggStats,
+    "q_histogram"    -> histogram,
+    "q_anomaly"      -> anomaly,
   )
+
+  /** Equal-width histogram: 10 bins over [min, max] of o_totalprice.
+    * Global bounds are a 1-row aggregate broadcast by the cross join
+    * (the BM25-stats pattern); binning is then a narrow map and the
+    * shuffle carries 10 rows. */
+  private def histogram(s: SparkSession, d: String): DataFrame = {
+    val x = col("o_totalprice")
+    val bounds = Tables.orders(s, d).agg(min(x).as("lo"), max(x).as("hi"))
+    Tables.orders(s, d).crossJoin(bounds)
+      .withColumn("bin",
+        least(floor((x - col("lo")) / ((col("hi") - col("lo")) / 10)), lit(9.0))
+          .cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        Det.r4(min(x)).as("bin_min"), Det.r4(max(x)).as("bin_max"))
+      .orderBy("bin")
+  }
+
+  /** Z-score anomaly ranking: per-status moments from DECIMAL-exact
+    * sums (mean and variance are then identical IEEE expressions on
+    * both engines), broadcast back, top-20 by |z| via
+    * TakeOrderedAndProject. The moment table is group-cardinality —
+    * the fact table never shuffles. */
+  private def anomaly(s: SparkSession, d: String): DataFrame = {
+    val x = col("o_totalprice")
+    val stats = Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).cast("double").as("n"),
+        (Det.dsum(x, 2) / count(lit(1))).as("mean"),
+        Det.dsum(x * x, 4).as("sum_sq"))
+      .withColumn("sd",
+        sqrt((col("sum_sq") - col("n") * col("mean") * col("mean"))
+          / (col("n") - 1)))
+      .select(col("o_orderstatus"), col("mean"), col("sd"))
+    Tables.orders(s, d)
+      .join(broadcast(stats), "o_orderstatus")
+      .withColumn("z", (x - col("mean")) / col("sd"))
+      .orderBy(abs(col("z")).desc, col("o_orderkey").asc)
+      .limit(20)
+      .select(col("o_orderkey"), col("o_orderstatus"), x.as("price"),
+        Det.r4(col("z")).as("z"))
+  }
 
   private val q1Sql =
     s"""SELECT l_returnflag, l_linestatus,
@@ -250,6 +294,31 @@ object Aggregates extends QueryPack {
        |ORDER BY rf, ls""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "q_histogram" ->
+      s"""WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+         |SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10)), 9) AS INT) AS bin,
+         |       COUNT(*) AS n,
+         |       ${Det.r4Sql("MIN(o_totalprice)")} AS bin_min,
+         |       ${Det.r4Sql("MAX(o_totalprice)")} AS bin_max
+         |FROM orders, b
+         |GROUP BY bin
+         |ORDER BY bin""".stripMargin,
+    "q_anomaly" ->
+      s"""WITH s AS (
+         |  SELECT o_orderstatus,
+         |         CAST(COUNT(*) AS DOUBLE) AS n,
+         |         ${Det.dsumSql("o_totalprice", 2)} / COUNT(*) AS mean,
+         |         ${Det.dsumSql("o_totalprice * o_totalprice", 4)} AS sum_sq
+         |  FROM orders GROUP BY o_orderstatus),
+         |st AS (
+         |  SELECT o_orderstatus, mean,
+         |         SQRT((sum_sq - n * mean * mean) / (n - 1)) AS sd
+         |  FROM s)
+         |SELECT o_orderkey, o.o_orderstatus, o_totalprice AS price,
+         |       ${Det.r4Sql("(o_totalprice - mean) / sd")} AS z
+         |FROM orders o JOIN st ON o.o_orderstatus = st.o_orderstatus
+         |ORDER BY ABS((o_totalprice - mean) / sd) DESC, o_orderkey ASC
+         |LIMIT 20""".stripMargin,
     "q_agg_filter" ->
       """SELECT o_orderpriority,
         |       COUNT(*) AS n,
