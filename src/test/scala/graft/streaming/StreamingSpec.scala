@@ -266,6 +266,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 2 * n1)
   }
 
+  test("incremental corpus ingest: quality gate + content dedup across invocations") {
+    import org.apache.spark.sql.functions._
+    // the streaming twin of the training-prep front end: each
+    // AvailableNow invocation quality-gates new documents and drops
+    // content-hash duplicates against ALL previously ingested state
+    // (dropDuplicates state persists in the checkpoint) — an
+    // incremental corpus build that never re-reads old files
+    val base = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    val in = s"$base/in"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      java.nio.file.Paths.get(s"$in/d1.parquet"))
+    val schema = spark.read.parquet(in).schema
+    def gated = spark.readStream.schema(schema).parquet(in)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 10)
+      .withColumn("content_key", xxhash64(col("text")))
+      .dropDuplicates("content_key")
+      .select("doc_id", "lang", "source", "content_key")
+    ScheduledRunner.runOnce(gated, sink, ckpt)
+    val n1 = spark.read.parquet(sink).count()
+    val batchExpect = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(size(split(col("text"), " ")) >= 10)
+      .select(xxhash64(col("text")).as("k")).distinct().count()
+    assert(n1 == batchExpect, s"streaming $n1 != batch $batchExpect")
+    // re-delivering the SAME documents (a new file with identical
+    // content) must add nothing: every content_key is already in state
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      java.nio.file.Paths.get(s"$in/d2.parquet"))
+    ScheduledRunner.runOnce(gated, sink, ckpt)
+    assert(spark.read.parquet(sink).count() == n1,
+      "duplicate re-delivery leaked through the dedup state")
+  }
+
   test("streaming session windows match batch twin for closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
