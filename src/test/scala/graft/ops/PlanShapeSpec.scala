@@ -121,6 +121,14 @@ class PlanShapeSpec extends SparkSpec {
       "l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"), p)
   }
 
+  test("q_pipeline_train windows per-shard, never globally") {
+    val p = plan("q_pipeline_train")
+    val globalWindow = p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition") && !l.contains("shard"))
+    assert(!globalWindow, s"global (non-shard) window in capstone plan:\n$p")
+    assert(p.contains("LeftAnti"), "cluster-member pruning join missing")
+  }
+
   test("q_chunk generates chunks without any shuffle before the sort") {
     val p = plan("q_chunk")
     // generator + projection only; the single exchange is the final
