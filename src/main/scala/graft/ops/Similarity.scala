@@ -118,10 +118,14 @@ object Similarity extends QueryPack {
     import graft.functions.CosineSimilarity.cosine_sim
     val dir = s"${sys.props("java.io.tmpdir")}/graft_ann_index_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
-    Tables.embeddings(s, d)
+    val bucketed = Tables.embeddings(s, d)
       .withColumn("bucket", hyperplaneBucket(col("embedding"), 4, 64))
-      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
-    val index = s.read.parquet(dir)
+    bucketed.write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    // explicit schema: an EMPTY index write leaves no data files, and
+    // a schema-inferring read would throw UNABLE_TO_INFER_SCHEMA —
+    // empty buckets/partitions are routine at scale and must read as
+    // zero rows, not crash
+    val index = s.read.schema(bucketed.schema).parquet(dir)
     val probe = index.filter(col("vec_id") === ProbeId)
       .select(col("bucket").as("p_bucket"), col("embedding").as("probe"))
     index.filter(col("vec_id") =!= ProbeId)
