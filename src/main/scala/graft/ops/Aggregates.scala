@@ -209,7 +209,36 @@ object Aggregates extends QueryPack {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Exact heavy hitters (tokens with count > n/30) via the two-pass
+    * Misra–Gries plan: pass 1 reduces the stream to ≤ k=32 candidate
+    * tokens with an O(k)-state mergeable sketch (partial+final typed
+    * aggregation — the MG guarantee makes the candidate set a proven
+    * superset of every token above n/33, hence above n/30); pass 2
+    * re-counts ONLY candidate rows behind a broadcast join and
+    * filters by the exact threshold. The result is exactly the
+    * brute-force answer — the oracle is the plain HAVING query — but
+    * no full-vocabulary groupBy ever runs: at 100 TB the unbounded
+    * (token → count) shuffle is replaced by an O(k) sketch plus a
+    * ≤ k-key aggregation. */
+  private def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(graft.functions.TextSim.tokens(col("text"))).as("tok"))
+    val cands = toks.as[String]
+      .select(new graft.functions.MisraGries(32).toColumn) // typed path binds the input deserializer
+      .toDF("sketch")
+      .select(explode(map_keys(col("sketch"))).as("tok"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cands), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") > col("n_total") / 30.0)
+      .select(col("tok"), col("cnt"), col("n_total"))
+      .orderBy("tok")
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_heavy_hitters" -> heavyHitters,
     "q_agg_filter"   -> aggFilter,
     "q_agg_gid"      -> aggGid,
     "q_agg_disc"     -> aggDisc,
@@ -294,6 +323,14 @@ object Aggregates extends QueryPack {
        |ORDER BY rf, ls""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT COUNT(*) AS n_total FROM t)
+        |SELECT tok, COUNT(*) AS cnt, n_total
+        |FROM t, n
+        |GROUP BY tok, n_total
+        |HAVING COUNT(*) > n_total / 30.0
+        |ORDER BY tok""".stripMargin,
     "q_histogram" ->
       s"""WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
          |SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10)), 9) AS INT) AS bin,

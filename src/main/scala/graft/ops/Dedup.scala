@@ -292,7 +292,48 @@ object Dedup extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Span-level (C4-style) dedup: documents are cut into consecutive
+    * 8-token spans, and every span that appeared earlier ANYWHERE in
+    * the corpus (first occurrence = smallest (doc_id, pos)) is
+    * removed; surviving spans reassemble into the cleaned text. This
+    * is the intra-document-granularity dedup the doc-level tier
+    * can't express — boilerplate repeated across documents vanishes
+    * while the unique remainder survives.
+    *
+    * Scale shape: one keyed shuffle on the span value (the keep-first
+    * window — at 100 TB the key would be xxhash64(span) with the
+    * text carried, same plan), one keyed shuffle on doc_id to
+    * reassemble, and the per-doc span count rides the same doc_id
+    * distribution so the final join adds no exchange. Never a pairwise
+    * comparison anywhere — global span dedup is linear. */
+  private def dedupSpan(s: SparkSession, d: String): DataFrame = {
+    val W = 8
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val nSpans = ceil(size(col("toks")).cast("double") / W).cast("int")
+    val spans = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nSpans - 1),
+        i => array_join(slice(col("toks"), i * W + 1, lit(W)), " ")))
+        .as(Seq("pos", "span")))
+    val w = Window.partitionBy("span").orderBy("doc_id", "pos")
+    val kept = spans
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+            x => x.getField("span")), " ").as("text_clean"))
+    spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_dedup_span"    -> dedupSpan,
     "q_dedup_edit"    -> dedupEdit,
     "q_dedup_exact"   -> dedupExact,
     "q_dedup_near"    -> dedupNear,
@@ -303,6 +344,26 @@ object Dedup extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_dedup_span" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |spans AS (
+        |  SELECT doc_id, u.i AS pos,
+        |         array_to_string(toks[u.i*8+1 : u.i*8+8], ' ') AS span
+        |  FROM t, UNNEST(generate_series(0, CAST(CEIL(LEN(toks)/8.0) AS INT) - 1)) AS u(i)),
+        |kept AS (
+        |  SELECT doc_id, pos, span,
+        |         ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        |  FROM spans),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |         string_agg(span, ' ' ORDER BY pos) AS text_clean
+        |  FROM kept WHERE rn = 1 GROUP BY doc_id),
+        |ns AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id)
+        |SELECT ns.doc_id, ns.n_spans,
+        |       COALESCE(agg.n_kept, 0) AS n_kept,
+        |       COALESCE(agg.text_clean, '') AS text_clean
+        |FROM ns LEFT JOIN agg ON ns.doc_id = agg.doc_id
+        |ORDER BY ns.doc_id""".stripMargin,
     "q_dedup_edit" ->
       """WITH p AS (SELECT doc_id, lang, source, LEFT(text, 48) AS pfx,
         |                  list_distinct(string_split(text, ' ')) AS toks

@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.{Det, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, DataFrameReader, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-format source/sink surface: write a projected table out in a
+  * non-parquet format, read it back with an EXPLICIT schema (never
+  * inference — at 100 TB an inference pass is a second full scan),
+  * and aggregate — the oracle computes the same aggregate from the
+  * original parquet, so a hash match proves the round-trip is
+  * byte-lossless end to end (doubles survive because Spark writes
+  * shortest round-trip representations in both CSV and JSON).
+  *
+  * Scale posture: writers and readers are both partition-parallel
+  * (one file per task, no driver materialization); the explicit
+  * schema keeps the read a single pass. CSV/JSON scans cannot prune
+  * columns or push predicates the way parquet does — exactly why the
+  * engine's tables live in parquet and these formats appear only at
+  * the ingest/export boundary.
+  */
+object Formats extends QueryPack {
+
+  private val RtCols =
+    Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+      "l_returnflag", "l_linestatus")
+  private val RtSchema =
+    "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE, " +
+      "l_extendedprice DOUBLE, l_returnflag STRING, l_linestatus STRING"
+
+  /** Round-trip: parquet → fmt (sink) → fmt (source, explicit schema)
+    * → aggregate. The output directory is keyed by format + input dir
+    * so concurrent scale factors never collide; mode=overwrite makes
+    * the query re-runnable (bench runs it three times). */
+  private def roundtrip(s: SparkSession, d: String, fmt: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_rt_${fmt}_" +
+      Integer.toHexString(d.hashCode)
+    val src = Tables.lineitem(s, d).select(RtCols.map(col): _*)
+    withHeader(src.write.mode("overwrite"), fmt).format(fmt).save(out)
+    val back = withHeader(s.read.schema(RtSchema), fmt).format(fmt).load(out)
+    back.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("l_quantity"), 2).as("sum_qty"),
+        Det.dsum(col("l_extendedprice"), 2).as("sum_price"),
+        sum(col("l_orderkey")).as("sum_key"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private def withHeader(w: DataFrameWriter[Row], fmt: String): DataFrameWriter[Row] =
+    if (fmt == "csv") w.option("header", "true") else w
+  private def withHeader(r: DataFrameReader, fmt: String): DataFrameReader =
+    if (fmt == "csv") r.option("header", "true") else r
+
+  private val rtOracle =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       COUNT(*) AS n,
+       |       ${Det.dsumSql("l_quantity", 2)} AS sum_qty,
+       |       ${Det.dsumSql("l_extendedprice", 2)} AS sum_price,
+       |       CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  override val queries: Map[String, Q] = Map(
+    "q_source_csv"  -> ((s, d) => roundtrip(s, d, "csv")),
+    "q_source_json" -> ((s, d) => roundtrip(s, d, "json")),
+    "q_source_orc"  -> ((s, d) => roundtrip(s, d, "orc")),
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_source_csv"  -> rtOracle,
+    "q_source_json" -> rtOracle,
+    "q_source_orc"  -> rtOracle,
+  )
+}

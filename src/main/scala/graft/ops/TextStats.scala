@@ -133,7 +133,29 @@ object TextStats extends QueryPack {
         Det.r4(-Det.dsum(col("p") * log(col("p")))).as("entropy"))
       .orderBy("doc_id")
 
+  /** PII redaction pass: global regex replacement of digit runs in a
+    * reconstructed log line (event_type + user id + raw props), with
+    * per-row redaction counts and the masked-character tally — the
+    * scrubbing sweep a corpus runs before anything else reads it.
+    * Purely narrow (no shuffle except the presentation sort) and the
+    * regexes are codegen'd builtins, so the pass is scan-bound at any
+    * scale; the counts give the audit trail (how much was masked)
+    * without retaining the raw values. */
+  private def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val raw = concat(col("event_type"), lit(" user="), col("user_id"),
+      lit(" "), col("props"))
+    Tables.events(s, d)
+      .select(col("event_id"), raw.as("raw"))
+      .select(col("event_id"),
+        regexp_replace(col("raw"), "[0-9]+", "<NUM>").as("redacted"),
+        regexp_count(col("raw"), lit("[0-9]+")).as("n_redacted"),
+        (length(col("raw")) - length(regexp_replace(col("raw"), "[0-9]+", "")))
+          .as("n_digit_chars"))
+      .orderBy("event_id")
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_pii_redact"    -> piiRedact,
     "q_top_terms"     -> topTerms,
     "q_text_stats"    -> textStats,
     "q_lang_id"       -> langId,
@@ -144,6 +166,18 @@ object TextStats extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_pii_redact" ->
+      """WITH r AS (
+        |  SELECT event_id,
+        |         event_type || ' user=' || CAST(user_id AS VARCHAR) || ' ' || props AS raw
+        |  FROM events)
+        |SELECT event_id,
+        |       regexp_replace(raw, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |       CAST(LEN(regexp_extract_all(raw, '[0-9]+')) AS INT) AS n_redacted,
+        |       CAST(LENGTH(raw) - LENGTH(regexp_replace(raw, '[0-9]+', '', 'g')) AS INT)
+        |         AS n_digit_chars
+        |FROM r
+        |ORDER BY event_id""".stripMargin,
     "q_top_terms" ->
       """SELECT lang, CAST(rk AS INT) AS rk, tok, n FROM (
         |  SELECT lang, tok, n,

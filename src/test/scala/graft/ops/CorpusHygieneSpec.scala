@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Ground truths for the corpus-hygiene passes that the DuckDB oracle
+  * alone doesn't pin down: span-dedup global invariants, redaction
+  * completeness, and bit-exact format round-trips.
+  */
+class CorpusHygieneSpec extends SparkSpec {
+
+  test("q_dedup_span keeps each distinct span exactly once, corpus-wide") {
+    val res = SparkEntry.queries("q_dedup_span")(spark, sf)
+    val spans = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), ceil(size(col("toks")).cast("double") / 8).cast("int") - 1),
+        i => array_join(slice(col("toks"), i * 8 + 1, lit(8)), " ")))
+        .as(Seq("pos", "span")))
+    val nDistinct = spans.select("span").distinct().count()
+    val agg = res.agg(
+      sum(col("n_kept")).as("kept"), sum(col("n_spans")).as("all")).head()
+    assert(agg.getLong(0) == nDistinct,
+      s"sum(n_kept)=${agg.getLong(0)} != corpus distinct spans $nDistinct")
+    assert(agg.getLong(1) == spans.count(), "n_spans must tile the corpus")
+    // reassembled text carries exactly the kept spans' tokens
+    val reTokens = res.filter(col("text_clean") =!= "")
+      .select(size(split(col("text_clean"), " ")).cast("long").as("nt"))
+      .agg(sum("nt")).head().getLong(0)
+    val keptTokens = spans
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("span").orderBy("doc_id", "pos")))
+      .filter(col("rn") === 1)
+      .select(size(split(col("span"), " ")).cast("long").as("nt"))
+      .agg(sum("nt")).head().getLong(0)
+    assert(reTokens == keptTokens, s"reassembly tokens $reTokens != kept $keptTokens")
+  }
+
+  test("q_pii_redact leaves no digits and accounts for every masked char") {
+    val res = SparkEntry.queries("q_pii_redact")(spark, sf)
+    assert(res.filter(col("redacted").rlike("[0-9]")).count() == 0,
+      "digits survived redaction")
+    assert(res.filter(col("n_redacted") === 0).count() == 0,
+      "fixture rows all carry a user id — every row must redact something")
+    // length bookkeeping: redacted = raw - masked digit chars + 5·"<NUM>"
+    val raw = Tables.events(spark, sf).select(col("event_id"),
+      length(concat(col("event_type"), lit(" user="), col("user_id"),
+        lit(" "), col("props"))).as("raw_len"))
+    val bad = res.join(raw, "event_id")
+      .filter(length(col("redacted"))
+        =!= col("raw_len") - col("n_digit_chars") + col("n_redacted") * 5)
+      .count()
+    assert(bad == 0, "redacted length != raw - digit chars + 5*n_redacted")
+  }
+
+  test("format round-trips are bit-exact (csv, json, orc)") {
+    val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_returnflag", "l_linestatus").map(col)
+    val src = Tables.lineitem(spark, sf).select(cols: _*)
+    for (fmt <- Seq("csv", "json", "orc")) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_rt_spec_$fmt"
+      val w = src.write.mode("overwrite")
+      (if (fmt == "csv") w.option("header", "true") else w).format(fmt).save(out)
+      val r = spark.read.schema(
+        "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE, " +
+          "l_extendedprice DOUBLE, l_returnflag STRING, l_linestatus STRING")
+      val back = (if (fmt == "csv") r.option("header", "true") else r)
+        .format(fmt).load(out)
+      assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+        s"$fmt round-trip not lossless")
+    }
+  }
+}

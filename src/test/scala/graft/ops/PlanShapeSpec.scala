@@ -136,4 +136,19 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges == 1, s"expected only the output-sort exchange:\n$p")
   }
+
+  test("q_heavy_hitters recount pass joins via broadcast, sketch aggregates partially") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), s"candidate join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge anywhere — the corpus never shuffles on the token key:\n$p")
+    // the MG sketch is a typed Aggregator → partial/final ObjectHashAggregate
+    assert(p.contains("ObjectHashAggregate"), s"sketch must aggregate partially:\n$p")
+  }
+
+  test("q_dedup_span is linear: keyed shuffles only, no pairwise join") {
+    val p = plan("q_dedup_span")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must never compare documents pairwise:\n$p")
+  }
 }
