@@ -129,6 +129,30 @@ object Advanced extends QueryPack {
          |ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
+  /** TPC-H Q3 shape: shipping-priority top-k — segment-filtered
+    * customer dim broadcast into orders⋈lineitem (the fact-fact join
+    * shuffles on orderkey), per-order revenue agg, then top-10 by
+    * revenue via TakeOrderedAndProject (never a global sort). The
+    * date predicates push into both fact scans. */
+  private def sqlTpch3(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("v_customer")
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      s"""SELECT o_orderkey,
+         |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+         |       o_orderdate
+         |FROM v_customer
+         |JOIN v_orders ON c_custkey = o_custkey
+         |JOIN v_lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderkey
+         |LIMIT 10""".stripMargin)
+  }
+
   /** TPC-H Q10 shape: returned-item revenue per customer — fact-fact
     * join (orders⋈lineitem) with a selective lineitem filter, dims
     * broadcast, wide group-by (one group per customer) ranked by
@@ -193,6 +217,7 @@ object Advanced extends QueryPack {
   }
 
   override val queries: Map[String, Q] = Map(
+    "q_sql_tpch3"        -> sqlTpch3,
     "q_sql_tpch6"        -> sqlTpch6,
     "q_sql_tpch5"        -> sqlTpch5,
     "q_sql_tpch10"       -> sqlTpch10,
@@ -230,6 +255,19 @@ object Advanced extends QueryPack {
          |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
          |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
          |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    "q_sql_tpch3" ->
+      s"""SELECT o_orderkey,
+         |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+         |       o_orderdate
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderkey
+         |LIMIT 10""".stripMargin,
     "q_sql_tpch6" ->
       s"""SELECT ${Det.dsumSql("l_extendedprice * l_discount", 6)} AS revenue,
          |       COUNT(*) AS n_rows

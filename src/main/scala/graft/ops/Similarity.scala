@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{QueryPack, Tables}
 import graft.functions.TextSim._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embedding column.
@@ -148,30 +148,37 @@ object Similarity extends QueryPack {
   private val KmeansK = 8
   private val KmeansRounds = 5
 
-  private def assignTo(vecs: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+  /** The k-element squared-distance array of `embedding` against a
+    * broadcast 2-D centroid literal — shared by [[assignTo]] (argmin)
+    * and Dedup's multi-probe blocking (top-2). */
+  private[ops] def distArray(centroids: Seq[Seq[Double]]): Column =
+    transform(typedlit(centroids), c =>
+      aggregate(
+        zip_with(col("embedding"), c,
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, x) => acc + x))
+
+  private[ops] def assignTo(vecs: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
     // ONE k-element distance array per row (2-D centroid literal +
     // transform), then argmin = array_min + first array_position —
     // never a per-centroid when-chain, whose nested else branches
     // embed every previous distance twice (2^k expression blowup,
     // measured 25s; this form is 0.6s at sf0.1). array_position's
     // first-match rule is the deterministic first-wins tie-break.
-    val dists = transform(typedlit(centroids), c =>
-      aggregate(
-        zip_with(col("embedding"), c,
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, x) => acc + x))
-    vecs.withColumn("dists", dists)
+    vecs.withColumn("dists", distArray(centroids))
       .withColumn("dist2", array_min(col("dists")))
       .withColumn("cluster",
         (array_position(col("dists"), col("dist2")) - 1).cast("int"))
       .drop("dists")
   }
 
-  private def kmeans(s: SparkSession, d: String): DataFrame = {
-    val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    var centroids: Seq[Seq[Double]] = vecs.orderBy("vec_id").limit(KmeansK)
+  /** The Lloyd loop itself, shared with Dedup.dedupSemantic (which
+    * uses the converged clusters as its blocking key): k×dims doubles
+    * per round are all that ever reach the driver. */
+  private[ops] def lloydCentroids(vecs: DataFrame, k: Int, rounds: Int): Seq[Seq[Double]] = {
+    var centroids: Seq[Seq[Double]] = vecs.orderBy("vec_id").limit(k)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
-    for (_ <- 1 to KmeansRounds) {
+    for (_ <- 1 to rounds) {
       val means = assignTo(vecs, centroids)
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
@@ -183,7 +190,12 @@ object Similarity extends QueryPack {
       // an empty cluster keeps its previous centroid (no index shift)
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
-    assignTo(vecs, centroids)
+    centroids
+  }
+
+  private def kmeans(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    assignTo(vecs, lloydCentroids(vecs, KmeansK, KmeansRounds))
       .select(col("vec_id"), col("cluster"),
         graft.Det.r4(col("dist2")).as("dist2"))
       .orderBy("vec_id")

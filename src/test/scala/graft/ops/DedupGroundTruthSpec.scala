@@ -123,4 +123,33 @@ class DedupGroundTruthSpec extends SparkSpec {
       s"recall ${got.size}/${unblocked.size} below 0.6")
     assert(got.nonEmpty)
   }
+
+  test("q_dedup_semantic vs brute cosine >= 0.4: precision 1.0, misses straddle clusters") {
+    val got = pairSet(SparkEntry.queries("q_dedup_semantic")(spark, sf01)
+      .select("vec_a", "vec_b"))
+    val e = Tables.embeddings(spark, sf01).select(col("vec_id"), col("embedding"))
+    val brute = pairSet(e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")
+        && graft.functions.CosineSimilarity.cosine_sim(
+             col("a.embedding"), col("b.embedding")) >= 0.4)
+      .select(col("a.vec_id"), col("b.vec_id")))
+    // precision 1.0 is structural (exact rescoring within clusters)
+    assert((got -- brute).isEmpty, s"false positives: ${got -- brute}")
+    // every miss must be a cluster-boundary pair — verify against the
+    // same deterministic clustering the query used
+    val vecs = Tables.embeddings(spark, sf01).select(col("vec_id"), col("embedding"))
+    val clusters = Similarity.assignTo(vecs, Similarity.lloydCentroids(vecs, 8, 3))
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val missed = brute -- got
+    missed.foreach { case (a, b) =>
+      assert(clusters(a) != clusters(b),
+        s"pair ($a,$b) shares cluster ${clusters(a)} but was missed — not a boundary miss")
+    }
+    println(s"semantic (k-means block): ${got.size}/${brute.size} true pairs; " +
+      s"${missed.size} boundary misses: ${missed.toSeq.sorted}")
+    assert(got.size.toDouble / brute.size >= 0.5,
+      s"recall ${got.size}/${brute.size} below 0.5")
+    assert(got.nonEmpty)
+  }
 }
