@@ -69,7 +69,15 @@ object Bench {
     val qsJson = qs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errs.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = qs.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"errors":$errJson,"iters":$Iters,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"errors":$errJson,"iters":$Iters,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's stdout capture truncates long tails, hiding most of
+    // the per-query map from round-over-round comparison — persist the
+    // full line where the repo snapshot picks it up
+    try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

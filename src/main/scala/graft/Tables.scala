@@ -37,4 +37,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Registers `name` as a temp view whose view NAME is keyed by the
+    * data dir, and returns that name for SQL interpolation. A
+    * session-global fixed name ("v_orders") is a shared mutable
+    * binding: two queries planned concurrently against different
+    * scale-factor dirs would clobber each other. Dir-keyed names make
+    * registration idempotent per (table, dir) and collision-free
+    * across dirs. */
+  def view(s: SparkSession, d: String, name: String): String = {
+    val v = s"v_${name}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    table(s, d, name).createOrReplaceTempView(v)
+    v
+  }
 }

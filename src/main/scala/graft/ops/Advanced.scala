@@ -43,15 +43,14 @@ object Advanced extends QueryPack {
     * Spark SQL over temp views — same Catalyst pipeline as the
     * DataFrame DSL, one parser earlier. */
   private def sqlTpch(s: SparkSession, d: String): DataFrame = {
-    Tables.customer(s, d).createOrReplaceTempView("v_customer")
-    Tables.orders(s, d).createOrReplaceTempView("v_orders")
-    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    val (vc, vo, vl) = (Tables.view(s, d, "customer"),
+      Tables.view(s, d, "orders"), Tables.view(s, d, "lineitem"))
     s.sql(
       s"""SELECT l_orderkey,
          |       ${graft.Det.dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
          |       o_orderdate, o_orderpriority
-         |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
-         |JOIN v_lineitem ON l_orderkey = o_orderkey
+         |FROM $vc JOIN $vo ON c_custkey = o_custkey
+         |JOIN $vl ON l_orderkey = o_orderkey
          |WHERE c_mktsegment = 'BUILDING'
          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
@@ -90,13 +89,12 @@ object Advanced extends QueryPack {
     * aggregate always yields one row, so orders without lineitems
     * survive with (NULL, 0). */
   private def joinLateral(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("v_orders")
-    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    val (vo, vl) = (Tables.view(s, d, "orders"), Tables.view(s, d, "lineitem"))
     s.sql(
-      """SELECT o.o_orderkey, l.maxp, l.n
-        |FROM v_orders o,
+      s"""SELECT o.o_orderkey, l.maxp, l.n
+        |FROM $vo o,
         |LATERAL (SELECT MAX(l_extendedprice) AS maxp, COUNT(*) AS n
-        |         FROM v_lineitem WHERE l_orderkey = o.o_orderkey) l
+        |         FROM $vl WHERE l_orderkey = o.o_orderkey) l
         |WHERE o.o_totalprice > 450000
         |ORDER BY o_orderkey""".stripMargin)
   }
@@ -107,22 +105,20 @@ object Advanced extends QueryPack {
     * graph. Dims flow into broadcasts; the two fact tables meet in one
     * keyed shuffle. */
   private def sqlTpch5(s: SparkSession, d: String): DataFrame = {
-    Tables.region(s, d).createOrReplaceTempView("v_region")
-    Tables.nation(s, d).createOrReplaceTempView("v_nation")
-    Tables.customer(s, d).createOrReplaceTempView("v_customer")
-    Tables.orders(s, d).createOrReplaceTempView("v_orders")
-    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
-    Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+    val (vr, vn, vc) = (Tables.view(s, d, "region"),
+      Tables.view(s, d, "nation"), Tables.view(s, d, "customer"))
+    val (vo, vl, vs) = (Tables.view(s, d, "orders"),
+      Tables.view(s, d, "lineitem"), Tables.view(s, d, "supplier"))
     s.sql(
       s"""SELECT n_name,
          |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
          |       COUNT(*) AS n_items
-         |FROM v_region
-         |JOIN v_nation ON n_regionkey = r_regionkey
-         |JOIN v_customer ON c_nationkey = n_nationkey
-         |JOIN v_orders ON o_custkey = c_custkey
-         |JOIN v_lineitem ON l_orderkey = o_orderkey
-         |JOIN v_supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |FROM $vr
+         |JOIN $vn ON n_regionkey = r_regionkey
+         |JOIN $vc ON c_nationkey = n_nationkey
+         |JOIN $vo ON o_custkey = c_custkey
+         |JOIN $vl ON l_orderkey = o_orderkey
+         |JOIN $vs ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
          |WHERE r_name IN ('AFRICA', 'AMERICA')
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |GROUP BY n_name
@@ -135,16 +131,15 @@ object Advanced extends QueryPack {
     * revenue via TakeOrderedAndProject (never a global sort). The
     * date predicates push into both fact scans. */
   private def sqlTpch3(s: SparkSession, d: String): DataFrame = {
-    Tables.customer(s, d).createOrReplaceTempView("v_customer")
-    Tables.orders(s, d).createOrReplaceTempView("v_orders")
-    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    val (vc, vo, vl) = (Tables.view(s, d, "customer"),
+      Tables.view(s, d, "orders"), Tables.view(s, d, "lineitem"))
     s.sql(
       s"""SELECT o_orderkey,
          |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
          |       o_orderdate
-         |FROM v_customer
-         |JOIN v_orders ON c_custkey = o_custkey
-         |JOIN v_lineitem ON l_orderkey = o_orderkey
+         |FROM $vc
+         |JOIN $vo ON c_custkey = o_custkey
+         |JOIN $vl ON l_orderkey = o_orderkey
          |WHERE c_mktsegment = 'BUILDING'
          |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
          |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
@@ -160,18 +155,16 @@ object Advanced extends QueryPack {
     * customer-cardinality: the top-k is TakeOrderedAndProject, never
     * a global sort. */
   private def sqlTpch10(s: SparkSession, d: String): DataFrame = {
-    Tables.nation(s, d).createOrReplaceTempView("v_nation")
-    Tables.customer(s, d).createOrReplaceTempView("v_customer")
-    Tables.orders(s, d).createOrReplaceTempView("v_orders")
-    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    val (vn, vc) = (Tables.view(s, d, "nation"), Tables.view(s, d, "customer"))
+    val (vo, vl) = (Tables.view(s, d, "orders"), Tables.view(s, d, "lineitem"))
     s.sql(
       s"""SELECT c_custkey, c_name, n_name,
          |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
          |       COUNT(*) AS n_items
-         |FROM v_customer
-         |JOIN v_nation ON c_nationkey = n_nationkey
-         |JOIN v_orders ON o_custkey = c_custkey
-         |JOIN v_lineitem ON l_orderkey = o_orderkey
+         |FROM $vc
+         |JOIN $vn ON c_nationkey = n_nationkey
+         |JOIN $vo ON o_custkey = c_custkey
+         |JOIN $vl ON l_orderkey = o_orderkey
          |WHERE l_returnflag = 'R'
          |  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
          |GROUP BY c_custkey, c_name, n_name
@@ -185,17 +178,16 @@ object Advanced extends QueryPack {
     * shuffled per orderkey); its survivors are a tiny set that
     * broadcasts into the outer join. */
   private def sqlTpch18(s: SparkSession, d: String): DataFrame = {
-    Tables.customer(s, d).createOrReplaceTempView("v_customer")
-    Tables.orders(s, d).createOrReplaceTempView("v_orders")
-    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    val (vc, vo, vl) = (Tables.view(s, d, "customer"),
+      Tables.view(s, d, "orders"), Tables.view(s, d, "lineitem"))
     s.sql(
       s"""SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
          |       ${Det.dsumSql("l_quantity", 2)} AS sum_qty
-         |FROM v_customer
-         |JOIN v_orders ON c_custkey = o_custkey
-         |JOIN v_lineitem ON o_orderkey = l_orderkey
+         |FROM $vc
+         |JOIN $vo ON c_custkey = o_custkey
+         |JOIN $vl ON o_orderkey = l_orderkey
          |WHERE o_orderkey IN (
-         |  SELECT l_orderkey FROM v_lineitem
+         |  SELECT l_orderkey FROM $vl
          |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
          |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
          |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)
@@ -205,11 +197,11 @@ object Advanced extends QueryPack {
     * probe (no join, one output row); every predicate must reach the
     * parquet scan as a pushed filter. */
   private def sqlTpch6(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    val vl = Tables.view(s, d, "lineitem")
     s.sql(
       s"""SELECT ${Det.dsumSql("l_extendedprice * l_discount", 6)} AS revenue,
          |       COUNT(*) AS n_rows
-         |FROM v_lineitem
+         |FROM $vl
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
          |  AND l_discount BETWEEN 0.03 AND 0.07

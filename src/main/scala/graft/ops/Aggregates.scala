@@ -50,15 +50,27 @@ object Aggregates extends QueryPack {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
-  /** Approximate sketches (HLL++, quantile digest) — no SQL oracle;
-    * driver records the rows-only check. ScalaTest asserts the HLL
-    * estimate is within its published error bound of the exact. */
+  /** Approximate sketches (HLL++, quantile digest), oracle-checked
+    * through their guarantees: the sketch estimates themselves are
+    * engine-specific, so the row carries the EXACT distinct count
+    * (hash-matched against DuckDB) plus the error-bound verdicts —
+    * HLL within 3× its default 5% rsd, approx-median inside the exact
+    * (p40, p60) band (rank error n/1000 << n/10). The oracle asserts
+    * the exact column and TRUE for both verdicts, so a sketch drifting
+    * out of its published bound turns the row red — the ScalaTest
+    * error-bound check promoted into the driver's oracle gate. */
   private def aggApprox(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
+        countDistinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+        expr("percentile(l_extendedprice, 0.4)").as("p40"),
+        expr("percentile(l_extendedprice, 0.6)").as("p60"))
+      .select(col("l_returnflag"), col("n_parts"),
+        (abs(col("ap") - col("n_parts")) / col("n_parts") <= 0.15).as("hll_ok"),
+        (col("am") >= col("p40") && col("am") <= col("p60")).as("median_ok"))
       .orderBy("l_returnflag")
 
   /** The MERGEABLE-sketch surface (Datasketches HLL): per-subgroup
@@ -197,14 +209,14 @@ object Aggregates extends QueryPack {
     * partial aggregation in one pass (the alternative to pivot or
     * CASE-inside-SUM). */
   private def aggFilter(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    val vo = Tables.view(s, d, "orders")
     s.sql(
-      """SELECT o_orderpriority,
+      s"""SELECT o_orderpriority,
         |       COUNT(*) AS n,
         |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
         |            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sum_open
-        |FROM v_orders
+        |FROM $vo
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)
   }
@@ -224,14 +236,16 @@ object Aggregates extends QueryPack {
     import s.implicits._
     val toks = Tables.documents(s, d)
       .select(explode(graft.functions.TextSim.tokens(col("text"))).as("tok"))
+    // n_total rides the sketch pass (typed select binds the input
+    // deserializer; count shares the same aggregation), so the corpus
+    // is scanned exactly twice: sketch+count, then the recount join
     val cands = toks.as[String]
-      .select(new graft.functions.MisraGries(32).toColumn) // typed path binds the input deserializer
-      .toDF("sketch")
-      .select(explode(map_keys(col("sketch"))).as("tok"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+      .select(new graft.functions.MisraGries(32).toColumn,
+        count(lit(1)).as[Long])
+      .toDF("sketch", "n_total")
+      .select(explode(map_keys(col("sketch"))).as("tok"), col("n_total"))
     toks.join(broadcast(cands), "tok")
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+      .groupBy("tok", "n_total").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > col("n_total") / 30.0)
       .select(col("tok"), col("cnt"), col("n_total"))
       .orderBy("tok")
@@ -264,7 +278,10 @@ object Aggregates extends QueryPack {
   private def histogram(s: SparkSession, d: String): DataFrame = {
     val x = col("o_totalprice")
     val bounds = Tables.orders(s, d).agg(min(x).as("lo"), max(x).as("hi"))
-    Tables.orders(s, d).crossJoin(bounds)
+    // explicit broadcast: the 1-row bounds must replicate regardless
+    // of autoBroadcastJoinThreshold — uniform with every other stats
+    // cross join (BM25, tf-idf, prefix sum)
+    Tables.orders(s, d).crossJoin(broadcast(bounds))
       .withColumn("bin",
         least(floor((x - col("lo")) / ((col("hi") - col("lo")) / 10)), lit(9.0))
           .cast("int"))
@@ -400,6 +417,16 @@ object Aggregates extends QueryPack {
         |GROUP BY n_regionkey
         |ORDER BY n_regionkey""".stripMargin,
     "q_agg_group" -> q1Sql,
+    // the exact column is genuinely differential; the TRUE verdicts
+    // hold only while Spark's sketches stay inside their bounds
+    "q_agg_approx" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_partkey) AS n_parts,
+        |       TRUE AS hll_ok,
+        |       TRUE AS median_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_agg_distinct" ->
       """SELECT l_returnflag,
         |       COUNT(DISTINCT l_partkey) AS n_parts,

@@ -64,16 +64,16 @@ object Custom extends QueryPack {
     * against a seed token set, through the same Catalyst pipeline as
     * the DSL twins. */
   private def sqlFuncs(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d).createOrReplaceTempView("v_documents")
-    Tables.embeddings(s, d).createOrReplaceTempView("v_embeddings")
+    val vd = Tables.view(s, d, "documents")
+    val ve = Tables.view(s, d, "embeddings")
     s.sql(
       s"""SELECT d.doc_id,
          |       ${graft.Det.r4Sql("cosine_sim(e.embedding, p.probe)")} AS cos_probe,
          |       ${graft.Det.r4Sql(
                "jaccard_coeff(array_distinct(split(d.text, ' ')), array('data','spark','query'))")} AS j_seed
-         |FROM v_documents d
-         |JOIN v_embeddings e ON d.doc_id = e.vec_id
-         |CROSS JOIN (SELECT embedding AS probe FROM v_embeddings WHERE vec_id = 0) p
+         |FROM $vd d
+         |JOIN $ve e ON d.doc_id = e.vec_id
+         |CROSS JOIN (SELECT embedding AS probe FROM $ve WHERE vec_id = 0) p
          |WHERE d.doc_id <> 0
          |ORDER BY d.doc_id""".stripMargin)
   }

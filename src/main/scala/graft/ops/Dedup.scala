@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * token-set Jaccard near-dup, and embedding-cosine near-dup.
   *
   * Scale posture (100 TB): every near-dup variant generates
-  * candidates through a blocking key (LSH band bucket, SimHash
-  * chunk, or a data key) and only scores within buckets — never an
-  * unrestricted O(n²) cross join. The exact-Jaccard rescoring join
-  * touches only candidate pairs.
+  * candidates through a bounded key (LSH band bucket, SimHash chunk,
+  * rare-first prefix token, k-means cluster) and only scores within
+  * buckets — never an unrestricted O(n²) cross join and never a
+  * data-demographics block (a dominant (lang, source) block is a
+  * cartesian bomb). The exact rescoring join touches only candidate
+  * pairs.
   */
 object Dedup extends QueryPack {
 
@@ -108,32 +110,72 @@ object Dedup extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** The (lang, source)-blocked token-Jaccard candidate pairs shared
-    * by [[dedupNgram]] (scored output) and [[dedupCluster]] (graph
-    * edges). */
+  /** Token-Jaccard (>= 0.5) near-dup pairs within (lang, source)
+    * blocks, shared by [[dedupNgram]] (scored output), [[dedupEdit]]
+    * (Levenshtein rescore) and [[dedupCluster]] (graph edges).
+    *
+    * Candidate generation is EXACT prefix filtering (AllPairs /
+    * PPJoin, Bayardo et al. WWW'07): order every document's token set
+    * by ascending global frequency (rarest first, token as
+    * tie-break — one total order for the whole corpus) and keep only
+    * the first floor((1-t)·|toks|)+1 tokens. Two sets with
+    * J(A,B) >= t MUST share a prefix token — |A∩B| >= t·|A∪B| >=
+    * ⌈t·|A|⌉, and a prefix of length |A|-⌈t·|A|⌉+1 is too long for
+    * the intersection to hide entirely in the suffix — so joining on
+    * (prefix token, lang, source) has provably 100% recall: the
+    * rescored pair set is byte-identical to the naive block join's
+    * (and the recursive-CTE oracle's).
+    *
+    * Why this survives 100 TB where the (lang, source) block join
+    * doesn't: block-join cost is Σ block², and block sizes are set by
+    * data demographics — one dominant (en, srcK) block is a cartesian
+    * bomb. Here the join key is the prefix TOKEN; rare-first ordering
+    * means frequent tokens land in a prefix only when a document is
+    * made of nothing else, so posting lists are bounded by token
+    * rarity, not corpus demographics — the candidate count tracks the
+    * true-pair count. The frequency table is vocabulary-sized, the
+    * prefix-rank window is per-document, and every other shuffle is
+    * keyed — nothing quadratic in any block. */
   private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    val t = 0.5
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(split(col("text"), " ")).as("toks"))
-    // Length-ratio bound (PPJoin-style): J(A,B) <= min(|A|,|B|) /
-    // max(|A|,|B|), so pairs failing the O(1) size test can never
-    // reach the threshold — provably no result change, but the O(n)
-    // set intersection is skipped for most pairs. One fused And keeps
-    // the conjunct order cheap→expensive (threshold on the UNROUNDED
-    // value, matching the oracle's WHERE).
-    val na = size(col("a.toks")).cast("double")
-    val nb = size(col("b.toks")).cast("double")
-    // repartition with an explicit count: spread pair generation
-    // beyond the single input partition, immune to AQE re-coalescing
-    // (see dedupEdit)
-    docs.repartition(s.sparkContext.defaultParallelism, col("doc_id")).as("a")
-      .join(docs.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source"))
-      .filter(col("a.doc_id") < col("b.doc_id")
-        && least(na, nb) / greatest(na, nb) >= 0.5
-        && jaccard(col("a.toks"), col("b.toks")) >= 0.5)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        jaccard(col("a.toks"), col("b.toks")).as("j"))
+      .withColumn("n", size(col("toks")))
+    val occ = docs.select(col("doc_id"), col("lang"), col("source"),
+      col("n"), explode(col("toks")).as("tok"))
+    // global document frequency per token — vocabulary-sized
+    val tokDf = occ.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
+    val pref = occ.join(tokDf, "tok")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= floor(col("n") * (1 - t)) + 1)
+      .select(col("tok"), col("doc_id"), col("lang"), col("source"), col("n"))
+    // candidates: shared prefix token within the block, plus the O(1)
+    // PPJoin length bound J <= min/max. distinct-BEFORE-rescore here
+    // (opposite trade from dedupNear): at t=0.5 the prefix is half the
+    // document, so carrying token sets through the posting join would
+    // duplicate the payload per shared prefix token — dedup the id
+    // pairs first, rescore each pair exactly once.
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.tok") === col("b.tok")
+          && col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
+          && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.n"), col("b.n")).cast("double")
+             / greatest(col("a.n"), col("b.n")) >= t)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact rescore: candidate-bounded doc_id-keyed joins, then the
+    // full Jaccard only on candidates (threshold on the UNROUNDED
+    // value, matching the oracle's WHERE)
+    val sets = docs.select(col("doc_id"), col("toks"))
+    cand
+      .join(sets.as("sa"), cand("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), cand("doc_b") === col("sb.doc_id"))
+      .filter(jaccard(col("sa.toks"), col("sb.toks")) >= t)
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sa.toks"), col("sb.toks")).as("j"))
   }
 
   /** Token-set (1-gram) Jaccard near-dup within (lang, source)
@@ -166,8 +208,8 @@ object Dedup extends QueryPack {
     * referencing the previous labels exactly once (a second reference
     * — e.g. `labels.unionAll(fromNeighbors)` — doubles the lineage
     * every round: 2^rounds copies of the base plan), and the edge
-    * list is persisted so the ngram self-join is computed once, not
-    * once per round. */
+    * list is persisted so the prefix-filter pair generation runs
+    * once, not once per round. */
   private val ClusterRounds = 8
 
   /** The propagation loop, shared by [[dedupCluster]] (scored output)
@@ -245,50 +287,24 @@ object Dedup extends QueryPack {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Edit-distance near-dup: cheap token-set Jaccard (>= 0.5, the
-    * ngram-variant prefilter) generates candidates inside
-    * (lang, source) blocks; Levenshtein over an 80-char prefix
-    * rescores ONLY those. Running the O(L²) DP on every block pair
-    * was measured 7× slower at sf0.1 and grows quadratically with
-    * block size — the two-stage cheap-filter→expensive-rescore shape
-    * is the one that survives 100 TB. (And's operands short-circuit
-    * in codegen, so the DP never runs on pairs the Jaccard rejects.) */
+  /** Edit-distance near-dup: the exact prefix-filter Jaccard pairs
+    * ([[ngramPairs]], J >= 0.5) are the candidates; Levenshtein over a
+    * 48-char prefix rescores ONLY those. The O(L²) DP never runs on a
+    * pair the Jaccard stage rejected — the two-stage cheap-filter→
+    * expensive-rescore shape, now on top of a candidate generator
+    * whose cost tracks the true-pair count instead of block
+    * demographics (see ngramPairs). The pfx join is doc_id-keyed and
+    * candidate-bounded. */
   private def dedupEdit(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"),
-        substring(col("text"), 1, 48).as("pfx"),
-        array_distinct(split(col("text"), " ")).as("toks"))
-    // Predicate order matters: pushed filters land in the join
-    // condition in application order, and codegen'd And short-
-    // circuits — so the id ordering halves the pair stream before
-    // Jaccard runs, and the Levenshtein DP sees only Jaccard
-    // survivors. With all three inside the equality join's condition
-    // the pair never materializes off-heap either.
-    val na = size(col("a.toks")).cast("double")
-    val nb = size(col("b.toks")).cast("double")
-    // The docs table arrives in O(1) input partitions (one small
-    // parquet file), and under a broadcast join the streamed side's
-    // partitioning IS the pair-generation parallelism — repartition
-    // by doc_id so the O(pairs) scoring work spreads across the
-    // cluster instead of one task. The EXPLICIT count matters: a
-    // column-only repartition is an AQE-coalescible exchange, and on
-    // a small build input AQE folds it back to ONE partition,
-    // re-serializing the whole quadratic stage (measured: a single
-    // 2.5s task carried the query).
-    docs.repartition(s.sparkContext.defaultParallelism, col("doc_id")).as("a")
-      .join(docs.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source"))
-      .filter(col("a.doc_id") < col("b.doc_id")
-        // PPJoin-style length bound: J <= min/max, so this O(1) test
-        // provably rejects only sub-threshold pairs
-        && least(na, nb) / greatest(na, nb) >= 0.5
-        && jaccard(col("a.toks"), col("b.toks")) >= 0.5
-        // distance threshold INSIDE the conjunction: the DP runs once
-        // per candidate here; the projection below re-evaluates it
-        // only for final survivors (~40x fewer rows)
-        && levenshtein(col("a.pfx"), col("b.pfx")) <= 30)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.pfx"), col("b.pfx")).cast("long").as("dist"))
+    val pfx = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 48).as("pfx"))
+    val pairs = ngramPairs(s, d).select(col("doc_a"), col("doc_b"))
+    pairs
+      .join(pfx.as("pa"), pairs("doc_a") === col("pa.doc_id"))
+      .join(pfx.as("pb"), pairs("doc_b") === col("pb.doc_id"))
+      .filter(levenshtein(col("pa.pfx"), col("pb.pfx")) <= 30)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa.pfx"), col("pb.pfx")).cast("long").as("dist"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -365,14 +381,25 @@ object Dedup extends QueryPack {
       .select(col("vec_id"), col("embedding"), col("blk.i").as("cluster"))
   }
 
+  /** k ≈ √n with a floor of 8 — the SemDeDup recipe's cluster-count
+    * rule: expected cluster size √n keeps the within-cluster pair
+    * stage at O(n·√n) total instead of O(n²/k) with a fixed k. The
+    * count comes from the table's own row count (one cheap count
+    * job), so the blocking self-tunes as the corpus grows. */
+  private[ops] def semanticK(vecs: DataFrame): Int =
+    math.max(8, math.sqrt(vecs.count().toDouble).toInt)
+
   private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
     val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val centroids = Similarity.lloydCentroids(vecs, 8, 3)
+    val centroids = Similarity.lloydCentroids(vecs, semanticK(vecs), 3)
     val blocks = semanticBlocks(vecs, centroids)
-      // explicit-count repartition: pair generation must not run in
-      // the scan's single input partition (same guard as dedupEdit)
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-    blocks.as("a")
+    // the pair join shuffles on the cluster key: with k ≈ √n the key
+    // cardinality grows with the data, so the join's parallelism is
+    // data-proportional (the fixed-k version could collapse to ≤k
+    // tasks under a shuffle join; broadcasting the n-row table
+    // instead would be its own scale-killer). shuffle_hash avoids a
+    // sort of both sides on so hot a key.
+    blocks.as("a").hint("shuffle_hash")
       .join(blocks.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -29,12 +29,15 @@ object Formats extends QueryPack {
       "l_extendedprice DOUBLE, l_returnflag STRING, l_linestatus STRING"
 
   /** Round-trip: parquet → fmt (sink) → fmt (source, explicit schema)
-    * → aggregate. The output directory is keyed by format + input dir
-    * so concurrent scale factors never collide; mode=overwrite makes
-    * the query re-runnable (bench runs it three times). */
+    * → aggregate. The output directory is keyed by format + the FULL
+    * sanitized input dir (a 32-bit hashCode could alias two dirs) +
+    * this process's pid, so concurrent scale factors — and two JVMs
+    * running the same (fmt, dir), e.g. bench alongside verify — never
+    * share a sink; mode=overwrite makes the query re-runnable (bench
+    * runs it three times). */
   private def roundtrip(s: SparkSession, d: String, fmt: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_rt_${fmt}_" +
-      Integer.toHexString(d.hashCode)
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
     val src = Tables.lineitem(s, d).select(RtCols.map(col): _*)
     withHeader(src.write.mode("overwrite"), fmt).format(fmt).save(out)
     val back = withHeader(s.read.schema(RtSchema), fmt).format(fmt).load(out)

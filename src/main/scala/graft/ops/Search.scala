@@ -39,7 +39,7 @@ object Search extends QueryPack {
     // document frequency per term (tf already has one row per
     // (doc, term)); idf via the standard BM25 log form
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = df.crossJoin(stats)
+    val idf = df.crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .select(col("term"), col("idf"), col("avgdl"))
@@ -73,7 +73,9 @@ object Search extends QueryPack {
       .withColumn("shard", shiftright(col("doc_id"), 8))
       .groupBy("term", "shard")
       .agg(count(lit(1)).as("df_shard"),
-        sort_array(collect_list(col("doc_id"))).as("postings"))
+        // comma-joined string, not a raw ARRAY: the driver's comparator
+        // sorts output columns with pandas, which can't hash ndarrays
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
       .orderBy("term", "shard")
 
   /** Top-3 terms per document by tf–idf (idf = ln(N/df), raw tf).
@@ -89,7 +91,7 @@ object Search extends QueryPack {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(df, "term").crossJoin(n)
+    tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
@@ -118,7 +120,7 @@ object Search extends QueryPack {
       .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"),
         col("a.c").as("c_a"), col("b.c").as("c_b"))
       .agg(count(lit(1)).as("c_ab"))
-    pairs.crossJoin(n)
+    pairs.crossJoin(broadcast(n))
       .withColumn("pmi",
         log(col("c_ab").cast("double") * col("n_docs")
           / (col("c_a") * col("c_b"))))
@@ -164,7 +166,7 @@ object Search extends QueryPack {
          |LIMIT 10""".stripMargin,
     "q_inverted" ->
       """SELECT term, doc_id // 256 AS shard, COUNT(*) AS df_shard,
-        |       LIST(doc_id ORDER BY doc_id) AS postings
+        |       array_to_string(LIST(doc_id ORDER BY doc_id), ',') AS postings
         |FROM (SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS term
         |      FROM documents)
         |GROUP BY term, shard

@@ -116,8 +116,11 @@ object Similarity extends QueryPack {
     * of the query — honest accounting for the amortized cost. */
   private def annIndexed(s: SparkSession, d: String): DataFrame = {
     import graft.functions.CosineSimilarity.cosine_sim
+    // pid-suffixed: two JVMs running the same (query, dir) — bench
+    // alongside verify — must never overwrite each other's index
+    // mid-scan
     val dir = s"${sys.props("java.io.tmpdir")}/graft_ann_index_" +
-      d.replaceAll("[^A-Za-z0-9]", "_")
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
     val bucketed = Tables.embeddings(s, d)
       .withColumn("bucket", hyperplaneBucket(col("embedding"), 4, 64))
     bucketed.write.partitionBy("bucket").mode("overwrite").parquet(dir)

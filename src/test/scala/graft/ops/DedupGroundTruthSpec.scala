@@ -64,6 +64,25 @@ class DedupGroundTruthSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q_dedup_ngram prefix-filter candidates ≡ naive block join (exact, not probabilistic)") {
+    // the AllPairs prefix-filter principle guarantees 100% recall at
+    // the threshold — this differential is the proof the candidate
+    // rewrite left the oracle-checked pair set byte-identical
+    val got = pairSet(SparkEntry.queries("q_dedup_ngram")(spark, sf01)
+      .select("doc_a", "doc_b"))
+    val docs = Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val brute = pairSet(docs.as("a").join(docs.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source"))
+      .filter(col("a.doc_id") < col("b.doc_id")
+        && jaccard(col("a.toks"), col("b.toks")) >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id")))
+    assert(got === brute,
+      s"extra=${(got -- brute).toSeq.sorted} missed=${(brute -- got).toSeq.sorted}")
+    assert(got.nonEmpty)
+  }
+
   test("q_dedup_cluster ≡ driver union-find over the pair graph; labels are a fixpoint") {
     val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sf01)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -138,7 +157,8 @@ class DedupGroundTruthSpec extends SparkSpec {
     // every miss must be a cluster-boundary pair — verify against the
     // same deterministic clustering the query used
     val vecs = Tables.embeddings(spark, sf01).select(col("vec_id"), col("embedding"))
-    val clusters = Similarity.assignTo(vecs, Similarity.lloydCentroids(vecs, 8, 3))
+    val clusters = Similarity.assignTo(vecs,
+        Similarity.lloydCentroids(vecs, Dedup.semanticK(vecs), 3))
       .select("vec_id", "cluster").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val missed = brute -- got

@@ -32,22 +32,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q_dedup_edit join condition stays ordered cheap-to-expensive") {
-    val p = plan("q_dedup_edit")
-    val cond = p.linesIterator.find(_.contains("jaccardcoeff")).getOrElse("")
-    val idPos = cond.indexOf("doc_id")
-    val jacPos = cond.indexOf("jaccardcoeff")
-    val levPos = cond.indexOf("levenshtein")
-    assert(idPos >= 0 && jacPos > idPos && levPos > jacPos,
-      s"conjunct order regressed (id<@$idPos jac@$jacPos lev@$levPos):\n$cond")
+  test("q_dedup_ngram candidates join on prefix TOKENS, never a bare block key") {
+    // the scale contract of the prefix-filter rewrite: every join in
+    // the pair path is either token-keyed (candidate generation) or
+    // doc_id-keyed (rescore); a join whose only equality keys are
+    // (lang, source) is the quadratic block cartesian this replaced
+    val p = plan("q_dedup_ngram")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val joinKeys = p.linesIterator.filter(l =>
+      l.contains("Join") && (l.contains("lang") || l.contains("source"))).toSeq
+    assert(joinKeys.forall(_.contains("tok")),
+      s"found a (lang, source) join without the prefix-token key:\n${joinKeys.mkString("\n")}")
   }
 
-  test("q_dedup_edit pair stage is not AQE-coalescible to one partition") {
-    // REPARTITION_BY_NUM must survive in the plan — a column-only
-    // repartition is re-coalesced on small inputs, serializing the
-    // quadratic stage (the measured 14x regression)
+  test("q_dedup_edit rescores only candidate pairs (doc_id-keyed joins)") {
     val p = plan("q_dedup_edit")
-    assert(p.contains("REPARTITION_BY_NUM"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the Levenshtein DP must sit above the candidate join, filtering
+    // pairs, not inside a block-cartesian condition
+    assert(p.contains("levenshtein"), p)
   }
 
   test("q_agg_group plans partial-then-final hash aggregation") {
@@ -121,10 +124,14 @@ class PlanShapeSpec extends SparkSpec {
       "l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"), p)
   }
 
-  test("q_pipeline_train windows per-shard, never globally") {
+  test("q_pipeline_train windows per-shard or per-doc, never globally") {
     val p = plan("q_pipeline_train")
+    // every window must be key-partitioned: per-shard (final ordering)
+    // or per-document (the prefix-filter rank) — an unpartitioned
+    // window serializes the corpus through one task
     val globalWindow = p.linesIterator.exists(l =>
-      l.contains("windowspecdefinition") && !l.contains("shard"))
+      l.contains("windowspecdefinition")
+        && !l.contains("shard") && !l.contains("doc_id#"))
     assert(!globalWindow, s"global (non-shard) window in capstone plan:\n$p")
     assert(p.contains("LeftAnti"), "cluster-member pruning join missing")
   }
@@ -144,6 +151,23 @@ class PlanShapeSpec extends SparkSpec {
       s"no sort-merge anywhere — the corpus never shuffles on the token key:\n$p")
     // the MG sketch is a typed Aggregator → partial/final ObjectHashAggregate
     assert(p.contains("ObjectHashAggregate"), s"sketch must aggregate partially:\n$p")
+  }
+
+  test("1-row stats cross joins replicate via BroadcastNestedLoopJoin, explicitly") {
+    // every bounds/corpus-stats cross join wraps its 1-row side in
+    // broadcast() so the plan never depends on autoBroadcastJoinThreshold
+    for (q <- Seq("q_histogram", "q_bm25", "q_tfidf", "q_cooccur")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q plan:\n$p")
+    }
+  }
+
+  test("q_dedup_semantic pair join shuffles on the cluster key") {
+    // with k ≈ √n the cluster-key cardinality grows with the data, so
+    // the shuffled hash join has data-proportional parallelism (a
+    // broadcast of the n-row table would be the wrong fix at scale)
+    val p = plan("q_dedup_semantic")
+    assert(p.contains("ShuffledHashJoin"), p)
   }
 
   test("q_dedup_span is linear: keyed shuffles only, no pairwise join") {

@@ -12,8 +12,11 @@ class SearchSpec extends SparkSpec {
   private val sf001 = "/root/testdata/sf0.001"
 
   test("q_inverted round-trips: postings rebuild the corpus term sets") {
+    // postings ship as a comma-joined string (the driver's comparator
+    // can't hash arrays) — split back to ids for the round-trip
     val fromIndex = SparkEntry.queries("q_inverted")(spark, sf001)
-      .select(col("term"), explode(col("postings")).as("doc_id"))
+      .select(col("term"), explode(split(col("postings"), ",")).as("d"))
+      .select(col("term"), col("d").cast("long").as("doc_id"))
     val fromCorpus = spark.read.parquet(s"$sf001/documents.parquet")
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("term"))
@@ -23,7 +26,7 @@ class SearchSpec extends SparkSpec {
       "postings ≠ corpus (term, doc) pairs")
     // shard bound: no postings row exceeds its 256-doc shard capacity
     val over = SparkEntry.queries("q_inverted")(spark, sf001)
-      .filter(size(col("postings")) > 256)
+      .filter(size(split(col("postings"), ",")) > 256)
     assert(over.isEmpty)
   }
 
