@@ -147,10 +147,15 @@ object Dedup extends QueryPack {
     // global document frequency per token — vocabulary-sized
     val tokDf = occ.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
+    // persisted: the candidate self-join reads pref on BOTH sides, and
+    // without the cache the occ→df-join→window subtree executes twice
+    // (the self-join's two exchanges differ by alias, so Spark's
+    // exchange reuse does not collapse them)
     val pref = occ.join(tokDf, "tok")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= floor(col("n") * (1 - t)) + 1)
       .select(col("tok"), col("doc_id"), col("lang"), col("source"), col("n"))
+      .persist()
     // candidates: shared prefix token within the block, plus the O(1)
     // PPJoin length bound J <= min/max. distinct-BEFORE-rescore here
     // (opposite trade from dedupNear): at t=0.5 the prefix is half the
@@ -194,14 +199,19 @@ object Dedup extends QueryPack {
     *
     * Shape: the classic fixpoint of distributed joins (GraphX-pregel
     * style) — per round, every node takes the min label over itself
-    * and its neighbors; converges in graph-diameter rounds. Near-dup
-    * graphs are shallow (duplicates of a duplicate are near the
-    * original), so [[ClusterRounds]] rounds suffice and the oracle's
-    * exact recursive-CTE components would catch any shortfall. Each
-    * round is one keyed join + partial-agg min — no driver-side data,
-    * no actions inside the loop; at 100 TB the same loop runs with
-    * the edge list partitioned by src (the large-star/small-star
-    * optimization drops rounds to ~log n if diameter ever grows).
+    * and its neighbors; converges in graph-diameter rounds. The loop
+    * is CONVERGENCE-CHECKED, not fixed-count: labels only ever
+    * decrease under min-propagation, so Σlbl is strictly decreasing
+    * until the fixpoint and one scalar sum per round detects it —
+    * near-dup graphs are shallow (2-3 rounds in practice), so the
+    * check typically saves more than half the rounds, while a
+    * pathological long chain at 100 TB still converges instead of
+    * silently under-merging at a hardcoded cutoff (the failure mode a
+    * fixed count risks). Per-round driver traffic is ONE aggregated
+    * long. Each round is one keyed join + partial-agg min; at 100 TB
+    * the same loop runs with the edge list partitioned by src (the
+    * large-star/small-star optimization drops rounds to ~log n if
+    * diameter ever grows).
     *
     * Two plan-shape rules make the loop viable (70s -> ~1s at sf0.1):
     * the edge list carries SELF-LOOPS so a round is ONE join + min
@@ -210,13 +220,16 @@ object Dedup extends QueryPack {
     * every round: 2^rounds copies of the base plan), and the edge
     * list is persisted so the prefix-filter pair generation runs
     * once, not once per round. */
-  private val ClusterRounds = 8
+  private val ClusterMaxRounds = 50
 
   /** The propagation loop, shared by [[dedupCluster]] (scored output)
     * and TrainPrep's q_pipeline_train (duplicate pruning): (node, lbl)
     * per doc appearing in any near-dup pair. */
   private[ops] def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramPairs(s, d).select(col("doc_a"), col("doc_b"))
+    // persisted: nodes + the three edge branches reference the pair
+    // query FIVE times — without the cache the whole prefix-filter
+    // pipeline re-executes per reference
+    val pairs = ngramPairs(s, d).select(col("doc_a"), col("doc_b")).persist()
     val nodes = pairs.select(col("doc_a").as("node"))
       .unionAll(pairs.select(col("doc_b").as("node"))).distinct()
     // undirected (both directions) + self-loops; cached across rounds
@@ -228,11 +241,32 @@ object Dedup extends QueryPack {
       .unionAll(nodes.select(col("node").as("src"), col("node").as("dst")))
       .repartition(col("dst"))
       .persist()
-    var labels = nodes.withColumn("lbl", col("node"))
-    for (_ <- 1 to ClusterRounds) {
-      labels = edges.join(labels, edges("dst") === labels("node"))
+    // labels are localCheckpoint'd per round, not merely persisted:
+    // round r's logical plan would otherwise nest all r-1 previous
+    // rounds, and re-analyzing that growing tree dominates the round
+    // cost long before the data does (measured: rounds crept 0.7s →
+    // 1.9s by round 5 at sf0.1). The checkpoint truncates lineage to
+    // a leaf, keeping per-round planning O(1); edges stay persist()ed
+    // — the cache preserves their dst hash-partitioning, so only the
+    // (small) label side shuffles per round.
+    var labels = nodes.withColumn("lbl", col("node")).localCheckpoint()
+    // Σlbl: equal across a round ⟺ no label changed (labels are
+    // monotone non-increasing under min-propagation) ⟺ fixpoint.
+    def lblSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+    var prev = lblSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < ClusterMaxRounds) {
+      val next = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(edges("src")).agg(min(col("lbl")).as("lbl"))
         .select(col("src").as("node"), col("lbl"))
+        .localCheckpoint()
+      val cur = lblSum(next)
+      labels = next
+      converged = cur == prev
+      prev = cur
+      round += 1
     }
     labels
   }

@@ -151,15 +151,17 @@ object Similarity extends QueryPack {
   private val KmeansK = 8
   private val KmeansRounds = 5
 
-  /** The k-element squared-distance array of `embedding` against a
-    * broadcast 2-D centroid literal — shared by [[assignTo]] (argmin)
-    * and Dedup's multi-probe blocking (top-2). */
+  /** The k-element squared-distance array of `embedding` against
+    * broadcast centroids — shared by [[assignTo]] (argmin) and
+    * Dedup's multi-probe blocking (top-2). A native codegen kernel
+    * ([[graft.functions.DistArray]]): with k ≈ √n centroids the HOF
+    * formulation (transform + aggregate + zip_with over a k×dims
+    * plan literal) pays n·k·dims interpreted lambda calls per
+    * assignment pass and re-analyzes the giant literal every Lloyd
+    * round — the fused primitive loop is the same arithmetic in
+    * whole-stage codegen, bit-identical accumulation order. */
   private[ops] def distArray(centroids: Seq[Seq[Double]]): Column =
-    transform(typedlit(centroids), c =>
-      aggregate(
-        zip_with(col("embedding"), c,
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, x) => acc + x))
+    graft.functions.DistArray.dist_array(col("embedding"), centroids)
 
   private[ops] def assignTo(vecs: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
     // ONE k-element distance array per row (2-D centroid literal +
