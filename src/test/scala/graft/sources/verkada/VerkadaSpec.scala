@@ -199,6 +199,41 @@ class VerkadaSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("streaming cursor source: one page per micro-batch, guard drains the stream") {
+    val server = startServer()
+    resetCounters()
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}"
+      val stream = spark.readStream
+        .format(classOf[CameraStreamSource].getName)
+        .option("url", s"$base/cameras/v1/devices")
+        .option("token", "tok123")
+        .load()
+      val q = stream.writeStream
+        .format("memory")
+        .queryName("cam_stream")
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        // the non-advancing p3 token must DRAIN the stream: exactly 3
+        // HTTP pages fetched (the task.ts:160-166 guard, now in
+        // latestOffset), never a 4th probe of the stuck cursor
+        assert(devicePages.get() == 3, s"pages fetched: ${devicePages.get()}")
+        val rows = spark.table("cam_stream").collect()
+        assert(rows.length == 5)
+        // one page per micro-batch: page ordinals 1..3 with 2/2/1 rows
+        val byPage = rows.groupBy(_.getAs[Int]("page")).view.mapValues(_.length).toMap
+        assert(byPage == Map(1 -> 2, 2 -> 2, 3 -> 1), byPage.toString)
+        // payloads are the raw camera JSON, decodable by the batch schema
+        val ids = rows.map(r => Json.parse(r.getAs[String]("json")).get("camera_id").asText())
+        assert(ids.sorted.toSeq == Seq("cam-1", "cam-2", "cam-3", "cam-4", "cam-5"))
+        // incremental: at least 3 distinct micro-batches committed
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+      } finally q.stop()
+    } finally server.stop(0)
+  }
+
   test("FAILFAST decode rejects a type-corrupt camera row") {
     val server = startServer()
     try {
