@@ -225,11 +225,21 @@ object Dedup extends QueryPack {
   /** The propagation loop, shared by [[dedupCluster]] (scored output)
     * and TrainPrep's q_pipeline_train (duplicate pruning): (node, lbl)
     * per doc appearing in any near-dup pair. */
-  private[ops] def clusterLabels(s: SparkSession, d: String): DataFrame = {
+  private[ops] def clusterLabels(s: SparkSession, d: String): DataFrame =
+    connectedComponents(
+      ngramPairs(s, d).select(col("doc_a"), col("doc_b")))
+
+  /** Min-label connected components over an undirected pair graph
+    * (columns doc_a, doc_b) — the generic loop behind
+    * [[clusterLabels]], factored to take ANY candidate generator's
+    * pair list (and to be testable on synthetic graphs: see
+    * DedupGroundTruthSpec's deep-chain convergence case, which a
+    * fixed-round loop fails). Returns (node, lbl). */
+  private[ops] def connectedComponents(pairList: DataFrame): DataFrame = {
     // persisted: nodes + the three edge branches reference the pair
     // query FIVE times — without the cache the whole prefix-filter
     // pipeline re-executes per reference
-    val pairs = ngramPairs(s, d).select(col("doc_a"), col("doc_b")).persist()
+    val pairs = pairList.persist()
     val nodes = pairs.select(col("doc_a").as("node"))
       .unionAll(pairs.select(col("doc_b").as("node"))).distinct()
     // undirected (both directions) + self-loops; cached across rounds

@@ -83,6 +83,25 @@ class DedupGroundTruthSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("connectedComponents converges on a deep chain (beyond any fixed round count)") {
+    // a 40-node path graph has diameter 39: min-label propagation
+    // needs 39 rounds to pull node 0's label to the far end, so any
+    // hardcoded round cutoff (the pre-convergence-check loop used 8)
+    // silently under-merges exactly this topology. The sum-fixpoint
+    // check must keep iterating until one component remains.
+    import spark.implicits._
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 40)
+    assert(labels.values.toSet == Set(0L), s"unconverged labels: ${labels.values.toSet}")
+    // two disjoint triangles stay disjoint (no over-merging)
+    val two = Seq((0L, 1L), (1L, 2L), (10L, 11L), (11L, 12L)).toDF("doc_a", "doc_b")
+    val l2 = Dedup.connectedComponents(two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("q_dedup_cluster ≡ driver union-find over the pair graph; labels are a fixpoint") {
     val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sf01)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
