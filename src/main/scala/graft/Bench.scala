@@ -74,10 +74,15 @@ object Bench {
     println(json)
     // the driver's stdout capture truncates long tails, hiding most of
     // the per-query map from round-over-round comparison — persist the
-    // full line where the repo snapshot picks it up
-    try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+    // full line where the repo snapshot picks it up (path overridable,
+    // defaulting to the working directory so other checkouts work)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath.toString)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(s"Bench: failed to write $outPath: $e")
+    }
     spark.stop()
   }
 }

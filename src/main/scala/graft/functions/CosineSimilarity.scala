@@ -25,6 +25,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // The kernel introduces nulls (length mismatch, null element)
+  // regardless of input nullability; without this override, codegen
+  // under non-nullable children assigns `ev.isNull = true` to a
+  // constant-folded `false` slot and Janino rejects the class.
+  override def nullable: Boolean = true
+
+  private def mayContainNullElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => true
+  }
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     if (left.dataType == ArrayType(FloatType, false) ||
@@ -46,6 +57,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
     // fail loudly, not yield a plausible truncated similarity
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
+    if (mayContainNullElems(left) || mayContainNullElems(right)) {
+      // null element -> null result (getFloat on a null slot reads
+      // 0.0 and would fabricate a plausible truncated similarity)
+      var k = 0
+      while (k < n) {
+        if (x.isNullAt(k) || y.isNullAt(k)) return null
+        k += 1
+      }
+    }
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xi = x.getFloat(i).toDouble
@@ -64,10 +84,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val k = ctx.freshName("k")
+      val nullScan =
+        if (mayContainNullElems(left) || mayContainNullElems(right))
+          s"""for (int $k = 0; $k < $a.numElements() && !${ev.isNull}; $k++) {
+             |  if ($a.isNullAt($k) || $b.isNullAt($k)) { ${ev.isNull} = true; }
+             |}""".stripMargin
+        else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
-         |} else {
+         |}
+         |$nullScan
+         |if (!${ev.isNull}) {
          |  int $n = $a.numElements();
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {

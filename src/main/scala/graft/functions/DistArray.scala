@@ -31,6 +31,22 @@ case class DistArray(child: Expression, centroids: Array[Array[Double]])
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // The kernel itself introduces nulls (wrong-width or null-element
+  // input) regardless of the child's nullability. Without this,
+  // Catalyst narrows the slot to non-nullable downstream of an
+  // isnotnull filter and the generated `ev.isNull = true` assigns to
+  // the literal `false` — Janino rejects the class and the whole
+  // stage silently falls back to interpreted eval.
+  override def nullable: Boolean = true
+
+  // True when the child's array type admits null elements; the
+  // null-element scan below is emitted only in that case, so plans
+  // over containsNull=false embeddings pay nothing for it.
+  private def childMayContainNullElems: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => true
+  }
+
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == ArrayType(FloatType, false) ||
@@ -44,6 +60,13 @@ case class DistArray(child: Expression, centroids: Array[Array[Double]])
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     if (x.numElements() != dims) return null
+    if (childMayContainNullElems) {
+      // null element -> null result, matching the HOF twin where
+      // zip_with propagates the null through the fold (getFloat on a
+      // null slot would silently read 0.0 and fabricate a distance)
+      var i = 0
+      while (i < dims) { if (x.isNullAt(i)) return null; i += 1 }
+    }
     val out = new Array[Double](centroids.length)
     var j = 0
     while (j < centroids.length) {
@@ -67,10 +90,18 @@ case class DistArray(child: Expression, centroids: Array[Array[Double]])
       val d = ctx.freshName("d")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val nullScan = if (childMayContainNullElems)
+        s"""for (int $k = 0; $k < $dims && !${ev.isNull}; $k++) {
+           |  if ($a.isNullAt($k)) { ${ev.isNull} = true; }
+           |}""".stripMargin
+      else ""
       s"""
          |if ($a.numElements() != $dims) {
          |  ${ev.isNull} = true;
-         |} else {
+         |}
+         |$nullScan
+         |if (!${ev.isNull}) {
          |  double[] $out = new double[${centroids.length}];
          |  for (int $j = 0; $j < ${centroids.length}; $j++) {
          |    double[] $c = $mat[$j];

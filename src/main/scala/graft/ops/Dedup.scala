@@ -138,6 +138,12 @@ object Dedup extends QueryPack {
     * keyed — nothing quadratic in any block. */
   private def ngramPairs(s: SparkSession, d: String): DataFrame = {
     val t = 0.5
+    // required-overlap factor: J >= t  ⟺  |A∩B| >= t/(1+t)·(|A|+|B|)
+    val tf = t / (1 + t)
+    // epsilon guard on every real-valued ceil/bound: double rounding
+    // must only ever LENGTHEN a prefix or LOOSEN a bound (more
+    // candidates, never a missed pair)
+    val eps = 1e-9
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(split(col("text"), " ")).as("toks"))
@@ -150,25 +156,50 @@ object Dedup extends QueryPack {
     // persisted: the candidate self-join reads pref on BOTH sides, and
     // without the cache the occ→df-join→window subtree executes twice
     // (the self-join's two exchanges differ by alias, so Spark's
-    // exchange reuse does not collapse them)
+    // exchange reuse does not collapse them). The cache is
+    // CacheManager-registered, so the bench's clearCache() between
+    // queries reclaims it; an eager release here (persist cand +
+    // count + unpersist pref) was tried and REJECTED: splitting the
+    // fused job in two re-ran the window pipeline and measured ~2×
+    // slower across the whole family (PLANS.md round 5).
     val pref = occ.join(tokDf, "tok")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= floor(col("n") * (1 - t)) + 1)
-      .select(col("tok"), col("doc_id"), col("lang"), col("source"), col("n"))
+      .select(col("tok"), col("doc_id"), col("lang"), col("source"),
+        col("n"), col("rk"))
       .persist()
-    // candidates: shared prefix token within the block, plus the O(1)
-    // PPJoin length bound J <= min/max. distinct-BEFORE-rescore here
-    // (opposite trade from dedupNear): at t=0.5 the prefix is half the
-    // document, so carrying token sets through the posting join would
-    // duplicate the payload per shared prefix token — dedup the id
-    // pairs first, rescore each pair exactly once.
+    // candidates: shared prefix token within the block, plus two O(1)
+    // exact prunes evaluated per posting row BEFORE the pair-distinct:
+    // the PPJoin length bound J <= min/max, and the PPJoin POSITIONAL
+    // filter — a shared token at prefix ranks (rk_a, rk_b) caps the
+    // overlap at 1 + min(n_a - rk_a, n_b - rk_b) whenever it is the
+    // pair's FIRST shared token in the global rare-first order (no
+    // common token can precede it on either side), and a true pair's
+    // first-shared-token row always lands inside both prefixes and
+    // passes the cap (overlap >= t/(1+t)·(n_a+n_b) forces it), so
+    // keep-if-any-row-passes is exact while duplicate-pair rows from
+    // late shared tokens are dropped before the distinct shuffle. The
+    // epsilon keeps double rounding from ever tightening the bound.
+    // NOTE both join sides stay the IDENTICAL cached plan: an
+    // asymmetric PPJoin indexing prefix (⅓-length on the smaller
+    // side) was tried and REJECTED — the differing side filters gave
+    // the two exchanges different subtrees, the window pipeline
+    // computed twice, and the family benched ~2× slower even though
+    // the join itself shrank (PLANS.md round 5).
+    // distinct-BEFORE-rescore (opposite trade from dedupNear): at
+    // t=0.5 the prefix is half the document, so carrying token sets
+    // through the posting join would duplicate the payload per shared
+    // prefix token — dedup the id pairs first, rescore each pair
+    // exactly once.
     val cand = pref.as("a")
       .join(pref.as("b"),
         col("a.tok") === col("b.tok")
           && col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
           && col("a.doc_id") < col("b.doc_id")
           && least(col("a.n"), col("b.n")).cast("double")
-             / greatest(col("a.n"), col("b.n")) >= t)
+             / greatest(col("a.n"), col("b.n")) >= t
+          && (lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")))
+             >= (col("a.n") + col("b.n")) * tf - eps)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // exact rescore: candidate-bounded doc_id-keyed joins, then the
@@ -238,8 +269,19 @@ object Dedup extends QueryPack {
   private[ops] def connectedComponents(pairList: DataFrame): DataFrame = {
     // persisted: nodes + the three edge branches reference the pair
     // query FIVE times — without the cache the whole prefix-filter
-    // pipeline re-executes per reference
+    // pipeline re-executes per reference. The count both forces the
+    // cache (so the candidate pipeline runs exactly once) and sizes
+    // the loop's shuffles below.
     val pairs = pairList.persist()
+    val nPairs = pairs.count()
+    // partition count proportional to the EDGE data (~3 rows per
+    // pair), not the session default: a near-dup pair graph is orders
+    // of magnitude smaller than the corpus it came from, and an
+    // iterative loop pays the per-task scheduling overhead once per
+    // round — 32 near-empty tasks per stage was measured as the
+    // dominant loop cost at small scale, while at 100 TB the same
+    // formula grows the partition count with the graph
+    val loopParts = math.max(4, (3 * nPairs / 2000000L).toInt)
     val nodes = pairs.select(col("doc_a").as("node"))
       .unionAll(pairs.select(col("doc_b").as("node"))).distinct()
     // undirected (both directions) + self-loops; cached across rounds
@@ -249,7 +291,7 @@ object Dedup extends QueryPack {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .unionAll(nodes.select(col("node").as("src"), col("node").as("dst")))
-      .repartition(col("dst"))
+      .repartition(loopParts, col("dst"))
       .persist()
     // labels are localCheckpoint'd per round, not merely persisted:
     // round r's logical plan would otherwise nest all r-1 previous
@@ -259,7 +301,13 @@ object Dedup extends QueryPack {
     // a leaf, keeping per-round planning O(1); edges stay persist()ed
     // — the cache preserves their dst hash-partitioning, so only the
     // (small) label side shuffles per round.
-    var labels = nodes.withColumn("lbl", col("node")).localCheckpoint()
+    // Initial labels come from the cached edge SELF-LOOPS (src = dst
+    // ⟺ one row per node): re-deriving nodes.distinct here would run
+    // its shuffle a second time, while the self-loop filter is a
+    // narrow read of blocks already partitioned on the join key.
+    var labels = edges.filter(col("src") === col("dst"))
+      .select(col("dst").as("node"), col("dst").as("lbl"))
+      .localCheckpoint()
     // Σlbl: equal across a round ⟺ no label changed (labels are
     // monotone non-increasing under min-propagation) ⟺ fixpoint.
     def lblSum(df: DataFrame): Long =
@@ -268,16 +316,38 @@ object Dedup extends QueryPack {
     var converged = false
     var round = 0
     while (!converged && round < ClusterMaxRounds) {
+      // LAZY checkpoint: the Σlbl action below is what materializes
+      // it, so a round costs ONE Spark job, not a checkpoint job plus
+      // a sum job (measured ~2× on the whole loop — the graph is tiny
+      // per-round, scheduling is the cost)
       val next = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(edges("src")).agg(min(col("lbl")).as("lbl"))
         .select(col("src").as("node"), col("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val cur = lblSum(next)
+      // the previous round's checkpointed blocks are dead the moment
+      // `next` is materialized — release them instead of letting them
+      // accumulate in the block manager for the life of the session
+      // (localCheckpoint caches are NOT in the CacheManager, so
+      // spark.catalog.clearCache() never reclaims them)
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(labels)
       labels = next
       converged = cur == prev
       prev = cur
       round += 1
     }
+    // labels are checkpointed leaves — the inputs can be released now
+    edges.unpersist(blocking = false)
+    pairs.unpersist(blocking = false)
+    if (!converged)
+      // under-merged labels are WRONG results, not slow ones: a
+      // component whose diameter exceeds the cap would silently split
+      // into several clusters. Fail loudly; the remedy at that scale
+      // is the large-star/small-star contraction (O(log n) rounds),
+      // not a higher cap.
+      throw new IllegalStateException(
+        s"connected components did not converge within $ClusterMaxRounds rounds " +
+          "— graph diameter exceeds the cap; use star-contraction for this input")
     labels
   }
 

@@ -3,7 +3,7 @@ package graft.sources.verkada
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -67,7 +67,8 @@ case class CameraOffset(page: Int) extends Offset {
   override def json(): String = s"""{"page":$page}"""
 }
 
-class CameraMicroBatchStream(url: String, token: String) extends MicroBatchStream {
+class CameraMicroBatchStream(url: String, token: String)
+    extends MicroBatchStream with SupportsAdmissionControl {
   private val client = Json.httpClient()
   private val headers =
     if (token.isEmpty) Map.empty[String, String]
@@ -78,6 +79,20 @@ class CameraMicroBatchStream(url: String, token: String) extends MicroBatchStrea
   private var fetchedPages = 0
   private var drained = false
   private val buffered = scala.collection.mutable.Map.empty[Int, Array[String]]
+
+  /** Restart guard: on recovery from a checkpoint the committed
+    * offset (page N) is restored from the offset log while a fresh
+    * stream instance starts counting at 0 — fresh pages would get
+    * ordinals <= N, never fall inside a planned (start, end] range,
+    * and be silently dropped at commit. Seed the counter from every
+    * restored/observed ordinal so fresh fetches are numbered strictly
+    * after the committed page and latestOffset never regresses below
+    * the offset log. Ordinals observed mid-run are always <= our own
+    * fetchedPages, so this is a no-op outside recovery.
+    */
+  private def seedFromRestored(p: Int): Unit = synchronized {
+    if (p > fetchedPages) fetchedPages = p
+  }
 
   /** Fetch ONE page, buffer its rows, advance (or drain) the cursor. */
   private def fetchNext(): Unit = {
@@ -98,20 +113,38 @@ class CameraMicroBatchStream(url: String, token: String) extends MicroBatchStrea
 
   override def initialOffset(): Offset = CameraOffset(0)
 
-  override def latestOffset(): Offset = synchronized {
+  /** AdmissionControl variant — the one Spark actually calls. The
+    * `start` parameter is the restored committed offset on the first
+    * trigger after a restart, and it arrives BEFORE any fetch: the
+    * plain latestOffset()/deserializeOffset path learns the restored
+    * ordinal only in runBatch, i.e. after the first page has already
+    * been fetched and buffered at an ordinal <= committed (and hence
+    * silently dropped). Seeding here closes that window. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
+    seedFromRestored(start.asInstanceOf[CameraOffset].page)
     if (!drained) fetchNext()
     CameraOffset(fetchedPages)
   }
 
-  override def deserializeOffset(json: String): Offset =
-    CameraOffset("\"page\":(\\d+)".r.findFirstMatchIn(json)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
+
+  override def deserializeOffset(json: String): Offset = {
+    val p = "\"page\":(\\d+)".r.findFirstMatchIn(json)
       .map(_.group(1).toInt)
-      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
+      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json"))
+    seedFromRestored(p)
+    CameraOffset(p)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     synchronized {
       val s = start.asInstanceOf[CameraOffset].page
       val e = end.asInstanceOf[CameraOffset].page
+      seedFromRestored(e) // replayed WAL batch on recovery
       ((s + 1) to e).map { p =>
         CameraPagePartition(p, buffered.getOrElse(p, Array.empty)): InputPartition
       }.toArray

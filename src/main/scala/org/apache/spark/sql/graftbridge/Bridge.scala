@@ -14,4 +14,23 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the block-manager storage behind a `localCheckpoint()`ed
+    * DataFrame. Checkpoint caches are plain RDD persists that never
+    * register with the CacheManager, so `spark.catalog.clearCache()`
+    * cannot reclaim them — an iterative loop that checkpoints per
+    * round (e.g. label propagation) must free the previous round
+    * itself or the dead rounds accumulate for the life of the
+    * session. No-op for non-checkpointed plans.
+    */
+  def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df match {
+      case d: org.apache.spark.sql.classic.Dataset[_] =>
+        d.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+      case _ => ()
+    }
 }

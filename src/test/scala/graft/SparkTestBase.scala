@@ -8,6 +8,10 @@ object SparkTestBase {
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("local[4]", "4")
       .appName("graft-test")
+      // A codegen compile failure must fail the suite, not silently
+      // degrade to interpreted eval (round-4 DistArray regression:
+      // 60 ERROR CodeGenerator lines, results correct, kernel defeated)
+      .config("spark.sql.codegen.fallback", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

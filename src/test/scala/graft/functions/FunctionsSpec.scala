@@ -50,6 +50,45 @@ class FunctionsSpec extends SparkSpec {
     assert(viaPlan == interpreted)
   }
 
+  test("kernels compile under codegen on a NON-nullable array column") {
+    // Round-4 regression: downstream of isnotnull, Catalyst narrows
+    // the attribute to non-nullable; without the `nullable=true`
+    // override the generated `ev.isNull = true` assigned to a
+    // constant-folded slot and Janino rejected the class. With
+    // spark.sql.codegen.fallback=false (SparkTestBase) a compile
+    // failure now throws instead of degrading, so this test failing
+    // loudly IS the guard.
+    import spark.implicits._
+    val df = Seq(
+        (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+        (Array(3.0f, 4.0f), Array(3.0f, 4.0f)))
+      .toDF("a", "b")
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val cos = df.select(cosine_sim(col("a"), col("b")).as("c"))
+      .orderBy("c").collect().map(_.getDouble(0))
+    assert(math.abs(cos(0)) < 1e-12 && math.abs(cos(1) - 1.0) < 1e-12)
+    val dists = df.select(
+        DistArray.dist_array(col("a"), Seq(Seq(0.0, 0.0))).as("d"))
+      .collect().map(_.getSeq[Double](0).head).sorted
+    assert(math.abs(dists(0) - 1.0) < 1e-12 && math.abs(dists(1) - 25.0) < 1e-12)
+  }
+
+  test("kernels null-propagate a null array ELEMENT (containsNull=true)") {
+    import spark.implicits._
+    val df = Seq(
+        (Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))),
+        (Seq(Some(1.0f), Some(0.0f)), Seq(Some(1.0f), Some(0.0f))))
+      .toDF("a", "b")
+    val cos = df.select(cosine_sim(col("a"), col("b")).as("c")).collect()
+    assert(cos.count(_.isNullAt(0)) == 1)
+    assert(cos.exists(r => !r.isNullAt(0) && math.abs(r.getDouble(0) - 1.0) < 1e-12))
+    val d = df.select(
+      DistArray.dist_array(col("a"), Seq(Seq(0.0, 0.0))).as("d")).collect()
+    assert(d.count(_.isNullAt(0)) == 1)
+    assert(d.exists(r => !r.isNullAt(0) &&
+      math.abs(r.getSeq[Double](0).head - 1.0) < 1e-12))
+  }
+
   test("native JaccardCoeff equals the array_intersect/union formulation") {
     val docs = graft.Tables.documents(spark, sf).limit(80)
       .withColumn("toks", array_distinct(split(col("text"), " ")))

@@ -27,6 +27,7 @@ class VerkadaSpec extends SparkSpec {
        |"vehicle_history_enabled":false}""".stripMargin.replaceAll("\n", "")
 
   private val devicePages = new AtomicInteger(0)
+  private val deviceQueries = new ConcurrentLinkedQueue[String]()
   private val patches = new ConcurrentLinkedQueue[String]()
   private val posts = new AtomicInteger(0)
   private val submitted = new ConcurrentLinkedQueue[String]()
@@ -35,7 +36,7 @@ class VerkadaSpec extends SparkSpec {
   private val failPatches = new ConcurrentLinkedQueue[String]()
 
   private def resetCounters(): Unit = {
-    devicePages.set(0); patches.clear(); posts.set(0)
+    devicePages.set(0); deviceQueries.clear(); patches.clear(); posts.set(0)
     submitted.clear(); upsertBodies.clear(); failPatches.clear()
   }
 
@@ -59,6 +60,7 @@ class VerkadaSpec extends SparkSpec {
       devicePages.incrementAndGet()
       // raw query string: encoded cursor must appear encoded on the wire
       val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      deviceQueries.add(q)
       val body =
         if (!q.contains("page_token"))
           s"""{"cameras":[${camJson("cam-1", "site-A", "Lobby", 39.1, -104.8)},
@@ -231,6 +233,48 @@ class VerkadaSpec extends SparkSpec {
         // incremental: at least 3 distinct micro-batches committed
         assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
       } finally q.stop()
+    } finally server.stop(0)
+  }
+
+  test("streaming cursor source: restart from checkpoint does not drop fresh pages") {
+    val server = startServer()
+    resetCounters()
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}"
+      val ckpt = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "cam-ckpt").toString
+      val seen = new ConcurrentLinkedQueue[Int]()
+      def startQuery() = spark.readStream
+        .format(classOf[CameraStreamSource].getName)
+        .option("url", s"$base/cameras/v1/devices")
+        .option("token", "tok123")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => seen.add(r.getAs[Int]("page")))
+        }
+        .start()
+      val q1 = startQuery()
+      try q1.processAllAvailable() finally q1.stop()
+      assert(seen.asScala.toSet == Set(1, 2, 3), seen.asScala.toSeq.toString)
+      assert(seen.size() == 5)
+      seen.clear()
+
+      // Restart against the live cursor head (the API is not seekable,
+      // so the stub re-serves its pages). The committed offset (page 3)
+      // is restored from the checkpoint while a fresh stream instance
+      // would start counting at 0: without seeding, every re-read page
+      // lands at an ordinal <= 3, is never planned into a batch, and is
+      // silently dropped. The fix numbers fresh pages 4, 5, 6.
+      val q2 = startQuery()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(seen.size() == 5,
+        s"fresh pages dropped after restart: got ${seen.asScala.toSeq}; " +
+          s"stub queries: ${deviceQueries.asScala.toSeq}")
+      assert(seen.asScala.toSet == Set(4, 5, 6), seen.asScala.toSeq.toString)
+      // both runs hit the non-advancing-token guard: 3 fetches each
+      assert(devicePages.get() == 6, s"pages fetched: ${devicePages.get()}")
     } finally server.stop(0)
   }
 
