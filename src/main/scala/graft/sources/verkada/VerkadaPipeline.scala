@@ -95,15 +95,22 @@ object VerkadaPipeline {
       .select(col("id").as("lease_id"), col("source_id"))
   }
 
-  /** A3+A5: camera scan + FAILFAST schema-validated decode. */
-  def cameras(spark: SparkSession, cfg: Config, token: String): DataFrame =
-    spark.read.format(classOf[CameraSource].getName)
-      .option("url", s"${cfg.apiBase}/cameras/v1/devices")
-      .option("token", token)
-      .load()
+  /** A5: FAILFAST schema-validated decode of raw camera JSON rows —
+    * the one decode both the batch scan ([[cameras]]) and the
+    * streaming micro-batches ([[runStream]]) go through. */
+  def decodeCameras(raw: DataFrame): DataFrame =
+    raw
       .select(from_json(col("json"), CameraSource.cameraSchema,
         Map("mode" -> "FAILFAST").asJava).as("c"))
       .select(col("c.*"))
+
+  /** A3+A5: camera scan + FAILFAST schema-validated decode. */
+  def cameras(spark: SparkSession, cfg: Config, token: String): DataFrame =
+    decodeCameras(
+      spark.read.format(classOf[CameraSource].getName)
+        .option("url", s"${cfg.apiBase}/cameras/v1/devices")
+        .option("token", token)
+        .load())
 
   /** A5 PERMISSIVE twin of [[cameras]]: schema-mismatching records
     * are QUARANTINED (decoded struct null, raw json retained in a
@@ -377,4 +384,35 @@ object VerkadaPipeline {
   def lastFailures(spark: SparkSession): Long =
     Option(spark.sparkContext.getLocalProperty("graft.verkada.lastFailures"))
       .map(_.toLong).getOrElse(0L)
+
+  /** Streaming twin of [[run]]: the cursor device scan as a
+    * MicroBatchStream (one API page per micro-batch,
+    * [[CameraStreamSource]]) feeding THE SAME stage functions —
+    * [[decodeCameras]] → [[toFeatures]] → [[streamable]] →
+    * [[upsertAndEnrich]] — via foreachBatch, so the reference's
+    * scheduled whole-snapshot job (task.ts:93) and the incremental
+    * path cannot drift: there is one pipeline, batch chooses the
+    * snapshot source and streaming chooses the cursor source. Tokens,
+    * grant and the lease table are fetched once per stream start
+    * (the batch `run` posture); `onBatch` receives each micro-batch's
+    * enriched features (the caller submits, sinks, or accumulates —
+    * a standing stream has no single end-of-run FeatureCollection).
+    */
+  def runStream(spark: SparkSession, cfg: Config, checkpoint: String)(
+      onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val token = fetchToken(cfg)
+    val grant = fetchStreamGrant(cfg)
+    val ls = leases(spark, cfg, token)
+    spark.readStream.format(classOf[CameraStreamSource].getName)
+      .option("url", s"${cfg.apiBase}/cameras/v1/devices")
+      .option("token", token)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val live = streamable(toFeatures(decodeCameras(batch)), grant)
+        onBatch(upsertAndEnrich(live, ls, cfg, token, grant.jwt).features)
+      }
+      .start()
+  }
 }

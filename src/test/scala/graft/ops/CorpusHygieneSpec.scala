@@ -37,6 +37,49 @@ class CorpusHygieneSpec extends SparkSpec {
     assert(reTokens == keptTokens, s"reassembly tokens $reTokens != kept $keptTokens")
   }
 
+  test("q_fingerprint matches a driver-side recompute; min-shingle-hash is order-sensitive") {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+
+    // independent recompute: plain Scala shingling + the public
+    // XxHash64 long algorithm (seed 42 = Spark's xxhash64 default) —
+    // no Catalyst expressions or DataFrame plan in the loop
+    def minShingleHash(text: String): Long = {
+      val toks = text.split(" ", -1).toSeq
+      val shingles = toks.sliding(4).map(_.mkString(" ")).toSeq.distinct
+      shingles.map(sh =>
+        XxHash64Function.hash(UTF8String.fromString(sh), StringType, 42L)).min
+    }
+
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val res = SparkEntry.queries("q_fingerprint")(spark, sf).collect()
+    assert(res.length == docs.size && res.nonEmpty)
+    res.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == minShingleHash(docs(id)),
+        s"min_shingle_hash mismatch for doc $id")
+    }
+    // simhash column ≡ the native expression the suite already proves
+    // bit-identical to its HOF twin (FunctionsSpec) — here just pin
+    // the wiring: recompute via an independent one-column plan
+    val simTwin = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(split(col("text"), " ")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    res.foreach(r => assert(r.getLong(2) == simTwin(r.getLong(0))))
+
+    // permutation sensitivity: SimHash is bag-of-tokens (invariant,
+    // FunctionsSpec), while the shingle fingerprint must SEE order —
+    // reversing the tokens of any long-enough doc changes the shingle
+    // set and (modulo a 2^-64 collision) the min hash
+    val longDoc = docs.values.find(_.split(" ").length >= 8).get
+    val reversed = longDoc.split(" ", -1).reverse.mkString(" ")
+    assert(minShingleHash(longDoc) != minShingleHash(reversed),
+      "min-shingle-hash failed to distinguish a token permutation")
+  }
+
   test("q_pii_redact leaves no digits and accounts for every masked char") {
     val res = SparkEntry.queries("q_pii_redact")(spark, sf)
     assert(res.filter(col("redacted").rlike("[0-9]")).count() == 0,

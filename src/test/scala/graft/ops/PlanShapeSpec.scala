@@ -175,4 +175,56 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"span dedup must never compare documents pairwise:\n$p")
   }
+
+  test("no registered query plans a GLOBAL window (single-partition straggler)") {
+    // the WindowExec "No Partition Defined" warnings in the test log
+    // must all come from tiny oracle-twin formulations inside specs,
+    // never from the library surface: a global window moves ALL data
+    // to one task and is the canonical 100 TB straggler
+    // WAIVER: a global window directly over an Aggregate subtree is
+    // the second phase of the two-phase prefix sum (Dist.prefixSum):
+    // it windows the P per-bucket TOTALS (P = defaultParallelism),
+    // not the data — bounded by construction, and exactly why
+    // q_pack_seq / q_pipeline_curate legitimately log one "No
+    // Partition Defined" line on a P-row frame. Anything windowing
+    // non-aggregated rows globally is a real straggler and fails.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      val global = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty
+            && w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+      if (global.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with a global window over non-aggregated data: $offenders")
+  }
+
+  test("q_join_skew's salt demonstrably spreads the hot key across tasks") {
+    import org.apache.spark.sql.functions._
+    // same synthetic skew as joinSkew: ~4/7 of lineitem rows collapse
+    // onto one hot key. Shuffling on the RAW key puts that entire key
+    // in one task; shuffling on (key, salt) bounds the largest task.
+    // This is the runtime half of the "shuffles on the SALTED key"
+    // plan assertion: if a Spark default ever reroutes the salted
+    // exchange, the spread collapses and this fails.
+    val salts = 8
+    val fact = graft.Tables.lineitem(spark, sf)
+      .select(
+        when(col("l_linenumber") <= 4, lit(1L)).otherwise(col("l_suppkey")).as("k"),
+        pmod(col("l_orderkey") + col("l_linenumber"), lit(salts)).as("salt"))
+    def maxTaskRows(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(spark_partition_id().as("p")).count()
+        .agg(max("count")).head().getLong(0)
+    val n = fact.count()
+    val raw = maxTaskRows(fact.repartition(32, col("k")))
+    val salted = maxTaskRows(fact.repartition(32, col("k"), col("salt")))
+    // raw: the hot key alone (~4/7 of rows) sits in one task
+    assert(raw >= (n * 4) / 7, s"raw skew not reproduced: max $raw of $n")
+    // salted: the hot key is split ~S ways, so the largest task holds
+    // well under half the rows (4/7 ÷ 8 ≈ 7% + tail, allow 3× slack)
+    assert(salted * 4 < raw,
+      s"salting failed to spread the hot key: max $salted vs unsalted $raw")
+  }
 }

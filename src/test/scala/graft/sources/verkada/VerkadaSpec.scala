@@ -278,6 +278,41 @@ class VerkadaSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("runStream composes the batch stages per micro-batch and converges to run()'s output") {
+    val server = startServer()
+    resetCounters()
+    try {
+      val c = cfg(server)
+      val ckpt = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "pipe-ckpt").toString
+      val batches = new ConcurrentLinkedQueue[Seq[(String, Option[String])]]()
+      def video(r: org.apache.spark.sql.Row): Option[String] = {
+        val props = r.getAs[org.apache.spark.sql.Row]("properties")
+        if (props.schema.fieldNames.contains("video") && props.getAs[AnyRef]("video") != null)
+          Some(props.getAs[org.apache.spark.sql.Row]("video").getAs[String]("url"))
+        else None
+      }
+      val q = VerkadaPipeline.runStream(spark, c, ckpt) { feats =>
+        batches.add(feats.collect().toSeq.map(r => (r.getAs[String]("id"), video(r))))
+      }
+      try q.processAllAvailable() finally q.stop()
+      // one micro-batch per API page; each page's streamable cameras
+      // surface in ITS batch (page1: cam-1; page2: cam-3; page3: cam-5)
+      val perBatch = batches.asScala.toSeq.filter(_.nonEmpty).map(_.map(_._1))
+      assert(perBatch == Seq(Seq("cam-1"), Seq("cam-3"), Seq("cam-5")), perBatch.toString)
+      // the union of micro-batch outputs IS the batch run's output:
+      // same ids, same upsert split (cam-1's L9 PATCH returns no hls ->
+      // unenriched; cam-3 PATCH; cam-5 POST), same enrichment
+      val all = batches.asScala.flatten.toMap
+      assert(all == Map(
+        "cam-1" -> None,
+        "cam-3" -> Some("https://hls/L4.m3u8"),
+        "cam-5" -> Some("https://hls/new.m3u8")), all.toString)
+      assert(patches.asScala.toSet == Set("L9", "L4"))
+      assert(posts.get() == 1)
+    } finally server.stop(0)
+  }
+
   test("FAILFAST decode rejects a type-corrupt camera row") {
     val server = startServer()
     try {
