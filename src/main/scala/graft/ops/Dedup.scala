@@ -310,8 +310,11 @@ object Dedup extends QueryPack {
       .localCheckpoint()
     // Σlbl: equal across a round ⟺ no label changed (labels are
     // monotone non-increasing under min-propagation) ⟺ fixpoint.
-    def lblSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+    // DECIMAL(38) accumulator: a long sum of n ids overflows under
+    // ANSI mode long before 100 TB node counts.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
     var prev = lblSum(labels)
     var converged = false
     var round = 0
@@ -336,19 +339,112 @@ object Dedup extends QueryPack {
       prev = cur
       round += 1
     }
-    // labels are checkpointed leaves — the inputs can be released now
+    // labels are checkpointed leaves — the edge cache can be released
     edges.unpersist(blocking = false)
-    pairs.unpersist(blocking = false)
-    if (!converged)
-      // under-merged labels are WRONG results, not slow ones: a
+    if (!converged) {
+      // under-merged labels would be WRONG results, not slow ones: a
       // component whose diameter exceeds the cap would silently split
-      // into several clusters. Fail loudly; the remedy at that scale
-      // is the large-star/small-star contraction (O(log n) rounds),
-      // not a higher cap.
-      throw new IllegalStateException(
-        s"connected components did not converge within $ClusterMaxRounds rounds " +
-          "— graph diameter exceeds the cap; use star-contraction for this input")
+      // into several clusters. Min-label propagation needs diameter
+      // rounds; a graph that deep is exactly what the star-contraction
+      // variant (O(log n) rounds) exists for — switch to it rather
+      // than failing or raising the cap.
+      System.err.println(
+        s"connectedComponents: no fixpoint within $ClusterMaxRounds min-label rounds " +
+          "(graph diameter exceeds the cap) — switching to star contraction")
+      val starLabels = connectedComponentsStar(pairs)
+      pairs.unpersist(blocking = false)
+      return starLabels
+    }
+    pairs.unpersist(blocking = false)
     labels
+  }
+
+  /** Star-contraction connected components (alternating large-star /
+    * small-star, Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14): converges in O(log n) ROUNDS ON ANY
+    * GRAPH, versus diameter rounds for min-label propagation — the
+    * scale path for deep graphs (long duplication chains), and the
+    * automatic fallback when [[connectedComponents]] hits its round
+    * cap. Same contract: (doc_a, doc_b) pairs in, (node, lbl) out
+    * with lbl = the component's smallest node id.
+    *
+    * Each round is two keyed join+agg passes over the current edge
+    * set; edges strictly shrink toward star form (u → component
+    * root), so the fixpoint test — count plus an order-independent
+    * hash-sum, confirmed exact by an anti-join only when it first
+    * trips — costs one scalar aggregate per round.
+    */
+  private[ops] def connectedComponentsStar(pairList: DataFrame): DataFrame = {
+    // canonical directed form: (u, v) with u > v
+    var edges = pairList
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    // isolated self-pairs (a node paired only with itself) still need
+    // a label row — collect them as roots up front
+    val selfRoots = pairList.filter(col("doc_a") === col("doc_b"))
+      .select(col("doc_a").as("node")).distinct()
+
+    // large-star: every neighbor v > u links to m(u) = min(Γ(u) ∪ u).
+    // Output stays canonical: v > u >= m(u).
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val m = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      nbrs.join(m, "u")
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star: u and all its smaller neighbors link to
+    // m(u) = min of those neighbors (all < u in canonical form).
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      val vm = e.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+      val um = m.select(col("u"), col("m").as("v"))
+      vm.unionAll(um)
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // (count, order-independent hash XOR) — cheap per-round fixpoint
+    // probe (XOR, not SUM: edges are distinct so nothing cancels, and
+    // it cannot overflow under ANSI mode); an exact EXCEPT confirms
+    // the first time it trips
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = sig(edges)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < ClusterMaxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      val cur = sig(next)
+      if (cur == prev && next.exceptAll(edges).isEmpty)
+        converged = true
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(edges)
+      edges = next
+      prev = cur
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not converge within $ClusterMaxRounds rounds — " +
+          "O(log n) bound violated; edge state is inconsistent")
+    // fixpoint edges are stars (node -> root); roots label themselves.
+    // Materialized (checkpointed) so the edge state and the caller's
+    // pair cache can be released without the result re-deriving them.
+    val out = edges.select(col("u").as("node"), col("v").as("lbl"))
+      .unionAll(edges.select(col("v").as("node"), col("v").as("lbl")).distinct())
+      .unionAll(selfRoots.select(col("node"), col("node").as("lbl")))
+      .distinct()
+      .localCheckpoint()
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(edges)
+    out
   }
 
   private def dedupCluster(s: SparkSession, d: String): DataFrame =

@@ -102,6 +102,34 @@ class DedupGroundTruthSpec extends SparkSpec {
     assert(l2 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("star contraction ≡ min-label CC, and rescues graphs beyond the round cap") {
+    import spark.implicits._
+    // equality on the real near-dup pair graph
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sf)
+      .select("doc_a", "doc_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toMap(Dedup.connectedComponentsStar(pairs)) ==
+      toMap(Dedup.connectedComponents(pairs)))
+    // a 120-node path has diameter 119 > ClusterMaxRounds(50): the
+    // min-label loop cannot reach a fixpoint and must hand off to
+    // star contraction (O(log n) rounds) instead of failing or
+    // silently under-merging — the public entry point stays correct
+    // on ANY topology
+    val deep = (0L until 119L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val viaFallback = toMap(Dedup.connectedComponents(deep))
+    assert(viaFallback.size == 120)
+    assert(viaFallback.values.toSet == Set(0L),
+      s"deep chain under-merged: ${viaFallback.values.toSet}")
+    // star contraction directly agrees, and keeps disjoint components
+    // disjoint (no over-merge)
+    val mixed = deep.unionAll(
+      Seq((500L, 501L), (501L, 502L)).toDF("doc_a", "doc_b"))
+    val star = toMap(Dedup.connectedComponentsStar(mixed))
+    assert(star.filter(_._1 >= 500L).values.toSet == Set(500L))
+    assert(star.filter(_._1 < 500L).values.toSet == Set(0L))
+  }
+
   test("q_dedup_cluster ≡ driver union-find over the pair graph; labels are a fixpoint") {
     val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sf01)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
