@@ -136,7 +136,14 @@ object Dedup extends QueryPack {
     * true-pair count. The frequency table is vocabulary-sized, the
     * prefix-rank window is per-document, and every other shuffle is
     * keyed — nothing quadratic in any block. */
-  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+  private def ngramPairs(s: SparkSession, d: String): DataFrame =
+    ngramPairsOf(Tables.documents(s, d))
+
+  /** [[ngramPairs]] over an explicit (doc_id, lang, source, text)
+    * DataFrame — factored so the prefix-filter + positional-filter
+    * recall proof is property-testable on arbitrary synthetic corpora
+    * (PropertySpec), not just the fixture tables. */
+  private[ops] def ngramPairsOf(documents: DataFrame): DataFrame = {
     val t = 0.5
     // required-overlap factor: J >= t  ⟺  |A∩B| >= t/(1+t)·(|A|+|B|)
     val tf = t / (1 + t)
@@ -144,7 +151,7 @@ object Dedup extends QueryPack {
     // must only ever LENGTHEN a prefix or LOOSEN a bound (more
     // candidates, never a missed pair)
     val eps = 1e-9
-    val docs = Tables.documents(s, d)
+    val docs = documents
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(split(col("text"), " ")).as("toks"))
       .withColumn("n", size(col("toks")))

@@ -40,6 +40,55 @@ object TrainPrep extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** [[decontaminate]] with the benchmark membership test summarized
+    * into a BLOOM FILTER instead of a broadcast shingle array — the
+    * shape for benchmark sets too large to broadcast exactly (10⁹
+    * distinct shingles ≈ tens of GB as strings, ~1.2 GB as a 1%-fpp
+    * Bloom filter). Three stages, result byte-identical to the exact
+    * query (same oracle):
+    *
+    *  1. distributed sketch build (Spark's own BloomFilterAggregate,
+    *     the runtime-filter machinery): the driver receives ONE
+    *     serialized filter, never the shingle set;
+    *  2. corpus pre-filter with the codegen'd BloomFilterMightContain
+    *     predicate — no false negatives, so nothing is lost;
+    *  3. EXACT confirmation join on the Bloom-positive rows only —
+    *     false positives die here, and at scale this join's probe
+    *     side is the (tiny) suspicious subset, not the corpus. */
+  private def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+    // size the filter from the actual distinct-shingle count (one
+    // vocabulary-sized job); ~10 bits/item ≈ 1% fpp
+    val nBench = math.max(bench.count(), 1L)
+    val bloomBytes = bench
+      .select(Bridge.column(new BloomFilterAggregate(
+          new XxHash64(Seq(Bridge.expression(col("g")))),
+          Literal(nBench), Literal(nBench * 10L))
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val cand = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("g"))
+    // empty benchmark -> aggregate yields null -> nothing can overlap
+    val positive =
+      if (bloomBytes == null) cand.filter(lit(false))
+      else cand.filter(Bridge.column(BloomFilterMightContain(
+        Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        new XxHash64(Seq(Bridge.expression(col("g")))))))
+    positive.join(broadcast(bench), "g")
+      .groupBy("doc_id", "n_sh")
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits").cast("double") / col("n_sh") >= 0.3)
+      .select(col("doc_id"), col("n_sh"), col("n_hits"),
+        Det.r4(col("n_hits").cast("double") / col("n_sh")).as("overlap"))
+      .orderBy("doc_id")
+  }
+
   /** Fixed-length sequence packing: assign every document a byte-free
     * (token-offset) position in a stream of concatenated training
     * sequences of 512 tokens — (start_offset, seq_bin) per doc, in
@@ -257,6 +306,7 @@ object TrainPrep extends QueryPack {
 
   override val queries: Map[String, Q] = Map(
     "q_decontaminate"  -> decontaminate,
+    "q_decontaminate_bloom" -> decontaminateBloom,
     "q_pack_seq"       -> packSeq,
     "q_chunk"          -> chunk,
     "q_mix_sample"     -> mixSample,
@@ -266,26 +316,31 @@ object TrainPrep extends QueryPack {
     "q_pipeline_train" -> pipelineTrain,
   )
 
+  // shingle construction mirrors graft.functions.Shingles: distinct
+  // 3-token windows joined with a space; inputs shorter than 3
+  // tokens yield the whole-input join (slice clamps)
+  private val DecontaminateOracle =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           range(1, greatest(LEN(string_split(text, ' ')) - 1, 2)),
+       |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+       |  FROM documents),
+       |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0),
+       |cand AS (SELECT doc_id, CAST(LEN(s) AS INT) AS n_sh, unnest(s) AS g
+       |         FROM sh WHERE doc_id % 10 <> 0)
+       |SELECT doc_id, n_sh, n_hits, ${Det.r4Sql("CAST(n_hits AS DOUBLE) / n_sh")} AS overlap
+       |FROM (SELECT doc_id, n_sh, COUNT(*) AS n_hits
+       |      FROM cand JOIN bench USING (g)
+       |      GROUP BY doc_id, n_sh)
+       |WHERE CAST(n_hits AS DOUBLE) / n_sh >= 0.3
+       |ORDER BY doc_id""".stripMargin
+
   override val oracles: Map[String, String] = Map(
-    // shingle construction mirrors graft.functions.Shingles: distinct
-    // 3-token windows joined with a space; inputs shorter than 3
-    // tokens yield the whole-input join (slice clamps)
-    "q_decontaminate" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id,
-         |         list_distinct(list_transform(
-         |           range(1, greatest(LEN(string_split(text, ' ')) - 1, 2)),
-         |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
-         |  FROM documents),
-         |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0),
-         |cand AS (SELECT doc_id, CAST(LEN(s) AS INT) AS n_sh, unnest(s) AS g
-         |         FROM sh WHERE doc_id % 10 <> 0)
-         |SELECT doc_id, n_sh, n_hits, ${Det.r4Sql("CAST(n_hits AS DOUBLE) / n_sh")} AS overlap
-         |FROM (SELECT doc_id, n_sh, COUNT(*) AS n_hits
-         |      FROM cand JOIN bench USING (g)
-         |      GROUP BY doc_id, n_sh)
-         |WHERE CAST(n_hits AS DOUBLE) / n_sh >= 0.3
-         |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" -> DecontaminateOracle,
+    // the Bloom variant is result-identical by construction (no false
+    // negatives + exact confirmation join) — same oracle
+    "q_decontaminate_bloom" -> DecontaminateOracle,
     "q_pack_seq" ->
       """SELECT doc_id, n_tokens,
         |       CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)

@@ -21,6 +21,9 @@ case class SessionOut(user_id: Long, session_start: Long, n_events: Long, last_m
 /** Output row of the transformWithState running aggregate. */
 case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 
+/** A near-dup pair surfaced by [[Streams.nearDupPairs]] (doc_a < doc_b). */
+case class NearDupPair(doc_a: Long, doc_b: Long, jaccard: Double)
+
 /** Spark 4 arbitrary-state API (transformWithState successor of
   * flatMapGroupsWithState): a per-user running count/sum held in a
   * typed ValueState, emitted once per key per micro-batch. State
@@ -141,6 +144,71 @@ object Streams {
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** INCREMENTAL MinHash-LSH near-dup detection: every arriving
+    * document is checked against the full history of documents that
+    * ever landed in any of its 8 LSH band buckets, and exact-Jaccard
+    * near-dup pairs stream out as they are discovered — the streaming
+    * twin of Dedup.dedupNear (same signature: MinHash-32, 8 bands × 4
+    * rows, same exact shingle-Jaccard rescore, same ≥ t threshold),
+    * for the corpus that GROWS rather than re-deduplicates from
+    * scratch per snapshot.
+    *
+    * Shape: narrow signature pass (native MinHash Expression) →
+    * band explode → flatMapGroupsWithState keyed by (band, bucket) —
+    * state shards by bucket exactly like the batch join's shuffle —
+    * → streaming dropDuplicates on the pair key (a pair colliding in
+    * several bands emits once). State per bucket holds (doc_id,
+    * shingle set) for exact in-place rescoring; a 100 TB deployment
+    * bounds it by TTL/watermark eviction or keeps signatures only
+    * (estimated Jaccard) with a periodic batch rescore — the
+    * candidate-generation discipline (bounded LSH buckets, never
+    * all-pairs) is identical either way. */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.functions.TextSim._
+    val sigs = docs
+      .select(col("doc_id"), shingles(split(col("text"), " "), 3).as("sh"))
+      .select(col("doc_id"), col("sh"), minhashSignature(col("sh"), 32).as("sig"))
+    // explode-then-bucket (the Dedup.dedupNear CollapseProject guard)
+    val keyed = sigs
+      .select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(7))).as("band"), col("sig"))
+      .select(col("doc_id"), col("sh"), col("band"),
+        lshBandBucket(col("sig"), col("band"), 4).as("bucket"))
+      .as[(Long, Seq[String], Int, Long)]
+    keyed
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[List[(Long, Seq[String])], NearDupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), it: Iterator[(Long, Seq[String], Int, Long)],
+            state: GroupState[List[(Long, Seq[String])]]) =>
+          val out = List.newBuilder[NearDupPair]
+          // deterministic intra-batch order; new docs also pair with
+          // each other, not just with history
+          var acc = state.getOption.getOrElse(Nil)
+          it.map(r => (r._1, r._2)).toList.sortBy(_._1).foreach { case (id, sh) =>
+            if (!acc.exists(_._1 == id)) {
+              val s1 = sh.toSet
+              acc.foreach { case (oid, osh) =>
+                val s2 = osh.toSet
+                val j = s1.intersect(s2).size.toDouble / s1.union(s2).size
+                if (j >= threshold) {
+                  val (a, b) = if (oid < id) (oid, id) else (id, oid)
+                  out += NearDupPair(a, b, j)
+                }
+              }
+              acc = (id, sh) :: acc
+            }
+          }
+          state.update(acc)
+          out.result().iterator
+      }
+      // a pair that collides in several bands must surface ONCE —
+      // streaming dedup keeps the pair key in state
+      .dropDuplicates("doc_a", "doc_b")
+      .toDF()
   }
 
   /** Custom-state sessionization via flatMapGroupsWithState — the

@@ -146,6 +146,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix+positional filter finds EXACTLY the J>=0.5 pairs on random corpora") {
+    // the AllPairs prefix bound and the PPJoin positional filter are
+    // both proved exact on paper (Dedup.ngramPairsOf); this checks the
+    // proof survives implementation details (ANSI ceil semantics, the
+    // epsilon guards, duplicate tokens, single-token docs, block
+    // boundaries) on arbitrary data — a recall bug here silently
+    // under-merges every consumer (ngram/edit/cluster/pipeline_train)
+    val gen: Gen[List[(Long, String, String)]] = for {
+      n <- Gen.choose(4, 28)
+      rows <- Gen.listOfN(n, for {
+        lang <- Gen.oneOf("en", "de")
+        len <- Gen.choose(1, 24)
+        toks <- Gen.listOfN(len, Gen.choose(0, 19).map(i => s"w$i"))
+      } yield (lang, toks.mkString(" ")))
+    } yield rows.zipWithIndex.map { case ((lang, text), i) => (i.toLong, lang, text) }
+    samples(gen, 8).foreach { rows =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("text", StringType)))
+      val d = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map(r => Row(r._1, r._2, "s0", r._3)), 3), schema)
+      val got = Dedup.ngramPairsOf(d)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute force over distinct token sets within (lang, source)
+      val sets = rows.map(r => (r._1, r._2, r._3.split(" ").toSet))
+      val want = (for {
+        (ia, la, sa) <- sets; (ib, lb, sb) <- sets
+        if ia < ib && la == lb
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= 0.5
+      } yield (ia, ib)).toSet
+      assert(got == want,
+        s"missed=${want -- got} extra=${got -- want} over ${rows.size} docs")
+    }
+  }
+
   test("freqItems heavy-hitter guarantee: frequent keys always surface") {
     // single-pass approximate frequent items (Karp-style): any value
     // with true frequency > support MUST appear (false positives

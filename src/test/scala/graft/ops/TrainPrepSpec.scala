@@ -39,6 +39,13 @@ class TrainPrepSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("q_decontaminate_bloom ≡ exact decontamination (FPs die in the confirm join)") {
+    val exact = graft.SparkEntry.queries("q_decontaminate")(spark, sf).collect()
+    val bloom = graft.SparkEntry.queries("q_decontaminate_bloom")(spark, sf).collect()
+    assert(exact.nonEmpty, "fixture produced no contaminated docs — test is vacuous")
+    assert(bloom.map(_.toString).toSeq == exact.map(_.toString).toSeq)
+  }
+
   test("q_mix_sample keeps src0 fully and calibrates to the rate") {
     val kept = SparkEntry.queries("q_mix_sample")(spark, sf01)
     val perSource = spark.read.parquet(s"$sf01/documents.parquet")

@@ -266,6 +266,36 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 2 * n1)
   }
 
+  test("streaming near-dup detection converges to the batch LSH pair set across batches") {
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01"
+    val base = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+    // two arrival waves of the same corpus the batch query reads, so
+    // cross-wave pairs can only come from bucket STATE
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 0)
+      .repartition(1).write.mode("append").parquet(in)
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .repartition(1).write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = Streams.nearDupPairs(stream).writeStream
+      .format("memory").queryName("neardup_stream").outputMode("append").start()
+    val multiBatch = try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0)
+    } finally q.stop()
+    assert(multiBatch >= 2, s"expected >=2 non-empty micro-batches, got $multiBatch")
+    val got = spark.table("neardup_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.SparkEntry.queries("q_dedup_near")(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "batch pair set empty — test is vacuous")
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+  }
+
   test("incremental corpus ingest: quality gate + content dedup across invocations") {
     import org.apache.spark.sql.functions._
     // the streaming twin of the training-prep front end: each
