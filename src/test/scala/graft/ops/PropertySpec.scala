@@ -184,6 +184,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("star-contraction CC ≡ union-find on random graphs") {
+    // both CC formulations must produce min-id component labels on
+    // ANY topology — random graphs hit shapes the fixture corpus and
+    // the hand-built chains never do (multi-hub merges, dense blobs,
+    // many singleton edges)
+    val gen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(n,
+        Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    } yield edges.filter(e => e._1 != e._2)
+    samples(gen, 6).filter(_.nonEmpty).foreach { edges =>
+      val schema = StructType(Seq(
+        StructField("doc_a", LongType), StructField("doc_b", LongType)))
+      val d = spark.createDataFrame(
+        spark.sparkContext.parallelize(edges.map(e => Row(e._1, e._2)), 3), schema)
+      val got = Dedup.connectedComponentsStar(d).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      assert(got == want,
+        s"edges=$edges\n got=$got\n want=$want")
+    }
+  }
+
   test("freqItems heavy-hitter guarantee: frequent keys always surface") {
     // single-pass approximate frequent items (Karp-style): any value
     // with true frequency > support MUST appear (false positives
