@@ -1,0 +1,231 @@
+package graft.ops
+
+import graft.{Det, QueryPack, Tables}
+import graft.functions.TextSim.cosine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics + retrieval-fusion operators a warehouse user
+  * expects on top of the relational core:
+  *
+  *  - q_funnel: ordered conversion funnel (view → click → purchase)
+  *    via conditional-min stage timestamps — one shuffle on user_id,
+  *    map-side partial mins, then a single global roll-up row.
+  *  - q_scd2: slowly-changing-dimension (type 2) reconstruction of a
+  *    change log — collapse consecutive equal states per key, emit
+  *    [valid_from, valid_to) intervals. Pure windows over the key
+  *    partition; nothing corpus-global.
+  *  - q_profile: per-column data profiling (nulls / distincts /
+  *    numeric range) in ONE pass over the table — the shape behind
+  *    ANALYZE TABLE. The multi-countDistinct plans as a single
+  *    Expand+agg; at 100 TB swap countDistinct for
+  *    approx_count_distinct and the plan is otherwise unchanged.
+  *  - q_hybrid_rrf: hybrid retrieval — BM25 keyword ranking fused
+  *    with embedding-cosine ranking by reciprocal-rank fusion
+  *    (k=60, Cormack et al. SIGIR'09). Ranks are computed on the
+  *    4-decimal-rounded scores (identical on both engines), so the
+  *    fusion is exactly reproducible; the fused score 1/(60+r) is
+  *    pure integer-reciprocal arithmetic, deterministic by
+  *    construction.
+  */
+object Analytics extends QueryPack {
+
+  // ---- funnel ----------------------------------------------------
+
+  private def funnel(s: SparkSession, d: String): DataFrame = {
+    val stages = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+    stages.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t_view")).as("n_view"),
+      count(when(col("t_click") > col("t_view"), lit(1))).as("n_click_after_view"),
+      count(when(col("t_buy") > col("t_click") && col("t_click") > col("t_view"),
+        lit(1))).as("n_full_funnel"))
+  }
+
+  // ---- SCD type 2 ------------------------------------------------
+
+  private def scd2(s: SparkSession, d: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = Tables.events(s, d)
+      .withColumn("prev_state", lag(col("event_type"), 1).over(byTime))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(byTime))
+      .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // ---- column profiling ------------------------------------------
+
+  /** (column, is-numeric) inventory of the profiled table. */
+  private val ProfileCols: Seq[(String, Boolean)] = Seq(
+    "o_orderkey" -> true, "o_custkey" -> true, "o_orderstatus" -> false,
+    "o_totalprice" -> true, "o_orderdate" -> false, "o_orderpriority" -> false)
+
+  private def profile(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    // one wide aggregation row: 1 job; the countDistincts share a
+    // single Expand. Numeric min/max cast to double so every column's
+    // profile row has one schema.
+    val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap { case (c, num) =>
+      Seq(count(col(c)).as(s"cnt_$c"), countDistinct(col(c)).as(s"nd_$c")) ++
+        (if (num) Seq(min(col(c)).cast("double").as(s"min_$c"),
+          max(col(c)).cast("double").as(s"max_$c"))
+        else Nil)
+    }
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single row to long format (narrow, driver-free)
+    val rows = ProfileCols.map { case (c, num) =>
+      struct(
+        lit(c).as("col"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        (if (num) col(s"min_$c") else lit(null).cast("double")).as("min_val"),
+        (if (num) col(s"max_$c") else lit(null).cast("double")).as("max_val"))
+    }
+    wide.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.col"), col("p.n_nulls"), col("p.n_distinct"),
+        col("p.min_val"), col("p.max_val"))
+      .orderBy("col")
+  }
+
+  // ---- hybrid retrieval (RRF) ------------------------------------
+
+  private val RrfK = 60
+
+  private def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    // keyword side: full BM25 scoring (shared with q_bm25), probe
+    // document excluded; rank over the rounded score
+    val textRank = Search.bm25Scored(s, d)
+      .filter(col("doc_id") =!= 0L)
+      .withColumn("text_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("text_rank"))
+    // vector side: cosine vs the probe embedding (vec_id 0 = doc 0)
+    val probe = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("probe"))
+    val vecRank = Tables.embeddings(s, d)
+      .filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        Det.r4(cosine(col("embedding"), col("probe"))).as("cos"))
+      .withColumn("vec_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id"), col("vec_rank"))
+    // both rank windows are GLOBAL by construction (a ranking over
+    // the candidate list); candidate lists are query-bounded (term
+    // hits / top buckets), so the single-partition sort is over the
+    // candidate set, never the corpus.
+    textRank
+      .join(vecRank, col("doc_id") === col("vec_id"), "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        col("text_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("text_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  override val queries: Map[String, Q] = Map(
+    "q_funnel"     -> funnel,
+    "q_scd2"       -> scd2,
+    "q_profile"    -> profile,
+    "q_hybrid_rrf" -> hybridRrf,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH stages AS (
+        |  SELECT user_id,
+        |         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users,
+        |       COUNT(t_view) AS n_view,
+        |       COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_click_after_view,
+        |       COUNT(CASE WHEN t_buy > t_click AND t_click > t_view THEN 1 END) AS n_full_funnel
+        |FROM stages""".stripMargin,
+    "q_scd2" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, event_id, event_type, ts
+        |  FROM marked WHERE prev_state IS NULL OR prev_state <> event_type)
+        |SELECT user_id, event_id, event_type AS state, ts AS valid_from,
+        |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM changes
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_profile" -> {
+      val selects = ProfileCols.map { case (c, num) =>
+        val mn = if (num) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (num) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS col, COUNT(*) - COUNT($c) AS n_nulls,
+           |       COUNT(DISTINCT $c) AS n_distinct, $mn AS min_val, $mx AS max_val
+           |FROM orders""".stripMargin
+      }
+      selects.mkString("", "\nUNION ALL\n", "\nORDER BY col")
+    },
+    "q_hybrid_rrf" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS INT) AS dl
+         |  FROM documents),
+         |stats AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |         ${Det.davgSql("CAST(LEN(string_split(text, ' ')) AS DOUBLE)", 0)} AS avgdl
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id,
+         |           CAST(LEN(string_split(text, ' ')) AS INT) AS dl,
+         |           UNNEST(string_split(text, ' ')) AS term
+         |    FROM documents)
+         |  WHERE term IN ('data', 'query', 'spark')
+         |  GROUP BY doc_id, dl, term),
+         |idf AS (
+         |  SELECT term, LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+         |  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), stats),
+         |bm AS (
+         |  SELECT doc_id,
+         |         ${Det.r4Sql(Det.dsumSql(
+              "idf.idf * (tf.tf * CAST(2.2 AS DOUBLE)) / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * tf.dl / idf.avgdl))"))} AS score
+         |  FROM tf JOIN idf USING (term)
+         |  WHERE doc_id <> 0
+         |  GROUP BY doc_id),
+         |trk AS (
+         |  SELECT doc_id,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS text_rank
+         |  FROM bm),
+         |cosd AS (
+         |  SELECT vec_id,
+         |         FLOOR((
+         |           list_sum(list_transform(list_zip(e.embedding, p.probe),
+         |                    t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+         |           / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |              * SQRT(list_sum(list_transform(p.probe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         |         ) * 10000 + 0.5) / 10000 AS cos
+         |  FROM embeddings e,
+         |       (SELECT embedding AS probe FROM embeddings WHERE vec_id = 0) p
+         |  WHERE e.vec_id <> 0),
+         |vrk AS (
+         |  SELECT vec_id,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS INT) AS vec_rank
+         |  FROM cosd)
+         |SELECT COALESCE(t.doc_id, v.vec_id) AS doc_id, t.text_rank, v.vec_rank,
+         |       COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + t.text_rank), CAST(0.0 AS DOUBLE))
+         |       + COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + v.vec_rank), CAST(0.0 AS DOUBLE)) AS rrf
+         |FROM trk t FULL OUTER JOIN vrk v ON t.doc_id = v.vec_id
+         |ORDER BY rrf DESC, doc_id
+         |LIMIT 10""".stripMargin,
+  )
+}

@@ -21,7 +21,9 @@ object Search extends QueryPack {
 
   private val QueryTerms = Seq("data", "query", "spark") // k1=1.2 b=0.75 inline below
 
-  private def bm25(s: SparkSession, d: String): DataFrame = {
+  /** Full BM25 scoring of every term-matching document (no top-k cut)
+    * — shared by q_bm25 and the hybrid-fusion query in Analytics. */
+  private[ops] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")))
@@ -56,9 +58,12 @@ object Search extends QueryPack {
     contrib.groupBy("doc_id")
       .agg(Det.r4(Det.dsum(col("c"))).as("score"),
         count(lit(1)).as("n_terms_hit"))
+  }
+
+  private def bm25(s: SparkSession, d: String): DataFrame =
+    bm25Scored(s, d)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(10)
-  }
 
   /** Sharded inverted index: term → sorted doc-id postings, SHARDED
     * by doc-id range (shard = doc_id >> 8) so no single output row
