@@ -99,12 +99,19 @@ object Analytics extends QueryPack {
   // ---- hybrid retrieval (RRF) ------------------------------------
 
   private val RrfK = 60
+  /** Per-retriever candidate-list depth: each side contributes its
+    * top-100, the standard RRF setup. The limit is what makes the
+    * rank windows scale-safe — TakeOrderedAndProject merges
+    * per-partition top-100s (never a global sort), and the global
+    * row_number that follows ranks ≤100 rows by construction. */
+  private val CandK = 100
 
   private def hybridRrf(s: SparkSession, d: String): DataFrame = {
     // keyword side: full BM25 scoring (shared with q_bm25), probe
-    // document excluded; rank over the rounded score
+    // document excluded; top-CandK cut, then rank the candidate list
     val textRank = Search.bm25Scored(s, d)
       .filter(col("doc_id") =!= 0L)
+      .orderBy(col("score").desc, col("doc_id")).limit(CandK)
       .withColumn("text_rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("text_rank"))
@@ -116,13 +123,10 @@ object Analytics extends QueryPack {
       .crossJoin(broadcast(probe))
       .select(col("vec_id"),
         Det.r4(cosine(col("embedding"), col("probe"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(CandK)
       .withColumn("vec_rank",
         row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
       .select(col("vec_id"), col("vec_rank"))
-    // both rank windows are GLOBAL by construction (a ranking over
-    // the candidate list); candidate lists are query-bounded (term
-    // hits / top buckets), so the single-partition sort is over the
-    // candidate set, never the corpus.
     textRank
       .join(vecRank, col("doc_id") === col("vec_id"), "full_outer")
       .select(
@@ -203,9 +207,11 @@ object Analytics extends QueryPack {
          |  WHERE doc_id <> 0
          |  GROUP BY doc_id),
          |trk AS (
-         |  SELECT doc_id,
-         |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS text_rank
-         |  FROM bm),
+         |  SELECT doc_id, text_rank FROM (
+         |    SELECT doc_id,
+         |           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS text_rank
+         |    FROM bm)
+         |  WHERE text_rank <= 100),
          |cosd AS (
          |  SELECT vec_id,
          |         FLOOR((
@@ -218,9 +224,11 @@ object Analytics extends QueryPack {
          |       (SELECT embedding AS probe FROM embeddings WHERE vec_id = 0) p
          |  WHERE e.vec_id <> 0),
          |vrk AS (
-         |  SELECT vec_id,
-         |         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS INT) AS vec_rank
-         |  FROM cosd)
+         |  SELECT vec_id, vec_rank FROM (
+         |    SELECT vec_id,
+         |           CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS INT) AS vec_rank
+         |    FROM cosd)
+         |  WHERE vec_rank <= 100)
          |SELECT COALESCE(t.doc_id, v.vec_id) AS doc_id, t.text_rank, v.vec_rank,
          |       COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + t.text_rank), CAST(0.0 AS DOUBLE))
          |       + COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + v.vec_rank), CAST(0.0 AS DOUBLE)) AS rrf

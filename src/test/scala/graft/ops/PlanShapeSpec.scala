@@ -181,19 +181,26 @@ class PlanShapeSpec extends SparkSpec {
     // must all come from tiny oracle-twin formulations inside specs,
     // never from the library surface: a global window moves ALL data
     // to one task and is the canonical 100 TB straggler
-    // WAIVER: a global window directly over an Aggregate subtree is
+    // WAIVER 1: a global window directly over an Aggregate subtree is
     // the second phase of the two-phase prefix sum (Dist.prefixSum):
     // it windows the P per-bucket TOTALS (P = defaultParallelism),
     // not the data — bounded by construction, and exactly why
     // q_pack_seq / q_pipeline_curate legitimately log one "No
-    // Partition Defined" line on a P-row frame. Anything windowing
-    // non-aggregated rows globally is a real straggler and fails.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // Partition Defined" line on a P-row frame.
+    // WAIVER 2: a global window over a Limit subtree ranks at most
+    // the literal row count (q_hybrid_rrf's per-retriever top-100
+    // candidate lists) — TakeOrderedAndProject does the scalable cut,
+    // the window orders ≤K rows. Anything windowing non-aggregated,
+    // unbounded rows globally is a real straggler and fails.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val df = graft.SparkEntry.queries(name)(spark, sf)
       val global = df.queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty
-            && w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+            && w.child.collectFirst {
+              case a: Aggregate => a
+              case l: GlobalLimit => l
+            }.isEmpty => w
       }
       if (global.nonEmpty) Some(name) else None
     }
@@ -226,5 +233,55 @@ class PlanShapeSpec extends SparkSpec {
     // well under half the rows (4/7 ÷ 8 ≈ 7% + tail, allow 3× slack)
     assert(salted * 4 < raw,
       s"salting failed to spread the hot key: max $salted vs unsalted $raw")
+  }
+
+  test("q_sql_tpch19 pushes each branch's single-table conjuncts into BOTH scans") {
+    // the point of the OR-of-ANDs shape: Catalyst must extract the
+    // per-table disjunctions (quantity bounds → lineitem, brand/size
+    // → part) and push them, leaving only the cross-table residual in
+    // the join condition. A bare scan on either side means the
+    // extraction regressed and the join input is the full table.
+    val p = plan("q_sql_tpch19")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(l => l.contains("l_quantity") && l.contains("Or(")),
+      s"lineitem scan lost the quantity disjunction:\n${pushed.mkString("\n")}")
+    assert(pushed.exists(l => l.contains("p_brand") && l.contains("Or(")),
+      s"part scan lost the brand/size disjunction:\n${pushed.mkString("\n")}")
+  }
+
+  test("q_sql_tpch21 decorrelates EXISTS/NOT EXISTS to semi + anti joins") {
+    val p = plan("q_sql_tpch21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_sql_tpch13 keeps the ON-clause filter pushed and the outer join broadcast") {
+    val p = plan("q_sql_tpch13")
+    // the o_orderpriority <> '5-LOW' predicate lives in the JOIN's ON
+    // clause: it must be pushed into the ORDERS scan (null-extension
+    // semantics permit it there, but NOT as a post-join filter)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("5-LOW")), p)
+    assert(p.contains("LeftOuter"), p)
+  }
+
+  test("q_hybrid_rrf ranks limit-bounded candidate lists via TakeOrdered") {
+    // every global rank window must consume a top-K cut: the logical
+    // plan shows GlobalLimit below each partition-less Window, and
+    // the physical plan does the cut with TakeOrderedAndProject (a
+    // per-partition-top-K merge), never a global Sort of the corpus
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    val qe = graft.SparkEntry.queries("q_hybrid_rrf")(spark, sf).queryExecution
+    val rankWindows = qe.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(rankWindows.size == 2, s"expected 2 rank windows:\n${qe.optimizedPlan}")
+    rankWindows.foreach { w =>
+      assert(w.child.collectFirst { case l: GlobalLimit => l }.nonEmpty,
+        s"rank window not bounded by a Limit:\n$w")
+    }
+    assert(qe.executedPlan.toString.contains("TakeOrderedAndProject"),
+      qe.executedPlan.toString)
   }
 }
