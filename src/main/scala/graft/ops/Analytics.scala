@@ -96,6 +96,48 @@ object Analytics extends QueryPack {
       .orderBy("col")
   }
 
+  // ---- EWMA smoothing --------------------------------------------
+
+  /** Exponentially-weighted moving average (α=0.5) over each user's
+    * last [[EwmaLookback]] events — time-series smoothing as one
+    * per-key window pass. The recurrence is unrolled into a LAG chain
+    * (all LAGs share one window spec, so Catalyst plans a single
+    * WindowExec over the user_id partition — nothing corpus-global),
+    * normalized over the weights actually present so the series
+    * starts unbiased. The SAME template text runs on both engines:
+    * the weights are exact binary fractions and the addition chain is
+    * left-associative in both parsers, so the doubles agree bitwise.
+    */
+  private val EwmaLookback = 10
+
+  private def ewmaSql(events: String): String = {
+    val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    val coefs = (1 until EwmaLookback).map(k =>
+      k -> java.math.BigDecimal.valueOf(0.5).pow(k).toPlainString)
+    val num = ("value" +: coefs.map { case (k, c) =>
+      s"COALESCE(LAG(value, $k) $over * $c, 0.0)" }).mkString("\n         + ")
+    val den = ("1.0" +: coefs.map { case (k, c) =>
+      s"CASE WHEN LAG(value, $k) $over IS NOT NULL THEN $c ELSE 0.0 END" })
+      .mkString("\n         + ")
+    s"""SELECT user_id, event_id, value,
+       |       ${Det.r4Sql(s"($num)\n        / ($den)")} AS ewma
+       |FROM $events
+       |ORDER BY event_id""".stripMargin
+  }
+
+  /** Spark-side events view with the ns→µs ts conversion applied
+    * (Tables.view registers the RAW table, whose ts is nanos BIGINT
+    * under the legacy read conf — the SQL template needs timestamp
+    * ordering semantics identical to DuckDB's µs). */
+  private def eventsView(s: SparkSession, d: String): String = {
+    val v = s"v_eventsconv_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    Tables.events(s, d).createOrReplaceTempView(v)
+    v
+  }
+
+  private def ewma(s: SparkSession, d: String): DataFrame =
+    s.sql(ewmaSql(eventsView(s, d)))
+
   // ---- hybrid retrieval (RRF) ------------------------------------
 
   private val RrfK = 60
@@ -143,9 +185,11 @@ object Analytics extends QueryPack {
     "q_scd2"       -> scd2,
     "q_profile"    -> profile,
     "q_hybrid_rrf" -> hybridRrf,
+    "q_ewma"       -> ewma,
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_ewma" -> ewmaSql("events"),
     "q_funnel" ->
       """WITH stages AS (
         |  SELECT user_id,

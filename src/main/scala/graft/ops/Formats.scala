@@ -54,6 +54,42 @@ object Formats extends QueryPack {
   private def withHeader(r: DataFrameReader, fmt: String): DataFrameReader =
     if (fmt == "csv") r.option("header", "true") else r
 
+  /** Hive-style partitioned sink + pruned read-back: write orders
+    * laid out by o_orderpriority (the 100 TB layout move — a filter
+    * on the partition column prunes whole directories before any I/O),
+    * then read back ONE partition and aggregate. The oracle computes
+    * the same aggregate from the original parquet with the same
+    * filter, so a hash match proves the layout round-trip is
+    * lossless; PlanShapeSpec asserts the read-back scan carries the
+    * predicate as a PartitionFilter (pruning), not a data filter. */
+  private val PsinkSchema =
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+      "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"
+
+  private def sinkPartitioned(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_psink_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+    Tables.orders(s, d)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    // explicit schema (same doctrine as the format round-trips — and
+    // an EMPTY write leaves no files to infer from, only _SUCCESS)
+    s.read.schema(PsinkSchema).parquet(out)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Exposed for PlanShapeSpec: the read-back half only (the write
+    * must have happened — the spec calls the full query first). */
+  private[ops] def sinkPartitionedPlanProbe(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_psink_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+    s.read.parquet(out).filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+  }
+
   private val rtOracle =
     s"""SELECT l_returnflag, l_linestatus,
        |       COUNT(*) AS n,
@@ -68,11 +104,19 @@ object Formats extends QueryPack {
     "q_source_csv"  -> ((s, d) => roundtrip(s, d, "csv")),
     "q_source_json" -> ((s, d) => roundtrip(s, d, "json")),
     "q_source_orc"  -> ((s, d) => roundtrip(s, d, "orc")),
+    "q_sink_partitioned" -> sinkPartitioned,
   )
 
   override val oracles: Map[String, String] = Map(
     "q_source_csv"  -> rtOracle,
     "q_source_json" -> rtOracle,
     "q_source_orc"  -> rtOracle,
+    "q_sink_partitioned" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |       ${Det.dsumSql("o_totalprice", 2)} AS sum_price
+         |FROM orders
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
   )
 }

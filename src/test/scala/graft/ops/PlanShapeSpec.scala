@@ -284,4 +284,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(qe.executedPlan.toString.contains("TakeOrderedAndProject"),
       qe.executedPlan.toString)
   }
+
+  test("q_sink_partitioned prunes partitions on read-back (no data filter)") {
+    // run the full query once so the partitioned layout exists, then
+    // inspect the read-back scan: the o_orderpriority predicate must
+    // appear as a PartitionFilter (directory pruning before I/O) and
+    // NOT as a pushed data filter — on a partition column the value
+    // is in the path, not the files
+    graft.SparkEntry.queries("q_sink_partitioned")(spark, sf).count()
+    val p = Formats.sinkPartitionedPlanProbe(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+        l.contains("o_orderpriority")),
+      s"partition filter not applied to the partition column:\n$p")
+  }
 }
