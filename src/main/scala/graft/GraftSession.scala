@@ -21,5 +21,11 @@ object GraftSession {
       // to µs to match DuckDB). Session-scoped by design: set once at
       // build, never mutated by loaders.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table home (q_join_bucketed): per-process tmp path so
+      // concurrent JVMs (bench alongside verify) never share a
+      // catalog directory; the in-memory catalog itself is per-session
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_" +
+          ProcessHandle.current().pid())
       .withExtensions(new plans.GraftExtensions)
 }

@@ -193,8 +193,40 @@ object Joins extends QueryPack {
       .orderBy(col("k").asc_nulls_first)
   }
 
+  /** Bucketed co-located fact-fact join: both tables written
+    * `bucketBy(8, key)` + `sortBy(key)` into the session catalog,
+    * then joined WITHOUT shuffling either side — the scan itself is
+    * bucket-aware, so the sort-merge join reads co-located buckets
+    * directly. This is the 100 TB move for a repeatedly-joined
+    * fact-fact pair (orders⋈lineitem): pay the layout once at write
+    * time, skip the dominant exchange on every subsequent join.
+    * PlanShapeSpec asserts the join has NO shuffle below it and the
+    * scans report bucketed reads. The merge hint keeps the plan
+    * honest at test scale, where orders would otherwise broadcast
+    * (a broadcast would make the co-location demo vacuous; at real
+    * scale neither side broadcasts). */
+  private def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    val suf = d.replaceAll("[^A-Za-z0-9]", "_")
+    val (liT, ordT) = (s"graft_li_bkt_$suf", s"graft_ord_bkt_$suf")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
+    s.table(liT).hint("merge")
+      .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        graft.Det.dsum(col("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_join_cross"     -> joinCross,
+    "q_join_bucketed"  -> joinBucketed,
     "q_join_nullsafe"  -> joinNullsafe,
     "q_join_inner"     -> joinInner,
     "q_join_broadcast" -> joinBroadcast,
@@ -209,6 +241,12 @@ object Joins extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_join_bucketed" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         |       ${graft.Det.dsumSql("l_extendedprice", 2)} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
     "q_join_cross" ->
       """SELECT r_name, n_name
         |FROM region CROSS JOIN nation

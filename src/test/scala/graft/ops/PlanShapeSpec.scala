@@ -285,6 +285,17 @@ class PlanShapeSpec extends SparkSpec {
       qe.executedPlan.toString)
   }
 
+  test("q_join_bucketed joins co-located buckets with NO shuffle below the join") {
+    val p = plan("q_join_bucketed")
+    assert(p.contains("SortMergeJoin"), p)
+    // both scans must be bucket-aware reads
+    assert(p.contains("Bucketed: true"), p)
+    // the ONLY hash exchange in the plan is the post-join groupBy's:
+    // a second one means a join input shuffled and co-location broke
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"join input shuffled despite bucketing ($exchanges exchanges):\n$p")
+  }
+
   test("q_sink_partitioned prunes partitions on read-back (no data filter)") {
     // run the full query once so the partitioned layout exists, then
     // inspect the read-back scan: the o_orderpriority predicate must
