@@ -63,6 +63,23 @@ object SqlSuite extends QueryPack {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q2: minimum-cost supplier — the correlated MIN subquery
+    * selecting, per part, exactly the rows achieving the per-part
+    * minimum (lineitem stands in for the missing partsupp bridge;
+    * the min is over raw parquet doubles, so the equality is exact
+    * on both engines). DISTINCT because several shipments can tie at
+    * the minimum price. */
+  private def q2(t: T): String =
+    s"""SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, l_extendedprice
+       |FROM ${t("part")}
+       |JOIN ${t("lineitem")} ON p_partkey = l_partkey
+       |JOIN ${t("supplier")} ON s_suppkey = l_suppkey
+       |WHERE p_size = 25 AND p_type = 'LARGE'
+       |  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+       |                         FROM ${t("lineitem")} l2
+       |                         WHERE l2.l_partkey = p_partkey)
+       |ORDER BY p_partkey, s_suppkey, l_extendedprice""".stripMargin
+
   /** TPC-H Q4: priority checking — correlated EXISTS whose inner
     * predicate references the OUTER table's o_orderdate (a non-equi
     * correlation; Catalyst's DecorrelateInnerQuery turns it into a
@@ -105,6 +122,34 @@ object SqlSuite extends QueryPack {
        |GROUP BY supp_nation, cust_nation, l_year
        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** TPC-H Q8: national market share — a conditional-aggregate RATIO
+    * per group (the supplier-nation share of each order-year's
+    * volume) over the 7-table snowflake with the customer side
+    * region-filtered. Same two-nation-alias device as Q7, plus the
+    * two-branch ratio of Q14 — per group instead of globally. */
+  private def q8(t: T): String =
+    s"""SELECT o_year,
+       |       ${Det.r4Sql(s"""${Det.dsumSql(
+            "CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END", 6)}
+              / ${Det.dsumSql("volume", 6)}""")} AS mkt_share,
+       |       COUNT(*) AS n_items
+       |FROM (
+       |  SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       |         l_extendedprice * (1 - l_discount) AS volume,
+       |         n2.n_name AS supp_nation
+       |  FROM ${t("part")}
+       |  JOIN ${t("lineitem")} ON p_partkey = l_partkey
+       |  JOIN ${t("supplier")} ON s_suppkey = l_suppkey
+       |  JOIN ${t("orders")}   ON o_orderkey = l_orderkey
+       |  JOIN ${t("customer")} ON c_custkey = o_custkey
+       |  JOIN ${t("nation")} n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN ${t("nation")} n2 ON s_nationkey = n2.n_nationkey
+       |  JOIN ${t("region")} ON n1.n_regionkey = r_regionkey
+       |  WHERE r_name = 'AFRICA' AND p_type = 'STANDARD'
+       |) all_nations
+       |GROUP BY o_year
+       |ORDER BY o_year""".stripMargin
+
   /** TPC-H Q9: product-type profit — five-table join where the
     * build side (part) is LIKE-filtered before joining; the schema
     * has no ps_supplycost, so cost is proxied by p_retailprice-based
@@ -126,6 +171,24 @@ object SqlSuite extends QueryPack {
        |) profit
        |GROUP BY nation, o_year
        |ORDER BY nation, o_year""".stripMargin
+
+  /** TPC-H Q11: important stock — a grouped aggregate gated by a
+    * scalar subquery over the SAME aggregate (value > 0.1% of the
+    * national total): the aggregate-vs-its-own-total pattern. The
+    * threshold is a decimal-exact sum on both engines, so the
+    * boundary comparison cannot split. */
+  private def q11(t: T): String =
+    s"""WITH pv AS (
+       |  SELECT l_partkey, ${Det.dsumSql("l_extendedprice", 2)} AS value
+       |  FROM ${t("lineitem")}
+       |  JOIN ${t("supplier")} ON l_suppkey = s_suppkey
+       |  WHERE s_nationkey = 3
+       |  GROUP BY l_partkey)
+       |SELECT l_partkey, value
+       |FROM pv
+       |WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 0.001
+       |               FROM pv)
+       |ORDER BY value DESC, l_partkey""".stripMargin
 
   /** TPC-H Q12: shipmode priority pivot — conditional COUNT FILTER
     * aggregation over the orders⋈lineitem fact-fact join (no
@@ -235,6 +298,23 @@ object SqlSuite extends QueryPack {
        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** TPC-H Q20: suppliers with excess shipments — the IN-subquery
+    * whose inner query is itself a filtered join + HAVING aggregate
+    * (part name filter nested inside the supplier selection). */
+  private def q20(t: T): String =
+    s"""SELECT s_suppkey, s_name
+       |FROM ${t("supplier")}
+       |WHERE s_suppkey IN (
+       |  SELECT l_suppkey
+       |  FROM ${t("lineitem")}
+       |  JOIN ${t("part")} ON p_partkey = l_partkey
+       |  WHERE p_name LIKE '%red%'
+       |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |  GROUP BY l_suppkey
+       |  HAVING ${Det.dsumSql("l_quantity", 2)} > 100.0)
+       |ORDER BY s_suppkey""".stripMargin
+
   /** TPC-H Q21: suppliers who kept orders waiting — the double
     * correlated EXISTS / NOT EXISTS pattern ("another supplier was on
     * the order, but no OTHER supplier was late"). The late flag is
@@ -284,7 +364,11 @@ object SqlSuite extends QueryPack {
 
   private val shapes: Map[String, T => String] = Map(
     "q_sql_tpch1"  -> q1,
+    "q_sql_tpch2"  -> q2,
     "q_sql_tpch4"  -> q4,
+    "q_sql_tpch8"  -> q8,
+    "q_sql_tpch11" -> q11,
+    "q_sql_tpch20" -> q20,
     "q_sql_tpch7"  -> q7,
     "q_sql_tpch9"  -> q9,
     "q_sql_tpch12" -> q12,
