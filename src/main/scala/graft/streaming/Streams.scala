@@ -24,6 +24,12 @@ case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 /** A near-dup pair surfaced by [[Streams.nearDupPairs]] (doc_a < doc_b). */
 case class NearDupPair(doc_a: Long, doc_b: Long, jaccard: Double)
 
+/** Per-user funnel stage timestamps (epoch MICROS — the events
+  * table's native precision, so strict stage-order comparisons can
+  * never falsely tie; -1 = stage not reached), the streaming state
+  * AND output row of [[FunnelStagesProcessor]]. */
+case class UserFunnel(user_id: Long, t_view: Long, t_click: Long, t_buy: Long)
+
 /** Spark 4 arbitrary-state API (transformWithState successor of
   * flatMapGroupsWithState): a per-user running count/sum held in a
   * typed ValueState, emitted once per key per micro-batch. State
@@ -46,6 +52,46 @@ class RunningTotalsProcessor
     rows.foreach { e => n += 1; sum += e.value }
     totals.update((n, sum))
     Iterator.single(UserRunning(user, n, sum))
+  }
+}
+
+/** Streaming twin of the conversion funnel (ops.Analytics.q_funnel):
+  * per-user earliest view/click/purchase timestamps as MIN-merge
+  * state. Minimum is commutative and idempotent, so the state
+  * converges to the batch conditional-min aggregate REGARDLESS of
+  * arrival order across micro-batches — late or reordered events can
+  * only lower a stage timestamp toward the batch truth, never past
+  * it. Emits the running stage row per user per micro-batch (update
+  * mode); the funnel roll-up (did click follow view?) stays a
+  * downstream batch-style aggregate over the latest state. */
+class FunnelStagesProcessor
+    extends StatefulProcessor[Long, Event, UserFunnel] {
+  @transient private var stages: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    stages = getHandle.getValueState[(Long, Long, Long)](
+      "stages",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  private def minTs(cur: Long, t: Long): Long = if (cur < 0 || t < cur) t else cur
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[UserFunnel] = {
+    var (v, c, b) = Option(stages.get()).getOrElse((-1L, -1L, -1L))
+    rows.foreach { e =>
+      // epoch micros: getTime carries ms (incl. the nanos' ms part);
+      // the sub-ms micros come from getNanos
+      val t = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+      e.event_type match {
+        case "view"     => v = minTs(v, t)
+        case "click"    => c = minTs(c, t)
+        case "purchase" => b = minTs(b, t)
+        case _          => ()
+      }
+    }
+    stages.update((v, c, b))
+    Iterator.single(UserFunnel(user, v, c, b))
   }
 }
 
@@ -143,6 +189,15 @@ object Streams {
     events
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Incremental funnel stages — see [[FunnelStagesProcessor]]. */
+  def funnelStages(events: Dataset[Event]): Dataset[UserFunnel] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelStagesProcessor,
         TimeMode.None(), OutputMode.Update())
   }
 

@@ -150,6 +150,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel stages converge to the batch q_funnel roll-up on shuffled input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // real events, deterministically SHUFFLED (hash order) and split
+      // into 3 micro-batches: min-merge state must converge to the
+      // batch conditional-min aggregate regardless of arrival order
+      val rows = graft.Tables.events(spark, sf).as[Event].collect()
+        .sortBy(e => java.util.Objects.hash(java.lang.Long.valueOf(e.event_id)) * 2654435761L)
+      val ms = MemoryStream[Event]
+      val q = Streams.funnelStages(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("funnel_out").outputMode("update").start()
+      rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      q.stop()
+      // latest state per user = per-column min over emitted rows
+      // (stage timestamps only ever decrease; -1 = not reached → max)
+      val last = spark.table("funnel_out")
+        .groupBy("user_id")
+        .agg(min(when(col("t_view") >= 0, col("t_view"))).as("t_view"),
+          min(when(col("t_click") >= 0, col("t_click"))).as("t_click"),
+          min(when(col("t_buy") >= 0, col("t_buy"))).as("t_buy"))
+      val got = last.agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_view")).as("n_view"),
+        count(when(col("t_click") > col("t_view"), lit(1))).as("n_click_after_view"),
+        count(when(col("t_buy") > col("t_click") && col("t_click") > col("t_view"),
+          lit(1))).as("n_full_funnel")).head()
+      val want = graft.SparkEntry.queries("q_funnel")(spark, sf).head()
+      assert(got.getLong(1) == want.getAs[Long]("n_view"))
+      assert(got.getLong(2) == want.getAs[Long]("n_click_after_view"))
+      assert(got.getLong(3) == want.getAs[Long]("n_full_funnel"))
+      // user count differs only by users with NO funnel event at all
+      assert(got.getLong(0) <= want.getAs[Long]("n_users"))
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-static join enriches each micro-batch against the dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
