@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Ground-truth checks for the analytics pack beyond the DuckDB
+  * hash-compare: structural invariants for SCD2 (the oracle proves
+  * value equality, not that the intervals MEAN what SCD2 promises)
+  * and an exact driver-side recomputation of the EWMA fold.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("q_scd2 intervals tile each user's timeline without overlap or repeat") {
+    val rows = graft.SparkEntry.queries("q_scd2")(spark, sf)
+      .select("user_id", "state", "valid_from", "valid_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime,
+        Option(r.getTimestamp(3)).map(_.getTime)))
+    rows.groupBy(_._1).foreach { case (user, ivs0) =>
+      val ivs = ivs0.sortBy(_._3)
+      ivs.sliding(2).foreach {
+        case Array((_, s1, f1, t1), (_, s2, f2, _)) =>
+          // consecutive intervals: abut exactly, never repeat a state
+          assert(t1.contains(f2), s"user $user: gap/overlap at $f1 -> $f2")
+          assert(s1 != s2, s"user $user: un-collapsed repeat state $s1")
+          assert(f1 < f2, s"user $user: non-increasing valid_from")
+        case _ => ()
+      }
+      // exactly one open interval per user, and it is the last
+      assert(ivs.count(_._4.isEmpty) == 1 && ivs.last._4.isEmpty,
+        s"user $user: open-interval invariant broken")
+    }
+  }
+
+  test("q_scd2 change rows agree with a driver-side fold of the raw log") {
+    val log = graft.Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+      .sortBy(t => (t._1, t._4.getTime, t._2))
+    // reference: keep rows whose state differs from the user's prior row
+    val expected = log.groupBy(_._1).values.flatMap { evs =>
+      evs.zip(None +: evs.map(e => Some(e._3))).collect {
+        case (e, prev) if !prev.contains(e._3) => (e._1, e._2)
+      }
+    }.toSet
+    val got = graft.SparkEntry.queries("q_scd2")(spark, sf)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("q_ewma equals an exact driver-side replay of the LAG-chain fold") {
+    // replicate the SQL expression tree EXACTLY: same coefficients,
+    // same left-associative addition order, same floor-rounding —
+    // doubles must match bit-for-bit
+    val coefs = (1 until 10).map(k => math.pow(0.5, k))
+    val series = graft.Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getDouble(3)))
+      .groupBy(_._1)
+    val expected = series.values.flatMap { evs0 =>
+      val evs = evs0.sortBy(e => (e._3, e._2))
+      evs.indices.map { i =>
+        var num = evs(i)._4
+        var den = 1.0
+        coefs.zipWithIndex.foreach { case (c, k0) =>
+          val k = k0 + 1
+          if (i - k >= 0) { num += evs(i - k)._4 * c; den += c }
+          else { num += 0.0; den += 0.0 }
+        }
+        evs(i)._2 -> math.floor((num / den) * 10000 + 0.5) / 10000
+      }
+    }.toMap
+    val got = graft.SparkEntry.queries("q_ewma")(spark, sf)
+      .select("event_id", "ewma").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == expected.size)
+    val bad = got.collect { case (id, v) if v != expected(id) => (id, v, expected(id)) }
+    assert(bad.isEmpty, s"first mismatches: ${bad.take(5)}")
+  }
+}
