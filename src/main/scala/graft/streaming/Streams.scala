@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, TTLConfig, ValueState}
 
 /** Event row shape of the events table (FIXTURES.md). */
 case class Event(
@@ -93,6 +94,79 @@ class FunnelStagesProcessor
     stages.update((v, c, b))
     Iterator.single(UserFunnel(user, v, c, b))
   }
+}
+
+/** A change row emitted by [[IncrementalScd2Processor]]: the state
+  * became `state` at `valid_from_us` (epoch micros). valid_to is the
+  * next change's valid_from — an interval view is a downstream
+  * stateless window, exactly as in the batch q_scd2. */
+case class Scd2Change(user_id: Long, event_id: Long, state: String,
+  valid_from_us: Long)
+
+/** Streaming twin of ops.Analytics.q_scd2 — incremental SCD type-2
+  * change detection that is SAFE UNDER OUT-OF-ORDER ARRIVAL, unlike a
+  * naive per-batch fold: change detection is order-SENSITIVE (a
+  * reordered pair of events can both create and suppress change
+  * rows), so arriving events are only buffered here, and the fold
+  * advances exclusively over the WATERMARK-FINAL prefix — events
+  * strictly older than the watermark, which Spark guarantees no
+  * later arrival can precede. Per key: a ListState buffer of
+  * (ts, event_id, type), a ValueState of the last folded state, and
+  * an event-time timer (re-registered at each batch's max ts) so
+  * keys with buffered events drain when the watermark passes even if
+  * they never receive another row. State is bounded by the
+  * allowed-lateness window per key — the buffer holds at most the
+  * events of the last delay interval, not history.
+  */
+class IncrementalScd2Processor
+    extends StatefulProcessor[Long, Event, Scd2Change] {
+  @transient private var buffer: ListState[(Long, Long, String)] = _
+  @transient private var last: ValueState[String] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buffer = getHandle.getListState[(Long, Long, String)](
+      "buffer",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING),
+      TTLConfig.NONE)
+    last = getHandle.getValueState[String]("last", Encoders.STRING, TTLConfig.NONE)
+  }
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** Fold the watermark-final prefix of the buffer (strict <, so an
+    * equal-ts straggler can never sort before an already-folded row)
+    * and emit the detected changes in (ts, event_id) order. */
+  private def drain(user: Long, wmMs: Long): Iterator[Scd2Change] = {
+    if (!buffer.exists()) return Iterator.empty
+    val wmUs = wmMs * 1000L
+    val (ready, rest) = buffer.get().toVector.partition(_._1 < wmUs)
+    if (ready.isEmpty) return Iterator.empty
+    if (rest.isEmpty) buffer.clear() else buffer.put(rest.toArray)
+    var cur = Option(last.get())
+    val out = Vector.newBuilder[Scd2Change]
+    ready.sortBy(e => (e._1, e._2)).foreach { case (t, id, st) =>
+      if (!cur.contains(st)) { out += Scd2Change(user, id, st, t); cur = Some(st) }
+    }
+    cur.foreach(last.update)
+    out.result().iterator
+  }
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[Scd2Change] = {
+    var maxTsMs = Long.MinValue
+    rows.foreach { e =>
+      buffer.appendValue((micros(e.ts), e.event_id, e.event_type))
+      maxTsMs = math.max(maxTsMs, e.ts.getTime)
+    }
+    // fire once the watermark passes everything currently buffered
+    if (maxTsMs != Long.MinValue) getHandle.registerTimer(maxTsMs + 1)
+    drain(user, timers.getCurrentWatermarkInMs())
+  }
+
+  override def handleExpiredTimer(user: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[Scd2Change] =
+    drain(user, timers.getCurrentWatermarkInMs())
 }
 
 /** Structured Streaming operators (SURVEY.md §2 streaming tier +
@@ -199,6 +273,19 @@ object Streams {
       .groupByKey(_.user_id)
       .transformWithState(new FunnelStagesProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Incremental SCD2 — see [[IncrementalScd2Processor]]. The
+    * watermark delay is the out-of-order tolerance; emission lags
+    * arrival by at most that delay. */
+  def incrementalScd2(events: Dataset[Event],
+      delay: String = "10 minutes"): Dataset[Scd2Change] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new IncrementalScd2Processor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** INCREMENTAL MinHash-LSH near-dup detection: every arriving

@@ -194,6 +194,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental SCD2 folds only watermark-final prefixes and matches the batch change set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 3 contiguous TIME slices (watermark semantics demand bounded
+      // disorder), each slice internally hash-shuffled: the processor
+      // must re-order within the allowed lateness
+      val evs = graft.Tables.events(spark, sf).as[Event].collect()
+        .sortBy(e => (e.ts.getTime, e.event_id))
+      val maxTs = evs.map(_.ts.getTime).max
+      val slices = evs.grouped((evs.length + 2) / 3).toSeq
+        .map(_.sortBy(e => java.util.Objects.hash(java.lang.Long.valueOf(e.event_id)) * 2654435761L))
+      val ms = MemoryStream[Event]
+      val q = Streams.incrementalScd2(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("scd2_out").outputMode("append").start()
+      slices.foreach { s => ms.addData(s.toSeq); q.processAllAvailable() }
+      // two sentinel batches: the first advances the watermark past
+      // every real event, the second gives the per-key timers a batch
+      // to fire in (watermark updates between batches)
+      ms.addData(Seq(Event(-1, new Timestamp(maxTs + 3600 * 1000L), -1L, "view", 0.0, "{}")))
+      q.processAllAvailable()
+      ms.addData(Seq(Event(-2, new Timestamp(maxTs + 7200 * 1000L), -1L, "view", 0.0, "{}")))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("scd2_out")
+        .filter(col("user_id") >= 0)
+        .select("user_id", "event_id", "state", "valid_from_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      val want = graft.SparkEntry.queries("q_scd2")(spark, sf)
+        .select("user_id", "event_id", "state", "valid_from").collect()
+        .map { r =>
+          val t = r.getTimestamp(3)
+          (r.getLong(0), r.getLong(1), r.getString(2),
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+        }.toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)} " +
+          s"(got ${got.size} vs want ${want.size})")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-static join enriches each micro-batch against the dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
