@@ -2,17 +2,26 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Scaling probe for the candidate-bounded dedup family: replicates
-  * the sf0.1 documents table k× (each copy's tokens prefixed with the
-  * copy id, so copies are INDEPENDENT corpus replicas — same token-df
-  * demographics, no cross-copy near-dups) and times the document-only
-  * queries cold at k = 1, 2, 4. A candidate generator whose cost
-  * tracks the true-pair count should grow ~linearly here; anything
-  * quadratic in corpus size (the round-3 block-join failure mode)
-  * shows up as a >2 growth exponent between doublings.
+/** Scaling probe: replicates the sf0.1 tables k× into independent
+  * copies and times registered queries cold at k = 1, 2, 4 — the
+  * local stand-in for "would this plan hold at 1000×?".
+  *
+  *  - documents: each copy's tokens are prefixed with the copy id, so
+  *    copies are INDEPENDENT corpus replicas — same token-df
+  *    demographics, no cross-copy near-dups. A candidate generator
+  *    whose cost tracks the true-pair count should grow ~linearly; a
+  *    quadratic corpus term (the round-3 block-join failure mode)
+  *    shows up as a >2 growth exponent between doublings.
+  *  - facts (lineitem, orders): order keys offset per copy, customer
+  *    and other dim keys UNCHANGED — "k× more transactions over the
+  *    same customers". Fact-fact join input and output both scale
+  *    ×k while dims stay constant, so a join plan whose cost is
+  *    linear in the fact side stays linear here; dims are copied
+  *    verbatim once per dir.
   *
   * Usage: `graft.ScaleProbe [q_name ...]` — defaults to the
-  * prefix-filter family. Prints one JSON line per (query, scale).
+  * prefix-filter dedup family + two fact-join shapes. Prints one
+  * JSON line per (query, scale).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -24,25 +33,44 @@ object ScaleProbe {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names =
       if (args.nonEmpty) args.toSeq
-      else Seq("q_dedup_ngram", "q_dedup_cluster", "q_pipeline_train")
+      else Seq("q_dedup_ngram", "q_dedup_cluster", "q_pipeline_train",
+        "q_sql_tpch3", "q_sql_tpch18")
     val base = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val par = spark.sparkContext.defaultParallelism.min(32)
 
     def buildDir(k: Int): String = {
       val dir = s"$base/x$k"
+      // --- documents: token-prefixed independent replicas ---
       val docs = spark.read.parquet(s"$src/documents.parquet")
-      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
-      val copies = (0 until k).map { c =>
+      val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
+      (0 until k).map { c =>
         docs.select(
-          (col("doc_id") + lit(c.toLong * n)).as("doc_id"),
-          // prefix every token with the copy id: token-df shape is
-          // preserved per copy, cross-copy Jaccard is exactly 0
+          (col("doc_id") + lit(c.toLong * nDocs)).as("doc_id"),
           array_join(transform(split(col("text"), " "),
             t => concat(lit(s"c${c}_"), t)), " ").as("text"),
           col("lang"), col("source"), col("n_chars"))
-      }
-      copies.reduce(_ unionAll _)
-        .repartition(spark.sparkContext.defaultParallelism.min(32))
+      }.reduce(_ unionAll _)
+        .repartition(par)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // --- facts: order keys offset per copy, dim keys unchanged ---
+      val orders = spark.read.parquet(s"$src/orders.parquet")
+      val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+      val nOrd = orders.agg(max("o_orderkey")).head().getLong(0) + 1
+      (0 until k).map { c =>
+        orders.withColumn("o_orderkey", col("o_orderkey") + lit(c.toLong * nOrd))
+      }.reduce(_ unionAll _)
+        .repartition(par)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      (0 until k).map { c =>
+        lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(c.toLong * nOrd))
+      }.reduce(_ unionAll _)
+        .repartition(par)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      // --- dims: verbatim copy ---
+      Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
       dir
     }
 
@@ -53,9 +81,16 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
-    for (k <- Seq(1, 2, 4)) {
+    val ks = sys.env.get("SPARK_GRAFT_SCALE_KS")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 2, 4))
+    val explain = sys.env.contains("SPARK_GRAFT_SCALE_EXPLAIN")
+    for (k <- ks) {
       val dir = buildDir(k)
       names.foreach { name =>
+        if (explain) {
+          println(s"===== $name @ x$k =====")
+          SparkEntry.queries(name)(spark, dir).explain("formatted")
+        }
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9
