@@ -96,6 +96,68 @@ object Analytics extends QueryPack {
       .orderBy("col")
   }
 
+  // ---- correlation matrix ----------------------------------------
+
+  /** Pearson correlation between numeric column pairs of lineitem,
+    * computed from DECIMAL-EXACT raw moments (Σx, Σy, Σxy, Σx², Σy²,
+    * n) gathered in ONE scan — never via the streaming `corr`
+    * aggregate, whose FP accumulation order differs between engines
+    * and across partition counts. The moment sums are
+    * order-independent (exact decimal addition), so the final double
+    * arithmetic is bit-identical on both engines, and adding
+    * executors cannot change the answer — determinism AND scale from
+    * the same trick. */
+  private val CorrPairs = Seq(
+    ("l_quantity", "l_extendedprice"),
+    ("l_extendedprice", "l_discount"),
+    ("l_quantity", "l_tax"))
+
+  private def corrMatrix(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val cols = CorrPairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val moments =
+      count(lit(1)).as("n") +:
+        (cols.flatMap { c =>
+          Seq(Det.dsum(col(c), 6).as(s"s_$c"),
+            Det.dsum(col(c) * col(c), 6).as(s"ss_$c"))
+        } ++ CorrPairs.map { case (a, b) =>
+          Det.dsum(col(a) * col(b), 6).as(s"sp_${a}_$b")
+        })
+    val wide = li.agg(moments.head, moments.tail: _*)
+    val rows = CorrPairs.map { case (a, b) =>
+      val n = col("n").cast("double")
+      val cov = col(s"sp_${a}_$b") * n - col(s"s_$a") * col(s"s_$b")
+      val va = col(s"ss_$a") * n - col(s"s_$a") * col(s"s_$a")
+      val vb = col(s"ss_$b") * n - col(s"s_$b") * col(s"s_$b")
+      struct(lit(s"${a}__$b").as("pair"),
+        Det.r4(cov / sqrt(va * vb)).as("pearson"))
+    }
+    wide.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.pair"), col("p.pearson"))
+      .orderBy("pair")
+  }
+
+  private def corrOracle: String = {
+    val cols = CorrPairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val moments =
+      ("CAST(COUNT(*) AS DOUBLE) AS n" +:
+        (cols.flatMap { c =>
+          Seq(s"${Det.dsumSql(c, 6)} AS s_$c",
+            s"${Det.dsumSql(s"$c * $c", 6)} AS ss_$c")
+        } ++ CorrPairs.map { case (a, b) =>
+          s"${Det.dsumSql(s"$a * $b", 6)} AS sp_${a}_$b"
+        })).mkString(",\n         ")
+    val selects = CorrPairs.map { case (a, b) =>
+      val expr = s"(sp_${a}_$b * n - s_$a * s_$b)" +
+        s" / SQRT((ss_$a * n - s_$a * s_$a) * (ss_$b * n - s_$b * s_$b))"
+      s"SELECT '${a}__$b' AS pair, ${Det.r4Sql(expr)} AS pearson FROM m"
+    }
+    s"""WITH m AS (
+       |  SELECT $moments
+       |  FROM lineitem)
+       |${selects.mkString("", "\nUNION ALL\n", "\nORDER BY pair")}""".stripMargin
+  }
+
   // ---- EWMA smoothing --------------------------------------------
 
   /** Exponentially-weighted moving average (α=0.5) over each user's
@@ -186,10 +248,12 @@ object Analytics extends QueryPack {
     "q_profile"    -> profile,
     "q_hybrid_rrf" -> hybridRrf,
     "q_ewma"       -> ewma,
+    "q_corr"       -> corrMatrix,
   )
 
   override val oracles: Map[String, String] = Map(
     "q_ewma" -> ewmaSql("events"),
+    "q_corr" -> corrOracle,
     "q_funnel" ->
       """WITH stages AS (
         |  SELECT user_id,
