@@ -296,6 +296,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"join input shuffled despite bucketing ($exchanges exchanges):\n$p")
   }
 
+  test("no registered query plans a CartesianProduct (except the cross-join demo)") {
+    // a non-broadcast nested-loop product is THE 100 TB killer: every
+    // partition of one side ships to every partition of the other.
+    // q_join_cross is the deliberate tiny-dims cross join; everything
+    // else must plan keyed joins or broadcast nested loops (bounded
+    // build side), never a shuffled cartesian.
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_ == "q_join_cross")
+      .flatMap { name =>
+        val p = plan(name)
+        if (p.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"queries planning CartesianProduct: $offenders")
+  }
+
+  test("no registered query evaluates a Scala UDF (codegen surface only)") {
+    // the engine's contract: built-ins / HOFs / native Expressions
+    // everywhere — a ScalaUDF black-boxes the optimizer (no pushdown
+    // through it, no codegen, boxed row values). The UDF/UDAF surface
+    // (q_udaf_wavg etc.) uses typed Aggregators, which compile to
+    // ObjectHashAggregate, not ScalaUDF.
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      if (p.contains("UDF(") || p.contains("ScalaUDF")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"queries with Scala UDFs: $offenders")
+  }
+
   test("q_sink_partitioned prunes partitions on read-back (no data filter)") {
     // run the full query once so the partitioned layout exists, then
     // inspect the read-back scan: the o_orderpriority predicate must
