@@ -96,6 +96,38 @@ object Analytics extends QueryPack {
       .orderBy("col")
   }
 
+  // ---- winsorization ---------------------------------------------
+
+  /** Per-group winsorization (outlier clipping to the [p05, p95]
+    * band) — the standard robust-statistics prep step before training
+    * on heavy-tailed numeric features. Two passes: a group-cardinality
+    * percentile table (percentile_disc returns an ACTUAL data value,
+    * so both engines agree exactly with no interpolation arithmetic),
+    * broadcast back onto the fact scan, then clip + aggregate. The
+    * broadcast is group-cardinality-sized — at 100 TB the fact table
+    * streams through a map-side clip, never a shuffle on data. */
+  private def winsorize(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice)").as("lo"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .withColumn("w",
+        when(col("l_extendedprice") < col("lo"), col("lo"))
+          .when(col("l_extendedprice") > col("hi"), col("hi"))
+          .otherwise(col("l_extendedprice")))
+      .groupBy(col("l_returnflag"), col("lo"), col("hi"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("l_extendedprice") < col("lo"), lit(1))).as("n_clip_lo"),
+        count(when(col("l_extendedprice") > col("hi"), lit(1))).as("n_clip_hi"),
+        Det.dsum(col("l_extendedprice"), 2).as("sum_raw"),
+        Det.dsum(col("w"), 2).as("sum_winsorized"))
+      .orderBy("l_returnflag")
+  }
+
   // ---- correlation matrix ----------------------------------------
 
   /** Pearson correlation between numeric column pairs of lineitem,
@@ -249,11 +281,28 @@ object Analytics extends QueryPack {
     "q_hybrid_rrf" -> hybridRrf,
     "q_ewma"       -> ewma,
     "q_corr"       -> corrMatrix,
+    "q_winsorize"  -> winsorize,
   )
 
   override val oracles: Map[String, String] = Map(
     "q_ewma" -> ewmaSql("events"),
     "q_corr" -> corrOracle,
+    "q_winsorize" ->
+      s"""WITH bounds AS (
+         |  SELECT l_returnflag,
+         |         QUANTILE_DISC(l_extendedprice, 0.05) AS lo,
+         |         QUANTILE_DISC(l_extendedprice, 0.95) AS hi
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l.l_returnflag, lo, hi,
+         |       COUNT(*) AS n,
+         |       COUNT(CASE WHEN l_extendedprice < lo THEN 1 END) AS n_clip_lo,
+         |       COUNT(CASE WHEN l_extendedprice > hi THEN 1 END) AS n_clip_hi,
+         |       ${Det.dsumSql("l_extendedprice", 2)} AS sum_raw,
+         |       ${Det.dsumSql(
+              "CASE WHEN l_extendedprice < lo THEN lo WHEN l_extendedprice > hi THEN hi ELSE l_extendedprice END", 2)} AS sum_winsorized
+         |FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+         |GROUP BY l.l_returnflag, lo, hi
+         |ORDER BY l.l_returnflag""".stripMargin,
     "q_funnel" ->
       """WITH stages AS (
         |  SELECT user_id,
