@@ -96,6 +96,49 @@ object Analytics extends QueryPack {
       .orderBy("col")
   }
 
+  // ---- snapshot diff (CDC derivation) ----------------------------
+
+  /** Change-data-capture DERIVATION between two table snapshots: a
+    * keyed full-outer comparison classifying every key as insert /
+    * delete / update / unchanged, with decimal-exact value-delta
+    * totals per class. The "new" snapshot is synthesized in-query
+    * from orders by deterministic key arithmetic (drop every 97th
+    * key, reprice every 101st, append shifted copies of every 103rd),
+    * so the query is self-contained and the oracle reproduces the
+    * same construction. The reprice is ADDITIVE (+1234.56), keeping
+    * every delta exact at 2 decimals — a multiplicative reprice
+    * (×1.1) put thousands of deltas on the half-cent rounding
+    * boundary where Spark's HALF_UP decimal cast and DuckDB's can
+    * split (observed at sf0.1). Scale shape: ONE shuffle of each side on the
+    * key (the join), classification is a narrow projection; at
+    * 100 TB both snapshots would be bucketed on the key and the join
+    * co-located (see q_join_bucketed). */
+  private def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val old = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+    val maxK = lit(6000000L) // > any o_orderkey at every test SF
+    val newSnap = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1234.56)
+          .otherwise(col("o_totalprice")).as("v"))
+      .unionAll(
+        Tables.orders(s, d).filter(col("o_orderkey") % 103 === 0)
+          .select((col("o_orderkey") + maxK).as("k"), col("o_totalprice").as("v")))
+    old.as("o").join(newSnap.as("n"), col("o.k") === col("n.k"), "full_outer")
+      .select(
+        when(col("o.k").isNull, "insert")
+          .when(col("n.k").isNull, "delete")
+          .when(col("o.v") =!= col("n.v"), "update")
+          .otherwise("unchanged").as("change"),
+        coalesce(col("n.v"), lit(0.0)).as("nv"),
+        coalesce(col("o.v"), lit(0.0)).as("ov"))
+      .groupBy("change")
+      .agg(count(lit(1)).as("n_keys"),
+        Det.dsum(col("nv") - col("ov"), 2).as("delta_value"))
+      .orderBy("change")
+  }
+
   // ---- winsorization ---------------------------------------------
 
   /** Per-group winsorization (outlier clipping to the [p05, p95]
@@ -282,11 +325,32 @@ object Analytics extends QueryPack {
     "q_ewma"       -> ewma,
     "q_corr"       -> corrMatrix,
     "q_winsorize"  -> winsorize,
+    "q_snapshot_diff" -> snapshotDiff,
   )
 
   override val oracles: Map[String, String] = Map(
     "q_ewma" -> ewmaSql("events"),
     "q_corr" -> corrOracle,
+    "q_snapshot_diff" ->
+      s"""WITH oldsnap AS (
+         |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+         |newsnap AS (
+         |  SELECT o_orderkey AS k,
+         |         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1234.56
+         |              ELSE o_totalprice END AS v
+         |  FROM orders WHERE o_orderkey % 97 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 6000000 AS k, o_totalprice AS v
+         |  FROM orders WHERE o_orderkey % 103 = 0)
+         |SELECT CASE WHEN o.k IS NULL THEN 'insert'
+         |            WHEN n.k IS NULL THEN 'delete'
+         |            WHEN o.v <> n.v THEN 'update'
+         |            ELSE 'unchanged' END AS change,
+         |       COUNT(*) AS n_keys,
+         |       ${Det.dsumSql("COALESCE(n.v, 0.0) - COALESCE(o.v, 0.0)", 2)} AS delta_value
+         |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.k = n.k
+         |GROUP BY change
+         |ORDER BY change""".stripMargin,
     "q_winsorize" ->
       s"""WITH bounds AS (
          |  SELECT l_returnflag,
