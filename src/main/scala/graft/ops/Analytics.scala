@@ -113,19 +113,28 @@ object Analytics extends QueryPack {
     * key (the join), classification is a narrow projection; at
     * 100 TB both snapshots would be bucketed on the key and the join
     * co-located (see q_join_bucketed). */
-  private def snapshotDiff(s: SparkSession, d: String): DataFrame = {
-    val old = Tables.orders(s, d)
-      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+  private def oldSnap(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+        col("o_totalprice").as("v"))
+
+  private def newSnap(s: SparkSession, d: String): DataFrame = {
     val maxK = lit(6000000L) // > any o_orderkey at every test SF
-    val newSnap = Tables.orders(s, d)
+    Tables.orders(s, d)
       .filter(col("o_orderkey") % 97 =!= 0)
-      .select(col("o_orderkey").as("k"),
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
         when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1234.56)
           .otherwise(col("o_totalprice")).as("v"))
       .unionAll(
         Tables.orders(s, d).filter(col("o_orderkey") % 103 === 0)
-          .select((col("o_orderkey") + maxK).as("k"), col("o_totalprice").as("v")))
-    old.as("o").join(newSnap.as("n"), col("o.k") === col("n.k"), "full_outer")
+          .select((col("o_orderkey") + maxK).as("k"),
+            col("o_orderpriority").as("pri"), col("o_totalprice").as("v")))
+  }
+
+  private def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val old = oldSnap(s, d).drop("pri")
+    val newS = newSnap(s, d).drop("pri")
+    old.as("o").join(newS.as("n"), col("o.k") === col("n.k"), "full_outer")
       .select(
         when(col("o.k").isNull, "insert")
           .when(col("n.k").isNull, "delete")
@@ -137,6 +146,44 @@ object Analytics extends QueryPack {
       .agg(count(lit(1)).as("n_keys"),
         Det.dsum(col("nv") - col("ov"), 2).as("delta_value"))
       .orderBy("change")
+  }
+
+  // ---- incremental view maintenance ------------------------------
+
+  /** Incremental maintenance of a grouped aggregate under the CDC
+    * delta: the maintained view (base aggregate ⊕ per-group delta
+    * contributions) must EQUAL a full recompute over the new snapshot
+    * — which is exactly what the oracle computes, so the hash match
+    * IS the IVM correctness proof. Sums stay in DECIMAL until the
+    * final projection (exact ⊕ needs exact addends, not the rounded
+    * double); counts are ±1 per changed key. Scale shape: the base
+    * view is group-cardinality, the delta aggregate shuffles only
+    * CHANGED keys — maintenance cost tracks the delta, not the table,
+    * which is the entire point of IVM at 100 TB. */
+  private def ivm(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val base = oldSnap(s, d)
+      .groupBy(col("pri"))
+      .agg(count(lit(1)).as("n0"), sum(col("v").cast(dec)).as("v0"))
+    // per-key delta rows: only keys present in exactly one side or
+    // with changed values contribute
+    val delta = oldSnap(s, d).as("o")
+      .join(newSnap(s, d).as("n"), col("o.k") === col("n.k"), "full_outer")
+      .select(
+        coalesce(col("n.pri"), col("o.pri")).as("pri"),
+        (when(col("n.k").isNotNull, lit(1)).otherwise(lit(0)) -
+          when(col("o.k").isNotNull, lit(1)).otherwise(lit(0))).as("dn"),
+        (coalesce(col("n.v").cast(dec), lit(0).cast(dec)) -
+          coalesce(col("o.v").cast(dec), lit(0).cast(dec))).as("dv"))
+      .filter(col("dn") =!= 0 || col("dv") =!= 0)
+      .groupBy(col("pri"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
+    base.join(delta, Seq("pri"), "full_outer")
+      .select(col("pri"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("v0"), lit(0).cast(dec)) +
+          coalesce(col("dv"), lit(0).cast(dec))).cast("double").as("total"))
+      .orderBy("pri")
   }
 
   // ---- winsorization ---------------------------------------------
@@ -326,11 +373,28 @@ object Analytics extends QueryPack {
     "q_corr"       -> corrMatrix,
     "q_winsorize"  -> winsorize,
     "q_snapshot_diff" -> snapshotDiff,
+    "q_ivm"        -> ivm,
   )
 
   override val oracles: Map[String, String] = Map(
     "q_ewma" -> ewmaSql("events"),
     "q_corr" -> corrOracle,
+    // the IVM proof: the oracle RECOMPUTES the aggregate from the new
+    // snapshot; the Spark side maintains it incrementally from the
+    // base + delta. Hash equality = maintenance correctness.
+    "q_ivm" ->
+      s"""WITH newsnap AS (
+         |  SELECT o_orderkey AS k, o_orderpriority AS pri,
+         |         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1234.56
+         |              ELSE o_totalprice END AS v
+         |  FROM orders WHERE o_orderkey % 97 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 6000000 AS k, o_orderpriority AS pri, o_totalprice AS v
+         |  FROM orders WHERE o_orderkey % 103 = 0)
+         |SELECT pri, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total
+         |FROM newsnap
+         |GROUP BY pri
+         |ORDER BY pri""".stripMargin,
     "q_snapshot_diff" ->
       s"""WITH oldsnap AS (
          |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
