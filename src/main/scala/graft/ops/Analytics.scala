@@ -195,7 +195,11 @@ object Analytics extends QueryPack {
     * so both engines agree exactly with no interpolation arithmetic),
     * broadcast back onto the fact scan, then clip + aggregate. The
     * broadcast is group-cardinality-sized — at 100 TB the fact table
-    * streams through a map-side clip, never a shuffle on data. */
+    * streams through a map-side clip, never a shuffle on data. Exact
+    * percentiles buffer each group's values in the aggregate (the
+    * dominant cost here); at 100 TB swap percentile_disc for
+    * approx_percentile and the plan — and the clip pass — is
+    * unchanged. */
   private def winsorize(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice"))
