@@ -172,11 +172,15 @@ object SqlSuite extends QueryPack {
        |GROUP BY nation, o_year
        |ORDER BY nation, o_year""".stripMargin
 
-  /** TPC-H Q11: important stock — a grouped aggregate gated by a
-    * scalar subquery over the SAME aggregate (value > 0.1% of the
-    * national total): the aggregate-vs-its-own-total pattern. The
-    * threshold is a decimal-exact sum on both engines, so the
-    * boundary comparison cannot split. */
+  /** TPC-H Q11: important stock — a grouped aggregate gated by its
+    * own global total (value > 0.1% of the national total). The gate
+    * is a global window over the ALREADY-AGGREGATED (part-cardinality)
+    * set, not a scalar subquery over a repeated CTE: Spark plans no
+    * exchange/subquery reuse across a CTE referenced twice (measured
+    * — the fact scan + join ran TWICE in the subquery form), while
+    * the window form aggregates once and the global window sees only
+    * dim-sized rows. The threshold is a decimal-exact sum on both
+    * engines, so the boundary comparison cannot split. */
   private def q11(t: T): String =
     s"""WITH pv AS (
        |  SELECT l_partkey, ${Det.dsumSql("l_extendedprice", 2)} AS value
@@ -184,10 +188,11 @@ object SqlSuite extends QueryPack {
        |  JOIN ${t("supplier")} ON l_suppkey = s_suppkey
        |  WHERE s_nationkey = 3
        |  GROUP BY l_partkey)
-       |SELECT l_partkey, value
-       |FROM pv
-       |WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 0.001
-       |               FROM pv)
+       |SELECT l_partkey, value FROM (
+       |  SELECT l_partkey, value,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER () AS DOUBLE) * 0.001 AS thr
+       |  FROM pv)
+       |WHERE value > thr
        |ORDER BY value DESC, l_partkey""".stripMargin
 
   /** TPC-H Q12: shipmode priority pivot — conditional COUNT FILTER
@@ -235,9 +240,13 @@ object SqlSuite extends QueryPack {
        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
        |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
 
-  /** TPC-H Q15: top supplier — a revenue aggregate referenced twice
-    * (once as the join input, once under MAX in a scalar subquery).
-    * The decimal-exact revenue makes the double equality safe. */
+  /** TPC-H Q15: top supplier — the revenue aggregate gated by its own
+    * maximum. Expressed as MAX() OVER () on the single aggregate pass
+    * rather than a scalar subquery over the CTE: Spark plans no reuse
+    * across a CTE referenced twice (measured — the 3-month lineitem
+    * scan + agg executed TWICE in the subquery form), and the global
+    * window here sees only the supplier-cardinality aggregate. The
+    * decimal-exact revenue makes the double equality safe. */
   private def q15(t: T): String =
     s"""WITH revenue AS (
        |  SELECT l_suppkey AS supplier_no,
@@ -246,10 +255,12 @@ object SqlSuite extends QueryPack {
        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
        |  GROUP BY l_suppkey)
-       |SELECT s_suppkey, s_name, total_revenue
-       |FROM ${t("supplier")}
-       |JOIN revenue ON s_suppkey = supplier_no
-       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+       |SELECT s_suppkey, s_name, total_revenue FROM (
+       |  SELECT s_suppkey, s_name, total_revenue,
+       |         MAX(total_revenue) OVER () AS max_rev
+       |  FROM ${t("supplier")}
+       |  JOIN revenue ON s_suppkey = supplier_no)
+       |WHERE total_revenue = max_rev
        |ORDER BY s_suppkey""".stripMargin
 
   /** TPC-H Q16: supplier count by part attribute — COUNT(DISTINCT)

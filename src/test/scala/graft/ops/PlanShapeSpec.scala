@@ -296,6 +296,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"join input shuffled despite bucketing ($exchanges exchanges):\n$p")
   }
 
+  test("q_sql_tpch15 and q_sql_tpch11 aggregate the fact table exactly ONCE") {
+    // both gate an aggregate by its own global stat; the scalar-
+    // subquery formulation re-executed the fact scan + agg (Spark
+    // plans no reuse across a twice-referenced CTE — measured), so
+    // the templates use a global window over the aggregated set.
+    // Two scans expected per query: the fact table and supplier.
+    Seq("q_sql_tpch15", "q_sql_tpch11").foreach { q =>
+      val p = plan(q)
+      val scans = p.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans == 2, s"$q re-scans a table ($scans scans):\n$p")
+    }
+  }
+
   test("no registered query plans a CartesianProduct (except the cross-join demo)") {
     // a non-broadcast nested-loop product is THE 100 TB killer: every
     // partition of one side ships to every partition of the other.
