@@ -326,6 +326,36 @@ object Analytics extends QueryPack {
   private def ewma(s: SparkSession, d: String): DataFrame =
     s.sql(ewmaSql(eventsView(s, d)))
 
+  // ---- cohort retention ------------------------------------------
+
+  /** Weekly cohort retention on purchase activity: cohort = the
+    * user's first purchase week; each later active week counts the
+    * user at its week offset; retention = active / cohort size.
+    * Scale shape: ONE distinct on (user, week) — map-side partial —
+    * then a window min on user_id (the user-grain shuffle that
+    * dominates at 100 TB), and everything after runs on the
+    * cohort×offset grid, which is calendar-sized, not data-sized.
+    * The ratio divides two exact counts, so it is bit-identical
+    * cross-engine under the floor-based r4. */
+  private def retention(s: SparkSession, d: String): DataFrame = {
+    val weeks = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("w"))
+      .distinct()
+    val agg = weeks
+      .withColumn("cohort_week", min(col("w")).over(Window.partitionBy("user_id")))
+      .groupBy(col("cohort_week"),
+        (datediff(col("w"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    agg
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active")))
+          .over(Window.partitionBy("cohort_week")))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        Det.r4(col("n_active").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   // ---- hybrid retrieval (RRF) ------------------------------------
 
   private val RrfK = 60
@@ -378,9 +408,27 @@ object Analytics extends QueryPack {
     "q_winsorize"  -> winsorize,
     "q_snapshot_diff" -> snapshotDiff,
     "q_ivm"        -> ivm,
+    "q_retention"  -> retention,
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_retention" ->
+      s"""WITH weeks AS (
+         |  SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS w
+         |  FROM events WHERE event_type = 'purchase'),
+         |coh AS (
+         |  SELECT user_id, w, MIN(w) OVER (PARTITION BY user_id) AS cohort_week
+         |  FROM weeks),
+         |agg AS (
+         |  SELECT cohort_week,
+         |         CAST(DATEDIFF('day', cohort_week, w) / 7 AS INT) AS week_offset,
+         |         COUNT(*) AS n_active
+         |  FROM coh GROUP BY 1, 2)
+         |SELECT cohort_week, week_offset, n_active,
+         |       ${Det.r4Sql(
+            "CAST(n_active AS DOUBLE) / MAX(CASE WHEN week_offset = 0 THEN n_active END) OVER (PARTITION BY cohort_week)")} AS retention
+         |FROM agg
+         |ORDER BY cohort_week, week_offset""".stripMargin,
     "q_ewma" -> ewmaSql("events"),
     "q_corr" -> corrOracle,
     // the IVM proof: the oracle RECOMPUTES the aggregate from the new

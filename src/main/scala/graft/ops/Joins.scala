@@ -139,6 +139,48 @@ object Joins extends QueryPack {
       .select(col("event_id"), col("user_id"), col("ts"), col("n_clicks"))
       .orderBy("event_id")
 
+  /** Bucket width for [[joinInterval]] — equal to the interval
+    * length, so every interval explodes to at most 2 buckets. */
+  private val IntervalBucketSec: Long = 7L * 86400
+
+  /** Interval-OVERLAP join (interval × interval — distinct from
+    * [[joinRange]]'s point-in-window): urgent-order weeks vs low-
+    * priority-order weeks, aggregated by overlap month. The naive
+    * plan is a pure inequality join — a BroadcastNestedLoop /
+    * cartesian, THE 100 TB killer. The scalable formulation maps
+    * each interval to the fixed-width time buckets it touches
+    * (explode ≤2 rows here) and equi-joins on the bucket, so the
+    * pair search is local to a bucket and shuffles hash-partition
+    * both sides — O(pairs-per-bucket), linear at scale. A pair
+    * overlapping in several buckets would duplicate, so the join
+    * keeps only the bucket containing GREATEST(a_s, b_s) — the
+    * overlap start lies in both intervals, hence in both bucket
+    * lists: each true pair survives exactly once, no distinct
+    * needed. The oracle is the plain inequality join — the
+    * bucketization must be result-invariant and the hash-compare
+    * proves it. */
+  private def joinInterval(s: SparkSession, d: String): DataFrame = {
+    def side(pri: String, p: String): DataFrame =
+      Tables.orders(s, d)
+        .filter(col("o_orderpriority") === pri)
+        .select(
+          col("o_orderdate").as(s"${p}_s"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as(s"${p}_e"))
+        .withColumn(s"${p}_bkt", explode(expr(
+          s"sequence(unix_timestamp(${p}_s) div $IntervalBucketSec," +
+            s" (unix_timestamp(${p}_e) - 1) div $IntervalBucketSec)")))
+    side("1-URGENT", "a").join(side("5-LOW", "b"),
+        col("a_bkt") === col("b_bkt") &&
+          col("a_s") < col("b_e") && col("b_s") < col("a_e") &&
+          expr(s"unix_timestamp(greatest(a_s, b_s)) div $IntervalBucketSec")
+            === col("a_bkt"))
+      .groupBy(to_date(date_trunc("month", greatest(col("a_s"), col("b_s")))).as("m"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(datediff(least(col("a_e"), col("b_e")).cast("date"),
+          greatest(col("a_s"), col("b_s")).cast("date"))).as("overlap_days"))
+      .orderBy("m")
+  }
+
   /** Salt-factor for [[joinSkew]]: the hot key's rows spread over
     * this many shuffle tasks instead of one. */
   private val SkewSalts = 8
@@ -238,9 +280,24 @@ object Joins extends QueryPack {
     "q_join_asof"      -> joinAsof,
     "q_join_skew"      -> joinSkew,
     "q_join_range"     -> joinRange,
+    "q_join_interval"  -> joinInterval,
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_join_interval" ->
+      """WITH a AS (
+        |  SELECT o_orderdate AS a_s, o_orderdate + INTERVAL 7 DAY AS a_e
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |b AS (
+        |  SELECT o_orderdate AS b_s, o_orderdate + INTERVAL 7 DAY AS b_e
+        |  FROM orders WHERE o_orderpriority = '5-LOW')
+        |SELECT CAST(DATE_TRUNC('month', GREATEST(a_s, b_s)) AS DATE) AS m,
+        |       COUNT(*) AS n_pairs,
+        |       CAST(SUM(DATEDIFF('day', CAST(GREATEST(a_s, b_s) AS DATE),
+        |                         CAST(LEAST(a_e, b_e) AS DATE))) AS BIGINT) AS overlap_days
+        |FROM a JOIN b ON a_s < b_e AND b_s < a_e
+        |GROUP BY m
+        |ORDER BY m""".stripMargin,
     "q_join_bucketed" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_items,
          |       ${graft.Det.dsumSql("l_extendedprice", 2)} AS sum_price

@@ -304,8 +304,35 @@ object TrainPrep extends QueryPack {
       .orderBy("shard", "pos")
   }
 
+  /** One BPE-training merge step: count ADJACENT token pairs across
+    * the corpus and emit the top candidates — the inner loop of
+    * byte-pair-encoding vocabulary learning (Sennrich et al., ACL
+    * 2016), run corpus-scale. The pair stream is built NARROWLY by
+    * zipping each token list with its own tail (zip_with over two
+    * slices — no posexplode self-join, which would shuffle the corpus
+    * twice), so the only shuffle is the final pair-count aggregation,
+    * whose cardinality is vocabulary², not corpus-sized; the top-30
+    * cut is a TakeOrderedAndProject (per-partition top-k merge, never
+    * a global sort). Ranking ties break on the pair itself, so the
+    * cutoff is total-ordered and cross-engine deterministic. */
+  private def bpePairs(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    toks
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (x, y) => struct(x.as("tok_a"), y.as("tok_b")))).as("p"))
+      .groupBy(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok_a"), col("tok_b"))
+      .limit(30)
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_decontaminate"  -> decontaminate,
+    "q_bpe_pairs"      -> bpePairs,
     "q_decontaminate_bloom" -> decontaminateBloom,
     "q_pack_seq"       -> packSeq,
     "q_chunk"          -> chunk,
@@ -338,6 +365,20 @@ object TrainPrep extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "q_decontaminate" -> DecontaminateOracle,
+    // adjacent pairs via list-slice zip: t[:-2] is the first n-1
+    // elements (1-based inclusive slicing, -2 = second-to-last),
+    // t[2:] the last n-1 — same pairing as the Spark zip_with
+    "q_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE LEN(string_split(text, ' ')) >= 2),
+        |pairs AS (
+        |  SELECT UNNEST(list_zip(t[:-2], t[2:])) AS p FROM toks)
+        |SELECT p[1] AS tok_a, p[2] AS tok_b, COUNT(*) AS cnt
+        |FROM pairs
+        |GROUP BY 1, 2
+        |ORDER BY cnt DESC, tok_a, tok_b
+        |LIMIT 30""".stripMargin,
     // the Bloom variant is result-identical by construction (no false
     // negatives + exact confirmation join) — same oracle
     "q_decontaminate_bloom" -> DecontaminateOracle,

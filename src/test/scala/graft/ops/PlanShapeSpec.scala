@@ -309,6 +309,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_join_interval pair search is a bucket equi-join, never a nested loop") {
+    // the whole point of the bucketization: the interval-overlap
+    // inequality must ride an equi-join on the time bucket, not a
+    // BroadcastNestedLoop over the inequality alone
+    val p = plan("q_join_interval")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("bkt")),
+      s"no bucket-keyed equi-join found:\n$p")
+  }
+
+  test("q_bpe_pairs builds the pair stream narrowly (single aggregation shuffle)") {
+    // adjacent pairs come from zip_with over two slices of the SAME
+    // token list — a generator, not a posexplode self-join; the only
+    // exchange is the pair-count aggregation, and the top-30 is a
+    // TakeOrderedAndProject, never a global Sort
+    val p = plan("q_bpe_pairs")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"pair stream shuffled more than the count agg:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.linesIterator.exists(l => l.contains("Join")), s"unexpected join:\n$p")
+  }
+
   test("no registered query plans a CartesianProduct (except the cross-join demo)") {
     // a non-broadcast nested-loop product is THE 100 TB killer: every
     // partition of one side ships to every partition of the other.
