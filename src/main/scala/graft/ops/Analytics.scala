@@ -356,6 +356,34 @@ object Analytics extends QueryPack {
       .orderBy("cohort_week", "week_offset")
   }
 
+  // ---- rolling distinct (WAU/DAU) --------------------------------
+
+  /** 7-day rolling distinct users (WAU) + same-day distinct (DAU)
+    * per day. COUNT(DISTINCT) over a sliding window is not window-
+    * expressible in Spark (and a per-day self-join is O(days·data)),
+    * so each (user, day) contributes itself to the 7 window days it
+    * falls in — a NARROW explode (factor = window length) — and one
+    * hash aggregation per window day does a partial-distinct count.
+    * The day grid is calendar-sized, so the semi-join that drops
+    * phantom trailing days broadcasts. Scale: explode factor is the
+    * window length (7), independent of data size; the shuffle key is
+    * the day — at 100 TB add the user's hash prefix as a salt and a
+    * second merge level (the count-distinct Expand already gives
+    * partial aggregation). */
+  private def rollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val days = ud.select(col("day")).distinct()
+    ud.select(col("user_id"), col("day"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+      .join(broadcast(days.withColumnRenamed("day", "wday")), "wday", "left_semi")
+      .groupBy(col("wday").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau7"),
+        countDistinct(when(col("day") === col("wday"), col("user_id"))).as("dau"))
+      .orderBy("day")
+  }
+
   // ---- hybrid retrieval (RRF) ------------------------------------
 
   private val RrfK = 60
@@ -409,6 +437,7 @@ object Analytics extends QueryPack {
     "q_snapshot_diff" -> snapshotDiff,
     "q_ivm"        -> ivm,
     "q_retention"  -> retention,
+    "q_rolling_distinct" -> rollingDistinct,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -429,6 +458,20 @@ object Analytics extends QueryPack {
             "CAST(n_active AS DOUBLE) / MAX(CASE WHEN week_offset = 0 THEN n_active END) OVER (PARTITION BY cohort_week)")} AS retention
          |FROM agg
          |ORDER BY cohort_week, week_offset""".stripMargin,
+    // the oracle states the SPEC (a correlated distinct-count over
+    // the trailing week); the Spark side must match it from the
+    // contribute-explode formulation
+    "q_rolling_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud)
+        |SELECT d.day,
+        |       (SELECT COUNT(DISTINCT user_id) FROM ud u
+        |        WHERE u.day BETWEEN d.day - 6 AND d.day) AS wau7,
+        |       (SELECT COUNT(DISTINCT user_id) FROM ud u
+        |        WHERE u.day = d.day) AS dau
+        |FROM days d
+        |ORDER BY d.day""".stripMargin,
     "q_ewma" -> ewmaSql("events"),
     "q_corr" -> corrOracle,
     // the IVM proof: the oracle RECOMPUTES the aggregate from the new

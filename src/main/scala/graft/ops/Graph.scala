@@ -33,8 +33,9 @@ object Graph extends QueryPack {
   /** Out-degree of the synthetic generator (edges per orderkey). */
   private val Fanout = 4
 
-  /** Oriented (u < v) distinct edge list of the synthetic graph. */
-  private def edges(s: SparkSession, d: String): DataFrame = {
+  /** Oriented (u < v) distinct edge list of the synthetic graph.
+    * Package-visible so GraphSpec can run exact differentials on it. */
+  private[ops] def edges(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select(col("o_orderkey").as("u"))
     val nv = o.agg(max(col("u")).as("nv"))
     o.crossJoin(broadcast(nv))
@@ -66,8 +67,57 @@ object Graph extends QueryPack {
         Det.r4(lit(3.0) * col("n_triangles") / col("n_wedges")).as("clustering"))
   }
 
+  /** Fixed-point scale for PageRank mass: 1.0 of rank = 1e12. */
+  private[ops] val PrScale = 1000000000000L
+  /** Damping 0.85 expressed as integer percent. */
+  private[ops] val PrDampPct = 85L
+  private[ops] val PrIters = 8
+
+  /** PageRank over the synthetic graph (undirected: each edge walks
+    * both ways), PrIters power iterations. All mass arithmetic is
+    * FIXED-POINT Long (scale 1e12): r/deg is integer `div`, the
+    * damping multiply is `(m * 85) div 100`, and Long sums are exact
+    * and order-independent — so the result is BIT-deterministic
+    * across partitionings, task orders, and retries, which no
+    * double-based formulation can promise (FP addition does not
+    * commute with partial aggregation). Headroom: a vertex's in-mass
+    * is ≤ max_deg · max_rank ≈ 2⁶ · 2 · 1e12 ≪ 2⁶³/85.
+    *
+    * Scale shape: the adjacency (src, dst, deg) is materialized once,
+    * persisted pre-partitioned on src; every iteration is ONE
+    * src-keyed join (rank refresh is vertex-sized) + ONE dst-keyed
+    * partial-agg shuffle. The (1-d)/N base term rides a broadcast
+    * 1-row cross join — no driver collect, so the query also
+    * degrades cleanly to empty output on an empty graph. Lineage is
+    * cut by localCheckpoint mid-loop, the connected-components
+    * pattern (see Dedup.connectedComponents). */
+  private def pagerank(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val dir = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = dir.join(deg, "src").persist()
+    val nDf = deg.agg(count(lit(1)).as("n"))
+    try {
+      var ranks = deg.select(col("src").as("v"), lit(PrScale).as("r"))
+      for (i <- 1 to PrIters) {
+        val inMass = adj.join(ranks, col("src") === col("v"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+        ranks = inMass.crossJoin(broadcast(nDf))
+          .select(col("dst").as("v"),
+            (expr(s"(($PrScale * ${100 - PrDampPct}) div 100) div n")
+              + expr(s"(in_mass * $PrDampPct) div 100")).as("r"))
+        if (i % 4 == 0) ranks = ranks.localCheckpoint()
+      }
+      ranks.orderBy(col("r").desc, col("v")).limit(20)
+        .select(col("v"), col("r").as("rank_fp"))
+    } finally adj.unpersist()
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_graph_triangles" -> triangles,
+    "q_pagerank"        -> pagerank,
   )
 
   /** Shared edge CTE — the identical modular construction DuckDB-side. */
