@@ -95,14 +95,26 @@ object Graph extends QueryPack {
     val e = edges(s, d)
     val dir = e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
-    val adj = dir.join(deg, "src").persist()
-    val nDf = deg.agg(count(lit(1)).as("n"))
+    // GROUPED adjacency — one row per vertex (src, deg, [dsts]) —
+    // persisted pre-partitioned and sorted on src: the per-iteration
+    // join is then vertex-sized on BOTH sides (8× smaller than the
+    // edge list here) and reuses partitioning + order from the
+    // cache; the edge-sized stream only exists as a narrow explode
+    // between the join and the partial-agg shuffle.
+    val adj = dir.groupBy("src")
+      .agg(count(lit(1)).as("deg"), collect_list(col("dst")).as("dsts"))
+      .repartition(col("src")).sortWithinPartitions("src").persist()
+    val deg = adj.select(col("src"), col("deg"))
+    // 1-row vertex count, PERSISTED: it is broadcast-cross-joined in
+    // every iteration, and an unpersisted plan would re-run the whole
+    // edge construction (scan + explode + distinct shuffle) once per
+    // broadcast — the dominant cost of the loop when left out
+    val nDf = deg.agg(count(lit(1)).as("n")).persist()
     try {
       var ranks = deg.select(col("src").as("v"), lit(PrScale).as("r"))
       for (i <- 1 to PrIters) {
         val inMass = adj.join(ranks, col("src") === col("v"))
-          .select(col("dst"), expr("r div deg").as("c"))
+          .select(explode(col("dsts")).as("dst"), expr("r div deg").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
         ranks = inMass.crossJoin(broadcast(nDf))
           .select(col("dst").as("v"),
@@ -112,7 +124,7 @@ object Graph extends QueryPack {
       }
       ranks.orderBy(col("r").desc, col("v")).limit(20)
         .select(col("v"), col("r").as("rank_fp"))
-    } finally adj.unpersist()
+    } finally { adj.unpersist(); nDf.unpersist() }
   }
 
   override val queries: Map[String, Q] = Map(
