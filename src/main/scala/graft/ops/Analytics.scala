@@ -384,6 +384,72 @@ object Analytics extends QueryPack {
       .orderBy("day")
   }
 
+  // ---- clickstream paths -----------------------------------------
+
+  /** Top event-type trigram paths: the 3-step sequences users
+    * actually walk (path analysis over the clickstream). Two LEADs
+    * over the per-user time order build the trigram stream in ONE
+    * keyed window pass — n-gram-over-sequence, the sessionized twin
+    * of q_bpe_pairs' n-gram-over-text. One user-keyed shuffle, then
+    * a type³-cardinality count aggregation; top-20 ties break on the
+    * path itself, so the cut is total-ordered. */
+  private def paths(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("step2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("step3", lead(col("event_type"), 2).over(byUser))
+      .filter(col("step3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+
+  // ---- skyline (Pareto frontier) ---------------------------------
+
+  /** Per-priority 2D skyline of orders — the Pareto frontier
+    * minimizing (price, date): rows no other same-priority row
+    * dominates (≤ in both dimensions, < in one). The scalable plan is
+    * the classic TWO-PHASE skyline (Börzsönyi et al., ICDE 2001,
+    * distributed): phase 1 computes a LOCAL skyline per input split —
+    * sound because a dominated row is dominated by some member of any
+    * superset's skyline, so skyline(S) ⊆ ∪ᵢ skyline(split i) — and
+    * phase 2 re-runs the same pruning globally on the few survivors
+    * (~H(n) per split). Both phases are the same O(n log n) window
+    * trick, never the quadratic NOT-EXISTS: sort by price, and a row
+    * survives iff no STRICTLY-cheaper row has date ≤ mine (a RANGE
+    * frame ending 1 cent before the current row) and no same-price
+    * row has date < mine. Prices order by exact integer CENTS: a
+    * double `price - 0.01` range boundary can exclude an adjacent-
+    * cent row outright (0.03 - 0.01 < 0.02 in IEEE). Phase 1 keys the
+    * window on (priority, input split id) — result-invariant to the
+    * split layout since phase 2 prunes exactly — so parallelism stays
+    * data-proportional; phase 2's 5-value partition key sees only
+    * survivor rows. The oracle is the quadratic NOT EXISTS — a
+    * formulation-independent cross-check. */
+  private def skyline(s: SparkSession, d: String): DataFrame = {
+    def prune(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val cheaper = Window.partitionBy(keys.map(col): _*).orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val same = Window.partitionBy((keys :+ "price_c").map(col): _*)
+      df.withColumn("d_cheaper", min(col("o_orderdate")).over(cheaper))
+        .withColumn("d_same", min(col("o_orderdate")).over(same))
+        .filter((col("d_cheaper").isNull || col("d_cheaper") > col("o_orderdate")) &&
+          !(col("d_same") < col("o_orderdate")))
+        .drop("d_cheaper", "d_same")
+    }
+    val o = Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"),
+        spark_partition_id().as("split"))
+    prune(prune(o, Seq("o_orderpriority", "split")), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderkey"))
+      .orderBy("o_orderpriority", "o_totalprice", "o_orderdate", "o_orderkey")
+  }
+
   // ---- hybrid retrieval (RRF) ------------------------------------
 
   private val RrfK = 60
@@ -438,6 +504,8 @@ object Analytics extends QueryPack {
     "q_ivm"        -> ivm,
     "q_retention"  -> retention,
     "q_rolling_distinct" -> rollingDistinct,
+    "q_paths"      -> paths,
+    "q_skyline"    -> skyline,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -472,6 +540,30 @@ object Analytics extends QueryPack {
         |        WHERE u.day = d.day) AS dau
         |FROM days d
         |ORDER BY d.day""".stripMargin,
+    "q_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type AS step1,
+        |         LEAD(event_type, 1) OVER w AS step2,
+        |         LEAD(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT step1, step2, step3, COUNT(*) AS cnt
+        |FROM seq WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY cnt DESC, step1, step2, step3
+        |LIMIT 20""".stripMargin,
+    // the spec, not the algorithm: quadratic NOT EXISTS dominance —
+    // formulation-independent of the Spark side's two-phase windows
+    "q_skyline" ->
+      """SELECT o_orderpriority, o_totalprice, o_orderdate, o_orderkey
+        |FROM orders a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders b
+        |  WHERE b.o_orderpriority = a.o_orderpriority
+        |    AND b.o_totalprice <= a.o_totalprice
+        |    AND b.o_orderdate <= a.o_orderdate
+        |    AND (b.o_totalprice < a.o_totalprice OR b.o_orderdate < a.o_orderdate))
+        |ORDER BY o_orderpriority, o_totalprice, o_orderdate, o_orderkey""".stripMargin,
     "q_ewma" -> ewmaSql("events"),
     "q_corr" -> corrOracle,
     // the IVM proof: the oracle RECOMPUTES the aggregate from the new
