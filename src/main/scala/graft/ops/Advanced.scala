@@ -208,7 +208,45 @@ object Advanced extends QueryPack {
          |  AND l_quantity < 25""".stripMargin)
   }
 
+  /** Batch MERGE / upsert semantics (the SCD1 counterpart of
+    * Analytics' SCD2): a change set is applied to the orders snapshot
+    * in one pass — matched keys take the source row (update), unmatched
+    * source keys append (insert), untouched target rows carry over
+    * (keep). Without a transactional table format on the classpath the
+    * engine expresses MERGE as its relational core: ONE full outer
+    * join on the key, then per-row classification — which is exactly
+    * the shuffle a Delta/Iceberg MERGE plans too, minus the commit.
+    * The change set here is derived deterministically from the target
+    * (keys ≡ 0 mod 7 repriced via an additive delta, keys ≡ 0 mod 13
+    * mirrored to fresh negative keys), so both engines rebuild it
+    * bit-identically. Output is the per-action row count + DECIMAL
+    * checksum of the post-merge price column — any misclassification
+    * or lost row moves a checksum.
+    *
+    * Scale shape: the join shuffles both sides on the key (AQE picks
+    * SMJ/SHJ by size); on a bucketed target (q_join_bucketed's layout)
+    * the same plan co-locates and the shuffle drops out. Everything
+    * after the join is a map-side partial agg into 3 rows. */
+  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("t_price"))
+    val changes = t.filter(col("k") % 7 === 0)
+      .select(col("k").as("sk"), (col("t_price") + 1234.56).as("s_price"))
+      .unionAll(t.filter(col("k") % 13 === 0)
+        .select((-col("k")).as("sk"), col("t_price").as("s_price")))
+    t.join(changes, col("k") === col("sk"), "full_outer")
+      .select(
+        when(col("k").isNotNull && col("sk").isNotNull, lit("update"))
+          .when(col("k").isNull, lit("insert"))
+          .otherwise(lit("keep")).as("action"),
+        coalesce(col("s_price"), col("t_price")).as("price"))
+      .groupBy("action")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("price"), 2).as("total"))
+      .orderBy("action")
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_merge_upsert"     -> mergeUpsert,
     "q_sql_tpch3"        -> sqlTpch3,
     "q_sql_tpch6"        -> sqlTpch6,
     "q_sql_tpch5"        -> sqlTpch5,
@@ -223,6 +261,20 @@ object Advanced extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      s"""WITH t AS (SELECT o_orderkey AS k, o_totalprice AS t_price FROM orders),
+         |changes AS (
+         |  SELECT k AS sk, t_price + 1234.56 AS s_price FROM t WHERE k % 7 = 0
+         |  UNION ALL
+         |  SELECT -k AS sk, t_price AS s_price FROM t WHERE k % 13 = 0),
+         |m AS (
+         |  SELECT CASE WHEN t.k IS NOT NULL AND changes.sk IS NOT NULL THEN 'update'
+         |              WHEN t.k IS NULL THEN 'insert'
+         |              ELSE 'keep' END AS action,
+         |         COALESCE(changes.s_price, t.t_price) AS price
+         |  FROM t FULL OUTER JOIN changes ON t.k = changes.sk)
+         |SELECT action, COUNT(*) AS n, ${Det.dsumSql("price", 2)} AS total
+         |FROM m GROUP BY action ORDER BY action""".stripMargin,
     "q_sql_tpch10" ->
       s"""SELECT c_custkey, c_name, n_name,
          |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,

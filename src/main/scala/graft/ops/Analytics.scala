@@ -492,7 +492,56 @@ object Analytics extends QueryPack {
       .limit(10)
   }
 
+  /** Attribution lookback: a purchase more than this many days after
+    * the last touch is credited to 'direct'. Mirrored in the oracle. */
+  private val AttrWindowDays = 7
+
+  /** Last-touch marketing attribution: each purchase is credited to
+    * the channel (click / view) of the same user's most recent touch
+    * at-or-before the purchase, or to 'direct' when the last touch is
+    * absent or older than AttrWindowDays. Touches are first collapsed
+    * to one row per (user, ts) with max_by on event_id, so the
+    * at-same-instant winner is total-ordered on both engines; the
+    * DuckDB oracle states the same operator as an ASOF LEFT JOIN,
+    * while the Spark side fuses it into ONE window pass — union the
+    * touch and purchase streams, running max/last over the user
+    * timeline — because the as-of join and the ordered scan are the
+    * same operator, and the union form shuffles each event exactly
+    * once on user_id (partial-agg'd map-side by the dedup) instead of
+    * shuffling both join sides. Everything downstream of the window
+    * is a 3-row channel rollup. */
+  private def attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("event_type"), col("event_id")).as("ch"))
+      .select(col("user_id"), col("ts"), lit(0).as("tag"), col("ch"),
+        lit(null).cast("double").as("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("string").as("ch"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    touches.unionAll(purchases)
+      .withColumn("lt_ts", max(when(col("tag") === 0, col("ts"))).over(w))
+      .withColumn("lt_ch",
+        last(when(col("tag") === 0, col("ch")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(
+        when(col("lt_ts").isNull ||
+          // µs-exact boundary, matching the oracle's INTERVAL compare
+          unix_micros(col("ts")) - unix_micros(col("lt_ts")) >
+            AttrWindowDays * 86400000000L, lit("direct"))
+          .otherwise(col("lt_ch")).as("channel"),
+        col("value"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        Det.dsum(col("value"), 4).as("total_value"))
+      .orderBy("channel")
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_attribution" -> attribution,
     "q_funnel"     -> funnel,
     "q_scd2"       -> scd2,
     "q_profile"    -> profile,
@@ -509,6 +558,26 @@ object Analytics extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // the oracle states the operator declaratively (ASOF LEFT JOIN);
+    // the Spark side proves its fused single-window form is the same
+    "q_attribution" ->
+      s"""WITH touches AS (
+         |  SELECT user_id, ts, MAX_BY(event_type, event_id) AS ch
+         |  FROM events WHERE event_type IN ('click', 'view')
+         |  GROUP BY user_id, ts),
+         |p AS (
+         |  SELECT user_id, ts AS pts, value
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT channel, COUNT(*) AS n_purchases,
+         |       ${Det.dsumSql("value", 4)} AS total_value
+         |FROM (
+         |  SELECT CASE WHEN t.ts IS NULL
+         |                 OR p.pts - t.ts > INTERVAL $AttrWindowDays DAY
+         |              THEN 'direct' ELSE t.ch END AS channel,
+         |         p.value
+         |  FROM p ASOF LEFT JOIN touches t
+         |    ON p.user_id = t.user_id AND t.ts <= p.pts)
+         |GROUP BY channel ORDER BY channel""".stripMargin,
     "q_retention" ->
       s"""WITH weeks AS (
          |  SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS w

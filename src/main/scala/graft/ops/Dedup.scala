@@ -630,7 +630,61 @@ object Dedup extends QueryPack {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Repeated-substring window length (tokens); also the island-merge
+    * gap bound. Mirrored verbatim in the oracle. */
+  private[ops] val SubstrL = 10
+
+  /** Corpus-level repeated-substring dedup (the exact-substring
+    * technique of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022 — there with suffix arrays):
+    * every length-L token window that occurs MORE THAN ONCE anywhere
+    * in the corpus marks its position as duplicated; per document,
+    * overlapping-or-adjacent duplicated windows (start-gap ≤ L) merge
+    * into maximal spans. Output: per affected document, the span
+    * count and total duplicated-token footprint — the rows a trainer
+    * would cut before tokenization.
+    *
+    * Scale shape: window extraction is NARROW (explode over the
+    * token array + slice — no window function, no per-doc shuffle);
+    * the single corpus-global shuffle is the gram groupBy, whose
+    * partial map-side count collapses each partition's repeats before
+    * the exchange. The semi join back rides the same gram key. At
+    * 100 TB the gram string would be replaced by a 128-bit hash
+    * (shuffle bytes ∝ corpus size × L otherwise) with a verify pass
+    * on colliding buckets; the string key here keeps the DuckDB
+    * hash-compare exact. Island merging is one per-doc window over
+    * ONLY the duplicated positions (~9% of the corpus here), not the
+    * full token stream. */
+  private def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= SubstrL)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("l")) - (SubstrL - 1))).as("pos"),
+        col("l"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("l"), col("pos"), lit(SubstrL))).as("gram"))
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("gram")
+    val dupPos = grams.join(dup, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    dupPos
+      .withColumn("prev", lag(col("pos"), 1).over(wOrd))
+      .withColumn("new_isl",
+        when(col("prev").isNull || col("pos") - col("prev") > SubstrL, 1)
+          .otherwise(0))
+      .withColumn("isl", sum(col("new_isl"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("a"), (max(col("pos")) + (SubstrL - 1)).as("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("b") - col("a") + 1).as("dup_tokens"))
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_dedup_substring" -> dedupSubstring,
     "q_dedup_semantic" -> dedupSemantic,
     "q_dedup_span"    -> dedupSpan,
     "q_dedup_edit"    -> dedupEdit,
@@ -643,6 +697,33 @@ object Dedup extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_dedup_substring" -> {
+      val L = SubstrL
+      s"""WITH lists AS (
+         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+         |  WHERE LEN(string_split(text, ' ')) >= $L),
+         |positions AS (
+         |  SELECT doc_id, UNNEST(generate_series(1, LEN(l) - ${L - 1})) AS pos, l
+         |  FROM lists),
+         |grams AS (
+         |  SELECT doc_id, pos, array_to_string(l[pos:pos+${L - 1}], ' ') AS gram
+         |  FROM positions),
+         |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+         |dp AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         SUM(CASE WHEN prev IS NULL OR pos - prev > $L THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |  FROM (SELECT doc_id, pos,
+         |               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |        FROM dp)),
+         |spans AS (
+         |  SELECT doc_id, isl, MIN(pos) AS a, MAX(pos) + ${L - 1} AS b
+         |  FROM isl GROUP BY doc_id, isl)
+         |SELECT doc_id, COUNT(*) AS n_spans,
+         |       CAST(SUM(b - a + 1) AS BIGINT) AS dup_tokens
+         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q_dedup_span" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |spans AS (

@@ -127,9 +127,61 @@ object Graph extends QueryPack {
     } finally { adj.unpersist(); nDf.unpersist() }
   }
 
+  /** BFS hop cap — mirrored in the recursive-CTE oracle, so both
+    * engines explore the identical bounded neighborhood. */
+  private[ops] val BfsMaxHops = 10
+
+  /** Single-source BFS hop distances from the globally smallest
+    * vertex, capped at BfsMaxHops, reported as a (hops, n_vertices)
+    * histogram. The iterative frontier loop is the textbook
+    * distributed BFS: each round joins the CURRENT FRONTIER (only the
+    * vertices first reached last round — not the whole visited set)
+    * against the grouped adjacency, then an anti-join against the
+    * visited set keeps first-touch distances only. Work per round is
+    * O(frontier · fanout) plus one vertex-keyed shuffle, the same
+    * shape Pregel/GraphX uses; total work is O(E) across all rounds
+    * regardless of the cap.
+    *
+    * The frontier is localCheckpointed each round (it seeds the next
+    * join), visited accumulates as a union whose lineage is cut every
+    * 4 rounds — the connected-components pattern (Dedup.scala). The
+    * source vertex is a 1-row broadcast, not a driver collect, so the
+    * query degrades cleanly on an empty graph. BFS gives min-hop
+    * distance by construction, so the result is exactly DuckDB's
+    * MIN(d) over the bounded recursive walk. */
+  private def bfs(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val dir = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val adj = dir.groupBy("src").agg(collect_list(col("dst")).as("dsts"))
+      .repartition(col("src")).sortWithinPartitions("src").persist()
+    try {
+      val src0 = e.agg(min(col("u")).as("s0"))
+      var frontier = adj.select(col("src").as("v")).crossJoin(broadcast(src0))
+        .filter(col("v") === col("s0")).select(col("v"), lit(0).as("hops"))
+        .localCheckpoint()
+      var visited = frontier
+      var hop = 0
+      while (hop < BfsMaxHops && !frontier.isEmpty) {
+        hop += 1
+        val next = adj.join(frontier, col("src") === col("v"))
+          .select(explode(col("dsts")).as("nv")).distinct()
+          .join(visited, col("nv") === visited("v"), "left_anti")
+          .select(col("nv").as("v"), lit(hop).as("hops"))
+          .localCheckpoint()
+        visited = visited.unionAll(next)
+        if (hop % 4 == 0) visited = visited.localCheckpoint()
+        frontier = next
+      }
+      visited.groupBy(col("hops")).agg(count(lit(1)).as("n_vertices"))
+        .orderBy("hops")
+    } finally adj.unpersist()
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_graph_triangles" -> triangles,
     "q_pagerank"        -> pagerank,
+    "q_graph_bfs"       -> bfs,
   )
 
   /** Shared edge CTE — the identical modular construction DuckDB-side. */
@@ -158,5 +210,21 @@ object Graph extends QueryPack {
          |      FROM edges e1
          |      JOIN edges e2 ON e2.u = e1.v
          |      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)""".stripMargin,
+    // Bounded recursive walk: UNION-distinct on (v, d) pairs plus the
+    // d < cap guard terminates despite cycles; MIN(d) per vertex is
+    // the BFS hop distance because every ≤cap-hop path is enumerated.
+    "q_graph_bfs" ->
+      s"""${EdgesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |dir AS (SELECT u AS src, v AS dst FROM edges
+         |        UNION ALL SELECT v AS src, u AS dst FROM edges),
+         |walk(v, d) AS (
+         |  SELECT MIN(u), 0 FROM edges
+         |  UNION
+         |  SELECT dir.dst, walk.d + 1
+         |  FROM walk JOIN dir ON dir.src = walk.v
+         |  WHERE walk.d < $BfsMaxHops)
+         |SELECT d AS hops, COUNT(*) AS n_vertices
+         |FROM (SELECT v, MIN(d) AS d FROM walk GROUP BY v)
+         |GROUP BY d ORDER BY d""".stripMargin,
   )
 }
