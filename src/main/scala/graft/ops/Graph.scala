@@ -159,16 +159,21 @@ object Graph extends QueryPack {
     * regardless of the cap.
     *
     * The frontier is localCheckpointed each round (it seeds the next
-    * join), visited accumulates as a union whose lineage is cut every
-    * 4 rounds — the connected-components pattern (Dedup.scala). Both
-    * per-round joins carry SHUFFLE_HASH hints: the frontier and
-    * visited sets are vertex-bounded and already co-partitioned from
-    * the previous round, and hashing them beats the merge join's
-    * per-round re-sort (measured ~10% off the loop at sf0.1). The
-    * source vertex is a 1-row broadcast, not a driver collect, so the
-    * query degrades cleanly on an empty graph. BFS gives min-hop
-    * distance by construction, so the result is exactly DuckDB's
-    * MIN(d) over the bounded recursive walk. */
+    * join). First-touch filtering anti-joins the candidate set
+    * against the LAST TWO FRONTIERS, not the whole visited set: on an
+    * undirected graph a neighbor of a layer-h vertex lies in layer
+    * h-1, h, or h+1, so subtracting layers h and h-1 leaves exactly
+    * layer h+1 — the anti side stays frontier-sized for the whole
+    * walk instead of growing to O(V) (the visited accumulator leaves
+    * the loop's join path entirely; it only feeds the final
+    * histogram, lineage cut every 4 rounds, the connected-components
+    * cadence). Per-round joins carry SHUFFLE_HASH hints: the
+    * frontier sets are vertex-bounded and hashing them beats the
+    * merge join's per-round re-sort. The source vertex is a 1-row
+    * broadcast, not a driver collect, so the query degrades cleanly
+    * on an empty graph. BFS gives min-hop distance by construction,
+    * so the result is exactly DuckDB's MIN(d) over the bounded
+    * recursive walk. */
   private def bfs(s: SparkSession, d: String): DataFrame = {
     val adj = groupedAdj(s, d)
     try {
@@ -176,18 +181,22 @@ object Graph extends QueryPack {
       var frontier = adj.select(col("src").as("v")).crossJoin(broadcast(src0))
         .filter(col("v") === col("s0")).select(col("v"), lit(0).as("hops"))
         .localCheckpoint()
+      var prev = frontier.limit(0)
       var visited = frontier
       var hop = 0
       while (hop < BfsMaxHops && !frontier.isEmpty) {
         hop += 1
-        val vis = visited.hint("shuffle_hash")
         val next = adj.join(frontier.hint("shuffle_hash"), col("src") === col("v"))
           .select(explode(col("dsts")).as("nv")).distinct()
-          .join(vis, col("nv") === vis("v"), "left_anti")
+          .join(frontier.hint("shuffle_hash").as("cf"),
+            col("nv") === col("cf.v"), "left_anti")
+          .join(prev.hint("shuffle_hash").as("pf"),
+            col("nv") === col("pf.v"), "left_anti")
           .select(col("nv").as("v"), lit(hop).as("hops"))
           .localCheckpoint()
         visited = visited.unionAll(next)
         if (hop % 4 == 0) visited = visited.localCheckpoint()
+        prev = frontier
         frontier = next
       }
       visited.groupBy(col("hops")).agg(count(lit(1)).as("n_vertices"))
