@@ -1,0 +1,299 @@
+package graft.ops
+
+import graft.{Det, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical-inference operators on top of the relational core:
+  *
+  *  - q_spearman: Spearman rank correlation (average ranks for ties)
+  *    between lineitem measure pairs. Ranks are computed WITHOUT a
+  *    global single-partition window: per-value counts are prefix-
+  *    summed with [[Dist.prefixSum]] (two-phase distributed scan), so
+  *    the rank assignment is a groupBy + bounded windows + a keyed
+  *    join back — every stage partition-parallel at 100 TB. Average
+  *    rank of value v is cum(v) − (cnt(v)−1)/2, exactly the
+  *    RANK() + (cnt−1)/2 average-rank convention the oracle states
+  *    with window functions. Ranks are halves (exact doubles), the
+  *    moments are DECIMAL-exact [[Det.dsum]] sums, and the final
+  *    Pearson combination over ranks runs the identical IEEE op
+  *    sequence on both engines.
+  *
+  *  - q_chisq: chi-square test of independence on the
+  *    event_type × hour-of-day contingency table, plus Cramér's V.
+  *    Observed counts are integers (exact); expected counts and the
+  *    (o−e)²/e terms are doubles produced by the identical expression
+  *    text on both engines (IEEE ops are correctly rounded, so
+  *    identical inputs + identical op order = bitwise-equal results);
+  *    the 120-term sum is DECIMAL-exact. The cell/marginal tables are
+  *    category-bounded (≤ types × 24 rows), so every join is a
+  *    broadcast and the single shuffle is the map-side-combined
+  *    count — the shape survives any row count.
+  */
+object Stats extends QueryPack {
+
+  // ---- Spearman rank correlation ---------------------------------
+
+  /** (a, b) measure pairs to correlate; ranks computed once per
+    * distinct column. */
+  private val Pairs = Seq(
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"))
+
+  /** Average-rank table for one column: one row per distinct value,
+    * rank = prefix-count − (cnt−1)/2. Broadcastable when the value
+    * domain is small (quantity: 50, discount: 11); the extendedprice
+    * table is ~|distinct| rows and joins back keyed. */
+  private def ranked(li: DataFrame, c: String, rname: String): DataFrame = {
+    val grouped = li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+    Dist.prefixSum(grouped, c, "cnt", "cum")
+      .select(col(c), (col("cum") - (col("cnt") - lit(1)) / lit(2.0)).as(rname))
+  }
+
+  private def spearman(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val withRanks = li
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(ranked(li, "l_quantity", "r_l_quantity")), "l_quantity")
+      .join(ranked(li, "l_extendedprice", "r_l_extendedprice"), "l_extendedprice")
+      .join(broadcast(ranked(li, "l_discount", "r_l_discount")), "l_discount")
+    val cols = Pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    // rank products at n rows are ≤ n²: scale 2 keeps 16 integral
+    // digits of DECIMAL headroom (exact for half-integer ranks).
+    val moments =
+      count(lit(1)).cast("double").as("n") +:
+        (cols.flatMap { c =>
+          Seq(Det.dsum(col(s"r_$c"), 2).as(s"s_$c"),
+            Det.dsum(col(s"r_$c") * col(s"r_$c"), 2).as(s"ss_$c"))
+        } ++ Pairs.map { case (a, b) =>
+          Det.dsum(col(s"r_$a") * col(s"r_$b"), 2).as(s"sp_${a}_$b")
+        })
+    val wide = withRanks.agg(moments.head, moments.tail: _*)
+    val rows = Pairs.map { case (a, b) =>
+      val cov = col(s"sp_${a}_$b") * col("n") - col(s"s_$a") * col(s"s_$b")
+      val va = col(s"ss_$a") * col("n") - col(s"s_$a") * col(s"s_$a")
+      val vb = col(s"ss_$b") * col("n") - col(s"s_$b") * col(s"s_$b")
+      struct(lit(s"${a}__$b").as("pair"),
+        Det.r4(cov / sqrt(va * vb)).as("spearman"))
+    }
+    wide.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.pair"), col("p.spearman"))
+      .orderBy("pair")
+  }
+
+  private def spearmanOracle: String = {
+    val cols = Pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val ranks = cols.map { c =>
+      s"RANK() OVER (ORDER BY $c) + (COUNT(*) OVER (PARTITION BY $c) - 1) / 2.0 AS r_$c"
+    }.mkString(",\n         ")
+    val moments =
+      ("CAST(COUNT(*) AS DOUBLE) AS n" +:
+        (cols.flatMap { c =>
+          Seq(s"${Det.dsumSql(s"r_$c", 2)} AS s_$c",
+            s"${Det.dsumSql(s"r_$c * r_$c", 2)} AS ss_$c")
+        } ++ Pairs.map { case (a, b) =>
+          s"${Det.dsumSql(s"r_$a * r_$b", 2)} AS sp_${a}_$b"
+        })).mkString(",\n         ")
+    val selects = Pairs.map { case (a, b) =>
+      val expr = s"(sp_${a}_$b * n - s_$a * s_$b)" +
+        s" / SQRT((ss_$a * n - s_$a * s_$a) * (ss_$b * n - s_$b * s_$b))"
+      s"SELECT '${a}__$b' AS pair, ${Det.r4Sql(expr)} AS spearman FROM m"
+    }
+    s"""WITH r AS (
+       |  SELECT $ranks
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT $moments
+       |  FROM r)
+       |${selects.mkString("", "\nUNION ALL\n", "\nORDER BY pair")}""".stripMargin
+  }
+
+  // ---- chi-square independence test ------------------------------
+
+  private def chisq(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+    val cells = ev.groupBy("event_type", "hr").agg(count(lit(1)).as("o"))
+    val rowT = ev.groupBy("event_type").agg(count(lit(1)).as("rt"))
+    val colT = ev.groupBy("hr").agg(count(lit(1)).as("ct"))
+    val tot = ev.agg(count(lit(1)).as("n"),
+      countDistinct(col("event_type")).as("r"), countDistinct(col("hr")).as("c"))
+    val chi2d = cells
+      .join(broadcast(rowT), "event_type")
+      .join(broadcast(colT), "hr")
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+      .withColumn("term", (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+      .groupBy("n", "r", "c")
+      .agg(Det.dsum(col("term"), 6).cast("double").as("chi2d"))
+    chi2d.select(
+      col("n").as("n_events"), col("r").as("n_rows"), col("c").as("n_cols"),
+      ((col("r") - 1) * (col("c") - 1)).as("dof"),
+      Det.r4(col("chi2d")).as("chi2"),
+      Det.r4(sqrt(col("chi2d") / (col("n") * least(col("r") - 1, col("c") - 1))))
+        .as("cramers_v"))
+  }
+
+  private def chisqOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(HOUR(ts) AS BIGINT) AS hr FROM events),
+       |cells AS (SELECT event_type, hr, COUNT(*) AS o FROM ev GROUP BY 1, 2),
+       |rowt AS (SELECT event_type, COUNT(*) AS rt FROM ev GROUP BY 1),
+       |colt AS (SELECT hr, COUNT(*) AS ct FROM ev GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT event_type) AS r,
+       |               COUNT(DISTINCT hr) AS c FROM ev),
+       |terms AS (
+       |  SELECT (o - e) * (o - e) / e AS term FROM (
+       |    SELECT o, CAST(rt AS DOUBLE) * ct / n AS e
+       |    FROM cells
+       |    JOIN rowt USING (event_type)
+       |    JOIN colt USING (hr)
+       |    CROSS JOIN tot)),
+       |m AS (SELECT ${Det.dsumSql("term", 6)} AS chi2d FROM terms)
+       |SELECT n AS n_events, r AS n_rows, c AS n_cols,
+       |       (r - 1) * (c - 1) AS dof,
+       |       ${Det.r4Sql("chi2d")} AS chi2,
+       |       ${Det.r4Sql("SQRT(chi2d / (n * LEAST(r - 1, c - 1)))")} AS cramers_v
+       |FROM m CROSS JOIN tot""".stripMargin
+
+  // ---- Welch's t-test --------------------------------------------
+
+  /** The two event populations whose `value` distributions are
+    * compared; mirrored literally in the oracle. */
+  private val TGroupA = "purchase"
+  private val TGroupB = "view"
+
+  /** Welch's unequal-variance t-test in ONE aggregation pass:
+    * conditional DECIMAL-exact moments per group (map-side combined),
+    * then the t statistic and Welch–Satterthwaite df as a constant
+    * number of IEEE ops replayed identically by the oracle. */
+  private def ttest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def side(t: String, tag: String) = Seq(
+      count(when(col("event_type") === t, lit(1))).as(s"n$tag"),
+      Det.dsum(when(col("event_type") === t, col("value")), 2).as(s"s$tag"),
+      Det.dsum(when(col("event_type") === t, col("value") * col("value")), 4)
+        .as(s"ss$tag"))
+    val agg = side(TGroupA, "1") ++ side(TGroupB, "2")
+    val m = ev.agg(agg.head, agg.tail: _*)
+    def mean(t: String) = col(s"s$t") / col(s"n$t")
+    def va(t: String) =
+      (col(s"ss$t") - col(s"s$t") * col(s"s$t") / col(s"n$t")) / (col(s"n$t") - 1)
+    val se2 = va("1") / col("n1") + va("2") / col("n2")
+    val dfW = (se2 * se2) /
+      ((va("1") / col("n1")) * (va("1") / col("n1")) / (col("n1") - 1) +
+        (va("2") / col("n2")) * (va("2") / col("n2")) / (col("n2") - 1))
+    m.select(
+      col("n1"), col("n2"),
+      Det.r4(mean("1")).as("mean_a"), Det.r4(mean("2")).as("mean_b"),
+      Det.r4((mean("1") - mean("2")) / sqrt(se2)).as("t_stat"),
+      Det.r4(dfW).as("df"))
+  }
+
+  private def ttestOracle: String = {
+    def sideSql(t: String, tag: String) = Seq(
+      s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS n$tag",
+      s"${Det.dsumSql(s"CASE WHEN event_type = '$t' THEN value END", 2)} AS s$tag",
+      s"${Det.dsumSql(s"CASE WHEN event_type = '$t' THEN value * value END", 4)} AS ss$tag")
+    val moments = (sideSql(TGroupA, "1") ++ sideSql(TGroupB, "2"))
+      .mkString(",\n         ")
+    def mean(t: String) = s"(s$t / n$t)"
+    def va(t: String) = s"((ss$t - s$t * s$t / n$t) / (n$t - 1))"
+    val se2 = s"(${va("1")} / n1 + ${va("2")} / n2)"
+    val dfW = s"(($se2 * $se2) / " +
+      s"((${va("1")} / n1) * (${va("1")} / n1) / (n1 - 1) + " +
+      s"(${va("2")} / n2) * (${va("2")} / n2) / (n2 - 1)))"
+    s"""WITH m AS (
+       |  SELECT $moments
+       |  FROM events)
+       |SELECT n1, n2,
+       |       ${Det.r4Sql(mean("1"))} AS mean_a,
+       |       ${Det.r4Sql(mean("2"))} AS mean_b,
+       |       ${Det.r4Sql(s"(${mean("1")} - ${mean("2")}) / SQRT($se2)")} AS t_stat,
+       |       ${Det.r4Sql(dfW)} AS df
+       |FROM m""".stripMargin
+  }
+
+  // ---- Mann-Whitney U (rank-sum) test ----------------------------
+
+  /** Tie-corrected Mann-Whitney U on the same two populations. Ranks
+    * over the POOLED values come from the same distributed rank
+    * construction as q_spearman (per-value counts → prefix sum —
+    * never a global data window); the tie-correction term Σ(t³−t)
+    * rides the same per-value count table. U, its normal
+    * approximation z, and the rank-biserial effect size are constant
+    * arithmetic from DECIMAL-exact rank sums. */
+  private def mannwhitney(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin(TGroupA, TGroupB))
+      .select(col("event_type"), col("value"))
+    val byVal = ev.groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+    val ranks = Dist.prefixSum(byVal, "value", "cnt", "cum")
+      .select(col("value"), col("cnt"),
+        (col("cum") - (col("cnt") - lit(1)) / lit(2.0)).as("r"),
+        (col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie3"))
+    val m = ev.join(ranks, "value")
+      .agg(
+        count(when(col("event_type") === TGroupA, lit(1))).as("n1"),
+        count(when(col("event_type") === TGroupB, lit(1))).as("n2"),
+        Det.dsum(when(col("event_type") === TGroupA, col("r")), 2).as("r1"),
+        // every distinct value contributes its tie term once: divide
+        // the per-row replicated term by the value's multiplicity
+        Det.dsum(col("tie3") / col("cnt"), 6).as("ties"))
+    val n = col("n1") + col("n2")
+    val u1 = col("r1") - col("n1") * (col("n1") + 1) / lit(2.0)
+    val mu = col("n1").cast("double") * col("n2") / 2
+    val sigma2 = col("n1").cast("double") * col("n2") / 12 *
+      ((n + 1) - col("ties") / (n * (n - 1)))
+    m.select(
+      col("n1"), col("n2"),
+      u1.as("u1"),
+      (col("n1").cast("double") * col("n2") - u1).as("u2"),
+      Det.r4((u1 - mu) / sqrt(sigma2)).as("z"),
+      Det.r4(lit(2.0) * u1 / (col("n1").cast("double") * col("n2")) - 1)
+        .as("rank_biserial"))
+  }
+
+  private def mannwhitneyOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, value FROM events
+       |  WHERE event_type IN ('$TGroupA', '$TGroupB')),
+       |ranks AS (
+       |  SELECT event_type, value,
+       |         RANK() OVER (ORDER BY value)
+       |           + (COUNT(*) OVER (PARTITION BY value) - 1) / 2.0 AS r,
+       |         COUNT(*) OVER (PARTITION BY value) AS cnt
+       |  FROM ev),
+       |m AS (
+       |  SELECT COUNT(CASE WHEN event_type = '$TGroupA' THEN 1 END) AS n1,
+       |         COUNT(CASE WHEN event_type = '$TGroupB' THEN 1 END) AS n2,
+       |         ${Det.dsumSql(s"CASE WHEN event_type = '$TGroupA' THEN r END", 2)} AS r1,
+       |         ${Det.dsumSql(
+            "(CAST(cnt AS BIGINT) * cnt * cnt - cnt) / cnt", 6)} AS ties
+       |  FROM ranks)
+       |SELECT n1, n2,
+       |       (r1 - n1 * (n1 + 1) / 2.0) AS u1,
+       |       (CAST(n1 AS DOUBLE) * n2 - (r1 - n1 * (n1 + 1) / 2.0)) AS u2,
+       |       ${Det.r4Sql(
+          "((r1 - n1 * (n1 + 1) / 2.0) - CAST(n1 AS DOUBLE) * n2 / 2)" +
+            " / SQRT(CAST(n1 AS DOUBLE) * n2 / 12" +
+            " * (((n1 + n2) + 1) - ties / ((n1 + n2) * ((n1 + n2) - 1))))")} AS z,
+       |       ${Det.r4Sql(
+          "2.0 * (r1 - n1 * (n1 + 1) / 2.0) / (CAST(n1 AS DOUBLE) * n2) - 1")} AS rank_biserial
+       |FROM m""".stripMargin
+
+  override val queries: Map[String, Q] = Map(
+    "q_spearman"    -> spearman,
+    "q_chisq"       -> chisq,
+    "q_ttest"       -> ttest,
+    "q_mannwhitney" -> mannwhitney,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_spearman"    -> spearmanOracle,
+    "q_chisq"       -> chisqOracle,
+    "q_ttest"       -> ttestOracle,
+    "q_mannwhitney" -> mannwhitneyOracle,
+  )
+}

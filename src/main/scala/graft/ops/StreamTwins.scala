@@ -62,14 +62,44 @@ object StreamTwins extends QueryPack {
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
       .orderBy("w_start", "event_type")
 
+  /** Stream-stream interval join, batch-evaluated THROUGH the same
+    * code path the streaming query runs ([[graft.streaming.Streams
+    * .errorClickJoin]] — watermarks are no-ops in batch, Spark drops
+    * them from the plan): each error joined to the same user's clicks
+    * in the preceding 10 minutes, rolled up per error. The oracle
+    * states the identical interval join in SQL, so the hash-compare
+    * pins the exact semantics the MemoryStream differential
+    * (StreamingSpec) then proves the incremental path matches. */
+  private def ssJoin(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.errorClickJoin(Tables.events(s, d))
+      .groupBy(col("e_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        Det.dsum(col("c_value"), 2).as("sum_click_value"),
+        max(col("c_ts")).as("last_click_ts"))
+      .select(col("e_id").as("error_id"), col("n_clicks"),
+        col("sum_click_value"), col("last_click_ts"))
+      .orderBy("error_id")
+
   override val queries: Map[String, Q] = Map(
     "q_stream_slide"   -> slide,
     "q_stream_tumble"  -> tumble,
     "q_stream_session" -> session,
     "q_stream_dedup"   -> dedup,
+    "q_stream_join"    -> ssJoin,
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_stream_join" ->
+      s"""SELECT e.event_id AS error_id, COUNT(*) AS n_clicks,
+         |       ${Det.dsumSql("c.value", 2)} AS sum_click_value,
+         |       MAX(c.ts) AS last_click_ts
+         |FROM events e
+         |JOIN events c
+         |  ON c.user_id = e.user_id
+         | AND e.event_type = 'error' AND c.event_type = 'click'
+         | AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts <= e.ts
+         |GROUP BY e.event_id
+         |ORDER BY error_id""".stripMargin,
     "q_stream_slide" ->
       """WITH x AS (
         |  SELECT event_type,

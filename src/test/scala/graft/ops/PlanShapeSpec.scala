@@ -333,6 +333,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.linesIterator.exists(l => l.contains("Join")), s"unexpected join:\n$p")
   }
 
+  test("q_grid_join joins on grid cells (broadcast equi-join), never pairwise points") {
+    // the oracle is the brute-force |C|×|S| product; the engine side
+    // must NOT be — the 3×3 cell replication makes it an equi-join
+    // on (jx, jy) with the 9×|supplier| build side broadcast
+    val p = plan("q_grid_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_spearman joins ranks back keyed and broadcasts small-domain rank tables") {
+    // ranks come from the two-phase prefix sum (audited by the global
+    // window test's waiver); the join back to the fact rows must be
+    // hash-keyed on the value, with the ≤50-row quantity/discount
+    // rank tables broadcast
+    val p = plan("q_spearman")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no registered query plans a CartesianProduct (except the cross-join demo)") {
     // a non-broadcast nested-loop product is THE 100 TB killer: every
     // partition of one side ships to every partition of the other.
