@@ -66,6 +66,26 @@ object ScaleProbe {
       }.reduce(_ unionAll _)
         .repartition(par)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      // --- events: per-copy ts shift by a WHOLE number of days keeps
+      // copies temporally disjoint (interval joins, session/tumbling
+      // windows, and funnels stay linear in k — no cross-copy pairs)
+      // while preserving hour-of-day demographics for the contingency
+      // queries; user_id unchanged — "k× more activity from the same
+      // users". Arithmetic stays in raw nanos (the session reads
+      // events.parquet under nanosAsLong, so ts is BIGINT here).
+      val events = spark.read.parquet(s"$src/events.parquet")
+      val dayNs = 86400L * 1000000000L
+      val span = events.agg((max("ts") - min("ts")).as("s")).head().getLong(0)
+      val shift = (span / dayNs + 1) * dayNs
+      val nEv = events.agg(max("event_id")).head().getLong(0) + 1
+      (0 until k).map { c =>
+        events.select(
+          (col("event_id") + lit(c.toLong * nEv)).as("event_id"),
+          (col("ts") + lit(c.toLong * shift)).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionAll _)
+        .repartition(par)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
       // --- dims: verbatim copy ---
       Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
         spark.read.parquet(s"$src/$t.parquet")
