@@ -46,4 +46,38 @@ object Dist {
       .withColumn(cumCol, col("__in_sum") + col("__offset"))
       .drop("__pid", "__in_sum", "__offset")
   }
+
+  /** Keyed twin of [[prefixSum]]: running total of `valCol` in
+    * `orderCol` order WITHIN each group of `keyCols` — grouped
+    * cumulative sums without ever windowing a whole group in one
+    * task. Same two-phase shape: range-bucket the order column,
+    * window within (key, bucket), then add back per-(key, bucket)
+    * exclusive offsets computed from a (|keys|·P)-row broadcast
+    * table (tiny whenever the key domain is category-bounded). The
+    * sum type follows `valCol` (LONG or DECIMAL both exact).
+    * Requires `orderCol` unique within each key group.
+    */
+  def prefixSumKeyed(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      valCol: String, cumCol: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val bounds = df.agg(min(col(orderCol)).as("__lo"), max(col(orderCol)).as("__hi"))
+    val parted = df.crossJoin(broadcast(bounds))
+      .withColumn("__pid", least(
+        ((col(orderCol) - col("__lo")) * p / (col("__hi") - col("__lo") + 1)).cast("int"),
+        lit(p - 1)))
+      .drop("__lo", "__hi")
+    val keyed = keyCols.map(col)
+    val wIn = Window.partitionBy((keyed :+ col("__pid")): _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = parted.withColumn("__in_sum", sum(col(valCol)).over(wIn))
+    val wOff = Window.partitionBy(keyed: _*).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy((keyed :+ col("__pid")): _*)
+      .agg(sum(col(valCol)).as("__psum"))
+      .withColumn("__offset", sum(col("__psum")).over(wOff))
+      .select((keyed :+ col("__pid") :+ col("__offset")): _*)
+    withIn.join(broadcast(offsets), keyCols :+ "__pid")
+      .withColumn(cumCol, col("__in_sum") + coalesce(col("__offset"), lit(0)))
+      .drop("__pid", "__in_sum", "__offset")
+  }
 }

@@ -283,11 +283,123 @@ object Stats extends QueryPack {
           "2.0 * (r1 - n1 * (n1 + 1) / 2.0) / (CAST(n1 AS DOUBLE) * n2) - 1")} AS rank_biserial
        |FROM m""".stripMargin
 
+  // ---- systematic PPS weighted sampling --------------------------
+
+  /** Sample size per stratum. */
+  private val PpsK = 20
+
+  /** Systematic probability-proportional-to-size sampling: within
+    * each order-priority stratum, walk the weight axis (cumulative
+    * o_totalprice in o_orderkey order) and take the row at every
+    * 1/K-of-total boundary crossing — the classic PPS systematic
+    * design, here with ZERO transcendental functions (no ln/pow whose
+    * libm bits differ across engines): cumulative weights are
+    * DECIMAL-exact via [[Dist.prefixSumKeyed]] (grouped two-phase
+    * prefix sum — a whole stratum never sits in one task), and the
+    * boundary test is IEEE *,/ and floor, bit-equal on both engines.
+    * Selection probability ∝ weight, deterministic, seedless. */
+  private def samplePps(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("wt"))
+    val cum = Dist.prefixSumKeyed(w, Seq("o_orderpriority"), "o_orderkey", "wt", "cumw")
+    val tot = w.groupBy("o_orderpriority").agg(sum(col("wt")).as("tot"))
+    cum.join(broadcast(tot), "o_orderpriority")
+      .withColumn("pos", col("cumw").cast("double") * PpsK / col("tot").cast("double"))
+      .withColumn("prev",
+        (col("cumw") - col("wt")).cast("double") * PpsK / col("tot").cast("double"))
+      .filter(floor(col("pos")) > floor(col("prev")))
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("wt").cast("double").as("weight"),
+        floor(col("pos")).cast("long").as("slot"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  private def samplePpsOracle: String =
+    s"""WITH w AS (
+       |  SELECT o_orderkey, o_orderpriority,
+       |         CAST(o_totalprice AS DECIMAL(18,2)) AS wt
+       |  FROM orders),
+       |c AS (
+       |  SELECT o_orderkey, o_orderpriority, wt,
+       |         SUM(wt) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+       |                       ROWS UNBOUNDED PRECEDING) AS cumw,
+       |         SUM(wt) OVER (PARTITION BY o_orderpriority) AS tot
+       |  FROM w)
+       |SELECT o_orderpriority, o_orderkey, CAST(wt AS DOUBLE) AS weight,
+       |       CAST(FLOOR(CAST(cumw AS DOUBLE) * $PpsK / CAST(tot AS DOUBLE)) AS BIGINT) AS slot
+       |FROM c
+       |WHERE FLOOR(CAST(cumw AS DOUBLE) * $PpsK / CAST(tot AS DOUBLE))
+       |    > FLOOR(CAST(cumw - wt AS DOUBLE) * $PpsK / CAST(tot AS DOUBLE))
+       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  // ---- data-quality audit ----------------------------------------
+
+  /** Declarative data-quality rule audit — the expectation-suite
+    * shape: each rule is one (n_checked, n_violations) aggregate;
+    * range/null rules are map-side single passes, the uniqueness rule
+    * is COUNT − COUNT DISTINCT, the FK rule is a null-counting left
+    * join against the distinct key set, and the cross-table temporal
+    * rule rides one fact-fact keyed join. Rules union to a
+    * rule-count-bounded result; every branch is independently
+    * partition-parallel. */
+  private def dqAudit(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val cust = Tables.customer(s, d)
+    def rule(id: String, n: org.apache.spark.sql.Column,
+        viol: org.apache.spark.sql.Column, src: DataFrame) =
+      src.agg(n.as("n_checked"), viol.as("n_violations"))
+        .select(lit(id).as("rule"), col("n_checked"), col("n_violations"))
+    val r1 = rule("r1_orders_totalprice_positive",
+      count(lit(1)), count(when(col("o_totalprice") <= 0, lit(1))), orders)
+    val r2 = rule("r2_lineitem_discount_range",
+      count(lit(1)),
+      count(when(col("l_discount") < 0 || col("l_discount") > 0.1, lit(1))), li)
+    val r3 = rule("r3_customer_key_unique",
+      count(lit(1)), count(lit(1)) - countDistinct(col("c_custkey")), cust)
+    val r4 = rule("r4_orders_custkey_fk",
+      count(lit(1)), count(when(col("c_custkey").isNull, lit(1))),
+      orders.join(cust.select(col("c_custkey")).distinct(),
+        col("o_custkey") === col("c_custkey"), "left_outer"))
+    val r5 = rule("r5_lineitem_ship_after_order",
+      count(lit(1)), count(when(col("l_shipdate") < col("o_orderdate"), lit(1))),
+      li.join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey")))
+    r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5).orderBy("rule")
+  }
+
+  private def dqAuditOracle: String =
+    """SELECT * FROM (
+      |SELECT 'r1_orders_totalprice_positive' AS rule, COUNT(*) AS n_checked,
+      |       COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS n_violations
+      |FROM orders
+      |UNION ALL
+      |SELECT 'r2_lineitem_discount_range', COUNT(*),
+      |       COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'r3_customer_key_unique', COUNT(*),
+      |       COUNT(*) - COUNT(DISTINCT c_custkey)
+      |FROM customer
+      |UNION ALL
+      |SELECT 'r4_orders_custkey_fk', COUNT(*),
+      |       COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+      |FROM orders o
+      |LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      |  ON o.o_custkey = c.c_custkey
+      |UNION ALL
+      |SELECT 'r5_lineitem_ship_after_order', COUNT(*),
+      |       COUNT(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 END)
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |ORDER BY rule""".stripMargin
+
   override val queries: Map[String, Q] = Map(
     "q_spearman"    -> spearman,
     "q_chisq"       -> chisq,
     "q_ttest"       -> ttest,
     "q_mannwhitney" -> mannwhitney,
+    "q_sample_pps"  -> samplePps,
+    "q_dq_audit"    -> dqAudit,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -295,5 +407,7 @@ object Stats extends QueryPack {
     "q_chisq"       -> chisqOracle,
     "q_ttest"       -> ttestOracle,
     "q_mannwhitney" -> mannwhitneyOracle,
+    "q_sample_pps"  -> samplePpsOracle,
+    "q_dq_audit"    -> dqAuditOracle,
   )
 }
