@@ -190,23 +190,38 @@ object Analytics extends QueryPack {
 
   /** Per-group winsorization (outlier clipping to the [p05, p95]
     * band) — the standard robust-statistics prep step before training
-    * on heavy-tailed numeric features. Two passes: a group-cardinality
-    * percentile table (percentile_disc returns an ACTUAL data value,
-    * so both engines agree exactly with no interpolation arithmetic),
-    * broadcast back onto the fact scan, then clip + aggregate. The
-    * broadcast is group-cardinality-sized — at 100 TB the fact table
-    * streams through a map-side clip, never a shuffle on data. Exact
-    * percentiles buffer each group's values in the aggregate (the
-    * dominant cost here); at 100 TB swap percentile_disc for
-    * approx_percentile and the plan — and the clip pass — is
-    * unchanged. */
+    * on heavy-tailed numeric features. The percentile table is built
+    * WITHOUT percentile_disc's per-group value buffering (the old
+    * plan held every value of a group in one aggregation buffer — at
+    * 100 TB a returnflag group is billions of doubles in one task):
+    * instead we aggregate per-VALUE counts (mergeable hash agg, no
+    * buffering), run [[Dist.prefixSumKeyed]] to get each distinct
+    * value's cumulative count without ever windowing a whole group in
+    * one task, and select the value at rank ceil(p·n) — exactly
+    * percentile_disc's SQL-standard semantics (first value whose
+    * cume_dist ≥ p), with the rank computed in exact decimal
+    * arithmetic so p·n never suffers an FP boundary. The same
+    * machinery q_spearman uses for exact ranks. The resulting bounds
+    * table is group-cardinality-sized and broadcast back onto the
+    * fact scan for a map-side clip, never a shuffle on data. */
   private def winsorize(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice"))
-    val bounds = li.groupBy(col("l_returnflag"))
+    val counts = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = Dist.prefixSumKeyed(counts, Seq("l_returnflag"),
+      "l_extendedprice", "cnt", "cum")
+    val totals = counts.groupBy(col("l_returnflag"))
+      .agg(sum(col("cnt")).as("n_tot"))
+    val pLo = lit(new java.math.BigDecimal("0.05"))
+    val pHi = lit(new java.math.BigDecimal("0.95"))
+    val bounds = cum.join(broadcast(totals), "l_returnflag")
+      .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice)").as("lo"),
-        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("hi"))
+        min(when(col("cum") >= greatest(ceil(col("n_tot") * pLo), lit(1)),
+          col("l_extendedprice"))).as("lo"),
+        min(when(col("cum") >= greatest(ceil(col("n_tot") * pHi), lit(1)),
+          col("l_extendedprice"))).as("hi"))
     li.join(broadcast(bounds), "l_returnflag")
       .withColumn("w",
         when(col("l_extendedprice") < col("lo"), col("lo"))

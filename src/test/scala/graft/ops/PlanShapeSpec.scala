@@ -170,6 +170,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q_winsorize builds percentiles from counts, never buffering a group") {
+    // the old plan's percentile_disc held EVERY value of a returnflag
+    // group in one aggregation buffer — at 100 TB that is billions of
+    // doubles in a single task. The rewrite aggregates per-value
+    // counts and rank-selects via the distributed prefix sum, so no
+    // percentile aggregate (and no whole-group buffering) may appear
+    // anywhere in the plan.
+    val p = plan("q_winsorize")
+    assert(!p.toLowerCase.contains("percentile"),
+      s"percentile aggregate (per-group value buffering) back in plan:\n$p")
+    // the prefix-sum phase must window by (key, bucket), the
+    // scale-safe shape
+    assert(p.contains("hashpartitioning(l_returnflag") && p.contains("__pid"),
+      s"expected keyed prefix-sum bucketing in plan:\n$p")
+  }
+
   test("q_dedup_span is linear: keyed shuffles only, no pairwise join") {
     val p = plan("q_dedup_span")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
