@@ -44,7 +44,7 @@ object Bench {
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
-    val timed = Map.newBuilder[String, Double]
+    val timed = Map.newBuilder[String, Seq[Double]]
     val errors = Map.newBuilder[String, String]
     names.foreach { name =>
       val samples = (1 to Iters).flatMap { _ =>
@@ -55,7 +55,7 @@ object Bench {
           None
         }
       }
-      if (samples.size == Iters) timed += name -> median(samples)
+      if (samples.size == Iters) timed += name -> samples
       // queries may persist() intermediates (e.g. the cluster query's
       // edge list); drop them so one query's cache never contaminates
       // the next query's memory budget or timing
@@ -66,11 +66,22 @@ object Bench {
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
-    val qsJson = qs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val qsJson = qs.map { case (k, v) => jstr(k) + ":" + median(v) }.mkString("{", ",", "}")
+    // per-query spread: min is contention-robust (another JVM or GC
+    // pause inflates SOME samples, never deflates one), stddev makes
+    // a contended sweep machine-detectable instead of a per-round
+    // forensic exercise (rounds 2/4/5 all re-litigated phantom
+    // regressions that min/stddev would have labeled at a glance)
+    val statsJson = qs.map { case (k, v) =>
+      val m = v.sum / v.size
+      val sd = math.sqrt(v.map(x => (x - m) * (x - m)).sum / v.size)
+      jstr(k) + s""":{"median":${r3(median(v))},"min":${r3(v.min)},"stddev":${r3(sd)}}"""
+    }.mkString("{", ",", "}")
     val errJson = errs.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = qs.map(_._2).sum
+    val total = qs.map(p => median(p._2)).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"errors":$errJson,"iters":$Iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"stats":$statsJson,"errors":$errJson,"iters":$Iters,"sf":"$sfDir"}"""
     println(json)
     // the driver's stdout capture truncates long tails, hiding most of
     // the per-query map from round-over-round comparison — persist the
