@@ -224,7 +224,40 @@ object Graph extends QueryPack {
       |  FROM (SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
       |  GROUP BY x)""".stripMargin
 
+  /** PageRank oracle: the fixed-point Long formulation is pure
+    * integer arithmetic (`div`-based mass split, integer damping
+    * multiply, exact Long sums), so DuckDB reproduces it BITWISE with
+    * PrIters unrolled chained CTEs running the identical update —
+    * `b + (SUM(r // deg) * 85) // 100` per destination. `//` on
+    * positive BIGINTs matches Scala Long `/` (both truncate); the one
+    * dialect trap is DuckDB's SUM(BIGINT) → HUGEINT, so the in-mass
+    * sum is CAST back to BIGINT before the damping multiply (values
+    * fit: in-mass ≤ max_deg · max_rank ≪ 2⁶³/85). `deg` from the
+    * shared CTE counts each vertex's endpoint appearances in the
+    * distinct edge list = undirected degree = Spark's
+    * size(collect_set). */
+  private def pagerankSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT dir.dst AS v,
+         |         CAST((SELECT b FROM c)
+         |           + (CAST(SUM(p.r // deg.d) AS BIGINT) * $PrDampPct) // 100
+         |           AS BIGINT) AS r
+         |  FROM dir JOIN deg ON deg.x = dir.src
+         |           JOIN r${i - 1} p ON p.v = dir.src
+         |  GROUP BY dir.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$EdgesSql,
+       |dir AS (SELECT u AS src, v AS dst FROM edges
+       |        UNION ALL SELECT v AS src, u AS dst FROM edges),
+       |c AS (SELECT ($PrScale * ${100 - PrDampPct} // 100) // COUNT(*) AS b FROM deg),
+       |r0 AS (SELECT x AS v, CAST($PrScale AS BIGINT) AS r FROM deg),
+       |$iters
+       |SELECT v, r AS rank_fp FROM r$PrIters ORDER BY r DESC, v LIMIT 20""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
+    "q_pagerank" -> pagerankSql,
     "q_graph_triangles" ->
       s"""$EdgesSql
          |SELECT (SELECT COUNT(*) FROM edges) AS n_edges,

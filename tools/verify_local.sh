@@ -18,5 +18,5 @@ done
 java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SF" "$OUT" 2>&1 | grep -v '^\(2[0-9]\|WARN\|INFO\)' || true
+  graft.Verify "$SF" "$OUT" "${@:3}" 2>&1 | grep -v '^\(2[0-9]\|WARN\|INFO\)' || true
 python3 tools/check_oracle.py "$SF" "$OUT"
