@@ -1,20 +1,17 @@
 package graft.ops
 
 import graft.{QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal columns: text ⋈ embedding bundling (struct columns,
   * nested field access — the reference's nested Feature build/access
   * pattern, /root/reference/task.ts:168-195 + withField enrichment
-  * task.ts:245-249), and binary-payload plumbing with a stubbed
-  * decoder.
-  *
-  * The decode step is a clearly-marked deterministic STUB (this
-  * container has no image/audio libs); the Spark-side contract is
-  * real: binary column + typed metadata struct in, fixed-schema
-  * feature struct out, computed per-partition with no shuffle.
+  * task.ts:245-249), and binary-payload decode via a pure-JVM
+  * container-header parser ([[graft.functions.MediaHeader]]): real
+  * magic-byte + dimension extraction for PNG/GIF/JPEG, no media
+  * libraries needed.
   */
 object Multimodal extends QueryPack {
 
@@ -42,32 +39,51 @@ object Multimodal extends QueryPack {
       .orderBy("doc_id")
   }
 
-  /** Binary-payload pipeline: pack a deterministic fake payload into
-    * a binary column with typed metadata, then "decode" it.
+  /** Binary-payload decode: build a REAL media container header per
+    * document (PNG / GIF / JPEG, rotating on doc_id), then parse it
+    * back with the native [[graft.functions.MediaHeader]] expression —
+    * magic-byte format detection plus big/little-endian dimension
+    * extraction, including the JPEG marker WALK over a
+    * variable-length APP0 segment (dimensions are at no fixed
+    * offset). Every 7th payload is truncated to 5 bytes to exercise
+    * the corrupt-input contract: ("unknown", NULL, NULL), never an
+    * exception — the behavior a 100 TB scan of damaged payloads
+    * needs.
     *
-    * STUB: a real deployment decodes image/audio bytes with a native
-    * lib behind the same columnar contract (binary in, struct out,
-    * batched per partition). Here decode() derives deterministic
-    * pseudo-dimensions from the payload bytes so the plumbing —
-    * schema, nullability, partition-parallel execution — is real and
-    * testable without media libraries. */
+    * Construction happens in hex-string space (one shared recipe the
+    * DuckDB oracle replays verbatim), then `unhex` materializes the
+    * actual bytes the parser sees. The oracle extracts the same
+    * fields by slicing the identical hex at the arithmetically-same
+    * byte offsets — so Spark's binary walk and DuckDB's offset math
+    * must agree bit-for-bit. Whole pipeline is narrow (no shuffle
+    * before the final presentation sort) and stays in whole-stage
+    * codegen: MediaHeader emits a direct static call. */
   private def multimodalBlob(s: SparkSession, d: String): DataFrame = {
-    val payload = Tables.documents(s, d)
-      .withColumn("media", struct(
-        encode(col("text"), "UTF-8").as("bytes"),
-        lit("fake/raw").as("mime"),
-        length(col("text")).as("declared_len")))
-    payload
-      .withColumn("decoded", struct(
-        length(col("media.bytes")).as("n_bytes"),
-        // stubbed decode: dimensions derived from content hash
-        pmod(xxhash64(col("media.bytes")), lit(1920)).cast("int").as("width"),
-        pmod(xxhash64(col("media.bytes"), lit(1)), lit(1080)).cast("int").as("height"),
-        (crc32(col("media.bytes")) % 256).cast("int").as("checksum_byte")))
-      .filter(col("decoded.n_bytes") === col("media.declared_len"))
-      .select(col("doc_id"), col("media.mime").as("mime"),
-        col("decoded.n_bytes").as("n_bytes"), col("decoded.width").as("width"),
-        col("decoded.height").as("height"), col("decoded.checksum_byte").as("checksum_byte"))
+    import graft.functions.MediaHeader.media_header
+    def be32(c: Column) = lpad(hex(c.cast("bigint")), 8, "0")
+    def be16(c: Column) = lpad(hex(c.cast("bigint")), 4, "0")
+    def le16(c: Column) = concat(
+      lpad(hex(pmod(c, lit(256)).cast("bigint")), 2, "0"),
+      lpad(hex(shiftright(c, 8).cast("bigint")), 2, "0"))
+    val w = (col("n_chars") % 1900 + 16).cast("int")
+    val h = ((col("doc_id") * 7) % 1060 + 16).cast("int")
+    val pad = (col("doc_id") % 13 + 1).cast("int")
+    val hx = when(col("doc_id") % 3 === 0,       // PNG: sig + IHDR, BE32 dims
+        concat(lit("89504E470D0A1A0A0000000D49484452"), be32(w), be32(h)))
+      .when(col("doc_id") % 3 === 1,             // GIF89a: LE16 dims
+        concat(lit("474946383961"), le16(w), le16(h)))
+      .otherwise(                                // JPEG: SOI, APP0(pad), SOF0
+        concat(lit("FFD8FFE0"), be16(pad + 2), repeat(lit("41"), pad),
+          lit("FFC0001108"), be16(h), be16(w)))
+    val cut = when(col("doc_id") % 7 === 0, substring(hx, 1, 10)).otherwise(hx)
+    Tables.documents(s, d)
+      .withColumn("blob", unhex(cut))
+      .withColumn("hdr", media_header(col("blob")))
+      .select(col("doc_id"),
+        col("hdr.format").as("format"),
+        col("hdr.width").as("width"),
+        col("hdr.height").as("height"),
+        length(col("blob")).cast("int").as("byte_len"))
       .orderBy("doc_id")
   }
 
@@ -108,6 +124,65 @@ object Multimodal extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // Same hex-space payload recipe as the Spark side; the parse half
+    // slices the hex at the byte offsets the binary walk lands on
+    // (2 hex chars per byte, 1-based substr ⇒ byte o lives at char
+    // 2*o+1). JPEG's SOF offset is 4 + APP0-length, read from the
+    // payload itself — the oracle replays the walk arithmetic, it
+    // does not assume the construction.
+    "q_multimodal_blob" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         (n_chars % 1900) + 16 AS w,
+        |         ((doc_id * 7) % 1060) + 16 AS h,
+        |         (doc_id % 13) + 1 AS pad
+        |  FROM documents),
+        |built AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN '89504e470d0a1a0a0000000d49484452'
+        |                  || lpad(to_hex(w), 8, '0') || lpad(to_hex(h), 8, '0')
+        |      WHEN 1 THEN '474946383961'
+        |                  || lpad(to_hex(w % 256), 2, '0') || lpad(to_hex(w // 256), 2, '0')
+        |                  || lpad(to_hex(h % 256), 2, '0') || lpad(to_hex(h // 256), 2, '0')
+        |      ELSE 'ffd8ffe0' || lpad(to_hex(pad + 2), 4, '0') || repeat('41', pad)
+        |           || 'ffc0001108' || lpad(to_hex(h), 4, '0') || lpad(to_hex(w), 4, '0')
+        |    END AS hx
+        |  FROM base),
+        |cut AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN substr(hx, 1, 10) ELSE hx END AS hx
+        |  FROM built),
+        |jp AS (
+        |  SELECT doc_id, hx,
+        |    CASE WHEN length(hx) >= 12 AND substr(hx, 1, 4) = 'ffd8'
+        |         THEN 4 + TRY_CAST('0x' || substr(hx, 9, 4) AS BIGINT) END AS sof_off
+        |  FROM cut),
+        |fmtd AS (
+        |  SELECT doc_id, hx, sof_off,
+        |    CASE
+        |      WHEN length(hx) >= 48 AND substr(hx, 1, 16) = '89504e470d0a1a0a'
+        |           AND substr(hx, 25, 8) = '49484452' THEN 'png'
+        |      WHEN length(hx) >= 20 AND substr(hx, 1, 12) = '474946383961' THEN 'gif'
+        |      WHEN sof_off IS NOT NULL AND length(hx) >= 2 * (sof_off + 9)
+        |           AND substr(hx, 2 * sof_off + 1, 4) = 'ffc0' THEN 'jpeg'
+        |      ELSE 'unknown' END AS format
+        |  FROM jp)
+        |SELECT doc_id, format,
+        |  CAST(CASE format
+        |    WHEN 'png'  THEN TRY_CAST('0x' || substr(hx, 33, 8) AS BIGINT)
+        |    WHEN 'gif'  THEN TRY_CAST('0x' || substr(hx, 13, 2) AS BIGINT)
+        |                     + 256 * TRY_CAST('0x' || substr(hx, 15, 2) AS BIGINT)
+        |    WHEN 'jpeg' THEN TRY_CAST('0x' || substr(hx, 2 * (sof_off + 7) + 1, 4) AS BIGINT)
+        |  END AS INT) AS width,
+        |  CAST(CASE format
+        |    WHEN 'png'  THEN TRY_CAST('0x' || substr(hx, 41, 8) AS BIGINT)
+        |    WHEN 'gif'  THEN TRY_CAST('0x' || substr(hx, 17, 2) AS BIGINT)
+        |                     + 256 * TRY_CAST('0x' || substr(hx, 19, 2) AS BIGINT)
+        |    WHEN 'jpeg' THEN TRY_CAST('0x' || substr(hx, 2 * (sof_off + 5) + 1, 4) AS BIGINT)
+        |  END AS INT) AS height,
+        |  CAST(length(hx) // 2 AS INT) AS byte_len
+        |FROM fmtd ORDER BY doc_id""".stripMargin,
     "q_multimodal" ->
       """SELECT d.doc_id, d.lang, d.n_chars, e.label, CAST(LEN(e.embedding) AS INT) AS n_dims
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
