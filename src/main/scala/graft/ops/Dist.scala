@@ -9,6 +9,28 @@ import org.apache.spark.sql.functions._
   */
 object Dist {
 
+  /** Monotone range-bucket id in [0, p) for `o` ∈ [lo, hi].
+    *
+    * All arithmetic is forced into DOUBLE space BEFORE the subtract/
+    * multiply: `(o - lo) * p` in the column's native integral type
+    * wraps Long for key ranges near 2⁶³/p (silently non-monotone
+    * buckets → wrong prefix sums), and a decimal cast would overflow
+    * for double order columns beyond 1e38. Double ops never wrap and
+    * every step (cast, −lo, ×p, ÷range, int-truncate of a
+    * non-negative) is monotone non-decreasing — which is the ONLY
+    * property bucketing needs: assignment may collapse adjacent huge
+    * keys into one bucket (double granularity), but the downstream
+    * within-bucket window + cross-bucket offsets reconstruct the
+    * exact global order regardless of where boundaries fall. The
+    * least() guard pins the top value into bucket p-1 when rounding
+    * lands the quotient exactly on p.
+    */
+  private def bucketOf(o: Column, lo: Column, hi: Column, p: Int): Column =
+    least(
+      ((o.cast("double") - lo.cast("double")) * p /
+        (hi.cast("double") - lo.cast("double") + 1d)).cast("int"),
+      lit(p - 1))
+
   /** Two-phase distributed prefix sum: inclusive running total of
     * `valCol` (integral) in `orderCol` order, as `cumCol` — without a
     * global single-partition window at any point.
@@ -27,13 +49,8 @@ object Dist {
       cumCol: String): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     val bounds = df.agg(min(col(orderCol)).as("__lo"), max(col(orderCol)).as("__hi"))
-    // Column `/` is double division; the least() guard pins the top
-    // value into bucket p-1 even if FP rounding at extreme key ranges
-    // nudges the quotient up to exactly p. Monotonicity is unaffected.
     val parted = df.crossJoin(broadcast(bounds))
-      .withColumn("__pid", least(
-        ((col(orderCol) - col("__lo")) * p / (col("__hi") - col("__lo") + 1)).cast("int"),
-        lit(p - 1)))
+      .withColumn("__pid", bucketOf(col(orderCol), col("__lo"), col("__hi"), p))
       .drop("__lo", "__hi")
     val wIn = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -62,9 +79,7 @@ object Dist {
     val p = df.sparkSession.sparkContext.defaultParallelism
     val bounds = df.agg(min(col(orderCol)).as("__lo"), max(col(orderCol)).as("__hi"))
     val parted = df.crossJoin(broadcast(bounds))
-      .withColumn("__pid", least(
-        ((col(orderCol) - col("__lo")) * p / (col("__hi") - col("__lo") + 1)).cast("int"),
-        lit(p - 1)))
+      .withColumn("__pid", bucketOf(col(orderCol), col("__lo"), col("__hi"), p))
       .drop("__lo", "__hi")
     val keyed = keyCols.map(col)
     val wIn = Window.partitionBy((keyed :+ col("__pid")): _*).orderBy(orderCol)

@@ -146,6 +146,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Dist.prefixSum is exact at key ranges near Long.MaxValue (bucket math must not wrap)") {
+    // Keys cluster at both ends of the Long domain: (hi-lo) ≈ 2^64,
+    // so any native-Long `(key - lo) * p` bucket arithmetic wraps and
+    // silently breaks bucket monotonicity. The double-space bucketing
+    // collapses same-end neighbors into one bucket — allowed — but
+    // the prefix sums must still be exactly the sorted running total.
+    val ends =
+      (0L until 40L).map(i => Long.MinValue + i * 7) ++
+      (0L until 40L).map(i => Long.MaxValue - i * 11) ++
+      Seq(-1L, 0L, 1L, Long.MinValue / 3, Long.MaxValue / 3)
+    val rows = ends.distinct.zipWithIndex.map { case (k, i) => (k, (i % 13).toLong + 1) }
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 5), schema)
+    val got = Dist.prefixSum(d, "id", "v", "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expected = rows.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }
+      .drop(1).toMap
+    assert(got == expected)
+
+    // keyed twin under the same extreme range
+    val keyedRows = rows.map { case (k, v) => (if (v % 2 == 0) "a" else "b", k, v) }
+    val schema2 = StructType(Seq(StructField("g", StringType),
+      StructField("id", LongType), StructField("v", LongType)))
+    val d2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(keyedRows.map(r => Row(r._1, r._2, r._3)), 5), schema2)
+    val got2 = Dist.prefixSumKeyed(d2, Seq("g"), "id", "v", "cum")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val expected2 = keyedRows.groupBy(_._1).flatMap { case (g, grp) =>
+      grp.sortBy(_._2)
+        .scanLeft((g, 0L, 0L)) { case ((_, _, acc), (_, id, v)) => (g, id, acc + v) }
+        .drop(1).map { case (gg, id, c) => (gg, id) -> c }
+    }
+    assert(got2 == expected2)
+  }
+
   test("prefix+positional filter finds EXACTLY the J>=0.5 pairs on random corpora") {
     // the AllPairs prefix bound and the PPJoin positional filter are
     // both proved exact on paper (Dedup.ngramPairsOf); this checks the
