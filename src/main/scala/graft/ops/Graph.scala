@@ -17,16 +17,21 @@ import org.apache.spark.sql.functions._
   * with the fact table.
   *
   *  - q_graph_triangles: exact triangle count + global clustering
-  *    coefficient. Edges are ORIENTED by the vertex total order
-  *    (u < v), so each triangle is enumerated exactly once as
+  *    coefficient. Edges are ORIENTED by the DEGREE total order
+  *    (degree, id) — Latapy's compact-forward orientation (TCS 2008):
+  *    every edge points from its lower-(degree, id) endpoint to the
+  *    higher one, so each triangle is enumerated exactly once as
   *    e1=(a,b), e2=(b,c), e3=(a,c) — no post-hoc /6 and no symmetric
-  *    edge duplication. Scale shape: the wedge join shuffles on the
-  *    shared vertex, the closing join on the (a,c) pair — both
-  *    equi-joins; intermediate size is the wedge count
-  *    Σ_v d(v)·(d(v)-1)/2, which the degree-ordered orientation
-  *    (point high-degree vertices at low-degree ones; see Latapy,
-  *    TCS 2008) would further bound at true scale. The three 1-row
-  *    stat aggregates assemble via broadcast cross joins.
+  *    edge duplication — and the wedge-join intermediate is
+  *    Σ_v dout(v)·(dout(v)-1)/2 over OUT-degrees, which the
+  *    orientation bounds at O(E^1.5) total even on power-law graphs
+  *    (a hub's edges all point INTO it, so no task ever enumerates
+  *    the hub's quadratic wedge set; an id-ordered orientation has no
+  *    such bound — a low-id hub keeps all its wedges). GraphSpec
+  *    measures the reduction on a skewed star graph. Scale shape: the
+  *    wedge join shuffles on the shared vertex, the closing join on
+  *    the (a,c) pair — both equi-joins; the three 1-row stat
+  *    aggregates assemble via broadcast cross joins.
   */
 object Graph extends QueryPack {
 
@@ -69,20 +74,47 @@ object Graph extends QueryPack {
       .repartition(col("src")).sortWithinPartitions("src").persist()
   }
 
+  /** Undirected degree per vertex of a (u < v) distinct edge list. */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+
+  /** Latapy orientation: re-direct each undirected edge to run from
+    * its smaller (degree, id) endpoint `a` to the larger `b`. A total
+    * order on vertices, so the oriented graph is acyclic and every
+    * triangle has exactly one (a→b→c, a→c) representation — same
+    * uniqueness the id order gave — but out-degrees are now bounded
+    * by O(√E): a vertex keeps an out-edge only toward HIGHER-degree
+    * neighbors, so dout(v) ≤ deg(v) capped by the count of
+    * ≥-degree vertices. Two vertex-keyed equi-joins against the
+    * vertex-sized degree table (Catalyst reuses the degree exchange
+    * for both sides). Package-visible for GraphSpec's skew
+    * differential. */
+  private[ops] def orientByDegree(e: DataFrame): DataFrame = {
+    val deg = degrees(e)
+    val fwd = // does the existing u→v direction already agree with (deg, id)?
+      col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    e.join(deg.as("tu"), col("u") === col("tu.x"))
+      .join(deg.as("tv"), col("v") === col("tv.x"))
+      .select(col("u"), col("v"), col("tu.d").as("du"), col("tv.d").as("dv"))
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("a"),
+        when(fwd, col("v")).otherwise(col("u")).as("b"))
+  }
+
   private def triangles(s: SparkSession, d: String): DataFrame = {
     val e = edges(s, d)
     val edgeStats = e.agg(count(lit(1)).as("n_edges"))
-    // degree from the oriented list: each undirected edge touches
-    // both endpoints once.
-    val degStats = e.select(col("u").as("x"))
-      .unionAll(e.select(col("v").as("x")))
-      .groupBy("x").agg(count(lit(1)).as("d"))
+    // reported wedge stat is the clustering denominator — UNDIRECTED
+    // connected triples, independent of the join orientation below.
+    val degStats = degrees(e)
       .agg(count(lit(1)).as("n_vertices"),
         sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-    val triStats = e.as("e1")
-      .join(e.as("e2"), col("e1.v") === col("e2.u"))
-      .join(e.as("e3"),
-        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+    val o = orientByDegree(e)
+    val triStats = o.as("e1")
+      .join(o.as("e2"), col("e1.b") === col("e2.a"))
+      .join(o.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
       .agg(count(lit(1)).as("n_triangles"))
     edgeStats.crossJoin(broadcast(degStats)).crossJoin(broadcast(triStats))
       .select(col("n_edges"), col("n_vertices"), col("n_wedges"), col("n_triangles"),

@@ -38,6 +38,41 @@ class GraphSpec extends SparkSpec {
     assert(row.getAs[Long]("n_triangles") === tri)
   }
 
+  test("Latapy orientation collapses the wedge-join intermediate on a skewed graph") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Star: hub 0 (the LOWEST id — worst case for id-orientation)
+    // joined to 400 leaves, plus a ring among consecutive leaves so
+    // triangles exist (0, i, i+1).
+    val n = 400L
+    val star = (1L to n).map(i => (0L, i))
+    val ring = (1L until n).map(i => (i, i + 1))
+    val e = (star ++ ring).toDF("u", "v")
+
+    def orientedWedges(o: org.apache.spark.sql.DataFrame): Long =
+      o.groupBy("a").agg(count(lit(1)).as("dout"))
+        .agg(sum(expr("dout * (dout - 1) div 2"))).head.getLong(0)
+
+    // id-orientation (the old plan): the hub keeps ALL its wedges.
+    val idWedges = orientedWedges(e.select(col("u").as("a"), col("v").as("b")))
+    val degWedges = orientedWedges(Graph.orientByDegree(e))
+    // hub wedges: n·(n-1)/2 ≈ 80k under id order; under degree order
+    // every star edge points INTO the hub, leaving only leaf-local
+    // wedges (dout ≤ 3 per leaf).
+    assert(idWedges >= n * (n - 1) / 2, s"id-oriented wedges: $idWedges")
+    assert(degWedges < 3 * n, s"degree-oriented wedges: $degWedges")
+
+    // and the triangle count is orientation-invariant: both orderings
+    // enumerate each (0, i, i+1) triangle exactly once.
+    def triCount(o: org.apache.spark.sql.DataFrame): Long =
+      o.as("e1").join(o.as("e2"), col("e1.b") === col("e2.a"))
+        .join(o.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .count()
+    val got = triCount(Graph.orientByDegree(e))
+    assert(got === triCount(e.select(col("u").as("a"), col("v").as("b"))))
+    assert(got === (n - 1))
+  }
+
   test("q_pagerank matches an exact Long fixed-point reimplementation") {
     val nbrs = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
     edgeList.foreach { case (u, v) =>
