@@ -285,6 +285,123 @@ class StreamingSpec extends SparkSpec {
     assert(viaWindow.nonEmpty)
   }
 
+  test("interval-join click state survives a restart: post-restart errors still match pre-restart clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch 1: two clicks then an error; batch 2 (after restart): an
+    // error whose ONLY possible matches are batch-1 clicks — rows for
+    // it exist iff the join's click buffer was restored from the
+    // checkpoint, not rebuilt empty.
+    val batch1 = Seq(
+      Event(1, ts(0), 1, "click", 1.0, "{}"),
+      Event(2, ts(5), 1, "click", 2.0, "{}"),
+      Event(3, ts(6), 1, "error", 0.0, "{}"))
+    val batch2 = Seq(Event(4, ts(8), 1, "error", 0.0, "{}"))
+
+    // memory sink cannot recover an append-mode checkpoint; foreachBatch
+    // is the restart-capable sink. Sets absorb a replayed final batch
+    // (at-least-once), and the join output is duplicate-free by
+    // construction (distinct (e_id, c_ts) pairs).
+    def collectPairs(sink: java.util.concurrent.ConcurrentLinkedQueue[(Long, Timestamp)])(
+        df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      df.select("e_id", "c_ts").collect()
+        .foreach(r => sink.add((r.getLong(0), r.getTimestamp(1))))
+
+    // uninterrupted reference: same two batches, one query lifetime
+    val refRows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Timestamp)]()
+    val msRef = MemoryStream[Event]
+    val qRef = Streams.errorClickJoin(msRef.toDF()).writeStream
+      .outputMode("append").foreachBatch(collectPairs(refRows) _).start()
+    msRef.addData(batch1); qRef.processAllAvailable()
+    msRef.addData(batch2); qRef.processAllAvailable()
+    qRef.stop()
+
+    val gotRows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Timestamp)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssj-ckpt").toString
+    val ms = MemoryStream[Event]
+    def start() = Streams.errorClickJoin(ms.toDF()).writeStream
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch(collectPairs(gotRows) _).start()
+    val q1 = start()
+    ms.addData(batch1); q1.processAllAvailable(); q1.stop()
+    val q2 = start()
+    ms.addData(batch2); q2.processAllAvailable(); q2.stop()
+
+    val got = gotRows.asScala.toSet
+    val ref = refRows.asScala.toSet
+    assert(got == ref, s"restarted join diverged: got $got vs $ref")
+    // the cross-restart matches specifically: error 4 (min 8) joins
+    // clicks at minutes 0 and 5, both buffered before the restart
+    assert(got.filter(_._1 == 4L).map(_._2) == Set(ts(0), ts(5)))
+  }
+
+  test("incremental SCD2 resumes mid-stream: buffered events and last-state survive restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // run 1 folds the early prefix (watermark reaches min 8) and
+      // leaves event 4 (click@18) BUFFERED with last='click' in state.
+      // After restart, click@18 must NOT emit a change (same state as
+      // the restored 'last') and purchase@25 must — distinguishing a
+      // restored state store from a rebuilt-empty one, which would
+      // emit a spurious click@18 change.
+      val run1 = Seq(
+        Event(1, ts(0), 1, "view", 1.0, "{}"),
+        Event(2, ts(2), 1, "click", 1.0, "{}"),
+        Event(3, ts(4), 1, "click", 1.0, "{}"),
+        Event(4, ts(18), 1, "click", 1.0, "{}"))
+      val run2 = Seq(Event(5, ts(25), 1, "purchase", 1.0, "{}"))
+      val sentinel = Seq(
+        Event(-1, ts(50), -1L, "view", 0.0, "{}"),
+        Event(-2, ts(55), -1L, "view", 0.0, "{}"))
+
+      // foreachBatch sink (memory sink can't recover append-mode
+      // checkpoints); Set collection absorbs a replayed batch, and
+      // change rows are unique by event_id.
+      def collectChanges(sink: java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)])(
+          df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        df.filter(col("user_id") >= 0).select("user_id", "event_id", "state")
+          .collect().foreach(r => sink.add((r.getLong(0), r.getLong(1), r.getString(2))))
+
+      // uninterrupted reference over the identical batch sequence
+      val refRows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]()
+      val msRef = MemoryStream[Event]
+      val qRef = Streams.incrementalScd2(msRef.toDS()).toDF().writeStream
+        .outputMode("append").foreachBatch(collectChanges(refRows) _).start()
+      (Seq(run1, run2) ++ sentinel.map(Seq(_))).foreach { b =>
+        msRef.addData(b); qRef.processAllAvailable()
+      }
+      qRef.stop()
+
+      val gotRows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2-ckpt").toString
+      val ms = MemoryStream[Event]
+      def start() = Streams.incrementalScd2(ms.toDS()).toDF().writeStream
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .foreachBatch(collectChanges(gotRows) _).start()
+      val q1 = start()
+      ms.addData(run1); q1.processAllAvailable(); q1.stop()
+      val q2 = start()
+      (Seq(run2) ++ sentinel.map(Seq(_))).foreach { b =>
+        ms.addData(b); q2.processAllAvailable()
+      }
+      q2.stop()
+
+      val got = gotRows.asScala.toSet
+      val ref = refRows.asScala.toSet
+      assert(got == ref, s"restarted SCD2 diverged: got $got vs $ref")
+      // exact change-set: view@0, click@2 — then click@18 is a
+      // no-change against the RESTORED last state — then purchase@25
+      assert(got == Set((1L, 1L, "view"), (1L, 2L, "click"), (1L, 5L, "purchase")))
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming state survives a query restart from checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
