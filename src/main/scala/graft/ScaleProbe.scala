@@ -78,11 +78,13 @@ object ScaleProbe {
       val span = events.agg((max("ts") - min("ts")).as("s")).head().getLong(0)
       val shift = (span / dayNs + 1) * dayNs
       val nEv = events.agg(max("event_id")).head().getLong(0) + 1
+      // transform only the two rewritten columns so any column later
+      // added to events.parquet flows through unchanged instead of
+      // being silently dropped from probe dirs
       (0 until k).map { c =>
-        events.select(
-          (col("event_id") + lit(c.toLong * nEv)).as("event_id"),
-          (col("ts") + lit(c.toLong * shift)).as("ts"),
-          col("user_id"), col("event_type"), col("value"), col("props"))
+        events
+          .withColumn("event_id", col("event_id") + lit(c.toLong * nEv))
+          .withColumn("ts", col("ts") + lit(c.toLong * shift))
       }.reduce(_ unionAll _)
         .repartition(par)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")

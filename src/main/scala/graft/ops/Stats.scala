@@ -52,7 +52,12 @@ object Stats extends QueryPack {
   }
 
   private def spearman(s: SparkSession, d: String): DataFrame = {
+    // explicit not-null pin (no-op on TPC-H data, where these columns
+    // are non-nullable): keeps the rank join-back semantics fixture-
+    // independent — see the mannwhitney note.
     val li = Tables.lineitem(s, d)
+      .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull &&
+        col("l_discount").isNotNull)
     val withRanks = li
       .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
       .join(broadcast(ranked(li, "l_quantity", "r_l_quantity")), "l_quantity")
@@ -102,7 +107,8 @@ object Stats extends QueryPack {
     }
     s"""WITH r AS (
        |  SELECT $ranks
-       |  FROM lineitem),
+       |  FROM lineitem
+       |  WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")}),
        |m AS (
        |  SELECT $moments
        |  FROM r)
@@ -226,7 +232,12 @@ object Stats extends QueryPack {
     * arithmetic from DECIMAL-exact rank sums. */
   private def mannwhitney(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-      .filter(col("event_type").isin(TGroupA, TGroupB))
+      // value IS NOT NULL pins the NULL semantics explicitly: without
+      // it the rank join-back would silently DROP null-valued rows
+      // while the oracle's RANK() keeps them (NULLS LAST) and counts
+      // them in n1/n2 — masked today only because the fixture's value
+      // column is non-null.
+      .filter(col("event_type").isin(TGroupA, TGroupB) && col("value").isNotNull)
       .select(col("event_type"), col("value"))
     val byVal = ev.groupBy(col("value")).agg(count(lit(1)).as("cnt"))
     val ranks = Dist.prefixSum(byVal, "value", "cnt", "cum")
@@ -258,7 +269,7 @@ object Stats extends QueryPack {
   private def mannwhitneyOracle: String =
     s"""WITH ev AS (
        |  SELECT event_type, value FROM events
-       |  WHERE event_type IN ('$TGroupA', '$TGroupB')),
+       |  WHERE event_type IN ('$TGroupA', '$TGroupB') AND value IS NOT NULL),
        |ranks AS (
        |  SELECT event_type, value,
        |         RANK() OVER (ORDER BY value)
