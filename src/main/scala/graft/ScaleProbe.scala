@@ -71,12 +71,24 @@ object ScaleProbe {
       // windows, and funnels stay linear in k — no cross-copy pairs)
       // while preserving hour-of-day demographics for the contingency
       // queries; user_id unchanged — "k× more activity from the same
-      // users". Arithmetic stays in raw nanos (the session reads
-      // events.parquet under nanosAsLong, so ts is BIGINT here).
+      // users". The shift arm follows the fixture's physical ts type
+      // (raw-nanos BIGINT in the legacy fixture, TIMESTAMP(MICROS)
+      // since the round-6 refresh) so probe dirs replicate either.
       val events = spark.read.parquet(s"$src/events.parquet")
-      val dayNs = 86400L * 1000000000L
-      val span = events.agg((max("ts") - min("ts")).as("s")).head().getLong(0)
-      val shift = (span / dayNs + 1) * dayNs
+      val tsIsNanos =
+        events.schema("ts").dataType == org.apache.spark.sql.types.LongType
+      val shiftExpr: Int => org.apache.spark.sql.Column =
+        if (tsIsNanos) {
+          val dayNs = 86400L * 1000000000L
+          val span = events.agg((max("ts") - min("ts")).as("s")).head().getLong(0)
+          val shift = (span / dayNs + 1) * dayNs
+          c => col("ts") + lit(c.toLong * shift)
+        } else {
+          val d = events.agg(
+            (datediff(to_date(max("ts")), to_date(min("ts"))) + 1).as("d"))
+            .head().getInt(0)
+          c => expr(s"timestampadd(DAY, ${c * d}, ts)")
+        }
       val nEv = events.agg(max("event_id")).head().getLong(0) + 1
       // transform only the two rewritten columns so any column later
       // added to events.parquet flows through unchanged instead of
@@ -84,7 +96,7 @@ object ScaleProbe {
       (0 until k).map { c =>
         events
           .withColumn("event_id", col("event_id") + lit(c.toLong * nEv))
-          .withColumn("ts", col("ts") + lit(c.toLong * shift))
+          .withColumn("ts", shiftExpr(c))
       }.reduce(_ unionAll _)
         .repartition(par)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")

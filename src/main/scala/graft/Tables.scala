@@ -22,18 +22,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.ts is physically TIMESTAMP(NANOS) parquet, which Spark's
-    * vectorized reader rejects. Read it as raw nanos (legacy conf,
-    * owned by [[GraftSession]] at session build) and truncate to
-    * microseconds — the same ns→µs truncation DuckDB applies on read,
-    * so oracle values agree. `div` keeps the arithmetic integral (a
-    * double roundtrip would lose precision on 1.7e18-scale nanos). */
+  /** events.ts has shipped in two physical forms across fixture
+    * generations: TIMESTAMP(NANOS) (readable only as raw-nanos BIGINT
+    * under the legacy conf [[GraftSession]] sets) and, since the
+    * round-6 refresh, plain TIMESTAMP(MICROS) (surfacing as NTZ — no
+    * tz metadata in the file). Dispatch on the observed type so the
+    * loader — not every downstream query — owns the difference, and
+    * normalize to session-local TimestampType either way (UTC
+    * session, so NTZ→LTZ is value-preserving and the µs values match
+    * what DuckDB reads for the oracle). The nanos arm keeps `div`
+    * integral: a double roundtrip would lose precision on
+    * 1.7e18-scale nanos. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is TIMESTAMP(NANOS): build the session via " +
-        "GraftSession.builder (sets spark.sql.legacy.parquet.nanosAsLong)")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -457,8 +457,12 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$in/e1.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(in).schema
+    val tsNorm = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
     def src = spark.readStream.schema(schema).parquet(in)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", tsNorm)
     ScheduledRunner.runOnce(src.filter(col("event_type") === "click"), sink, ckpt)
     val n1 = spark.read.parquet(sink).count()
     assert(n1 > 0)
