@@ -1,0 +1,165 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Ground-truth and structural properties for the cluster-operations
+  * tier (ScaleOps): each query also has a DuckDB oracle; these tests
+  * pin the properties the oracle can't see — layout locality bounds,
+  * bin-packing slack, NTILE equivalence to Spark's own window
+  * function, split determinism, and a driver-side MAD differential.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  private def run(q: String) = graft.SparkEntry.queries(q)(spark, sf)
+
+  // ---- q_zorder ---------------------------------------------------
+
+  test("q_zorder tiles bound the span of BOTH dimensions") {
+    // tile = top 6 z-bits = top 3 bits of each 10-bit dimension →
+    // per-tile span < 2^7 = 128 in x AND y. This is the property a
+    // min/max-pruning scan planner exploits; a single-column sort
+    // gives ~full-range spans in the other column.
+    val t = run("q_zorder").collect()
+    assert(t.nonEmpty)
+    t.foreach { r =>
+      val (xs, ys) = (r.getAs[Long]("x_span"), r.getAs[Long]("y_span"))
+      assert(xs < 128 && ys < 128, s"tile ${r.getAs[Long]("tile")} spans ($xs, $ys)")
+    }
+    // tiles partition the z-range: z extents of consecutive tiles
+    // never overlap (sorted-by-z writes stay sorted after grouping)
+    val zs = t.map(r => (r.getAs[Long]("z_lo"), r.getAs[Long]("z_hi")))
+    zs.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+
+  test("q_zorder morton key round-trips against a bit-twiddling reference") {
+    def ref(x: Long, y: Long): Long =
+      (0 until 10).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    // recompute z for every part driver-side from the same derived
+    // coordinates and compare the per-tile z extents
+    val side = 1L << 10
+    val parts = graft.Tables.part(spark, sf).select("p_partkey").collect()
+      .map(_.getLong(0))
+    val expected = parts.map { k =>
+      val z = ref(k * 131 % side, k * 9973 % side)
+      (z >> 14) -> z
+    }.groupBy(_._1).map { case (t, zs) => (t, zs.map(_._2).min, zs.map(_._2).max) }
+    val got = run("q_zorder").collect()
+      .map(r => (r.getAs[Long]("tile"), r.getAs[Long]("z_lo"), r.getAs[Long]("z_hi")))
+      .toSet
+    assert(got == expected.toSet)
+  }
+
+  // ---- q_skew_audit -----------------------------------------------
+
+  test("q_skew_audit matches a driver-side exact Gini on the key histogram") {
+    val cnts = graft.Tables.lineitem(spark, sf)
+      .groupBy("l_suppkey").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = cnts.sortBy { case (k, c) => (c, k) }.map(_._2)
+    val n = sorted.length.toDouble
+    val tot = sorted.sum.toDouble
+    val src = sorted.zipWithIndex.map { case (c, i) => (i + 1L) * c }.sum.toDouble
+    val gini = math.floor((src * 2 / (n * tot) - (n + 1) / n) * 10000 + 0.5) / 10000
+    val row = run("q_skew_audit").head()
+    assert(row.getAs[Long]("n_keys") == sorted.length)
+    assert(row.getAs[Double]("gini") == gini)
+    val g = row.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0)
+  }
+
+  // ---- q_file_compaction ------------------------------------------
+
+  test("q_file_compaction groups are contiguous and near-target-sized") {
+    val rows = run("q_file_compaction").collect()
+    assert(rows.nonEmpty)
+    val target = 4L << 20
+    val maxFile = 4096L * graft.Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate"))).count()
+      .agg(max("count")).head().getLong(0)
+    rows.foreach { r =>
+      // sorted-fill slack: a group exceeds the target by at most the
+      // one file that straddles its boundary
+      assert(r.getAs[Long]("group_bytes") < target + maxFile)
+    }
+    // groups tile the day axis in order: contiguous, non-overlapping
+    val spans = rows.sortBy(_.getAs[Long]("grp"))
+      .map(r => (r.getAs[java.sql.Date]("day_lo").toLocalDate,
+        r.getAs[java.sql.Date]("day_hi").toLocalDate))
+    spans.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1.isBefore(lo2))
+      case _ =>
+    }
+    // every group but the last fills to at least the target (no
+    // premature group cut — the planner wastes no output files)
+    spans.indices.dropRight(1).foreach { i =>
+      assert(rows(i).getAs[Long]("group_bytes") >= target - maxFile)
+    }
+  }
+
+  // ---- q_length_buckets -------------------------------------------
+
+  test("q_length_buckets reproduces Spark's own NTILE window bitwise") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens"), col("doc_id"))
+    val oracle = docs.withColumn("bucket", ntile(8).over(w).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"), sum("n_tokens").as("sum_tokens"))
+    val got = run("q_length_buckets")
+    assert(got.exceptAll(oracle).isEmpty && oracle.exceptAll(got).isEmpty)
+    // equi-depth: bucket sizes differ by at most 1, ranges ordered
+    val rows = got.collect().sortBy(_.getAs[Long]("bucket"))
+    val sizes = rows.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max - sizes.min <= 1)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_tokens") <= b.getAs[Long]("min_tokens"))
+      case _ =>
+    }
+  }
+
+  // ---- q_split_train ----------------------------------------------
+
+  test("q_split_train is deterministic, exhaustive, and near 80/10/10") {
+    val rows = run("q_split_train").collect()
+    val byName = rows.map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    val total = byName.values.sum
+    assert(total == graft.Tables.documents(spark, sf).count())
+    // mixed-congruential scramble spreads uniformly: 80/10/10 ± 5pp
+    assert(math.abs(byName("train").toDouble / total - 0.80) < 0.05)
+    // identical across independent evaluations (no RNG anywhere)
+    val again = run("q_split_train").collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  // ---- q_mad ------------------------------------------------------
+
+  test("q_mad matches a driver-side exact median/MAD computation") {
+    def discMedian(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      s((math.ceil(0.5 * s.length) - 1).toInt.max(0))
+    }
+    val ev = graft.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val expected = ev.groupBy(_._1).map { case (t, vs) =>
+      val values = vs.map(_._2)
+      val med = discMedian(values)
+      val m = discMedian(values.map(v => math.abs(v - med)))
+      (t, values.length.toLong, med, m, values.count(v => math.abs(v - med) > 3 * m).toLong)
+    }.toSet
+    val got = run("q_mad").collect().map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Double]("med"),
+        r.getAs[Double]("mad"), r.getAs[Long]("n_outliers"))).toSet
+    assert(got == expected)
+  }
+}
