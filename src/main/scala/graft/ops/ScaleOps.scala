@@ -319,10 +319,15 @@ object ScaleOps extends QueryPack {
       .select(split.as("split"), col("n_chars"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
-    val total = byk.agg(sum(col("n_docs")).as("__t"))
-    byk.crossJoin(broadcast(total))
+    // total via a global window OVER THE 3-ROW AGGREGATE (the waived
+    // bounded pattern), not a second aggregate over byk — whose
+    // un-persisted lineage would re-scan and re-shuffle the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    byk
       .select(col("split"), col("n_docs"), col("n_chars_total"),
-        Det.r4(col("n_docs").cast("double") / col("__t")).as("share"))
+        Det.r4(col("n_docs").cast("double") / sum(col("n_docs")).over(w))
+          .as("share"))
       .orderBy(col("split"))
   }
 

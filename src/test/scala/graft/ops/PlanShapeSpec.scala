@@ -411,4 +411,53 @@ class PlanShapeSpec extends SparkSpec {
         l.contains("o_orderpriority")),
       s"partition filter not applied to the partition column:\n$p")
   }
+
+  test("q_mad selects percentiles by rank — no percentile aggregate, keyed buckets") {
+    // same contract as q_winsorize: a percentile aggregate buffers a
+    // whole group in one task; both medians must come from per-value
+    // counts + the keyed prefix sum
+    val p = plan("q_mad")
+    assert(!p.toLowerCase.contains("percentile"),
+      s"percentile aggregate (per-group buffering) in q_mad plan:\n$p")
+    assert(p.contains("hashpartitioning(event_type") && p.contains("__pid"),
+      s"expected keyed prefix-sum bucketing in q_mad plan:\n$p")
+  }
+
+  test("q_length_buckets never plans an ntile window") {
+    // the library computes NTILE's bucket id arithmetically from
+    // distributed ranks; Spark's ntile() would be a full-corpus
+    // single-task sort+window (the spec's oracle twin uses it on
+    // sf0.001 only — the LIBRARY plan must not)
+    val p = plan("q_length_buckets")
+    assert(!p.toLowerCase.contains("ntile"), s"ntile window in plan:\n$p")
+    assert(p.contains("__pid"), s"expected prefix-sum ranks in plan:\n$p")
+  }
+
+  test("q_split_train shuffles only to aggregate the 3 split groups") {
+    // the split itself must be map-side (a pure projection over the
+    // scan): exactly one hash exchange — the final 3-group aggregate
+    // — may appear, nothing keyed by doc
+    val p = plan("q_split_train")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"split added a data shuffle:\n$p")
+    // scan pruned to the two referenced columns (of documents' five)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"scan not pruned to (doc_id, n_chars):\n$p")
+  }
+
+  test("q_zorder computes the morton key inside whole-stage codegen") {
+    // materialize first: WholeStageCodegen spans only appear in the
+    // AQE final plan
+    // exchange count from the pre-execution plan (the AQE final-plan
+    // string re-prints materialized stages, double-counting)
+    val p0 = plan("q_zorder")
+    assert(p0.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p0)
+    val df = graft.SparkEntry.queries("q_zorder")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    // codegen'd stages print as "*(n) Op"; the morton Project must
+    // carry the marker (interpreted eval would print bare "Project")
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("shiftleft")), p)
+  }
 }
