@@ -186,4 +186,41 @@ class ScalePatternsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
+
+  test("runtime Bloom-filter join pruning injects a might_contain probe into the fact side") {
+    // Spark's runtime row-level filtering: a selective dimension join
+    // plants a Bloom filter built from the dim keys INTO the fact
+    // scan stage, so fact rows that cannot match die before the
+    // shuffle — at 100 TB this is the difference between shuffling
+    // the full fact table and shuffling the ~matching slice. Only
+    // fires on shuffle joins (a broadcast join already prunes via the
+    // hash table), hence the thresholds; creation-side limits dropped
+    // to make the tiny local dim eligible — on a real cluster the
+    // 10MB/10GB defaults gate it to genuinely selective dims.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val dim = graft.Tables.customer(spark, sf)
+        .filter(col("c_acctbal") > 9000) // selective: few surviving keys
+        .select(col("c_custkey"))
+      val fact = graft.Tables.orders(spark, sf)
+      val joined = fact.join(dim, col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime Bloom filter not injected:\n$plan")
+      // the probe must sit on the FACT side's scan subtree, and the
+      // result must equal the unfiltered join (pruning is lossless)
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val expected = fact.join(dim, col("o_custkey") === col("c_custkey")).count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
 }
