@@ -71,7 +71,7 @@ object ScaleOps extends QueryPack {
     * two — plain + is bit-OR here, and every term is codegen'd
     * integer arithmetic (no UDF, no loop at runtime: the fold builds
     * ONE expression tree of 2·ZBits shift/mask terms). */
-  private def morton(x: Column, y: Column): Column =
+  private[ops] def morton(x: Column, y: Column): Column =
     (0 until ZBits).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
