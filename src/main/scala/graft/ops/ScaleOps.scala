@@ -147,8 +147,13 @@ object ScaleOps extends QueryPack {
     val cnts = Tables.lineitem(s, d)
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
     val maxKey = cnts.agg(max(col("l_suppkey")).as("__mk"))
+    // DECIMAL(38,0) pack: cnt·(maxKey+1)+key in Long wraps once
+    // totalRows·maxKey crosses 2^63 (conceivable for a key-frequency
+    // table over a 100 TB fact with a wide key domain); decimal is
+    // exact to 10^38 and stays a valid window order key
     val ordered = cnts.crossJoin(broadcast(maxKey))
-      .withColumn("ord", col("cnt") * (col("__mk") + 1L) + col("l_suppkey"))
+      .withColumn("ord",
+        col("cnt").cast("decimal(38,0)") * (col("__mk") + 1L) + col("l_suppkey"))
       .withColumn("one", lit(1L))
       .drop("__mk")
     val ranked = Dist.prefixSum(ordered, "ord", "one", "rank")
@@ -259,8 +264,10 @@ object ScaleOps extends QueryPack {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val maxId = docs.agg(max(col("doc_id")).as("__mid"))
+    // decimal pack for the same wrap-immunity as q_skew_audit
     val ordered = docs.crossJoin(broadcast(maxId))
-      .withColumn("ord", col("n_tokens") * (col("__mid") + 1L) + col("doc_id"))
+      .withColumn("ord",
+        col("n_tokens").cast("decimal(38,0)") * (col("__mid") + 1L) + col("doc_id"))
       .withColumn("one", lit(1L))
       .drop("__mid")
     val ranked = Dist.prefixSum(ordered, "ord", "one", "rank")
