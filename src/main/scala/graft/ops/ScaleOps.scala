@@ -373,31 +373,37 @@ object ScaleOps extends QueryPack {
         first(col("n_tot")).as(s"${out}_n"))
   }
 
-  /** Per-event-type MAD outlier audit: median via keyed rank-select,
-    * |x − median| via a broadcast join back onto the scan, the MAD
-    * as a second rank-select on the deviations, outliers counted
-    * against the broadcast (median, mad) bounds. Two fact scans, all
-    * joins broadcast (group-cardinality-sized tables), zero
-    * buffering aggregates — this is robust z-scoring that survives
-    * a 100 TB fact table. */
+  /** Per-event-type MAD outlier audit: median via keyed rank-select
+    * over per-value counts, then EVERYTHING ELSE on the distinct-
+    * value table — |x − median| with multiplicity cnt gives the
+    * deviation distribution without touching the fact again, the MAD
+    * is a second rank-select on it, and the outlier count is a
+    * cnt-weighted sum against the broadcast (median, mad) bounds.
+    * ONE scan of the fact table total; every join broadcast
+    * (group- or value-domain-sized); zero buffering aggregates —
+    * robust z-scoring that survives a 100 TB fact table whose value
+    * domain is millions, not trillions. */
   private def mad(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .filter(col("value").isNotNull) // pin NULL semantics explicitly
       .select(col("event_type"), col("value"))
+    // value-domain-sized; consumed by med, dev, and the outlier count —
+    // all inside ONE final plan, where ReuseExchange collapses the
+    // identical aggregate subtrees to a single scan+shuffle (persist
+    // would re-materialize per run and defeat AQE below the cache)
     val vCounts = ev.groupBy(col("event_type"), col("value"))
       .agg(count(lit(1)).as("cnt"))
     val med = quantileByRank(vCounts, "event_type", "value", "0.5", "med")
-    val dev = ev.join(broadcast(med), "event_type")
-      .select(col("event_type"), abs(col("value") - col("med")).as("dv"))
-    val dCounts = dev.groupBy(col("event_type"), col("dv"))
-      .agg(count(lit(1)).as("cnt"))
+    val dCounts = vCounts.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), abs(col("value") - col("med")).as("dv"))
+      .agg(sum(col("cnt")).as("cnt"))
     val madT = quantileByRank(dCounts, "event_type", "dv", "0.5", "mad")
     val bounds = med.join(madT, "event_type")
       .select(col("event_type"), col("med_n").as("n"), col("med"), col("mad"))
-    ev.join(broadcast(bounds), "event_type")
+    vCounts.join(broadcast(bounds), "event_type")
       .groupBy(col("event_type"), col("n"), col("med"), col("mad"))
-      .agg(count(when(abs(col("value") - col("med")) > lit(3d) * col("mad"), lit(1)))
-        .as("n_outliers"))
+      .agg(sum(when(abs(col("value") - col("med")) > lit(3d) * col("mad"),
+        col("cnt")).otherwise(lit(0L))).as("n_outliers"))
       .orderBy(col("event_type"))
   }
 

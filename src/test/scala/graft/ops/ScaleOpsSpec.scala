@@ -197,6 +197,17 @@ class ScaleOpsSpec extends SparkSpec {
 
   // ---- q_mad ------------------------------------------------------
 
+  test("q_mad feeds median, MAD, and outliers from ONE per-value count exchange") {
+    // the weighted formulation's point: after the per-value count
+    // aggregate, nothing re-reads the fact table — Catalyst's
+    // ReuseExchange collapses the three identical aggregate subtrees
+    // (persist would pin a cache and re-materialize per run instead)
+    val df = run("q_mad")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), s"no exchange reuse in q_mad plan:\n$p")
+  }
+
   test("q_mad matches a driver-side exact median/MAD computation") {
     def discMedian(xs: Array[Double]): Double = {
       val s = xs.sorted
