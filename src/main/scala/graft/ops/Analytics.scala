@@ -222,18 +222,26 @@ object Analytics extends QueryPack {
           col("l_extendedprice"))).as("lo"),
         min(when(col("cum") >= greatest(ceil(col("n_tot") * pHi), lit(1)),
           col("l_extendedprice"))).as("hi"))
-    li.join(broadcast(bounds), "l_returnflag")
-      .withColumn("w",
-        when(col("l_extendedprice") < col("lo"), col("lo"))
-          .when(col("l_extendedprice") > col("hi"), col("hi"))
-          .otherwise(col("l_extendedprice")))
+    // final roll-up rides the per-value COUNT table with multiplicity
+    // cnt, not a second fact scan: Σ cast(v)·cnt is the same exact
+    // decimal value as the row-wise Det.dsum (per-value cast is exact,
+    // cnt is integral), and ReuseExchange collapses this subtree with
+    // the percentile build's — ONE scan of lineitem total
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val w = when(col("l_extendedprice") < col("lo"), col("lo"))
+      .when(col("l_extendedprice") > col("hi"), col("hi"))
+      .otherwise(col("l_extendedprice"))
+    counts.join(broadcast(bounds), "l_returnflag")
       .groupBy(col("l_returnflag"), col("lo"), col("hi"))
       .agg(
-        count(lit(1)).as("n"),
-        count(when(col("l_extendedprice") < col("lo"), lit(1))).as("n_clip_lo"),
-        count(when(col("l_extendedprice") > col("hi"), lit(1))).as("n_clip_hi"),
-        Det.dsum(col("l_extendedprice"), 2).as("sum_raw"),
-        Det.dsum(col("w"), 2).as("sum_winsorized"))
+        sum(col("cnt")).as("n"),
+        sum(when(col("l_extendedprice") < col("lo"), col("cnt"))
+          .otherwise(lit(0L))).as("n_clip_lo"),
+        sum(when(col("l_extendedprice") > col("hi"), col("cnt"))
+          .otherwise(lit(0L))).as("n_clip_hi"),
+        sum(col("l_extendedprice").cast(dec) * col("cnt"))
+          .cast("double").as("sum_raw"),
+        sum(w.cast(dec) * col("cnt")).cast("double").as("sum_winsorized"))
       .orderBy("l_returnflag")
   }
 
