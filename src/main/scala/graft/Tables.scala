@@ -40,7 +40,15 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        // Fail fast: an unanticipated physical encoding (INT96, millis,
+        // …) flowing through unnormalized would silently skew every
+        // downstream time query. New fixture encodings must be added
+        // here, where the loader owns the normalization.
+        throw new IllegalStateException(
+          s"events.ts has unexpected physical type $other; " +
+            "add an explicit normalization arm in Tables.events")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

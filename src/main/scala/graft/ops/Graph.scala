@@ -102,23 +102,47 @@ object Graph extends QueryPack {
         when(fwd, col("v")).otherwise(col("u")).as("b"))
   }
 
+  /** Everything rides the ONE cached grouped-adjacency exchange (r7):
+    * the distinct (u < v) edge list falls out of the adjacency's
+    * collect_set (explode + u < v keeps each undirected edge once),
+    * degrees are the adjacency's own `deg` column (no fresh
+    * edge-union aggregation), and the edge/vertex/wedge stats are a
+    * single 1-row aggregate over it (n_edges = Σdeg div 2). The
+    * Latapy orientation then needs only ONE vertex-keyed join (the
+    * left endpoint's degree comes attached from the explode), and the
+    * oriented edge list is localCheckpoint-materialized so the
+    * e1/e2/e3 self-joins of the wedge enumeration scan one
+    * materialized copy instead of recomputing generator+orientation
+    * three times. */
   private def triangles(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d)
-    val edgeStats = e.agg(count(lit(1)).as("n_edges"))
-    // reported wedge stat is the clustering denominator — UNDIRECTED
-    // connected triples, independent of the join orientation below.
-    val degStats = degrees(e)
-      .agg(count(lit(1)).as("n_vertices"),
-        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-    val o = orientByDegree(e)
-    val triStats = o.as("e1")
-      .join(o.as("e2"), col("e1.b") === col("e2.a"))
-      .join(o.as("e3"),
-        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-      .agg(count(lit(1)).as("n_triangles"))
-    edgeStats.crossJoin(broadcast(degStats)).crossJoin(broadcast(triStats))
-      .select(col("n_edges"), col("n_vertices"), col("n_wedges"), col("n_triangles"),
-        Det.r4(lit(3.0) * col("n_triangles") / col("n_wedges")).as("clustering"))
+    val adj = groupedAdj(s, d)
+    try {
+      val stats = adj.agg(
+        expr("sum(deg) div 2").as("n_edges"),
+        count(lit(1)).as("n_vertices"),
+        // clustering denominator: UNDIRECTED connected triples,
+        // independent of the join orientation below
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+        .localCheckpoint() // 1 row; eager, so adj.unpersist is safe
+      val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+      val o = adj
+        .select(col("src").as("u"), col("deg").as("du"), explode(col("dsts")).as("v"))
+        .filter(col("u") < col("v"))
+        .join(adj.select(col("src").as("x"), col("deg").as("dx")), col("v") === col("x"))
+        .select(col("u"), col("v"), col("du"), col("dx").as("dv"))
+        .select(
+          when(fwd, col("u")).otherwise(col("v")).as("a"),
+          when(fwd, col("v")).otherwise(col("u")).as("b"))
+        .localCheckpoint() // edge-sized; shared by e1/e2/e3 below
+      val triStats = o.as("e1")
+        .join(o.as("e2"), col("e1.b") === col("e2.a"))
+        .join(o.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      stats.crossJoin(broadcast(triStats))
+        .select(col("n_edges"), col("n_vertices"), col("n_wedges"), col("n_triangles"),
+          Det.r4(lit(3.0) * col("n_triangles") / col("n_wedges")).as("clustering"))
+    } finally adj.unpersist()
   }
 
   /** Fixed-point scale for PageRank mass: 1.0 of rank = 1e12. */

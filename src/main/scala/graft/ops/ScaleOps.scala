@@ -52,8 +52,9 @@ import org.apache.spark.sql.functions._
   *    absolute deviation — median by distributed rank-selection
   *    (per-value counts + keyed prefix sum, the q_winsorize shape),
   *    then the SAME machinery again on |x − median|, then a
-  *    broadcast-bounds outlier count. Exactly two scans of the fact
-  *    table and no per-group buffering anywhere, vs the textbook
+  *    broadcast-bounds outlier count. ONE scan of the fact table
+  *    total (deviations and outliers ride the per-value counts) and
+  *    no per-group buffering anywhere, vs the textbook
   *    two-nested-medians which buffers a group twice.
   */
 object ScaleOps extends QueryPack {
@@ -217,10 +218,11 @@ object ScaleOps extends QueryPack {
       .select(to_date(col("o_orderdate")).as("day"))
       .groupBy(col("day")).agg((count(lit(1)) * BytesPerRow).as("bytes"))
       .withColumn("ordday", datediff(col("day"), to_date(lit("1970-01-01"))))
+    // integer `div` of the exclusive prefix — exact at ANY scale (the
+    // former double-floor was exact only below 2^53 cumulative bytes;
+    // `/` on longs would be double division again)
     val cum = Dist.prefixSum(files, "ordday", "bytes", "cum")
-      .withColumn("grp",
-        floor((col("cum") - col("bytes")).cast("double") /
-          lit(CompactTarget.toDouble)).cast("long"))
+      .withColumn("grp", expr(s"(cum - bytes) div ${CompactTarget}L"))
     cum.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_files"),
         sum(col("bytes")).as("group_bytes"),
@@ -239,7 +241,7 @@ object ScaleOps extends QueryPack {
        |  FROM f),
        |g AS (
        |  SELECT day, bytes,
-       |         CAST(FLOOR(CAST(cum - bytes AS DOUBLE) / ${CompactTarget}.0) AS BIGINT) AS grp
+       |         CAST((cum - bytes) // $CompactTarget AS BIGINT) AS grp
        |  FROM c)
        |SELECT grp, COUNT(*) AS n_files,
        |       CAST(SUM(bytes) AS BIGINT) AS group_bytes,
@@ -253,39 +255,54 @@ object ScaleOps extends QueryPack {
   private val NBuckets = 8
 
   /** Equi-depth length bucketing with SQL NTILE's exact semantics,
-    * computed arithmetically: with n rows and k buckets, q = n div k
-    * and r = n mod k, the first r buckets take q+1 rows. Rank comes
-    * from the distributed prefix sum over per-(n_tokens, doc_id)
-    * packed order keys — NO ntile() window (which would sort-and-
-    * window the full corpus in one task at 100 TB). The token count
-    * is the whitespace tokenization q_token_count already pinned
-    * cross-engine. */
+    * computed arithmetically ON THE VALUE DOMAIN: NTILE orders by
+    * (n_tokens, doc_id), but the doc_id tie-break only decides WHICH
+    * doc of an equal-length run lands in which bucket — never the
+    * per-bucket token aggregates. So per-value counts carry the whole
+    * answer (the q_winsorize/q_mad construction): group to
+    * (n_tokens → cnt), prefix-sum cumulative counts over the token
+    * domain (≪ doc count), derive each bucket's 1-based rank range
+    * [lo, hi] from NTILE's remainder rule (n div k buckets of q+1
+    * first, q after), and intersect value rank-runs with bucket
+    * ranges via an 8-row broadcast — overlap-weighted aggregates
+    * reproduce NTILE bitwise. NO per-document rank materialization,
+    * NO ntile() window (a full-corpus single-task sort at 100 TB). */
   private def lengthBuckets(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val maxId = docs.agg(max(col("doc_id")).as("__mid"))
-    // decimal pack for the same wrap-immunity as q_skew_audit
-    val ordered = docs.crossJoin(broadcast(maxId))
-      .withColumn("ord",
-        col("n_tokens").cast("decimal(38,0)") * (col("__mid") + 1L) + col("doc_id"))
-      .withColumn("one", lit(1L))
-      .drop("__mid")
-    val ranked = Dist.prefixSum(ordered, "ord", "one", "rank")
-    val total = docs.agg(count(lit(1)).as("__n"))
-    val k = lit(NBuckets.toLong)
-    val q = (col("__n") / k).cast("long")   // n div k (non-negative)
-    val r = col("__n") % k
-    val bucket = when(col("rank") <= r * (q + 1L),
-        ((col("rank") - 1L) / (q + 1L)).cast("long"))
-      .otherwise(r + ((col("rank") - 1L - r * (q + 1L)) /
-        greatest(q, lit(1L))).cast("long"))
-    ranked.crossJoin(broadcast(total))
-      .withColumn("bucket", (bucket + 1L).cast("long")) // NTILE is 1-based
+      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // value-domain counts: |distinct n_tokens| ≪ corpus rows
+    val vCounts = docs.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
+    val cum = Dist.prefixSum(vCounts, "n_tokens", "cnt", "cum")
+    // NTILE remainder rule: first r = n mod k buckets take q+1 rows
+    // (q = n div k); bucket b covers ranks [lo_b, hi_b]. Buckets past
+    // the row count (n < k) get lo > hi and join to nothing — exactly
+    // NTILE's behavior of emitting only buckets 1..n.
+    val q = expr(s"__n div $NBuckets")
+    val r = col("__n") % NBuckets.toLong
+    val buckets = vCounts.agg(sum(col("cnt")).as("__n"))
+      .select(explode(sequence(lit(1L), lit(NBuckets.toLong))).as("bucket"),
+        q.as("q"), r.as("r"))
+      .withColumn("lo", when(col("bucket") <= col("r"),
+          (col("bucket") - 1L) * (col("q") + 1L) + 1L)
+        .otherwise(col("r") * (col("q") + 1L) +
+          (col("bucket") - col("r") - 1L) * col("q") + 1L))
+      .withColumn("hi", when(col("bucket") <= col("r"),
+          col("bucket") * (col("q") + 1L))
+        .otherwise(col("r") * (col("q") + 1L) +
+          (col("bucket") - col("r")) * col("q")))
+      .select(col("bucket"), col("lo"), col("hi"))
+    // value v occupies ranks (cum-cnt+1)..cum; intersect with each
+    // bucket's range (8-row broadcast nested-loop — trivially small)
+    cum.join(broadcast(buckets),
+        col("cum") - col("cnt") + 1L <= col("hi") && col("cum") >= col("lo"))
+      .withColumn("overlap",
+        least(col("cum"), col("hi")) -
+          greatest(col("cum") - col("cnt") + 1L, col("lo")) + 1L)
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(sum(col("overlap")).as("n_docs"),
         min(col("n_tokens")).as("min_tokens"),
         max(col("n_tokens")).as("max_tokens"),
-        sum(col("n_tokens")).as("sum_tokens"))
+        sum(col("n_tokens") * col("overlap")).as("sum_tokens"))
       .orderBy(col("bucket"))
   }
 

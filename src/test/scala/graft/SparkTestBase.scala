@@ -20,5 +20,12 @@ object SparkTestBase {
 
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.spark
-  val sf = "/root/testdata/sf0.001"
+  val sf = sys.env.getOrElse("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+  /** Sibling larger fixture for tests that need many parquet row
+    * groups (e.g. the z-order pruning measurement); guard uses with
+    * `assume(sfLargeExists)` so the suite still runs where only the
+    * small fixture is present. */
+  val sfLarge = sys.env.getOrElse("GRAFT_TEST_SF_LARGE",
+    new java.io.File(sf).getParent + "/sf0.1")
+  def sfLargeExists: Boolean = new java.io.File(sfLarge).isDirectory
 }

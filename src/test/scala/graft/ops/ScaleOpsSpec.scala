@@ -66,8 +66,9 @@ class ScaleOpsSpec extends SparkSpec {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.hadoop.fs.Path
     import scala.jdk.CollectionConverters._
+    assume(sfLargeExists, s"larger fixture $sfLarge absent — skipping")
     val side = 1L << 10
-    val pts = graft.Tables.part(spark, "/root/testdata/sf0.1")
+    val pts = graft.Tables.part(spark, sfLarge)
       .select(col("p_partkey"),
         (col("p_partkey") * 131L % side).as("x"),
         (col("p_partkey") * 9973L % side).as("y"))
