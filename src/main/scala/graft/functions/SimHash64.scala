@@ -1,19 +1,28 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** Native 64-bit SimHash of a token array: one xxhash64 per token,
-  * 64 sign counters updated bitwise, packed into a long — a single
-  * pass, vs the HOF formulation's per-token 64-wide zip_with folds
-  * (TextSim.simhash64, kept as the semantic reference).
+/** Native 64-bit SimHash of a token array: one spec-stated hash per
+  * token, 64 sign counters updated bitwise, packed into a long — a
+  * single pass, vs the HOF formulation's per-token 64-wide zip_with
+  * folds (TextSim.simhash64, kept as the semantic reference).
+  *
+  * The token hash is deliberately NOT an engine builtin (r7, was
+  * xxhash64): two code-point Horner hashes mod 1000000007 / 998244353
+  * packed (h1 << 32) | h2 — the q_split_train auditability argument
+  * applied to near-dup candidates. Any engine reproduces the
+  * signature from the constants alone; the DuckDB oracle restates it
+  * set-wise as Σ cp·m^(n−i) mod p, which is what moved
+  * q_dedup_simhash from rows-only to a full hash-match.
   *
   * Multiset-weighted like the HOF twin: permuted token lists hash
-  * identically. Deterministic (fixed seed).
+  * identically. Deterministic (no seed needed — the constants ARE
+  * the spec).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -40,15 +49,37 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
-  private final val Seed = 42L
+  private final val P1 = 2147483647L
+  private final val M1 = 131L
+  private final val P2 = 2147483629L
+  private final val M2 = 137L
+
+  /** Spec-stated token hash: Horner fold of the token's code points
+    * under two (multiplier, prime) pairs, packed into one long. The
+    * primes sit just under 2³¹, so each hash is near-uniform on its
+    * full 31-bit field (a smaller prime would leave its top packed
+    * bits biased toward 0 — measured to double the spurious
+    * hamming-collision rate); every Horner intermediate stays < 2³⁸
+    * and the packed value < 2⁶² (bits 62/63 always clear — their
+    * sign counters only ever decrement, harmless). */
+  private[functions] def tokenHash(t: String): Long = {
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      h1 = (h1 * M1 + cp) % P1
+      h2 = (h2 * M2 + cp) % P2
+      i += Character.charCount(cp)
+    }
+    (h1 << 31) | h2
+  }
 
   def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      val s = arr.getUTF8String(j)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), Seed)
+      val h = tokenHash(arr.getUTF8String(j).toString)
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1

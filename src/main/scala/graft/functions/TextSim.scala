@@ -54,14 +54,25 @@ object TextSim {
   /** 64-bit SimHash over a token list (multiset-weighted, so token
     * permutations hash identically). Built with SQL lambdas because
     * the shift amount is the lambda variable. Disjoint bit values
-    * make `+` an exact bitwise OR. */
-  def simhash64(toksCol: String): Column =
+    * make `+` an exact bitwise OR. Token hash = the spec-stated
+    * double-Horner of SimHash64.tokenHash restated in builtins
+    * (code points via ascii(substring), fold via aggregate) — both
+    * twins and the DuckDB oracle agree from the constants alone. */
+  def simhash64(toksCol: String): Column = {
+    def horner(m: Long, p: Long) =
+      s"""aggregate(
+         |  transform(sequence(1, char_length(t)), i -> ascii(substring(t, i, 1))),
+         |  cast(0 as bigint), (a, c) -> (a * $m + c) % $p)""".stripMargin
+    val th =
+      s"""case when char_length(t) = 0 then cast(0 as bigint)
+         |else shiftleft(${horner(131L, 2147483647L)}, 31) | ${horner(137L, 2147483629L)}
+         |end""".stripMargin
     expr(
       s"""aggregate(
          |  zip_with(
          |    transform(
          |      aggregate(
-         |        transform($toksCol, t -> xxhash64(t)),
+         |        transform($toksCol, t -> $th),
          |        cast(array_repeat(0, 64) as array<int>),
          |        (acc, h) -> zip_with(acc,
          |          transform(sequence(0, 63),
@@ -72,6 +83,7 @@ object TextSim {
          |    (bit, i) -> case when bit = 1 then shiftleft(cast(1 as bigint), i)
          |                else cast(0 as bigint) end),
          |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin)
+  }
 
   /** Exact Jaccard similarity of two distinct-element arrays —
     * native fused pass (see JaccardCoeff). */

@@ -84,7 +84,10 @@ object Dedup extends QueryPack {
   /** SimHash near-dup: 64-bit signatures, candidates via 4×16-bit
     * chunk blocking (pigeonhole: hamming<=6 pairs share a chunk with
     * high probability; hamming<=3 pairs share one always), verified
-    * with bit_count(xor) <= 6. */
+    * with bit_count(xor) <= 6. The signature's token hash is
+    * spec-stated (SimHash64.tokenHash — r7), so the whole pipeline,
+    * blocking predicate included, is restated as the DuckDB oracle:
+    * this key is hash-matched, not rows-only. */
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val sigs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism) // parallel signature pass
@@ -697,6 +700,57 @@ object Dedup extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // Full SimHash pipeline restated in SQL (r7): the spec-stated
+    // token hash (SimHash64.tokenHash) is two Horner folds mod the
+    // two largest 31-bit primes — set-expressible as Σ cp·mᵉ mod p with a
+    // recursive power CTE, since the fold is linear. Sign counters
+    // and bit packing are plain conditional sums; the pair predicate
+    // mirrors the Spark query EXACTLY (shared 16-bit chunk AND
+    // hamming ≤ 6 — a hamming-4..6 pair sharing no chunk is excluded
+    // on both sides). Signature equality spot-checked against a
+    // python reimplementation of the spec; end-to-end hash-match in
+    // the verify gate.
+    "q_dedup_simhash" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS tpos
+        |  FROM documents),
+        |pw(e, v1, v2) AS (
+        |  SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        |  UNION ALL
+        |  SELECT e + 1, (v1 * 131) % 2147483647, (v2 * 137) % 2147483629
+        |  FROM pw WHERE e < (SELECT MAX(length(tok)) FROM toks)),
+        |ch AS (
+        |  SELECT doc_id, tpos, length(tok) AS n, tok,
+        |         unnest(range(1, length(tok) + 1)) AS i
+        |  FROM toks),
+        |th AS (
+        |  SELECT doc_id, tpos,
+        |         CAST(((SUM(ord(substr(tok, CAST(i AS INT), 1)) * p.v1) % 2147483647) << 31)
+        |              | (SUM(ord(substr(tok, CAST(i AS INT), 1)) * p.v2) % 2147483629) AS BIGINT) AS h
+        |  FROM ch JOIN pw p ON p.e = ch.n - ch.i
+        |  GROUP BY doc_id, tpos),
+        |allth AS (
+        |  SELECT t.doc_id, t.tpos, COALESCE(th.h, 0) AS h
+        |  FROM toks t LEFT JOIN th ON th.doc_id = t.doc_id AND th.tpos = t.tpos),
+        |bits AS (
+        |  SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM allth, range(0, 64) r(i)
+        |  GROUP BY doc_id, i),
+        |sig AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |                  ELSE 0 END) AS BIGINT) AS sim
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       bit_count(xor(a.sim, b.sim)) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE ((a.sim >> 0) & 65535 = (b.sim >> 0) & 65535
+        |    OR (a.sim >> 16) & 65535 = (b.sim >> 16) & 65535
+        |    OR (a.sim >> 32) & 65535 = (b.sim >> 32) & 65535
+        |    OR (a.sim >> 48) & 65535 = (b.sim >> 48) & 65535)
+        |  AND bit_count(xor(a.sim, b.sim)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_substring" -> {
       val L = SubstrL
       s"""WITH lists AS (

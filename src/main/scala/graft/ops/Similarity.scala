@@ -214,7 +214,57 @@ object Similarity extends QueryPack {
     "q_kmeans"          -> kmeans,
   )
 
+  /** Unrolled-CTE Lloyd oracle (the PageRank technique applied to
+    * k-means): each of the KmeansRounds rounds is one assignment CTE
+    * (distance = list_sum over the zipped (float→double) pairs —
+    * sequential double accumulation, bit-matching DistArray's fused
+    * loop; argmin = ROW_NUMBER ordered by (d2, cluster), reproducing
+    * array_position's first-wins tie-break) plus one update CTE
+    * (DECIMAL(18,6)-exact per-(cluster,pos) means — Det.dsum's
+    * arithmetic — with a LEFT JOIN COALESCE keeping an empty
+    * cluster's previous centroid, as the Scala loop's getOrElse
+    * does). Deterministic init = the k lowest vec_ids, so the whole
+    * fixed point is reproducible from the spec. Verified bitwise
+    * (cluster AND r4 dist2) against the Spark output at sf0.01 and
+    * sf0.1. */
+  private def kmeansSql: String = {
+    def assign(cprev: String, name: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, embedding, cluster, d2,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+         |  FROM (SELECT e.vec_id, e.embedding, c.cluster,
+         |               list_sum(list_transform(list_zip(e.embedding, c.mv),
+         |                 t -> (CAST(t[1] AS DOUBLE) - t[2]) * (CAST(t[1] AS DOUBLE) - t[2]))) AS d2
+         |        FROM e, $cprev c))""".stripMargin
+    def update(aname: String, cprev: String, cname: String): String =
+      s"""$cname AS (
+         |  SELECT p.cluster, COALESCE(ml.mv, p.mv) AS mv
+         |  FROM $cprev p LEFT JOIN (
+         |    SELECT cluster, list(m ORDER BY pos) AS mv
+         |    FROM (SELECT cluster, pos,
+         |                 CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+         |          FROM (SELECT cluster, unnest(embedding) AS x,
+         |                       generate_subscripts(embedding, 1) AS pos
+         |                FROM $aname WHERE rn = 1)
+         |          GROUP BY cluster, pos)
+         |    GROUP BY cluster) ml ON ml.cluster = p.cluster)""".stripMargin
+    val head =
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |init AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS mv
+         |         FROM e ORDER BY vec_id LIMIT $KmeansK),
+         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, mv FROM init)""".stripMargin
+    val rounds = (1 to KmeansRounds).flatMap { r =>
+      Seq(assign(s"c${r - 1}", s"a$r"), update(s"a$r", s"c${r - 1}", s"c$r"))
+    }
+    (Seq(head) ++ rounds ++ Seq(assign(s"c$KmeansRounds", "fin"))).mkString(",\n") +
+      s"""
+         |SELECT vec_id, CAST(cluster AS INT) AS cluster,
+         |       ${graft.Det.r4Sql("d2")} AS dist2
+         |FROM fin WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
+    "q_kmeans" -> kmeansSql,
     "q_sim_search" ->
       """WITH p AS (SELECT embedding AS probe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,
