@@ -244,8 +244,12 @@ object SqlSuite extends QueryPack {
     * maximum. Expressed as MAX() OVER () on the single aggregate pass
     * rather than a scalar subquery over the CTE: Spark plans no reuse
     * across a CTE referenced twice (measured — the 3-month lineitem
-    * scan + agg executed TWICE in the subquery form), and the global
-    * window here sees only the supplier-cardinality aggregate. The
+    * scan + agg executed TWICE in the subquery form). The window sits
+    * DIRECTLY on the revenue aggregate (r7) — supplier joins the
+    * already-max-filtered rows — so the global window provably sees
+    * only supplier-cardinality aggregate output (PlanShapeSpec's
+    * tightened guard: the bounded subtree must sit under the window
+    * through narrow nodes only, never across a join). The
     * decimal-exact revenue makes the double equality safe. */
   private def q15(t: T): String =
     s"""WITH revenue AS (
@@ -255,12 +259,14 @@ object SqlSuite extends QueryPack {
        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
        |  GROUP BY l_suppkey)
-       |SELECT s_suppkey, s_name, total_revenue FROM (
-       |  SELECT s_suppkey, s_name, total_revenue,
-       |         MAX(total_revenue) OVER () AS max_rev
-       |  FROM ${t("supplier")}
-       |  JOIN revenue ON s_suppkey = supplier_no)
-       |WHERE total_revenue = max_rev
+       |SELECT s_suppkey, s_name, total_revenue FROM ${t("supplier")}
+       |JOIN (
+       |  SELECT supplier_no, total_revenue FROM (
+       |    SELECT supplier_no, total_revenue,
+       |           MAX(total_revenue) OVER () AS max_rev
+       |    FROM revenue)
+       |  WHERE total_revenue = max_rev
+       |) top ON s_suppkey = supplier_no
        |ORDER BY s_suppkey""".stripMargin
 
   /** TPC-H Q16: supplier count by part attribute — COUNT(DISTINCT)

@@ -327,6 +327,8 @@ object VerkadaPipeline {
     *  - Some(n): [[submitPartitioned]] — each partition POSTs its
     *    features as chunked FeatureCollections of ≤ n, nothing ever
     *    crosses the driver. The mode a 100 TB feature set needs.
+    * README ("Design for scale") surfaces this choice so large
+    * deployments don't inherit the driver path silently.
     * Returns the number of features submitted. */
   def submit(features: DataFrame, cfg: Config, token: String): Int =
     cfg.submitChunkSize match {

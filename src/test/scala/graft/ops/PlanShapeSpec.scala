@@ -208,15 +208,25 @@ class PlanShapeSpec extends SparkSpec {
     // candidate lists) — TakeOrderedAndProject does the scalable cut,
     // the window orders ≤K rows. Anything windowing non-aggregated,
     // unbounded rows globally is a real straggler and fails.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
+    // The waiver walks only NARROW unary nodes (Project/Filter): the
+    // bounded subtree must sit DIRECTLY under the window. An
+    // aggregate buried below a join would not bound the window's
+    // input and must not waive it — this is what machine-enforces the
+    // prefix-sum discipline for the r6 ScaleOps tier
+    // (q_skew_audit / q_length_buckets / q_mad ride Dist.prefixSum;
+    // their only global windows are over P-row bucket totals).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LogicalPlan, Project, Window => LWindow}
+    def boundedBelow(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case n: Project => boundedBelow(n.child)
+      case n: Filter => boundedBelow(n.child)
+      case _ => false
+    }
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val df = graft.SparkEntry.queries(name)(spark, sf)
       val global = df.queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty
-            && w.child.collectFirst {
-              case a: Aggregate => a
-              case l: GlobalLimit => l
-            }.isEmpty => w
+        case w: LWindow if w.partitionSpec.isEmpty && !boundedBelow(w.child) => w
       }
       if (global.nonEmpty) Some(name) else None
     }

@@ -402,6 +402,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("funnel stage-min state survives a restart: post-restart emissions carry pre-restart minima") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val run1 = Seq(
+        Event(1, ts(0), 1, "view", 1.0, "{}"),
+        Event(2, ts(5), 1, "click", 1.0, "{}"),
+        Event(3, ts(2), 2, "view", 1.0, "{}"))
+      // post-restart: user 1's purchase completes the funnel, and the
+      // LATER view@20 must not move t_view off the restored minimum —
+      // a rebuilt-empty store would emit t_view = 20min, so asserting
+      // on the LAST emission per user (not a min over all emissions,
+      // which run 1's rows would mask) distinguishes a restored state
+      // store from a silently re-initialized one.
+      val run2 = Seq(
+        Event(4, ts(9), 1, "purchase", 1.0, "{}"),
+        Event(5, ts(20), 1, "view", 1.0, "{}"),
+        Event(6, ts(8), 2, "click", 1.0, "{}"))
+
+      // last emission per user in batch order; a replayed batch
+      // re-merges identical values (min-merge state is idempotent)
+      type Sink = java.util.concurrent.ConcurrentHashMap[Long, (Long, (Long, Long, Long))]
+      def collectLast(sink: Sink)(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        df.select("user_id", "t_view", "t_click", "t_buy").collect().foreach { r =>
+          sink.merge(r.getLong(0), (id, (r.getLong(1), r.getLong(2), r.getLong(3))),
+            (a, b) => if (a._1 >= b._1) a else b)
+        }
+
+      // uninterrupted reference over the identical batch sequence
+      val refSink = new Sink()
+      val msRef = MemoryStream[Event]
+      val qRef = Streams.funnelStages(msRef.toDS()).toDF().writeStream
+        .outputMode("update").foreachBatch(collectLast(refSink) _).start()
+      Seq(run1, run2).foreach { b => msRef.addData(b); qRef.processAllAvailable() }
+      qRef.stop()
+
+      val gotSink = new Sink()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-funnel-ckpt").toString
+      val ms = MemoryStream[Event]
+      def start() = Streams.funnelStages(ms.toDS()).toDF().writeStream
+        .outputMode("update").option("checkpointLocation", ckpt)
+        .foreachBatch(collectLast(gotSink) _).start()
+      val q1 = start()
+      ms.addData(run1); q1.processAllAvailable(); q1.stop()
+      val q2 = start()
+      ms.addData(run2); q2.processAllAvailable(); q2.stop()
+
+      def fin(s: Sink) = s.asScala.map { case (u, (_, v)) => u -> v }.toMap
+      assert(fin(gotSink) == fin(refSink),
+        s"restarted funnel diverged: ${fin(gotSink)} vs ${fin(refSink)}")
+      // exact converged stage minima (epoch micros): user 1 keeps the
+      // PRE-restart view@0 and click@5 under the post-restart
+      // purchase; user 2 keeps view@2 and gains click@8
+      def us(min: Int) = ts(min).getTime * 1000L
+      assert(fin(gotSink) == Map(
+        1L -> ((us(0), us(5), us(9))),
+        2L -> ((us(2), us(8), -1L))))
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming state survives a query restart from checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
