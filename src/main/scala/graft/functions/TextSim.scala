@@ -45,11 +45,20 @@ object TextSim {
       array_min(transform(shingleSet, sh => xxhash64(concat(sh, lit(s"#mh$i")))))
     }: _*)
 
-  /** LSH band bucket for one band index: hash of the band's slice of
-    * the signature. Used after exploding the band index (see
-    * Dedup.dedupNear for why banding must be explode-then-derive). */
-  def lshBandBucket(signature: Column, bandIndex: Column, rowsPerBand: Int): Column =
-    xxhash64(slice(signature, bandIndex * rowsPerBand + 1, lit(rowsPerBand)), bandIndex)
+  /** LSH band bucket for one band index: spec-stated Horner fold of
+    * the band's slice of the signature mod the MinHash prime (r7, was
+    * xxhash64 — the fold keeps the bucket SQL-expressible, so the
+    * DuckDB oracle reproduces the exact candidate set; a spurious
+    * fold collision only ADDS a candidate, identically on both
+    * engines, and the exact rescore decides membership). Used after
+    * exploding the band index (see Dedup.dedupNear for why banding
+    * must be explode-then-derive). */
+  def lshBandBucket(signature: Column, bandIndex: Column, rowsPerBand: Int): Column = {
+    val p = graft.functions.MinHashSignature.P
+    aggregate(
+      slice(signature, bandIndex * rowsPerBand + 1, lit(rowsPerBand)),
+      lit(0L), (b, v) => (b * 131L + v % p) % p)
+  }
 
   /** 64-bit SimHash over a token list (multiset-weighted, so token
     * permutations hash identically). Built with SQL lambdas because

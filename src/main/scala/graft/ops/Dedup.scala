@@ -699,7 +699,69 @@ object Dedup extends QueryPack {
     "q_dedup_embed"   -> dedupEmbed,
   )
 
+  /** Full MinHash-LSH pipeline restated in SQL (r7): shingles (3-gram
+    * windows, whole-input under 3 tokens, distinct), the spec-stated
+    * shingle hash (SimHash64.tokenHash's double Horner via a
+    * recursive power CTE), 32 universal mixes (A_i, B_i) =
+    * (131^(i+1), 137^(i+1)) mod 2³¹−1 from a recursive mixer CTE,
+    * per-band Horner bucket folds, the band-collision candidate
+    * join, and the exact Jaccard ≥ 0.8 rescore — the same arithmetic
+    * as the Spark pipeline end to end, so q_dedup_near hash-matches
+    * instead of relying on the (kept) brute-force differential. */
+  private def nearOracle: String = {
+    def bexpr(o: Int): String =
+      s"((((((sig[${o + 1}] * 131 + sig[${o + 2}]) % 2147483647) * 131 + sig[${o + 3}]) % 2147483647) * 131 + sig[${o + 4}]) % 2147483647)"
+    val cases = (0 until 8).map { b =>
+      if (b < 7) s"WHEN $b THEN ${bexpr(4 * b)}" else s"ELSE ${bexpr(4 * b)}"
+    }.mkString(" ")
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         array_to_string(l[i : LEAST(i + 2, LEN(l))], ' ') AS shingle
+       |  FROM toks, UNNEST(generate_series(1, GREATEST(LEN(l) - 2, 1))) AS u(i)),
+       |hs AS (SELECT DISTINCT shingle FROM sh),
+       |pw(e, v1, v2) AS (
+       |  SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT e + 1, (v1 * 131) % 2147483647, (v2 * 137) % 2147483629
+       |  FROM pw WHERE e < (SELECT MAX(length(shingle)) FROM hs)),
+       |ch AS (SELECT shingle, length(shingle) AS n, unnest(range(1, length(shingle)+1)) AS i FROM hs),
+       |hh AS (
+       |  SELECT shingle,
+       |         CAST(((SUM(ord(substr(shingle, CAST(i AS INT), 1)) * p.v1) % 2147483647) << 31)
+       |              | (SUM(ord(substr(shingle, CAST(i AS INT), 1)) * p.v2) % 2147483629) AS BIGINT) AS h
+       |  FROM ch JOIN pw p ON p.e = ch.n - ch.i
+       |  GROUP BY shingle),
+       |mx(i, a, b) AS (
+       |  SELECT 0, CAST(131 AS BIGINT), CAST(137 AS BIGINT)
+       |  UNION ALL
+       |  SELECT i + 1, (a * 131) % 2147483647, (b * 137) % 2147483647
+       |  FROM mx WHERE i < 31),
+       |sg AS (
+       |  SELECT sh.doc_id, mx.i,
+       |         MIN((mx.a * (hh.h % 2147483647) + mx.b) % 2147483647) AS v
+       |  FROM sh JOIN hh USING (shingle), mx
+       |  GROUP BY sh.doc_id, mx.i),
+       |sigl AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sg GROUP BY doc_id),
+       |bk AS (
+       |  SELECT doc_id, r.b AS band, CASE r.b $cases END AS bucket
+       |  FROM sigl, range(0, 8) r(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |shl AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id)
+       |SELECT doc_a, doc_b, ${graft.Det.r4Sql("j")} AS jaccard
+       |FROM (
+       |  SELECT doc_a, doc_b,
+       |         CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+       |           / LEN(list_distinct(list_concat(a.s, b.s))) AS j
+       |  FROM cand JOIN shl a ON a.doc_id = doc_a JOIN shl b ON b.doc_id = doc_b)
+       |WHERE j >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
+    "q_dedup_near" -> nearOracle,
     // Full SimHash pipeline restated in SQL (r7): the spec-stated
     // token hash (SimHash64.tokenHash) is two Horner folds mod the
     // two largest 31-bit primes — set-expressible as Σ cp·mᵉ mod p with a
