@@ -76,7 +76,7 @@ object MinHashSignature {
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      val h = SimHash64.tokenHash(arr.getUTF8String(j).toString) % P
+      val h = SimHash64.tokenHashU(arr.getUTF8String(j)) % P
       var i = 0
       while (i < k) {
         val m = (A(i) * h + B(i)) % P

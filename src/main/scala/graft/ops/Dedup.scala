@@ -760,8 +760,89 @@ object Dedup extends QueryPack {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Hyperplane-LSH embedding-dedup oracle (r7). The plane
+    * coefficients were always spec-stated integer arithmetic; the one
+    * dialect trap is that plane index g reaches 31, so
+    * g·1609587929392839161 WRAPS a 64-bit long — Scala wraps
+    * silently, DuckDB errors on BIGINT overflow, so the oracle
+    * computes the product in HUGEINT, reduces mod 2⁶⁴ back to the
+    * signed value, and applies the same truncating %/ABS. Candidates
+    * = same (table, 4-bit bucket) for any of the 8 tables OR same
+    * label (the blockKeys union), rescored with the sequential-fold
+    * cosine ≥ 0.4 (list_sum order = the native kernel's). */
+  private def embedOracle: String = {
+    val wm = "((CAST(g AS HUGEINT) * 1609587929392839161 + (j - 1) * 2654435761) % 18446744073709551616 + 18446744073709551616) % 18446744073709551616"
+    val coef =
+      s"""(ABS(CASE WHEN $wm >= 9223372036854775808
+         |     THEN CAST($wm - 18446744073709551616 AS BIGINT)
+         |     ELSE CAST($wm AS BIGINT) END % 1000003) / 1000003.0 * 2.0 - 1.0)""".stripMargin
+    val cos =
+      """list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+        |      / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |d AS (
+       |  SELECT vec_id, g,
+       |         list_sum(list_transform(range(1, 65),
+       |           j -> CAST(embedding[j] AS DOUBLE) * $coef)) AS d
+       |  FROM e, range(0, 32) t(g)),
+       |bk AS (
+       |  SELECT vec_id, CAST(g // 4 AS INT) AS tbl,
+       |         SUM(CASE WHEN d >= 0 THEN 1 << CAST(g % 4 AS INT) ELSE 0 END) AS bucket
+       |  FROM d GROUP BY vec_id, g // 4),
+       |cand AS (
+       |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |  UNION
+       |  SELECT x.vec_id, y.vec_id
+       |  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id)
+       |SELECT vec_a, vec_b, ${graft.Det.r4Sql("c")} AS cos
+       |FROM (
+       |  SELECT DISTINCT vec_a, vec_b, $cos AS c
+       |  FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b)
+       |WHERE c >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** SemDeDup oracle (r7): the 3-round Lloyd quantizer unrolls with
+    * the shared [[LloydSql]] CTEs (the q_kmeans technique), k is the
+    * data's own √n rule computed in SQL (GREATEST(8, ⌊√n⌋) with a
+    * scalar-subquery LIMIT), blocking takes each vector's TOP-2
+    * clusters (rn ≤ 2 of the same (d2, cluster) order array_sort
+    * uses), and candidate pairs rescore with the sequential-fold
+    * cosine ≥ 0.4. */
+  private def semanticOracle: String = {
+    val R = 3 // matches dedupSemantic's lloydCentroids(vecs, k, 3)
+    val cos =
+      """list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+        |      / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    val head =
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |kk AS (SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k FROM e),
+         |init AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS mv
+         |         FROM e ORDER BY vec_id LIMIT (SELECT k FROM kk)),
+         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, mv FROM init)""".stripMargin
+    val rounds = (1 to R).flatMap { r =>
+      Seq(LloydSql.assign(s"c${r - 1}", s"a$r"), LloydSql.update(s"a$r", s"c${r - 1}", s"c$r"))
+    }
+    (Seq(head) ++ rounds ++ Seq(LloydSql.assign(s"c$R", "blkraw"))).mkString(",\n") +
+      s""",
+         |blk AS (SELECT vec_id, embedding, cluster FROM blkraw WHERE rn <= 2)
+         |SELECT vec_a, vec_b, ${graft.Det.r4Sql("c")} AS cos
+         |FROM (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, $cos AS c
+         |  FROM blk a JOIN blk b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |WHERE c >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
     "q_dedup_near" -> nearOracle,
+    "q_dedup_embed" -> embedOracle,
+    "q_dedup_semantic" -> semanticOracle,
     // Full SimHash pipeline restated in SQL (r7): the spec-stated
     // token hash (SimHash64.tokenHash) is two Horner folds mod the
     // two largest 31-bit primes — set-expressible as Σ cp·mᵉ mod p with a

@@ -63,9 +63,13 @@ object Similarity extends QueryPack {
     import graft.functions.CosineSimilarity.cosine_sim
     val k = 8
     val e = Tables.embeddings(s, d)
-    // deterministic seed centroids: evenly spaced vec_ids
+    // deterministic seed centroids: evenly spaced vec_ids. The
+    // orderBy pins WHICH k stride-hits are kept when there are more
+    // than k (r7 — a bare limit takes scan-order rows, which is
+    // plan-dependent and not oracle-stable)
     val n = 250 // seed stride: works for 500..2000-row test tables
-    val seeds = e.filter(pmod(col("vec_id"), lit(n)) === 0).limit(k)
+    val seeds = e.filter(pmod(col("vec_id"), lit(n)) === 0)
+      .orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid0"), col("embedding").as("cvec0"))
     def nearest(vecs: DataFrame, cents: DataFrame, cidCol: String,
         cvecCol: String): DataFrame = {
@@ -81,7 +85,9 @@ object Similarity extends QueryPack {
       .select(col("vec_id"), col("label"), col("embedding"), col("cid0").as("cluster"))
     val centroids = assigned
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("cluster", "pos").agg(avg(col("v").cast("double")).as("m"))
+      // decimal-exact mean (r7 — plain avg's double partial sums are
+      // partition-order-dependent, not oracle-stable)
+      .groupBy("cluster", "pos").agg(graft.Det.davg(col("v").cast("double")).as("m"))
       .groupBy("cluster")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m").cast("float")).as("cvec"))
@@ -228,26 +234,7 @@ object Similarity extends QueryPack {
     * (cluster AND r4 dist2) against the Spark output at sf0.01 and
     * sf0.1. */
   private def kmeansSql: String = {
-    def assign(cprev: String, name: String): String =
-      s"""$name AS (
-         |  SELECT vec_id, embedding, cluster, d2,
-         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-         |  FROM (SELECT e.vec_id, e.embedding, c.cluster,
-         |               list_sum(list_transform(list_zip(e.embedding, c.mv),
-         |                 t -> (CAST(t[1] AS DOUBLE) - t[2]) * (CAST(t[1] AS DOUBLE) - t[2]))) AS d2
-         |        FROM e, $cprev c))""".stripMargin
-    def update(aname: String, cprev: String, cname: String): String =
-      s"""$cname AS (
-         |  SELECT p.cluster, COALESCE(ml.mv, p.mv) AS mv
-         |  FROM $cprev p LEFT JOIN (
-         |    SELECT cluster, list(m ORDER BY pos) AS mv
-         |    FROM (SELECT cluster, pos,
-         |                 CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
-         |          FROM (SELECT cluster, unnest(embedding) AS x,
-         |                       generate_subscripts(embedding, 1) AS pos
-         |                FROM $aname WHERE rn = 1)
-         |          GROUP BY cluster, pos)
-         |    GROUP BY cluster) ml ON ml.cluster = p.cluster)""".stripMargin
+    import LloydSql.{assign, update}
     val head =
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |init AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS mv
@@ -263,8 +250,94 @@ object Similarity extends QueryPack {
          |FROM fin WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
+  /** Hyperplane-LSH ANN oracle (r7): hyperplaneBucket was always pure
+    * spec-stated arithmetic — plane coefficient (i,j) =
+    * ((i·1609587929392839161 + j·2654435761) mod 1000003)/1000003·2−1,
+    * exact integer ops then one correctly-rounded division — so the
+    * bucket is SQL-computable: 4 sign bits of sequential-fold double
+    * dots (list_sum matches the Spark fold order, the q_sim_search
+    * precedent), probe joins its own bucket, cosine r4 top-5.
+    * q_sim_ann_indexed returns the same rows through the
+    * partitioned-parquet + DPP physical path (SimilaritySpec asserts
+    * row-equality), so the same oracle checks both keys. */
+  private def annLshSql: String = {
+    val cos =
+      """list_sum(list_transform(list_zip(e.embedding, p.probe),
+        |        t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+        |      / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * SQRT(list_sum(list_transform(p.probe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |bk AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN d >= 0 THEN 1 << i ELSE 0 END) AS INT) AS bucket
+       |  FROM (
+       |    SELECT vec_id, i,
+       |           list_sum(list_transform(range(1, 65),
+       |             j -> CAST(embedding[j] AS DOUBLE) *
+       |                  (((i * 1609587929392839161 + (j - 1) * 2654435761) % 1000003) / 1000003.0 * 2.0 - 1.0)
+       |           )) AS d
+       |    FROM e, range(0, 4) t(i))
+       |  GROUP BY vec_id),
+       |p AS (
+       |  SELECT e.embedding AS probe, bk.bucket AS p_bucket
+       |  FROM e JOIN bk USING (vec_id) WHERE vec_id = $ProbeId)
+       |SELECT vec_id, label,
+       |       ${graft.Det.r4Sql(s"($cos)")} AS cos
+       |FROM e JOIN bk USING (vec_id), p
+       |WHERE e.vec_id <> $ProbeId AND bk.bucket = p.p_bucket
+       |ORDER BY cos DESC, vec_id ASC
+       |LIMIT 5""".stripMargin
+  }
+
+  /** IVF oracle (r7): the one-round coarse quantizer in SQL — stride
+    * seeds (ORDER BY pins which k when the stride over-generates),
+    * ROW_NUMBER cosine argmax assignment, DECIMAL-exact centroid
+    * means cast to FLOAT (Det.davg's arithmetic — the Spark side
+    * moved off plain avg for exactly this), probe's top-2 clusters,
+    * cosine r4 top-5 within them. */
+  private def annIvfSql: String = {
+    def cosf(a: String, b: String): String =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |        t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+         |      / (SQRT(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |         * SQRT(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS cid0, embedding AS cvec0 FROM e
+       |  WHERE vec_id % 250 = 0 ORDER BY vec_id LIMIT 8),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, cid0 AS cluster FROM (
+       |    SELECT e.vec_id, e.label, e.embedding, s.cid0,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosf("e.embedding", "s.cvec0")} DESC, s.cid0 ASC) AS rn
+       |    FROM e, seeds s)
+       |  WHERE rn = 1),
+       |cent AS (
+       |  SELECT cluster, list(CAST(m AS FLOAT) ORDER BY pos) AS cvec
+       |  FROM (
+       |    SELECT cluster, pos,
+       |           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(CAST(v AS DOUBLE)) AS m
+       |    FROM (SELECT cluster, unnest(embedding) AS v,
+       |                 generate_subscripts(embedding, 1) - 1 AS pos
+       |          FROM assigned)
+       |    GROUP BY cluster, pos)
+       |  GROUP BY cluster),
+       |p AS (SELECT embedding AS probe FROM e WHERE vec_id = $ProbeId),
+       |pc AS (
+       |  SELECT cluster FROM cent, p
+       |  ORDER BY ${cosf("p.probe", "cent.cvec")} DESC, cluster ASC
+       |  LIMIT 2)
+       |SELECT vec_id, label, ${graft.Det.r4Sql(s"(${cosf("a.embedding", "p.probe")})")} AS cos
+       |FROM assigned a JOIN pc USING (cluster), p
+       |WHERE a.vec_id <> $ProbeId
+       |ORDER BY cos DESC, vec_id ASC
+       |LIMIT 5""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansSql,
+    "q_sim_ann_lsh" -> annLshSql,
+    "q_sim_ann_indexed" -> annLshSql,
+    "q_sim_ann_ivf" -> annIvfSql,
     "q_sim_search" ->
       """WITH p AS (SELECT embedding AS probe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,
@@ -279,4 +352,33 @@ object Similarity extends QueryPack {
         |ORDER BY cos DESC, vec_id ASC
         |LIMIT 10""".stripMargin,
   )
+}
+
+/** Shared DuckDB CTE builders for unrolled Lloyd oracles (q_kmeans,
+  * q_dedup_semantic): one assignment CTE (sequential-fold squared
+  * distance + first-wins argmin via ROW_NUMBER) and one update CTE
+  * (DECIMAL(18,6)-exact per-(cluster,pos) means, empty clusters keep
+  * their previous centroid). Requires a CTE `e(vec_id, embedding)`
+  * in scope. */
+private[ops] object LloydSql {
+  def assign(cprev: String, name: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, embedding, cluster, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |  FROM (SELECT e.vec_id, e.embedding, c.cluster,
+       |               list_sum(list_transform(list_zip(e.embedding, c.mv),
+       |                 t -> (CAST(t[1] AS DOUBLE) - t[2]) * (CAST(t[1] AS DOUBLE) - t[2]))) AS d2
+       |        FROM e, $cprev c))""".stripMargin
+  def update(aname: String, cprev: String, cname: String): String =
+    s"""$cname AS (
+       |  SELECT p.cluster, COALESCE(ml.mv, p.mv) AS mv
+       |  FROM $cprev p LEFT JOIN (
+       |    SELECT cluster, list(m ORDER BY pos) AS mv
+       |    FROM (SELECT cluster, pos,
+       |                 CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+       |          FROM (SELECT cluster, unnest(embedding) AS x,
+       |                       generate_subscripts(embedding, 1) AS pos
+       |                FROM $aname WHERE rn = 1)
+       |          GROUP BY cluster, pos)
+       |    GROUP BY cluster) ml ON ml.cluster = p.cluster)""".stripMargin
 }

@@ -87,13 +87,17 @@ object TextStats extends QueryPack {
 
   /** Document fingerprint: min-of-shingle-hashes (winnowing's keep-min
     * rule over the whole doc) + the SimHash — two compact signatures
-    * for downstream clustering. No oracle (engine-specific hashes). */
+    * for downstream clustering. Both hashes are spec-stated (r7, the
+    * shingle hash was xxhash64): the double-Horner TokenHash64 and
+    * the SimHash built on it, so the DuckDB oracle restates the whole
+    * fingerprint and this key hash-matches. */
   private def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("toks", tokens(col("text")))
       .select(
         col("doc_id"),
-        array_min(transform(shingles(col("toks"), 4), sh => xxhash64(sh))).as("min_shingle_hash"),
+        array_min(transform(shingles(col("toks"), 4),
+          sh => graft.functions.SimHash64.token_hash(sh))).as("min_shingle_hash"),
         graft.functions.SimHash64.simhash64(col("toks")).as("simhash"))
       .orderBy("doc_id")
 
@@ -166,6 +170,44 @@ object TextStats extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // Fingerprint oracle (r7): both signature hashes are spec-stated,
+    // so the whole fingerprint is SQL — distinct strings (tokens ∪
+    // 4-gram shingles) hashed ONCE via the double-Horner power CTE,
+    // min over each doc's shingles, and the SimHash sign-counter
+    // construction over each doc's token multiset.
+    "q_fingerprint" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        |tk AS (SELECT doc_id, unnest(l) AS s, generate_subscripts(l, 1) AS tpos FROM toks),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(l[i : LEAST(i + 3, LEN(l))], ' ') AS s
+        |  FROM toks, UNNEST(generate_series(1, GREATEST(LEN(l) - 3, 1))) AS u(i)),
+        |strs AS (SELECT DISTINCT s FROM (SELECT s FROM tk UNION ALL SELECT s FROM sh)),
+        |pw(e, v1, v2) AS (
+        |  SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        |  UNION ALL
+        |  SELECT e + 1, (v1 * 131) % 2147483647, (v2 * 137) % 2147483629
+        |  FROM pw WHERE e < (SELECT MAX(length(s)) FROM strs)),
+        |ch AS (SELECT s, length(s) AS n, unnest(range(1, length(s)+1)) AS i FROM strs),
+        |hh AS (
+        |  SELECT s, CAST(((SUM(ord(substr(s, CAST(i AS INT), 1)) * p.v1) % 2147483647) << 31)
+        |                 | (SUM(ord(substr(s, CAST(i AS INT), 1)) * p.v2) % 2147483629) AS BIGINT) AS h
+        |  FROM ch JOIN pw p ON p.e = ch.n - ch.i GROUP BY s),
+        |msh AS (
+        |  SELECT sh.doc_id, MIN(COALESCE(hh.h, 0)) AS min_shingle_hash
+        |  FROM sh LEFT JOIN hh USING (s) GROUP BY sh.doc_id),
+        |tkh AS (
+        |  SELECT tk.doc_id, tk.tpos, COALESCE(hh.h, 0) AS h
+        |  FROM tk LEFT JOIN hh USING (s)),
+        |bits AS (
+        |  SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM tkh, range(0, 64) r(i) GROUP BY doc_id, i),
+        |sig AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |                  ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT m.doc_id, m.min_shingle_hash, s.simhash
+        |FROM msh m JOIN sig s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_pii_redact" ->
       """WITH r AS (
         |  SELECT event_id,

@@ -111,6 +111,29 @@ class FunctionsSpec extends SparkSpec {
     assert(n == 0)
   }
 
+  test("tokenHash UTF-8 byte decode agrees with String code-point iteration on multi-byte input") {
+    // 1-, 2-, 3-, and 4-byte UTF-8 sequences (the 4-byte case is a
+    // surrogate PAIR in the String form — codePointAt must see one
+    // code point, and the byte decoder the same one)
+    val cases = Seq("", "abc", "café", "日本語",
+      new String(Character.toChars(0x1F600)) + "mixß中")
+    cases.foreach { t =>
+      val viaString = {
+        var h1 = 0L; var h2 = 0L; var i = 0
+        while (i < t.length) {
+          val cp = t.codePointAt(i)
+          h1 = (h1 * 131 + cp) % 2147483647L
+          h2 = (h2 * 137 + cp) % 2147483629L
+          i += Character.charCount(cp)
+        }
+        (h1 << 31) | h2
+      }
+      val viaBytes = SimHash64.tokenHashU(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      assert(viaBytes == viaString, s"decode mismatch on ${t.codePoints().toArray.toSeq}")
+    }
+  }
+
   test("native Shingles is set-identical to the HOF formulation") {
     val docs = graft.Tables.documents(spark, sf).limit(100)
       .withColumn("toks", split(col("text"), " "))

@@ -38,18 +38,24 @@ class CorpusHygieneSpec extends SparkSpec {
   }
 
   test("q_fingerprint matches a driver-side recompute; min-shingle-hash is order-sensitive") {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.sql.types.StringType
-    import org.apache.spark.unsafe.types.UTF8String
-
-    // independent recompute: plain Scala shingling + the public
-    // XxHash64 long algorithm (seed 42 = Spark's xxhash64 default) —
-    // no Catalyst expressions or DataFrame plan in the loop
+    // independent recompute: plain Scala shingling + the SPEC of the
+    // hash (double code-point Horner mod the two largest 31-bit
+    // primes, packed) reimplemented from its constants — no Catalyst
+    // expressions, no graft.functions call, in the loop
+    def specHash(t: String): Long = {
+      var h1 = 0L; var h2 = 0L; var i = 0
+      while (i < t.length) {
+        val cp = t.codePointAt(i)
+        h1 = (h1 * 131 + cp) % 2147483647L
+        h2 = (h2 * 137 + cp) % 2147483629L
+        i += Character.charCount(cp)
+      }
+      (h1 << 31) | h2
+    }
     def minShingleHash(text: String): Long = {
       val toks = text.split(" ", -1).toSeq
       val shingles = toks.sliding(4).map(_.mkString(" ")).toSeq.distinct
-      shingles.map(sh =>
-        XxHash64Function.hash(UTF8String.fromString(sh), StringType, 42L)).min
+      shingles.map(specHash).min
     }
 
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
