@@ -281,4 +281,34 @@ class PropertySpec extends SparkSpec {
     assert(out.map(_.getDouble(0)).toSeq == Seq(2.25, 4.0))
     assert(out.map(_.getDouble(1)).toSeq == Seq(2.25, 4.0))
   }
+
+  test("spec token hash: UTF-8 byte decode ≡ String code-point fold on random unicode") {
+    // the whole oracle tier hangs off this agreement (SimHash,
+    // MinHash, fingerprint): generated strings mix ASCII, 2-byte
+    // (Latin/Greek), 3-byte (CJK), and 4-byte (supplementary-plane)
+    // code points, plus spaces and empties
+    val cp: Gen[Int] = Gen.frequency(
+      6 -> Gen.choose(0x20, 0x7E),
+      2 -> Gen.choose(0xA0, 0x7FF),
+      2 -> Gen.choose(0x4E00, 0x9FFF),
+      1 -> Gen.choose(0x10000, 0x10FFFF))
+    val str: Gen[String] = Gen.choose(0, 24).flatMap(n =>
+      Gen.listOfN(n, cp).map(_.flatMap(Character.toChars(_)).mkString))
+    def viaString(t: String): Long = {
+      var h1 = 0L; var h2 = 0L; var i = 0
+      while (i < t.length) {
+        val c = t.codePointAt(i)
+        h1 = (h1 * 131 + c) % 2147483647L
+        h2 = (h2 * 137 + c) % 2147483629L
+        i += Character.charCount(c)
+      }
+      (h1 << 31) | h2
+    }
+    samples(str, 200).foreach { t =>
+      val got = graft.functions.SimHash64.tokenHashU(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      assert(got == viaString(t),
+        s"byte-decode diverged on code points ${t.codePoints().toArray.toSeq}")
+    }
+  }
 }
