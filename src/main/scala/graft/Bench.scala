@@ -22,6 +22,27 @@ object Bench {
     s(s.length / 2)
   }
 
+  /** Fixed-work single-thread CPU calibration (xorshift64* over a
+    * constant iteration count). Contention that inflates query
+    * timings inflates this identically, so sweeps from different
+    * environments (driver vs dev box, co-resident JVMs) become
+    * comparable: normalize per-query seconds by calib_sec before
+    * calling a cross-round delta a regression. The result value is
+    * printed into the JSON so the work can't be dead-code-eliminated.
+    */
+  private def calibrate(): (Double, Long) = {
+    var x = 88172645463325252L
+    var acc = 0L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 200000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      i += 1
+    }
+    ((System.nanoTime() - t0) / 1e9, acc)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -44,6 +65,7 @@ object Bench {
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
+    val (calibPre, sink1) = calibrate()
     val timed = Map.newBuilder[String, Seq[Double]]
     val errors = Map.newBuilder[String, String]
     names.foreach { name =>
@@ -80,8 +102,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val errJson = errs.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = qs.map(p => median(p._2)).sum
+    // calibPre ran before the sweep, calibPost after: their spread is
+    // itself a contention signal (a quiet machine repeats the number)
+    val (calibPost, sink2) = calibrate()
+    val calibJson =
+      s""""calib_sec":{"pre":${r3(calibPre)},"post":${r3(calibPost)},"sink":${sink1 + sink2}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"stats":$statsJson,"errors":$errJson,"iters":$Iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"stats":$statsJson,"errors":$errJson,"iters":$Iters,$calibJson,"sf":"$sfDir"}"""
     println(json)
     // the driver's stdout capture truncates long tails, hiding most of
     // the per-query map from round-over-round comparison — persist the
