@@ -13,8 +13,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * folds (TextSim.simhash64, kept as the semantic reference).
   *
   * The token hash is deliberately NOT an engine builtin (r7, was
-  * xxhash64): two code-point Horner hashes mod 1000000007 / 998244353
-  * packed (h1 << 32) | h2 — the q_split_train auditability argument
+  * xxhash64): two code-point Horner hashes mod 2147483647 / 2147483629
+  * packed (h1 << 31) | h2 — the q_split_train auditability argument
   * applied to near-dup candidates. Any engine reproduces the
   * signature from the constants alone; the DuckDB oracle restates it
   * set-wise as Σ cp·m^(n−i) mod p, which is what moved

@@ -8,8 +8,12 @@ import org.apache.spark.sql.functions._
   * cosine — all composed from codegen'd built-ins / higher-order
   * functions (no Scala UDFs in the hot path; SURVEY.md §4 item 2).
   *
-  * Everything is deterministic: hash family = xxhash64 with a
-  * per-plane string salt; no RNG anywhere.
+  * Everything is deterministic; no RNG anywhere. Since r7 the
+  * production paths (lshBandBucket, simhash64) use the spec-stated
+  * Horner hashes (mod-2³¹-prime arithmetic, see SimHash64/TokenHash64)
+  * so any engine can reproduce them from the constants alone;
+  * xxhash64 with a per-plane string salt survives only in the HOF
+  * reference twins (minhashSignatureHof and friends).
   */
 object TextSim {
 

@@ -739,8 +739,8 @@ object Dedup extends QueryPack {
        |  FROM mx WHERE i < 31),
        |sg AS (
        |  SELECT sh.doc_id, mx.i,
-       |         MIN((mx.a * (hh.h % 2147483647) + mx.b) % 2147483647) AS v
-       |  FROM sh JOIN hh USING (shingle), mx
+       |         MIN((mx.a * (COALESCE(hh.h, 0) % 2147483647) + mx.b) % 2147483647) AS v
+       |  FROM sh LEFT JOIN hh USING (shingle), mx
        |  GROUP BY sh.doc_id, mx.i),
        |sigl AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sg GROUP BY doc_id),
        |bk AS (
