@@ -38,7 +38,9 @@ import org.apache.spark.sql.SparkSession
   * never as a fast near-zero timing.
   */
 object Bench {
-  private val Iters = 3
+  /** Sweep count: overridable for local bisection (more sweeps =
+    * tighter medians); the driver runs the default. */
+  private val Iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(3)
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -164,7 +166,11 @@ object Bench {
     val statsJson = qs.map { case (k, v) =>
       val m = v.sum / v.size
       val sd = math.sqrt(v.map(x => (x - m) * (x - m)).sum / v.size)
-      jstr(k) + s""":{"median":${r3(median(v))},"min":${r3(v.min)},"stddev":${r3(sd)}}"""
+      // raw samples in sweep order: sample i of every query ran in the
+      // same temporal window (sweep i), so a contention window is
+      // visible as a vertical stripe across queries, and JIT warm-up
+      // as a falling first column
+      jstr(k) + s""":{"median":${r3(median(v))},"min":${r3(v.min)},"stddev":${r3(sd)},"samples":[${v.map(r3).mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val errJson = errs.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = qs.map(p => median(p._2)).sum

@@ -233,7 +233,10 @@ object Graph extends QueryPack {
   private def bfs(s: SparkSession, d: String): DataFrame = {
     val adj = groupedAdj(s, d)
     try {
-      val src0 = rawPairs(s, d).agg(min(col("u")).as("s0"))
+      // seed = globally smallest vertex, read off the CACHED adjacency
+      // (same vertex set as the raw pair stream) instead of re-running
+      // the generator for one min
+      val src0 = adj.agg(min(col("src")).as("s0"))
       var frontier = adj.select(col("src").as("v")).crossJoin(broadcast(src0))
         .filter(col("v") === col("s0")).select(col("v"), lit(0).as("hops"))
         .localCheckpoint()
