@@ -574,6 +574,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"missed=${want -- got} extra=${got -- want}")
   }
 
+  test("near-dup bucket state survives a restart: cross-restart pairs equal the uninterrupted run") {
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01"
+    val base = java.nio.file.Files.createTempDirectory("graft-neardup-rs").toString
+    val in = s"$base/in"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    // wave 1 (even doc_ids) lands, the query is KILLED, wave 2 (odd)
+    // arrives after a cold restart from the checkpoint. An even-odd
+    // pair can only surface if the (band, bucket) state holding the
+    // even doc's shingles was restored — a fresh state store would
+    // silently lose every cross-wave duplicate.
+    docs.filter(col("doc_id") % 2 === 0).repartition(1)
+      .write.mode("append").parquet(in)
+    val schema = docs.schema
+    val pairs = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def collectPairs(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      df.select("doc_a", "doc_b").collect()
+        .foreach(r => pairs.add((r.getLong(0), r.getLong(1))))
+    // memory sink cannot recover an append-mode checkpoint; foreachBatch
+    // is the restart-capable sink. The set sink absorbs an at-least-once
+    // replayed batch; the operator emits each pair once by construction.
+    def start() = Streams.nearDupPairs(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in))
+      .writeStream.outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch(collectPairs _).start()
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    docs.filter(col("doc_id") % 2 =!= 0).repartition(1)
+      .write.mode("append").parquet(in)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val got = pairs.asScala.toSet
+    val want = graft.SparkEntry.queries("q_dedup_near")(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "batch pair set empty — test is vacuous")
+    assert(got == want, s"restarted near-dup diverged: missed=${want -- got} extra=${got -- want}")
+    val cross = got.filter(p => (p._1 % 2) != (p._2 % 2))
+    assert(cross.nonEmpty, "no even-odd pair in the corpus — restart evidence is vacuous")
+  }
+
   test("incremental corpus ingest: quality gate + content dedup across invocations") {
     import org.apache.spark.sql.functions._
     // the streaming twin of the training-prep front end: each
