@@ -90,6 +90,28 @@ object Aggregates extends QueryPack {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** The same persist-then-merge sketch workflow in the regime where
+    * it is EXACT, so the full DuckDB hash oracle applies: a
+    * DataSketches HLL holds raw 26-bit coupons (LIST then SET mode)
+    * until ~3/4·2^(lgK-3) distincts before switching to HLL
+    * registers, and in coupon mode the rounded estimate is the exact
+    * distinct count (the sub-0.5 collision correction for n ≪ 2^26
+    * vanishes under rounding). lgConfigK=14 keeps the ≤1000 distinct
+    * suppliers per return flag coupon-resident at every test scale
+    * (measured: estimate ≡ countDistinct at sf0.01 AND sf0.1;
+    * lgK=12 drifts to 988/1000 at sf0.1). The 100 TB posture is the
+    * point of the pattern: per-day/per-partition sketches persist and
+    * merge without re-touching raw data, and a deployment sizes lgK
+    * so the tier it must report exactly stays in coupon mode while
+    * larger cardinalities degrade gracefully to ±0.8% HLL error. */
+  private def aggSketchExact(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_suppkey"), lit(14)).as("sk"))
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_supp"))
+      .orderBy("l_returnflag")
+
   private def sentinel(df: DataFrame): DataFrame =
     df.select(
       coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
@@ -262,6 +284,7 @@ object Aggregates extends QueryPack {
     "q_agg_distinct" -> aggDistinct,
     "q_agg_approx"   -> aggApprox,
     "q_agg_sketch"   -> aggSketch,
+    "q_agg_sketch_exact" -> aggSketchExact,
     "q_agg_rollup"   -> aggRollup,
     "q_agg_cube"     -> aggCube,
     "q_agg_gsets"    -> aggGsets,
@@ -432,6 +455,16 @@ object Aggregates extends QueryPack {
         |       COUNT(DISTINCT l_partkey) AS n_parts,
         |       COUNT(DISTINCT l_suppkey) AS n_supps,
         |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // exact BY CONSTRUCTION, not approximately: lgK=14 keeps every
+    // group's coupon set below the HLL-mode threshold (see
+    // aggSketchExact doc), so the rounded estimate IS the distinct
+    // count and the full hash oracle applies to the sketch path
+    "q_agg_sketch_exact" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_suppkey) AS n_supp
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,

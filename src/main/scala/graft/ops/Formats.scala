@@ -50,9 +50,19 @@ object Formats extends QueryPack {
   }
 
   private def withHeader(w: DataFrameWriter[Row], fmt: String): DataFrameWriter[Row] =
-    if (fmt == "csv") w.option("header", "true") else w
+    fmt match {
+      case "csv" => w.option("header", "true")
+      // Spark 4's built-in XML source (SPARK-44265); the row tag is
+      // mandatory structure, not inference
+      case "xml" => w.option("rowTag", "row")
+      case _     => w
+    }
   private def withHeader(r: DataFrameReader, fmt: String): DataFrameReader =
-    if (fmt == "csv") r.option("header", "true") else r
+    fmt match {
+      case "csv" => r.option("header", "true")
+      case "xml" => r.option("rowTag", "row")
+      case _     => r
+    }
 
   /** Hive-style partitioned sink + pruned read-back: write orders
     * laid out by o_orderpriority (the 100 TB layout move — a filter
@@ -104,6 +114,7 @@ object Formats extends QueryPack {
     "q_source_csv"  -> ((s, d) => roundtrip(s, d, "csv")),
     "q_source_json" -> ((s, d) => roundtrip(s, d, "json")),
     "q_source_orc"  -> ((s, d) => roundtrip(s, d, "orc")),
+    "q_source_xml"  -> ((s, d) => roundtrip(s, d, "xml")),
     "q_sink_partitioned" -> sinkPartitioned,
   )
 
@@ -111,6 +122,7 @@ object Formats extends QueryPack {
     "q_source_csv"  -> rtOracle,
     "q_source_json" -> rtOracle,
     "q_source_orc"  -> rtOracle,
+    "q_source_xml"  -> rtOracle,
     "q_sink_partitioned" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
          |       ${Det.dsumSql("o_totalprice", 2)} AS sum_price
