@@ -147,8 +147,17 @@ object Bench {
         }
         // queries may persist() intermediates (e.g. the cluster
         // query's edge list); drop them so one query's cache never
-        // contaminates the next query's memory budget or timing
+        // contaminates the next query's memory budget or timing.
+        // clearCache() misses localCheckpoint blocks (they are
+        // persisted RDDs, not catalog-cached plans) — the iterative
+        // queries' checkpoints were accumulating across the sweep and
+        // starving later queries' execution memory (q_dedup_embed ran
+        // 6.5s mid-sweep vs 1.2s isolated). Each bench iteration
+        // rebuilds its DataFrames from scratch, so truncated lineage
+        // is never re-executed and the unpersist is safe.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
       val (s, a) = calibrateParallel(nThreads); calibMulti += s; multiSink += a
     }

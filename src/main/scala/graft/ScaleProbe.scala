@@ -110,9 +110,15 @@ object ScaleProbe {
 
     // JIT/classload warmup at the smallest scale so scale=1 timings
     // aren't inflated relative to the later points
+    def dropAllBlocks(): Unit = {
+      // clearCache misses localCheckpoint blocks; see Bench
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     names.foreach { name =>
       SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
-      spark.catalog.clearCache()
+      dropAllBlocks()
     }
 
     val ks = sys.env.get("SPARK_GRAFT_SCALE_KS")
@@ -128,7 +134,7 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
+        dropAllBlocks()
         println(f"""{"query":"$name","scale":$k,"rows":$rows,"sec":$sec%.3f}""")
       }
     }

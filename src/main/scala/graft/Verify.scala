@@ -22,7 +22,14 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-        finally spark.catalog.clearCache() // drop query-local persists
+        finally {
+          // drop query-local persists AND localCheckpoint blocks
+          // (clearCache misses the latter; accumulated checkpoints
+          // from the iterative queries starve later queries' memory)
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -49,20 +49,38 @@ object Formats extends QueryPack {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** XML round-trip (Spark 4 built-in XML source, SPARK-44265) over
+    * the orders feed: same write → explicit-schema read-back →
+    * aggregate harness as the csv/json/orc round-trips, hash-matched
+    * against the original parquet. XML rides orders rather than
+    * lineitem because its cost is per-tag, not per-byte — ~8× the
+    * bytes of CSV for the same rows — and the harness proves the
+    * same property (lossless ingest-boundary round-trip) at either
+    * cardinality; a 100 TB deployment lands XML feeds once and
+    * converts to parquet immediately, exactly this shape. */
+  private val XmlSchema =
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+      "o_totalprice DOUBLE, o_orderpriority STRING"
+
+  private def roundtripXml(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_rt_xml_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").option("rowTag", "row").format("xml").save(out)
+    s.read.schema(XmlSchema).option("rowTag", "row").format("xml").load(out)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("o_totalprice"), 2).as("sum_price"),
+        sum(col("o_custkey")).as("sum_cust"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   private def withHeader(w: DataFrameWriter[Row], fmt: String): DataFrameWriter[Row] =
-    fmt match {
-      case "csv" => w.option("header", "true")
-      // Spark 4's built-in XML source (SPARK-44265); the row tag is
-      // mandatory structure, not inference
-      case "xml" => w.option("rowTag", "row")
-      case _     => w
-    }
+    if (fmt == "csv") w.option("header", "true") else w
   private def withHeader(r: DataFrameReader, fmt: String): DataFrameReader =
-    fmt match {
-      case "csv" => r.option("header", "true")
-      case "xml" => r.option("rowTag", "row")
-      case _     => r
-    }
+    if (fmt == "csv") r.option("header", "true") else r
 
   /** Hive-style partitioned sink + pruned read-back: write orders
     * laid out by o_orderpriority (the 100 TB layout move — a filter
@@ -114,7 +132,7 @@ object Formats extends QueryPack {
     "q_source_csv"  -> ((s, d) => roundtrip(s, d, "csv")),
     "q_source_json" -> ((s, d) => roundtrip(s, d, "json")),
     "q_source_orc"  -> ((s, d) => roundtrip(s, d, "orc")),
-    "q_source_xml"  -> ((s, d) => roundtrip(s, d, "xml")),
+    "q_source_xml"  -> roundtripXml,
     "q_sink_partitioned" -> sinkPartitioned,
   )
 
@@ -122,7 +140,14 @@ object Formats extends QueryPack {
     "q_source_csv"  -> rtOracle,
     "q_source_json" -> rtOracle,
     "q_source_orc"  -> rtOracle,
-    "q_source_xml"  -> rtOracle,
+    "q_source_xml"  ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |       COUNT(*) AS n,
+         |       ${Det.dsumSql("o_totalprice", 2)} AS sum_price,
+         |       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+         |FROM orders
+         |GROUP BY o_orderstatus, o_orderpriority
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "q_sink_partitioned" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
          |       ${Det.dsumSql("o_totalprice", 2)} AS sum_price
