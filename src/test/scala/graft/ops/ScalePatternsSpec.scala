@@ -73,6 +73,28 @@ class ScalePatternsSpec extends SparkSpec {
     assert(orcBack.exceptAll(src).isEmpty && src.exceptAll(orcBack).isEmpty)
   }
 
+  test("xml source round-trips markup-hostile strings (escaping, unicode, embedded newlines)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xml").toString
+    // every XML metacharacter class the writer must escape, plus
+    // multi-byte unicode and embedded structure-looking text; values
+    // avoid leading/trailing whitespace (the reader's
+    // ignoreSurroundingSpaces default trims it — an XML-source
+    // contract, not a bug, and the graft tables never depend on it)
+    val src = Seq(
+      (1L, "a & b < c > d"),
+      (2L, "quotes \" and ' inside"),
+      (3L, "tags <row>nested</row> &amp; entities"),
+      (4L, "unicode éß中文 😀"),
+      (5L, "line\nbreak and\ttab"),
+      (6L, "]]> cdata terminator")).toDF("id", "s")
+    src.write.mode("overwrite").option("rowTag", "row").format("xml").save(dir)
+    val back = spark.read.schema("id BIGINT, s STRING")
+      .option("rowTag", "row").format("xml").load(dir)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      s"xml round-trip diverged: ${back.collect().toSeq} vs ${src.collect().toSeq}")
+  }
+
   test("seeded sample and sampleBy are deterministic across runs") {
     val c = graft.Tables.customer(spark, sf)
     // Bernoulli sample with a fixed seed: identical row set on re-run
