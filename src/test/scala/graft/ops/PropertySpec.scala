@@ -126,6 +126,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q_agg_sketch_exact is EXACTLY the per-group distinct count (coupon-mode regime)") {
+    // the oracle's load-bearing claim: at lgK=14 the per-group
+    // supplier cardinality stays below the coupon→HLL-register
+    // transition, where the rounded merged-sketch estimate IS the
+    // exact distinct count — equality, not an error bound
+    val li = graft.Tables.lineitem(spark, sf)
+    val exact = li.groupBy("l_returnflag").agg(countDistinct("l_suppkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketched = graft.SparkEntry.queries("q_agg_sketch_exact")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketched == exact, s"coupon-exact sketch diverged: $sketched vs $exact")
+  }
+
   test("Dist.prefixSum equals the naive global window on random data") {
     val gen: Gen[List[(Long, Long)]] = for {
       n <- Gen.choose(1, 200)
