@@ -263,10 +263,53 @@ object Graph extends QueryPack {
     } finally adj.unpersist()
   }
 
+  /** Synchronous label-propagation rounds; mirrored in the unrolled
+    * oracle CTEs so both engines run the identical fixed schedule. */
+  private[ops] val LpIters = 4
+  /** Initial label: v mod LpSeedMod — a deterministic 10-way seeding
+    * that propagation then coarsens into communities. */
+  private[ops] val LpSeedMod = 10
+
+  /** Community detection by synchronous label propagation (Raghavan
+    * et al., Phys. Rev. E 76, 2007) made DETERMINISTIC: each round
+    * every vertex adopts the most frequent label among its neighbors,
+    * ties broken by the SMALLEST label — argmax over exact Long
+    * counts with a total tie order, so the fixed-round schedule is
+    * reproducible bit-for-bit on any engine (the classic async
+    * random-order formulation is not). Reported as the final
+    * label → community-size histogram.
+    *
+    * Scale shape: identical to PageRank's loop — every round is ONE
+    * vertex-keyed join against the shared cached grouped adjacency
+    * (the label side arrives co-partitioned from the previous round's
+    * aggregate, SHUFFLE_HASH on the vertex-sized build) + ONE
+    * (dst, lbl)-keyed count with map-side partial aggregation + ONE
+    * dst-keyed argmax, all partial-aggregating exchanges linear in E.
+    * The argmax is max(struct(count, −label)) — a single agg, no
+    * window over the edge stream. */
+  private def labelProp(s: SparkSession, d: String): DataFrame = {
+    val adj = groupedAdj(s, d)
+    try {
+      var labels = adj.select(col("src").as("v"), (col("src") % LpSeedMod).as("lbl"))
+      for (i <- 1 to LpIters) {
+        labels = adj.join(labels.hint("shuffle_hash"), col("src") === col("v"))
+          .select(explode(col("dsts")).as("dst"), col("lbl"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("dst"))
+          .agg(max(struct(col("c"), negate(col("lbl")).as("nl"))).as("m"))
+          .select(col("dst").as("v"), negate(col("m.nl")).as("lbl"))
+        if (i % 4 == 0) labels = labels.localCheckpoint()
+      }
+      labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_vertices"))
+        .orderBy("lbl")
+    } finally adj.unpersist()
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_graph_triangles" -> triangles,
     "q_pagerank"        -> pagerank,
     "q_graph_bfs"       -> bfs,
+    "q_label_prop"      -> labelProp,
   )
 
   /** Shared edge CTE — the identical modular construction DuckDB-side. */
@@ -315,8 +358,31 @@ object Graph extends QueryPack {
        |SELECT v, r AS rank_fp FROM r$PrIters ORDER BY r DESC, v LIMIT 20""".stripMargin
   }
 
+  /** Label-propagation oracle: LpIters unrolled rounds, each a
+    * neighbor-label count CTE + a QUALIFY argmax with the identical
+    * (count DESC, label ASC) total tie order. */
+  private def labelPropSql: String = {
+    val rounds = (1 to LpIters).map { i =>
+      s"""c$i AS (
+         |  SELECT dir.dst AS v, p.lbl, COUNT(*) AS c
+         |  FROM dir JOIN l${i - 1} p ON p.v = dir.src
+         |  GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT v, lbl FROM c$i
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$EdgesSql,
+       |dir AS (SELECT u AS src, v AS dst FROM edges
+       |        UNION ALL SELECT v AS src, u AS dst FROM edges),
+       |l0 AS (SELECT x AS v, x % $LpSeedMod AS lbl FROM deg),
+       |$rounds
+       |SELECT lbl, COUNT(*) AS n_vertices FROM l$LpIters
+       |GROUP BY lbl ORDER BY lbl""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
+    "q_label_prop" -> labelPropSql,
     "q_graph_triangles" ->
       s"""$EdgesSql
          |SELECT (SELECT COUNT(*) FROM edges) AS n_edges,

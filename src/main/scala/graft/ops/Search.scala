@@ -134,11 +134,42 @@ object Search extends QueryPack {
       .orderBy("term_a", "term_b")
   }
 
+  /** Phrase to match, in order. Chosen from the fixture vocabulary so
+    * every scale factor yields hits (23 adjacent pairs at sf0.01). */
+  private val Phrase = Seq("merge", "slow")
+
+  /** Exact phrase search over POSITIONAL postings: each phrase term's
+    * occurrence positions are normalized to the would-be phrase start
+    * (pos − term_index), so adjacency becomes a plain equi-join on
+    * (doc_id, start) — no window, no self-join inequality, and the
+    * construction extends to any phrase length as a chain of
+    * equi-joins. Per-term filters run BEFORE the position shuffle
+    * (only occurrences of the phrase's own terms move), which is the
+    * same candidate-blocking discipline as the BM25/co-occurrence
+    * queries: at 100 TB the widest exchange is the phrase terms'
+    * postings, never the corpus, and each join key (doc_id, start)
+    * is unique per side (a token occupies one position), so the join
+    * output is bounded by the rarest term's occurrence count. */
+  private def phraseSearch(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val aligned = Phrase.zipWithIndex.map { case (t, i) =>
+      toks.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    aligned.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(20)
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_bm25"     -> bm25,
     "q_inverted" -> inverted,
     "q_tfidf"    -> tfidf,
     "q_cooccur"  -> cooccur,
+    "q_phrase_search" -> phraseSearch,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -212,5 +243,24 @@ object Search extends QueryPack {
          |       ${Det.r4Sql("LN(CAST(c_ab AS DOUBLE) * n_docs / (c_a * c_b))")} AS pmi
          |FROM pairs, n
          |ORDER BY term_a, term_b""".stripMargin,
+    // Positions: generate_subscripts is 1-based vs posexplode's
+    // 0-based, but both sides only use positions RELATIVELY (the
+    // per-term alignment subtracts the term's phrase index), so the
+    // off-by-one cancels in the equi-join.
+    "q_phrase_search" ->
+      s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |toks AS (
+         |  SELECT doc_id, UNNEST(toks) AS term,
+         |         generate_subscripts(toks, 1) AS pos
+         |  FROM sp),
+         |${Phrase.zipWithIndex.map { case (t, i) =>
+             s"p$i AS (SELECT doc_id, pos - $i AS start FROM toks WHERE term = '$t')"
+           }.mkString(",\n")},
+         |m AS (
+         |  SELECT doc_id, COUNT(*) AS n_matches
+         |  FROM p0${(1 until Phrase.size).map(i => s" JOIN p$i USING (doc_id, start)").mkString}
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_matches FROM m
+         |ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

@@ -212,12 +212,50 @@ object Similarity extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** Target dimensionality of the Rademacher random projection. */
+  private val ProjDims = 8
+
+  /** Johnson–Lindenstrauss reduce-then-search: project every 64-dim
+    * embedding to ProjDims dims with a spec-stated ±1 Rademacher
+    * matrix (sign(i,j) = parity of (i·73856093 + j·19349663) mod
+    * 95783 — the odd-prime modulus breaks the linear parity structure
+    * a bare mod-2 of the products would have), then rank candidates
+    * by EXACT integer dot product against the projected probe.
+    * Components are quantized to thousandths (⌊x·1000+0.5⌋ as Long)
+    * BEFORE projecting, so every sum is exact Long arithmetic —
+    * bit-deterministic across engines, partitionings and retries with
+    * no rounding slack needed anywhere.
+    *
+    * Scale shape: the projection is a per-row single pass (codegen'd
+    * HOFs, no explode — the 64×8 loop lives inside one expression),
+    * the probe is a 1-row broadcast, and the top-20 is
+    * TakeOrderedAndProject. At 100 TB this is the standard
+    * dimensionality-reduction front of an ANN pipeline: 8 Longs per
+    * row shuffle instead of 64 floats, with JL guaranteeing distance
+    * preservation in expectation. */
+  private def embedProject(s: SparkSession, d: String): DataFrame = {
+    val proj = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      expr(s"""transform(sequence(0, ${ProjDims - 1}), j ->
+              |  aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+              |    acc + CAST(floor(CAST(element_at(embedding, i + 1) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+              |          * (CASE WHEN ((i * CAST(73856093 AS BIGINT) + j * CAST(19349663 AS BIGINT)) % 95783) % 2 = 0
+              |             THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)))""".stripMargin).as("y"))
+    val probe = proj.filter(col("vec_id") === ProbeId).select(col("y").as("py"))
+    proj.filter(col("vec_id") =!= ProbeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        expr("aggregate(zip_with(y, py, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(20)
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_sim_search"      -> simSearch,
     "q_sim_ann_lsh"     -> annLsh,
     "q_sim_ann_ivf"     -> annIvf,
     "q_sim_ann_indexed" -> annIndexed,
     "q_kmeans"          -> kmeans,
+    "q_embed_project"   -> embedProject,
   )
 
   /** Unrolled-CTE Lloyd oracle (the PageRank technique applied to
@@ -333,8 +371,35 @@ object Similarity extends QueryPack {
        |LIMIT 5""".stripMargin
   }
 
+  /** JL-projection oracle: the identical quantize → ±1-sign →
+    * integer-sum arithmetic, stated set-wise (GROUP BY j over the
+    * unrolled (i, j) grid) — exact BIGINT sums need no fold-order
+    * agreement, so a grid regrouping is safe where a double sum would
+    * not be. DuckDB's SUM(BIGINT) → HUGEINT is cast back (values
+    * bounded by 8·(64·1000)² ≪ 2⁶³). */
+  private def embedProjectSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id, label, j,
+       |         CAST(SUM(q[CAST(i AS INT) + 1] *
+       |           (CASE WHEN ((i * 73856093 + j * 19349663) % 95783) % 2 = 0
+       |            THEN 1 ELSE -1 END)) AS BIGINT) AS y
+       |  FROM q, range(0, $ProjDims) rj(j), range(0, 64) ri(i)
+       |  GROUP BY 1, 2, 3),
+       |p AS (SELECT j, y FROM proj WHERE vec_id = $ProbeId)
+       |SELECT pr.vec_id, pr.label, CAST(SUM(pr.y * p.y) AS BIGINT) AS dot
+       |FROM proj pr JOIN p USING (j)
+       |WHERE pr.vec_id <> $ProbeId
+       |GROUP BY 1, 2
+       |ORDER BY dot DESC, vec_id LIMIT 20""".stripMargin
+
   override val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansSql,
+    "q_embed_project" -> embedProjectSql,
     "q_sim_ann_lsh" -> annLshSql,
     "q_sim_ann_indexed" -> annLshSql,
     "q_sim_ann_ivf" -> annIvfSql,

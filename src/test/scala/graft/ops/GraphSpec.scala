@@ -96,6 +96,28 @@ class GraphSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q_label_prop matches an exact synchronous replay with (count, min-label) argmax") {
+    val nbrs = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
+    edgeList.foreach { case (u, v) =>
+      nbrs.getOrElseUpdate(u, mutable.ArrayBuffer.empty) += v
+      nbrs.getOrElseUpdate(v, mutable.ArrayBuffer.empty) += u
+    }
+    var lbl: Map[Long, Long] = nbrs.keysIterator.map(v => v -> (v % Graph.LpSeedMod)).toMap
+    for (_ <- 1 to Graph.LpIters) {
+      lbl = nbrs.iterator.map { case (v, out) =>
+        val counts = out.groupBy(lbl).view.mapValues(_.size.toLong)
+        // most frequent neighbor label, smallest label on a tie —
+        // the query's max(struct(c, -lbl)) total order
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val want = lbl.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("q_label_prop")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
+
   private def SparkEntryRow(q: String): org.apache.spark.sql.Row =
     graft.SparkEntry.queries(q)(spark, sf).collect().head
 }

@@ -30,6 +30,23 @@ class SearchSpec extends SparkSpec {
     assert(over.isEmpty)
   }
 
+  test("q_phrase_search matches a sliding-window scan of the raw text") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val phrase = Seq("merge", "slow")
+    val want = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      val n = toks.sliding(phrase.size)
+        .count(w => w.sameElements(phrase))
+      if (n > 0) Some((id, n.toLong)) else None
+    }.sortBy { case (id, n) => (-n, id) }.take(20).toSeq
+    assert(want.nonEmpty, "fixture has no phrase hits — pick a new phrase")
+    val got = SparkEntry.queries("q_phrase_search")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
+
   test("q_cooccur counts respect marginals and PMI bounds") {
     val rows = SparkEntry.queries("q_cooccur")(spark, sf001).collect()
     assert(rows.nonEmpty)

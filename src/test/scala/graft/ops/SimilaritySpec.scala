@@ -70,6 +70,24 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_.getDouble(1)).forall(s => s >= -1.0 && s <= 1.0))
   }
 
+  test("q_embed_project matches an exact integer replay of the JL projection") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    def quant(x: Float): Long = math.floor(x.toDouble * 1000 + 0.5).toLong
+    def sign(i: Int, j: Int): Long =
+      if (((i.toLong * 73856093L + j.toLong * 19349663L) % 95783L) % 2 == 0) 1L else -1L
+    def proj(e: Seq[Float]): Seq[Long] =
+      (0 until 8).map(j => (0 until 64).map(i => quant(e(i)) * sign(i, j)).sum)
+    val py = proj(vecs.find(_._1 == 0L).get._3)
+    val want = vecs.filter(_._1 != 0L).map { case (id, lb, e) =>
+      (id, lb, proj(e).zip(py).map { case (a, b) => a * b }.sum)
+    }.sortBy { case (id, _, dot) => (-dot, id) }.take(20).toSeq
+    val got = SparkEntry_queries("q_embed_project")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
   test("q_kmeans matches a driver-side Lloyd run exactly") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()
