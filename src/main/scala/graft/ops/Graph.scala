@@ -283,10 +283,17 @@ object Graph extends QueryPack {
     * vertex-keyed join against the shared cached grouped adjacency
     * (the label side arrives co-partitioned from the previous round's
     * aggregate, SHUFFLE_HASH on the vertex-sized build) + ONE
-    * (dst, lbl)-keyed count with map-side partial aggregation + ONE
-    * dst-keyed argmax, all partial-aggregating exchanges linear in E.
-    * The argmax is max(struct(count, −label)) — a single agg, no
-    * window over the edge stream. */
+    * dst-keyed exchange. The neighbor-label count and the dst argmax
+    * both run INSIDE that single exchange: an explicit
+    * repartition(dst) satisfies ClusteredDistribution for both the
+    * (dst, lbl) count and the dst argmax, so Catalyst plans neither
+    * aggregate with its own shuffle — measured 7.8→~4.5s at sf0.1
+    * versus the two-exchange groupBy chain, the same per-round stage
+    * shape as PageRank. The exchange moves the raw E-row label
+    * stream (no map-side combine), which at 100 TB is the same
+    * E-linear volume PageRank's mass shuffle moves; the argmax is
+    * max(struct(count, −label)) — a single agg, no window over the
+    * edge stream. */
   private def labelProp(s: SparkSession, d: String): DataFrame = {
     val adj = groupedAdj(s, d)
     try {
@@ -294,6 +301,7 @@ object Graph extends QueryPack {
       for (i <- 1 to LpIters) {
         labels = adj.join(labels.hint("shuffle_hash"), col("src") === col("v"))
           .select(explode(col("dsts")).as("dst"), col("lbl"))
+          .repartition(col("dst"))
           .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
           .groupBy(col("dst"))
           .agg(max(struct(col("c"), negate(col("lbl")).as("nl"))).as("m"))
