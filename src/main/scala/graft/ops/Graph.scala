@@ -313,11 +313,63 @@ object Graph extends QueryPack {
     } finally adj.unpersist()
   }
 
+  /** Structural link scoring: for every EDGE (u, v), the number of
+    * common neighbors (= triangles through the edge) and the Jaccard
+    * similarity of the endpoint neighborhoods,
+    * cn / (deg(u) + deg(v) − cn). Restricting the pair set to
+    * existing edges is what keeps the operator scale-bounded: the
+    * candidate pairs are the E edges, and their common-neighbor
+    * counts come from the SAME degree-oriented wedge join the
+    * triangle count uses (each enumerated triangle credits its three
+    * edges), so the intermediate stays O(E^1.5) on any degree
+    * distribution — never the hub-quadratic all-pairs wedge set a
+    * common-neighbor join over raw adjacency would build. Oriented
+    * (a, b) keys are re-normalized to (min, max) id order to meet the
+    * canonical edge list. Top-20 by (r4 jaccard, u, v) — a total
+    * order both engines share. */
+  private def graphJaccard(s: SparkSession, d: String): DataFrame = {
+    val adj = groupedAdj(s, d)
+    try {
+      // (u < v) edge list with BOTH endpoint degrees attached, read
+      // off the one cached adjacency exchange (collect_set is the
+      // dedup; the left degree rides the explode, the right needs one
+      // vertex-keyed join) — the triangles construction, kept
+      // materialized because the wedge join scans it three times and
+      // the final scoring join a fourth.
+      val ewd = adj
+        .select(col("src").as("u"), col("deg").as("du"), explode(col("dsts")).as("v"))
+        .filter(col("u") < col("v"))
+        .join(adj.select(col("src").as("x"), col("deg").as("dx")), col("v") === col("x"))
+        .select(col("u"), col("v"), col("du"), col("dx").as("dv"))
+        .localCheckpoint()
+      val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+      val o = ewd.select(
+        when(fwd, col("u")).otherwise(col("v")).as("a"),
+        when(fwd, col("v")).otherwise(col("u")).as("b"))
+      val tri = o.as("e1").join(o.as("e2"), col("e1.b") === col("e2.a"))
+        .join(o.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val sup = tri.select(col("x").as("p"), col("y").as("q"))
+        .unionAll(tri.select(col("y").as("p"), col("z").as("q")))
+        .unionAll(tri.select(col("x").as("p"), col("z").as("q")))
+        .select(least(col("p"), col("q")).as("u"), greatest(col("p"), col("q")).as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+      ewd.join(sup, Seq("u", "v"), "left")
+        .na.fill(0L, Seq("cn"))
+        .select(col("u"), col("v"), col("cn"),
+          Det.r4(col("cn").cast("double")
+            / (col("du") + col("dv") - col("cn"))).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("u"), col("v"))
+        .limit(20)
+    } finally adj.unpersist()
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_graph_triangles" -> triangles,
     "q_pagerank"        -> pagerank,
     "q_graph_bfs"       -> bfs,
     "q_label_prop"      -> labelProp,
+    "q_graph_jaccard"   -> graphJaccard,
   )
 
   /** Shared edge CTE — the identical modular construction DuckDB-side. */
@@ -391,6 +443,31 @@ object Graph extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
     "q_label_prop" -> labelPropSql,
+    // The oracle enumerates triangles in plain (u < v) id order — a
+    // correct enumeration for DuckDB, which doesn't face the skew
+    // bound the Spark side's degree orientation exists for; both
+    // yield each triangle exactly once, so the per-edge credits agree.
+    "q_graph_jaccard" ->
+      s"""$EdgesSql,
+         |tri AS (
+         |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM edges e1
+         |  JOIN edges e2 ON e2.u = e1.v
+         |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |sup AS (
+         |  SELECT u, v, COUNT(*) AS cn FROM (
+         |    SELECT x AS u, y AS v FROM tri
+         |    UNION ALL SELECT y, z FROM tri
+         |    UNION ALL SELECT x, z FROM tri)
+         |  GROUP BY u, v)
+         |SELECT e.u, e.v, COALESCE(sup.cn, 0) AS cn,
+         |       ${Det.r4Sql(
+              "CAST(COALESCE(sup.cn, 0) AS DOUBLE) / (du.d + dv.d - COALESCE(sup.cn, 0))")} AS jaccard
+         |FROM edges e
+         |LEFT JOIN sup ON sup.u = e.u AND sup.v = e.v
+         |JOIN deg du ON du.x = e.u
+         |JOIN deg dv ON dv.x = e.v
+         |ORDER BY jaccard DESC, e.u, e.v LIMIT 20""".stripMargin,
     "q_graph_triangles" ->
       s"""$EdgesSql
          |SELECT (SELECT COUNT(*) FROM edges) AS n_edges,

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{Det, QueryPack, Tables}
 import graft.functions.TextSim._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Full-text relevance scoring: BM25 ranking of the corpus against a
@@ -164,42 +164,140 @@ object Search extends QueryPack {
       .limit(20)
   }
 
+  /** Retrieval-quality evaluation of the BM25 ranking: nDCG@10, MRR
+    * and precision@10 against a SPEC-STATED graded relevance —
+    * grade(doc) is derived from (doc_id · 2654435761) mod 100
+    * (5% grade 3, 10% grade 2, 20% grade 1, else 0), so any engine
+    * reproduces the judgment set from the constants alone, the
+    * q_split_train auditability argument applied to IR evaluation.
+    * "Relevant" for MRR/P@10 means grade ≥ 2.
+    *
+    * Determinism: ranks come from the r4-rounded BM25 score with
+    * doc_id tie-break (a total order both engines share); log2 is
+    * spelled LN(x)/LN(2) on BOTH sides so the expression trees are
+    * identical IEEE ops (the BM25 precedent for LN agreement); DCG
+    * sums are DECIMAL-cast (order-independent), and nDCG divides the
+    * two correctly-rounded doubles. Scale shape: the ranked list is
+    * top-10 of the BM25 scorer (TakeOrdered), the ideal DCG is a
+    * corpus-wide TakeOrdered on (grade, doc_id) — both O(n) scans
+    * with O(k) state; the final row assembles via broadcast cross
+    * joins of 1-row aggregates. */
+  private def rankEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def grade(id: Column): Column = {
+      val h = pmod(id * lit(2654435761L), lit(100))
+      when(h < 5, 3L).when(h < 15, 2L).when(h < 35, 1L).otherwise(0L)
+    }
+    def gain(g: Column): Column = pow(lit(2.0), g.cast("double")) - lit(1.0)
+    def dcgTerm(g: Column, rk: Column): Column =
+      gain(g) / (log(rk.cast("double") + lit(1.0)) / log(lit(2.0)))
+    val ranked = bm25Scored(s, d)
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("g", grade(col("doc_id")))
+    val dcg = ranked.agg(
+      Det.dsum(dcgTerm(col("g"), col("rk"))).as("dcg"),
+      min(when(col("g") >= 2, col("rk"))).as("first_rel"),
+      count(when(col("g") >= 2, lit(1))).as("n_rel"))
+    val ideal = Tables.documents(s, d)
+      .select(col("doc_id"), grade(col("doc_id")).as("g"))
+      .orderBy(col("g").desc, col("doc_id")).limit(10)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("g").desc, col("doc_id"))))
+    val idcg = ideal.agg(Det.dsum(dcgTerm(col("g"), col("rk"))).as("idcg"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(
+        Det.r4(col("dcg")).as("dcg"),
+        Det.r4(col("idcg")).as("idcg"),
+        Det.r4(col("dcg") / col("idcg")).as("ndcg"),
+        Det.r4(coalesce(lit(1.0) / col("first_rel"), lit(0.0))).as("mrr"),
+        Det.r4(col("n_rel").cast("double") / lit(10.0)).as("p_at_10"))
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_bm25"     -> bm25,
     "q_inverted" -> inverted,
     "q_tfidf"    -> tfidf,
     "q_cooccur"  -> cooccur,
     "q_phrase_search" -> phraseSearch,
+    "q_rank_eval" -> rankEval,
   )
+
+  /** Shared BM25 scoring CTEs (through `scored`) — the oracle twin of
+    * [[bm25Scored]], reused by q_bm25 and q_rank_eval. */
+  private val Bm25Ctes: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS INT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |         ${Det.davgSql("CAST(LEN(string_split(text, ' ')) AS DOUBLE)", 0)} AS avgdl
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+       |    SELECT doc_id,
+       |           CAST(LEN(string_split(text, ' ')) AS INT) AS dl,
+       |           UNNEST(string_split(text, ' ')) AS term
+       |    FROM documents)
+       |  WHERE term IN ('data', 'query', 'spark')
+       |  GROUP BY doc_id, dl, term),
+       |idf AS (
+       |  SELECT term, LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+       |  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), stats),
+       |scored AS (
+       |  SELECT doc_id,
+       |         ${Det.r4Sql(Det.dsumSql(
+           "idf.idf * (tf.tf * CAST(2.2 AS DOUBLE)) / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * tf.dl / idf.avgdl))"))} AS score,
+       |         COUNT(*) AS n_terms_hit
+       |  FROM tf JOIN idf USING (term)
+       |  GROUP BY doc_id)""".stripMargin
+
+  /** Grade expression of the spec-stated relevance judgment. */
+  private def gradeSql(idExpr: String): String =
+    s"""(CASE WHEN (($idExpr) * 2654435761) % 100 < 5 THEN 3
+       |      WHEN (($idExpr) * 2654435761) % 100 < 15 THEN 2
+       |      WHEN (($idExpr) * 2654435761) % 100 < 35 THEN 1
+       |      ELSE 0 END)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
     "q_bm25" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS INT) AS dl
-         |  FROM documents),
-         |stats AS (
-         |  SELECT COUNT(*) AS n_docs,
-         |         ${Det.davgSql("CAST(LEN(string_split(text, ' ')) AS DOUBLE)", 0)} AS avgdl
-         |  FROM documents),
-         |tf AS (
-         |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
-         |    SELECT doc_id,
-         |           CAST(LEN(string_split(text, ' ')) AS INT) AS dl,
-         |           UNNEST(string_split(text, ' ')) AS term
-         |    FROM documents)
-         |  WHERE term IN ('data', 'query', 'spark')
-         |  GROUP BY doc_id, dl, term),
-         |idf AS (
-         |  SELECT term, LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
-         |  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), stats)
-         |SELECT doc_id,
-         |       ${Det.r4Sql(Det.dsumSql(
-             "idf.idf * (tf.tf * CAST(2.2 AS DOUBLE)) / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * tf.dl / idf.avgdl))"))} AS score,
-         |       COUNT(*) AS n_terms_hit
-         |FROM tf JOIN idf USING (term)
-         |GROUP BY doc_id
+      s"""$Bm25Ctes
+         |SELECT doc_id, score, n_terms_hit FROM scored
          |ORDER BY score DESC, doc_id
          |LIMIT 10""".stripMargin,
+    "q_rank_eval" ->
+      s"""$Bm25Ctes,
+         |rtop AS (
+         |  SELECT doc_id, score FROM scored
+         |  ORDER BY score DESC, doc_id LIMIT 10),
+         |ranked AS (
+         |  SELECT doc_id,
+         |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk,
+         |         ${gradeSql("doc_id")} AS g
+         |  FROM rtop),
+         |dcgs AS (
+         |  SELECT ${Det.dsumSql(
+             "(POW(CAST(2.0 AS DOUBLE), CAST(g AS DOUBLE)) - CAST(1.0 AS DOUBLE)) / (LN(CAST(rk AS DOUBLE) + CAST(1.0 AS DOUBLE)) / LN(CAST(2.0 AS DOUBLE)))")} AS dcg,
+         |         MIN(CASE WHEN g >= 2 THEN rk END) AS first_rel,
+         |         COUNT(CASE WHEN g >= 2 THEN 1 END) AS n_rel
+         |  FROM ranked),
+         |itop AS (
+         |  SELECT doc_id, g FROM (
+         |    SELECT doc_id, ${gradeSql("doc_id")} AS g FROM documents)
+         |  ORDER BY g DESC, doc_id LIMIT 10),
+         |ideal AS (
+         |  SELECT g, ROW_NUMBER() OVER (ORDER BY g DESC, doc_id) AS rk FROM itop),
+         |idcgs AS (
+         |  SELECT ${Det.dsumSql(
+             "(POW(CAST(2.0 AS DOUBLE), CAST(g AS DOUBLE)) - CAST(1.0 AS DOUBLE)) / (LN(CAST(rk AS DOUBLE) + CAST(1.0 AS DOUBLE)) / LN(CAST(2.0 AS DOUBLE)))")} AS idcg
+         |  FROM ideal)
+         |SELECT ${Det.r4Sql("dcg")} AS dcg,
+         |       ${Det.r4Sql("idcg")} AS idcg,
+         |       ${Det.r4Sql("dcg / idcg")} AS ndcg,
+         |       ${Det.r4Sql("COALESCE(CAST(1.0 AS DOUBLE) / first_rel, CAST(0.0 AS DOUBLE))")} AS mrr,
+         |       ${Det.r4Sql("CAST(n_rel AS DOUBLE) / CAST(10.0 AS DOUBLE)")} AS p_at_10
+         |FROM dcgs, idcgs""".stripMargin,
     "q_inverted" ->
       """SELECT term, doc_id // 256 AS shard, COUNT(*) AS df_shard,
         |       array_to_string(LIST(doc_id ORDER BY doc_id), ',') AS postings

@@ -118,6 +118,22 @@ class GraphSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q_graph_jaccard matches an exact common-neighbor replay") {
+    val nbrs = mutable.Map.empty[Long, mutable.Set[Long]]
+    edgeList.foreach { case (u, v) =>
+      nbrs.getOrElseUpdate(u, mutable.Set.empty) += v
+      nbrs.getOrElseUpdate(v, mutable.Set.empty) += u
+    }
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val want = edgeList.map { case (u, v) =>
+      val cn = (nbrs(u) & nbrs(v)).size.toLong
+      (u, v, cn, r4(cn.toDouble / (nbrs(u).size + nbrs(v).size - cn)))
+    }.sortBy { case (u, v, _, j) => (-j, u, v) }.take(20).toSeq
+    val got = graft.SparkEntry.queries("q_graph_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === want)
+  }
+
   private def SparkEntryRow(q: String): org.apache.spark.sql.Row =
     graft.SparkEntry.queries(q)(spark, sf).collect().head
 }

@@ -47,6 +47,41 @@ class SearchSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q_rank_eval matches a driver-side metric replay of the BM25 top-10") {
+    // q_bm25's ranking is itself oracle-proven; replay the metric
+    // arithmetic over it and the corpus grade set
+    val ranked = SparkEntry.queries("q_bm25")(spark, sf001).collect()
+      .map(r => r.getAs[Long]("doc_id"))
+    def grade(id: Long): Long = (id * 2654435761L) % 100 match {
+      case h if h < 5  => 3
+      case h if h < 15 => 2
+      case h if h < 35 => 1
+      case _           => 0
+    }
+    def dcgOf(grades: Seq[Long]): Double =
+      grades.zipWithIndex.map { case (g, i) =>
+        // mirror the decimal(18,6) per-term cast of Det.dsum
+        BigDecimal((math.pow(2.0, g.toDouble) - 1.0)
+          / (math.log(i + 2.0) / math.log(2.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val grades = ranked.map(grade).toSeq
+    val corpus = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val idealGrades = corpus.map(grade).sorted.reverse.take(10).toSeq
+    val dcg = dcgOf(grades)
+    val idcg = dcgOf(idealGrades)
+    val firstRel = grades.zipWithIndex.collectFirst {
+      case (g, i) if g >= 2 => i + 1 }
+    val row = SparkEntry.queries("q_rank_eval")(spark, sf001).collect().head
+    assert(row.getAs[Double]("dcg") === r4(dcg))
+    assert(row.getAs[Double]("idcg") === r4(idcg))
+    assert(row.getAs[Double]("ndcg") === r4(dcg / idcg))
+    assert(row.getAs[Double]("mrr") === r4(firstRel.map(1.0 / _).getOrElse(0.0)))
+    assert(row.getAs[Double]("p_at_10") === r4(grades.count(_ >= 2) / 10.0))
+  }
+
   test("q_cooccur counts respect marginals and PMI bounds") {
     val rows = SparkEntry.queries("q_cooccur")(spark, sf001).collect()
     assert(rows.nonEmpty)
