@@ -330,8 +330,36 @@ object TrainPrep extends QueryPack {
       .limit(30)
   }
 
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * 3-token shingles whose FIRST corpus occurrence (min doc_id) is
+    * this doc — the "contribution" signal dedup-aware sampling uses
+    * to down-weight documents that mostly restate earlier corpus
+    * content. Reported as the bottom-20 (most redundant) docs.
+    *
+    * Scale shape: one shingle-keyed aggregation finds each shingle's
+    * first owner; the join back arrives co-partitioned from that agg
+    * (same key), then a doc-keyed count — two keyed exchanges linear
+    * in the shingle stream, never a doc-pair stage. This is the
+    * aggregate-side complement of the MinHash candidate pipeline:
+    * where near-dup asks "which PAIRS collide", novelty asks "how
+    * much of each doc is corpus-first", at O(corpus tokens). */
+  private def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("g"))
+    val firstOwner = sh.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstOwner, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel"))
+      .select(col("doc_id"), col("n_sh"), col("n_novel"),
+        Det.r4(col("n_novel").cast("double") / col("n_sh")).as("novelty"))
+      .orderBy(col("novelty").asc, col("doc_id"))
+      .limit(20)
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_decontaminate"  -> decontaminate,
+    "q_ngram_novelty"  -> ngramNovelty,
     "q_bpe_pairs"      -> bpePairs,
     "q_decontaminate_bloom" -> decontaminateBloom,
     "q_pack_seq"       -> packSeq,
@@ -365,6 +393,20 @@ object TrainPrep extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "q_decontaminate" -> DecontaminateOracle,
+    "q_ngram_novelty" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |           range(1, greatest(LEN(string_split(text, ' ')) - 1, 2)),
+         |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS g
+         |  FROM documents),
+         |fo AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g)
+         |SELECT doc_id, n_sh, n_novel,
+         |       ${Det.r4Sql("CAST(n_novel AS DOUBLE) / n_sh")} AS novelty
+         |FROM (SELECT sh.doc_id, COUNT(*) AS n_sh,
+         |             COUNT(CASE WHEN fo.first_doc = sh.doc_id THEN 1 END) AS n_novel
+         |      FROM sh JOIN fo USING (g)
+         |      GROUP BY sh.doc_id)
+         |ORDER BY novelty ASC, doc_id LIMIT 20""".stripMargin,
     // adjacent pairs via list-slice zip: t[:-2] is the first n-1
     // elements (1-based inclusive slicing, -2 = second-to-last),
     // t[2:] the last n-1 — same pairing as the Spark zip_with

@@ -14,6 +14,28 @@ class TrainPrepSpec extends SparkSpec {
   private val sf001 = "/root/testdata/sf0.001"
   private val sf01  = "/root/testdata/sf0.01"
 
+  test("q_ngram_novelty matches a driver-side first-occurrence replay") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ")
+      if (t.length < 3) t.sliding(t.length.max(1)).map(_.mkString(" ")).toSet
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val perDoc = docs.map { case (id, t) => id -> shingles(t) }
+    val firstOwner = perDoc.flatMap { case (id, sh) => sh.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val want = perDoc.filter(_._2.nonEmpty).map { case (id, sh) =>
+      val novel = sh.count(g => firstOwner(g) == id).toLong
+      (id, sh.size.toLong, novel, r4(novel.toDouble / sh.size))
+    }.sortBy { case (id, _, _, nv) => (nv, id) }.take(20).toSeq
+    val got = SparkEntry.queries("q_ngram_novelty")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === want)
+  }
+
   test("q_chunk covers every token exactly and overlaps by stride") {
     val chunks = SparkEntry.queries("q_chunk")(spark, sf001)
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
