@@ -158,7 +158,49 @@ object TextStats extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** Zipf rank–frequency audit: least-squares fit of
+    * ln(freq) ~ ln(rank) over the top-100 vocabulary — the standard
+    * corpus-health check (natural text slopes ≈ −1; synthetic or
+    * template-heavy corpora flatten). One vocabulary-sized count, a
+    * top-100 TakeOrdered with (count, term) total tie order, and a
+    * 100-row closed-form regression — O(corpus tokens) scan, O(1)
+    * result state, so the audit costs a token scan at any corpus
+    * size. Determinism: LN over exact integer ranks/counts (the BM25
+    * LN-agreement precedent), DECIMAL-cast regression sums, r4
+    * outputs; R² uses the centered sum-of-squares identities on the
+    * same five sums. */
+  private def zipfFit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(100)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+    val sums = top
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("double").as("k"),
+        Det.dsum(col("x")).as("sx"), Det.dsum(col("y")).as("sy"),
+        Det.dsum(col("x") * col("x")).as("sxx"),
+        Det.dsum(col("x") * col("y")).as("sxy"),
+        Det.dsum(col("y") * col("y")).as("syy"))
+    sums.select(
+      col("k").cast("long").as("n_terms"),
+      Det.r4((col("k") * col("sxy") - col("sx") * col("sy"))
+        / (col("k") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+      Det.r4((col("sy") - (col("k") * col("sxy") - col("sx") * col("sy"))
+        / (col("k") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("k"))
+        .as("intercept"),
+      Det.r4(
+        ((col("k") * col("sxy") - col("sx") * col("sy"))
+          * (col("k") * col("sxy") - col("sx") * col("sy")))
+          / ((col("k") * col("sxx") - col("sx") * col("sx"))
+            * (col("k") * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_zipf_fit"      -> zipfFit,
     "q_pii_redact"    -> piiRedact,
     "q_top_terms"     -> topTerms,
     "q_text_stats"    -> textStats,
@@ -170,6 +212,29 @@ object TextStats extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_zipf_fit" ->
+      s"""WITH tf AS (
+         |  SELECT term, COUNT(*) AS cnt FROM (
+         |    SELECT UNNEST(string_split(text, ' ')) AS term FROM documents)
+         |  GROUP BY term),
+         |top AS (
+         |  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rk
+         |  FROM (SELECT term, cnt FROM tf ORDER BY cnt DESC, term LIMIT 100)),
+         |xy AS (
+         |  SELECT LN(CAST(rk AS DOUBLE)) AS x, LN(CAST(cnt AS DOUBLE)) AS y
+         |  FROM top),
+         |sums AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+         |         ${Det.dsumSql("x")} AS sx, ${Det.dsumSql("y")} AS sy,
+         |         ${Det.dsumSql("x * x")} AS sxx,
+         |         ${Det.dsumSql("x * y")} AS sxy,
+         |         ${Det.dsumSql("y * y")} AS syy
+         |  FROM xy)
+         |SELECT CAST(k AS BIGINT) AS n_terms,
+         |       ${Det.r4Sql("(k * sxy - sx * sy) / (k * sxx - sx * sx)")} AS slope,
+         |       ${Det.r4Sql("(sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k")} AS intercept,
+         |       ${Det.r4Sql("((k * sxy - sx * sy) * (k * sxy - sx * sy)) / ((k * sxx - sx * sx) * (k * syy - sy * sy))")} AS r2
+         |FROM sums""".stripMargin,
     // Fingerprint oracle (r7): both signature hashes are spec-stated,
     // so the whole fingerprint is SQL — distinct strings (tokens ∪
     // 4-gram shingles) hashed ONCE via the double-Horner power CTE,

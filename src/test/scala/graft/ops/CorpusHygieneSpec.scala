@@ -86,6 +86,36 @@ class CorpusHygieneSpec extends SparkSpec {
       "min-shingle-hash failed to distinguish a token permutation")
   }
 
+  test("q_zipf_fit matches a driver-side least-squares replay") {
+    val counts = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val top = counts.sortBy { case (t, c) => (-c, t) }.take(100)
+    def dec6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val xy = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.log((i + 1).toDouble), math.log(c.toDouble))
+    }
+    val k = xy.length.toDouble
+    val sx = xy.map(p => dec6(p._1)).sum.toDouble
+    val sy = xy.map(p => dec6(p._2)).sum.toDouble
+    val sxx = xy.map(p => dec6(p._1 * p._1)).sum.toDouble
+    val sxy = xy.map(p => dec6(p._1 * p._2)).sum.toDouble
+    val syy = xy.map(p => dec6(p._2 * p._2)).sum.toDouble
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    val row = SparkEntry.queries("q_zipf_fit")(spark, sf).collect().head
+    assert(row.getAs[Long]("n_terms") === top.length.toLong)
+    assert(row.getAs[Double]("slope") === r4(slope))
+    assert(row.getAs[Double]("intercept") === r4((sy - slope * sx) / k))
+    assert(row.getAs[Double]("r2") === r4(
+      ((k * sxy - sx * sy) * (k * sxy - sx * sy))
+        / ((k * sxx - sx * sx) * (k * syy - sy * sy))))
+    // corpus sanity: a rank-frequency law fits decreasingly — slope < 0
+    assert(row.getAs[Double]("slope") < 0.0)
+  }
+
   test("q_pii_redact leaves no digits and accounts for every masked char") {
     val res = SparkEntry.queries("q_pii_redact")(spark, sf)
     assert(res.filter(col("redacted").rlike("[0-9]")).count() == 0,
