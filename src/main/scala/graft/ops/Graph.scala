@@ -364,12 +364,62 @@ object Graph extends QueryPack {
     } finally adj.unpersist()
   }
 
+  /** k-core threshold; the synthetic graph is near-8-regular (degrees
+    * 4–9), so K=8 drives a genuine peel CASCADE: removing the few
+    * sub-8 vertices drops neighbors below 8, and the avalanche runs
+    * deeper the larger the graph (empty by round 5 at sf0.001, round
+    * 7 at sf0.01, round 8 at sf0.1) — the per-round profile is the
+    * scale-variant signal the audit reports. */
+  private[ops] val KcK = 8
+  private[ops] val KcIters = 8
+
+  /** k-core peeling cascade audit: KcIters synchronous peel rounds
+    * toward the [[KcK]]-core (Matula–Beck/Batagelj peeling made
+    * synchronous — each round removes EVERY vertex currently under
+    * degree K at once, the distributed formulation), reporting the
+    * per-round (n_edges, n_vertices) profile. The profile is how an
+    * operator audits graph robustness at 100 TB: a shallow cascade
+    * means a stable core, a deep avalanche (this graph) means the
+    * K-core doesn't exist and the peel wave's depth says how far from
+    * it the degree distribution sits.
+    *
+    * Scale shape: each round is ONE degree aggregation (map-side
+    * combined, vertex-sized output) + two semi-joins of the edge list
+    * against the surviving-vertex set (SHUFFLE_HASH — the keep set is
+    * vertex-bounded). The edge list is localCheckpointed every round:
+    * the keep side derives from the same round's edges, so without
+    * the cut each round would embed the previous round's plan three
+    * times (the 2^n lineage blowup the CC loop documents). Rounds are
+    * FIXED (no convergence probe) so the unrolled oracle runs the
+    * identical schedule; peeling an already-empty edge list is a
+    * no-op round on both engines. */
+  private def kcore(s: SparkSession, d: String): DataFrame = {
+    var e = edges(s, d).localCheckpoint()
+    var profile = Seq.empty[DataFrame]
+    for (i <- 0 to KcIters) {
+      val deg = degrees(e).localCheckpoint() // vertex-sized; feeds stats AND keep
+      profile = profile :+ deg.agg(
+        coalesce(expr("sum(d) div 2"), lit(0L)).as("n_edges"),
+        count(lit(1)).as("n_vertices"))
+        .select(lit(i).as("round"), col("n_edges"), col("n_vertices"))
+      if (i < KcIters) {
+        val keep = deg.filter(col("d") >= KcK).select(col("x"))
+        e = e
+          .join(keep.hint("shuffle_hash").as("ku"), col("u") === col("ku.x"), "left_semi")
+          .join(keep.hint("shuffle_hash").as("kv"), col("v") === col("kv.x"), "left_semi")
+          .localCheckpoint()
+      }
+    }
+    profile.reduce(_ unionAll _).orderBy("round")
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_graph_triangles" -> triangles,
     "q_pagerank"        -> pagerank,
     "q_graph_bfs"       -> bfs,
     "q_label_prop"      -> labelProp,
     "q_graph_jaccard"   -> graphJaccard,
+    "q_kcore"           -> kcore,
   )
 
   /** Shared edge CTE — the identical modular construction DuckDB-side. */
@@ -440,9 +490,46 @@ object Graph extends QueryPack {
        |GROUP BY lbl ORDER BY lbl""".stripMargin
   }
 
+  /** k-core oracle: the peel rounds unrolled as MATERIALIZED CTEs.
+    * Materialization is load-bearing here, not a hint: each round's
+    * edge list is referenced three times (its degree table, the next
+    * round's join, the profile row), and DuckDB 1.0 inlines plain
+    * CTEs per reference — the 8-round chain would expand
+    * exponentially exactly like an uncheckpointed Spark lineage (the
+    * same blowup, one engine over). */
+  private def kcoreSql: String = {
+    def degOf(i: Int) =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT x, COUNT(*) AS dd
+         |  FROM (SELECT u AS x FROM e$i UNION ALL SELECT v AS x FROM e$i)
+         |  GROUP BY x)""".stripMargin
+    val rounds = (1 to KcIters).map { i =>
+      val p = i - 1
+      s"""k$p AS MATERIALIZED (SELECT x FROM d$p WHERE dd >= $KcK),
+         |e$i AS MATERIALIZED (
+         |  SELECT e$p.u, e$p.v FROM e$p
+         |  JOIN k$p a ON a.x = e$p.u
+         |  JOIN k$p b ON b.x = e$p.v),
+         |${degOf(i)}""".stripMargin
+    }.mkString(",\n")
+    val profile = (0 to KcIters).map { i =>
+      s"""SELECT $i AS round,
+         |       (SELECT CAST(COALESCE(SUM(dd) // 2, 0) AS BIGINT) FROM d$i) AS n_edges,
+         |       (SELECT COUNT(*) FROM d$i) AS n_vertices""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$EdgesSql,
+       |e0 AS MATERIALIZED (SELECT u, v FROM edges),
+       |${degOf(0)},
+       |$rounds
+       |SELECT * FROM (
+       |$profile
+       |) ORDER BY round""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
     "q_label_prop" -> labelPropSql,
+    "q_kcore" -> kcoreSql,
     // The oracle enumerates triangles in plain (u < v) id order — a
     // correct enumeration for DuckDB, which doesn't face the skew
     // bound the Spark side's degree orientation exists for; both

@@ -215,6 +215,54 @@ object Search extends QueryPack {
         Det.r4(col("n_rel").cast("double") / lit(10.0)).as("p_at_10"))
   }
 
+  /** Expansion terms kept. */
+  private val ExpandK = 10
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM3 family):
+    * take the BM25 top-10 as the feedback set, score every non-query
+    * term t by Σ_{d ∈ top10} (tf(t,d)/|d|) · ln(N/df(t)) — relevance-
+    * model term mass weighted by corpus rarity — and emit the top
+    * [[ExpandK]] expansion terms. This is the retrieval-side
+    * vocabulary-mining loop (RM3: Lavrenko & Croft, SIGIR 2001;
+    * Jaleel et al., TREC 2004) that hard-negative mining and eval-set
+    * construction build on.
+    *
+    * Scale shape: only the 10 feedback documents ever explode into
+    * (term, doc) rows (a broadcast semi-join gates the corpus scan),
+    * so the feedback tf table is feedback-sized; the corpus-wide df
+    * pass is gated the same way — candidate terms broadcast, the
+    * filter runs BEFORE the term shuffle (the BM25 discipline), so
+    * the df exchange carries only candidate-term occurrences. The
+    * per-term Σ tf/dl is DECIMAL-exact; idf's LN is the shared BM25
+    * precedent; the final cut orders by (r4 score, term) — total. */
+  private def queryExpand(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val top = bm25Scored(s, d)
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .select(col("doc_id"))
+    val ftf = docs
+      .join(broadcast(top), "doc_id")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(!col("term").isin(QueryTerms: _*))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    val rel = ftf.groupBy("term")
+      .agg(Det.dsum(col("tf").cast("double") / col("dl"), 8).as("srel"),
+        count(lit(1)).as("n_fb_docs"))
+    val df = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .join(broadcast(rel.select("term")), "term", "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    rel.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .select(col("term"), col("n_fb_docs"), col("df"),
+        Det.r4(col("srel") * log(col("n_docs").cast("double") / col("df")))
+          .as("rm_score"))
+      .orderBy(col("rm_score").desc, col("term"))
+      .limit(ExpandK)
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_bm25"     -> bm25,
     "q_inverted" -> inverted,
@@ -222,6 +270,7 @@ object Search extends QueryPack {
     "q_cooccur"  -> cooccur,
     "q_phrase_search" -> phraseSearch,
     "q_rank_eval" -> rankEval,
+    "q_query_expand" -> queryExpand,
   )
 
   /** Shared BM25 scoring CTEs (through `scored`) — the oracle twin of
@@ -341,6 +390,34 @@ object Search extends QueryPack {
          |       ${Det.r4Sql("LN(CAST(c_ab AS DOUBLE) * n_docs / (c_a * c_b))")} AS pmi
          |FROM pairs, n
          |ORDER BY term_a, term_b""".stripMargin,
+    "q_query_expand" ->
+      s"""$Bm25Ctes,
+         |rtop AS (
+         |  SELECT doc_id FROM scored
+         |  ORDER BY score DESC, doc_id LIMIT 10),
+         |ftf AS (
+         |  SELECT term, doc_id, dl, COUNT(*) AS tf FROM (
+         |    SELECT d.doc_id, CAST(LEN(string_split(d.text, ' ')) AS INT) AS dl,
+         |           UNNEST(string_split(d.text, ' ')) AS term
+         |    FROM documents d JOIN rtop USING (doc_id))
+         |  WHERE term NOT IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY term, doc_id, dl),
+         |rel AS (
+         |  SELECT term, ${Det.dsumSql("CAST(tf AS DOUBLE) / dl", 8)} AS srel,
+         |         COUNT(*) AS n_fb_docs
+         |  FROM ftf GROUP BY term),
+         |cdf AS (
+         |  SELECT term, COUNT(*) AS df FROM (
+         |    SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS term
+         |    FROM documents)
+         |  WHERE term IN (SELECT term FROM rel)
+         |  GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT term, n_fb_docs, df,
+         |       ${Det.r4Sql("srel * LN(CAST(n_docs AS DOUBLE) / df)")} AS rm_score
+         |FROM rel JOIN cdf USING (term), n
+         |ORDER BY rm_score DESC, term
+         |LIMIT $ExpandK""".stripMargin,
     // Positions: generate_subscripts is 1-based vs posexplode's
     // 0-based, but both sides only use positions RELATIVELY (the
     // per-term alignment subtracts the term's phrase index), so the

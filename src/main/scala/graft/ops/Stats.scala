@@ -294,6 +294,84 @@ object Stats extends QueryPack {
           "2.0 * (r1 - n1 * (n1 + 1) / 2.0) / (CAST(n1 AS DOUBLE) * n2) - 1")} AS rank_biserial
        |FROM m""".stripMargin
 
+  // ---- two-sample Kolmogorov-Smirnov test -------------------------
+
+  /** Two-sample Kolmogorov–Smirnov test between the same two event
+    * populations' `value` distributions. D = sup |F₁(v) − F₂(v)| is
+    * computed EXACTLY in integer arithmetic: per-value counts (one
+    * map-side-combined aggregation over the corpus), then the signed
+    * per-value contribution c₁(v)·n₂ − c₂(v)·n₁ is prefix-summed with
+    * [[Dist.prefixSum]] (two-phase distributed scan — never a global
+    * single-partition window), giving cum(v) = F₁(v)·n₁n₂ − F₂(v)·n₁n₂
+    * as an exact DECIMAL(38,0). The argmax of |cum| (ties → smallest
+    * value) is a single max(struct) aggregate, and only the final
+    * division to D and the 5%-level critical value
+    * c(0.05)·√((n₁+n₂)/n₁n₂) touch doubles — both spelled identically
+    * in the oracle, so the comparison bit `reject_05` agrees too.
+    *
+    * Scale shape: the only corpus-sized stage is the per-value count
+    * aggregation (shuffle rows = distinct values, with map-side
+    * combine); everything downstream runs on the value domain. The
+    * DECIMAL(38,0) accumulator keeps the cross products exact to
+    * n₁·n₂ < 10³⁸ — headroom far past any real corpus (doubles would
+    * lose the sup at ~2⁵³). */
+  private def kstest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin(TGroupA, TGroupB) && col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val byVal = ev.groupBy(col("value")).agg(
+      count(when(col("event_type") === TGroupA, lit(1))).as("c1"),
+      count(when(col("event_type") === TGroupB, lit(1))).as("c2"))
+    val tot = byVal.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val contrib = byVal.crossJoin(broadcast(tot))
+      .select(col("value"), col("n1"), col("n2"),
+        (col("c1").cast(DecimalType(19, 0)) * col("n2")
+          - col("c2").cast(DecimalType(19, 0)) * col("n1"))
+          .cast(DecimalType(38, 0)).as("dnum"))
+    val cum = Dist.prefixSum(contrib, "value", "dnum", "cumd")
+    cum.groupBy("n1", "n2")
+      .agg(max(struct(abs(col("cumd")).as("m"), negate(col("value")).as("nv")))
+        .as("mx"))
+      .select(
+        col("n1"), col("n2"),
+        Det.r4(col("mx.m").cast("double")
+          / (col("n1").cast("double") * col("n2"))).as("ks_d"),
+        negate(col("mx.nv")).as("at_value"),
+        Det.r4(lit(1.358) * sqrt((col("n1") + col("n2")).cast("double")
+          / (col("n1").cast("double") * col("n2")))).as("d_crit_05"))
+      .withColumn("reject_05", col("ks_d") > col("d_crit_05"))
+  }
+
+  private def kstestOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, value FROM events
+       |  WHERE event_type IN ('$TGroupA', '$TGroupB') AND value IS NOT NULL),
+       |byval AS (
+       |  SELECT value,
+       |         COUNT(CASE WHEN event_type = '$TGroupA' THEN 1 END) AS c1,
+       |         COUNT(CASE WHEN event_type = '$TGroupB' THEN 1 END) AS c2
+       |  FROM ev GROUP BY value),
+       |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+       |               CAST(SUM(c2) AS BIGINT) AS n2 FROM byval),
+       |cum AS (
+       |  SELECT value,
+       |         SUM(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)
+       |           OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cumd
+       |  FROM byval, tot),
+       |sel AS (
+       |  SELECT ABS(cumd) AS m, value FROM cum
+       |  ORDER BY m DESC, value ASC LIMIT 1)
+       |SELECT n1, n2,
+       |       ${Det.r4Sql("CAST(m AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)")} AS ks_d,
+       |       value AS at_value,
+       |       ${Det.r4Sql(
+          "CAST(1.358 AS DOUBLE) * SQRT(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2))")} AS d_crit_05,
+       |       ${Det.r4Sql("CAST(m AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)")}
+       |         > ${Det.r4Sql(
+          "CAST(1.358 AS DOUBLE) * SQRT(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2))")} AS reject_05
+       |FROM sel, tot""".stripMargin
+
   // ---- systematic PPS weighted sampling --------------------------
 
   /** Sample size per stratum. */
@@ -409,6 +487,7 @@ object Stats extends QueryPack {
     "q_chisq"       -> chisq,
     "q_ttest"       -> ttest,
     "q_mannwhitney" -> mannwhitney,
+    "q_ks_test"     -> kstest,
     "q_sample_pps"  -> samplePps,
     "q_dq_audit"    -> dqAudit,
   )
@@ -418,6 +497,7 @@ object Stats extends QueryPack {
     "q_chisq"       -> chisqOracle,
     "q_ttest"       -> ttestOracle,
     "q_mannwhitney" -> mannwhitneyOracle,
+    "q_ks_test"     -> kstestOracle,
     "q_sample_pps"  -> samplePpsOracle,
     "q_dq_audit"    -> dqAuditOracle,
   )

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{Det, QueryPack, Tables}
 import graft.functions.TextSim._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis tier: corpus statistics, heuristic language ID,
@@ -199,7 +199,44 @@ object TextStats extends QueryPack {
             * (col("k") * col("syy") - col("sy") * col("sy")))).as("r2"))
   }
 
+  /** Domain-mixture divergence audit: per-source KL(p_source ‖
+    * p_corpus) over add-1-smoothed token distributions — the
+    * data-mixing health check that flags a source whose token
+    * demographics drift from the corpus it feeds (template farms,
+    * wrong-language feeds, synthetic injections) before it skews a
+    * training mix. Smoothing is over the CORPUS vocabulary, so every
+    * (source, term) cell is defined and the divergence is finite.
+    *
+    * Scale shape: two map-side-combined counts (corpus vocabulary;
+    * source × term cells — both vocabulary-bounded, never
+    * corpus-sized after the combine), then the zero-fill grid is
+    * sources × vocabulary built against the BROADCAST vocabulary
+    * table — domain-sized work, not data-sized. Determinism: the
+    * smoothed ratios and LN are identical IEEE expression trees (BM25
+    * precedent), per-cell addends DECIMAL(18,10)-cast, r4 output. */
+  private def klMix(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) > 0)
+    val corpus = tok.groupBy("t").agg(count(lit(1)).as("cc"))
+    val perSrc = tok.groupBy("source", "t").agg(count(lit(1)).as("cs"))
+    val srcTot = tok.groupBy("source").agg(count(lit(1)).as("ns"))
+    val tots = corpus.agg(count(lit(1)).as("v"), sum(col("cc")).as("nc"))
+    def sm(c: Column, n: Column) = (c + 1).cast("double") / (n + col("v"))
+    srcTot.crossJoin(broadcast(corpus))
+      .join(perSrc, Seq("source", "t"), "left").na.fill(0L, Seq("cs"))
+      .crossJoin(broadcast(tots))
+      .select(col("source"), col("ns"),
+        (sm(col("cs"), col("ns"))
+          * log(sm(col("cs"), col("ns")) / sm(col("cc"), col("nc")))).as("term"))
+      .groupBy("source", "ns")
+      .agg(Det.r4(Det.dsum(col("term"), 10)).as("kl"))
+      .select(col("source"), col("ns").as("n_tokens"), col("kl"))
+      .orderBy("source")
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_kl_mix"        -> klMix,
     "q_zipf_fit"      -> zipfFit,
     "q_pii_redact"    -> piiRedact,
     "q_top_terms"     -> topTerms,
@@ -212,6 +249,30 @@ object TextStats extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_kl_mix" -> {
+      def sm(c: String, n: String) = s"(CAST($c + 1 AS DOUBLE) / ($n + v))"
+      s"""WITH tok AS (
+         |  SELECT source, t FROM (
+         |    SELECT source, UNNEST(string_split(text, ' ')) AS t FROM documents)
+         |  WHERE t <> ''),
+         |corpus AS (SELECT t, COUNT(*) AS cc FROM tok GROUP BY t),
+         |persrc AS (SELECT source, t, COUNT(*) AS cs FROM tok GROUP BY source, t),
+         |srctot AS (SELECT source, COUNT(*) AS ns FROM tok GROUP BY source),
+         |tots AS (SELECT COUNT(*) AS v, SUM(cc) AS nc FROM corpus),
+         |grid AS (
+         |  SELECT s.source, s.ns, c.cc, COALESCE(p.cs, 0) AS cs
+         |  FROM srctot s CROSS JOIN corpus c
+         |  LEFT JOIN persrc p ON p.source = s.source AND p.t = c.t),
+         |terms AS (
+         |  SELECT source, ns,
+         |         ${sm("cs", "ns")} * LN(${sm("cs", "ns")} / ${sm("cc", "nc")}) AS term
+         |  FROM grid, tots)
+         |SELECT source, ns AS n_tokens,
+         |       ${Det.r4Sql(Det.dsumSql("term", 10))} AS kl
+         |FROM terms
+         |GROUP BY source, ns
+         |ORDER BY source""".stripMargin
+    },
     "q_zipf_fit" ->
       s"""WITH tf AS (
          |  SELECT term, COUNT(*) AS cnt FROM (

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{Det, QueryPack, Tables}
 import graft.functions.TextSim._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data preparation operators beyond dedup/curation:
@@ -357,8 +357,71 @@ object TrainPrep extends QueryPack {
       .limit(20)
   }
 
+  /** DSIR feature-space size (hashed unigram buckets). */
+  private[ops] val DsirBuckets = 256
+  /** Sample size. */
+  private[ops] val DsirK = 50
+  private val DsirTargetLang = "en"
+
+  /** Hashed-feature bucket of one token: the spec-stated Horner fold
+    * of the token's code points mod 2³¹−1 (SimHash64.tokenHash's
+    * first field), reduced mod [[DsirBuckets]] — reproducible on any
+    * engine from the constants alone. Computed once per DISTINCT
+    * token (vocabulary-sized work) and broadcast back, never per
+    * occurrence. */
+  private def dsirBucket(t: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1)))),
+      lit(0L), (a, c) => (a * 131 + c) % 2147483647L) % DsirBuckets
+
+  /** Data Selection via Importance Resampling (DSIR — Xie et al.,
+    * NeurIPS 2023): score every document by how much its hashed
+    * unigram features look like a TARGET domain (here lang = 'en')
+    * relative to the raw corpus, w(doc) = Σ_tokens ln(p̂_t(b(tok)) /
+    * p̂_r(b(tok))) with add-1-smoothed bucket distributions, and keep
+    * the top-[[DsirK]] — the standard cheap proxy for "select
+    * pretraining data that matches a high-quality domain".
+    * Deterministic and seedless: this is the importance-WEIGHT
+    * ranking (top-k) variant, not gumbel resampling — no RNG to
+    * reconcile across engines.
+    *
+    * Scale shape: token→bucket hashing is vocabulary-sized (distinct
+    * tokens) and broadcast back to the occurrence stream; the bucket
+    * distributions are one map-side-combined count over (bucket) —
+    * [[DsirBuckets]] rows — joined back as a broadcast; the per-doc
+    * weight is one doc-keyed DECIMAL-exact sum. Nothing pairwise,
+    * nothing corpus-global beyond two bounded broadcasts; the widest
+    * shuffle is the per-doc aggregation the pipeline needs anyway.
+    * Determinism: ln ratios are identical IEEE expressions on both
+    * engines (the BM25 LN precedent), per-token addends are
+    * DECIMAL(18,8)-cast so the doc sum is order-independent, and the
+    * top-k cut orders by (r4 weight, doc_id) — a total order. */
+  private def dsirSample(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) > 0)
+    val vocab = tok.select("t").distinct().withColumn("b", dsirBucket(col("t")))
+    val bt = tok.join(broadcast(vocab), "t")
+      .select(col("doc_id"), col("lang"), col("b"))
+    val counts = bt.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === DsirTargetLang, lit(1))).as("ct"))
+    val tots = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lnr = counts.crossJoin(broadcast(tots))
+      .select(col("b"),
+        log(((col("ct") + 1).cast("double") / (col("nt") + DsirBuckets))
+          / ((col("cr") + 1).cast("double") / (col("nr") + DsirBuckets))).as("lnr"))
+    bt.join(broadcast(lnr), "b")
+      .groupBy("doc_id")
+      .agg(Det.r4(Det.dsum(col("lnr"), 8)).as("weight"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(DsirK)
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_decontaminate"  -> decontaminate,
+    "q_dsir_sample"    -> dsirSample,
     "q_ngram_novelty"  -> ngramNovelty,
     "q_bpe_pairs"      -> bpePairs,
     "q_decontaminate_bloom" -> decontaminateBloom,
@@ -391,8 +454,52 @@ object TrainPrep extends QueryPack {
        |WHERE CAST(n_hits AS DOUBLE) / n_sh >= 0.3
        |ORDER BY doc_id""".stripMargin
 
+  /** DSIR oracle: the Horner token hash restated over the distinct
+    * vocabulary via the recursive power CTE (the q_dedup_near
+    * machinery), then the identical smoothing/LN/decimal-sum
+    * arithmetic. */
+  private def dsirOracle: String =
+    s"""WITH RECURSIVE tf AS (
+       |  SELECT doc_id, lang, t FROM (
+       |    SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS t
+       |    FROM documents)
+       |  WHERE t <> ''),
+       |vocab AS (SELECT DISTINCT t FROM tf),
+       |pw(e, v) AS (
+       |  SELECT 0, CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT e + 1, (v * 131) % 2147483647
+       |  FROM pw WHERE e < (SELECT MAX(length(t)) FROM vocab)),
+       |ch AS (SELECT t, length(t) AS n, unnest(range(1, length(t) + 1)) AS i
+       |       FROM vocab),
+       |hb AS (
+       |  SELECT t,
+       |         CAST(SUM(ord(substr(t, CAST(i AS INT), 1)) * pw.v)
+       |              % 2147483647 AS BIGINT) % $DsirBuckets AS b
+       |  FROM ch JOIN pw ON pw.e = ch.n - ch.i
+       |  GROUP BY t),
+       |bt AS (SELECT doc_id, lang, b FROM tf JOIN hb USING (t)),
+       |counts AS (
+       |  SELECT b, COUNT(*) AS cr,
+       |         COUNT(CASE WHEN lang = '$DsirTargetLang' THEN 1 END) AS ct
+       |  FROM bt GROUP BY b),
+       |tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM counts),
+       |lnr AS (
+       |  SELECT b,
+       |         LN((CAST(ct + 1 AS DOUBLE) / (nt + $DsirBuckets))
+       |            / (CAST(cr + 1 AS DOUBLE) / (nr + $DsirBuckets))) AS lnr
+       |  FROM counts, tot)
+       |SELECT doc_id,
+       |       ${Det.r4Sql(Det.dsumSql("lnr", 8))} AS weight,
+       |       COUNT(*) AS n_tokens
+       |FROM bt JOIN lnr USING (b)
+       |GROUP BY doc_id
+       |ORDER BY weight DESC, doc_id
+       |LIMIT $DsirK""".stripMargin
+
   override val oracles: Map[String, String] = Map(
     "q_decontaminate" -> DecontaminateOracle,
+    "q_dsir_sample"   -> dsirOracle,
     "q_ngram_novelty" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(

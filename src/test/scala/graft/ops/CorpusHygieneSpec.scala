@@ -116,6 +116,36 @@ class CorpusHygieneSpec extends SparkSpec {
     assert(row.getAs[Double]("slope") < 0.0)
   }
 
+  test("q_kl_mix matches a driver-side smoothed-KL replay and is non-negative") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val corpus = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val v = corpus.size.toLong
+    val nc = corpus.values.sum
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val want = docs.groupBy(_._1).map { case (src, ds) =>
+      val toks = ds.flatMap(_._2)
+      val cs = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .withDefaultValue(0L)
+      val ns = toks.size.toLong
+      val kl = corpus.map { case (t, cc) =>
+        val ps = (cs(t) + 1).toDouble / (ns + v)
+        val pc = (cc + 1).toDouble / (nc + v)
+        BigDecimal(ps * math.log(ps / pc))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (src, ns, r4(kl.toDouble))
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_kl_mix")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === want)
+    // KL of smoothed distributions over a shared support is ≥ 0 up to
+    // the 4-decimal rounding
+    assert(got.forall(_._3 >= -0.0001))
+  }
+
   test("q_pii_redact leaves no digits and accounts for every masked char") {
     val res = SparkEntry.queries("q_pii_redact")(spark, sf)
     assert(res.filter(col("redacted").rlike("[0-9]")).count() == 0,

@@ -134,6 +134,34 @@ class GraphSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q_kcore profile matches an exact synchronous peel replay") {
+    var edges = edgeList.toSet
+    def degs(e: Set[(Long, Long)]): Map[Long, Long] =
+      e.toSeq.flatMap { case (u, v) => Seq(u, v) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    for (i <- 0 to Graph.KcIters) {
+      val dd = degs(edges)
+      want += ((i, edges.size.toLong, dd.size.toLong))
+      if (i < Graph.KcIters) {
+        val keep = dd.collect { case (x, c) if c >= Graph.KcK => x }.toSet
+        edges = edges.filter { case (u, v) => keep(u) && keep(v) }
+      }
+    }
+    val got = graft.SparkEntry.queries("q_kcore")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want.toSeq)
+    // the cascade is the signal: the profile must be non-increasing,
+    // and one EXTRA peel past the reported horizon must be a no-op
+    // (fixpoint reached) — otherwise KcIters under-reports the core
+    val sizes = want.map(_._2)
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => b <= a })
+    val dd = degs(edges)
+    val keep = dd.collect { case (x, c) if c >= Graph.KcK => x }.toSet
+    assert(edges.forall { case (u, v) => keep(u) && keep(v) },
+      "peel had not converged after KcIters rounds at this fixture")
+  }
+
   private def SparkEntryRow(q: String): org.apache.spark.sql.Row =
     graft.SparkEntry.queries(q)(spark, sf).collect().head
 }

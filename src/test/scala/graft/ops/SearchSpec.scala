@@ -47,6 +47,38 @@ class SearchSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q_query_expand matches a driver-side RM3 replay off the BM25 top-10") {
+    // the feedback set is q_bm25's (oracle-proven) top-10
+    val fb = SparkEntry.queries("q_bm25")(spark, sf001).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    val queryTerms = Set("data", "query", "spark")
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    // per-term Σ tf/dl over feedback docs, Det.dsum-style decimal addends
+    val rel = docs.filter(d => fb(d._1)).flatMap { case (_, toks) =>
+      val dl = toks.length
+      toks.filterNot(queryTerms).groupBy(identity).map { case (t, xs) =>
+        (t, BigDecimal(xs.length.toDouble / dl)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP), 1L)
+      }
+    }.groupBy(_._1).map { case (t, xs) =>
+      t -> (xs.map(_._2).sum, xs.map(_._3).sum)
+    }
+    val df = docs.flatMap(_._2.distinct).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val n = docs.length.toDouble
+    val want = rel.map { case (t, (srel, nfb)) =>
+      (t, nfb, df(t), r4(srel.toDouble * math.log(n / df(t))))
+    }.toSeq.sortBy { case (t, _, _, sc) => (-sc, t) }.take(10)
+    val got = SparkEntry.queries("q_query_expand")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === want)
+    // the original query terms must never re-enter the expansion
+    assert(got.forall(g => !queryTerms(g._1)))
+  }
+
   test("q_rank_eval matches a driver-side metric replay of the BM25 top-10") {
     // q_bm25's ranking is itself oracle-proven; replay the metric
     // arithmetic over it and the corpus grade set

@@ -36,6 +36,47 @@ class TrainPrepSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q_dsir_sample matches a driver-side importance-weight replay") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(t: String): Long = {
+      var h = 0L
+      t.foreach(c => h = (h * 131 + c.toLong) % 2147483647L)
+      h % TrainPrep.DsirBuckets
+    }
+    val occ = docs.flatMap { case (id, lang, text) =>
+      text.split(" ").filter(_.nonEmpty).map(t => (id, lang, bucket(t)))
+    }
+    val cr = occ.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val ct = occ.filter(_._2 == "en").groupBy(_._3).view
+      .mapValues(_.size.toLong).toMap.withDefaultValue(0L)
+    val nr = occ.size.toLong
+    val nt = occ.count(_._2 == "en").toLong
+    val nb = TrainPrep.DsirBuckets
+    val lnr = cr.map { case (b, c) =>
+      b -> math.log(((ct(b) + 1).toDouble / (nt + nb)) / ((c + 1).toDouble / (nr + nb)))
+    }
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    // Det.dsum replay: per-addend DECIMAL(18,8) HALF_UP cast, exact sum
+    val want = occ.groupBy(_._1).map { case (id, xs) =>
+      val s = xs.map { case (_, _, b) =>
+        BigDecimal(lnr(b)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (id, r4(s.toDouble), xs.size.toLong)
+    }.toSeq.sortBy { case (id, w, _) => (-w, id) }.take(TrainPrep.DsirK)
+    val got = SparkEntry.queries("q_dsir_sample")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got === want)
+    // the target-domain docs should rank ahead of the field on average:
+    // mean weight of selected en docs >= mean of selected non-en docs
+    // (weak but directional — the fixture's langs share one vocabulary)
+    val langOf = docs.map(d => d._1 -> d._2).toMap
+    val (en, rest) = got.partition(g => langOf(g._1) == "en")
+    if (en.nonEmpty && rest.nonEmpty)
+      assert(en.map(_._2).sum / en.size >= rest.map(_._2).sum / rest.size)
+  }
+
   test("q_chunk covers every token exactly and overlaps by stride") {
     val chunks = SparkEntry.queries("q_chunk")(spark, sf001)
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
