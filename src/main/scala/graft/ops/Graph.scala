@@ -383,34 +383,52 @@ object Graph extends QueryPack {
     * K-core doesn't exist and the peel wave's depth says how far from
     * it the degree distribution sits.
     *
-    * Scale shape: each round is ONE degree aggregation (map-side
-    * combined, vertex-sized output) + two semi-joins of the edge list
-    * against the surviving-vertex set (SHUFFLE_HASH — the keep set is
-    * vertex-bounded). The edge list is localCheckpointed every round:
-    * the keep side derives from the same round's edges, so without
-    * the cut each round would embed the previous round's plan three
-    * times (the 2^n lineage blowup the CC loop documents). Rounds are
-    * FIXED (no convergence probe) so the unrolled oracle runs the
-    * identical schedule; peeling an already-empty edge list is a
-    * no-op round on both engines. */
+    * Scale shape: the state is the VERTEX-sized survivor set, never a
+    * rebuilt edge list (K_{i+1} = {v ∈ K_i : |N(v) ∩ K_i| ≥ K} — set
+    * recurrence ≡ edge-subgraph peeling, which the replay spec and
+    * the edge-formulated oracle both pin). Each round rides the one
+    * cached grouped-adjacency exchange: a vertex-keyed join gates
+    * surviving sources (SHUFFLE_HASH on the vertex-sized survivor
+    * set), the explode streams surviving edges narrowly into ONE
+    * dst-keyed count (map-side combined), and a survivor semi-join
+    * lands co-partitioned on that count's exchange — PageRank's
+    * per-round stage shape, vs 2× edge-list shuffles for an edge
+    * rebuild (measured 7.6 → ~4s at sf0.1). The per-round count table
+    * is localCheckpointed (it feeds both the profile row and the next
+    * survivor set — the second reference would otherwise double
+    * lineage per round). Rounds are FIXED (no convergence probe) so
+    * the unrolled oracle runs the identical schedule; peeling an
+    * already-empty survivor set is a no-op round on both engines. */
   private def kcore(s: SparkSession, d: String): DataFrame = {
-    var e = edges(s, d).localCheckpoint()
-    var profile = Seq.empty[DataFrame]
-    for (i <- 0 to KcIters) {
-      val deg = degrees(e).localCheckpoint() // vertex-sized; feeds stats AND keep
-      profile = profile :+ deg.agg(
-        coalesce(expr("sum(d) div 2"), lit(0L)).as("n_edges"),
-        count(lit(1)).as("n_vertices"))
-        .select(lit(i).as("round"), col("n_edges"), col("n_vertices"))
-      if (i < KcIters) {
-        val keep = deg.filter(col("d") >= KcK).select(col("x"))
-        e = e
-          .join(keep.hint("shuffle_hash").as("ku"), col("u") === col("ku.x"), "left_semi")
-          .join(keep.hint("shuffle_hash").as("kv"), col("v") === col("kv.x"), "left_semi")
+    val adj = groupedAdj(s, d)
+    try {
+      var surv = adj.select(col("src").as("v"))
+      var profile = Seq.empty[DataFrame]
+      for (i <- 0 to KcIters) {
+        // c = |N(v) ∩ K_i| for v ∈ K_i with ≥1 surviving neighbor:
+        // rows are (dst ← surviving src) edge endpoints, so count(*)
+        // per dst is the survivor-restricted degree and Σc = 2|E_i|
+        // EAGER checkpoint: measured against the lazy variant (one
+        // action driving the whole cascade) — lazy is 1.2× SLOWER
+        // here (9.1 vs 7.4s at sf0.1), the BFS variant-study result
+        // again: the deeper uncheckpointed plan re-executes shared
+        // subtrees and AQE re-plans the fused graph worse than 9
+        // bounded jobs cost in scheduler floor
+        val rc = adj.join(surv.hint("shuffle_hash"), col("src") === col("v"))
+          .select(explode(col("dsts")).as("dst"))
+          .groupBy("dst").agg(count(lit(1)).as("c"))
+          .join(surv.hint("shuffle_hash").as("sv"),
+            col("dst") === col("sv.v"), "left_semi")
           .localCheckpoint()
+        profile = profile :+ rc.agg(
+          coalesce(expr("sum(c) div 2"), lit(0L)).as("n_edges"),
+          count(lit(1)).as("n_vertices"))
+          .select(lit(i).as("round"), col("n_edges"), col("n_vertices"))
+        if (i < KcIters)
+          surv = rc.filter(col("c") >= KcK).select(col("dst").as("v"))
       }
-    }
-    profile.reduce(_ unionAll _).orderBy("round")
+      profile.reduce(_ unionAll _).orderBy("round")
+    } finally adj.unpersist()
   }
 
   override val queries: Map[String, Q] = Map(
