@@ -349,6 +349,67 @@ object Analytics extends QueryPack {
   private def ewma(s: SparkSession, d: String): DataFrame =
     s.sql(ewmaSql(eventsView(s, d)))
 
+  // ---- CUSUM change-point detection -------------------------------
+
+  /** CUSUM change-point detection on the daily event-count series
+    * (Page 1954; the at-most-one-change mean-shift scan): the
+    * centered cumulative sum Sₜ = Σᵢ≤ₜ(xᵢ − x̄) peaks at the day the
+    * series' mean shifts, and max|Sₜ| is the classic AMOC statistic.
+    * Computed EXACTLY in integers: S'ₜ = n·cumₜ − t·total = n·Sₜ, so
+    * the argmax (ties → earliest day) involves no division at all;
+    * only the final normalized statistic and the before/after mean
+    * estimates touch doubles, spelled identically in the oracle.
+    *
+    * Scale shape: the corpus-sized stage is the one map-side-combined
+    * daily count; everything after runs on the CALENDAR-sized day
+    * table (the global window sits directly on the aggregate — the
+    * waived bounded shape, same as q_hybrid_rrf's limit windows).
+    * Headroom: n·cumₜ ≤ days·events < 10⁴·10¹⁴ fits a Long. */
+  private def cusum(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("total"))
+    val w = Window.orderBy("day")
+    val cum = daily
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("cumx", sum(col("x"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("sprime", col("n") * col("cumx") - col("t") * col("total"))
+    cum.orderBy(abs(col("sprime")).desc, col("day")).limit(1)
+      .select(col("n").as("n_days"), col("total").as("total_events"),
+        col("day").as("change_day"),
+        Det.r4(abs(col("sprime")).cast("double")
+          / (col("n").cast("double") * col("total"))).as("cusum_stat"),
+        Det.r4(col("cumx").cast("double") / col("t")).as("mean_before"),
+        when(col("n") === col("t"), lit(null).cast("double"))
+          .otherwise(Det.r4((col("total") - col("cumx")).cast("double")
+            / (col("n") - col("t")))).as("mean_after"))
+  }
+
+  private def cusumOracle(events: String): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+       |  FROM $events GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS total FROM daily),
+       |cum AS (
+       |  SELECT day,
+       |         ROW_NUMBER() OVER (ORDER BY day) AS t,
+       |         SUM(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cumx,
+       |         n, total,
+       |         n * SUM(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+       |           - ROW_NUMBER() OVER (ORDER BY day) * total AS sprime
+       |  FROM daily, tot)
+       |SELECT n AS n_days, total AS total_events, day AS change_day,
+       |       ${Det.r4Sql("CAST(ABS(sprime) AS DOUBLE) / (CAST(n AS DOUBLE) * total)")} AS cusum_stat,
+       |       ${Det.r4Sql("CAST(cumx AS DOUBLE) / t")} AS mean_before,
+       |       CASE WHEN n = t THEN NULL
+       |            ELSE ${Det.r4Sql("CAST(total - cumx AS DOUBLE) / (n - t)")} END AS mean_after
+       |FROM cum
+       |ORDER BY ABS(sprime) DESC, day LIMIT 1""".stripMargin
+
   // ---- cohort retention ------------------------------------------
 
   /** Weekly cohort retention on purchase activity: cohort = the
@@ -570,6 +631,7 @@ object Analytics extends QueryPack {
     "q_profile"    -> profile,
     "q_hybrid_rrf" -> hybridRrf,
     "q_ewma"       -> ewma,
+    "q_cusum"      -> cusum,
     "q_corr"       -> corrMatrix,
     "q_winsorize"  -> winsorize,
     "q_snapshot_diff" -> snapshotDiff,
@@ -657,6 +719,7 @@ object Analytics extends QueryPack {
         |    AND (b.o_totalprice < a.o_totalprice OR b.o_orderdate < a.o_orderdate))
         |ORDER BY o_orderpriority, o_totalprice, o_orderdate, o_orderkey""".stripMargin,
     "q_ewma" -> ewmaSql("events"),
+    "q_cusum" -> cusumOracle("events"),
     "q_corr" -> corrOracle,
     // the IVM proof: the oracle RECOMPUTES the aggregate from the new
     // snapshot; the Spark side maintains it incrementally from the

@@ -372,6 +372,81 @@ object Stats extends QueryPack {
           "CAST(1.358 AS DOUBLE) * SQRT(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2))")} AS reject_05
        |FROM sel, tot""".stripMargin
 
+  // ---- ROC AUC evaluation -----------------------------------------
+
+  /** Retrieval/classifier evaluation: exact ROC AUC (and Gini) of the
+    * cosine-to-probe score against the "same label as the probe"
+    * ground truth — the rank-sum identity AUC = (R₊ − n₊(n₊+1)/2) /
+    * (n₊·n₋), i.e. the Mann–Whitney U normalized, computed on the
+    * SAME distributed rank machinery as q_mannwhitney: per-score
+    * counts (one map-side-combined aggregation), [[Dist.prefixSum]]
+    * average ranks over the score domain, one DECIMAL-exact rank-sum.
+    * No per-row rank window, no sort of the corpus — at 100 TB the
+    * only data-sized stage is the per-score count. (On this fixture
+    * the embeddings are synthetic unit-noise, so AUC ≈ 0.5 — the
+    * evaluator reporting "no signal" is the honest output; the
+    * operator's correctness is pinned by the oracle and replay.)
+    *
+    * Determinism: scores are sequential-fold cosines (bit-identical
+    * across engines — the q_sim_search precedent), ranks exact
+    * half-integers, the rank sum DECIMAL(18,2)-exact, and the final
+    * AUC/Gini a fixed IEEE op sequence spelled identically in SQL. */
+  private def aucEval(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextSim.cosine
+    val emb = Tables.embeddings(s, d)
+    val probe = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("probe"), col("label").as("plabel"))
+    val byVal = emb.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(probe))
+      .select(col("plabel"), (col("label") === col("plabel")).as("pos"),
+        cosine(col("embedding"), col("probe")).as("sc"))
+      .groupBy("plabel", "sc")
+      .agg(count(when(col("pos"), lit(1))).as("cp"), count(lit(1)).as("cnt"))
+    val u = col("rpos") - col("np") * (col("np") + 1) / lit(2.0)
+    Dist.prefixSum(byVal, "sc", "cnt", "cum")
+      .groupBy("plabel")
+      .agg(
+        sum(col("cp")).as("np"),
+        sum(col("cnt") - col("cp")).as("nn"),
+        Det.dsum(col("cp") * (col("cum") - (col("cnt") - 1) / lit(2.0)), 2)
+          .as("rpos"))
+      .select(col("plabel").as("probe_label"),
+        col("np").as("n_pos"), col("nn").as("n_neg"),
+        Det.r4(u / (col("np").cast("double") * col("nn"))).as("auc"),
+        Det.r4(lit(2.0) * u / (col("np").cast("double") * col("nn")) - 1)
+          .as("gini"))
+  }
+
+  private def aucEvalOracle: String = {
+    val cos =
+      """(list_sum(list_transform(list_zip(e.embedding, p.probe),
+        |            t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+        |   / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |      * SQRT(list_sum(list_transform(p.probe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+    val u = "(rpos - np * (np + 1) / 2.0)"
+    s"""WITH p AS (SELECT embedding AS probe, label AS plabel
+       |           FROM embeddings WHERE vec_id = 0),
+       |byv AS (
+       |  SELECT plabel, sc,
+       |         COUNT(CASE WHEN pos THEN 1 END) AS cp, COUNT(*) AS cnt
+       |  FROM (SELECT p.plabel, e.label = p.plabel AS pos, $cos AS sc
+       |        FROM embeddings e, p WHERE e.vec_id <> 0)
+       |  GROUP BY plabel, sc),
+       |cum AS (
+       |  SELECT plabel, cp, cnt,
+       |         SUM(cnt) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM byv),
+       |m AS (
+       |  SELECT plabel, CAST(SUM(cp) AS BIGINT) AS np,
+       |         CAST(SUM(cnt - cp) AS BIGINT) AS nn,
+       |         ${Det.dsumSql("cp * (cum - (cnt - 1) / 2.0)", 2)} AS rpos
+       |  FROM cum GROUP BY plabel)
+       |SELECT plabel AS probe_label, np AS n_pos, nn AS n_neg,
+       |       ${Det.r4Sql(s"$u / (CAST(np AS DOUBLE) * nn)")} AS auc,
+       |       ${Det.r4Sql(s"2.0 * $u / (CAST(np AS DOUBLE) * nn) - 1")} AS gini
+       |FROM m""".stripMargin
+  }
+
   // ---- systematic PPS weighted sampling --------------------------
 
   /** Sample size per stratum. */
@@ -488,6 +563,7 @@ object Stats extends QueryPack {
     "q_ttest"       -> ttest,
     "q_mannwhitney" -> mannwhitney,
     "q_ks_test"     -> kstest,
+    "q_auc_eval"    -> aucEval,
     "q_sample_pps"  -> samplePps,
     "q_dq_audit"    -> dqAudit,
   )
@@ -498,6 +574,7 @@ object Stats extends QueryPack {
     "q_ttest"       -> ttestOracle,
     "q_mannwhitney" -> mannwhitneyOracle,
     "q_ks_test"     -> kstestOracle,
+    "q_auc_eval"    -> aucEvalOracle,
     "q_sample_pps"  -> samplePpsOracle,
     "q_dq_audit"    -> dqAuditOracle,
   )

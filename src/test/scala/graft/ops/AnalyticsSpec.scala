@@ -80,4 +80,32 @@ class AnalyticsSpec extends SparkSpec {
     val bad = got.collect { case (id, v) if v != expected(id) => (id, v, expected(id)) }
     assert(bad.isEmpty, s"first mismatches: ${bad.take(5)}")
   }
+
+  test("q_cusum matches an exact driver-side AMOC scan") {
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getDate(0), r.getLong(1)))
+      .sortBy(_._1.getTime)
+    val n = daily.length.toLong
+    val total = daily.map(_._2).sum
+    var cum = 0L
+    var best = (-1L, null: java.sql.Date, 0L, 0L) // |s'|, day, cumx, t
+    daily.zipWithIndex.foreach { case ((day, x), i) =>
+      cum += x
+      val t = i + 1L
+      val sp = math.abs(n * cum - t * total)
+      if (sp > best._1) best = (sp, day, cum, t) // strict > keeps earliest day
+    }
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val row = graft.SparkEntry.queries("q_cusum")(spark, sf).collect().head
+    assert(row.getAs[Long]("n_days") === n)
+    assert(row.getAs[Long]("total_events") === total)
+    assert(row.getAs[java.sql.Date]("change_day") === best._2)
+    assert(row.getAs[Double]("cusum_stat") ===
+      r4(best._1.toDouble / (n.toDouble * total)))
+    assert(row.getAs[Double]("mean_before") === r4(best._3.toDouble / best._4))
+    if (best._4 < n)
+      assert(row.getAs[Double]("mean_after") ===
+        r4((total - best._3).toDouble / (n - best._4)))
+  }
 }

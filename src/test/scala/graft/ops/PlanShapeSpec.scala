@@ -109,6 +109,25 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus-side sort-merge join in BM25 plan:\n$p")
   }
 
+  test("q_dsir_sample broadcasts vocab buckets and lnr ratios — no corpus-side SMJ") {
+    val p = plan("q_dsir_sample")
+    // token→bucket map (vocabulary-sized) and the 256-row lnr table
+    // must come back as broadcasts; the occurrence stream shuffles
+    // only for the per-doc aggregate
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join in DSIR plan:\n$p")
+  }
+
+  test("q_query_expand gates the corpus df pass on broadcast candidate terms") {
+    val p = plan("q_query_expand")
+    // candidate-term semi-join must be a broadcast (the BM25
+    // discipline: the filter precedes the term shuffle)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join in RM3 plan:\n$p")
+  }
+
   test("q_sql_tpch6 pushes every predicate into the lineitem scan") {
     // formatted mode shows the full filter list (the simple plan
     // string truncates it)

@@ -45,4 +45,46 @@ class StatsSpec extends SparkSpec {
     val d = row.getAs[Double]("ks_d")
     assert(d >= 0.0 && d <= 1.0)
   }
+
+  test("q_auc_eval matches a driver-side rank-sum AUC replay") {
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val probe = emb.find(_._1 == 0L).get
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      // sequential fold, the engine's op order
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val scored = emb.filter(_._1 != 0L)
+      .map { case (_, l, e) => (l == probe._2, cosine(e, probe._3)) }
+    val nPos = scored.count(_._1).toLong
+    val nNeg = scored.size - nPos
+    // pooled average ranks ascending by score
+    val byScore = scored.groupBy(_._2).toSeq.sortBy(_._1)
+    var cum = 0L
+    var rPos = BigDecimal(0)
+    byScore.foreach { case (_, xs) =>
+      val cnt = xs.size.toLong
+      cum += cnt
+      val avgRank = cum - (cnt - 1) / 2.0
+      val cp = xs.count(_._1)
+      rPos += BigDecimal(cp * avgRank).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    }
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val u = rPos.toDouble - nPos * (nPos + 1) / 2.0
+    val auc = u / (nPos.toDouble * nNeg)
+    val row = graft.SparkEntry.queries("q_auc_eval")(spark, sf).collect().head
+    assert(row.getAs[Int]("probe_label") === probe._2)
+    assert(row.getAs[Long]("n_pos") === nPos)
+    assert(row.getAs[Long]("n_neg") === nNeg)
+    assert(row.getAs[Double]("auc") === r4(auc))
+    assert(row.getAs[Double]("gini") === r4(2.0 * u / (nPos.toDouble * nNeg) - 1))
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
 }
