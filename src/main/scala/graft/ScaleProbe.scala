@@ -100,6 +100,17 @@ object ScaleProbe {
       }.reduce(_ unionAll _)
         .repartition(par)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // --- embeddings: vec_id offset per copy, vectors/labels verbatim
+      // ("k× more vectors with the same geometry"); vec_id 0 keeps its
+      // identity so probe-anchored queries rank a k×-larger candidate
+      // set against the same probe ---
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+      (0 until k).map { c =>
+        emb.withColumn("vec_id", col("vec_id") + lit(c.toLong * nVec))
+      }.reduce(_ unionAll _)
+        .repartition(par)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       // --- dims: verbatim copy ---
       Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
         spark.read.parquet(s"$src/$t.parquet")

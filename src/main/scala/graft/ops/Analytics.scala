@@ -410,6 +410,80 @@ object Analytics extends QueryPack {
        |FROM cum
        |ORDER BY ABS(sprime) DESC, day LIMIT 1""".stripMargin
 
+  // ---- autocorrelation function -----------------------------------
+
+  /** ACF lags computed. */
+  private val AcfMaxLag = 7
+
+  /** Autocorrelation function of the daily event-count series, lags
+    * 1..[[AcfMaxLag]] — the seasonality probe behind "is this weekly-
+    * periodic?" (and the diagnostics companion to q_cusum/q_ewma).
+    * Estimator: rₖ = Σₜ(xₜ−x̄)(xₜ₊ₖ−x̄) / Σₜ(xₜ−x̄)², expanded into
+    * INTEGER sums (Σxₜxₜ₊ₖ, head/tail sums, Σx², n, total — all exact
+    * Longs) so both engines feed bit-identical inputs into one fixed
+    * IEEE formula. The k LEADs share one window spec over the
+    * CALENDAR-sized day table (single WindowExec above the aggregate
+    * — the waived bounded shape); the corpus-sized stage is the one
+    * map-side-combined daily count. */
+  private def acf(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy("day")
+    val withLeads = (1 to AcfMaxLag).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"l$k", lead(col("x"), k).over(w))
+    }
+    val aggs =
+      Seq(count(lit(1)).as("n"), sum(col("x")).as("tot"),
+        sum(col("x") * col("x")).as("sxx")) ++
+        (1 to AcfMaxLag).flatMap { k =>
+          Seq(
+            sum(col("x") * col(s"l$k")).as(s"s2_$k"),
+            sum(when(col(s"l$k").isNotNull, col("x"))).as(s"sh_$k"),
+            sum(col(s"l$k")).as(s"st_$k"))
+        }
+    val wide = withLeads.agg(aggs.head, aggs.tail: _*)
+    val mean = col("tot").cast("double") / col("n")
+    val denom = col("sxx") - col("n") * mean * mean
+    val rows = (1 to AcfMaxLag).map { k =>
+      val num = col(s"s2_$k") - mean * (col(s"sh_$k") + col(s"st_$k")) +
+        (col("n") - k) * mean * mean
+      struct(lit(k).as("lag"), Det.r4(num / denom).as("acf"))
+    }
+    wide.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.lag"), col("p.acf"))
+      .orderBy("lag")
+  }
+
+  private def acfOracle(events: String): String = {
+    val leads = (1 to AcfMaxLag).map(k =>
+      s"LEAD(x, $k) OVER (ORDER BY day) AS l$k").mkString(",\n         ")
+    val sums = (1 to AcfMaxLag).map { k =>
+      s"""CAST(SUM(x * l$k) AS BIGINT) AS s2_$k,
+         |         CAST(SUM(CASE WHEN l$k IS NOT NULL THEN x END) AS BIGINT) AS sh_$k,
+         |         CAST(SUM(l$k) AS BIGINT) AS st_$k""".stripMargin
+    }.mkString(",\n         ")
+    val mean = "(CAST(tot AS DOUBLE) / n)"
+    val selects = (1 to AcfMaxLag).map { k =>
+      val num = s"(s2_$k - $mean * (sh_$k + st_$k) + (n - $k) * $mean * $mean)"
+      s"SELECT $k AS lag, ${Det.r4Sql(s"$num / (sxx - n * $mean * $mean)")} AS acf FROM m"
+    }
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+       |  FROM $events GROUP BY 1),
+       |leads AS (
+       |  SELECT x,
+       |         $leads
+       |  FROM daily),
+       |m AS (
+       |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS tot,
+       |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |         $sums
+       |  FROM leads)
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY lag""".stripMargin
+  }
+
   // ---- cohort retention ------------------------------------------
 
   /** Weekly cohort retention on purchase activity: cohort = the
@@ -632,6 +706,7 @@ object Analytics extends QueryPack {
     "q_hybrid_rrf" -> hybridRrf,
     "q_ewma"       -> ewma,
     "q_cusum"      -> cusum,
+    "q_acf"        -> acf,
     "q_corr"       -> corrMatrix,
     "q_winsorize"  -> winsorize,
     "q_snapshot_diff" -> snapshotDiff,
@@ -720,6 +795,7 @@ object Analytics extends QueryPack {
         |ORDER BY o_orderpriority, o_totalprice, o_orderdate, o_orderkey""".stripMargin,
     "q_ewma" -> ewmaSql("events"),
     "q_cusum" -> cusumOracle("events"),
+    "q_acf" -> acfOracle("events"),
     "q_corr" -> corrOracle,
     // the IVM proof: the oracle RECOMPUTES the aggregate from the new
     // snapshot; the Spark side maintains it incrementally from the

@@ -35,6 +35,25 @@ object Similarity extends QueryPack {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
 
+  /** k-NN classification of the probe vector: majority label among
+    * the cosine top-10 (ties → smallest label), with the vote count
+    * and the mean neighbor similarity per candidate label. Rides the
+    * [[simSearch]] scan unchanged — O(n) pass, per-partition top-k
+    * heaps, then a ≤k-row argmax; the classifier costs exactly what
+    * the search costs at any scale. Determinism: the neighbor set is
+    * the oracle-pinned top-10 (r4 cosine, vec_id tie-break), votes
+    * are exact counts, the argmax a total (votes DESC, label ASC)
+    * order. */
+  private def knnClassify(s: SparkSession, d: String): DataFrame = {
+    val top = simSearch(s, d)
+    top.groupBy(col("label"))
+      .agg(count(lit(1)).as("votes"),
+        graft.Det.r4(graft.Det.davg(col("cos"))).as("mean_cos"))
+      .orderBy(col("votes").desc, col("label").asc)
+      .limit(1)
+      .select(col("label").as("pred_label"), col("votes"), col("mean_cos"))
+  }
+
   private def annLsh(s: SparkSession, d: String): DataFrame = {
     val bucketed = Tables.embeddings(s, d)
       .withColumn("bucket", hyperplaneBucket(col("embedding"), 4, 64))
@@ -256,6 +275,7 @@ object Similarity extends QueryPack {
     "q_sim_ann_indexed" -> annIndexed,
     "q_kmeans"          -> kmeans,
     "q_embed_project"   -> embedProject,
+    "q_knn_classify"    -> knnClassify,
   )
 
   /** Unrolled-CTE Lloyd oracle (the PageRank technique applied to
@@ -416,6 +436,26 @@ object Similarity extends QueryPack {
         |WHERE e.vec_id <> 0
         |ORDER BY cos DESC, vec_id ASC
         |LIMIT 10""".stripMargin,
+    "q_knn_classify" ->
+      s"""WITH p AS (SELECT embedding AS probe FROM embeddings WHERE vec_id = 0),
+         |top AS (
+         |  SELECT vec_id, label,
+         |         FLOOR((
+         |           list_sum(list_transform(list_zip(e.embedding, p.probe),
+         |                    t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+         |           / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |              * SQRT(list_sum(list_transform(p.probe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         |         ) * 10000 + 0.5) / 10000 AS cos
+         |  FROM embeddings e, p
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY cos DESC, vec_id ASC
+         |  LIMIT 10)
+         |SELECT label AS pred_label, COUNT(*) AS votes,
+         |       ${graft.Det.r4Sql(graft.Det.davgSql("cos"))} AS mean_cos
+         |FROM top
+         |GROUP BY label
+         |ORDER BY votes DESC, label ASC
+         |LIMIT 1""".stripMargin,
   )
 }
 

@@ -81,6 +81,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(bad.isEmpty, s"first mismatches: ${bad.take(5)}")
   }
 
+  test("q_acf matches an exact driver-side autocorrelation replay") {
+    val xs = graft.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getDate(0).getTime, r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    val n = xs.length.toLong
+    val tot = xs.sum
+    val sxx = xs.map(x => x * x).sum
+    val mean = tot.toDouble / n
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val want = (1 to 7).map { k =>
+      val pairs = xs.dropRight(k).zip(xs.drop(k))
+      val s2 = pairs.map { case (a, b) => a * b }.sum
+      val sh = pairs.map(_._1).sum
+      val st = pairs.map(_._2).sum
+      // the query's exact IEEE op order
+      val num = s2 - mean * (sh + st) + (n - k) * mean * mean
+      (k, r4(num / (sxx - n * mean * mean)))
+    }
+    val got = graft.SparkEntry.queries("q_acf")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(got === want)
+    // all autocorrelations are in [-1, 1] up to rounding
+    assert(got.forall(g => g._2 >= -1.0001 && g._2 <= 1.0001))
+  }
+
   test("q_cusum matches an exact driver-side AMOC scan") {
     val daily = graft.Tables.events(spark, sf)
       .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))

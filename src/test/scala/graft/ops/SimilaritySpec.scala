@@ -129,4 +129,17 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want,
       got.zip(want).filter { case (g, w) => g != w }.take(5).toString)
   }
+
+  test("q_knn_classify is the majority vote of the oracle-pinned top-10") {
+    val top = graft.SparkEntry.queries("q_sim_search")(spark, sf).collect()
+      .map(r => (r.getInt(1), r.getDouble(2))) // (label, cos)
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val want = top.groupBy(_._1).map { case (l, xs) =>
+      val s = xs.map(x => BigDecimal(x._2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      (l, xs.size.toLong, r4(s.toDouble / xs.size))
+    }.toSeq.sortBy { case (l, v, _) => (-v, l) }.head
+    val got = graft.SparkEntry.queries("q_knn_classify")(spark, sf).collect().head
+    assert((got.getInt(0), got.getLong(1), got.getDouble(2)) === want)
+  }
 }
