@@ -419,8 +419,67 @@ object TrainPrep extends QueryPack {
       .limit(DsirK)
   }
 
+  /** BPE merge rounds trained. */
+  private[ops] val BpeRounds = 3
+
+  /** BPE tokenizer TRAINING, not just pair counting (q_bpe_pairs is
+    * one round's input): [[BpeRounds]] greedy merge rounds — count
+    * adjacent HETEROGENEOUS digrams, merge every occurrence of the
+    * most frequent pair (ties → lexicographic), recount on the merged
+    * stream, repeat. Restricting to a ≠ b pairs makes the greedy
+    * merge exactly window-expressible: a match at position i−1 forces
+    * tokᵢ = b and a match at i would need tokᵢ = a, so matches NEVER
+    * overlap and "merge all non-overlapping occurrences left-to-right"
+    * is just `match ∧ ¬lag(match)` — no sequential scan, no run-parity
+    * recursion (homogeneous runs like "aa aa" are the one case that
+    * needs it, and real-text BPE implementations special-case them
+    * too). Reports per round: the merged pair, its count, and the
+    * stream size after the merge.
+    *
+    * Scale shape: each round is one doc-keyed window pass (LEAD+LAG
+    * share the spec → a single WindowExec), one map-side-combined
+    * pair count, a 1-row broadcast argmax, and a narrow rewrite —
+    * the stream is localCheckpointed per round (the kcore/CC lineage
+    * rule). At 100 TB a tokenizer trains on a sample; the shape is
+    * unchanged, the sample gate is one filter. */
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var stream = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .localCheckpoint()
+    var profile = Seq.empty[DataFrame]
+    for (r <- 1 to BpeRounds) {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val withNext = stream.withColumn("nxt", lead(col("tok"), 1).over(w))
+      val best = withNext
+        .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+        .groupBy(col("tok").as("a"), col("nxt").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        // 1 row, two consumers (merge broadcast + profile row): cut
+        // so the pair-count pass runs once per round, not twice
+        .localCheckpoint()
+      val merged = withNext.crossJoin(broadcast(best))
+        .withColumn("m", col("tok") === col("a") && col("nxt") === col("b"))
+        .withColumn("mp", coalesce(lag(col("m"), 1).over(w), lit(false)))
+        .filter(!col("mp"))
+        .select(col("doc_id"), col("pos"),
+          when(col("m"), concat(col("tok"), lit(" "), col("nxt")))
+            .otherwise(col("tok")).as("tok"))
+        .localCheckpoint()
+      profile = profile :+ best
+        .crossJoin(broadcast(merged.agg(count(lit(1)).as("n_tokens_after"))))
+        .select(lit(r).as("round"), col("a").as("merged_a"),
+          col("b").as("merged_b"), col("c").as("pair_count"),
+          col("n_tokens_after"))
+      stream = merged
+    }
+    profile.reduce(_ unionAll _).orderBy("round")
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_decontaminate"  -> decontaminate,
+    "q_bpe_train"      -> bpeTrain,
     "q_dsir_sample"    -> dsirSample,
     "q_ngram_novelty"  -> ngramNovelty,
     "q_bpe_pairs"      -> bpePairs,
@@ -497,8 +556,54 @@ object TrainPrep extends QueryPack {
        |ORDER BY weight DESC, doc_id
        |LIMIT $DsirK""".stripMargin
 
+  /** BPE-training oracle: the merge rounds unrolled with MATERIALIZED
+    * stream CTEs (each round's stream has three consumers — the next
+    * round, its pair count, and the profile row — so plain CTEs would
+    * inline-explode, the q_kcore lesson). The profile rows join the
+    * 1-row best table (FROM, not scalar subqueries) so an empty
+    * corpus yields zero rows on both engines. */
+  private def bpeTrainOracle: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val p = r - 1
+      s"""n$r AS (
+         |  SELECT doc_id, pos, tok,
+         |         LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM s$p),
+         |b$r AS MATERIALIZED (
+         |  SELECT tok AS a, nxt AS b, COUNT(*) AS c
+         |  FROM n$r WHERE nxt IS NOT NULL AND tok <> nxt
+         |  GROUP BY 1, 2
+         |  ORDER BY c DESC, a, b LIMIT 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN m THEN tok || ' ' || nxt ELSE tok END AS tok
+         |  FROM (
+         |    SELECT doc_id, pos, tok, nxt, m,
+         |           COALESCE(LAG(m) OVER (PARTITION BY doc_id ORDER BY pos),
+         |                    false) AS mp
+         |    FROM (SELECT n$r.*,
+         |                 (tok = b$r.a AND nxt = b$r.b) AS m
+         |          FROM n$r, b$r))
+         |  WHERE NOT mp)""".stripMargin
+    }.mkString(",\n")
+    val profile = (1 to BpeRounds).map { r =>
+      s"""SELECT $r AS round, a AS merged_a, b AS merged_b, c AS pair_count,
+         |       nt AS n_tokens_after
+         |FROM b$r CROSS JOIN (SELECT COUNT(*) AS nt FROM s$r)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s0 AS MATERIALIZED (
+       |  SELECT doc_id, generate_subscripts(toks, 1) AS pos, UNNEST(toks) AS tok
+       |  FROM sp),
+       |$rounds
+       |SELECT * FROM (
+       |$profile
+       |) ORDER BY round""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
     "q_decontaminate" -> DecontaminateOracle,
+    "q_bpe_train"     -> bpeTrainOracle,
     "q_dsir_sample"   -> dsirOracle,
     "q_ngram_novelty" ->
       s"""WITH sh AS (

@@ -36,6 +36,37 @@ class TrainPrepSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q_bpe_train matches a driver-side greedy merge replay") {
+    var docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toVector))
+    val want = (1 to TrainPrep.BpeRounds).map { r =>
+      val counts = docs.flatMap { case (_, toks) =>
+        toks.zip(toks.drop(1)).filter(p => p._1 != p._2)
+      }.groupBy(identity).view.mapValues(_.size.toLong)
+      val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      // non-overlapping left-to-right merge: a != b so matches never chain
+      docs = docs.map { case (id, toks) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += s"$a $b"; i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        (id, out.result())
+      }
+      (r, a, b, c, docs.map(_._2.size.toLong).sum)
+    }
+    val got = graft.SparkEntry.queries("q_bpe_train")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+    // the merged pair's count must be non-increasing across rounds
+    // (each merge removes its occurrences from the stream)
+    assert(want.map(_._4).zip(want.map(_._4).tail).forall { case (x, y) => y <= x })
+  }
+
   test("q_dsir_sample matches a driver-side importance-weight replay") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
       .select("doc_id", "lang", "text").collect()
