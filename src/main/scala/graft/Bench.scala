@@ -199,12 +199,18 @@ object Bench {
     // the per-query map from round-over-round comparison — persist the
     // full line where the repo snapshot picks it up (path overridable,
     // defaulting to the working directory so other checkouts work)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath.toString)
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"Bench: failed to write $outPath: $e")
+    // Only a FULL-suite run may refresh the repo snapshot: a
+    // name-filtered bisection run overwriting BENCH_FULL.json is how
+    // a 1-query artifact once reached a commit (`git add -A` after an
+    // isolated q_kcore A/B). Filtered runs still print their JSON.
+    if (args.isEmpty) {
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath.toString)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"Bench: failed to write $outPath: $e")
+      }
     }
     spark.stop()
   }
