@@ -349,6 +349,70 @@ object Analytics extends QueryPack {
   private def ewma(s: SparkSession, d: String): DataFrame =
     s.sql(ewmaSql(eventsView(s, d)))
 
+  // ---- association rules (market basket) ---------------------------
+
+  /** Association-rule mining over order baskets (order = basket,
+    * part = item): support / confidence / lift for item pairs
+    * co-occurring in ≥ 2 baskets, top-20 by lift — the market-basket
+    * recommender primitive (Agrawal & Srikant, VLDB 1994's candidate
+    * counting specialized to pairs).
+    *
+    * Scale shape: the quadratic pair stage is an ORDER-keyed
+    * self-equi-join, so its fan-out is bounded by basket size
+    * (≤ items²-per-basket, ~4² here), never |items|² — the same
+    * blocked-candidate discipline as q_cooccur. Item frequencies are
+    * item-domain-sized (broadcast at this scale, keyed at 100 TB);
+    * support/confidence/lift are fixed IEEE expressions over exact
+    * Long counts with all products in DOUBLE (overflow-safe at any
+    * corpus size), and the top-20 cut orders by (r4 lift, item_a,
+    * item_b) — total. */
+  private def assocRules(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("i")).distinct()
+    val n = items.agg(countDistinct(col("o")).as("n_baskets"))
+    val freq = items.groupBy("i").agg(count(lit(1)).as("cnt"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("item_a"), col("b.i").as("item_b"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    pairs
+      .join(broadcast(freq.select(col("i").as("item_a"), col("cnt").as("ca"))),
+        "item_a")
+      .join(broadcast(freq.select(col("i").as("item_b"), col("cnt").as("cb"))),
+        "item_b")
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"), col("c").as("n_both"),
+        Det.r4(col("c").cast("double") / col("n_baskets")).as("support"),
+        Det.r4(col("c").cast("double") / col("ca")).as("confidence"),
+        Det.r4(col("c").cast("double") * col("n_baskets")
+          / (col("ca").cast("double") * col("cb"))).as("lift"))
+      .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+      .limit(20)
+  }
+
+  private def assocRulesOracle: String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+       |n AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM items),
+       |freq AS (SELECT i, COUNT(*) AS cnt FROM items GROUP BY i),
+       |pairs AS (
+       |  SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS c
+       |  FROM items a JOIN items b ON a.o = b.o AND a.i < b.i
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= 2)
+       |SELECT item_a, item_b, c AS n_both,
+       |       ${Det.r4Sql("CAST(c AS DOUBLE) / n_baskets")} AS support,
+       |       ${Det.r4Sql("CAST(c AS DOUBLE) / fa.cnt")} AS confidence,
+       |       ${Det.r4Sql(
+          "CAST(c AS DOUBLE) * n_baskets / (CAST(fa.cnt AS DOUBLE) * fb.cnt)")} AS lift
+       |FROM pairs
+       |JOIN freq fa ON fa.i = item_a
+       |JOIN freq fb ON fb.i = item_b
+       |CROSS JOIN n
+       |ORDER BY lift DESC, item_a, item_b
+       |LIMIT 20""".stripMargin
+
   // ---- CUSUM change-point detection -------------------------------
 
   /** CUSUM change-point detection on the daily event-count series
@@ -707,6 +771,7 @@ object Analytics extends QueryPack {
     "q_ewma"       -> ewma,
     "q_cusum"      -> cusum,
     "q_acf"        -> acf,
+    "q_assoc_rules" -> assocRules,
     "q_corr"       -> corrMatrix,
     "q_winsorize"  -> winsorize,
     "q_snapshot_diff" -> snapshotDiff,
@@ -796,6 +861,7 @@ object Analytics extends QueryPack {
     "q_ewma" -> ewmaSql("events"),
     "q_cusum" -> cusumOracle("events"),
     "q_acf" -> acfOracle("events"),
+    "q_assoc_rules" -> assocRulesOracle,
     "q_corr" -> corrOracle,
     // the IVM proof: the oracle RECOMPUTES the aggregate from the new
     // snapshot; the Spark side maintains it incrementally from the

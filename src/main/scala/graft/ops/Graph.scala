@@ -294,22 +294,69 @@ object Graph extends QueryPack {
     * E-linear volume PageRank's mass shuffle moves; the argmax is
     * max(struct(count, −label)) — a single agg, no window over the
     * edge stream. */
+  /** The [[labelProp]] loop body, shared with [[modularity]]: final
+    * (v, lbl) assignment after LpIters synchronous rounds over the
+    * given cached adjacency. */
+  private def lpLabels(adj: DataFrame): DataFrame = {
+    var labels = adj.select(col("src").as("v"), (col("src") % LpSeedMod).as("lbl"))
+    for (i <- 1 to LpIters) {
+      labels = adj.join(labels.hint("shuffle_hash"), col("src") === col("v"))
+        .select(explode(col("dsts")).as("dst"), col("lbl"))
+        .repartition(col("dst"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), negate(col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("v"), negate(col("m.nl")).as("lbl"))
+      if (i % 4 == 0) labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
   private def labelProp(s: SparkSession, d: String): DataFrame = {
     val adj = groupedAdj(s, d)
     try {
-      var labels = adj.select(col("src").as("v"), (col("src") % LpSeedMod).as("lbl"))
-      for (i <- 1 to LpIters) {
-        labels = adj.join(labels.hint("shuffle_hash"), col("src") === col("v"))
-          .select(explode(col("dsts")).as("dst"), col("lbl"))
-          .repartition(col("dst"))
-          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
-          .groupBy(col("dst"))
-          .agg(max(struct(col("c"), negate(col("lbl")).as("nl"))).as("m"))
-          .select(col("dst").as("v"), negate(col("m.nl")).as("lbl"))
-        if (i % 4 == 0) labels = labels.localCheckpoint()
-      }
-      labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_vertices"))
+      lpLabels(adj).groupBy(col("lbl")).agg(count(lit(1)).as("n_vertices"))
         .orderBy("lbl")
+    } finally adj.unpersist()
+  }
+
+  /** Newman modularity Q = Σ_c [e_c/m − (d_c/2m)²] of the label-
+    * propagation partition — the quality score that says whether the
+    * communities labelProp found are denser than chance (Newman &
+    * Girvan, Phys. Rev. E 69, 2004). Everything rides the one cached
+    * adjacency: m and d_c come from its `deg` column, e_c from the
+    * (u < v) edge explode joined against the label table twice
+    * (vertex-keyed equi-joins — the labels table is vertex-sized).
+    * The per-community terms are community-bounded, DECIMAL-summed;
+    * m, d_c, e_c are exact Longs. */
+  private def modularity(s: SparkSession, d: String): DataFrame = {
+    val adj = groupedAdj(s, d)
+    try {
+      // labels have three consumers (dc, and both edge endpoints):
+      // materialize so the 4-round loop runs once
+      val labels = lpLabels(adj).localCheckpoint()
+      val stats = adj.agg(expr("sum(deg) div 2").as("m"),
+        count(lit(1)).as("n_vertices"))
+      val dc = adj.join(labels.hint("shuffle_hash"), col("src") === col("v"))
+        .groupBy("lbl").agg(sum(col("deg")).as("dsum"))
+      val ec = adj
+        .select(col("src").as("u"), explode(col("dsts")).as("w"))
+        .filter(col("u") < col("w"))
+        .join(labels.hint("shuffle_hash").as("la"), col("u") === col("la.v"))
+        .join(labels.hint("shuffle_hash").as("lb"),
+          col("w") === col("lb.v") && col("la.lbl") === col("lb.lbl"))
+        .groupBy(col("la.lbl").as("lbl")).agg(count(lit(1)).as("ein"))
+      dc.join(ec, Seq("lbl"), "left").na.fill(0L, Seq("ein"))
+        .crossJoin(broadcast(stats))
+        .select(col("m"), col("n_vertices"),
+          (col("ein").cast("double") / col("m")
+            - (col("dsum").cast("double") / (lit(2L) * col("m")))
+              * (col("dsum").cast("double") / (lit(2L) * col("m")))).as("term"))
+        .groupBy("m", "n_vertices")
+        .agg(count(lit(1)).as("n_communities"),
+          Det.r4(Det.dsum(col("term"), 10)).as("modularity"))
+        .select(col("n_vertices"), col("m").as("n_edges"),
+          col("n_communities"), col("modularity"))
     } finally adj.unpersist()
   }
 
@@ -438,6 +485,7 @@ object Graph extends QueryPack {
     "q_label_prop"      -> labelProp,
     "q_graph_jaccard"   -> graphJaccard,
     "q_kcore"           -> kcore,
+    "q_modularity"      -> modularity,
   )
 
   /** Shared edge CTE — the identical modular construction DuckDB-side. */
@@ -486,10 +534,8 @@ object Graph extends QueryPack {
        |SELECT v, r AS rank_fp FROM r$PrIters ORDER BY r DESC, v LIMIT 20""".stripMargin
   }
 
-  /** Label-propagation oracle: LpIters unrolled rounds, each a
-    * neighbor-label count CTE + a QUALIFY argmax with the identical
-    * (count DESC, label ASC) total tie order. */
-  private def labelPropSql: String = {
+  /** Shared label-propagation round CTEs (l0..lN over `dir`/`deg`). */
+  private def lpRoundsSql: String = {
     val rounds = (1 to LpIters).map { i =>
       s"""c$i AS (
          |  SELECT dir.dst AS v, p.lbl, COUNT(*) AS c
@@ -499,14 +545,49 @@ object Graph extends QueryPack {
          |  SELECT v, lbl FROM c$i
          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) = 1)""".stripMargin
     }.mkString(",\n")
-    s"""$EdgesSql,
-       |dir AS (SELECT u AS src, v AS dst FROM edges
+    s"""dir AS (SELECT u AS src, v AS dst FROM edges
        |        UNION ALL SELECT v AS src, u AS dst FROM edges),
        |l0 AS (SELECT x AS v, x % $LpSeedMod AS lbl FROM deg),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** Label-propagation oracle: LpIters unrolled rounds, each a
+    * neighbor-label count CTE + a QUALIFY argmax with the identical
+    * (count DESC, label ASC) total tie order. */
+  private def labelPropSql: String =
+    s"""$EdgesSql,
+       |$lpRoundsSql
        |SELECT lbl, COUNT(*) AS n_vertices FROM l$LpIters
        |GROUP BY lbl ORDER BY lbl""".stripMargin
-  }
+
+  /** Modularity oracle: the label-prop chain, the final assignment
+    * MATERIALIZED (three consumers — the kcore inlining lesson), then
+    * Newman's formula with the identical IEEE term text. */
+  private def modularitySql: String =
+    s"""$EdgesSql,
+       |$lpRoundsSql,
+       |lf AS MATERIALIZED (SELECT v, lbl FROM l$LpIters),
+       |ms AS (SELECT COUNT(*) AS m FROM edges),
+       |nvt AS (SELECT COUNT(*) AS n_vertices FROM deg),
+       |dc AS (
+       |  SELECT lbl, CAST(SUM(d) AS BIGINT) AS dsum
+       |  FROM deg JOIN lf ON lf.v = deg.x GROUP BY lbl),
+       |ec AS (
+       |  SELECT la.lbl, COUNT(*) AS ein
+       |  FROM edges e
+       |  JOIN lf la ON la.v = e.u
+       |  JOIN lf lb ON lb.v = e.v AND lb.lbl = la.lbl
+       |  GROUP BY la.lbl),
+       |terms AS (
+       |  SELECT CAST(COALESCE(ec.ein, 0) AS DOUBLE) / m
+       |           - (CAST(dsum AS DOUBLE) / (2 * m))
+       |             * (CAST(dsum AS DOUBLE) / (2 * m)) AS term,
+       |         m, n_vertices
+       |  FROM dc LEFT JOIN ec USING (lbl), ms, nvt)
+       |SELECT n_vertices, m AS n_edges, COUNT(*) AS n_communities,
+       |       ${Det.r4Sql(Det.dsumSql("term", 10))} AS modularity
+       |FROM terms
+       |GROUP BY n_vertices, m""".stripMargin
 
   /** k-core oracle: the peel rounds unrolled as MATERIALIZED CTEs.
     * Materialization is load-bearing here, not a hint: each round's
@@ -547,6 +628,7 @@ object Graph extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
     "q_label_prop" -> labelPropSql,
+    "q_modularity" -> modularitySql,
     "q_kcore" -> kcoreSql,
     // The oracle enumerates triangles in plain (u < v) id order — a
     // correct enumeration for DuckDB, which doesn't face the skew

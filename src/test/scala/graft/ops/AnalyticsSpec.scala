@@ -81,6 +81,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(bad.isEmpty, s"first mismatches: ${bad.take(5)}")
   }
 
+  test("q_assoc_rules matches a driver-side basket replay") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val n = baskets.size.toLong
+    val freq = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pairCounts = baskets.values.toSeq
+      .flatMap(b => b.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2)
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val want = pairCounts.map { case ((a, b), c) =>
+      (a, b, c, r4(c.toDouble / n), r4(c.toDouble / freq(a)),
+        r4(c.toDouble * n / (freq(a).toDouble * freq(b))))
+    }.toSeq.sortBy { case (a, b, _, _, _, l) => (-l, a, b) }.take(20)
+    val got = graft.SparkEntry.queries("q_assoc_rules")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === want)
+    // confidence and support are probabilities; lift > 0
+    assert(got.forall(g => g._4 >= 0 && g._4 <= 1 && g._5 >= 0 && g._5 <= 1 && g._6 > 0))
+  }
+
   test("q_acf matches an exact driver-side autocorrelation replay") {
     val xs = graft.Tables.events(spark, sf)
       .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))

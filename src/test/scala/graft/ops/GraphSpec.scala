@@ -134,6 +134,40 @@ class GraphSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q_modularity matches an exact Newman-Q replay of the LP partition") {
+    val nbrs = mutable.Map.empty[Long, mutable.Set[Long]]
+    edgeList.foreach { case (u, v) =>
+      nbrs.getOrElseUpdate(u, mutable.Set.empty) += v
+      nbrs.getOrElseUpdate(v, mutable.Set.empty) += u
+    }
+    var lbl: Map[Long, Long] = nbrs.keysIterator.map(v => v -> (v % Graph.LpSeedMod)).toMap
+    for (_ <- 1 to Graph.LpIters) {
+      lbl = nbrs.iterator.map { case (v, out) =>
+        val counts = out.toSeq.groupBy(lbl).view.mapValues(_.size.toLong)
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val m = edgeList.size.toLong
+    val dsum = nbrs.toSeq.map { case (v, nb) => lbl(v) -> nb.size.toLong }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val ein = edgeList.filter { case (u, v) => lbl(u) == lbl(v) }
+      .groupBy(p => lbl(p._1)).view.mapValues(_.size.toLong).toMap
+      .withDefaultValue(0L)
+    val q = dsum.map { case (c, ds) =>
+      val t = ein(c).toDouble / m - (ds.toDouble / (2L * m)) * (ds.toDouble / (2L * m))
+      BigDecimal(t).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val row = SparkEntryRow("q_modularity")
+    assert(row.getAs[Long]("n_vertices") === nbrs.size.toLong)
+    assert(row.getAs[Long]("n_edges") === m)
+    assert(row.getAs[Long]("n_communities") === dsum.size.toLong)
+    assert(row.getAs[Double]("modularity") === r4(q.toDouble))
+    // Q is bounded in [-1/2, 1)
+    val qv = row.getAs[Double]("modularity")
+    assert(qv >= -0.5 && qv < 1.0)
+  }
+
   test("q_kcore profile matches an exact synchronous peel replay") {
     var edges = edgeList.toSet
     def degs(e: Set[(Long, Long)]): Map[Long, Long] =
