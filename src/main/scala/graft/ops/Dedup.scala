@@ -328,6 +328,11 @@ object Dedup extends QueryPack {
     var prev = lblSum(labels)
     var converged = false
     var round = 0
+    // min-label rounds are compile-bound at bench scale (the pair
+    // graph is tiny per round; each round's stages Janino-compile
+    // fresh classes) — run the loop interpreted, like the graph-tier
+    // loops (GraftSession.interpreted scaladoc has the measurements)
+    graft.GraftSession.interpreted(pairList.sparkSession) {
     while (!converged && round < ClusterMaxRounds) {
       // LAZY checkpoint: the Σlbl action below is what materializes
       // it, so a round costs ONE Spark job, not a checkpoint job plus
@@ -348,6 +353,7 @@ object Dedup extends QueryPack {
       converged = cur == prev
       prev = cur
       round += 1
+    }
     }
     // labels are checkpointed leaves — the edge cache can be released
     edges.unpersist(blocking = false)

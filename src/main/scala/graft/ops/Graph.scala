@@ -186,13 +186,17 @@ object Graph extends QueryPack {
         return adj.select(col("src").as("v"), col("deg").as("rank_fp"))
       val base = (PrScale * (100 - PrDampPct) / 100) / nVerts
       var ranks = adj.select(col("src").as("v"), lit(PrScale).as("r"))
-      for (i <- 1 to PrIters) {
-        ranks = adj.join(ranks.hint("shuffle_hash"), col("src") === col("v"))
-          .select(explode(col("dsts")).as("dst"), expr("r div deg").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
-          .select(col("dst").as("v"),
-            (lit(base) + expr(s"(in_mass * $PrDampPct) div 100")).as("r"))
-        if (i % 4 == 0) ranks = ranks.localCheckpoint()
+      // loop rounds execute eagerly (checkpoints) on vertex-bounded
+      // state: compile-bound, not data-bound — run interpreted
+      graft.GraftSession.interpreted(s) {
+        for (i <- 1 to PrIters) {
+          ranks = adj.join(ranks.hint("shuffle_hash"), col("src") === col("v"))
+            .select(explode(col("dsts")).as("dst"), expr("r div deg").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+            .select(col("dst").as("v"),
+              (lit(base) + expr(s"(in_mass * $PrDampPct) div 100")).as("r"))
+          if (i % 4 == 0) ranks = ranks.localCheckpoint()
+        }
       }
       ranks.orderBy(col("r").desc, col("v")).limit(20)
         .select(col("v"), col("r").as("rank_fp"))
@@ -243,20 +247,24 @@ object Graph extends QueryPack {
       var prev = frontier.limit(0)
       var visited = frontier
       var hop = 0
-      while (hop < BfsMaxHops && !frontier.isEmpty) {
-        hop += 1
-        val next = adj.join(frontier.hint("shuffle_hash"), col("src") === col("v"))
-          .select(explode(col("dsts")).as("nv")).distinct()
-          .join(frontier.hint("shuffle_hash").as("cf"),
-            col("nv") === col("cf.v"), "left_anti")
-          .join(prev.hint("shuffle_hash").as("pf"),
-            col("nv") === col("pf.v"), "left_anti")
-          .select(col("nv").as("v"), lit(hop).as("hops"))
-          .localCheckpoint()
-        visited = visited.unionAll(next)
-        if (hop % 4 == 0) visited = visited.localCheckpoint()
-        prev = frontier
-        frontier = next
+      // frontier rounds are compile-bound (per-round eager checkpoints
+      // over frontier-sized state) — run interpreted
+      graft.GraftSession.interpreted(s) {
+        while (hop < BfsMaxHops && !frontier.isEmpty) {
+          hop += 1
+          val next = adj.join(frontier.hint("shuffle_hash"), col("src") === col("v"))
+            .select(explode(col("dsts")).as("nv")).distinct()
+            .join(frontier.hint("shuffle_hash").as("cf"),
+              col("nv") === col("cf.v"), "left_anti")
+            .join(prev.hint("shuffle_hash").as("pf"),
+              col("nv") === col("pf.v"), "left_anti")
+            .select(col("nv").as("v"), lit(hop).as("hops"))
+            .localCheckpoint()
+          visited = visited.unionAll(next)
+          if (hop % 4 == 0) visited = visited.localCheckpoint()
+          prev = frontier
+          frontier = next
+        }
       }
       visited.groupBy(col("hops")).agg(count(lit(1)).as("n_vertices"))
         .orderBy("hops")
@@ -299,17 +307,20 @@ object Graph extends QueryPack {
     * given cached adjacency. */
   private def lpLabels(adj: DataFrame): DataFrame = {
     var labels = adj.select(col("src").as("v"), (col("src") % LpSeedMod).as("lbl"))
-    for (i <- 1 to LpIters) {
-      labels = adj.join(labels.hint("shuffle_hash"), col("src") === col("v"))
-        .select(explode(col("dsts")).as("dst"), col("lbl"))
-        .repartition(col("dst"))
-        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
-        .groupBy(col("dst"))
-        .agg(max(struct(col("c"), negate(col("lbl")).as("nl"))).as("m"))
-        .select(col("dst").as("v"), negate(col("m.nl")).as("lbl"))
-      if (i % 4 == 0) labels = labels.localCheckpoint()
+    // propagation rounds are compile-bound at bench scale — interpreted
+    graft.GraftSession.interpreted(adj.sparkSession) {
+      for (i <- 1 to LpIters) {
+        labels = adj.join(labels.hint("shuffle_hash"), col("src") === col("v"))
+          .select(explode(col("dsts")).as("dst"), col("lbl"))
+          .repartition(col("dst"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("dst"))
+          .agg(max(struct(col("c"), negate(col("lbl")).as("nl"))).as("m"))
+          .select(col("dst").as("v"), negate(col("m.nl")).as("lbl"))
+        if (i % 4 == 0) labels = labels.localCheckpoint()
+      }
+      labels
     }
-    labels
   }
 
   private def labelProp(s: SparkSession, d: String): DataFrame = {
@@ -451,6 +462,9 @@ object Graph extends QueryPack {
     try {
       var surv = adj.select(col("src").as("v"))
       var profile = Seq.empty[DataFrame]
+      // peel rounds are compile-bound (eager per-round checkpoints
+      // over vertex-bounded state) — run interpreted
+      graft.GraftSession.interpreted(s) {
       for (i <- 0 to KcIters) {
         // c = |N(v) ∩ K_i| for v ∈ K_i with ≥1 surviving neighbor:
         // rows are (dst ← surviving src) edge endpoints, so count(*)
@@ -473,6 +487,7 @@ object Graph extends QueryPack {
           .select(lit(i).as("round"), col("n_edges"), col("n_vertices"))
         if (i < KcIters)
           surv = rc.filter(col("c") >= KcK).select(col("dst").as("v"))
+      }
       }
       profile.reduce(_ unionAll _).orderBy("round")
     } finally adj.unpersist()

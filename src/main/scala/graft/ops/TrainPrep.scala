@@ -448,6 +448,10 @@ object TrainPrep extends QueryPack {
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .localCheckpoint()
     var profile = Seq.empty[DataFrame]
+    // merge rounds execute eagerly (argmax + stream checkpoints) and
+    // are compile-bound at bench scale — run interpreted, like the
+    // graph-tier loops (GraftSession.interpreted has the measurements)
+    graft.GraftSession.interpreted(s) {
     for (r <- 1 to BpeRounds) {
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val withNext = stream.withColumn("nxt", lead(col("tok"), 1).over(w))
@@ -473,6 +477,7 @@ object TrainPrep extends QueryPack {
           col("b").as("merged_b"), col("c").as("pair_count"),
           col("n_tokens_after"))
       stream = merged
+    }
     }
     profile.reduce(_ unionAll _).orderBy("round")
   }
