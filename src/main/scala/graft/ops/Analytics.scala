@@ -548,6 +548,111 @@ object Analytics extends QueryPack {
        |ORDER BY lag""".stripMargin
   }
 
+  // ---- linear trend forecast ---------------------------------------
+
+  /** Forecast horizon (days). */
+  private val FcHorizon = 7
+
+  /** Linear-trend forecast of the daily event volume: OLS of count on
+    * day index over the observed series, extrapolated [[FcHorizon]]
+    * days — the capacity-planning baseline every monitoring stack
+    * ships. The regression moments (Σt, Σt², Σy, Σty) are EXACT Longs
+    * (t = day rank, y = integer counts), so both engines feed
+    * bit-identical inputs to one fixed IEEE slope/intercept formula;
+    * forecasts are r4-rounded. Scale shape: one map-side-combined
+    * daily count; the moment aggregate and the 7-row horizon explode
+    * run on the calendar-sized day table. */
+  private def trendForecast(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.orderBy("day")
+    val m = daily
+      .withColumn("t", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n"), max(col("day")).as("last_day"),
+        sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"),
+        sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"))
+    val slope = (col("n") * col("sty") - col("st") * col("sy")).cast("double") /
+      (col("n") * col("stt") - col("st") * col("st"))
+    val icept = (col("sy") - slope * col("st")) / col("n")
+    m.select(col("n"), col("last_day"), slope.as("b"), icept.as("a"))
+      .select(col("n"), col("last_day"), col("b"), col("a"),
+        explode(sequence(lit(1), lit(FcHorizon))).as("h"))
+      .select(col("h"),
+        date_add(col("last_day"), col("h")).as("forecast_day"),
+        Det.r4(col("b")).as("slope"),
+        Det.r4(col("a") + col("b") * (col("n") + col("h"))).as("forecast"))
+      .orderBy("h")
+  }
+
+  private def trendForecastOracle(events: String): String = {
+    val slope = "(CAST(n * sty - st * sy AS DOUBLE) / (n * stt - st * st))"
+    val icept = s"((sy - $slope * st) / n)"
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS y
+       |  FROM $events GROUP BY 1),
+       |m AS (
+       |  SELECT COUNT(*) AS n, MAX(day) AS last_day,
+       |         CAST(SUM(t) AS BIGINT) AS st,
+       |         CAST(SUM(t * t) AS BIGINT) AS stt,
+       |         CAST(SUM(y) AS BIGINT) AS sy,
+       |         CAST(SUM(t * y) AS BIGINT) AS sty
+       |  FROM (SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily))
+       |SELECT h, last_day + CAST(h AS INT) AS forecast_day,
+       |       ${Det.r4Sql(slope)} AS slope,
+       |       ${Det.r4Sql(s"$icept + $slope * (n + h)")} AS forecast
+       |FROM m, (SELECT CAST(UNNEST(range(1, ${FcHorizon + 1})) AS INT) AS h)
+       |ORDER BY h""".stripMargin
+  }
+
+  // ---- inter-arrival audit -----------------------------------------
+
+  /** Inter-arrival (point-process) audit of the event stream: per-user
+    * gaps between consecutive events, rolled up per event type — gap
+    * count, decimal-exact mean gap, extremes, and the under-a-minute
+    * burst fraction. The burst share flags machine-generated traffic;
+    * the mean/max calibrate session-window and watermark choices
+    * (q_stream_session's 30-min gap, the streaming tier's lateness
+    * bounds). One user-keyed window pass (LAG shares the key
+    * partition), then a type-bounded aggregate — no corpus-global
+    * stage. */
+  private def interarrival(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev"))).as("gap_s"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        Det.r4(Det.davg(col("gap_s").cast("double"), 0)).as("mean_gap_s"),
+        min(col("gap_s")).as("min_gap_s"),
+        max(col("gap_s")).as("max_gap_s"),
+        Det.r4(count(when(col("gap_s") < 60, lit(1))).cast("double")
+          / count(lit(1))).as("burst_frac"))
+      .orderBy("event_type")
+  }
+
+  private def interarrivalOracle(events: String): String =
+    s"""WITH gaps AS (
+       |  SELECT event_type,
+       |         CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+       |           - CAST(FLOOR(EPOCH(LAG(ts) OVER (PARTITION BY user_id
+       |                         ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+       |  FROM $events
+       |  QUALIFY LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |          IS NOT NULL)
+       |SELECT event_type, COUNT(*) AS n_gaps,
+       |       ${Det.r4Sql(Det.davgSql("CAST(gap_s AS DOUBLE)", 0))} AS mean_gap_s,
+       |       MIN(gap_s) AS min_gap_s,
+       |       MAX(gap_s) AS max_gap_s,
+       |       ${Det.r4Sql(
+          "CAST(COUNT(CASE WHEN gap_s < 60 THEN 1 END) AS DOUBLE) / COUNT(*)")} AS burst_frac
+       |FROM gaps
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   // ---- cohort retention ------------------------------------------
 
   /** Weekly cohort retention on purchase activity: cohort = the
@@ -772,6 +877,8 @@ object Analytics extends QueryPack {
     "q_cusum"      -> cusum,
     "q_acf"        -> acf,
     "q_assoc_rules" -> assocRules,
+    "q_trend_forecast" -> trendForecast,
+    "q_interarrival" -> interarrival,
     "q_corr"       -> corrMatrix,
     "q_winsorize"  -> winsorize,
     "q_snapshot_diff" -> snapshotDiff,
@@ -862,6 +969,8 @@ object Analytics extends QueryPack {
     "q_cusum" -> cusumOracle("events"),
     "q_acf" -> acfOracle("events"),
     "q_assoc_rules" -> assocRulesOracle,
+    "q_trend_forecast" -> trendForecastOracle("events"),
+    "q_interarrival" -> interarrivalOracle("events"),
     "q_corr" -> corrOracle,
     // the IVM proof: the oracle RECOMPUTES the aggregate from the new
     // snapshot; the Spark side maintains it incrementally from the

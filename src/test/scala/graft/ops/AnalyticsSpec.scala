@@ -81,6 +81,56 @@ class AnalyticsSpec extends SparkSpec {
     assert(bad.isEmpty, s"first mismatches: ${bad.take(5)}")
   }
 
+  test("q_trend_forecast matches a driver-side OLS replay") {
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getDate(0), r.getLong(1))).sortBy(_._1.getTime)
+    val n = daily.length.toLong
+    val ys = daily.map(_._2)
+    val ts = (1L to n).toArray
+    val (st, stt) = (ts.sum, ts.map(t => t * t).sum)
+    val sy = ys.sum
+    val sty = ts.zip(ys).map { case (t, y) => t * y }.sum
+    val slope = (n * sty - st * sy).toDouble / (n * stt - st * st)
+    val icept = (sy - slope * st) / n
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val got = graft.SparkEntry.queries("q_trend_forecast")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getDate(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length === 7)
+    got.foreach { case (h, fday, s2, f) =>
+      assert(s2 === r4(slope))
+      assert(f === r4(icept + slope * (n + h)))
+      val expectDay = java.time.LocalDate
+        .parse(daily.last._1.toString).plusDays(h.toLong)
+      assert(fday.toString === expectDay.toString)
+    }
+  }
+
+  test("q_interarrival matches a driver-side gap replay") {
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val gaps = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val sorted = xs.sortBy(x => (x._2.getTime, x._3))
+      sorted.zip(sorted.drop(1)).map { case (a, b) =>
+        // floor-seconds difference, the query's unix_timestamp semantics
+        (b._4, math.floorDiv(b._2.getTime, 1000L) - math.floorDiv(a._2.getTime, 1000L))
+      }
+    }
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val want = gaps.groupBy(_._1).map { case (t, xs) =>
+      val gs = xs.map(_._2)
+      val mean = gs.map(g => BigDecimal(g.toDouble)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / gs.size
+      (t, gs.size.toLong, r4(mean), gs.min, gs.max,
+        r4(gs.count(_ < 60).toDouble / gs.size))
+    }.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("q_interarrival")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === want)
+  }
+
   test("q_assoc_rules matches a driver-side basket replay") {
     val rows = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_partkey").distinct().collect()
