@@ -605,6 +605,46 @@ object Analytics extends QueryPack {
        |ORDER BY h""".stripMargin
   }
 
+  // ---- day-of-week seasonality profile ------------------------------
+
+  /** Day-of-week seasonality profile: per weekday — days observed,
+    * events, exact-decimal events/day, and each weekday's share of
+    * total volume. The companion to q_acf (which detects periodicity;
+    * this names it) and the input to dow-aware anomaly baselines.
+    * One map-side-combined (date, dow) count; everything after runs
+    * on the calendar-sized day table and a 7-row rollup. dow is
+    * ISO (1 = Monday), spelled identically on both engines. */
+  private def seasonality(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dow", dayofweek(col("day")))
+      // dayofweek is 1=Sunday; re-map to ISO 1=Monday..7=Sunday
+      .withColumn("dow", when(col("dow") === 1, 7).otherwise(col("dow") - 1))
+    val tot = daily.agg(sum(col("x")).as("tot"))
+    daily.groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("n_events"),
+        Det.davg(col("x").cast("double"), 0).as("events_per_day"))
+      .crossJoin(broadcast(tot))
+      .select(col("dow").cast("long").as("dow"), col("n_days"), col("n_events"),
+        Det.r4(col("events_per_day")).as("events_per_day"),
+        Det.r4(col("n_events").cast("double") / col("tot")).as("share"))
+      .orderBy("dow")
+  }
+
+  private def seasonalityOracle(events: String): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+       |  FROM $events GROUP BY 1),
+       |dd AS (SELECT ISODOW(day) AS dow, x FROM daily),
+       |tot AS (SELECT CAST(SUM(x) AS BIGINT) AS tot FROM daily)
+       |SELECT dow, COUNT(*) AS n_days, CAST(SUM(x) AS BIGINT) AS n_events,
+       |       ${Det.r4Sql(Det.davgSql("CAST(x AS DOUBLE)", 0))} AS events_per_day,
+       |       ${Det.r4Sql("CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / tot")} AS share
+       |FROM dd, tot
+       |GROUP BY dow, tot
+       |ORDER BY dow""".stripMargin
+
   // ---- inter-arrival audit -----------------------------------------
 
   /** Inter-arrival (point-process) audit of the event stream: per-user
@@ -878,6 +918,7 @@ object Analytics extends QueryPack {
     "q_acf"        -> acf,
     "q_assoc_rules" -> assocRules,
     "q_trend_forecast" -> trendForecast,
+    "q_seasonality" -> seasonality,
     "q_interarrival" -> interarrival,
     "q_corr"       -> corrMatrix,
     "q_winsorize"  -> winsorize,
@@ -970,6 +1011,7 @@ object Analytics extends QueryPack {
     "q_acf" -> acfOracle("events"),
     "q_assoc_rules" -> assocRulesOracle,
     "q_trend_forecast" -> trendForecastOracle("events"),
+    "q_seasonality" -> seasonalityOracle("events"),
     "q_interarrival" -> interarrivalOracle("events"),
     "q_corr" -> corrOracle,
     // the IVM proof: the oracle RECOMPUTES the aggregate from the new

@@ -106,6 +106,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_seasonality matches a driver-side dow-profile replay") {
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getDate(0), r.getLong(1)))
+    val tot = daily.map(_._2).sum
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val want = daily
+      .groupBy(d => java.time.LocalDate.parse(d._1.toString).getDayOfWeek.getValue.toLong)
+      .map { case (dow, xs) =>
+        val ev = xs.map(_._2).sum
+        (dow, xs.length.toLong, ev,
+          r4(ev.toDouble / xs.length), r4(ev.toDouble / tot))
+      }.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("q_seasonality")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got === want)
+    // shares partition the volume
+    assert(math.abs(got.map(_._5).sum - 1.0) < 0.001)
+  }
+
   test("q_interarrival matches a driver-side gap replay") {
     val ev = graft.Tables.events(spark, sf)
       .select("user_id", "ts", "event_id", "event_type").collect()
