@@ -493,7 +493,49 @@ object Graph extends QueryPack {
     } finally adj.unpersist()
   }
 
+  /** Pointer-doubling rounds: 2^HierRounds bounds the resolvable
+    * depth (64 ≫ the forest's log₁₆ depth at any fixture). */
+  private[ops] val HierRounds = 6
+
+  /** Hierarchy flattening by POINTER DOUBLING — the log-round
+    * technique for transitive root/depth resolution that min-label
+    * propagation (diameter rounds) and recursive CTEs (depth rounds)
+    * don't give you: after round i every node knows its 2^i-step
+    * ancestor, so depth-D forests resolve in ⌈log₂D⌉ self-joins
+    * (Wyllie's list ranking / GraphX's shortcutting). The forest is
+    * deterministic from orderkeys — parent(k) = k div 16, nodes
+    * under 16 are self-loop roots — so the oracle reproduces it and
+    * walks it with a recursive CTE instead (depth-bounded there,
+    * log-bounded here; the hash match proves them equal). Reported as
+    * the (depth, n_nodes) histogram.
+    *
+    * Scale shape: each round is ONE vertex-keyed self-equi-join of
+    * the (node, anc, d) table (SHUFFLE_HASH, vertex-sized both
+    * sides), localCheckpointed per round — at 100 TB a 2³⁰-deep
+    * chain resolves in 30 such joins, where any per-step walk would
+    * take a billion. The loop body runs interpreted (compile-bound
+    * at bench scale, the GraftSession.interpreted study). */
+  private def hierarchy(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.orders(s, d).select(col("o_orderkey").as("node"))
+    var t = nodes.select(col("node"),
+      when(col("node") >= 16, expr("node div 16")).otherwise(col("node")).as("anc"),
+      when(col("node") >= 16, lit(1L)).otherwise(lit(0L)).as("dd"))
+      .localCheckpoint()
+    graft.GraftSession.interpreted(s) {
+      for (_ <- 1 to HierRounds) {
+        t = t.as("a")
+          .join(t.as("b").hint("shuffle_hash"), col("a.anc") === col("b.node"))
+          .select(col("a.node").as("node"), col("b.anc").as("anc"),
+            (col("a.dd") + col("b.dd")).as("dd"))
+          .localCheckpoint()
+      }
+    }
+    t.groupBy(col("dd").as("depth")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy("depth")
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_hierarchy"       -> hierarchy,
     "q_graph_triangles" -> triangles,
     "q_pagerank"        -> pagerank,
     "q_graph_bfs"       -> bfs,
@@ -644,6 +686,17 @@ object Graph extends QueryPack {
     "q_pagerank" -> pagerankSql,
     "q_label_prop" -> labelPropSql,
     "q_modularity" -> modularitySql,
+    // The oracle walks the same forest with a depth-bounded recursive
+    // CTE (per-step, fine for DuckDB); the Spark side resolves it in
+    // log rounds — the hash match proves pointer doubling ≡ the walk.
+    "q_hierarchy" ->
+      """WITH RECURSIVE walk(node, cur, d) AS (
+        |  SELECT o_orderkey, o_orderkey, 0 FROM orders
+        |  UNION ALL
+        |  SELECT node, cur // 16, d + 1 FROM walk WHERE cur >= 16)
+        |SELECT d AS depth, COUNT(*) AS n_nodes
+        |FROM (SELECT node, MAX(d) AS d FROM walk GROUP BY node)
+        |GROUP BY d ORDER BY d""".stripMargin,
     "q_kcore" -> kcoreSql,
     // The oracle enumerates triangles in plain (u < v) id order — a
     // correct enumeration for DuckDB, which doesn't face the skew

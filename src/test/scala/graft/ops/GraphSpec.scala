@@ -134,6 +134,23 @@ class GraphSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q_hierarchy matches an exact per-node walk replay") {
+    val keys = graft.Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    def depth(k: Long): Long = {
+      var cur = k; var d = 0L
+      while (cur >= 16) { cur /= 16; d += 1 }
+      d
+    }
+    val want = keys.map(depth).groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("q_hierarchy")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+    // pointer doubling must have fully resolved: max depth < 2^rounds
+    assert(want.map(_._1).max < (1L << Graph.HierRounds))
+  }
+
   test("q_modularity matches an exact Newman-Q replay of the LP partition") {
     val nbrs = mutable.Map.empty[Long, mutable.Set[Long]]
     edgeList.foreach { case (u, v) =>
