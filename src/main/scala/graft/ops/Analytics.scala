@@ -148,6 +148,36 @@ object Analytics extends QueryPack {
       .orderBy("change")
   }
 
+  // ---- MERGE upsert (row-level CDC apply) ---------------------------
+
+  /** MERGE INTO semantics at row level — the Delta/Iceberg flagship
+    * operator: derive the CDC delta between the two snapshots, then
+    * APPLY it to the old table (matched-update / not-matched-insert /
+    * delete-when-source-gone) and emit the merged table. The oracle
+    * is the NEW snapshot itself, so the hash match proves
+    * apply(old, diff(old → new)) ≡ new exactly — the row-level
+    * companion of q_ivm's aggregate-level maintenance proof.
+    *
+    * Scale shape: two keyed joins (derive + apply), each shuffling on
+    * the same snapshot key the pipeline would bucket by at 100 TB
+    * (q_join_bucketed's layout turns both into co-located merges);
+    * classification and application are narrow projections. */
+  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val old = oldSnap(s, d).drop("pri")
+    val newS = newSnap(s, d).drop("pri")
+    val delta = old.as("o").join(newS.as("n"), col("o.k") === col("n.k"), "full_outer")
+      .filter(col("o.k").isNull || col("n.k").isNull || col("o.v") =!= col("n.v"))
+      .select(coalesce(col("n.k"), col("o.k")).as("k"),
+        when(col("n.k").isNull, "D").when(col("o.k").isNull, "I")
+          .otherwise("U").as("op"),
+        col("n.v").as("nv"))
+    old.as("t").join(delta.as("dl"), col("t.k") === col("dl.k"), "full_outer")
+      .filter(col("dl.op").isNull || col("dl.op") =!= "D")
+      .select(coalesce(col("dl.k"), col("t.k")).as("k"),
+        when(col("dl.op").isNotNull, col("dl.nv")).otherwise(col("t.v")).as("v"))
+      .orderBy("k")
+  }
+
   // ---- incremental view maintenance ------------------------------
 
   /** Incremental maintenance of a grouped aggregate under the CDC
@@ -923,6 +953,7 @@ object Analytics extends QueryPack {
     "q_corr"       -> corrMatrix,
     "q_winsorize"  -> winsorize,
     "q_snapshot_diff" -> snapshotDiff,
+    "q_merge_upsert" -> mergeUpsert,
     "q_ivm"        -> ivm,
     "q_retention"  -> retention,
     "q_rolling_distinct" -> rollingDistinct,
@@ -1030,6 +1061,18 @@ object Analytics extends QueryPack {
          |FROM newsnap
          |GROUP BY pri
          |ORDER BY pri""".stripMargin,
+    // the merged table must BE the new snapshot — the oracle states it
+    // directly, so the hash match is the MERGE-correctness proof
+    "q_merge_upsert" ->
+      """SELECT k, v FROM (
+        |  SELECT o_orderkey AS k,
+        |         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1234.56
+        |              ELSE o_totalprice END AS v
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 6000000 AS k, o_totalprice AS v
+        |  FROM orders WHERE o_orderkey % 103 = 0)
+        |ORDER BY k""".stripMargin,
     "q_snapshot_diff" ->
       s"""WITH oldsnap AS (
          |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
