@@ -18,9 +18,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     pipeline.Flagship(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+  /** One entry per implemented operator from SURVEY.md §2.
+    * Key uniqueness is ENFORCED: `toMap` would otherwise silently
+    * keep the last pack's definition — a cross-pack name collision
+    * once shadowed Advanced's q_merge_upsert with a new Analytics
+    * operator and the registry count never moved (caught only by a
+    * full-audit dir diff). Fail loudly instead. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = packs.flatMap(_.queries)
+    val dups = all.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate query keys across packs: ${dups.mkString(", ")}")
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

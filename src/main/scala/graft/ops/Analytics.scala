@@ -150,19 +150,20 @@ object Analytics extends QueryPack {
 
   // ---- MERGE upsert (row-level CDC apply) ---------------------------
 
-  /** MERGE INTO semantics at row level — the Delta/Iceberg flagship
-    * operator: derive the CDC delta between the two snapshots, then
-    * APPLY it to the old table (matched-update / not-matched-insert /
-    * delete-when-source-gone) and emit the merged table. The oracle
-    * is the NEW snapshot itself, so the hash match proves
-    * apply(old, diff(old → new)) ≡ new exactly — the row-level
+  /** Row-level CDC apply — derive the delta between two snapshots,
+    * then APPLY it back to the old table (matched-update /
+    * not-matched-insert / delete-when-source-gone) and emit the full
+    * merged table. Complements Advanced's q_merge_upsert (which
+    * proves MERGE's per-action accounting + checksum): here the
+    * oracle is the NEW snapshot itself, so the hash match proves
+    * apply(old, diff(old → new)) ≡ new ROW-FOR-ROW — the row-level
     * companion of q_ivm's aggregate-level maintenance proof.
     *
     * Scale shape: two keyed joins (derive + apply), each shuffling on
     * the same snapshot key the pipeline would bucket by at 100 TB
     * (q_join_bucketed's layout turns both into co-located merges);
     * classification and application are narrow projections. */
-  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+  private def cdcApply(s: SparkSession, d: String): DataFrame = {
     val old = oldSnap(s, d).drop("pri")
     val newS = newSnap(s, d).drop("pri")
     val delta = old.as("o").join(newS.as("n"), col("o.k") === col("n.k"), "full_outer")
@@ -953,7 +954,7 @@ object Analytics extends QueryPack {
     "q_corr"       -> corrMatrix,
     "q_winsorize"  -> winsorize,
     "q_snapshot_diff" -> snapshotDiff,
-    "q_merge_upsert" -> mergeUpsert,
+    "q_cdc_apply" -> cdcApply,
     "q_ivm"        -> ivm,
     "q_retention"  -> retention,
     "q_rolling_distinct" -> rollingDistinct,
@@ -1061,9 +1062,9 @@ object Analytics extends QueryPack {
          |FROM newsnap
          |GROUP BY pri
          |ORDER BY pri""".stripMargin,
-    // the merged table must BE the new snapshot — the oracle states it
-    // directly, so the hash match is the MERGE-correctness proof
-    "q_merge_upsert" ->
+    // the applied table must BE the new snapshot — the oracle states it
+    // directly, so the hash match is the apply-correctness proof
+    "q_cdc_apply" ->
       """SELECT k, v FROM (
         |  SELECT o_orderkey AS k,
         |         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1234.56

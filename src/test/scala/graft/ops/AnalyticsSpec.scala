@@ -81,11 +81,11 @@ class AnalyticsSpec extends SparkSpec {
     assert(bad.isEmpty, s"first mismatches: ${bad.take(5)}")
   }
 
-  test("q_merge_upsert row accounting agrees with the snapshot diff") {
+  test("q_cdc_apply row accounting agrees with the snapshot diff") {
     val diff = graft.SparkEntry.queries("q_snapshot_diff")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val oldN = spark.read.parquet(s"$sf/orders.parquet").count()
-    val merged = graft.SparkEntry.queries("q_merge_upsert")(spark, sf).count()
+    val merged = graft.SparkEntry.queries("q_cdc_apply")(spark, sf).count()
     assert(merged === oldN - diff.getOrElse("delete", 0L) + diff.getOrElse("insert", 0L))
   }
 
