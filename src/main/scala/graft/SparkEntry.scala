@@ -12,7 +12,7 @@ object SparkEntry {
     ops.Dedup, ops.Similarity, ops.TextStats, ops.Multimodal, ops.StreamTwins,
     ops.Custom, ops.Advanced, ops.Reshape, ops.Curation, ops.TrainPrep,
     ops.Search, ops.Formats, ops.SqlSuite, ops.Analytics, ops.Graph,
-    ops.Stats, ops.Geo, ops.ScaleOps)
+    ops.Stats, ops.Geo, ops.ScaleOps, ops.TableOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Det, QueryPack, Tables}
+import graft.tables.SnapshotTable
+
+/** Transactional-table operators: the ACID write path that turns the
+  * MERGE/CDC/IVM *query shapes* (Advanced.mergeUpsert,
+  * Analytics.cdcApply/ivm) into durable table operations. The
+  * reference's upsert merges into a remote API that owns atomicity
+  * (reference task.ts:228-271); [[graft.tables.SnapshotTable]] owns it
+  * locally: versioned parquet snapshots, manifest-per-version, an
+  * atomic create-exclusive commit point, time travel, optimistic
+  * concurrency.
+  *
+  * The oracle proof here is end-to-end THROUGH THE COMMITTED FILES:
+  * each query builds a real table under a fresh temp root, commits
+  * version(s), reads the committed snapshot back from its manifest,
+  * aggregates it, then eagerly materializes the (bucket-bounded)
+  * result so the temp table can be deleted before the driver consumes
+  * the DataFrame. A hash match against DuckDB recomputing the same
+  * snapshot declaratively proves the commit protocol lost/duplicated/
+  * tore nothing.
+  *
+  * Scale: the committed data write and read-back are ordinary
+  * distributed parquet jobs; the commit itself is O(1) metadata. The
+  * eager collect-side step is the ≤10-row final aggregate only.
+  */
+object TableOps extends QueryPack {
+
+  /** Base snapshot: (k, v) from orders. */
+  private def base(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+
+  /** CDC change set, derived deterministically from orders so both
+    * engines rebuild it bit-identically (same delta as q_cdc_apply,
+    * Analytics.scala): keys ≡0 mod 97 delete; keys ≡0 mod 101 (and
+    * surviving) reprice +1234.56; keys ≡0 mod 103 mirror to fresh
+    * +6000000 keys as inserts. */
+  private def changes(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val dels = b.filter(col("k") % 97 === 0)
+      .select(col("k"), col("v"), lit("d").as("op"))
+    val upds = b.filter(col("k") % 101 === 0 && col("k") % 97 =!= 0)
+      .select(col("k"), (col("v") + 1234.56).as("v"), lit("u").as("op"))
+    val ins = b.filter(col("k") % 103 === 0)
+      .select((col("k") + 6000000L).as("k"), col("v"), lit("u").as("op"))
+    dels.unionAll(upds).unionAll(ins)
+  }
+
+  private def bucketAgg(df: DataFrame): DataFrame =
+    df.groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+
+  /** Commit v1 = base snapshot, apply the CDC change set as a v2
+    * commit, then read v2 BACK FROM ITS COMMITTED MANIFEST and
+    * aggregate it. Hash equality with the oracle's declarative
+    * recomputation of the post-CDC snapshot is the apply+commit+read
+    * round-trip proof. */
+  private def tableCommit(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_commit_")
+    try {
+      t.commit(base(s, d))
+      val v2 = t.applyChanges(changes(s, d), "k", "op")
+      bucketAgg(t.read(v2)).orderBy("bucket").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
+  /** Time travel: after the v2 CDC commit, version 1 must still read
+    * back EXACTLY as the original base snapshot (snapshot isolation),
+    * and v2 as the post-CDC one. Output carries both versions'
+    * aggregates tagged by version; the oracle recomputes both
+    * declaratively. */
+  private def tableTimetravel(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_timetravel_")
+    try {
+      val v1 = t.commit(base(s, d))
+      val v2 = t.applyChanges(changes(s, d), "k", "op")
+      val both = bucketAgg(t.read(v1)).withColumn("version", lit(v1))
+        .unionAll(bucketAgg(t.read(v2)).withColumn("version", lit(v2)))
+      both.select(col("version"), col("bucket"), col("n"), col("total"))
+        .orderBy("version", "bucket").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
+  override val queries: Map[String, Q] = Map(
+    "q_table_commit"     -> tableCommit,
+    "q_table_timetravel" -> tableTimetravel,
+  )
+
+  private val newsnapCte =
+    """newsnap AS (
+      |  SELECT o_orderkey AS k,
+      |         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1234.56
+      |              ELSE o_totalprice END AS v
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 6000000 AS k, o_totalprice AS v
+      |  FROM orders WHERE o_orderkey % 103 = 0)""".stripMargin
+
+  override val oracles: Map[String, String] = Map(
+    "q_table_commit" ->
+      s"""WITH $newsnapCte
+         |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total
+         |FROM newsnap GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_table_timetravel" ->
+      s"""WITH $newsnapCte
+         |SELECT * FROM (
+         |  SELECT 1 AS version, o_orderkey % 10 AS bucket, COUNT(*) AS n,
+         |         ${Det.dsumSql("o_totalprice", 2)} AS total
+         |  FROM orders GROUP BY bucket
+         |  UNION ALL
+         |  SELECT 2 AS version, k % 10 AS bucket, COUNT(*) AS n,
+         |         ${Det.dsumSql("v", 2)} AS total
+         |  FROM newsnap GROUP BY bucket)
+         |ORDER BY version, bucket""".stripMargin,
+  )
+}

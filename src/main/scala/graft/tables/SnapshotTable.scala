@@ -1,0 +1,264 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths, FileAlreadyExistsException}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Thrown when a concurrent writer committed the version this writer
+  * was targeting; the loser's data files are cleaned up and the caller
+  * may re-read and retry (optimistic concurrency, Delta/Iceberg style).
+  */
+final class CommitConflictException(version: Long)
+  extends RuntimeException(s"version $version was committed concurrently")
+
+/** Minimal versioned-snapshot table: distributed parquet data files +
+  * a metadata-sized manifest per version + an ATOMIC commit point.
+  *
+  * This is the missing piece between "MERGE as a query shape"
+  * (ops/Advanced q_merge_upsert, ops/Analytics q_cdc_apply/q_ivm —
+  * they COMPUTE the post-merge relation) and "MERGE as a table
+  * operation": here the result is durably committed as version v+1
+  * and any reader — concurrent or future — sees exactly one committed
+  * version, never a torn mixture. The reference's own upsert
+  * (task.ts:228-271) merges into a remote API that owns atomicity;
+  * a lakehouse engine must own it itself.
+  *
+  * Layout under `root/`:
+  * {{{
+  *   data/v<version>-<uuid>/part-*.parquet   one snapshot dir per commit
+  *   _manifests/v<version>.manifest          line 1: version
+  *                                           line 2: schema (Spark JSON)
+  *                                           lines 3+: data file paths (relative)
+  *   _manifests/.tmp-<uuid>                  in-flight manifests (ignored by readers)
+  * }}}
+  *
+  * Commit protocol (per [[commit]]):
+  *  1. write the DataFrame to a fresh `data/` snapshot dir (distributed
+  *     parquet write — the only data-sized step);
+  *  2. write the COMPLETE manifest to `_manifests/.tmp-<uuid>`;
+  *  3. `Files.createLink(v<N>.manifest, .tmp-<uuid>)` — the commit
+  *     point. Hard-link creation is a single atomic filesystem op that
+  *     (a) makes the fully-written content appear under the final name
+  *     atomically (no reader can observe a half-written manifest) and
+  *     (b) fails with FileAlreadyExistsException if version N was
+  *     already committed — the optimistic-concurrency CAS. A loser
+  *     deletes its orphan data dir and throws [[CommitConflictException]].
+  *
+  * Readers derive the current version by LISTING `_manifests/` and
+  * taking the max committed version — the listing is the source of
+  * truth (manifest count = commit count, metadata-sized), so there is
+  * no secondary pointer file that could lag or tear. A crash anywhere
+  * before step 3 leaves only invisible garbage (orphan data dir, stray
+  * `.tmp-`), which [[vacuum]] reclaims; a crash after step 3 is a
+  * completed commit. Readers therefore NEVER see a torn version —
+  * proven by SnapshotTableSpec's crash-mid-write cases.
+  *
+  * Scale posture: data reads/writes are ordinary distributed parquet
+  * jobs; commits touch O(1) metadata-sized files. On HDFS the atomic
+  * primitive is rename-without-overwrite; on object stores it is a
+  * conditional PUT (If-None-Match) — the protocol is the same, only
+  * the CAS primitive changes. The full-snapshot-per-version model
+  * (vs delta logs) keeps reads single-manifest; for 100 TB tables the
+  * natural extension is manifest-level file reuse (carry forward
+  * unchanged files' paths into the v+1 manifest), which this layout
+  * already permits since manifests list arbitrary data paths.
+  */
+final class SnapshotTable(spark: SparkSession, val root: String) {
+  private val rootPath: Path = Paths.get(root)
+  private val manifestsDir: Path = rootPath.resolve("_manifests")
+  private val dataDir: Path = rootPath.resolve("data")
+
+  Files.createDirectories(manifestsDir)
+  Files.createDirectories(dataDir)
+
+  private val ManifestName = """v(\d+)\.manifest""".r
+
+  private def listCommitted(): Seq[Long] = {
+    val s = Files.list(manifestsDir)
+    try s.iterator().asScala.flatMap { p =>
+      p.getFileName.toString match {
+        case ManifestName(v) => Some(v.toLong)
+        case _ => None
+      }
+    }.toSeq
+    finally s.close()
+  }
+
+  /** Highest committed version, or 0 if the table is empty. */
+  def currentVersion: Long = listCommitted().foldLeft(0L)(math.max)
+
+  private def manifestPath(version: Long): Path =
+    manifestsDir.resolve(s"v$version.manifest")
+
+  /** Read committed version `version` (time travel). */
+  def read(version: Long): DataFrame = {
+    val mp = manifestPath(version)
+    require(Files.exists(mp), s"version $version is not committed at $root")
+    val lines = Files.readAllLines(mp).asScala.toVector
+    val schema = org.apache.spark.sql.types.DataType.fromJson(lines(1))
+      .asInstanceOf[StructType]
+    val files = lines.drop(2).map(rel => rootPath.resolve(rel).toString)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+
+  /** Read the latest committed version. */
+  def read(): DataFrame = {
+    val v = currentVersion
+    require(v > 0, s"table at $root has no committed version")
+    read(v)
+  }
+
+  // -- commit steps, individually visible to the crash-injection spec --
+
+  /** Step 1: the distributed data write. Returns (snapshot dir,
+    * relative part-file paths, schema). Crash after this step leaves
+    * an orphan data dir that no manifest references — invisible. */
+  private[tables] def writeData(df: DataFrame, version: Long): (Path, Seq[String], StructType) = {
+    val snap = dataDir.resolve(s"v$version-${UUID.randomUUID()}")
+    df.write.parquet(snap.toString)
+    val s = Files.list(snap)
+    val parts =
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+        .toVector.sorted
+      finally s.close()
+    (snap, parts.map(p => rootPath.relativize(snap.resolve(p)).toString), df.schema)
+  }
+
+  /** Step 2: write the complete manifest under a reader-invisible tmp
+    * name. Crash after this step leaves a stray `.tmp-` — invisible. */
+  private[tables] def writeTmpManifest(version: Long, schema: StructType,
+      files: Seq[String]): Path = {
+    val tmp = manifestsDir.resolve(s".tmp-${UUID.randomUUID()}")
+    val content = (version.toString +: schema.json +: files).mkString("\n")
+    Files.write(tmp, content.getBytes("UTF-8"))
+    tmp
+  }
+
+  /** Step 3: the commit point — atomic create-exclusive link of the
+    * finished manifest under its final name. */
+  private[tables] def publish(version: Long, tmp: Path): Unit = {
+    try Files.createLink(manifestPath(version), tmp)
+    catch { case _: FileAlreadyExistsException =>
+      throw new CommitConflictException(version)
+    } finally {
+      try Files.deleteIfExists(tmp) catch { case _: Throwable => () }
+    }
+  }
+
+  /** Commit `df` as the next version and return its version number. */
+  def commit(df: DataFrame): Long = {
+    val version = currentVersion + 1
+    val (snap, files, schema) = writeData(df, version)
+    val tmp = writeTmpManifest(version, schema, files)
+    try publish(version, tmp)
+    catch { case e: CommitConflictException =>
+      deleteRecursively(snap) // loser cleans its own orphan data
+      throw e
+    }
+    version
+  }
+
+  /** SCD1 MERGE: source rows win on key match (update), unmatched
+    * source rows append (insert), unmatched target rows carry over.
+    * Commits the merged relation as v+1 and returns the version.
+    * Column-generic: source must carry the same columns as the target.
+    * The plan is ONE full outer join on the key — identical to what a
+    * Delta/Iceberg MERGE shuffles — followed by the snapshot commit. */
+  def merge(source: DataFrame, keyCol: String): Long = {
+    val target = read()
+    require(target.columns.sorted.sameElements(source.columns.sorted),
+      s"merge source columns ${source.columns.mkString(",")} != target ${target.columns.mkString(",")}")
+    val dataCols = target.columns.filterNot(_ == keyCol).toSeq
+    val t = target.withColumn("__t", lit(true)).alias("t")
+    val sAl = source.withColumn("__s", lit(true)).alias("s")
+    val merged = t.join(sAl,
+        col(s"t.$keyCol") === col(s"s.$keyCol"), "full_outer")
+      .select(
+        coalesce(col(s"s.$keyCol"), col(s"t.$keyCol")).as(keyCol) +:
+        dataCols.map(c =>
+          when(col("s.__s").isNotNull, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+    commit(merged)
+  }
+
+  /** CDC apply: `changes` carries the target's columns plus `opCol`
+    * with "u" (upsert) or "d" (delete). Deletes drop matched target
+    * keys; upserts follow MERGE semantics. Commits v+1. */
+  def applyChanges(changes: DataFrame, keyCol: String, opCol: String): Long = {
+    val target = read()
+    val dels = changes.filter(col(opCol) === "d").select(col(keyCol).as("__delk")).distinct()
+    val ups = changes.filter(col(opCol) === "u").drop(opCol)
+    val kept = target.join(dels, target(keyCol) === dels("__delk"), "left_anti")
+    val dataCols = target.columns.filterNot(_ == keyCol).toSeq
+    val t = kept.withColumn("__t", lit(true)).alias("t")
+    val sAl = ups.withColumn("__s", lit(true)).alias("s")
+    val merged = t.join(sAl,
+        col(s"t.$keyCol") === col(s"s.$keyCol"), "full_outer")
+      .select(
+        coalesce(col(s"s.$keyCol"), col(s"t.$keyCol")).as(keyCol) +:
+        dataCols.map(c =>
+          when(col("s.__s").isNotNull, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+    commit(merged)
+  }
+
+  /** Delete data dirs no committed manifest references and stray tmp
+    * manifests — the garbage a crash can leave. Never touches
+    * committed state, so it is safe to run concurrently with readers
+    * of any committed version. */
+  def vacuum(): Unit = {
+    val referenced: Set[String] = listCommitted().flatMap { v =>
+      Files.readAllLines(manifestPath(v)).asScala.drop(2)
+        .map(rel => rootPath.resolve(rel).getParent.toString)
+    }.toSet
+    val sData = Files.list(dataDir)
+    val orphans =
+      try sData.iterator().asScala.filterNot(p => referenced.contains(p.toString)).toVector
+      finally sData.close()
+    orphans.foreach(deleteRecursively)
+    val sMan = Files.list(manifestsDir)
+    val tmps =
+      try sMan.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".tmp-")).toVector
+      finally sMan.close()
+    tmps.foreach(p => Files.deleteIfExists(p))
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toVector.foreach(deleteRecursively)
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+}
+
+object SnapshotTable {
+  def apply(spark: SparkSession, root: String): SnapshotTable =
+    new SnapshotTable(spark, root)
+
+  /** Fresh table under java.io.tmpdir; caller owns cleanup. */
+  def temp(spark: SparkSession, prefix: String): SnapshotTable = {
+    val dir = Files.createTempDirectory(prefix)
+    new SnapshotTable(spark, dir.toString)
+  }
+
+  /** Recursive delete for callers done with a temp table. */
+  def drop(t: SnapshotTable): Unit = {
+    def rec(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.toVector.foreach(rec)
+        finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rec(Paths.get(t.root))
+  }
+}

@@ -1,0 +1,162 @@
+package graft.tables
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Commit-protocol proofs for [[SnapshotTable]]: crash injection at
+  * every step boundary (readers never see a torn version), optimistic-
+  * concurrency conflict, time travel, merge/CDC semantics, vacuum.
+  */
+class SnapshotTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String): SnapshotTable =
+    SnapshotTable.temp(spark, s"graft_spec_${name}_")
+
+  private def kv(pairs: (Long, Double)*) =
+    pairs.toDF("k", "v")
+
+  test("commit + read round-trips rows and schema") {
+    val t = freshTable("roundtrip")
+    try {
+      val v = t.commit(kv(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+      assert(v == 1)
+      assert(t.currentVersion == 1)
+      val got = t.read().orderBy("k").as[(Long, Double)].collect().toSeq
+      assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("empty-relation commit round-trips schema with zero rows") {
+    val t = freshTable("empty")
+    try {
+      t.commit(kv(1L -> 1.0).filter(col("k") < 0))
+      assert(t.read().count() == 0)
+      assert(t.read().columns.toSeq == Seq("k", "v"))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("crash after data write (no manifest): readers see the old version") {
+    val t = freshTable("crash_data")
+    try {
+      t.commit(kv(1L -> 1.0))
+      // simulate a writer dying after step 1: data files exist on disk
+      // but no manifest references them
+      t.writeData(kv(9L -> 9.0), 2L)
+      assert(t.currentVersion == 1)
+      assert(t.read().as[(Long, Double)].collect().toSeq == Seq((1L, 1.0)))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("crash after tmp manifest (no publish): readers see the old version") {
+    val t = freshTable("crash_tmp")
+    try {
+      t.commit(kv(1L -> 1.0))
+      val (_, files, schema) = t.writeData(kv(9L -> 9.0), 2L)
+      t.writeTmpManifest(2L, schema, files)
+      // the finished-but-unpublished manifest is invisible to listing
+      assert(t.currentVersion == 1)
+      assert(t.read().as[(Long, Double)].collect().toSeq == Seq((1L, 1.0)))
+      // and a half-written manifest (torn tmp) is equally invisible
+      Files.write(Paths.get(t.root, "_manifests", ".tmp-torn"),
+        "2\ngarbage-that-would-crash-a-parser".getBytes("UTF-8"))
+      assert(t.currentVersion == 1)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("publish is the atomic commit point") {
+    val t = freshTable("publish")
+    try {
+      t.commit(kv(1L -> 1.0))
+      val (_, files, schema) = t.writeData(kv(9L -> 9.0, 10L -> 10.0), 2L)
+      val tmp = t.writeTmpManifest(2L, schema, files)
+      t.publish(2L, tmp)
+      assert(t.currentVersion == 2)
+      assert(t.read().orderBy("k").as[(Long, Double)].collect().toSeq ==
+        Seq((9L, 9.0), (10L, 10.0)))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("concurrent commit of the same version: exactly one wins, loser's data is cleaned") {
+    val t = freshTable("conflict")
+    try {
+      t.commit(kv(1L -> 1.0))
+      // writer A commits v2 fully
+      t.commit(kv(2L -> 2.0))
+      // writer B raced: it had read currentVersion=1 and targets v2 too
+      val (snapB, filesB, schemaB) = t.writeData(kv(99L -> 99.0), 2L)
+      val tmpB = t.writeTmpManifest(2L, schemaB, filesB)
+      intercept[CommitConflictException] { t.publish(2L, tmpB) }
+      // table state is writer A's commit, untouched
+      assert(t.currentVersion == 2)
+      assert(t.read().as[(Long, Double)].collect().toSeq == Seq((2L, 2.0)))
+      // loser's full commit() path also self-cleans its data dir
+      assert(Files.exists(snapB)) // spec drove the steps manually, so vacuum owns it
+      t.vacuum()
+      assert(!Files.exists(snapB))
+      assert(t.read().as[(Long, Double)].collect().toSeq == Seq((2L, 2.0)))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("time travel: every committed version stays readable and immutable") {
+    val t = freshTable("timetravel")
+    try {
+      t.commit(kv(1L -> 1.0))
+      t.commit(kv(1L -> 1.5, 2L -> 2.0))
+      t.commit(kv(3L -> 3.0))
+      assert(t.read(1).as[(Long, Double)].collect().toSeq == Seq((1L, 1.0)))
+      assert(t.read(2).orderBy("k").as[(Long, Double)].collect().toSeq ==
+        Seq((1L, 1.5), (2L, 2.0)))
+      assert(t.read(3).as[(Long, Double)].collect().toSeq == Seq((3L, 3.0)))
+      intercept[IllegalArgumentException] { t.read(4) }
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("merge: update/insert/keep SCD1 semantics commit as v+1") {
+    val t = freshTable("merge")
+    try {
+      t.commit(kv(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+      val v = t.merge(kv(2L -> 20.0, 4L -> 40.0), "k")
+      assert(v == 2)
+      assert(t.read().orderBy("k").as[(Long, Double)].collect().toSeq ==
+        Seq((1L, 1.0), (2L, 20.0), (3L, 3.0), (4L, 40.0)))
+      // v1 unchanged (snapshot isolation)
+      assert(t.read(1).orderBy("k").as[(Long, Double)].collect().toSeq ==
+        Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("applyChanges: deletes drop keys, upserts merge, all in one commit") {
+    val t = freshTable("cdc")
+    try {
+      t.commit(kv(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+      val changes = Seq(
+        (1L, 0.0, "d"),   // delete k=1
+        (2L, 20.0, "u"),  // update k=2
+        (5L, 50.0, "u"),  // insert k=5
+      ).toDF("k", "v", "op")
+      t.applyChanges(changes, "k", "op")
+      assert(t.read().orderBy("k").as[(Long, Double)].collect().toSeq ==
+        Seq((2L, 20.0), (3L, 3.0), (5L, 50.0)))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("vacuum reclaims crash garbage without touching committed state") {
+    val t = freshTable("vacuum")
+    try {
+      t.commit(kv(1L -> 1.0))
+      t.commit(kv(2L -> 2.0))
+      val (orphan, _, _) = t.writeData(kv(9L -> 9.0), 3L)
+      Files.write(Paths.get(t.root, "_manifests", ".tmp-stray"), Array[Byte](1, 2))
+      t.vacuum()
+      assert(!Files.exists(orphan))
+      assert(!Files.exists(Paths.get(t.root, "_manifests", ".tmp-stray")))
+      // both committed versions still fully readable after vacuum
+      assert(t.read(1).as[(Long, Double)].collect().toSeq == Seq((1L, 1.0)))
+      assert(t.read(2).as[(Long, Double)].collect().toSeq == Seq((2L, 2.0)))
+    } finally SnapshotTable.drop(t)
+  }
+}
