@@ -23,7 +23,18 @@ object GraftSession {
     * dominates and compile cost amortizes — so the toggle is scoped
     * to the loop body, never global, and the final (data-sized)
     * assembly still plans with codegen on. */
-  def interpreted[T](s: SparkSession)(f: => T): T = {
+  private val interpretedLock = new Object
+
+  def interpreted[T](s: SparkSession)(f: => T): T = interpretedLock.synchronized {
+    // The toggle is session-global conf state: without the lock, two
+    // concurrent (or nested) interpreted blocks could interleave
+    // save/restore and leave a stale value behind. The lock serializes
+    // the blocks, making restore correct under concurrency. Queries
+    // planned on the same session by OTHER threads during a block
+    // (e.g. a streaming micro-batch) would still plan interpreted for
+    // that window — callers running concurrent planners should hand
+    // the loop a cloned `spark.newSession()` (shared context, private
+    // conf) instead.
     val key = "spark.sql.codegen.wholeStage"
     val prev = s.conf.get(key, "true")
     s.conf.set(key, "false")

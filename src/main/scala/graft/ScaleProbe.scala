@@ -107,7 +107,12 @@ object ScaleProbe {
       val emb = spark.read.parquet(s"$src/embeddings.parquet")
       val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1
       (0 until k).map { c =>
-        emb.withColumn("vec_id", col("vec_id") + lit(c.toLong * nVec))
+        // the probe vector (vec_id 0) keeps its identity in copy 0
+        // ONLY: offset copies exclude it, else probe-anchored top-k
+        // saturates with cos=1.0 self-clones and the scaled rankings
+        // are qualitatively degenerate vs the "same geometry" intent
+        (if (c == 0) emb else emb.filter(col("vec_id") =!= 0L))
+          .withColumn("vec_id", col("vec_id") + lit(c.toLong * nVec))
       }.reduce(_ unionAll _)
         .repartition(par)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")

@@ -348,6 +348,15 @@ object Graph extends QueryPack {
       val labels = lpLabels(adj).localCheckpoint()
       val stats = adj.agg(expr("sum(deg) div 2").as("m"),
         count(lit(1)).as("n_vertices"))
+      // Q divides by m: an edgeless graph would yield NaN terms whose
+      // cross-engine encoding may diverge silently — short-circuit to
+      // a zero-row result instead, mirroring pagerank's nVerts guard.
+      // One head() on a 1-row agg over the already-cached adjacency.
+      val st = stats.head()
+      if (st.isNullAt(0) || st.getLong(0) == 0L)
+        return stats.limit(0)
+          .select(col("n_vertices"), col("m").as("n_edges"),
+            lit(0L).as("n_communities"), lit(0.0).as("modularity"))
       val dc = adj.join(labels.hint("shuffle_hash"), col("src") === col("v"))
         .groupBy("lbl").agg(sum(col("deg")).as("dsum"))
       val ec = adj

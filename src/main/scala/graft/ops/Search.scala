@@ -166,7 +166,7 @@ object Search extends QueryPack {
 
   /** Retrieval-quality evaluation of the BM25 ranking: nDCG@10, MRR
     * and precision@10 against a SPEC-STATED graded relevance —
-    * grade(doc) is derived from (doc_id · 2654435761) mod 100
+    * grade(doc) is derived from ((doc_id mod 1000003) · 2654435761) mod 100
     * (5% grade 3, 10% grade 2, 20% grade 1, else 0), so any engine
     * reproduces the judgment set from the constants alone, the
     * q_split_train auditability argument applied to IR evaluation.
@@ -185,7 +185,12 @@ object Search extends QueryPack {
   private def rankEval(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def grade(id: Column): Column = {
-      val h = pmod(id * lit(2654435761L), lit(100))
+      // pre-reduce mod a prime so the Knuth multiply is provably
+      // overflow-free on BOTH engines: max product ≈ 1e6 · 2.65e9 ≈
+      // 2.7e15 ≪ 2^63. Without it, Spark's Long silently wraps for
+      // doc_id ≳ 3.5e9 while DuckDB promotes to HUGEINT — a latent
+      // cross-engine divergence at extreme id ranges.
+      val h = pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(100))
       when(h < 5, 3L).when(h < 15, 2L).when(h < 35, 1L).otherwise(0L)
     }
     def gain(g: Column): Column = pow(lit(2.0), g.cast("double")) - lit(1.0)
@@ -304,9 +309,9 @@ object Search extends QueryPack {
 
   /** Grade expression of the spec-stated relevance judgment. */
   private def gradeSql(idExpr: String): String =
-    s"""(CASE WHEN (($idExpr) * 2654435761) % 100 < 5 THEN 3
-       |      WHEN (($idExpr) * 2654435761) % 100 < 15 THEN 2
-       |      WHEN (($idExpr) * 2654435761) % 100 < 35 THEN 1
+    s"""(CASE WHEN ((($idExpr) % 1000003) * 2654435761) % 100 < 5 THEN 3
+       |      WHEN ((($idExpr) % 1000003) * 2654435761) % 100 < 15 THEN 2
+       |      WHEN ((($idExpr) % 1000003) * 2654435761) % 100 < 35 THEN 1
        |      ELSE 0 END)""".stripMargin
 
   override val oracles: Map[String, String] = Map(

@@ -84,7 +84,7 @@ class SearchSpec extends SparkSpec {
     // arithmetic over it and the corpus grade set
     val ranked = SparkEntry.queries("q_bm25")(spark, sf001).collect()
       .map(r => r.getAs[Long]("doc_id"))
-    def grade(id: Long): Long = (id * 2654435761L) % 100 match {
+    def grade(id: Long): Long = ((id % 1000003L) * 2654435761L) % 100 match {
       case h if h < 5  => 3
       case h if h < 15 => 2
       case h if h < 35 => 1
