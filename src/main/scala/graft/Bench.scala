@@ -219,6 +219,21 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","headline_mode":"$headlineMode","$otherTotalKey":${r3(totalOther)},"queries":${medianMap(headline)},"$otherKey":${medianMap(other)},"errors":$errJson,"iters":$Iters,"mode":"$Mode",$calibJson,$calibMultiJson,$envJson,"sf":"$sfDir"}"""
     println(json)
+    // The driver snapshots only the LAST ~2000 chars of stdout and
+    // json-parses that tail — a ~200-query map can never fit, which is
+    // how BENCH_r08 ended up with parsed:null. Print a compact summary
+    // as the FINAL line, sized under the capture window: totals for
+    // both modes, error count, calibration, and the slowest queries
+    // (trimmed until the line fits). Full per-query data is the line
+    // above + BENCH_FULL.json.
+    val slowest = qs.sortBy(p => -median(p._2))
+    def summaryLine(topN: Int): String = {
+      val top = slowest.take(topN)
+        .map { case (k, v) => jstr(k) + ":" + r3(median(v)) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","headline_mode":"$headlineMode","$otherTotalKey":${r3(totalOther)},"n_queries":${qs.size},"n_errors":${errs.size},"slowest":$top,"iters":$Iters,"mode":"$Mode",$calibJson,$envJson,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+    }
+    println((12 to 0 by -1).map(summaryLine).find(_.length <= 1900)
+      .getOrElse(summaryLine(0)))
     val fullJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","headline_mode":"$headlineMode","$otherTotalKey":${r3(totalOther)},"queries":${medianMap(headline)},"$otherKey":${medianMap(other)},"stats_quiet":${statsMap(quiet)},"stats_interleaved":${statsMap(inter)},"errors":$errJson,"iters":$Iters,"mode":"$Mode",$calibJson,$calibMultiJson,$envJson,"sf":"$sfDir"}"""
     // Only a FULL-suite run may refresh the repo's default snapshot: a

@@ -123,14 +123,18 @@ object TextSim {
     * RNG), packed into an int. `planeOffset` selects a disjoint plane
     * family, so `planeOffset = t * bits` yields T independent hash
     * tables for OR-amplified candidate generation. */
-  def hyperplaneBucket(vec: Column, bits: Int, dims: Int, planeOffset: Int = 0): Column = {
-    def plane(i: Int): Seq[Double] =
-      (0 until dims).map { j =>
-        val h = (i.toLong * 1609587929392839161L + j.toLong * 2654435761L) % 1000003L
-        (math.abs(h).toDouble / 1000003.0) * 2.0 - 1.0
-      }
+  /** Coefficients of pseudo-hyperplane `i` (spec-stated arithmetic:
+    * ((i·1609587929392839161 + j·2654435761) mod 1000003)/1000003·2−1).
+    * Shared by [[hyperplaneBucket]] and the multi-probe flip ordering,
+    * which needs the raw per-plane dot, not just its sign. */
+  def planeCoeffs(i: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { j =>
+      val h = (i.toLong * 1609587929392839161L + j.toLong * 2654435761L) % 1000003L
+      (math.abs(h).toDouble / 1000003.0) * 2.0 - 1.0
+    }
+
+  def hyperplaneBucket(vec: Column, bits: Int, dims: Int, planeOffset: Int = 0): Column =
     (0 until bits).map { i =>
-      when(dot(vec, typedlit(plane(planeOffset + i))) >= 0, lit(1 << i)).otherwise(lit(0))
+      when(dot(vec, typedlit(planeCoeffs(planeOffset + i, dims))) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
-  }
 }

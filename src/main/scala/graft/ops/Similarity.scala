@@ -164,6 +164,64 @@ object Similarity extends QueryPack {
       .limit(5)
   }
 
+  /** Multi-probe LSH ANN (Lv et al., VLDB'07 query-directed probing):
+    * single-probe LSH is a recall cliff — the true neighbors of a
+    * probe near a hyperplane fall in the adjacent bucket. Instead of
+    * more hash tables (more memory), probe T buckets of ONE table in
+    * order of perturbation likelihood: the probe's own bucket plus
+    * the Hamming-1 flips of the [[MultiProbeExtra]] planes with the
+    * SMALLEST |dot| margin (a small margin means the plane's sign is
+    * least reliable for true neighbors).
+    *
+    * Scale shape: identical to [[annLsh]] — the probe side is a 1-row
+    * broadcast exploded to T rows, candidates come from a bucket
+    * equi-join (each vector lives in exactly one bucket, so no
+    * candidate duplicates), and the top-k is TakeOrderedAndProject.
+    * Cost is T·|bucket| versus |table| for brute force; the T knob is
+    * the probes-vs-recall control surface (recall@10 vs the exact
+    * baseline asserted in SimilaritySpec at this T). */
+  private val MultiProbeExtra = 3 // probe budget T = 1 own + 3 flips = 4 buckets
+
+  private def annMultiprobe(s: SparkSession, d: String): DataFrame =
+    multiprobeTopK(Tables.embeddings(s, d), ProbeId, MultiProbeExtra, 10)
+
+  /** The multi-probe mechanism over any (vec_id, label, embedding)
+    * table — parameterized so SimilaritySpec can drive it against a
+    * planted-locality fixture at several probe budgets. `extra` = the
+    * number of margin-ordered Hamming-1 flips probed beyond the
+    * probe's own bucket. */
+  private[ops] def multiprobeTopK(emb: DataFrame, probeId: Long,
+      extra: Int, k: Int): DataFrame = {
+    import graft.functions.CosineSimilarity.cosine_sim
+    import graft.functions.TextSim.{dot, planeCoeffs}
+    val bits = 4
+    val bucketed = emb
+      .withColumn("bucket", hyperplaneBucket(col("embedding"), bits, 64))
+    // the probe's raw per-plane margins, as (|dot|, plane) structs —
+    // array_sort orders by margin then plane index (field order), the
+    // deterministic flip sequence
+    val flipMasks = typedlit((0 until bits).map(1 << _))
+    val probe = bucketed.filter(col("vec_id") === probeId)
+      .select(col("bucket").as("p_bucket"), col("embedding").as("probe"))
+      .withColumn("forder",
+        transform(array_sort(array((0 until bits).map(i =>
+          struct(abs(dot(col("probe"), typedlit(planeCoeffs(i, 64)))).as("m"),
+            lit(i).as("i"))): _*)), x => x.getField("i")))
+      .withColumn("pbuckets",
+        concat(array(col("p_bucket")),
+          transform(slice(col("forder"), 1, extra),
+            b => col("p_bucket")
+              .bitwiseXOR(element_at(flipMasks, b + 1)).cast("int"))))
+      .select(explode(col("pbuckets")).as("pb"), col("probe"))
+    bucketed
+      .filter(col("vec_id") =!= probeId)
+      .join(broadcast(probe), col("bucket") === col("pb"))
+      .select(col("vec_id"), col("label"),
+        graft.Det.r4(cosine_sim(col("embedding"), col("probe"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Distributed k-means (Lloyd's) over the embedding column: k=8,
     * 5 rounds, deterministic init (the k lowest vec_ids). Per round:
     * assignment is a narrow pass against BROADCAST centroid literals
@@ -271,6 +329,7 @@ object Similarity extends QueryPack {
   override val queries: Map[String, Q] = Map(
     "q_sim_search"      -> simSearch,
     "q_sim_ann_lsh"     -> annLsh,
+    "q_sim_ann_multiprobe" -> annMultiprobe,
     "q_sim_ann_ivf"     -> annIvf,
     "q_sim_ann_indexed" -> annIndexed,
     "q_kmeans"          -> kmeans,
@@ -417,8 +476,48 @@ object Similarity extends QueryPack {
        |GROUP BY 1, 2
        |ORDER BY dot DESC, vec_id LIMIT 20""".stripMargin
 
+  /** Multi-probe oracle: the annLshSql bucket CTE plus the flip
+    * sequence stated declaratively — the probe's per-plane dots
+    * ordered by (|d|, i), the MultiProbeExtra smallest XOR-flipped
+    * into the probed-bucket set, candidates = bucket membership. */
+  private def annMultiprobeSql: String = {
+    val cos =
+      """list_sum(list_transform(list_zip(e.embedding, p.probe),
+        |        t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+        |      / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * SQRT(list_sum(list_transform(p.probe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, i,
+       |         list_sum(list_transform(range(1, 65),
+       |           j -> CAST(embedding[j] AS DOUBLE) *
+       |                (((i * 1609587929392839161 + (j - 1) * 2654435761) % 1000003) / 1000003.0 * 2.0 - 1.0)
+       |         )) AS d
+       |  FROM e, range(0, 4) t(i)),
+       |bk AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN d >= 0 THEN 1 << i ELSE 0 END) AS INT) AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |p AS (
+       |  SELECT e.embedding AS probe, bk.bucket AS p_bucket
+       |  FROM e JOIN bk USING (vec_id) WHERE vec_id = $ProbeId),
+       |flips AS (
+       |  SELECT i FROM dots WHERE vec_id = $ProbeId
+       |  ORDER BY ABS(d), i LIMIT $MultiProbeExtra),
+       |probed AS (
+       |  SELECT p_bucket AS pb FROM p
+       |  UNION ALL
+       |  SELECT CAST(xor(p_bucket, 1 << i) AS INT) FROM p, flips)
+       |SELECT vec_id, label,
+       |       ${graft.Det.r4Sql(s"($cos)")} AS cos
+       |FROM e JOIN bk USING (vec_id), p
+       |WHERE e.vec_id <> $ProbeId AND bk.bucket IN (SELECT pb FROM probed)
+       |ORDER BY cos DESC, vec_id ASC
+       |LIMIT 10""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansSql,
+    "q_sim_ann_multiprobe" -> annMultiprobeSql,
     "q_embed_project" -> embedProjectSql,
     "q_sim_ann_lsh" -> annLshSql,
     "q_sim_ann_indexed" -> annLshSql,

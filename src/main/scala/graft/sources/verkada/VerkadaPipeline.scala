@@ -411,10 +411,50 @@ object VerkadaPipeline {
       .load()
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val live = streamable(toFeatures(decodeCameras(batch)), grant)
-        onBatch(upsertAndEnrich(live, ls, cfg, token, grant.jwt).features)
-      }
+      .foreachBatch(batchUpsertSink(spark, cfg, checkpoint, ls, token, grant)(onBatch))
       .start()
+  }
+
+  /** The per-micro-batch sink of [[runStream]], factored out so the
+    * replay contract is testable in isolation: foreachBatch is
+    * at-least-once (a crash between the sink returning and Spark
+    * writing the batch's commit log entry replays the batch with the
+    * SAME batchId on recovery), and a replayed upsert of a camera
+    * that POSTed last time would POST again — a duplicate lease, the
+    * streaming analog of the duplicate-lease bug the reference fixed
+    * in v1.17.0 (reference CHANGELOG.md:16). [[onceOnly]] closes the
+    * window: the sink runs the upsert once per batchId and records
+    * completion durably in the checkpoint, so replaying a COMPLETED
+    * micro-batch performs zero HTTP calls and never re-delivers the
+    * batch downstream (exactly-once from the sink's perspective; the
+    * residual window — a crash inside the upsert itself — stays
+    * at-least-once against the remote API, which only the API's own
+    * transactionality could close). */
+  private[verkada] def batchUpsertSink(spark: SparkSession, cfg: Config,
+      checkpoint: String, ls: DataFrame, token: String, grant: StreamGrant)(
+      onBatch: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => onceOnly(spark, checkpoint, batchId) {
+      val live = streamable(toFeatures(decodeCameras(batch)), grant)
+      onBatch(upsertAndEnrich(live, ls, cfg, token, grant.jwt).features)
+    }
+
+  /** Run `body` once per (checkpoint, batchId): a completion marker is
+    * committed via create-exclusive AFTER the body returns, and a
+    * marked batch is skipped on replay. Markers live in the
+    * checkpoint (one empty metadata file per micro-batch, the same
+    * lifecycle as Spark's own commit log) and go through the Hadoop
+    * FileSystem API so the ledger works wherever the checkpoint does
+    * (local, HDFS, object store). */
+  private[verkada] def onceOnly(spark: SparkSession, checkpoint: String,
+      batchId: Long)(body: => Unit): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(checkpoint, "graft-batch-commits")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, batchId.toString)
+    if (!fs.exists(marker)) {
+      body
+      fs.mkdirs(dir)
+      try fs.create(marker, false).close()
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
+    }
   }
 }

@@ -253,6 +253,53 @@ class PlanShapeSpec extends SparkSpec {
       s"queries with a global window over non-aggregated data: $offenders")
   }
 
+  test("no registered query EXECUTES an unbounded global WindowExec (physical guard)") {
+    // The physical twin of the logical guard above, prompted by the
+    // "WindowExec: No Partition Defined" warnings in the test log:
+    // that warning is emitted from the PHYSICAL operator, so this
+    // walks every registered query's executedPlan and requires any
+    // WindowExec with an empty partition spec to sit on a provably
+    // bounded input — an aggregate subtree (the P-row bucket-total
+    // phase of Dist.prefixSum) or a limit cut — reachable through
+    // narrow/exchange nodes only. A global window whose input is
+    // unbounded data rows is the canonical single-task straggler and
+    // fails here by name.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      case n: ProjectExec => bounded(n.child)
+      case n: FilterExec => bounded(n.child)
+      case n: SortExec => bounded(n.child)
+      case n: CoalesceExec => bounded(n.child)
+      case n: WindowGroupLimitExec => bounded(n.child)
+      case n: ShuffleExchangeExec => bounded(n.child)
+      case n: WholeStageCodegenExec => bounded(n.child)
+      case n: InputAdapter => bounded(n.child)
+      case a: AdaptiveSparkPlanExec => bounded(a.executedPlan)
+      case _ => false
+    }
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => other.children.flatMap(walk)
+    })
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val exec = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan
+      val bad = walk(exec).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => w
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries executing a global WindowExec over unbounded input: $offenders")
+  }
+
   test("q_join_skew's salt demonstrably spreads the hot key across tasks") {
     import org.apache.spark.sql.functions._
     // same synthetic skew as joinSkew: ~4/7 of lineitem rows collapse

@@ -313,6 +313,46 @@ class VerkadaSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("replaying a completed micro-batch into the stream upsert sink is exactly-once (no duplicate leases)") {
+    val server = startServer()
+    resetCounters()
+    try {
+      val c = cfg(server)
+      val ckpt = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "replay-ckpt").toString
+      val token = VerkadaPipeline.fetchToken(c)
+      val grant = VerkadaPipeline.fetchStreamGrant(c)
+      val ls = VerkadaPipeline.leases(spark, c, token)
+      val delivered = new AtomicInteger(0)
+      val sink = VerkadaPipeline.batchUpsertSink(spark, c, ckpt, ls, token, grant)(
+        feats => { feats.collect(); delivered.incrementAndGet(); () })
+      // a micro-batch carrying cam-5 — NOT in the lease table, so the
+      // upsert path POSTs a new lease for it
+      import org.apache.spark.sql.Row
+      val batch = spark.createDataFrame(
+        java.util.List.of(Row(camJson("cam-5", "site-A", "Yard", 39.5, -105.2), 1)),
+        CameraSource.schema)
+      sink(batch, 42L)
+      assert(posts.get() == 1, s"expected the first run to POST cam-5: ${posts.get()}")
+      assert(delivered.get() == 1)
+      val (postsAfterFirst, patchesAfterFirst) = (posts.get(), patches.size())
+      // the crash window: Spark wrote our sink marker but died before
+      // its own commit log entry — recovery re-runs foreachBatch with
+      // the SAME batchId. Without the ledger this POSTs cam-5 AGAIN
+      // (duplicate lease, the v1.17.0 bug's streaming analog).
+      sink(batch, 42L)
+      assert(posts.get() == postsAfterFirst,
+        s"replayed batch re-POSTed a lease: ${posts.get()} vs $postsAfterFirst")
+      assert(patches.size() == patchesAfterFirst,
+        s"replayed batch re-PATCHed: ${patches.asScala.toSeq}")
+      assert(delivered.get() == 1, "replayed batch re-delivered downstream")
+      // a NEW batch id still processes (the ledger keys on batchId)
+      sink(batch, 43L)
+      assert(delivered.get() == 2)
+      assert(posts.get() == postsAfterFirst + 1)
+    } finally server.stop(0)
+  }
+
   test("FAILFAST decode rejects a type-corrupt camera row") {
     val server = startServer()
     try {
