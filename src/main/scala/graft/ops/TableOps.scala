@@ -86,9 +86,36 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** Incremental bucketed MERGE: v1 = orders snapshot hash-bucketed
+    * into 16 key-striped directories; the q_merge_upsert change set
+    * (keys ≡0 mod 7 repriced, keys ≡0 mod 13 mirrored to negative
+    * inserts) is applied with [[graft.tables.SnapshotTable.mergeBucketed]],
+    * which rewrites ONLY the touched buckets and carries every other
+    * v1 file into the v2 manifest by path. The read-back aggregate
+    * groups by the same engine-portable bucket function, so a hash
+    * match proves the carried-file + rewritten-bucket composition IS
+    * the merged table. */
+  private def tableMergeBucketed(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_merge_bucketed_")
+    try {
+      val b = base(s, d)
+      t.commitBucketed(b, "k", 16)
+      val changes = b.filter(col("k") % 7 === 0)
+        .select(col("k"), (col("v") + 1234.56).as("v"))
+        .unionAll(b.filter(col("k") % 13 === 0)
+          .select(negate(col("k")).as("k"), col("v")))
+      val v2 = t.mergeBucketed(changes, "k")
+      t.read(v2)
+        .groupBy(pmod(col("k"), lit(16L)).as("bucket"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+        .orderBy("bucket").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_table_commit"     -> tableCommit,
     "q_table_timetravel" -> tableTimetravel,
+    "q_table_merge_bucketed" -> tableMergeBucketed,
   )
 
   private val newsnapCte =
@@ -106,6 +133,19 @@ object TableOps extends QueryPack {
       s"""WITH $newsnapCte
          |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total
          |FROM newsnap GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_table_merge_bucketed" ->
+      s"""WITH t AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+         |changes AS (
+         |  SELECT k AS sk, v + 1234.56 AS sv FROM t WHERE k % 7 = 0
+         |  UNION ALL
+         |  SELECT -k AS sk, v AS sv FROM t WHERE k % 13 = 0),
+         |m AS (
+         |  SELECT COALESCE(changes.sk, t.k) AS k,
+         |         COALESCE(changes.sv, t.v) AS v
+         |  FROM t FULL OUTER JOIN changes ON t.k = changes.sk)
+         |SELECT ((k % 16) + 16) % 16 AS bucket, COUNT(*) AS n,
+         |       ${Det.dsumSql("v", 2)} AS total
+         |FROM m GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_table_timetravel" ->
       s"""WITH $newsnapCte
          |SELECT * FROM (

@@ -94,14 +94,28 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
   private def manifestPath(version: Long): Path =
     manifestsDir.resolve(s"v$version.manifest")
 
-  /** Read committed version `version` (time travel). */
-  def read(version: Long): DataFrame = {
+  /** Manifest body lines starting with '#' are metadata (currently
+    * the bucket spec), everything else a relative data-file path. */
+  private def manifestLines(version: Long): Vector[String] = {
     val mp = manifestPath(version)
     require(Files.exists(mp), s"version $version is not committed at $root")
-    val lines = Files.readAllLines(mp).asScala.toVector
+    Files.readAllLines(mp).asScala.toVector
+  }
+
+  private def manifestFiles(lines: Vector[String]): Vector[String] =
+    lines.drop(2).filterNot(_.startsWith("#"))
+
+  private val BucketMeta = """#buckets=(\d+) key=(.+)""".r
+
+  private def manifestBuckets(lines: Vector[String]): Option[(Int, String)] =
+    lines.drop(2).collectFirst { case BucketMeta(n, k) => (n.toInt, k) }
+
+  /** Read committed version `version` (time travel). */
+  def read(version: Long): DataFrame = {
+    val lines = manifestLines(version)
     val schema = org.apache.spark.sql.types.DataType.fromJson(lines(1))
       .asInstanceOf[StructType]
-    val files = lines.drop(2).map(rel => rootPath.resolve(rel).toString)
+    val files = manifestFiles(lines).map(rel => rootPath.resolve(rel).toString)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else spark.read.schema(schema).parquet(files: _*)
@@ -165,26 +179,117 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     version
   }
 
-  /** SCD1 MERGE: source rows win on key match (update), unmatched
-    * source rows append (insert), unmatched target rows carry over.
-    * Commits the merged relation as v+1 and returns the version.
-    * Column-generic: source must carry the same columns as the target.
-    * The plan is ONE full outer join on the key — identical to what a
-    * Delta/Iceberg MERGE shuffles — followed by the snapshot commit. */
-  def merge(source: DataFrame, keyCol: String): Long = {
-    val target = read()
+  /** The SCD1 merge relation: source rows win on key match (update),
+    * unmatched source rows append (insert), unmatched target rows
+    * carry over. ONE full outer join on the key — identical to what a
+    * Delta/Iceberg MERGE shuffles. */
+  private def scd1(target: DataFrame, source: DataFrame, keyCol: String): DataFrame = {
     require(target.columns.sorted.sameElements(source.columns.sorted),
       s"merge source columns ${source.columns.mkString(",")} != target ${target.columns.mkString(",")}")
     val dataCols = target.columns.filterNot(_ == keyCol).toSeq
     val t = target.withColumn("__t", lit(true)).alias("t")
     val sAl = source.withColumn("__s", lit(true)).alias("s")
-    val merged = t.join(sAl,
-        col(s"t.$keyCol") === col(s"s.$keyCol"), "full_outer")
+    t.join(sAl, col(s"t.$keyCol") === col(s"s.$keyCol"), "full_outer")
       .select(
         coalesce(col(s"s.$keyCol"), col(s"t.$keyCol")).as(keyCol) +:
         dataCols.map(c =>
           when(col("s.__s").isNotNull, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
-    commit(merged)
+  }
+
+  /** SCD1 MERGE committed as v+1 (full-snapshot rewrite — see
+    * [[mergeBucketed]] for the O(changed) path). */
+  def merge(source: DataFrame, keyCol: String): Long =
+    commit(scd1(read(), source, keyCol))
+
+  /** Deterministic bucket of a key: pmod(key, n) — engine-portable
+    * (DuckDB: ((k % n) + n) % n), so oracle SQL can reproduce the
+    * layout. */
+  private def bucketOf(keyCol: String, n: Int) =
+    pmod(col(keyCol), lit(n.toLong))
+
+  /** Initial BUCKETED snapshot: rows are hash-partitioned on
+    * pmod(key, n) into one directory per bucket (`__bdir=<i>/`), and
+    * the manifest records the bucket spec. The point is [[mergeBucketed]]:
+    * with the key space striped across n buckets, a merge touching k
+    * buckets rewrites k directories and CARRIES FORWARD the other
+    * n−k files' paths into the v+1 manifest — the write cost becomes
+    * O(changed data), not O(table), which at 100 TB is the difference
+    * between a MERGE and a table rewrite. */
+  def commitBucketed(df: DataFrame, keyCol: String, nBuckets: Int): Long = {
+    val version = currentVersion + 1
+    val (snap, files) = writeBucketedData(df, version, keyCol, nBuckets)
+    val meta = s"#buckets=$nBuckets key=$keyCol"
+    val tmp = writeTmpManifest(version, df.schema, meta +: files)
+    try publish(version, tmp)
+    catch { case e: CommitConflictException =>
+      deleteRecursively(snap); throw e
+    }
+    version
+  }
+
+  private[tables] def writeBucketedData(df: DataFrame, version: Long,
+      keyCol: String, nBuckets: Int): (Path, Seq[String]) = {
+    val snap = dataDir.resolve(s"v$version-${UUID.randomUUID()}")
+    df.withColumn("__bdir", bucketOf(keyCol, nBuckets))
+      .repartition(col("__bdir"))
+      .write.partitionBy("__bdir").parquet(snap.toString)
+    (snap, listParquetRec(snap).map(p => rootPath.relativize(p).toString).sorted)
+  }
+
+  private def listParquetRec(dir: Path): Vector[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toVector.flatMap { p =>
+      val n = p.getFileName.toString
+      if (Files.isDirectory(p)) listParquetRec(p)
+      else if (n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")) Vector(p)
+      else Vector.empty
+    } finally s.close()
+  }
+
+  private val BucketDir = """__bdir=(\d+)""".r
+
+  private def bucketOfPath(rel: String): Int =
+    BucketDir.findFirstMatchIn(rel).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"non-bucketed data file $rel in bucketed manifest"))
+
+  /** Incremental MERGE on a bucketed table: only the buckets the
+    * source's keys land in are re-read, merged and rewritten; every
+    * other bucket's files are carried forward into the v+1 manifest
+    * BY PATH — untouched data is never read, never rewritten, and
+    * stays byte-identical (asserted in SnapshotTableSpec). The
+    * touched-bucket list is a ≤n-row driver aggregate; the merge
+    * itself is the same one-full-outer-join shape as [[merge]], but
+    * over only the touched buckets' rows. */
+  def mergeBucketed(source: DataFrame, keyCol: String): Long = {
+    val baseVersion = currentVersion
+    val lines = manifestLines(baseVersion)
+    val (n, key) = manifestBuckets(lines).getOrElse(
+      throw new IllegalStateException(s"version $baseVersion is not bucketed"))
+    require(key == keyCol, s"table is bucketed on $key, merge key is $keyCol")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(lines(1))
+      .asInstanceOf[StructType]
+    val byBucket = manifestFiles(lines).groupBy(bucketOfPath)
+    // ≤n bucket ids — the only driver-side state in the merge
+    val touched = source.select(bucketOf(keyCol, n).as("__b")).distinct()
+      .collect().map(_.getLong(0).toInt).toSet
+    val touchedFiles = byBucket.view.filterKeys(touched).values.flatten.toSeq
+    val carried = byBucket.view.filterKeys(b => !touched(b)).values.flatten.toSeq
+    val targetTouched =
+      if (touchedFiles.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(touchedFiles.map(rel => rootPath.resolve(rel).toString): _*)
+    val merged = scd1(targetTouched, source, keyCol)
+    val version = baseVersion + 1
+    val (snap, newFiles) = writeBucketedData(merged, version, keyCol, n)
+    val meta = s"#buckets=$n key=$keyCol"
+    val tmp = writeTmpManifest(version, schema,
+      meta +: (carried ++ newFiles).sorted)
+    try publish(version, tmp)
+    catch { case e: CommitConflictException =>
+      deleteRecursively(snap); throw e
+    }
+    version
   }
 
   /** CDC apply: `changes` carries the target's columns plus `opCol`
@@ -212,9 +317,17 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     * committed state, so it is safe to run concurrently with readers
     * of any committed version. */
   def vacuum(): Unit = {
+    // a data file's referenced unit is its SNAPSHOT dir — the ancestor
+    // directly under data/ (bucketed files sit one `__bdir=` level
+    // deeper than flat ones)
+    def snapDirOf(p: Path): Path = {
+      var cur = p
+      while (cur.getParent != null && cur.getParent != dataDir) cur = cur.getParent
+      cur
+    }
     val referenced: Set[String] = listCommitted().flatMap { v =>
-      Files.readAllLines(manifestPath(v)).asScala.drop(2)
-        .map(rel => rootPath.resolve(rel).getParent.toString)
+      manifestFiles(manifestLines(v))
+        .map(rel => snapDirOf(rootPath.resolve(rel)).toString)
     }.toSet
     val sData = Files.list(dataDir)
     val orphans =

@@ -144,6 +144,51 @@ class SnapshotTableSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("bucketed merge rewrites only touched buckets and carries untouched files forward") {
+    val t = freshTable("bucketed")
+    try {
+      // 1000 keys over 8 buckets (pmod(k, 8))
+      val base = (0L until 1000L).map(k => (k, k.toDouble)).toDF("k", "v")
+      t.commitBucketed(base, "k", 8)
+      val manifest1 = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(t.root, "_manifests", "v1.manifest")).asScalaLines
+      val files1 = manifest1.drop(2).filterNot(_.startsWith("#"))
+      assert(manifest1.exists(_.startsWith("#buckets=8 key=k")), manifest1.toString)
+      assert(files1.map(f => "__bdir=(\\d+)".r.findFirstMatchIn(f).get.group(1)).toSet.size == 8)
+      // source touches ONLY buckets 3 (update k=3) and 5 (insert k=1005)
+      val src = Seq((3L, 30.0), (1005L, 50.0)).toDF("k", "v")
+      val v2 = t.mergeBucketed(src, "k")
+      assert(v2 == 2)
+      val manifest2 = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(t.root, "_manifests", "v2.manifest")).asScalaLines
+      val files2 = manifest2.drop(2).filterNot(_.startsWith("#"))
+      val untouched1 = files1.filterNot(f => f.contains("__bdir=3") || f.contains("__bdir=5"))
+      // untouched buckets: the v1 files are reused BY PATH — never
+      // re-read, never rewritten
+      assert(untouched1.forall(files2.contains),
+        s"untouched files not carried: ${untouched1.filterNot(files2.contains)}")
+      // touched buckets: fresh files from the v2 snapshot dir only
+      val touched2 = files2.filter(f => f.contains("__bdir=3") || f.contains("__bdir=5"))
+      assert(touched2.nonEmpty && touched2.forall(_.contains("v2-")), touched2.toString)
+      // and the merged table equals the naive full merge
+      val expect = base.filter($"k" =!= 3L)
+        .unionAll(Seq((3L, 30.0), (1005L, 50.0)).toDF("k", "v"))
+      assert(t.read(v2).except(expect).isEmpty && expect.except(t.read(v2)).isEmpty)
+      // time travel still intact on the bucketed layout
+      assert(t.read(1).count() == 1000)
+      // vacuum keeps every snapshot dir any manifest references
+      t.vacuum()
+      assert(t.read(1).count() == 1000 && t.read(2).count() == 1001)
+    } finally SnapshotTable.drop(t)
+  }
+
+  private implicit class JListOps(l: java.util.List[String]) {
+    def asScalaLines: Vector[String] = {
+      import scala.jdk.CollectionConverters._
+      l.asScala.toVector
+    }
+  }
+
   test("vacuum reclaims crash garbage without touching committed state") {
     val t = freshTable("vacuum")
     try {
