@@ -312,6 +312,42 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     commit(merged)
   }
 
+  private val BatchMeta = """#batchId=(-?\d+)""".r
+
+  /** Batch ids already committed (streaming idempotence ledger — the
+    * ledger IS the manifest log, so it is atomic with the commit). */
+  def committedBatchIds: Set[Long] = listCommitted().flatMap { v =>
+    manifestLines(v).drop(2).collectFirst { case BatchMeta(b) => b.toLong }
+  }.toSet
+
+  /** Streaming append: commit `df`'s rows as version v+1 whose
+    * manifest carries FORWARD every file of v plus the new batch's
+    * files — an append is a metadata commit plus only the new data's
+    * write. Idempotent per `batchId`: the id is recorded as manifest
+    * metadata, so a foreachBatch replay of an already-committed batch
+    * (the at-least-once window Structured Streaming leaves between
+    * the sink returning and the engine's commit-log write) is a
+    * no-op — the table gains no duplicate version and no duplicate
+    * rows. Returns the new version, or None if the batch was already
+    * committed. Unlike a side-car marker ledger, the dedup record is
+    * atomic with the data commit itself: either the version published
+    * with its batchId or nothing did. */
+  def appendOnce(df: DataFrame, batchId: Long): Option[Long] = {
+    if (committedBatchIds.contains(batchId)) return None
+    val version = currentVersion + 1
+    val carried: Seq[String] =
+      if (version == 1) Seq.empty
+      else manifestFiles(manifestLines(version - 1))
+    val (snap, files, schema) = writeData(df, version)
+    val tmp = writeTmpManifest(version, schema,
+      s"#batchId=$batchId" +: (carried ++ files))
+    try publish(version, tmp)
+    catch { case e: CommitConflictException =>
+      deleteRecursively(snap); throw e
+    }
+    Some(version)
+  }
+
   /** Delete data dirs no committed manifest references and stray tmp
     * manifests — the garbage a crash can leave. Never touches
     * committed state, so it is safe to run concurrently with readers

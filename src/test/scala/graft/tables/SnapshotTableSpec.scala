@@ -189,6 +189,43 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("streaming appendOnce commits one version per micro-batch and is replay-idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = freshTable("stream")
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "snap-ckpt").toString
+    try {
+      val ms = MemoryStream[(Long, Double)]
+      val q = ms.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          t.appendOnce(batch, id); ()
+        }
+        .start()
+      ms.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      ms.addData((3L, 3.0))
+      q.processAllAvailable()
+      q.stop()
+      assert(t.currentVersion == 2, s"one version per micro-batch: ${t.currentVersion}")
+      assert(t.read().orderBy("k").as[(Long, Double)].collect().toSeq ==
+        Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+      // the at-least-once window: foreachBatch re-runs a COMPLETED
+      // batch with the same batchId after a crash before the engine's
+      // commit-log write — the table must gain nothing
+      assert(t.appendOnce(Seq((3L, 3.0)).toDF("k", "v"), 1L).isEmpty)
+      assert(t.currentVersion == 2)
+      assert(t.read().count() == 3)
+      // version history: v1 = batch 0 only, v2 = both (append carries files)
+      assert(t.read(1).count() == 2)
+      // a genuinely new batch id still appends
+      assert(t.appendOnce(Seq((4L, 4.0)).toDF("k", "v"), 2L).contains(3L))
+      assert(t.read().count() == 4)
+      assert(t.committedBatchIds == Set(0L, 1L, 2L))
+    } finally SnapshotTable.drop(t)
+  }
+
   test("vacuum reclaims crash garbage without touching committed state") {
     val t = freshTable("vacuum")
     try {
