@@ -185,23 +185,17 @@ object Similarity extends QueryPack {
   private def annMultiprobe(s: SparkSession, d: String): DataFrame =
     multiprobeTopK(Tables.embeddings(s, d), ProbeId, MultiProbeExtra, 10)
 
-  /** The multi-probe mechanism over any (vec_id, label, embedding)
-    * table — parameterized so SimilaritySpec can drive it against a
-    * planted-locality fixture at several probe budgets. `extra` = the
-    * number of margin-ordered Hamming-1 flips probed beyond the
-    * probe's own bucket. */
-  private[ops] def multiprobeTopK(emb: DataFrame, probeId: Long,
-      extra: Int, k: Int): DataFrame = {
-    import graft.functions.CosineSimilarity.cosine_sim
+  /** The probe side of the multi-probe search: from a bucketed table,
+    * the ≤(extra+1)-row (pb, probe) relation of buckets to examine —
+    * the probe's own plus the margin-ordered Hamming-1 flips. The
+    * probe's raw per-plane margins become (|dot|, plane) structs;
+    * array_sort orders by margin then plane index (field order), the
+    * deterministic flip sequence. */
+  private[ops] def multiprobeProbeSide(bucketed: DataFrame, probeId: Long,
+      extra: Int, bits: Int = 4): DataFrame = {
     import graft.functions.TextSim.{dot, planeCoeffs}
-    val bits = 4
-    val bucketed = emb
-      .withColumn("bucket", hyperplaneBucket(col("embedding"), bits, 64))
-    // the probe's raw per-plane margins, as (|dot|, plane) structs —
-    // array_sort orders by margin then plane index (field order), the
-    // deterministic flip sequence
     val flipMasks = typedlit((0 until bits).map(1 << _))
-    val probe = bucketed.filter(col("vec_id") === probeId)
+    bucketed.filter(col("vec_id") === probeId)
       .select(col("bucket").as("p_bucket"), col("embedding").as("probe"))
       .withColumn("forder",
         transform(array_sort(array((0 until bits).map(i =>
@@ -213,13 +207,52 @@ object Similarity extends QueryPack {
             b => col("p_bucket")
               .bitwiseXOR(element_at(flipMasks, b + 1)).cast("int"))))
       .select(explode(col("pbuckets")).as("pb"), col("probe"))
+  }
+
+  /** Score the probed buckets' candidates: bucket equi-join against
+    * the broadcast probe side (each vector lives in exactly one
+    * bucket, so no candidate duplicates), r4 cosine, TakeOrdered. */
+  private def scoreProbed(bucketed: DataFrame, probeSide: DataFrame,
+      probeId: Long, k: Int): DataFrame = {
+    import graft.functions.CosineSimilarity.cosine_sim
     bucketed
       .filter(col("vec_id") =!= probeId)
-      .join(broadcast(probe), col("bucket") === col("pb"))
+      .join(broadcast(probeSide), col("bucket") === col("pb"))
       .select(col("vec_id"), col("label"),
         graft.Det.r4(cosine_sim(col("embedding"), col("probe"))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** The multi-probe mechanism over any (vec_id, label, embedding)
+    * table — parameterized so SimilaritySpec can drive it against a
+    * planted-locality fixture at several probe budgets. `extra` = the
+    * number of margin-ordered Hamming-1 flips probed beyond the
+    * probe's own bucket. */
+  private[ops] def multiprobeTopK(emb: DataFrame, probeId: Long,
+      extra: Int, k: Int): DataFrame = {
+    val bucketed = emb
+      .withColumn("bucket", hyperplaneBucket(col("embedding"), 4, 64))
+    scoreProbed(bucketed, multiprobeProbeSide(bucketed, probeId, extra), probeId, k)
+  }
+
+  /** Multi-probe over the PERSISTED index (the q_sim_ann_indexed
+    * physical path): the bucket is a partition column of the written
+    * index, and the ≤4-row probed-bucket relation reaches the scan as
+    * a partition filter via the broadcast join on the partition
+    * column — at 100 TB the search reads T bucket directories, not
+    * the table. Same oracle as q_sim_ann_multiprobe (the logical
+    * result is identical; only the access path differs — row-equality
+    * also asserted in SimilaritySpec). */
+  private def annIndexedMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ann_index_mp_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+    val bucketed = Tables.embeddings(s, d)
+      .withColumn("bucket", hyperplaneBucket(col("embedding"), 4, 64))
+    bucketed.write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    val index = s.read.schema(bucketed.schema).parquet(dir)
+    scoreProbed(index, multiprobeProbeSide(index, ProbeId, MultiProbeExtra),
+      ProbeId, 10)
   }
 
   /** Distributed k-means (Lloyd's) over the embedding column: k=8,
@@ -330,6 +363,7 @@ object Similarity extends QueryPack {
     "q_sim_search"      -> simSearch,
     "q_sim_ann_lsh"     -> annLsh,
     "q_sim_ann_multiprobe" -> annMultiprobe,
+    "q_sim_ann_indexed_multiprobe" -> annIndexedMultiprobe,
     "q_sim_ann_ivf"     -> annIvf,
     "q_sim_ann_indexed" -> annIndexed,
     "q_kmeans"          -> kmeans,
@@ -518,6 +552,7 @@ object Similarity extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansSql,
     "q_sim_ann_multiprobe" -> annMultiprobeSql,
+    "q_sim_ann_indexed_multiprobe" -> annMultiprobeSql,
     "q_embed_project" -> embedProjectSql,
     "q_sim_ann_lsh" -> annLshSql,
     "q_sim_ann_indexed" -> annLshSql,

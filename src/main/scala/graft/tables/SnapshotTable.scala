@@ -348,6 +348,18 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     Some(version)
   }
 
+  /** Compact the current version into `targetFiles` data files and
+    * commit the rewrite as v+1 with IDENTICAL content (hash-equality
+    * asserted in spec). The operational companion of streaming
+    * appends: every appendOnce adds a micro-batch's worth of small
+    * files to the manifest, and at 100 TB the read cost of a
+    * small-file table is dominated by per-file open/seek overhead —
+    * compaction trades one bounded rewrite for every future read.
+    * Old versions keep reading their original (uncompacted) files;
+    * vacuum reclaims them only when their manifests are gone. */
+  def compact(targetFiles: Int = 1): Long =
+    commit(read().coalesce(targetFiles))
+
   /** Delete data dirs no committed manifest references and stray tmp
     * manifests — the garbage a crash can leave. Never touches
     * committed state, so it is safe to run concurrently with readers

@@ -100,6 +100,16 @@ class PlanShapeSpec extends SparkSpec {
       s"expected dynamic partition pruning on the index scan:\n$p")
   }
 
+  test("q_sim_ann_indexed_multiprobe prunes index partitions for the probed bucket SET") {
+    // the multi-probe generalization of the DPP guard: the ≤4-row
+    // probed-bucket relation must reach the index scan as a partition
+    // filter (dynamic pruning on the bucket partition column), so the
+    // search reads T bucket directories, never the whole index
+    val p = plan("q_sim_ann_indexed_multiprobe")
+    assert(p.contains("PartitionFilters") && p.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the multi-probe index scan:\n$p")
+  }
+
   test("q_bm25 broadcasts idf/stats and never sort-merge-joins the corpus") {
     val p = plan("q_bm25")
     // the term filter must precede the (doc, term) shuffle: the only

@@ -102,6 +102,16 @@ class SimilaritySpec extends SparkSpec {
       s"multi-probe lost single-probe true positives: ${(single & brute) -- multi}")
   }
 
+  test("q_sim_ann_indexed_multiprobe returns exactly q_sim_ann_multiprobe's rows") {
+    // same planes, margins and probe budget — persisting the index and
+    // reading back through partition-pruned bucket directories must
+    // not change the candidate set or scores
+    val viaIndex = SparkEntry_queries("q_sim_ann_indexed_multiprobe").collect().toSeq
+    val direct = SparkEntry_queries("q_sim_ann_multiprobe").collect().toSeq
+    assert(viaIndex == direct, s"index: $viaIndex\ndirect: $direct")
+    assert(viaIndex.nonEmpty)
+  }
+
   test("written ANN index prunes partitions for the probe's bucket") {
     import org.apache.spark.sql.functions._
     // the persisted-index form of the ANN path: cluster/bucket is a

@@ -226,6 +226,40 @@ class SnapshotTableSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("compact rewrites the current version into fewer files with identical content") {
+    val t = freshTable("compact")
+    try {
+      // three appends -> v3's manifest lists >= 3 files
+      t.appendOnce(kv(1L -> 1.0), 0L)
+      t.appendOnce(kv(2L -> 2.0), 1L)
+      t.appendOnce(kv(3L -> 3.0), 2L)
+      def files(v: Long): Seq[String] = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(t.root, "_manifests", s"v$v.manifest"))
+        .asScalaLines.drop(2).filterNot(_.startsWith("#"))
+      assert(files(3).size >= 3)
+      val before = t.read().orderBy("k").as[(Long, Double)].collect().toSeq
+      val v4 = t.compact(1)
+      assert(v4 == 4 && files(4).size == 1, files(4).toString)
+      assert(t.read().orderBy("k").as[(Long, Double)].collect().toSeq == before)
+      // pre-compaction versions still read their original files
+      assert(t.read(2).count() == 2)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("schema evolution: each version reads back with its own committed schema") {
+    import org.apache.spark.sql.functions._
+    val t = freshTable("evolve")
+    try {
+      t.commit(kv(1L -> 1.0, 2L -> 2.0))
+      // v2 adds a column; the manifest stores the schema per version
+      t.commit(t.read().withColumn("tag", concat(lit("k"), col("k"))))
+      assert(t.read(1).columns.toSeq == Seq("k", "v"))
+      assert(t.read(2).columns.toSeq == Seq("k", "v", "tag"))
+      assert(t.read(2).orderBy("k").select("tag").as[String].collect().toSeq ==
+        Seq("k1", "k2"))
+    } finally SnapshotTable.drop(t)
+  }
+
   test("vacuum reclaims crash garbage without touching committed state") {
     val t = freshTable("vacuum")
     try {
