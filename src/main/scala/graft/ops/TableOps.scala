@@ -112,10 +112,76 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** Change feed: v1 commits the even keys, v2 APPENDS the odd keys;
+    * changesBetween(1,2) reads ONLY v2's added files (manifest diff —
+    * v1's data is never re-read) and must contain exactly the
+    * appended rows. */
+  private def tableChanges(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_changes_")
+    try {
+      val b = base(s, d)
+      t.commit(b.filter(col("k") % 2 === 0))
+      t.appendOnce(b.filter(col("k") % 2 === 1), 0L)
+      bucketAgg(t.changesBetween(1L, 2L)).orderBy("bucket").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
+  /** Row-level version diff: after the bucketed MERGE commit, diff(v1,
+    * v2) must classify exactly the change set — updates for the
+    * repriced keys, inserts for the mirrored ones, NOTHING for the
+    * carried-over rows of rewritten buckets (the file-granular feed
+    * would surface those; the row-level diff must not). */
+  private def tableDiff(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_diff_")
+    try {
+      val b = base(s, d)
+      t.commitBucketed(b, "k", 16)
+      // k=0 is degenerate for the mirrored inserts (-0 = 0 collides
+      // with its own update) — exclude it on BOTH engines so every
+      // change-set key is unique and the diff classification is exact
+      val changes = b.filter(col("k") % 7 === 0)
+        .select(col("k"), (col("v") + 1234.56).as("v"))
+        .unionAll(b.filter(col("k") % 13 === 0 && col("k") =!= 0)
+          .select(negate(col("k")).as("k"), col("v")))
+      t.mergeBucketed(changes, "k")
+      t.diff(1L, 2L, "k")
+        .groupBy("change")
+        .agg(count(lit(1)).as("n_keys"),
+          Det.dsum(coalesce(col("v_after"), lit(0.0))
+            - coalesce(col("v_before"), lit(0.0)), 2).as("delta_value"))
+        .orderBy("change").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
+  /** Incremental view maintenance ACROSS commits: the per-priority
+    * aggregate of v2 is maintained as agg(v1) ⊕ agg(change feed) —
+    * partial sums stay DECIMAL until the final merge so the
+    * maintained result is bit-equal to the oracle's full recompute
+    * over v2. The delta side reads only the appended files. */
+  private def tableIvm(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_ivm_")
+    try {
+      val b = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pri"), col("o_totalprice").as("v"))
+      t.commit(b.filter(col("k") % 3 =!= 0))
+      t.appendOnce(b.filter(col("k") % 3 === 0), 0L)
+      def part(df: DataFrame): DataFrame =
+        df.groupBy("pri").agg(count(lit(1)).as("n"),
+          sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("dec"))
+      part(t.read(1L)).unionAll(part(t.changesBetween(1L, 2L)))
+        .groupBy("pri")
+        .agg(sum(col("n")).as("n"), sum(col("dec")).cast("double").as("total"))
+        .orderBy("pri").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_table_commit"     -> tableCommit,
     "q_table_timetravel" -> tableTimetravel,
     "q_table_merge_bucketed" -> tableMergeBucketed,
+    "q_table_changes"    -> tableChanges,
+    "q_table_diff"       -> tableDiff,
+    "q_table_ivm"        -> tableIvm,
   )
 
   private val newsnapCte =
@@ -146,6 +212,25 @@ object TableOps extends QueryPack {
          |SELECT ((k % 16) + 16) % 16 AS bucket, COUNT(*) AS n,
          |       ${Det.dsumSql("v", 2)} AS total
          |FROM m GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_table_changes" ->
+      s"""SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
+         |       ${Det.dsumSql("o_totalprice", 2)} AS total
+         |FROM orders WHERE o_orderkey % 2 = 1
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_table_diff" ->
+      s"""WITH t AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders)
+         |SELECT * FROM (
+         |  SELECT 'insert' AS change, COUNT(*) AS n_keys,
+         |         ${Det.dsumSql("v", 2)} AS delta_value
+         |  FROM t WHERE k % 13 = 0 AND k <> 0
+         |  UNION ALL
+         |  SELECT 'update', COUNT(*), ${Det.dsumSql("(v + 1234.56) - v", 2)}
+         |  FROM t WHERE k % 7 = 0)
+         |ORDER BY change""".stripMargin,
+    "q_table_ivm" ->
+      s"""SELECT o_orderpriority AS pri, COUNT(*) AS n,
+         |       ${Det.dsumSql("o_totalprice", 2)} AS total
+         |FROM orders GROUP BY pri ORDER BY pri""".stripMargin,
     "q_table_timetravel" ->
       s"""WITH $newsnapCte
          |SELECT * FROM (

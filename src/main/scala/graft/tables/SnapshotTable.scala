@@ -348,6 +348,59 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     Some(version)
   }
 
+  /** Data files listed by `vB`'s manifest but not `vA`'s — the
+    * metadata-only change feed. For an APPEND chain this is exactly
+    * the rows added in (vA, vB]; for rewriting writers (merge,
+    * compact) it is file-granular (a rewritten bucket's carried-over
+    * rows appear too — use [[diff]] for row-level semantics there),
+    * the same contract as a lakehouse change feed without deletion
+    * vectors. */
+  def addedFiles(vA: Long, vB: Long): Seq[String] = {
+    val before = manifestFiles(manifestLines(vA)).toSet
+    manifestFiles(manifestLines(vB)).filterNot(before)
+  }
+
+  /** Read only the files added between two versions — O(new data),
+    * never re-reading vA's files. The streaming-read primitive: a
+    * consumer holding a version cursor reads each commit's additions
+    * exactly once. */
+  def changesBetween(vA: Long, vB: Long): DataFrame = {
+    val lines = manifestLines(vB)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(lines(1))
+      .asInstanceOf[StructType]
+    val files = addedFiles(vA, vB).map(rel => rootPath.resolve(rel).toString)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+
+  /** Row-level diff between two committed versions, keyed on
+    * `keyCol`: one full outer join classifying every key as
+    * insert / delete / update (value columns differ) — unchanged rows
+    * are excluded. Works for ANY write pattern (merge, compact,
+    * CDC) at the cost of reading both versions; append-only chains
+    * should prefer [[changesBetween]]. */
+  def diff(vA: Long, vB: Long, keyCol: String): DataFrame = {
+    val a = read(vA)
+    val dataCols = a.columns.filterNot(_ == keyCol).toSeq
+    val aAl = a.alias("a")
+    val bAl = read(vB).alias("b")
+    val changed = dataCols
+      .map(c => !(col(s"a.$c") <=> col(s"b.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val outCols =
+      when(col(s"a.$keyCol").isNull, lit("insert"))
+        .when(col(s"b.$keyCol").isNull, lit("delete"))
+        .when(changed, lit("update"))
+        .otherwise(lit("unchanged")).as("change") +:
+      coalesce(col(s"b.$keyCol"), col(s"a.$keyCol")).as(keyCol) +:
+      dataCols.flatMap(c => Seq(col(s"a.$c").as(s"${c}_before"),
+        col(s"b.$c").as(s"${c}_after")))
+    aAl.join(bAl, col(s"a.$keyCol") === col(s"b.$keyCol"), "full_outer")
+      .select(outCols: _*)
+      .filter(col("change") =!= "unchanged")
+  }
+
   /** Compact the current version into `targetFiles` data files and
     * commit the rewrite as v+1 with IDENTICAL content (hash-equality
     * asserted in spec). The operational companion of streaming

@@ -260,6 +260,30 @@ class SnapshotTableSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("changesBetween reads only appended files; diff classifies row-level changes") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable("changes")
+    try {
+      t.commit(kv(1L -> 1.0, 2L -> 2.0))
+      t.appendOnce(kv(3L -> 3.0), 0L)
+      // the change feed is exactly the appended rows, from v2-only files
+      assert(t.addedFiles(1L, 2L).nonEmpty &&
+        t.addedFiles(1L, 2L).forall(_.contains("v2-")))
+      assert(t.changesBetween(1L, 2L).as[(Long, Double)].collect().toSeq ==
+        Seq((3L, 3.0)))
+      // row-level diff across a rewriting MERGE: carried-over rows
+      // (k=1, k=3) must NOT surface
+      t.merge(kv(2L -> 20.0, 4L -> 40.0), "k")
+      val d = t.diff(2L, 3L, "k")
+        .select(col("change"), col("k"), col("v_before"), col("v_after"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)))).toSet
+      assert(d == Set(
+        ("update", 2L, Some(2.0), Some(20.0)),
+        ("insert", 4L, None, Some(40.0))), d.toString)
+    } finally SnapshotTable.drop(t)
+  }
+
   test("vacuum reclaims crash garbage without touching committed state") {
     val t = freshTable("vacuum")
     try {
