@@ -356,7 +356,10 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     * the same contract as a lakehouse change feed without deletion
     * vectors. */
   def addedFiles(vA: Long, vB: Long): Seq[String] = {
-    val before = manifestFiles(manifestLines(vA)).toSet
+    // vA = 0 is the pre-first-commit state: everything in vB is new
+    val before =
+      if (vA == 0L) Set.empty[String]
+      else manifestFiles(manifestLines(vA)).toSet
     manifestFiles(manifestLines(vB)).filterNot(before)
   }
 
