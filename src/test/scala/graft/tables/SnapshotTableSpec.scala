@@ -101,6 +101,37 @@ class SnapshotTableSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("two writers racing the publish of the same version: exactly one wins, under real threads") {
+    val t = freshTable("race")
+    try {
+      t.commit(kv(1L -> 1.0))
+      // both writers have fully prepared v2 (data + tmp manifest);
+      // a latch releases their publish calls at the same instant
+      val (_, fA, sA) = t.writeData(kv(10L -> 10.0), 2L)
+      val tmpA = t.writeTmpManifest(2L, sA, fA)
+      val (_, fB, sB) = t.writeData(kv(20L -> 20.0), 2L)
+      val tmpB = t.writeTmpManifest(2L, sB, fB)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+      val threads = Seq(tmpA, tmpB).map { tmp =>
+        val th = new Thread(() => {
+          start.await()
+          try { t.publish(2L, tmp); outcomes.add(true) }
+          catch { case _: CommitConflictException => outcomes.add(false) }
+        })
+        th.start(); th
+      }
+      start.countDown()
+      threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      assert(outcomes.asScala.toSeq.sorted == Seq(false, true),
+        s"expected exactly one winner: ${outcomes.asScala.toSeq}")
+      // the committed v2 is EXACTLY one writer's relation, never a mix
+      val rows = t.read(2L).as[(Long, Double)].collect().toSeq
+      assert(rows == Seq((10L, 10.0)) || rows == Seq((20L, 20.0)), rows.toString)
+    } finally SnapshotTable.drop(t)
+  }
+
   test("time travel: every committed version stays readable and immutable") {
     val t = freshTable("timetravel")
     try {
