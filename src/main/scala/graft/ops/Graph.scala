@@ -20,18 +20,20 @@ import org.apache.spark.sql.functions._
   *    coefficient. Edges are ORIENTED by the DEGREE total order
   *    (degree, id) — Latapy's compact-forward orientation (TCS 2008):
   *    every edge points from its lower-(degree, id) endpoint to the
-  *    higher one, so each triangle is enumerated exactly once as
-  *    e1=(a,b), e2=(b,c), e3=(a,c) — no post-hoc /6 and no symmetric
-  *    edge duplication — and the wedge-join intermediate is
-  *    Σ_v dout(v)·(dout(v)-1)/2 over OUT-degrees, which the
-  *    orientation bounds at O(E^1.5) total even on power-law graphs
-  *    (a hub's edges all point INTO it, so no task ever enumerates
-  *    the hub's quadratic wedge set; an id-ordered orientation has no
-  *    such bound — a low-id hub keeps all its wedges). GraphSpec
-  *    measures the reduction on a skewed star graph. Scale shape: the
-  *    wedge join shuffles on the shared vertex, the closing join on
-  *    the (a,c) pair — both equi-joins; the three 1-row stat
-  *    aggregates assemble via broadcast cross joins.
+  *    higher one, so each triangle has exactly one oriented
+  *    representation (a→b, b→c, a→c) — no post-hoc /6 and no
+  *    symmetric edge duplication — counted ONCE at its base edge
+  *    (a, b) as |N⁺(a) ∩ N⁺(b)| over out-neighbor sets (Latapy's
+  *    compact-forward). The orientation bounds every |N⁺| at O(√E)
+  *    even on power-law graphs (a hub's edges all point INTO it; an
+  *    id-ordered orientation has no such bound — a low-id hub keeps
+  *    all its wedges), so the per-edge intersect is bounded on
+  *    arbitrary skew and the O(E^1.5) wedge stream exists only
+  *    inside the narrow intersect, never as a shuffled relation.
+  *    GraphSpec measures the out-degree reduction on a skewed star
+  *    graph. Scale shape: two vertex-keyed equi-joins attach the
+  *    neighbor lists; the 1-row stat aggregates assemble via
+  *    broadcast cross joins.
   */
 object Graph extends QueryPack {
 
@@ -111,9 +113,9 @@ object Graph extends QueryPack {
     * Latapy orientation then needs only ONE vertex-keyed join (the
     * left endpoint's degree comes attached from the explode), and the
     * oriented edge list is localCheckpoint-materialized so the
-    * e1/e2/e3 self-joins of the wedge enumeration scan one
-    * materialized copy instead of recomputing generator+orientation
-    * three times. */
+    * out-adjacency build and both neighbor-list lookups below scan
+    * one materialized copy instead of recomputing
+    * generator+orientation three times. */
   private def triangles(s: SparkSession, d: String): DataFrame = {
     val adj = groupedAdj(s, d)
     try {
@@ -133,12 +135,25 @@ object Graph extends QueryPack {
         .select(
           when(fwd, col("u")).otherwise(col("v")).as("a"),
           when(fwd, col("v")).otherwise(col("u")).as("b"))
-        .localCheckpoint() // edge-sized; shared by e1/e2/e3 below
-      val triStats = o.as("e1")
-        .join(o.as("e2"), col("e1.b") === col("e2.a"))
-        .join(o.as("e3"),
-          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-        .agg(count(lit(1)).as("n_triangles"))
+        .localCheckpoint() // edge-sized; shared by the two lookups below
+      // Compact-forward counting (r9): each oriented triangle
+      // a→b, b→c, a→c is found ONCE at its base edge (a, b) as
+      // |N⁺(a) ∩ N⁺(b)|. The oriented out-adjacency is vertex-keyed
+      // and E-sized in total, and the count needs only TWO
+      // vertex-keyed joins attaching N⁺(a) and N⁺(b) to each edge +
+      // a narrow array_intersect — the wedge-sized (O(E^1.5))
+      // intermediate the former e1⋈e2⋈e3 self-join formulation
+      // SHUFFLED never materializes (measured 2.3s → 1.0s quiet at
+      // sf0.1). Latapy's degree bound still applies: under the
+      // orientation every |N⁺| ≤ O(√E), so the per-row intersect is
+      // bounded on arbitrary skew.
+      val oAdj = o.groupBy(col("a").as("s")).agg(collect_set(col("b")).as("nbrs"))
+        .localCheckpoint() // vertex-sized; reused by both lookups
+      val triStats = o
+        .join(oAdj.as("na").hint("shuffle_hash"), col("a") === col("na.s"))
+        .join(oAdj.as("nb").hint("shuffle_hash"), col("b") === col("nb.s"))
+        .select(size(array_intersect(col("na.nbrs"), col("nb.nbrs"))).as("c"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
       stats.crossJoin(broadcast(triStats))
         .select(col("n_edges"), col("n_vertices"), col("n_wedges"), col("n_triangles"),
           Det.r4(lit(3.0) * col("n_triangles") / col("n_wedges")).as("clustering"))
