@@ -78,14 +78,42 @@ object Custom extends QueryPack {
          |ORDER BY d.doc_id""".stripMargin)
   }
 
+  /** The per-priority orders rollup used for the MV demonstration —
+    * built twice below: once to register/materialize, once as "the
+    * user's query" that the optimizer must transparently redirect. */
+  private[ops] def mvShape(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"), graft.Det.dsum(col("o_totalprice"), 2).as("total"))
+
+  /** Materialized-view rewrite end-to-end: register the rollup as an
+    * MV (parquet materialization + optimized-plan fingerprint), then
+    * run a FRESH construction of the same aggregate — the
+    * [[graft.plans.RewriteToMaterializedView]] rule swaps its
+    * Aggregate for the MV scan (plan-guarded in ExtensionsSpec), and
+    * the oracle hash proves the redirected answer is the recomputed
+    * one. Idempotent per (dir, process): re-registration refreshes
+    * the materialization in place. */
+  private def mvRewrite(s: SparkSession, d: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_mv_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+    graft.plans.MaterializedViews.register(mvShape(s, d), path)
+    mvShape(s, d).orderBy("pri")
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_udaf_wavg"        -> udafWavg,
     "q_sim_search_native" -> simSearchNative,
     "q_topk_agg"         -> topkAgg,
     "q_sql_funcs"        -> sqlFuncs,
+    "q_mv_rewrite"       -> mvRewrite,
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_mv_rewrite" ->
+      s"""SELECT o_orderpriority AS pri, COUNT(*) AS n,
+         |       ${graft.Det.dsumSql("o_totalprice", 2)} AS total
+         |FROM orders GROUP BY pri ORDER BY pri""".stripMargin,
     "q_udaf_wavg" ->
       s"""SELECT l_returnflag,
         |       ${graft.Det.r4Sql("SUM(l_extendedprice * l_quantity) / SUM(l_quantity)")} AS wavg_price

@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         MinHashSignature(args(0), litInt(args(1), "minhash k"))))
     ext.injectOptimizerRule(_ => FuseHofCosine)
+    // 3. RewriteToMaterializedView — exact-fingerprint MV rewriting
+    //    (see plans/MaterializedViews.scala); inert until a view is
+    //    registered.
+    ext.injectOptimizerRule(s => new RewriteToMaterializedView(s))
   }
 }
 

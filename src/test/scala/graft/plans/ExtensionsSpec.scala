@@ -47,6 +47,41 @@ class ExtensionsSpec extends SparkSpec {
     assert(hof.exceptAll(native).isEmpty && native.exceptAll(hof).isEmpty)
   }
 
+  test("registered MV transparently answers an identical fresh query; others untouched") {
+    val mvPath = java.nio.file.Files.createTempDirectory("graft_mv_spec_").toString + "/mv"
+    def shape() = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"), graft.Det.dsum(col("o_totalprice"), 2).as("total"))
+    val expected = shape().orderBy("pri").collect().toSeq
+    val fp = MaterializedViews.register(shape(), mvPath)
+    try {
+      // a FRESH construction of the same aggregate: the optimizer must
+      // swap the Aggregate for the MV scan — no orders scan, no
+      // aggregate left in the plan
+      // (executedPlan: the simple logical string elides scan paths)
+      val q = shape().orderBy("pri")
+      val phys = q.queryExecution.executedPlan.toString
+      assert(phys.contains("graft_mv_spec_"),
+        s"MV scan missing from plan:\n$phys")
+      assert(!phys.contains("orders.parquet"),
+        s"fact-table scan survived the rewrite:\n$phys")
+      assert(!q.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+        "aggregate should be gone — answered from the materialization")
+      assert(q.collect().toSeq == expected)
+      // a DIFFERENT aggregate over the same table must NOT be hijacked
+      val other = graft.Tables.orders(spark, sf)
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val otherPlan = other.queryExecution.executedPlan.toString
+      assert(!otherPlan.contains("graft_mv_spec_"), otherPlan)
+      assert(otherPlan.contains("orders.parquet"), otherPlan)
+      // after deregistration the original plan returns
+      MaterializedViews.deregister(fp)
+      val back = shape().orderBy("pri")
+      assert(!back.queryExecution.executedPlan.toString.contains("graft_mv_spec_"))
+      assert(back.collect().toSeq == expected)
+    } finally MaterializedViews.deregister(fp)
+  }
+
   test("FuseHofCosine does not fire on double arrays (kernel is float-only)") {
     // Same HOF shape over ARRAY<DOUBLE>: the fused kernel reads via
     // getFloat, so the rule must leave the HOF tree alone — and the
