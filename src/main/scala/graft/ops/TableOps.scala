@@ -175,8 +175,25 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** Data-skipping range read: orders committed range-clustered on
+    * the key into 16 contiguous-range files, then a key-range
+    * aggregate served through [[graft.tables.SnapshotTable.readWhere]]
+    * — manifest stats prune to the intersecting files before any
+    * scan (SnapshotTableSpec asserts the pruning itself; the oracle
+    * proves row-exactness of the pruned read + residual filter). */
+  private def tableSkipping(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_skipping_")
+    try {
+      val v1 = t.commitClustered(base(s, d), "k", 16)
+      t.readWhere(v1, "k", 100L, 5000L)
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+        .localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_table_commit"     -> tableCommit,
+    "q_table_skipping"   -> tableSkipping,
     "q_table_timetravel" -> tableTimetravel,
     "q_table_merge_bucketed" -> tableMergeBucketed,
     "q_table_changes"    -> tableChanges,
@@ -212,6 +229,9 @@ object TableOps extends QueryPack {
          |SELECT ((k % 16) + 16) % 16 AS bucket, COUNT(*) AS n,
          |       ${Det.dsumSql("v", 2)} AS total
          |FROM m GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_table_skipping" ->
+      s"""SELECT COUNT(*) AS n, ${Det.dsumSql("o_totalprice", 2)} AS total
+         |FROM orders WHERE o_orderkey BETWEEN 100 AND 5000""".stripMargin,
     "q_table_changes" ->
       s"""SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
          |       ${Det.dsumSql("o_totalprice", 2)} AS total

@@ -404,6 +404,82 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
       .filter(col("change") =!= "unchanged")
   }
 
+  private val ClusterMeta = """#cluster=(.+)""".r
+  private val RangeMeta = """#range=([^|]+)\|(-?\d+)\|(-?\d+)""".r
+
+  /** CLUSTERED snapshot commit: rows range-partitioned and sorted on
+    * a (numeric) key into `nFiles` contiguous-key-range files, with
+    * per-file [min, max] key stats recorded in the manifest — the
+    * data-skipping layout. A key-range read ([[readWhere]]) prunes
+    * files by manifest stats BEFORE any scan: a point/range lookup on
+    * a 100 TB table opens the few files whose range intersects, not
+    * the table. Stats are collected in one distributed pass over the
+    * freshly written files (O(new data), standard write-time stats
+    * collection); hash-bucketed layouts ([[commitBucketed]]) get no
+    * skipping — striping spreads every key range across all buckets,
+    * which is exactly the layout trade: bucketing buys co-located
+    * merges, clustering buys range pruning. */
+  def commitClustered(df: DataFrame, keyCol: String, nFiles: Int): Long = {
+    val version = currentVersion + 1
+    val snap = dataDir.resolve(s"v$version-${UUID.randomUUID()}")
+    df.repartitionByRange(nFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.parquet(snap.toString)
+    val statRows = spark.read.parquet(snap.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(keyCol)).cast("long").as("lo"), max(col(keyCol)).cast("long").as("hi"))
+      .collect() // nFiles rows — bounded driver metadata
+    val byName = statRows.map { r =>
+      val name = r.getString(0).split('/').last
+      name -> (r.getLong(1), r.getLong(2))
+    }.toMap
+    val files = listParquetRec(snap).map(p => rootPath.relativize(p).toString).sorted
+    val statLines = files.flatMap { rel =>
+      byName.get(rel.split('/').last).map { case (lo, hi) => s"#range=$rel|$lo|$hi" }
+    }
+    val tmp = writeTmpManifest(version, df.schema,
+      (s"#cluster=$keyCol" +: statLines) ++ files)
+    try publish(version, tmp)
+    catch { case e: CommitConflictException =>
+      deleteRecursively(snap); throw e
+    }
+    version
+  }
+
+  /** Files of `version` whose manifest key range intersects [lo, hi];
+    * files without stats are conservatively kept. Exposed so specs
+    * and ops can assert the pruning itself, not just the result. */
+  def prunedFiles(version: Long, lo: Long, hi: Long): Seq[String] = {
+    val lines = manifestLines(version)
+    val ranges: Map[String, (Long, Long)] = lines.drop(2).collect {
+      case RangeMeta(rel, a, b) => rel -> (a.toLong, b.toLong)
+    }.toMap
+    manifestFiles(lines).filter { rel =>
+      ranges.get(rel) match {
+        case Some((a, b)) => a <= hi && b >= lo
+        case None => true
+      }
+    }
+  }
+
+  /** Key-range read with manifest-stats file skipping: scans only the
+    * files [[prunedFiles]] keeps, then applies the residual row
+    * filter (stats prune at file granularity; the predicate still
+    * holds row-exactly). */
+  def readWhere(version: Long, keyCol: String, lo: Long, hi: Long): DataFrame = {
+    val lines = manifestLines(version)
+    require(lines.drop(2).collectFirst { case ClusterMeta(k) => k }
+      .contains(keyCol), s"version $version is not clustered on $keyCol")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(lines(1))
+      .asInstanceOf[StructType]
+    val files = prunedFiles(version, lo, hi).map(rel => rootPath.resolve(rel).toString)
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    base.filter(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+
   /** Compact the current version into `targetFiles` data files and
     * commit the rewrite as v+1 with IDENTICAL content (hash-equality
     * asserted in spec). The operational companion of streaming

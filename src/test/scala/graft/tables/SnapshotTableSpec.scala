@@ -349,6 +349,26 @@ class SnapshotTableSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("clustered commit: manifest key stats prune files for range reads") {
+    val t = freshTable("cluster")
+    try {
+      val rows = (0L until 10000L).map(k => (k, k * 1.5)).toDF("k", "v")
+      t.commitClustered(rows, "k", 8)
+      val allFiles = t.prunedFiles(1L, Long.MinValue, Long.MaxValue)
+      assert(allFiles.size == 8, allFiles.toString)
+      // a narrow range touches 1-2 of the 8 contiguous-range files
+      val narrow = t.prunedFiles(1L, 100L, 200L)
+      assert(narrow.nonEmpty && narrow.size <= 2, narrow.toString)
+      assert(t.readWhere(1L, "k", 100L, 200L).orderBy("k")
+        .as[(Long, Double)].collect().toSeq ==
+        (100L to 200L).map(k => (k, k * 1.5)))
+      // full range reads everything; disjoint range opens NO files
+      assert(t.readWhere(1L, "k", 0L, 9999L).count() == 10000)
+      assert(t.prunedFiles(1L, 20000L, 30000L).isEmpty)
+      assert(t.readWhere(1L, "k", 20000L, 30000L).count() == 0)
+    } finally SnapshotTable.drop(t)
+  }
+
   test("vacuum reclaims crash garbage without touching committed state") {
     val t = freshTable("vacuum")
     try {
