@@ -60,12 +60,26 @@ object MaterializedViews {
   private def fingerprint(df: DataFrame): String =
     withRewriteDisabled { df.queryExecution.optimizedPlan.canonicalized.toString }
 
-  /** Materialize `df` at `path` (overwrite = refresh) and register its
-    * plan fingerprint for rewriting. Returns the fingerprint (exposed
-    * for tests/ops that want to assert or deregister). */
-  def register(df: DataFrame, path: String): String = {
+  /** Materialize `df` under `basePath` and register its plan
+    * fingerprint for rewriting. Returns the fingerprint (exposed for
+    * tests/ops that want to assert or deregister).
+    *
+    * Each registration writes an IMMUTABLE fresh directory
+    * (`basePath-<uuid>`) and publishes the registry entry only after
+    * the write completes — never an in-place overwrite. In-place
+    * refresh raced concurrent readers two ways (both observed when
+    * test suites share one session): a plan built against the old
+    * files executed after the overwrite deleted them
+    * (FILE_NOT_EXIST), and the rule's schema read during the
+    * overwrite window found an empty directory
+    * (UNABLE_TO_INFER_SCHEMA). With immutable directories a
+    * registered path's files never change; superseded
+    * materializations are left for the tmp-dir lifecycle (a refresh
+    * is rare and view-sized). */
+  def register(df: DataFrame, basePath: String): String = {
     val fp = fingerprint(df)
-    df.write.mode("overwrite").parquet(path)
+    val path = s"$basePath-${java.util.UUID.randomUUID()}"
+    df.write.parquet(path)
     registry.put(fp, Entry(path))
     fp
   }
