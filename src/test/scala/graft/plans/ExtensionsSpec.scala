@@ -82,6 +82,28 @@ class ExtensionsSpec extends SparkSpec {
     } finally MaterializedViews.deregister(fp)
   }
 
+  test("a DSL-registered MV answers the equivalent SQL-string query (fingerprints converge)") {
+    // the registry keys on the CANONICALIZED optimized plan, which
+    // normalizes exprIds and alias names — so the same aggregate
+    // reached through the SQL parser and through the DataFrame DSL
+    // collapses to one fingerprint, and either surface's users hit
+    // the materialization
+    val mvPath = java.nio.file.Files.createTempDirectory("graft_mv_sql_").toString + "/mv"
+    val dsl = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"))
+    val fp = MaterializedViews.register(dsl, mvPath)
+    try {
+      val v = graft.Tables.view(spark, sf, "orders")
+      val sqlQ = spark.sql(
+        s"SELECT o_orderpriority AS pri, COUNT(*) AS n FROM $v GROUP BY pri ORDER BY pri")
+      val phys = sqlQ.queryExecution.executedPlan.toString
+      assert(phys.contains("graft_mv_sql_"),
+        s"SQL-surface query missed the DSL-registered MV:\n$phys")
+      assert(sqlQ.collect().toSeq == dsl.orderBy("pri").collect().toSeq)
+    } finally MaterializedViews.deregister(fp)
+  }
+
   test("FuseHofCosine does not fire on double arrays (kernel is float-only)") {
     // Same HOF shape over ARRAY<DOUBLE>: the fused kernel reads via
     // getFloat, so the rule must leave the HOF tree alone — and the
