@@ -191,8 +191,13 @@ object Bench {
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    // one completeness rule everywhere: a query appears in a mode's
+    // map/total ONLY with all Iters samples of that mode (a partially
+    // sampled query surfaces via "errors" instead) — so "value" is
+    // exactly the sum of "queries", and the two mode totals cover the
+    // same inclusion rule
     def medianMap(m: collection.Map[String, Vector[Double]]): String =
-      m.toSeq.filter(_._2.nonEmpty).sortBy(_._1)
+      m.toSeq.filter(_._2.size == Iters).sortBy(_._1)
         .map { case (k, v) => jstr(k) + ":" + r3(median(v)) }.mkString("{", ",", "}")
     def statsMap(m: collection.Map[String, Vector[Double]]): String =
       m.toSeq.filter(_._2.nonEmpty).sortBy(_._1).map { case (k, v) =>
@@ -202,7 +207,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val errJson = errs.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = qs.map(p => median(p._2)).sum
-    val totalOther = other.toSeq.filter(_._2.nonEmpty).map(p => median(p._2)).sum
+    val totalOther = other.toSeq.filter(_._2.size == Iters).map(p => median(p._2)).sum
     val (calibPost, sink2) = calibrate()
     val loadPost = loadAvg()
     val calibJson =

@@ -192,14 +192,18 @@ object Similarity extends QueryPack {
     * array_sort orders by margin then plane index (field order), the
     * deterministic flip sequence. */
   private[ops] def multiprobeProbeSide(bucketed: DataFrame, probeId: Long,
-      extra: Int, bits: Int = 4): DataFrame = {
+      extra: Int, bits: Int = 4, dims: Int = 64): DataFrame = {
+    // bits AND dims must mirror the hyperplaneBucket(_, bits, dims)
+    // call that bucketed the table — wrong dims would compute margins
+    // against the wrong plane coefficients and silently degrade the
+    // flip ordering to noise
     import graft.functions.TextSim.{dot, planeCoeffs}
     val flipMasks = typedlit((0 until bits).map(1 << _))
     bucketed.filter(col("vec_id") === probeId)
       .select(col("bucket").as("p_bucket"), col("embedding").as("probe"))
       .withColumn("forder",
         transform(array_sort(array((0 until bits).map(i =>
-          struct(abs(dot(col("probe"), typedlit(planeCoeffs(i, 64)))).as("m"),
+          struct(abs(dot(col("probe"), typedlit(planeCoeffs(i, dims)))).as("m"),
             lit(i).as("i"))): _*)), x => x.getField("i")))
       .withColumn("pbuckets",
         concat(array(col("p_bucket")),

@@ -79,7 +79,12 @@ object MaterializedViews {
   def register(df: DataFrame, basePath: String): String = {
     val fp = fingerprint(df)
     val path = s"$basePath-${java.util.UUID.randomUUID()}"
-    df.write.parquet(path)
+    // the WRITE must also run with rewriting disabled: on a REFRESH
+    // the fingerprint is already registered, and a rewriting-enabled
+    // write job would answer the recompute from the OLD
+    // materialization — copying stale bytes forward forever instead
+    // of recomputing from base data
+    withRewriteDisabled { df.write.parquet(path) }
     registry.put(fp, Entry(path))
     fp
   }

@@ -455,6 +455,24 @@ object VerkadaPipeline {
       fs.mkdirs(dir)
       try fs.create(marker, false).close()
       catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
+      // retention: a marker is only needed while Spark can still
+      // replay its batch (bounded by the engine's own commit-log
+      // retention, default ~100 batches) — without pruning, a
+      // long-lived stream accretes one file per trigger forever.
+      // Best-effort: a failed delete just retries next batch.
+      val horizon = batchId - MarkerRetention
+      if (horizon > 0 && fs.exists(dir)) {
+        try fs.listStatus(dir).foreach { st =>
+          val id = st.getPath.getName.toLongOption
+          if (id.exists(_ < horizon)) fs.delete(st.getPath, false)
+        } catch { case _: Throwable => () }
+      }
     }
   }
+
+  /** Markers older than this many batches behind the current one are
+    * pruned — generously above Spark's default commit-log retention
+    * (minBatchesToRetain = 100), the window within which a replay can
+    * still occur. */
+  private val MarkerRetention = 1000L
 }

@@ -314,11 +314,24 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
 
   private val BatchMeta = """#batchId=(-?\d+)""".r
 
+  // incremental batchId cache: (versions scanned so far, ids seen) —
+  // guarded by `this`. Without it every append re-parses EVERY
+  // manifest, turning a V-version append chain into O(V²) metadata
+  // reads; with it each call parses only manifests committed since
+  // the last call (other writers' commits included).
+  private var batchIdScan: (Set[Long], Set[Long]) = (Set.empty, Set.empty)
+
   /** Batch ids already committed (streaming idempotence ledger — the
     * ledger IS the manifest log, so it is atomic with the commit). */
-  def committedBatchIds: Set[Long] = listCommitted().flatMap { v =>
-    manifestLines(v).drop(2).collectFirst { case BatchMeta(b) => b.toLong }
-  }.toSet
+  def committedBatchIds: Set[Long] = synchronized {
+    val (scanned, ids) = batchIdScan
+    val fresh = listCommitted().filterNot(scanned).toSet
+    val freshIds = fresh.flatMap { v =>
+      manifestLines(v).drop(2).collectFirst { case BatchMeta(b) => b.toLong }
+    }
+    batchIdScan = (scanned ++ fresh, ids ++ freshIds)
+    batchIdScan._2
+  }
 
   /** Streaming append: commit `df`'s rows as version v+1 whose
     * manifest carries FORWARD every file of v plus the new batch's
@@ -420,6 +433,16 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     * which is exactly the layout trade: bucketing buys co-located
     * merges, clustering buys range pruning. */
   def commitClustered(df: DataFrame, keyCol: String, nFiles: Int): Long = {
+    // stats are stored as Longs: an INTEGRAL key keeps them exact,
+    // while cast("long") on a fractional key would truncate toward
+    // zero (negative mins round UP, positive maxes DOWN) and make the
+    // pruning silently drop in-range rows — reject rather than corrupt
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"commitClustered requires an integral key column; $keyCol is $other")
+    }
     val version = currentVersion + 1
     val snap = dataDir.resolve(s"v$version-${UUID.randomUUID()}")
     df.repartitionByRange(nFiles, col(keyCol))
@@ -522,14 +545,8 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     tmps.foreach(p => Files.deleteIfExists(p))
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.iterator().asScala.toVector.foreach(deleteRecursively)
-      finally s.close()
-    }
-    Files.deleteIfExists(p)
-  }
+  private def deleteRecursively(p: Path): Unit =
+    SnapshotTable.deleteRecursively(p)
 }
 
 object SnapshotTable {
@@ -543,15 +560,14 @@ object SnapshotTable {
   }
 
   /** Recursive delete for callers done with a temp table. */
-  def drop(t: SnapshotTable): Unit = {
-    def rec(p: Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try s.iterator().asScala.toVector.foreach(rec)
-        finally s.close()
-      }
-      Files.deleteIfExists(p)
+  def drop(t: SnapshotTable): Unit = deleteRecursively(Paths.get(t.root))
+
+  private[tables] def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toVector.foreach(deleteRecursively)
+      finally s.close()
     }
-    rec(Paths.get(t.root))
+    Files.deleteIfExists(p)
   }
 }

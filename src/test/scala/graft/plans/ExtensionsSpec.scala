@@ -82,6 +82,30 @@ class ExtensionsSpec extends SparkSpec {
     } finally MaterializedViews.deregister(fp)
   }
 
+  test("re-registering an MV refreshes from BASE data, not from the stale materialization") {
+    import spark.implicits._
+    // regression: the refresh write must run with rewriting disabled,
+    // else the recompute is answered from the OLD materialization and
+    // the refresh silently copies stale bytes forward forever
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_mv_refresh_").toString
+    val basePath = s"$baseDir/base"
+    val mvBase = s"$baseDir/mv"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").write.parquet(basePath)
+    def shape() = spark.read.parquet(basePath)
+      .groupBy(lit(1).as("g")).agg(graft.Det.dsum(col("v"), 2).as("total"))
+    val fp1 = MaterializedViews.register(shape(), mvBase)
+    try {
+      assert(shape().head().getDouble(1) == 30.0)
+      // base data changes; the OLD materialization still answers
+      Seq((3L, 70.0)).toDF("k", "v").write.mode("append").parquet(basePath)
+      // refresh: same fingerprint, recomputed materialization
+      val fp2 = MaterializedViews.register(shape(), mvBase)
+      assert(fp2 == fp1, "same query must fingerprint identically")
+      assert(shape().head().getDouble(1) == 100.0,
+        "refresh must recompute from base data, not copy the stale MV")
+    } finally MaterializedViews.deregister(fp1)
+  }
+
   test("a DSL-registered MV answers the equivalent SQL-string query (fingerprints converge)") {
     // the registry keys on the CANONICALIZED optimized plan, which
     // normalizes exprIds and alias names — so the same aggregate

@@ -84,9 +84,16 @@ def main():
     for qdir in sorted(glob.glob(f"{out_dir}/q_*")):
         name = os.path.basename(qdir)
         if name not in oracles:
+            files = glob.glob(qdir + "/*.parquet")
+            if not files:
+                # a failed Verify leaves an empty dir — report it as a
+                # failure instead of crashing before the summary/jsonOut
+                print(f"ROWS {name}: no spark output EMPTY!")
+                n_fail += 1
+                record(name, err="no_spark_output")
+                continue
             n = con.execute(
-                f"SELECT count(*) FROM read_parquet({glob.glob(qdir+'/*.parquet')!r})"
-            ).fetchone()[0]
+                f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
             print(f"ROWS {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
             record(name, rows=n > 0, sr=n, err="no_oracle")
     print(f"== {n_pass} pass, {n_fail} fail")
