@@ -191,8 +191,25 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** Compaction through the gate: an append chain (evens, then odds)
+    * leaves a multi-file manifest; compact(4) commits a
+    * content-identical rewrite as the new current version, and the
+    * aggregate of THAT version must hash-match the full table — the
+    * small-file-accretion remedy proven through committed files. */
+  private def tableCompact(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_compact_")
+    try {
+      val b = base(s, d)
+      t.commit(b.filter(col("k") % 2 === 0))
+      t.appendOnce(b.filter(col("k") % 2 === 1), 0L)
+      val v = t.compact(4)
+      bucketAgg(t.read(v)).orderBy("bucket").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_table_commit"     -> tableCommit,
+    "q_table_compact"    -> tableCompact,
     "q_table_skipping"   -> tableSkipping,
     "q_table_timetravel" -> tableTimetravel,
     "q_table_merge_bucketed" -> tableMergeBucketed,
@@ -229,6 +246,10 @@ object TableOps extends QueryPack {
          |SELECT ((k % 16) + 16) % 16 AS bucket, COUNT(*) AS n,
          |       ${Det.dsumSql("v", 2)} AS total
          |FROM m GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_table_compact" ->
+      s"""SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
+         |       ${Det.dsumSql("o_totalprice", 2)} AS total
+         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_table_skipping" ->
       s"""SELECT COUNT(*) AS n, ${Det.dsumSql("o_totalprice", 2)} AS total
          |FROM orders WHERE o_orderkey BETWEEN 100 AND 5000""".stripMargin,
