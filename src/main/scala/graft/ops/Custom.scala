@@ -92,8 +92,10 @@ object Custom extends QueryPack {
     * [[graft.plans.RewriteToMaterializedView]] rule swaps its
     * Aggregate for the MV scan (plan-guarded in ExtensionsSpec), and
     * the oracle hash proves the redirected answer is the recomputed
-    * one. Idempotent per (dir, process): re-registration refreshes
-    * the materialization in place. */
+    * one. Re-registration writes a FRESH immutable `path-<uuid>` dir
+    * and queues the superseded one for grace-period reclamation in
+    * MaterializedViews — repeated runs (bench iterations) do not
+    * accumulate view-sized tmp dirs. */
   private def mvRewrite(s: SparkSession, d: String): DataFrame = {
     val path = s"${sys.props("java.io.tmpdir")}/graft_mv_" +
       d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()

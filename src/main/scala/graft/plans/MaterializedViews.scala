@@ -37,6 +37,26 @@ object MaterializedViews {
 
   private val registry = new ConcurrentHashMap[String, Entry]()
 
+  /** Materialization dirs superseded by a refresh/deregister, with the
+    * time they were superseded. A registered path's files are immutable
+    * (see [[register]]), so a superseded dir's only live readers are
+    * queries planned BEFORE the refresh published; deleting after a
+    * grace period (or eagerly in [[clear]], which test teardowns call
+    * when no query is in flight) bounds the tmp-dir leak that in-place
+    * refresh used to avoid at the cost of the FILE_NOT_EXIST race. */
+  private val superseded = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+  private val SupersededGraceMs = 60000L
+
+  private def reapSuperseded(all: Boolean): Unit = {
+    val cutoff = System.currentTimeMillis() - SupersededGraceMs
+    var next = superseded.peek()
+    while (next != null && (all || next._2 < cutoff)) {
+      if (superseded.remove(next))
+        graft.tables.SnapshotTable.deleteRecursively(java.nio.file.Paths.get(next._1))
+      next = superseded.peek()
+    }
+  }
+
   /** Rule-side reentrancy/registration guard: while a plan is being
     * fingerprinted for registration, the rewrite must not fire (it
     * would fingerprint the already-rewritten plan). */
@@ -54,11 +74,20 @@ object MaterializedViews {
   private[plans] def lookup(fingerprint: String): Option[String] =
     Option(registry.get(fingerprint)).map(_.path)
 
+  /** UNTRUNCATED render of a canonicalized plan. `toString` (the old
+    * fingerprint) elides expression lists past
+    * spark.sql.debug.maxToStringFields (default 25), so two distinct
+    * wide aggregates could share a fingerprint and a query would be
+    * silently answered from the WRONG materialization; rendering with
+    * maxFields = Int.MaxValue keeps every expression in the key. */
+  private[plans] def render(plan: LogicalPlan): String =
+    plan.treeString(false, false, Int.MaxValue, false, false)
+
   /** Fingerprint of a DataFrame's OPTIMIZED plan — registration and
     * rewrite must canonicalize at the same optimizer phase, or
     * column-pruning/pushdown differences break the match. */
   private def fingerprint(df: DataFrame): String =
-    withRewriteDisabled { df.queryExecution.optimizedPlan.canonicalized.toString }
+    withRewriteDisabled { render(df.queryExecution.optimizedPlan.canonicalized) }
 
   /** Materialize `df` under `basePath` and register its plan
     * fingerprint for rewriting. Returns the fingerprint (exposed for
@@ -74,8 +103,8 @@ object MaterializedViews {
     * overwrite window found an empty directory
     * (UNABLE_TO_INFER_SCHEMA). With immutable directories a
     * registered path's files never change; superseded
-    * materializations are left for the tmp-dir lifecycle (a refresh
-    * is rare and view-sized). */
+    * materializations are queued and reclaimed after a grace period
+    * (next register/clear — see [[reapSuperseded]]). */
   def register(df: DataFrame, basePath: String): String = {
     val fp = fingerprint(df)
     val path = s"$basePath-${java.util.UUID.randomUUID()}"
@@ -85,13 +114,25 @@ object MaterializedViews {
     // materialization — copying stale bytes forward forever instead
     // of recomputing from base data
     withRewriteDisabled { df.write.parquet(path) }
-    registry.put(fp, Entry(path))
+    Option(registry.put(fp, Entry(path)))
+      .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
+    reapSuperseded(all = false)
     fp
   }
 
-  def deregister(fingerprint: String): Unit = registry.remove(fingerprint)
+  def deregister(fingerprint: String): Unit =
+    Option(registry.remove(fingerprint))
+      .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
 
-  def clear(): Unit = registry.clear()
+  /** Drop every entry and eagerly reclaim all superseded dirs (the
+    * caller asserts no registered-view query is in flight — true for
+    * test teardowns and shutdown hooks, the only callers). Dirs still
+    * REGISTERED at clear() time are left on disk: a concurrently
+    * planned query may reference them, and they are tmp-dir scoped. */
+  def clear(): Unit = {
+    registry.clear()
+    reapSuperseded(all = true)
+  }
 }
 
 /** The optimizer rule: any Aggregate subtree whose canonicalized form
@@ -106,9 +147,16 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!MaterializedViews.active) plan
     else plan.transformDown {
       case agg: Aggregate if agg.resolved =>
-        MaterializedViews.lookup(agg.canonicalized.toString) match {
+        MaterializedViews.lookup(MaterializedViews.render(agg.canonicalized)) match {
           case Some(path) =>
             val mv = spark.read.parquet(path).queryExecution.analyzed
+            // zip would silently TRUNCATE on arity mismatch, dropping
+            // output columns from a rewritten plan — a mismatch means
+            // the fingerprint matched a materialization of a different
+            // shape, which must fail loudly, not corrupt results
+            require(agg.output.length == mv.output.length,
+              s"materialized view at $path has ${mv.output.length} columns; " +
+                s"matched aggregate produces ${agg.output.length}")
             Project(
               agg.output.zip(mv.output).map { case (orig, fromMv) =>
                 Alias(Cast(fromMv, orig.dataType), orig.name)(exprId = orig.exprId)

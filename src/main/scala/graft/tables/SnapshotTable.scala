@@ -207,6 +207,20 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
   private def bucketOf(keyCol: String, n: Int) =
     pmod(col(keyCol), lit(n.toLong))
 
+  /** Bucketing (pmod) and clustered stats (Long min/max) both need an
+    * INTEGRAL key: pmod on a non-numeric key yields null buckets (rows
+    * silently land in __HIVE_DEFAULT_PARTITION__ and later merges
+    * crash on bucketOfPath), and Long-cast stats on fractional keys
+    * truncate toward zero (pruning would silently drop in-range rows).
+    * Reject rather than corrupt. */
+  private def requireIntegralKey(schema: StructType, keyCol: String, op: String): Unit =
+    schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$op requires an integral key column; $keyCol is $other")
+    }
+
   /** Initial BUCKETED snapshot: rows are hash-partitioned on
     * pmod(key, n) into one directory per bucket (`__bdir=<i>/`), and
     * the manifest records the bucket spec. The point is [[mergeBucketed]]:
@@ -216,6 +230,7 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     * O(changed data), not O(table), which at 100 TB is the difference
     * between a MERGE and a table rewrite. */
   def commitBucketed(df: DataFrame, keyCol: String, nBuckets: Int): Long = {
+    requireIntegralKey(df.schema, keyCol, "commitBucketed")
     val version = currentVersion + 1
     val (snap, files) = writeBucketedData(df, version, keyCol, nBuckets)
     val meta = s"#buckets=$nBuckets key=$keyCol"
@@ -261,6 +276,7 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     * itself is the same one-full-outer-join shape as [[merge]], but
     * over only the touched buckets' rows. */
   def mergeBucketed(source: DataFrame, keyCol: String): Long = {
+    requireIntegralKey(source.schema, keyCol, "mergeBucketed")
     val baseVersion = currentVersion
     val lines = manifestLines(baseVersion)
     val (n, key) = manifestBuckets(lines).getOrElse(
@@ -433,16 +449,7 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     * which is exactly the layout trade: bucketing buys co-located
     * merges, clustering buys range pruning. */
   def commitClustered(df: DataFrame, keyCol: String, nFiles: Int): Long = {
-    // stats are stored as Longs: an INTEGRAL key keeps them exact,
-    // while cast("long") on a fractional key would truncate toward
-    // zero (negative mins round UP, positive maxes DOWN) and make the
-    // pruning silently drop in-range rows — reject rather than corrupt
-    df.schema(keyCol).dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"commitClustered requires an integral key column; $keyCol is $other")
-    }
+    requireIntegralKey(df.schema, keyCol, "commitClustered")
     val version = currentVersion + 1
     val snap = dataDir.resolve(s"v$version-${UUID.randomUUID()}")
     df.repartitionByRange(nFiles, col(keyCol))
@@ -452,7 +459,11 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
       .groupBy(input_file_name().as("f"))
       .agg(min(col(keyCol)).cast("long").as("lo"), max(col(keyCol)).cast("long").as("hi"))
       .collect() // nFiles rows — bounded driver metadata
-    val byName = statRows.map { r =>
+    // a file whose key values are ALL null (nulls sort first under
+    // repartitionByRange, so they pool in the first file) has null
+    // min/max — record no stats for it; prunedFiles conservatively
+    // keeps stat-less files, so null-key rows are never lost
+    val byName = statRows.filterNot(r => r.isNullAt(1) || r.isNullAt(2)).map { r =>
       val name = r.getString(0).split('/').last
       name -> (r.getLong(1), r.getLong(2))
     }.toMap
@@ -518,8 +529,24 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
   /** Delete data dirs no committed manifest references and stray tmp
     * manifests — the garbage a crash can leave. Never touches
     * committed state, so it is safe to run concurrently with readers
-    * of any committed version. */
-  def vacuum(): Unit = {
+    * of any committed version.
+    *
+    * CONCURRENT WRITERS: an in-flight commit's snapshot dir is
+    * unreferenced until publish, so a naive vacuum racing a writer
+    * between writeData and publish would delete the dir — and publish
+    * would still succeed, committing a manifest whose files are gone
+    * (unreadable committed state). The guard is Delta-style age
+    * retention: only artifacts older than `retainMillis` (by mtime;
+    * default 15 min, far above any commit's writeData→publish window)
+    * are reclaimed, so a live writer's fresh dir always survives.
+    * Pass `retainMillis = 0` ONLY when the caller guarantees no
+    * concurrent writer (e.g. single-writer maintenance windows,
+    * tests) — proven by SnapshotTableSpec's vacuum-vs-writer race. */
+  def vacuum(retainMillis: Long = SnapshotTable.DefaultVacuumRetainMs): Unit = {
+    val cutoff = System.currentTimeMillis() - retainMillis
+    def oldEnough(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis < cutoff
+      catch { case _: java.io.IOException => false } // vanished/racing: skip
     // a data file's referenced unit is its SNAPSHOT dir — the ancestor
     // directly under data/ (bucketed files sit one `__bdir=` level
     // deeper than flat ones)
@@ -534,13 +561,16 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     }.toSet
     val sData = Files.list(dataDir)
     val orphans =
-      try sData.iterator().asScala.filterNot(p => referenced.contains(p.toString)).toVector
+      try sData.iterator().asScala
+        .filterNot(p => referenced.contains(p.toString))
+        .filter(oldEnough).toVector
       finally sData.close()
     orphans.foreach(deleteRecursively)
     val sMan = Files.list(manifestsDir)
     val tmps =
       try sMan.iterator().asScala
-        .filter(_.getFileName.toString.startsWith(".tmp-")).toVector
+        .filter(_.getFileName.toString.startsWith(".tmp-"))
+        .filter(oldEnough).toVector
       finally sMan.close()
     tmps.foreach(p => Files.deleteIfExists(p))
   }
@@ -550,6 +580,11 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
 }
 
 object SnapshotTable {
+  /** Default vacuum retention: any unreferenced artifact younger than
+    * this survives, so a concurrent commit's writeData→publish window
+    * is covered with orders-of-magnitude margin. */
+  val DefaultVacuumRetainMs: Long = 15 * 60 * 1000L
+
   def apply(spark: SparkSession, root: String): SnapshotTable =
     new SnapshotTable(spark, root)
 
@@ -562,7 +597,7 @@ object SnapshotTable {
   /** Recursive delete for callers done with a temp table. */
   def drop(t: SnapshotTable): Unit = deleteRecursively(Paths.get(t.root))
 
-  private[tables] def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val s = Files.list(p)
       try s.iterator().asScala.toVector.foreach(deleteRecursively)

@@ -128,6 +128,36 @@ class ExtensionsSpec extends SparkSpec {
     } finally MaterializedViews.deregister(fp)
   }
 
+  test("wide aggregates differing past the 25-field toString cutoff fingerprint distinctly") {
+    // regression: the old fingerprint was canonicalized.toString, which
+    // truncates expression lists at spark.sql.debug.maxToStringFields
+    // (default 25) — two wide aggregates identical in their first 25
+    // expressions but different beyond collided, and the second was
+    // silently answered from the FIRST's materialization
+    val mvPath = java.nio.file.Files.createTempDirectory("graft_mv_wide_").toString + "/mv"
+    def wide(lastAgg: org.apache.spark.sql.Column) =
+      graft.Tables.orders(spark, sf)
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("c0"),
+          (1 to 28).map(i => sum(col("o_orderkey") + lit(i)).as(s"c$i")) :+
+            lastAgg.as("c29"): _*)
+    val fp = MaterializedViews.register(wide(sum(col("o_orderkey") * 2)), mvPath)
+    try {
+      // identical prefix, different 30th aggregate: must NOT hit the MV
+      val other = wide(sum(col("o_orderkey") * 3))
+      val phys = other.queryExecution.executedPlan.toString
+      assert(!phys.contains("graft_mv_wide_"),
+        s"distinct wide aggregate answered from the wrong MV:\n$phys")
+      // the registered shape itself still rewrites, and its MV-served
+      // rows equal the direct recompute after deregistration
+      val same = wide(sum(col("o_orderkey") * 2))
+      assert(same.queryExecution.executedPlan.toString.contains("graft_mv_wide_"))
+      val served = same.orderBy("pri").collect().toSeq
+      MaterializedViews.deregister(fp)
+      assert(wide(sum(col("o_orderkey") * 2)).orderBy("pri").collect().toSeq == served)
+    } finally MaterializedViews.deregister(fp)
+  }
+
   test("FuseHofCosine does not fire on double arrays (kernel is float-only)") {
     // Same HOF shape over ARRAY<DOUBLE>: the fused kernel reads via
     // getFloat, so the rule must leave the HOF tree alone — and the

@@ -95,7 +95,7 @@ class SnapshotTableSpec extends SparkSpec {
       assert(t.read().as[(Long, Double)].collect().toSeq == Seq((2L, 2.0)))
       // loser's full commit() path also self-cleans its data dir
       assert(Files.exists(snapB)) // spec drove the steps manually, so vacuum owns it
-      t.vacuum()
+      t.vacuum(retainMillis = 0L) // no concurrent writer here — immediate reclaim
       assert(!Files.exists(snapB))
       assert(t.read().as[(Long, Double)].collect().toSeq == Seq((2L, 2.0)))
     } finally SnapshotTable.drop(t)
@@ -376,12 +376,78 @@ class SnapshotTableSpec extends SparkSpec {
       t.commit(kv(2L -> 2.0))
       val (orphan, _, _) = t.writeData(kv(9L -> 9.0), 3L)
       Files.write(Paths.get(t.root, "_manifests", ".tmp-stray"), Array[Byte](1, 2))
+      // default retention: fresh artifacts are NOT reclaimed (they
+      // could be a live writer's in-flight commit)
       t.vacuum()
+      assert(Files.exists(orphan))
+      assert(Files.exists(Paths.get(t.root, "_manifests", ".tmp-stray")))
+      // explicit no-concurrent-writer vacuum reclaims immediately
+      t.vacuum(retainMillis = 0L)
       assert(!Files.exists(orphan))
       assert(!Files.exists(Paths.get(t.root, "_manifests", ".tmp-stray")))
       // both committed versions still fully readable after vacuum
       assert(t.read(1).as[(Long, Double)].collect().toSeq == Seq((1L, 1.0)))
       assert(t.read(2).as[(Long, Double)].collect().toSeq == Seq((2L, 2.0)))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("bucketed commit/merge reject non-integral keys; clustered stats survive all-null key files") {
+    import org.apache.spark.sql.functions._
+    val t = freshTable("guards")
+    try {
+      val byName = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+      // pmod on a string key would yield null buckets and a broken
+      // layout that only explodes at merge time — reject up front
+      intercept[IllegalArgumentException] { t.commitBucketed(byName, "k", 4) }
+      intercept[IllegalArgumentException] { t.commitClustered(byName, "k", 4) }
+      t.commitBucketed(kv(1L -> 1.0, 2L -> 2.0), "k", 4)
+      intercept[IllegalArgumentException] {
+        t.mergeBucketed(Seq(("c", 3.0)).toDF("k", "v"), "k")
+      }
+      // all-null-key file: nulls pool into the first range partition;
+      // its null min/max must be SKIPPED (not NPE), kept conservatively
+      val t2 = freshTable("nullstats")
+      try {
+        val withNulls = Seq[(java.lang.Long, Double)]((null, 0.5), (null, 0.7),
+          (1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("k", "v")
+        val v = t2.commitClustered(withNulls, "k", 3)
+        // stat-less (null-key) file is conservatively kept by any range
+        assert(t2.readWhere(v, "k", 1L, 2L).orderBy("k").as[(Long, Double)]
+          .collect().toSeq == Seq((1L, 1.0), (2L, 2.0)))
+        assert(t2.read(v).count() == 6)
+      } finally SnapshotTable.drop(t2)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("vacuum racing a writer between writeData and publish never breaks the commit") {
+    val t = freshTable("vacuum_race")
+    try {
+      t.commit(kv(1L -> 1.0))
+      // writer thread: prepares v2 fully, then waits on a latch INSIDE
+      // the writeData→publish window while vacuum runs
+      val prepared = new java.util.concurrent.CountDownLatch(1)
+      val vacuumed = new java.util.concurrent.CountDownLatch(1)
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val writer = new Thread(() => {
+        try {
+          val (_, files, schema) = t.writeData(kv(2L -> 2.0), 2L)
+          val tmp = t.writeTmpManifest(2L, schema, files)
+          prepared.countDown()
+          vacuumed.await()
+          t.publish(2L, tmp)
+        } catch { case e: Throwable => failure.set(e); prepared.countDown() }
+      })
+      writer.start()
+      prepared.await()
+      // default-retention vacuum mid-window: must NOT reclaim the
+      // writer's fresh (unreferenced) snapshot dir or tmp manifest
+      t.vacuum()
+      vacuumed.countDown()
+      writer.join()
+      assert(failure.get() == null, s"writer failed: ${failure.get()}")
+      assert(t.currentVersion == 2)
+      // the committed version's files all exist and read back intact
+      assert(t.read(2L).as[(Long, Double)].collect().toSeq == Seq((2L, 2.0)))
     } finally SnapshotTable.drop(t)
   }
 }
