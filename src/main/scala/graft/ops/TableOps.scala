@@ -207,7 +207,36 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** The table-as-stream proof through the gate: v1 commits the even
+    * keys, a second commit appends the odds; a REAL Structured
+    * Streaming query (`readStream.format("graft-table")`, offset =
+    * committed version, Trigger.AvailableNow) drains the commit log
+    * into a complete-mode aggregate. The hash match against the
+    * oracle's full-table aggregate proves the source delivered every
+    * committed row exactly once — no file lost between offsets, none
+    * double-planned. */
+  private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def tableStream(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_stream_")
+    val sink = s"graft_table_stream_sink_${streamRuns.incrementAndGet()}"
+    try {
+      val b = base(s, d)
+      t.commit(b.filter(col("k") % 2 === 0))
+      t.appendOnce(b.filter(col("k") % 2 === 1), 0L)
+      val q = s.readStream.format("graft-table").option("path", t.root).load()
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink).orderBy("bucket").localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    } finally SnapshotTable.drop(t)
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_table_stream"     -> tableStream,
     "q_table_commit"     -> tableCommit,
     "q_table_compact"    -> tableCompact,
     "q_table_skipping"   -> tableSkipping,
@@ -229,6 +258,10 @@ object TableOps extends QueryPack {
       |  FROM orders WHERE o_orderkey % 103 = 0)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "q_table_stream" ->
+      s"""SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
+         |       ${Det.dsumSql("o_totalprice", 2)} AS total
+         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_table_commit" ->
       s"""WITH $newsnapCte
          |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total

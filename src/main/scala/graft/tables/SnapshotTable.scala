@@ -75,18 +75,8 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
   Files.createDirectories(manifestsDir)
   Files.createDirectories(dataDir)
 
-  private val ManifestName = """v(\d+)\.manifest""".r
-
-  private def listCommitted(): Seq[Long] = {
-    val s = Files.list(manifestsDir)
-    try s.iterator().asScala.flatMap { p =>
-      p.getFileName.toString match {
-        case ManifestName(v) => Some(v.toLong)
-        case _ => None
-      }
-    }.toSeq
-    finally s.close()
-  }
+  private def listCommitted(): Seq[Long] =
+    SnapshotTable.listCommittedAt(manifestsDir)
 
   /** Highest committed version, or 0 if the table is empty. */
   def currentVersion: Long = listCommitted().foldLeft(0L)(math.max)
@@ -96,14 +86,11 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
 
   /** Manifest body lines starting with '#' are metadata (currently
     * the bucket spec), everything else a relative data-file path. */
-  private def manifestLines(version: Long): Vector[String] = {
-    val mp = manifestPath(version)
-    require(Files.exists(mp), s"version $version is not committed at $root")
-    Files.readAllLines(mp).asScala.toVector
-  }
+  private def manifestLines(version: Long): Vector[String] =
+    SnapshotTable.manifestLinesAt(rootPath, version)
 
   private def manifestFiles(lines: Vector[String]): Vector[String] =
-    lines.drop(2).filterNot(_.startsWith("#"))
+    SnapshotTable.manifestFilesOf(lines)
 
   private val BucketMeta = """#buckets=(\d+) key=(.+)""".r
 
@@ -587,6 +574,40 @@ object SnapshotTable {
 
   def apply(spark: SparkSession, root: String): SnapshotTable =
     new SnapshotTable(spark, root)
+
+  // -- static manifest readers, shared by the instance API and the
+  // -- DSv2 streaming source (which has no SparkSession at
+  // -- schema-inference time and only a root path on the driver) --
+
+  private val ManifestName = """v(\d+)\.manifest""".r
+
+  private[tables] def listCommittedAt(manifestsDir: Path): Seq[Long] = {
+    if (!Files.isDirectory(manifestsDir)) return Seq.empty
+    val s = Files.list(manifestsDir)
+    try s.iterator().asScala.flatMap { p =>
+      p.getFileName.toString match {
+        case ManifestName(v) => Some(v.toLong)
+        case _ => None
+      }
+    }.toSeq
+    finally s.close()
+  }
+
+  private[tables] def currentVersionAt(root: Path): Long =
+    listCommittedAt(root.resolve("_manifests")).foldLeft(0L)(math.max)
+
+  private[tables] def manifestLinesAt(root: Path, version: Long): Vector[String] = {
+    val mp = root.resolve("_manifests").resolve(s"v$version.manifest")
+    require(Files.exists(mp), s"version $version is not committed at $root")
+    Files.readAllLines(mp).asScala.toVector
+  }
+
+  private[tables] def manifestFilesOf(lines: Vector[String]): Vector[String] =
+    lines.drop(2).filterNot(_.startsWith("#"))
+
+  private[tables] def schemaAt(root: Path, version: Long): StructType =
+    org.apache.spark.sql.types.DataType.fromJson(manifestLinesAt(root, version)(1))
+      .asInstanceOf[StructType]
 
   /** Fresh table under java.io.tmpdir; caller owns cleanup. */
   def temp(spark: SparkSession, prefix: String): SnapshotTable = {
