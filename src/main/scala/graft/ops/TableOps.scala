@@ -153,6 +153,34 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** ROW-level change feed through a REWRITING writer: after the
+    * bucketed MERGE, [[graft.tables.SnapshotTable.rowChangesBetween]]
+    * must deliver exactly the merge's row changes — updates as
+    * pre/post-image pairs, mirrored keys as inserts, and NOTHING for
+    * the rewritten buckets' carried-along rows (the file-granular
+    * feed would surface those; the recorded changelog must not). The
+    * feed reads O(changelog) — the changelog was classified inside
+    * the merge's own join and committed alongside it
+    * (SnapshotTableSpec asserts the read touches only `-cdc-` files). */
+  private def tableChangesMerge(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_changes_merge_")
+    try {
+      val b = base(s, d)
+      t.commitBucketed(b, "k", 16)
+      // same change set as q_table_diff (k=0 excluded: -0 = 0 would
+      // collide with its own update)
+      val changes = b.filter(col("k") % 7 === 0)
+        .select(col("k"), (col("v") + 1234.56).as("v"))
+        .unionAll(b.filter(col("k") % 13 === 0 && col("k") =!= 0)
+          .select(negate(col("k")).as("k"), col("v")))
+      t.mergeBucketed(changes, "k")
+      t.rowChangesBetween(1L, 2L)
+        .groupBy(col(graft.tables.SnapshotTable.ChangeTypeCol).as("change"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+        .orderBy("change").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   /** Incremental view maintenance ACROSS commits: the per-priority
     * aggregate of v2 is maintained as agg(v1) ⊕ agg(change feed) —
     * partial sums stay DECIMAL until the final merge so the
@@ -243,6 +271,7 @@ object TableOps extends QueryPack {
     "q_table_timetravel" -> tableTimetravel,
     "q_table_merge_bucketed" -> tableMergeBucketed,
     "q_table_changes"    -> tableChanges,
+    "q_table_changes_merge" -> tableChangesMerge,
     "q_table_diff"       -> tableDiff,
     "q_table_ivm"        -> tableIvm,
   )
@@ -291,6 +320,18 @@ object TableOps extends QueryPack {
          |       ${Det.dsumSql("o_totalprice", 2)} AS total
          |FROM orders WHERE o_orderkey % 2 = 1
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_table_changes_merge" ->
+      s"""WITH t AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders)
+         |SELECT * FROM (
+         |  SELECT 'insert' AS change, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total
+         |  FROM t WHERE k % 13 = 0 AND k <> 0
+         |  UNION ALL
+         |  SELECT 'update_postimage', COUNT(*), ${Det.dsumSql("v + 1234.56", 2)}
+         |  FROM t WHERE k % 7 = 0
+         |  UNION ALL
+         |  SELECT 'update_preimage', COUNT(*), ${Det.dsumSql("v", 2)}
+         |  FROM t WHERE k % 7 = 0)
+         |ORDER BY change""".stripMargin,
     "q_table_diff" ->
       s"""WITH t AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders)
          |SELECT * FROM (

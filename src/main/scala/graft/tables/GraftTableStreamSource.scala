@@ -41,7 +41,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `path` (required): table root;
   *  - `startingVersion` (default 0): first delivered batch covers
   *    (startingVersion, latest]; pass `latest` to consume only
-  *    commits after stream start.
+  *    commits after stream start;
+  *  - `readChangeFeed` (default false): stream the ROW-LEVEL change
+  *    feed ([[SnapshotTable.rowChangesBetween]] semantics) instead of
+  *    added files — rows carry `_change_type`
+  *    (insert/update_preimage/update_postimage/delete), merge commits
+  *    deliver their recorded changelog, appends derive inserts, and a
+  *    non-tracking commit fails the query loudly.
   *
   * The per-file reader decodes parquet via the public
   * parquet-hadoop Group API (primitive columns: boolean, int32
@@ -71,7 +77,9 @@ class GraftTableSource extends TableProvider with DataSourceRegister {
       require(GraftTableReaderFactory.supported(f.dataType),
         s"graft-table streaming reader does not support column ${f.name}: ${f.dataType}")
     }
-    schema
+    if (options.getBoolean("readChangeFeed", false))
+      schema.add(SnapshotTable.ChangeTypeCol, StringType, nullable = false)
+    else schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -92,7 +100,8 @@ class GraftTableStreamTable(tableSchema: StructType, options: Map[String, String
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftTableMicroBatchStream(opts("path"),
-            opts.getOrElse("startingVersion", "0"), tableSchema)
+            opts.getOrElse("startingVersion", "0"), tableSchema,
+            changeFeed = opts.get("readChangeFeed").exists(_.toBoolean))
       }
     }
   }
@@ -104,7 +113,8 @@ case class GraftTableOffset(version: Long) extends Offset {
 }
 
 class GraftTableMicroBatchStream(root: String, startingVersion: String,
-    schema: StructType) extends MicroBatchStream with SupportsTriggerAvailableNow {
+    schema: StructType, changeFeed: Boolean = false)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val rootPath = Paths.get(root)
 
   /** Trigger.AvailableNow: the version pinned at query start — the
@@ -140,18 +150,39 @@ class GraftTableMicroBatchStream(root: String, startingVersion: String,
   /** Files in `end`'s manifest but not `start`'s — the same
     * metadata-only diff as [[SnapshotTable.addedFiles]], spanning all
     * versions in (start, end] in one step (append chains carry files
-    * forward, so the end manifest covers the intermediate commits). */
+    * forward, so the end manifest covers the intermediate commits).
+    * In `readChangeFeed` mode the walk is PER VERSION instead: each
+    * commit contributes its recorded `#cdc=` changelog files (the
+    * `_change_type` column is IN those files), or its added files
+    * tagged `insert` for appends — [[SnapshotTable.rowChangesBetween]]
+    * as a streaming plan. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftTableOffset].version
     val e = end.asInstanceOf[GraftTableOffset].version
     if (e <= s) return Array.empty
-    val before =
-      if (s == 0L) Set.empty[String]
-      else SnapshotTable.manifestFilesOf(SnapshotTable.manifestLinesAt(rootPath, s)).toSet
-    SnapshotTable.manifestFilesOf(SnapshotTable.manifestLinesAt(rootPath, e))
-      .filterNot(before)
-      .map(rel => GraftTableFilePartition(rootPath.resolve(rel).toString): InputPartition)
-      .toArray
+    def filesAt(v: Long): Vector[String] =
+      if (v == 0L) Vector.empty
+      else SnapshotTable.manifestFilesOf(SnapshotTable.manifestLinesAt(rootPath, v))
+    if (!changeFeed) {
+      val before = filesAt(s).toSet
+      filesAt(e).filterNot(before)
+        .map(rel => GraftTableFilePartition(
+          rootPath.resolve(rel).toString): InputPartition)
+        .toArray
+    } else ((s + 1) to e).iterator.flatMap { v =>
+      val lines = SnapshotTable.manifestLinesAt(rootPath, v)
+      if (SnapshotTable.cdcTrackedOf(lines))
+        SnapshotTable.manifestCdcFilesOf(lines).map(rel =>
+          GraftTableFilePartition(rootPath.resolve(rel).toString))
+      else if (SnapshotTable.isAppendCommitOf(lines)) {
+        val before = filesAt(v - 1).toSet
+        SnapshotTable.manifestFilesOf(lines).filterNot(before).map(rel =>
+          GraftTableFilePartition(rootPath.resolve(rel).toString,
+            literalChangeType = Some("insert")))
+      } else throw new IllegalStateException(
+        s"graft-table change feed: version $v at $root does not track " +
+          "row-level changes (written by plain commit)")
+    }.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -163,7 +194,11 @@ class GraftTableMicroBatchStream(root: String, startingVersion: String,
   override def stop(): Unit = ()
 }
 
-case class GraftTableFilePartition(absPath: String) extends InputPartition
+/** One data (or changelog) file; `literalChangeType` is set for
+  * append-derived change-feed partitions, whose files carry no
+  * `_change_type` column — the reader appends the constant. */
+case class GraftTableFilePartition(absPath: String,
+    literalChangeType: Option[String] = None) extends InputPartition
 
 object GraftTableReaderFactory {
   /** Primitive types the Group-API decoder handles. */
@@ -190,8 +225,14 @@ object GraftTableReaderFactory {
   * file-level field order never matters. */
 class GraftTableReaderFactory(schemaJson: String) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val path = p.asInstanceOf[GraftTableFilePartition].absPath
+    val fullSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val part = p.asInstanceOf[GraftTableFilePartition]
+    val path = part.absPath
+    // append-derived change-feed files carry no _change_type column:
+    // decode the table fields from the file, append the constant
+    val literal = part.literalChangeType.map(UTF8String.fromString)
+    val schema =
+      if (literal.isDefined) StructType(fullSchema.fields.init) else fullSchema
     new PartitionReader[InternalRow] {
       private val reader: ParquetReader[Group] =
         ParquetReader.builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(path))
@@ -200,7 +241,7 @@ class GraftTableReaderFactory(schemaJson: String) extends PartitionReaderFactory
 
       private def convert(g: Group): InternalRow = {
         val gType = g.getType
-        InternalRow.fromSeq(schema.fields.toSeq.map { f =>
+        InternalRow.fromSeq(schema.fields.toSeq.map[Any] { f =>
           val idx = gType.getFieldIndex(f.name)
           if (g.getFieldRepetitionCount(idx) == 0) null
           else {
@@ -234,7 +275,7 @@ class GraftTableReaderFactory(schemaJson: String) extends PartitionReaderFactory
                 s"graft-table reader: column ${f.name} $dt from parquet $pt")
             }
           }
-        })
+        } ++ literal.toSeq)
       }
 
       override def next(): Boolean = {

@@ -170,23 +170,61 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     * unmatched source rows append (insert), unmatched target rows
     * carry over. ONE full outer join on the key — identical to what a
     * Delta/Iceberg MERGE shuffles. */
-  private def scd1(target: DataFrame, source: DataFrame, keyCol: String): DataFrame = {
+  private def scd1(target: DataFrame, source: DataFrame, keyCol: String): DataFrame =
+    scd1WithCdc(target, source, keyCol)._1
+
+  /** SCD1 merge AND its row-level change classification from the SAME
+    * full-outer join: (merged relation, CDC rows). CDC rows carry the
+    * table's columns plus [[SnapshotTable.ChangeTypeCol]] — Delta-CDF
+    * style `insert` / `update_preimage` / `update_postimage` rows
+    * (value-identical matches record NOTHING: the feed is row-exact,
+    * same contract as [[diff]]). Callers that consume both outputs
+    * should persist the merged/CDC inputs' common ancestor themselves
+    * if re-execution matters; the join is lazily shared here. */
+  private def scd1WithCdc(target: DataFrame, source: DataFrame,
+      keyCol: String): (DataFrame, DataFrame) = {
     require(target.columns.sorted.sameElements(source.columns.sorted),
       s"merge source columns ${source.columns.mkString(",")} != target ${target.columns.mkString(",")}")
     val dataCols = target.columns.filterNot(_ == keyCol).toSeq
     val t = target.withColumn("__t", lit(true)).alias("t")
     val sAl = source.withColumn("__s", lit(true)).alias("s")
-    t.join(sAl, col(s"t.$keyCol") === col(s"s.$keyCol"), "full_outer")
-      .select(
-        coalesce(col(s"s.$keyCol"), col(s"t.$keyCol")).as(keyCol) +:
-        dataCols.map(c =>
-          when(col("s.__s").isNotNull, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+    val joined = t.join(sAl, col(s"t.$keyCol") === col(s"s.$keyCol"), "full_outer")
+    val merged = joined.select(
+      coalesce(col(s"s.$keyCol"), col(s"t.$keyCol")).as(keyCol) +:
+      dataCols.map(c =>
+        when(col("s.__s").isNotNull, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+    val changed = dataCols
+      .map(c => !(col(s"t.$c") <=> col(s"s.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    def side(which: String) =
+      col(s"$which.$keyCol").as(keyCol) +: dataCols.map(c => col(s"$which.$c").as(c))
+    val inserts = joined.filter(col("t.__t").isNull)
+      .select(side("s") :+ lit("insert").as(SnapshotTable.ChangeTypeCol): _*)
+    val matchedChanged = joined
+      .filter(col("t.__t").isNotNull && col("s.__s").isNotNull && changed)
+    val updPre = matchedChanged
+      .select(side("t") :+ lit("update_preimage").as(SnapshotTable.ChangeTypeCol): _*)
+    val updPost = matchedChanged
+      .select(side("s") :+ lit("update_postimage").as(SnapshotTable.ChangeTypeCol): _*)
+    (merged, inserts.unionAll(updPre).unionAll(updPost))
   }
 
   /** SCD1 MERGE committed as v+1 (full-snapshot rewrite — see
-    * [[mergeBucketed]] for the O(changed) path). */
-  def merge(source: DataFrame, keyCol: String): Long =
-    commit(scd1(read(), source, keyCol))
+    * [[mergeBucketed]] for the O(changed) path). Records the
+    * row-level change feed ([[rowChangesBetween]]). */
+  def merge(source: DataFrame, keyCol: String): Long = {
+    val (merged, cdc) = scd1WithCdc(read(), source, keyCol)
+    val version = currentVersion + 1
+    val (snap, files, schema) = writeData(merged, version)
+    val (cdcSnap, cdcLines) = writeCdcData(cdc, version)
+    val tmp = writeTmpManifest(version, schema,
+      (SnapshotTable.CdcTracked +: cdcLines) ++ files)
+    try publish(version, tmp)
+    catch { case e: CommitConflictException =>
+      deleteRecursively(snap); deleteRecursively(cdcSnap); throw e
+    }
+    version
+  }
 
   /** Deterministic bucket of a key: pmod(key, n) — engine-portable
     * (DuckDB: ((k % n) + n) % n), so oracle SQL can reproduce the
@@ -248,6 +286,23 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     } finally s.close()
   }
 
+  /** Step 1b (CDC-tracking writers): the row-level changelog write.
+    * Lives in its own `v<N>-cdc-` dir under data/, referenced from the
+    * manifest via `#cdc=` lines, so vacuum keeps it alive exactly as
+    * long as the manifest. */
+  private[tables] def writeCdcData(cdc: DataFrame, version: Long): (Path, Seq[String]) = {
+    val dir = dataDir.resolve(s"v$version-cdc-${UUID.randomUUID()}")
+    cdc.write.parquet(dir.toString)
+    (dir, listParquetRec(dir).map(p =>
+      s"#cdc=${rootPath.relativize(p)}").sorted)
+  }
+
+  private def manifestCdcFiles(lines: Vector[String]): Vector[String] =
+    SnapshotTable.manifestCdcFilesOf(lines)
+
+  private def cdcTracked(lines: Vector[String]): Boolean =
+    SnapshotTable.cdcTrackedOf(lines)
+
   private val BucketDir = """__bdir=(\d+)""".r
 
   private def bucketOfPath(rel: String): Int =
@@ -282,37 +337,49 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else spark.read.schema(schema)
         .parquet(touchedFiles.map(rel => rootPath.resolve(rel).toString): _*)
-    val merged = scd1(targetTouched, source, keyCol)
+    val (merged, cdc) = scd1WithCdc(targetTouched, source, keyCol)
     val version = baseVersion + 1
     val (snap, newFiles) = writeBucketedData(merged, version, keyCol, n)
+    // carried buckets are by definition unchanged, so the touched-
+    // bucket classification IS the whole table's row-level change set
+    val (cdcSnap, cdcLines) = writeCdcData(cdc, version)
     val meta = s"#buckets=$n key=$keyCol"
     val tmp = writeTmpManifest(version, schema,
-      meta +: (carried ++ newFiles).sorted)
+      (meta +: SnapshotTable.CdcTracked +: cdcLines) ++ (carried ++ newFiles).sorted)
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
-      deleteRecursively(snap); throw e
+      deleteRecursively(snap); deleteRecursively(cdcSnap); throw e
     }
     version
   }
 
   /** CDC apply: `changes` carries the target's columns plus `opCol`
     * with "u" (upsert) or "d" (delete). Deletes drop matched target
-    * keys; upserts follow MERGE semantics. Commits v+1. */
+    * keys; upserts follow MERGE semantics. Commits v+1 and records
+    * the row-level change feed (deletes carry the pre-image). */
   def applyChanges(changes: DataFrame, keyCol: String, opCol: String): Long = {
     val target = read()
     val dels = changes.filter(col(opCol) === "d").select(col(keyCol).as("__delk")).distinct()
     val ups = changes.filter(col(opCol) === "u").drop(opCol)
     val kept = target.join(dels, target(keyCol) === dels("__delk"), "left_anti")
-    val dataCols = target.columns.filterNot(_ == keyCol).toSeq
-    val t = kept.withColumn("__t", lit(true)).alias("t")
-    val sAl = ups.withColumn("__s", lit(true)).alias("s")
-    val merged = t.join(sAl,
-        col(s"t.$keyCol") === col(s"s.$keyCol"), "full_outer")
-      .select(
-        coalesce(col(s"s.$keyCol"), col(s"t.$keyCol")).as(keyCol) +:
-        dataCols.map(c =>
-          when(col("s.__s").isNotNull, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
-    commit(merged)
+    // column order must match scd1WithCdc's CDC output (unionAll is
+    // positional): key first, then data cols, then the change type
+    val delDataCols = target.columns.filterNot(_ == keyCol).toSeq
+    val deleted = target.join(dels, target(keyCol) === dels("__delk"), "left_semi")
+      .select(col(keyCol) +: delDataCols.map(col) :+
+        lit("delete").as(SnapshotTable.ChangeTypeCol): _*)
+    val (merged, upsertCdc) = scd1WithCdc(kept, ups, keyCol)
+    val cdc = deleted.unionAll(upsertCdc)
+    val version = currentVersion + 1
+    val (snap, files, schema) = writeData(merged, version)
+    val (cdcSnap, cdcLines) = writeCdcData(cdc, version)
+    val tmp = writeTmpManifest(version, schema,
+      (SnapshotTable.CdcTracked +: cdcLines) ++ files)
+    try publish(version, tmp)
+    catch { case e: CommitConflictException =>
+      deleteRecursively(snap); deleteRecursively(cdcSnap); throw e
+    }
+    version
   }
 
   private val BatchMeta = """#batchId=(-?\d+)""".r
@@ -510,8 +577,56 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     * compaction trades one bounded rewrite for every future read.
     * Old versions keep reading their original (uncompacted) files;
     * vacuum reclaims them only when their manifests are gone. */
-  def compact(targetFiles: Int = 1): Long =
-    commit(read().coalesce(targetFiles))
+  def compact(targetFiles: Int = 1): Long = {
+    val version = currentVersion + 1
+    val (snap, files, schema) = writeData(read().coalesce(targetFiles), version)
+    // content-identical rewrite: the commit TRACKS row-level changes
+    // (there are exactly zero), so a change-feed consumer skips it
+    // instead of erroring on an untracked rewrite
+    val tmp = writeTmpManifest(version, schema, SnapshotTable.CdcTracked +: files)
+    try publish(version, tmp)
+    catch { case e: CommitConflictException =>
+      deleteRecursively(snap); throw e
+    }
+    version
+  }
+
+  /** ROW-LEVEL change feed across (vA, vB]: every version's exact row
+    * changes as Delta-CDF-style rows — the table's columns plus
+    * [[SnapshotTable.ChangeTypeCol]] (`insert`, `update_preimage`,
+    * `update_postimage`, `delete`). Unlike the file-granular
+    * [[changesBetween]], this is row-exact THROUGH rewriting writers:
+    * merge/mergeBucketed/applyChanges record their change
+    * classification at commit time (computed inside the merge's own
+    * full-outer join — no extra table scan) into `#cdc=` manifest
+    * files, compaction records "tracked, zero changes", and appends
+    * derive inserts from the manifest file diff. Read cost is
+    * O(changelog + appended files) — never the table. A version
+    * written by a NON-tracking writer (plain [[commit]]) has no
+    * row-level record and raises; use [[diff]] there. */
+  def rowChangesBetween(vA: Long, vB: Long): DataFrame = {
+    require(vA < vB, s"rowChangesBetween needs vA < vB, got ($vA, $vB)")
+    val perVersion = ((vA + 1) to vB).map { v =>
+      val lines = manifestLines(v)
+      val schema = org.apache.spark.sql.types.DataType.fromJson(lines(1))
+        .asInstanceOf[StructType]
+      val cdcSchema = schema.add(SnapshotTable.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false)
+      if (cdcTracked(lines)) {
+        val files = manifestCdcFiles(lines).map(rel => rootPath.resolve(rel).toString)
+        if (files.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cdcSchema)
+        else spark.read.schema(cdcSchema).parquet(files: _*)
+      } else if (lines.drop(2).exists(l => BatchMeta.findFirstIn(l).isDefined)) {
+        // append commit: the added files ARE the inserted rows
+        changesBetween(v - 1, v)
+          .withColumn(SnapshotTable.ChangeTypeCol, lit("insert"))
+      } else throw new IllegalStateException(
+        s"version $v at $root does not track row-level changes " +
+          "(written by plain commit); use diff(vA, vB, key) instead")
+    }
+    perVersion.reduceLeft(_ unionAll _)
+  }
 
   /** Delete data dirs no committed manifest references and stray tmp
     * manifests — the garbage a crash can leave. Never touches
@@ -543,7 +658,9 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
       cur
     }
     val referenced: Set[String] = listCommitted().flatMap { v =>
-      manifestFiles(manifestLines(v))
+      val lines = manifestLines(v)
+      // data files AND row-level changelog files both pin their dirs
+      (manifestFiles(lines) ++ manifestCdcFiles(lines))
         .map(rel => snapDirOf(rootPath.resolve(rel)).toString)
     }.toSet
     val sData = Files.list(dataDir)
@@ -571,6 +688,16 @@ object SnapshotTable {
     * this survives, so a concurrent commit's writeData→publish window
     * is covered with orders-of-magnitude margin. */
   val DefaultVacuumRetainMs: Long = 15 * 60 * 1000L
+
+  /** Column carrying a CDC row's classification in
+    * [[SnapshotTable.rowChangesBetween]] output: `insert`,
+    * `update_preimage`, `update_postimage`, or `delete`. */
+  val ChangeTypeCol: String = "_change_type"
+
+  /** Manifest marker: this commit RECORDS row-level changes (its
+    * `#cdc=` lines are the complete change set — possibly zero, as
+    * for compaction's content-identical rewrite). */
+  private[tables] val CdcTracked: String = "#cdctracked"
 
   def apply(spark: SparkSession, root: String): SnapshotTable =
     new SnapshotTable(spark, root)
@@ -608,6 +735,18 @@ object SnapshotTable {
   private[tables] def schemaAt(root: Path, version: Long): StructType =
     org.apache.spark.sql.types.DataType.fromJson(manifestLinesAt(root, version)(1))
       .asInstanceOf[StructType]
+
+  private val CdcMeta = """#cdc=(.+)""".r
+  private val BatchMetaStatic = """#batchId=(-?\d+)""".r
+
+  private[tables] def manifestCdcFilesOf(lines: Vector[String]): Vector[String] =
+    lines.drop(2).collect { case CdcMeta(p) => p }
+
+  private[tables] def cdcTrackedOf(lines: Vector[String]): Boolean =
+    lines.drop(2).contains(CdcTracked)
+
+  private[tables] def isAppendCommitOf(lines: Vector[String]): Boolean =
+    lines.drop(2).exists(l => BatchMetaStatic.findFirstIn(l).isDefined)
 
   /** Fresh table under java.io.tmpdir; caller owns cleanup. */
   def temp(spark: SparkSession, prefix: String): SnapshotTable = {

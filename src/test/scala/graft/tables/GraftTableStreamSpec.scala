@@ -108,6 +108,34 @@ class GraftTableStreamSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("readChangeFeed streams the row-level feed through merges, appends, compaction") {
+    val t = tempTable("cdcfeed")
+    try {
+      val base = (0L until 100L).map(k => (k, k.toDouble)).toDF("k", "v")
+      t.commitBucketed(base, "k", 4)            // v1 (tracked? no — but start after it)
+      val startAt = t.currentVersion
+      t.mergeBucketed(Seq((3L, 30.0), (500L, 5.0)).toDF("k", "v"), "k") // v2
+      t.appendOnce(Seq((600L, 6.0)).toDF("k", "v"), 0L)                 // v3
+      t.compact(2)                                                      // v4
+      val q = spark.readStream.format("graft-table")
+        .option("path", t.root).option("readChangeFeed", "true")
+        .option("startingVersion", startAt.toString).load()
+        .writeStream.format("memory").queryName("gt_cdc").start()
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("gt_cdc").collect()
+        .map(r => (r.getString(2), r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set(
+        ("update_preimage", 3L, 3.0),
+        ("update_postimage", 3L, 30.0),
+        ("insert", 500L, 5.0),
+        ("insert", 600L, 6.0)), got.toString)
+      // the streamed feed matches the batch rowChangesBetween exactly
+      val batch = t.rowChangesBetween(startAt, t.currentVersion).collect()
+        .map(r => (r.getString(2), r.getLong(0), r.getDouble(1))).toSet
+      assert(got == batch)
+    } finally SnapshotTable.drop(t)
+  }
+
   test("decodes every supported primitive type identically to the batch reader") {
     val t = tempTable("types")
     try {

@@ -315,6 +315,58 @@ class SnapshotTableSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("rowChangesBetween is row-exact through rewriting writers, O(changelog) read") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable("rowcdc")
+    try {
+      // v1: bucketed snapshot; v2: merge touching 2 of 1000 keys
+      val base = (0L until 1000L).map(k => (k, k.toDouble)).toDF("k", "v")
+      t.commitBucketed(base, "k", 8)
+      t.mergeBucketed(Seq((3L, 30.0), (1005L, 50.0)).toDF("k", "v"), "k")
+      val feed = t.rowChangesBetween(1L, 2L)
+      val got = feed.collect().map(r =>
+        (r.getString(2), r.getLong(0), r.getDouble(1))).toSet
+      // row-exact: 2 changed keys only — NOT the rewritten buckets'
+      // ~250 carried rows (the file-granular feed would show those)
+      assert(got == Set(
+        ("update_preimage", 3L, 3.0),
+        ("update_postimage", 3L, 30.0),
+        ("insert", 1005L, 50.0)), got.toString)
+      // read cost: the feed scans ONLY the committed changelog files
+      val inputs = feed.inputFiles.toSeq
+      assert(inputs.nonEmpty && inputs.forall(_.contains("-cdc-")),
+        s"feed read non-changelog files: $inputs")
+      // value-identical merge rows record nothing
+      t.mergeBucketed(Seq((3L, 30.0)).toDF("k", "v"), "k")
+      assert(t.rowChangesBetween(2L, 3L).count() == 0)
+      // compaction: tracked, zero changes — the feed skips it
+      t.compact(2)
+      assert(t.rowChangesBetween(3L, 4L).count() == 0)
+      // deletes carry the pre-image through applyChanges
+      t.applyChanges(Seq((5L, 0.0, "d"), (6L, 60.0, "u")).toDF("k", "v", "op"), "k", "op")
+      val d = t.rowChangesBetween(4L, 5L).collect().map(r =>
+        (r.getString(2), r.getLong(0), r.getDouble(1))).toSet
+      assert(d == Set(
+        ("delete", 5L, 5.0),
+        ("update_preimage", 6L, 6.0),
+        ("update_postimage", 6L, 60.0)), d.toString)
+      // one span across merge + compact + cdc-apply: the union is exact
+      val spanned = t.rowChangesBetween(2L, 5L).count()
+      assert(spanned == 3, s"expected 3 rows across (2,5], got $spanned")
+      // vacuum must keep referenced changelog dirs alive
+      t.vacuum(retainMillis = 0L)
+      assert(t.rowChangesBetween(1L, 2L).count() == 3)
+      // plain commit() breaks row-level tracking — loud, not wrong
+      t.commit(t.read())
+      intercept[IllegalStateException] { t.rowChangesBetween(5L, 6L).count() }
+      // but appends derive inserts from the manifest diff
+      t.appendOnce(Seq((2000L, 1.0)).toDF("k", "v"), 77L)
+      val app = t.rowChangesBetween(6L, 7L).collect().map(r =>
+        (r.getString(2), r.getLong(0))).toSet
+      assert(app == Set(("insert", 2000L)))
+    } finally SnapshotTable.drop(t)
+  }
+
   test("TableTail delivers each version's feed exactly once across restarts and crashes") {
     val t = freshTable("tail")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_tail_ckpt_").toString
