@@ -263,7 +263,51 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** Incremental MV maintenance THROUGH the gate: a per-priority
+    * rollup over a SnapshotTable is registered as an incrementally
+    * maintained view (partial state = per-key count + exact DECIMAL
+    * sum), the table then gains an append commit, and
+    * [[graft.plans.MaterializedViews.refresh]] folds ONLY the change
+    * feed into the state (mode and delta-scaled read cost asserted in
+    * MaterializedViewsIncSpec). The returned result is the USER'S
+    * fresh aggregate construction — transparently answered by the
+    * refreshed materialization — and the oracle recomputes the full
+    * post-append aggregate declaratively: a hash match proves the
+    * maintained state ≡ the recompute. */
+  private def mvIncremental(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val t = SnapshotTable.temp(s, "graft_q_mv_inc_")
+    val basePath = s"${sys.props("java.io.tmpdir")}/graft_mv_inc_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val b = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"), col("o_totalprice").as("v"))
+    try {
+      t.commit(b.filter(col("k") % 3 =!= 0))
+      val fp = graft.plans.MaterializedViews.registerIncremental(t, basePath)(
+        query = df => df.groupBy("pri")
+          .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total")),
+        partial = df => df.groupBy("pri").agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("dec")),
+        combine = df => df.groupBy("pri").agg(sum(col("n")).as("n"),
+          sum(col("dec")).cast(DecimalType(38, 2)).as("dec")),
+        finalize = df => df.select(col("pri"), col("n"),
+          col("dec").cast("double").as("total")))
+      t.appendOnce(b.filter(col("k") % 3 === 0), 0L)
+      val res = graft.plans.MaterializedViews.refresh(fp)
+        .getOrElse(throw new IllegalStateException("not an incremental view"))
+      require(res.mode == "incremental",
+        s"append-only refresh must be incremental, was ${res.mode}")
+      // the USER's query, freshly constructed over the current version
+      val out = t.read().groupBy("pri")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+        .orderBy("pri").localCheckpoint(true)
+      graft.plans.MaterializedViews.deregister(res.fingerprint)
+      out
+    } finally SnapshotTable.drop(t)
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_mv_incremental"   -> mvIncremental,
     "q_table_stream"     -> tableStream,
     "q_table_commit"     -> tableCommit,
     "q_table_compact"    -> tableCompact,
@@ -287,6 +331,10 @@ object TableOps extends QueryPack {
       |  FROM orders WHERE o_orderkey % 103 = 0)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "q_mv_incremental" ->
+      s"""SELECT o_orderpriority AS pri, COUNT(*) AS n,
+         |       ${Det.dsumSql("o_totalprice", 2)} AS total
+         |FROM orders GROUP BY pri ORDER BY pri""".stripMargin,
     "q_table_stream" ->
       s"""SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
          |       ${Det.dsumSql("o_totalprice", 2)} AS total

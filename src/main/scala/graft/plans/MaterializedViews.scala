@@ -120,9 +120,115 @@ object MaterializedViews {
     fp
   }
 
-  def deregister(fingerprint: String): Unit =
+  def deregister(fingerprint: String): Unit = {
     Option(registry.remove(fingerprint))
       .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
+    Option(incremental.remove(fingerprint))
+      .foreach(e => superseded.add((e.statePath, System.currentTimeMillis())))
+  }
+
+  // ---- incremental (SnapshotTable-backed) views ----
+
+  /** How a [[refresh]] satisfied itself. `inputFiles` is the file set
+    * the new state was computed FROM — exposed so callers (and the
+    * delta-cost spec) can assert a refresh scaled with the change
+    * feed, not the base table. */
+  final case class RefreshResult(fingerprint: String, mode: String,
+    inputFiles: Seq[String])
+
+  private final case class IncEntry(
+    table: graft.tables.SnapshotTable,
+    version: Long,
+    statePath: String,
+    basePath: String,
+    query: DataFrame => DataFrame,
+    partial: DataFrame => DataFrame,
+    combine: DataFrame => DataFrame,
+    finalizeFn: DataFrame => DataFrame)
+
+  private val incremental = new ConcurrentHashMap[String, IncEntry]()
+
+  /** Register a [[graft.tables.SnapshotTable]]-backed view maintained
+    * INCREMENTALLY: alongside the user-facing materialization, a
+    * keyed PARTIAL-aggregate state (e.g. per-key count + DECIMAL sum)
+    * is persisted, and [[refresh]] over an append-only commit range
+    * folds only the table's change feed into that state —
+    * state' = combine(state ∪ partial(Δ)) — then finalizes, so a
+    * refresh costs O(state + Δ), never O(table). The caller's
+    * contract is the standard IVM decomposition:
+    * `finalize(combine(partial(rows))) ≡ query(rows)` with
+    * `combine` associative over unions of partial outputs (true for
+    * the distributive aggregates: count/sum/min/max and anything
+    * derived from them at finalize time).
+    *
+    * The registered fingerprint is of `query(table.read())` at the
+    * CURRENT version, so the optimizer answers exactly the queries
+    * that read the version the materialization reflects; refresh
+    * re-fingerprints at the new version and atomically swaps the
+    * registry entry. */
+  def registerIncremental(table: graft.tables.SnapshotTable, basePath: String)(
+      query: DataFrame => DataFrame,
+      partial: DataFrame => DataFrame,
+      combine: DataFrame => DataFrame,
+      finalize: DataFrame => DataFrame): String = {
+    val version = table.currentVersion
+    val statePath = s"$basePath-state-${java.util.UUID.randomUUID()}"
+    val viewPath = s"$basePath-${java.util.UUID.randomUUID()}"
+    val fp = fingerprint(query(table.read(version)))
+    withRewriteDisabled {
+      combine(partial(table.read(version))).write.parquet(statePath)
+      finalize(table.spark.read.parquet(statePath)).write.parquet(viewPath)
+    }
+    Option(registry.put(fp, Entry(viewPath)))
+      .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
+    Option(incremental.put(fp, IncEntry(table, version, statePath, basePath,
+      query, partial, combine, finalize)))
+      .foreach(o => superseded.add((o.statePath, System.currentTimeMillis())))
+    fp
+  }
+
+  /** Bring an incremental view up to its table's current version.
+    * Append-only ranges fold the change feed into the partial state
+    * (O(state + Δ)); rewriting commits in the range (merge, CDC,
+    * compact) fall back to a full recompute — correct either way,
+    * and the mode is reported so callers can alert on silent
+    * de-incrementalization. Returns None if the fingerprint is not
+    * an incremental view. */
+  def refresh(fp: String): Option[RefreshResult] = {
+    val e = Option(incremental.get(fp)).getOrElse(return None)
+    val t = e.table
+    val newVersion = t.currentVersion
+    if (newVersion == e.version)
+      return Some(RefreshResult(fp, "noop", Seq.empty))
+    val appendOnly = t.isAppendOnly(e.version, newVersion)
+    val newStatePath = s"${e.basePath}-state-${java.util.UUID.randomUUID()}"
+    val newViewPath = s"${e.basePath}-${java.util.UUID.randomUUID()}"
+    val (newStateDf, mode) =
+      if (appendOnly) {
+        val delta = t.changesBetween(e.version, newVersion)
+        (e.combine(t.spark.read.parquet(e.statePath).unionAll(e.partial(delta))),
+          "incremental")
+      } else (e.combine(e.partial(t.read(newVersion))), "full")
+    val inputs = withRewriteDisabled { newStateDf.inputFiles.toSeq }
+    val newFp = withRewriteDisabled {
+      newStateDf.write.parquet(newStatePath)
+      e.finalizeFn(t.spark.read.parquet(newStatePath)).write.parquet(newViewPath)
+      fingerprint(e.query(t.read(newVersion)))
+    }
+    // swap: new fingerprint answers current-version queries; the old
+    // fingerprint (now stale) and its dirs are superseded
+    Option(registry.put(newFp, Entry(newViewPath)))
+      .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
+    incremental.put(newFp, e.copy(version = newVersion, statePath = newStatePath))
+    if (newFp != fp) {
+      Option(registry.remove(fp))
+        .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
+      Option(incremental.remove(fp))
+        .foreach(o => superseded.add((o.statePath, System.currentTimeMillis())))
+    }
+    reapSuperseded(all = false)
+    Some(RefreshResult(newFp, mode, inputs))
+  }
 
   /** Drop every entry and eagerly reclaim all superseded dirs (the
     * caller asserts no registered-view query is in flight — true for
@@ -131,6 +237,7 @@ object MaterializedViews {
     * planned query may reference them, and they are tmp-dir scoped. */
   def clear(): Unit = {
     registry.clear()
+    incremental.clear()
     reapSuperseded(all = true)
   }
 }

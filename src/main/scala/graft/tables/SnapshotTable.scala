@@ -67,7 +67,7 @@ final class CommitConflictException(version: Long)
   * unchanged files' paths into the v+1 manifest), which this layout
   * already permits since manifests list arbitrary data paths.
   */
-final class SnapshotTable(spark: SparkSession, val root: String) {
+final class SnapshotTable(private[graft] val spark: SparkSession, val root: String) {
   private val rootPath: Path = Paths.get(root)
   private val manifestsDir: Path = rootPath.resolve("_manifests")
   private val dataDir: Path = rootPath.resolve("data")
@@ -430,6 +430,14 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     }
     Some(version)
   }
+
+  /** True iff every commit in (vA, vB] is a streaming APPEND — the
+    * precondition for additive incremental maintenance (the change
+    * feed is pure inserts; [[changesBetween]] is exactly the new
+    * rows). Metadata-only check. */
+  def isAppendOnly(vA: Long, vB: Long): Boolean =
+    ((vA + 1) to vB).forall(v =>
+      SnapshotTable.isAppendCommitOf(manifestLines(v)))
 
   /** Data files listed by `vB`'s manifest but not `vA`'s — the
     * metadata-only change feed. For an APPEND chain this is exactly
