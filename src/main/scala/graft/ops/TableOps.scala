@@ -219,6 +219,46 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** TIMESTAMP-keyed data skipping: orders committed range-clustered
+    * on o_orderdate AS TIMESTAMP (manifest stats = exact epoch
+    * MICROS — no truncation), then a one-year range served through
+    * readWhere with micros bounds. Under the session's UTC timezone
+    * the midnight-aligned bounds make the micros range ≡ the oracle's
+    * date BETWEEN — proving the encoded-stats path row-exact. */
+  private def tableSkippingTs(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_skipping_ts_")
+    try {
+      val df = Tables.orders(s, d).select(
+        col("o_orderdate").cast("timestamp").as("ts"),
+        col("o_totalprice").as("v"))
+      val v1 = t.commitClustered(df, "ts", 16)
+      val lo = java.time.LocalDate.parse("1994-01-01").toEpochDay * 86400000000L
+      val hi = java.time.LocalDate.parse("1994-12-31").toEpochDay * 86400000000L
+      t.readWhere(v1, "ts", lo, hi)
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+        .localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
+  /** Z-ORDER 2-D data skipping: orders committed sorted by the Morton
+    * interleave of (o_custkey, o_orderkey) with per-file min/max on
+    * BOTH dimensions; a rectangle read opens only intersecting files
+    * (pruning itself asserted in SnapshotTableSpec) and the residual
+    * filter makes it row-exact — hash-matched against the oracle's
+    * plain 2-D BETWEEN. */
+  private def tableSkippingZ(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_skipping_z_")
+    try {
+      val df = Tables.orders(s, d).select(
+        col("o_custkey").as("cust"), col("o_orderkey").as("k"),
+        col("o_totalprice").as("v"))
+      val v1 = t.commitZOrdered(df, "cust", "k", 16)
+      t.readWhere2(v1, 100L, 800L, 1000L, 20000L)
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+        .localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   /** Compaction through the gate: an append chain (evens, then odds)
     * leaves a multi-file manifest; compact(4) commits a
     * content-identical rewrite as the new current version, and the
@@ -312,6 +352,8 @@ object TableOps extends QueryPack {
     "q_table_commit"     -> tableCommit,
     "q_table_compact"    -> tableCompact,
     "q_table_skipping"   -> tableSkipping,
+    "q_table_skipping_ts" -> tableSkippingTs,
+    "q_table_skipping_z" -> tableSkippingZ,
     "q_table_timetravel" -> tableTimetravel,
     "q_table_merge_bucketed" -> tableMergeBucketed,
     "q_table_changes"    -> tableChanges,
@@ -363,6 +405,15 @@ object TableOps extends QueryPack {
     "q_table_skipping" ->
       s"""SELECT COUNT(*) AS n, ${Det.dsumSql("o_totalprice", 2)} AS total
          |FROM orders WHERE o_orderkey BETWEEN 100 AND 5000""".stripMargin,
+    "q_table_skipping_ts" ->
+      s"""SELECT COUNT(*) AS n, ${Det.dsumSql("o_totalprice", 2)} AS total
+         |FROM orders
+         |WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'""".stripMargin,
+    "q_table_skipping_z" ->
+      s"""SELECT COUNT(*) AS n, ${Det.dsumSql("o_totalprice", 2)} AS total
+         |FROM orders
+         |WHERE o_custkey BETWEEN 100 AND 800
+         |  AND o_orderkey BETWEEN 1000 AND 20000""".stripMargin,
     "q_table_changes" ->
       s"""SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
          |       ${Det.dsumSql("o_totalprice", 2)} AS total

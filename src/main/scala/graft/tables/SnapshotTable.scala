@@ -497,6 +497,24 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
 
   private val ClusterMeta = """#cluster=(.+)""".r
   private val RangeMeta = """#range=([^|]+)\|(-?\d+)\|(-?\d+)""".r
+  private val ZClusterMeta = """#zcluster=([^|]+)\|(.+)""".r
+  private val Range2Meta = """#range2=([^|]+)\|(-?\d+)\|(-?\d+)\|(-?\d+)\|(-?\d+)""".r
+
+  /** Encode a clusterable key to the Long stats domain, EXACTLY:
+    * integral keys as-is, timestamps as epoch micros, dates as epoch
+    * days — no truncation anywhere, so manifest-stats pruning is
+    * lossless. Fractional keys stay rejected (Long-cast stats would
+    * truncate toward zero and silently drop in-range rows). */
+  private def statLongExpr(dt: org.apache.spark.sql.types.DataType, keyCol: String) = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => col(keyCol).cast("long")
+      case TimestampType => unix_micros(col(keyCol))
+      case DateType => datediff(col(keyCol), to_date(lit("1970-01-01"))).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"clustered stats require an integral, timestamp or date key; $keyCol is $other")
+    }
+  }
 
   /** CLUSTERED snapshot commit: rows range-partitioned and sorted on
     * a (numeric) key into `nFiles` contiguous-key-range files, with
@@ -511,7 +529,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * which is exactly the layout trade: bucketing buys co-located
     * merges, clustering buys range pruning. */
   def commitClustered(df: DataFrame, keyCol: String, nFiles: Int): Long = {
-    requireIntegralKey(df.schema, keyCol, "commitClustered")
+    val keyStat = statLongExpr(df.schema(keyCol).dataType, keyCol) // validates type
     val version = currentVersion + 1
     val snap = dataDir.resolve(s"v$version-${UUID.randomUUID()}")
     df.repartitionByRange(nFiles, col(keyCol))
@@ -519,7 +537,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       .write.parquet(snap.toString)
     val statRows = spark.read.parquet(snap.toString)
       .groupBy(input_file_name().as("f"))
-      .agg(min(col(keyCol)).cast("long").as("lo"), max(col(keyCol)).cast("long").as("hi"))
+      .agg(min(keyStat).as("lo"), max(keyStat).as("hi"))
       .collect() // nFiles rows — bounded driver metadata
     // a file whose key values are ALL null (nulls sort first under
     // repartitionByRange, so they pool in the first file) has null
@@ -561,7 +579,9 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
   /** Key-range read with manifest-stats file skipping: scans only the
     * files [[prunedFiles]] keeps, then applies the residual row
     * filter (stats prune at file granularity; the predicate still
-    * holds row-exactly). */
+    * holds row-exactly). `lo`/`hi` live in the key's ENCODED Long
+    * domain — the key's own value for integral keys, epoch micros for
+    * timestamps, epoch days for dates. */
   def readWhere(version: Long, keyCol: String, lo: Long, hi: Long): DataFrame = {
     val lines = manifestLines(version)
     require(lines.drop(2).collectFirst { case ClusterMeta(k) => k }
@@ -573,7 +593,108 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else spark.read.schema(schema).parquet(files: _*)
-    base.filter(col(keyCol) >= lo && col(keyCol) <= hi)
+    val enc = statLongExpr(schema(keyCol).dataType, keyCol)
+    base.filter(enc >= lo && enc <= hi)
+  }
+
+  /** Z-ORDERED snapshot commit: rows sorted by the Morton interleave
+    * of TWO (encoded) key dimensions and range-partitioned into
+    * `nFiles` z-contiguous files, with per-file [min, max] stats ON
+    * BOTH dimensions in the manifest. The interleave bounds each
+    * file's span in EACH dimension (the q_zorder tile property), so a
+    * 2-D range read ([[readWhere2]]) opens only files whose rectangle
+    * intersects the query's — the layout single-key clustering cannot
+    * give (one clustered dimension leaves the other's per-file range
+    * ~full-width). Each dimension is min/max-normalized into `bits`-
+    * wide coordinates first (one extra O(data) agg pass at write
+    * time); keys may be integral, timestamp or date, encoded exactly
+    * as in [[commitClustered]]. */
+  def commitZOrdered(df: DataFrame, keyX: String, keyY: String, nFiles: Int,
+      bits: Int = 12): Long = {
+    val xEnc = statLongExpr(df.schema(keyX).dataType, keyX)
+    val yEnc = statLongExpr(df.schema(keyY).dataType, keyY)
+    val statHead = df.agg(min(xEnc), max(xEnc), min(yEnc), max(yEnc)).head()
+    require(!statHead.isNullAt(0) && !statHead.isNullAt(2),
+      s"commitZOrdered requires non-null $keyX/$keyY values")
+    val Row(xLo: Long, xHi: Long, yLo: Long, yHi: Long) = statHead
+    val side = (1L << bits) - 1
+    // divide-first scaling: step = range/side keeps every intermediate
+    // within Long even for epoch-micros keys (multiply-first would
+    // overflow at ~Long.Max/side range width)
+    def scaled(enc: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
+      val step = math.max(1L, (hi - lo) / side)
+      least((enc - lit(lo)) / lit(step), lit(side)).cast("long")
+    }
+    val z = (0 until bits).map { i =>
+      shiftleft(shiftright(scaled(xEnc, xLo, xHi), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(scaled(yEnc, yLo, yHi), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    val version = currentVersion + 1
+    val snap = dataDir.resolve(s"v$version-${UUID.randomUUID()}")
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.parquet(snap.toString)
+    val statRows = spark.read.parquet(snap.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(xEnc).as("xlo"), max(xEnc).as("xhi"),
+        min(yEnc).as("ylo"), max(yEnc).as("yhi"))
+      .collect() // nFiles rows — bounded driver metadata
+    val byName = statRows.filterNot(r => (1 to 4).exists(r.isNullAt)).map { r =>
+      r.getString(0).split('/').last ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }.toMap
+    val files = listParquetRec(snap).map(p => rootPath.relativize(p).toString).sorted
+    val statLines = files.flatMap { rel =>
+      byName.get(rel.split('/').last).map { case (a, b, c, dd) =>
+        s"#range2=$rel|$a|$b|$c|$dd" }
+    }
+    val tmp = writeTmpManifest(version, df.schema,
+      (s"#zcluster=$keyX|$keyY" +: statLines) ++ files)
+    try publish(version, tmp)
+    catch { case e: CommitConflictException =>
+      deleteRecursively(snap); throw e
+    }
+    version
+  }
+
+  /** Files of `version` whose 2-D stats rectangle intersects the
+    * query rectangle; files without stats are conservatively kept. */
+  def prunedFiles2(version: Long, xLo: Long, xHi: Long,
+      yLo: Long, yHi: Long): Seq[String] = {
+    val lines = manifestLines(version)
+    val rects: Map[String, (Long, Long, Long, Long)] = lines.drop(2).collect {
+      case Range2Meta(rel, a, b, c, d) => rel -> (a.toLong, b.toLong, c.toLong, d.toLong)
+    }.toMap
+    manifestFiles(lines).filter { rel =>
+      rects.get(rel) match {
+        case Some((a, b, c, d)) => a <= xHi && b >= xLo && c <= yHi && d >= yLo
+        case None => true
+      }
+    }
+  }
+
+  /** 2-D range read over a z-ordered version: manifest rectangle
+    * pruning, then the exact residual filter on both dimensions. */
+  def readWhere2(version: Long, xLo: Long, xHi: Long,
+      yLo: Long, yHi: Long): DataFrame = {
+    val lines = manifestLines(version)
+    val (kx, ky) = lines.drop(2).collectFirst {
+      case ZClusterMeta(x, y) => (x, y)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"version $version is not z-ordered"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(lines(1))
+      .asInstanceOf[StructType]
+    val files = prunedFiles2(version, xLo, xHi, yLo, yHi)
+      .map(rel => rootPath.resolve(rel).toString)
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    val xe = statLongExpr(schema(kx).dataType, kx)
+    val ye = statLongExpr(schema(ky).dataType, ky)
+    base.filter(xe >= xLo && xe <= xHi && ye >= yLo && ye <= yHi)
   }
 
   /** Compact the current version into `targetFiles` data files and

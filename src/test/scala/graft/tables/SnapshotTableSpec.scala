@@ -421,6 +421,55 @@ class SnapshotTableSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("clustered commit on a TIMESTAMP key: exact micros stats prune range reads") {
+    import org.apache.spark.sql.functions._
+    val t = freshTable("ts_cluster")
+    try {
+      // 96 hourly timestamps over 4 days
+      val rows = spark.range(0, 96)
+        .select(timestamp_micros(col("id") * 3600000000L).as("ts"),
+          col("id").cast("double").as("v"))
+      val v = t.commitClustered(rows, "ts", 8)
+      assert(t.prunedFiles(v, Long.MinValue, Long.MaxValue).size == 8)
+      // one 6-hour window: 1-2 of the 8 contiguous files
+      val lo = 24L * 3600000000L
+      val hi = 30L * 3600000000L
+      val narrow = t.prunedFiles(v, lo, hi)
+      assert(narrow.nonEmpty && narrow.size <= 2, narrow.toString)
+      assert(t.readWhere(v, "ts", lo, hi).count() == 7) // hours 24..30 inclusive
+      // disjoint range: zero files
+      assert(t.prunedFiles(v, 200L * 3600000000L, 300L * 3600000000L).isEmpty)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("z-ordered commit: 2-D rectangle reads open only intersecting files") {
+    import org.apache.spark.sql.functions._
+    val t = freshTable("zorder")
+    try {
+      // 64x64 grid — both dims uniform, so a single-key layout would
+      // leave the other dim's per-file span ~full-width
+      val rows = spark.range(0, 4096).select(
+        (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"),
+        col("id").cast("double").as("v"))
+      val v = t.commitZOrdered(rows, "x", "y", 16)
+      val all = t.prunedFiles2(v, Long.MinValue, Long.MaxValue, Long.MinValue, Long.MaxValue)
+      assert(all.size == 16, all.toString)
+      // a small rectangle: far fewer than all files (z-locality in BOTH dims)
+      val few = t.prunedFiles2(v, 0L, 15L, 0L, 15L)
+      assert(few.size <= 4, s"expected <=4 of 16 files, got ${few.size}")
+      // row-exactness vs the brute-force filter
+      val got = t.readWhere2(v, 10L, 20L, 30L, 40L)
+        .agg(count(lit(1)), sum("v")).head()
+      val want = t.read(v)
+        .filter(col("x").between(10, 20) && col("y").between(30, 40))
+        .agg(count(lit(1)), sum("v")).head()
+      assert(got == want, s"$got != $want")
+      // pruning on EACH dimension alone also bites
+      assert(t.prunedFiles2(v, 0L, 7L, Long.MinValue, Long.MaxValue).size < 16)
+      assert(t.prunedFiles2(v, Long.MinValue, Long.MaxValue, 0L, 7L).size < 16)
+    } finally SnapshotTable.drop(t)
+  }
+
   test("vacuum reclaims crash garbage without touching committed state") {
     val t = freshTable("vacuum")
     try {
