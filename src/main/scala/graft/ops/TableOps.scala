@@ -346,9 +346,40 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** Table→table streaming pipeline through the gate: source table =
+    * commit(evens) + append(odds); a Structured Streaming query reads
+    * its commit log (`graft-table` source), transforms, and lands in
+    * a SECOND table via the `graft-table` SINK — executor-side part
+    * files + one metadata commit per epoch, exactly-once by the
+    * (queryId, epoch) manifest ledger. The destination table's
+    * committed content is aggregated and hash-matched against the
+    * oracle's declarative transform of the full input. */
+  private def tableStreamSink(s: SparkSession, d: String): DataFrame = {
+    val t1 = SnapshotTable.temp(s, "graft_q_tss_src_")
+    val t2 = SnapshotTable.temp(s, "graft_q_tss_dst_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q_tss_ckpt_")
+    try {
+      val b = base(s, d)
+      t1.commit(b.filter(col("k") % 2 === 0))
+      t1.appendOnce(b.filter(col("k") % 2 === 1), 0L)
+      val q = s.readStream.format("graft-table").option("path", t1.root).load()
+        .filter(col("k") % 3 === 0)
+        .withColumn("v", col("v") * 2)
+        .writeStream.format("graft-table").option("path", t2.root)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      bucketAgg(t2.read()).orderBy("bucket").localCheckpoint(true)
+    } finally {
+      SnapshotTable.drop(t1); SnapshotTable.drop(t2)
+      graft.tables.SnapshotTable.deleteRecursively(ckpt)
+    }
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_mv_incremental"   -> mvIncremental,
     "q_table_stream"     -> tableStream,
+    "q_table_stream_sink" -> tableStreamSink,
     "q_table_commit"     -> tableCommit,
     "q_table_compact"    -> tableCompact,
     "q_table_skipping"   -> tableSkipping,
@@ -381,6 +412,12 @@ object TableOps extends QueryPack {
       s"""SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
          |       ${Det.dsumSql("o_totalprice", 2)} AS total
          |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_table_stream_sink" ->
+      s"""WITH x AS (
+         |  SELECT o_orderkey AS k, o_totalprice * 2 AS v
+         |  FROM orders WHERE o_orderkey % 3 = 0)
+         |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total
+         |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_table_commit" ->
       s"""WITH $newsnapCte
          |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total

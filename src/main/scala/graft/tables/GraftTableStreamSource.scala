@@ -6,13 +6,20 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.hadoop.ParquetReader
-import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types => PTypes}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -62,6 +69,12 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftTableSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
 
+  /** Write-side table resolution passes the QUERY's schema to
+    * getTable (so `writeStream.format("graft-table")` can create a
+    * fresh, never-committed table); read-side with no user schema
+    * still goes through [[inferSchema]]. */
+  override def supportsExternalMetadata(): Boolean = true
+
   private def rootOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty, "graft-table requires option(\"path\", <table root>)")
@@ -88,11 +101,19 @@ class GraftTableSource extends TableProvider with DataSourceRegister {
 }
 
 class GraftTableStreamTable(tableSchema: StructType, options: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_table(${options.getOrElse("path", "?")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new GraftTableStreamingWrite(options("path"), info.schema(), info.queryId())
+      }
+    }
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val opts = options ++ o.asScala
     new ScanBuilder {
@@ -110,6 +131,175 @@ class GraftTableStreamTable(tableSchema: StructType, options: Map[String, String
 /** The committed table version (0 = before the first commit). */
 case class GraftTableOffset(version: Long) extends Offset {
   override def json(): String = s"""{"version":$version}"""
+}
+
+/** `writeStream.format("graft-table")` — the commit log as a SINK,
+  * end-to-end EXACTLY-ONCE: executors write their micro-batch
+  * partitions as parquet part files into a per-epoch staging dir
+  * under `data/` (data-sized, fully parallel), and the driver's
+  * `commit(epochId, …)` publishes ONE manifest appending exactly
+  * those files, carrying the epoch id as the idempotence ledger
+  * ([[SnapshotTable.appendFilesOnce]]): a replayed epoch (the
+  * at-least-once window between the sink committing and the engine's
+  * own offset-log write) finds its batchId already committed and
+  * publishes nothing — no duplicate version, no duplicate rows —
+  * while a crash BEFORE commit leaves only unreferenced staging files
+  * that vacuum reclaims. Concurrent writers compose: the publish CAS
+  * retries with a fresh carry list (the staged files are disjoint by
+  * construction).
+  *
+  * Unlike `foreachBatch { appendOnce }` (which funnels the batch
+  * through one driver-coordinated DataFrame write job), the sink
+  * path writes data purely executor-side and commits metadata-only —
+  * and it composes with any readStream source, including
+  * `graft-table` itself (table→table streaming pipelines). */
+class GraftTableStreamingWrite(root: String, schema: StructType, queryId: String)
+    extends StreamingWrite {
+  schema.fields.foreach { f =>
+    require(GraftTableReaderFactory.supported(f.dataType),
+      s"graft-table sink does not support column ${f.name}: ${f.dataType}")
+  }
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftTableWriterFactory(root, schema.json)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val rels = messages.collect {
+      case GraftTableWriteMessage(rel, n) if n > 0 => rel
+    }.sorted
+    val table = new SnapshotTable(SparkSession.active, root)
+    // the ledger key is (queryId, epochId): replays of THIS query's
+    // epoch are dropped, while a different query's epoch 0 appends
+    if (table.appendFilesOnce(rels.toSeq, schema, epochId, queryId).isEmpty) {
+      // replayed epoch: its staged files are duplicates — drop them
+      // (the committed version references the FIRST attempt's files)
+      rels.foreach { rel =>
+        try java.nio.file.Files.deleteIfExists(Paths.get(root).resolve(rel))
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftTableWriteMessage(rel, _) =>
+        try java.nio.file.Files.deleteIfExists(Paths.get(root).resolve(rel))
+        catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
+}
+
+case class GraftTableWriteMessage(relPath: String, rows: Long)
+  extends WriterCommitMessage
+
+class GraftTableWriterFactory(root: String, schemaJson: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    new GraftTableDataWriter(root, schema, partitionId, taskId, epochId)
+  }
+}
+
+/** Executor-side parquet writer (public parquet-hadoop Group API;
+  * same type coverage as the reader, INT64-micros timestamps). Each
+  * task owns one part file under a per-epoch staging prefix; the file
+  * becomes durable table state only when the driver's manifest commit
+  * references it. */
+class GraftTableDataWriter(root: String, schema: StructType,
+    partitionId: Int, taskId: Long, epochId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val rel =
+    s"data/stream-epoch$epochId/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet"
+  private val abs = Paths.get(root).resolve(rel)
+  java.nio.file.Files.createDirectories(abs.getParent)
+
+  private val messageType: MessageType = GraftTableDataWriter.toParquetType(schema)
+  private val factory = new SimpleGroupFactory(messageType)
+  private var rows = 0L
+
+  private val writer = {
+    val conf = new Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(messageType, conf)
+    ExampleParquetWriter.builder(new org.apache.hadoop.fs.Path(abs.toString))
+      .withConf(conf)
+      .withType(messageType)
+      .build()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        case BooleanType => g.add(f.name, row.getBoolean(i))
+        case ByteType => g.add(f.name, row.getByte(i).toInt)
+        case ShortType => g.add(f.name, row.getShort(i).toInt)
+        case IntegerType | DateType => g.add(f.name, row.getInt(i))
+        case LongType | TimestampType => g.add(f.name, row.getLong(i))
+        case FloatType => g.add(f.name, row.getFloat(i))
+        case DoubleType => g.add(f.name, row.getDouble(i))
+        case StringType =>
+          g.add(f.name, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case BinaryType =>
+          g.add(f.name, Binary.fromConstantByteArray(row.getBinary(i)))
+        case other => throw new UnsupportedOperationException(
+          s"graft-table sink: column ${f.name} $other")
+      }
+    }
+    writer.write(g)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    if (rows == 0L) {
+      // empty partition: no point publishing a zero-row file
+      try java.nio.file.Files.deleteIfExists(abs)
+      catch { case _: java.io.IOException => () }
+    }
+    GraftTableWriteMessage(rel, rows)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Throwable => () }
+    try java.nio.file.Files.deleteIfExists(abs)
+    catch { case _: java.io.IOException => () }
+  }
+
+  override def close(): Unit = ()
+}
+
+object GraftTableDataWriter {
+  /** StructType → parquet MessageType, matching the reader's decode
+    * (timestamps as INT64 TIMESTAMP(MICROS, adjustedToUTC), dates as
+    * INT32 DATE, strings as BINARY STRING). */
+  private[tables] def toParquetType(schema: StructType): MessageType = {
+    val builder = PTypes.buildMessage()
+    schema.fields.foreach { f =>
+      import PrimitiveTypeName._
+      val (prim, ann) = f.dataType match {
+        case BooleanType => (BOOLEAN, None)
+        case ByteType => (INT32, Some(LogicalTypeAnnotation.intType(8, true)))
+        case ShortType => (INT32, Some(LogicalTypeAnnotation.intType(16, true)))
+        case IntegerType => (INT32, None)
+        case DateType => (INT32, Some(LogicalTypeAnnotation.dateType()))
+        case LongType => (INT64, None)
+        case TimestampType => (INT64, Some(LogicalTypeAnnotation.timestampType(
+          true, LogicalTypeAnnotation.TimeUnit.MICROS)))
+        case FloatType => (FLOAT, None)
+        case DoubleType => (DOUBLE, None)
+        case StringType => (BINARY, Some(LogicalTypeAnnotation.stringType()))
+        case BinaryType => (BINARY, None)
+        case other => throw new UnsupportedOperationException(
+          s"graft-table sink: unsupported type $other for ${f.name}")
+      }
+      val field = PTypes.optional(prim)
+      builder.addField(ann.fold(field)(field.as).named(f.name))
+    }
+    builder.named("graft_table")
+  }
 }
 
 class GraftTableMicroBatchStream(root: String, startingVersion: String,

@@ -383,25 +383,37 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
   }
 
   private val BatchMeta = """#batchId=(-?\d+)""".r
+  private val WriterMeta = """#writer=(.+)""".r
 
-  // incremental batchId cache: (versions scanned so far, ids seen) —
-  // guarded by `this`. Without it every append re-parses EVERY
-  // manifest, turning a V-version append chain into O(V²) metadata
-  // reads; with it each call parses only manifests committed since
-  // the last call (other writers' commits included).
-  private var batchIdScan: (Set[Long], Set[Long]) = (Set.empty, Set.empty)
+  // incremental batchId cache: (versions scanned so far, (writer tag,
+  // id) pairs seen) — guarded by `this`. Without it every append
+  // re-parses EVERY manifest, turning a V-version append chain into
+  // O(V²) metadata reads; with it each call parses only manifests
+  // committed since the last call (other writers' commits included).
+  // The writer tag scopes the ledger per streaming QUERY (the DSv2
+  // sink passes its queryId): two queries appending to one table both
+  // start at epoch 0 and must not dedup each other. appendOnce uses
+  // the empty tag (single-writer foreachBatch contract, unchanged).
+  private var batchIdScan: (Set[Long], Set[(String, Long)]) = (Set.empty, Set.empty)
 
-  /** Batch ids already committed (streaming idempotence ledger — the
-    * ledger IS the manifest log, so it is atomic with the commit). */
-  def committedBatchIds: Set[Long] = synchronized {
+  private def committedBatchIdsTagged: Set[(String, Long)] = synchronized {
     val (scanned, ids) = batchIdScan
     val fresh = listCommitted().filterNot(scanned).toSet
     val freshIds = fresh.flatMap { v =>
-      manifestLines(v).drop(2).collectFirst { case BatchMeta(b) => b.toLong }
+      val meta = manifestLines(v).drop(2)
+      meta.collectFirst { case BatchMeta(b) => b.toLong }.map { b =>
+        (meta.collectFirst { case WriterMeta(w) => w }.getOrElse(""), b)
+      }
     }
     batchIdScan = (scanned ++ fresh, ids ++ freshIds)
     batchIdScan._2
   }
+
+  /** Batch ids already committed by the default ([[appendOnce]])
+    * writer (streaming idempotence ledger — the ledger IS the
+    * manifest log, so it is atomic with the commit). */
+  def committedBatchIds: Set[Long] =
+    committedBatchIdsTagged.collect { case ("", b) => b }
 
   /** Streaming append: commit `df`'s rows as version v+1 whose
     * manifest carries FORWARD every file of v plus the new batch's
@@ -438,6 +450,36 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
   def isAppendOnly(vA: Long, vB: Long): Boolean =
     ((vA + 1) to vB).forall(v =>
       SnapshotTable.isAppendCommitOf(manifestLines(v)))
+
+  /** Manifest-level twin of [[appendOnce]] for writers whose DATA is
+    * already on disk (the streaming sink's executors wrote their part
+    * files directly): append `relPaths` to the current version's file
+    * list as v+1, idempotent per `batchId`, RETRYING on commit
+    * conflict (a concurrent writer only changes which files are
+    * carried — the new files are disjoint by construction, so the
+    * append composes with any interleaving). Metadata-only on the
+    * driver. */
+  private[tables] def appendFilesOnce(relPaths: Seq[String], schema: StructType,
+      batchId: Long, writerId: String): Option[Long] = {
+    require(!writerId.contains('\n'), "writerId must be single-line")
+    var attempts = 0
+    while (true) {
+      if (committedBatchIdsTagged.contains((writerId, batchId))) return None
+      val version = currentVersion + 1
+      val carried: Seq[String] =
+        if (version == 1) Seq.empty else manifestFiles(manifestLines(version - 1))
+      val writerLine = if (writerId.isEmpty) Seq.empty else Seq(s"#writer=$writerId")
+      val tmp = writeTmpManifest(version, schema,
+        (s"#batchId=$batchId" +: writerLine) ++ (carried ++ relPaths))
+      try { publish(version, tmp); return Some(version) }
+      catch { case _: CommitConflictException =>
+        attempts += 1
+        if (attempts > 100) throw new IllegalStateException(
+          s"appendFilesOnce: lost the publish race $attempts times at $root")
+      }
+    }
+    None // unreachable
+  }
 
   /** Data files listed by `vB`'s manifest but not `vA`'s — the
     * metadata-only change feed. For an APPEND chain this is exactly
@@ -614,9 +656,14 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val xEnc = statLongExpr(df.schema(keyX).dataType, keyX)
     val yEnc = statLongExpr(df.schema(keyY).dataType, keyY)
     val statHead = df.agg(min(xEnc), max(xEnc), min(yEnc), max(yEnc)).head()
-    require(!statHead.isNullAt(0) && !statHead.isNullAt(2),
-      s"commitZOrdered requires non-null $keyX/$keyY values")
-    val Row(xLo: Long, xHi: Long, yLo: Long, yHi: Long) = statHead
+    // empty (or all-null-key) input degenerates to trivial bounds:
+    // null keys get a null z, pool into the first range partition,
+    // and that file records no stats — pruning conservatively keeps
+    // stat-less files, mirroring commitClustered's null treatment
+    val (xLo, xHi, yLo, yHi) =
+      if (statHead.isNullAt(0) || statHead.isNullAt(2)) (0L, 0L, 0L, 0L)
+      else (statHead.getLong(0), statHead.getLong(1),
+        statHead.getLong(2), statHead.getLong(3))
     val side = (1L << bits) - 1
     // divide-first scaling: step = range/side keeps every intermediate
     // within Long even for epoch-micros keys (multiply-first would

@@ -136,6 +136,70 @@ class GraftTableStreamSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("sink: exactly-once appends across restarts; per-query ledger scoping") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = tempTable("sink")
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt_").toString
+    try {
+      val ms = MemoryStream[(Long, Double)]
+      def start() = ms.toDF().toDF("k", "v").writeStream
+        .format("graft-table").option("path", t.root)
+        .option("checkpointLocation", ckpt).start()
+      val q = start()
+      ms.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      ms.addData((3L, 3.0))
+      q.processAllAvailable()
+      q.stop()
+      assert(t.read().orderBy("k").as[(Long, Double)].collect().toSeq ==
+        Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+      val vAfter = t.currentVersion
+      // restart from the same checkpoint with nothing new: no
+      // duplicate versions, no duplicate rows
+      val q2 = start()
+      q2.processAllAvailable(); q2.stop()
+      assert(t.currentVersion == vAfter && t.read().count() == 3)
+      // a DIFFERENT query (own checkpoint) also starts at epoch 0:
+      // the per-query ledger must append, not dedup it away
+      val ms2 = MemoryStream[(Long, Double)]
+      val q3 = ms2.toDF().toDF("k", "v").writeStream
+        .format("graft-table").option("path", t.root)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_sink_ckpt2_").toString).start()
+      ms2.addData((4L, 4.0))
+      q3.processAllAvailable(); q3.stop()
+      assert(t.read().orderBy("k").as[(Long, Double)].collect().toSeq ==
+        Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)))
+      // replayed epoch via the ledger API: publishes nothing
+      assert(t.read(1L).count() == 2) // version history intact
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("table-to-table streaming pipeline: graft-table source into graft-table sink") {
+    val t1 = tempTable("pipe_src")
+    val t2 = tempTable("pipe_dst")
+    try {
+      val b = graft.Tables.orders(spark, sf)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      t1.commit(b.filter(col("k") % 2 === 0))
+      t1.appendOnce(b.filter(col("k") % 2 === 1), 0L)
+      val q = spark.readStream.format("graft-table").option("path", t1.root).load()
+        .filter(col("k") % 3 === 0)
+        .withColumn("v", col("v") * 2)
+        .writeStream.format("graft-table").option("path", t2.root)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_pipe_ckpt_").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = t2.read().orderBy("k").as[(Long, Double)].collect().toSeq
+      val want = b.filter(col("k") % 3 === 0)
+        .select(col("k"), col("v") * 2)
+        .orderBy("k").as[(Long, Double)].collect().toSeq
+      assert(got == want)
+    } finally { SnapshotTable.drop(t1); SnapshotTable.drop(t2) }
+  }
+
   test("decodes every supported primitive type identically to the batch reader") {
     val t = tempTable("types")
     try {
