@@ -376,10 +376,33 @@ object TableOps extends QueryPack {
     }
   }
 
+  /** Row-level DELETE via DELETION VECTORS through the gate: v1
+    * commits the orders snapshot; two STACKED deletes tombstone keys
+    * ≡0 mod 7 (v2) then rows with v > 300000 (v3) — neither rewrites
+    * a single data file (asserted in SnapshotTableSpec; here the
+    * oracle owns the semantics). The result unions the post-delete
+    * aggregate with the TIME-TRAVELED v1 aggregate, so the hash match
+    * proves both that the DV anti-join removed exactly the matching
+    * rows and that snapshot isolation kept v1 intact underneath the
+    * tombstones. */
+  private def tableDeleteDv(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_delete_dv_")
+    try {
+      val v1 = t.commit(base(s, d))
+      t.delete(col("k") % 7 === 0)
+      val v3 = t.delete(col("v") > 300000.0)
+      bucketAgg(t.read(v3)).withColumn("phase", lit("after"))
+        .unionAll(bucketAgg(t.read(v1)).withColumn("phase", lit("base")))
+        .select(col("phase"), col("bucket"), col("n"), col("total"))
+        .orderBy("phase", "bucket").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_mv_incremental"   -> mvIncremental,
     "q_table_stream"     -> tableStream,
     "q_table_stream_sink" -> tableStreamSink,
+    "q_table_delete_dv"  -> tableDeleteDv,
     "q_table_commit"     -> tableCommit,
     "q_table_compact"    -> tableCompact,
     "q_table_skipping"   -> tableSkipping,
@@ -418,6 +441,19 @@ object TableOps extends QueryPack {
          |  FROM orders WHERE o_orderkey % 3 = 0)
          |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total
          |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_table_delete_dv" ->
+      s"""WITH b AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+         |live AS (SELECT * FROM b WHERE NOT (k % 7 = 0) AND NOT (v > 300000)),
+         |aft AS (
+         |  SELECT 'after' AS phase, k % 10 AS bucket, COUNT(*) AS n,
+         |         ${Det.dsumSql("v", 2)} AS total
+         |  FROM live GROUP BY phase, bucket),
+         |bas AS (
+         |  SELECT 'base' AS phase, k % 10 AS bucket, COUNT(*) AS n,
+         |         ${Det.dsumSql("v", 2)} AS total
+         |  FROM b GROUP BY phase, bucket)
+         |SELECT * FROM (SELECT * FROM aft UNION ALL SELECT * FROM bas)
+         |ORDER BY phase, bucket""".stripMargin,
     "q_table_commit" ->
       s"""WITH $newsnapCte
          |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total

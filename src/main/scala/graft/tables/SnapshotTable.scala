@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Thrown when a concurrent writer committed the version this writer
   * was targeting; the loser's data files are cleaned up and the caller
@@ -100,12 +100,173 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
   /** Read committed version `version` (time travel). */
   def read(version: Long): DataFrame = {
     val lines = manifestLines(version)
-    val schema = org.apache.spark.sql.types.DataType.fromJson(lines(1))
+    scanWithDv(lines, manifestFiles(lines))
+  }
+
+  private def schemaOf(lines: Vector[String]): StructType =
+    org.apache.spark.sql.types.DataType.fromJson(lines(1))
       .asInstanceOf[StructType]
-    val files = manifestFiles(lines).map(rel => rootPath.resolve(rel).toString)
-    if (files.isEmpty)
+
+  // ---- deletion vectors ----------------------------------------------
+
+  private val DvMeta = """#dv=(.+)""".r
+
+  /** DV sidecar files (`#dv=` manifest lines): parquet datasets of
+    * (file name, row index) addresses of DELETED rows — the manifest's
+    * cumulative deletion vector. */
+  private def manifestDvFiles(lines: Vector[String]): Vector[String] =
+    lines.drop(2).collect { case DvMeta(rel) => rel }
+
+  /** The raw `#dv=` lines, for carry-forward by non-rewriting writers
+    * (appends). Rewriting writers (commit/merge/applyChanges/compact)
+    * materialize from [[read]] — DVs fold into the rewrite — and so
+    * deliberately do NOT carry these. */
+  private def manifestDvLines(lines: Vector[String]): Vector[String] =
+    lines.drop(2).filter(_.startsWith("#dv="))
+
+  private def dvScan(dvRels: Seq[String]): DataFrame =
+    spark.read.schema(SnapshotTable.DvSchema)
+      .parquet(dvRels.map(rel => rootPath.resolve(rel).toString): _*)
+
+  /** A data file's DV ADDRESS: its last two path segments
+    * (`parentDir/fileName`). The file name alone is NOT unique — a
+    * dynamic-partition (bucketed) write task reuses its part number
+    * across the `__bdir=` dirs it writes — but the parent dir
+    * disambiguates those, and across snapshots the per-job UUID in
+    * the part name disambiguates same-parent names. Unlike the full
+    * path, the address survives table relocation. Uniqueness is
+    * re-CHECKED (not assumed) at [[delete]] time. */
+  private[tables] def dvAddressOf(rel: String): String =
+    rel.split('/').takeRight(2).mkString("/")
+
+  /** Scan of `relFiles` under the manifest's schema with the row
+    * ADDRESS columns retained (`__graft_dv_f` = the file's
+    * [[dvAddressOf]], `__graft_dv_p` = row index within the file —
+    * from Spark's parquet `_metadata` columns) and the manifest's
+    * deletion vectors already applied: [[delete]]'s working relation.
+    * The DV anti-join builds on the DV side, which is O(deleted
+    * rows) — AQE broadcasts it in the common small-delete case. */
+  private def scanAddressed(lines: Vector[String], relFiles: Seq[String]): DataFrame = {
+    val schema = schemaOf(lines)
+    val reserved = Seq("__graft_dv_f", "__graft_dv_p",
+      SnapshotTable.DvFileCol, SnapshotTable.DvPosCol)
+    require(!schema.fieldNames.exists(reserved.contains),
+      s"table schema at $root collides with reserved DV column names")
+    val segs = split(col("_metadata.file_path"), "/")
+    val base = spark.read.schema(schema)
+      .parquet(relFiles.map(rel => rootPath.resolve(rel).toString): _*)
+      .withColumn("__graft_dv_f",
+        concat_ws("/", element_at(segs, -2), element_at(segs, -1)))
+      .withColumn("__graft_dv_p", col("_metadata.row_index"))
+    val dvRels = manifestDvFiles(lines)
+    if (dvRels.isEmpty) base
+    else base.join(dvScan(dvRels),
+      col("__graft_dv_f") === col(SnapshotTable.DvFileCol) &&
+        col("__graft_dv_p") === col(SnapshotTable.DvPosCol), "left_anti")
+  }
+
+  /** Parquet scan of `relFiles` with the manifest's deletion vectors
+    * applied — the ONE read primitive every read path shares
+    * ([[read]], [[readWhere]], [[readWhere2]], [[mergeBucketed]]'s
+    * touched-bucket read), so row-level deletes are invisible
+    * everywhere. DV-free manifests take the plain-scan fast path (no
+    * metadata columns, no join in the plan). */
+  private[tables] def scanWithDv(lines: Vector[String], relFiles: Seq[String]): DataFrame = {
+    val schema = schemaOf(lines)
+    if (relFiles.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    else if (manifestDvFiles(lines).isEmpty)
+      spark.read.schema(schema)
+        .parquet(relFiles.map(rel => rootPath.resolve(rel).toString): _*)
+    else scanAddressed(lines, relFiles)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Row-level DELETE via DELETION VECTORS: rows matching `cond`
+    * (SQL filter semantics — null does not match) are tombstoned by
+    * ADDRESS (file name, row index) in a parquet DV sidecar committed
+    * as v+1; no data file is rewritten. At 100 TB this is the
+    * difference between a delete costing O(deleted rows + one scan)
+    * and a table rewrite — the lakehouse DV design (Delta deletion
+    * vectors / Iceberg position deletes). Mechanics:
+    *
+    *  - every read path applies the cumulative DV set via an
+    *    anti-join on the address columns ([[scanWithDv]]); deletes
+    *    STACK (each commit's sidecar adds addresses);
+    *  - a file whose rows are ALL deleted is dropped from the
+    *    manifest entirely (its stat lines too) — file-level deletes
+    *    degrade to pure metadata;
+    *  - the deleted rows are recorded as `delete` pre-images in the
+    *    row-level change feed ([[rowChangesBetween]] works through
+    *    deletes);
+    *  - layout metadata survives: clustered/z-order min-max stats
+    *    stay valid (conservative) and bucket specs still hold, so
+    *    data skipping and bucketed merges keep working on the
+    *    undeleted remainder;
+    *  - rewriting writers ([[compact]], [[merge]], [[applyChanges]])
+    *    materialize through [[read]] and so FOLD the DVs in — their
+    *    commits carry no `#dv=` lines; appends carry them forward.
+    *
+    * Addresses use the file NAME (unique per manifest, enforced
+    * here), so manifests stay relocation-safe. Returns the committed
+    * version (the base version unchanged if the table has no data
+    * files). Throws [[CommitConflictException]] on a publish race,
+    * like every other writer. */
+  def delete(cond: org.apache.spark.sql.Column): Long = {
+    val baseVersion = currentVersion
+    require(baseVersion > 0, s"table at $root has no committed version")
+    val lines = manifestLines(baseVersion)
+    val files = manifestFiles(lines)
+    if (files.isEmpty) return baseVersion
+    val addrs = files.map(dvAddressOf)
+    require(addrs.distinct.size == addrs.size,
+      s"delete needs manifest-unique data file addresses at $root")
+    val schema = schemaOf(lines)
+    val version = baseVersion + 1
+    val live = scanAddressed(lines, files)
+    val doomed = live.filter(cond).persist()
+    val dvDir = dataDir.resolve(s"v$version-dv-${UUID.randomUUID()}")
+    try {
+      doomed.select(col("__graft_dv_f").as(SnapshotTable.DvFileCol),
+        col("__graft_dv_p").as(SnapshotTable.DvPosCol))
+        .write.parquet(dvDir.toString)
+      // per-file doomed counts — ≤ nFiles rows, answered from the cache
+      val doomedPerFile: Map[String, Long] = doomed.groupBy("__graft_dv_f").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val newDvLines =
+        if (doomedPerFile.isEmpty) { deleteRecursively(dvDir); Vector.empty[String] }
+        else listParquetRec(dvDir).map(p => s"#dv=${rootPath.relativize(p)}").sorted
+      // file-level deletes: drop files with zero surviving rows
+      // (total per file is a metadata-columns-only scan)
+      val totalPerFile: Map[String, Long] = live.groupBy("__graft_dv_f").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val keptFiles = files.filter { rel =>
+        val a = dvAddressOf(rel)
+        doomedPerFile.getOrElse(a, 0L) < totalPerFile.getOrElse(a, 0L)
+      }
+      val keptSet = keptFiles.toSet
+      // pre-image change feed: the deleted rows, op=delete
+      val cdcRows = doomed.select(
+        schema.fieldNames.map(col).toSeq :+
+          lit("delete").as(SnapshotTable.ChangeTypeCol): _*)
+      val (cdcSnap, cdcLines) = writeCdcData(cdcRows, version)
+      // carry layout meta + prior DV lines; drop per-commit meta and
+      // stat lines of dead files
+      val carriedMeta = lines.drop(2).filter(_.startsWith("#")).filter {
+        case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
+          l.startsWith("#cdc=") || l == SnapshotTable.CdcTracked => false
+        case RangeMeta(rel, _, _) => keptSet(rel)
+        case Range2Meta(rel, _, _, _, _) => keptSet(rel)
+        case _ => true
+      }
+      val tmp = writeTmpManifest(version, schema,
+        (SnapshotTable.CdcTracked +: (carriedMeta ++ cdcLines ++ newDvLines)) ++ keptFiles)
+      try publish(version, tmp)
+      catch { case e: CommitConflictException =>
+        deleteRecursively(dvDir); deleteRecursively(cdcSnap); throw e
+      }
+      version
+    } finally doomed.unpersist()
   }
 
   /** Read the latest committed version. */
@@ -332,11 +493,11 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       .collect().map(_.getLong(0).toInt).toSet
     val touchedFiles = byBucket.view.filterKeys(touched).values.flatten.toSeq
     val carried = byBucket.view.filterKeys(b => !touched(b)).values.flatten.toSeq
-    val targetTouched =
-      if (touchedFiles.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema)
-        .parquet(touchedFiles.map(rel => rootPath.resolve(rel).toString): _*)
+    // DV-aware touched-bucket read: deleted rows must not resurrect
+    // through the merge; carried buckets keep their deletes via the
+    // carried-forward `#dv=` lines (entries addressing the rewritten
+    // touched files go inert — those names leave the manifest)
+    val targetTouched = scanWithDv(lines, touchedFiles)
     val (merged, cdc) = scd1WithCdc(targetTouched, source, keyCol)
     val version = baseVersion + 1
     val (snap, newFiles) = writeBucketedData(merged, version, keyCol, n)
@@ -345,7 +506,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val (cdcSnap, cdcLines) = writeCdcData(cdc, version)
     val meta = s"#buckets=$n key=$keyCol"
     val tmp = writeTmpManifest(version, schema,
-      (meta +: SnapshotTable.CdcTracked +: cdcLines) ++ (carried ++ newFiles).sorted)
+      (meta +: SnapshotTable.CdcTracked +: (manifestDvLines(lines) ++ cdcLines)) ++
+        (carried ++ newFiles).sorted)
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
       deleteRecursively(snap); deleteRecursively(cdcSnap); throw e
@@ -430,12 +592,14 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
   def appendOnce(df: DataFrame, batchId: Long): Option[Long] = {
     if (committedBatchIds.contains(batchId)) return None
     val version = currentVersion + 1
+    val prev: Vector[String] =
+      if (version == 1) Vector.empty else manifestLines(version - 1)
     val carried: Seq[String] =
-      if (version == 1) Seq.empty
-      else manifestFiles(manifestLines(version - 1))
+      if (version == 1) Seq.empty else manifestFiles(prev)
     val (snap, files, schema) = writeData(df, version)
+    // appends don't rewrite, so prior deletes ride along as DV lines
     val tmp = writeTmpManifest(version, schema,
-      s"#batchId=$batchId" +: (carried ++ files))
+      (s"#batchId=$batchId" +: manifestDvLines(prev)) ++ (carried ++ files))
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
       deleteRecursively(snap); throw e
@@ -466,11 +630,14 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     while (true) {
       if (committedBatchIdsTagged.contains((writerId, batchId))) return None
       val version = currentVersion + 1
+      val prev: Vector[String] =
+        if (version == 1) Vector.empty else manifestLines(version - 1)
       val carried: Seq[String] =
-        if (version == 1) Seq.empty else manifestFiles(manifestLines(version - 1))
+        if (version == 1) Seq.empty else manifestFiles(prev)
       val writerLine = if (writerId.isEmpty) Seq.empty else Seq(s"#writer=$writerId")
       val tmp = writeTmpManifest(version, schema,
-        (s"#batchId=$batchId" +: writerLine) ++ (carried ++ relPaths))
+        (s"#batchId=$batchId" +: (writerLine ++ manifestDvLines(prev))) ++
+          (carried ++ relPaths))
       try { publish(version, tmp); return Some(version) }
       catch { case _: CommitConflictException =>
         attempts += 1
@@ -628,13 +795,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val lines = manifestLines(version)
     require(lines.drop(2).collectFirst { case ClusterMeta(k) => k }
       .contains(keyCol), s"version $version is not clustered on $keyCol")
-    val schema = org.apache.spark.sql.types.DataType.fromJson(lines(1))
-      .asInstanceOf[StructType]
-    val files = prunedFiles(version, lo, hi).map(rel => rootPath.resolve(rel).toString)
-    val base =
-      if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema).parquet(files: _*)
+    val schema = schemaOf(lines)
+    val base = scanWithDv(lines, prunedFiles(version, lo, hi))
     val enc = statLongExpr(schema(keyCol).dataType, keyCol)
     base.filter(enc >= lo && enc <= hi)
   }
@@ -731,14 +893,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       case ZClusterMeta(x, y) => (x, y)
     }.getOrElse(throw new IllegalArgumentException(
       s"version $version is not z-ordered"))
-    val schema = org.apache.spark.sql.types.DataType.fromJson(lines(1))
-      .asInstanceOf[StructType]
-    val files = prunedFiles2(version, xLo, xHi, yLo, yHi)
-      .map(rel => rootPath.resolve(rel).toString)
-    val base =
-      if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema).parquet(files: _*)
+    val schema = schemaOf(lines)
+    val base = scanWithDv(lines, prunedFiles2(version, xLo, xHi, yLo, yHi))
     val xe = statLongExpr(schema(kx).dataType, kx)
     val ye = statLongExpr(schema(ky).dataType, ky)
     base.filter(xe >= xLo && xe <= xHi && ye >= yLo && ye <= yHi)
@@ -835,8 +991,9 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     }
     val referenced: Set[String] = listCommitted().flatMap { v =>
       val lines = manifestLines(v)
-      // data files AND row-level changelog files both pin their dirs
-      (manifestFiles(lines) ++ manifestCdcFiles(lines))
+      // data files, row-level changelog files AND deletion-vector
+      // sidecars all pin their dirs
+      (manifestFiles(lines) ++ manifestCdcFiles(lines) ++ manifestDvFiles(lines))
         .map(rel => snapDirOf(rootPath.resolve(rel)).toString)
     }.toSet
     val sData = Files.list(dataDir)
@@ -874,6 +1031,14 @@ object SnapshotTable {
     * `#cdc=` lines are the complete change set — possibly zero, as
     * for compaction's content-identical rewrite). */
   private[tables] val CdcTracked: String = "#cdctracked"
+
+  /** Deletion-vector sidecar schema: each row tombstones one data row
+    * by (file name, row index) address. */
+  private[tables] val DvFileCol: String = "__graft_dv_file"
+  private[tables] val DvPosCol: String = "__graft_dv_pos"
+  private[tables] val DvSchema: StructType = StructType(Seq(
+    StructField(DvFileCol, org.apache.spark.sql.types.StringType, nullable = false),
+    StructField(DvPosCol, org.apache.spark.sql.types.LongType, nullable = false)))
 
   def apply(spark: SparkSession, root: String): SnapshotTable =
     new SnapshotTable(spark, root)

@@ -551,4 +551,88 @@ class SnapshotTableSpec extends SparkSpec {
       assert(t.read(2L).as[(Long, Double)].collect().toSeq == Seq((2L, 2.0)))
     } finally SnapshotTable.drop(t)
   }
+
+  // ---- deletion vectors ------------------------------------------------
+
+  private def filesOf(t: SnapshotTable, v: Long): Vector[String] =
+    SnapshotTable.manifestFilesOf(
+      SnapshotTable.manifestLinesAt(Paths.get(t.root), v))
+
+  private def dvLinesOf(t: SnapshotTable, v: Long): Vector[String] =
+    SnapshotTable.manifestLinesAt(Paths.get(t.root), v)
+      .drop(2).filter(_.startsWith("#dv="))
+
+  test("delete: stacked deletion vectors tombstone rows without rewriting any data file") {
+    val t = freshTable("dv_basic")
+    try {
+      val v1 = t.commit(kv((1L to 20L).map(k => k -> k.toDouble): _*))
+      val v2 = t.delete(col("k") % 2 === 0)
+      val v3 = t.delete(col("k") > 15)
+      assert(t.read().orderBy("k").as[(Long, Double)].collect().toSeq ==
+        (1L to 15L).filter(_ % 2 == 1).map(k => (k, k.toDouble)))
+      // snapshot isolation underneath the tombstones
+      assert(t.read(v1).count() == 20)
+      assert(t.read(v2).count() == 10)
+      // no data file rewritten: every surviving file is v1's, by path
+      assert(filesOf(t, v3).toSet.subsetOf(filesOf(t, v1).toSet))
+      assert(dvLinesOf(t, v3).nonEmpty)
+      // deletes are CDC-tracked: the feed carries the pre-images
+      val feed = t.rowChangesBetween(v1, v2)
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getString(2)))
+      assert(feed.toSeq == (2L to 20L by 2).map(k => (k, "delete")))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("delete: a fully-deleted file drops from the manifest; stats skipping respects DVs") {
+    val t = freshTable("dv_filedrop")
+    try {
+      t.commitClustered(kv((1L to 100L).map(k => k -> k.toDouble): _*), "k", 4)
+      val before = filesOf(t, 1L)
+      val v2 = t.delete(col("k") <= 60)
+      assert(t.read().count() == 40)
+      // the low-range file(s) are gone from the manifest entirely —
+      // a file-level delete is pure metadata
+      assert(filesOf(t, v2).size < before.size)
+      assert(filesOf(t, v2).toSet.subsetOf(before.toSet))
+      // clustered range reads still prune AND apply the tombstones
+      val v3 = t.delete(col("k") === 70L)
+      assert(t.readWhere(v3, "k", 61L, 80L).as[(Long, Double)].collect()
+        .map(_._1).sorted.toSeq == (61L to 80L).filterNot(_ == 70L))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("delete composes: appends carry tombstones, compact folds them in") {
+    val t = freshTable("dv_append")
+    try {
+      t.commit(kv((1L to 10L).map(k => k -> k.toDouble): _*))
+      t.delete(col("k") <= 3)
+      val v3 = t.appendOnce(kv(11L -> 11.0, 12L -> 12.0), 7L).get
+      assert(t.read().orderBy("k").as[(Long, Double)].collect().map(_._1).toSeq ==
+        (4L to 12L))
+      assert(dvLinesOf(t, v3).nonEmpty)
+      val v4 = t.compact(2)
+      // compaction materializes through read(): the DVs fold into the
+      // rewrite and the manifest sheds its #dv lines
+      assert(dvLinesOf(t, v4).isEmpty)
+      assert(t.read(v4).orderBy("k").as[(Long, Double)].collect().map(_._1).toSeq ==
+        (4L to 12L))
+      // the pre-compact version still reads through its tombstones
+      assert(t.read(v3).count() == 9)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("delete composes with bucketed merge: tombstones hold in touched AND carried buckets") {
+    val t = freshTable("dv_merge")
+    try {
+      t.commitBucketed(kv((1L to 40L).map(k => k -> k.toDouble): _*), "k", 4)
+      t.delete(col("k") % 5 === 0)
+      // source touches bucket 1 only (41 % 4 == 1 % 4 == 1): deleted
+      // keys 5, 25 sit in the touched bucket (DV-aware rewrite), the
+      // rest in carried buckets (carried #dv lines)
+      val v3 = t.mergeBucketed(kv(41L -> 9.0, 1L -> 9.9), "k")
+      val expected = ((1L to 40L).filter(_ % 5 != 0).map(k =>
+        (k, if (k == 1L) 9.9 else k.toDouble)) :+ (41L, 9.0)).sortBy(_._1)
+      assert(t.read(v3).orderBy("k").as[(Long, Double)].collect().toSeq == expected)
+    } finally SnapshotTable.drop(t)
+  }
 }
