@@ -398,11 +398,36 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** Schema EVOLUTION through the gate: v1 commits (k, v) for the
+    * even keys; v2 appends the odd keys WITH a new `flag` column via
+    * [[graft.tables.SnapshotTable.appendEvolved]] — a metadata + new-
+    * data commit that rewrites no v1 file. The read-back aggregate
+    * sums `flag`, which is NULL for every v1 row (parquet by-name
+    * resolution against the evolved manifest schema), so the hash
+    * match proves old files surface the evolved column as NULL and
+    * new files carry it — the oracle recomputes the same relation
+    * declaratively with a CASE. */
+  private def tableEvolve(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_evolve_")
+    try {
+      val b = base(s, d)
+      t.commit(b.filter(col("k") % 2 === 0))
+      t.appendEvolved(b.filter(col("k") % 2 === 1)
+        .withColumn("flag", col("k") % 3), 0L)
+      t.read()
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"),
+          sum(col("flag")).as("flags"))
+        .orderBy("bucket").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_mv_incremental"   -> mvIncremental,
     "q_table_stream"     -> tableStream,
     "q_table_stream_sink" -> tableStreamSink,
     "q_table_delete_dv"  -> tableDeleteDv,
+    "q_table_evolve"     -> tableEvolve,
     "q_table_commit"     -> tableCommit,
     "q_table_compact"    -> tableCompact,
     "q_table_skipping"   -> tableSkipping,
@@ -454,6 +479,14 @@ object TableOps extends QueryPack {
          |  FROM b GROUP BY phase, bucket)
          |SELECT * FROM (SELECT * FROM aft UNION ALL SELECT * FROM bas)
          |ORDER BY phase, bucket""".stripMargin,
+    "q_table_evolve" ->
+      s"""WITH x AS (
+         |  SELECT o_orderkey AS k, o_totalprice AS v,
+         |         CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 3 END AS flag
+         |  FROM orders)
+         |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total,
+         |       CAST(SUM(flag) AS BIGINT) AS flags
+         |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_table_commit" ->
       s"""WITH $newsnapCte
          |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total

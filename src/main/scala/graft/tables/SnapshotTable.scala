@@ -589,16 +589,46 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * committed. Unlike a side-car marker ledger, the dedup record is
     * atomic with the data commit itself: either the version published
     * with its batchId or nothing did. */
-  def appendOnce(df: DataFrame, batchId: Long): Option[Long] = {
+  def appendOnce(df: DataFrame, batchId: Long): Option[Long] =
+    appendInternal(df, batchId, evolve = false)
+
+  /** [[appendOnce]] with SCHEMA EVOLUTION: `df` may carry columns the
+    * table doesn't have yet. New columns are appended to the schema
+    * tail (forced nullable); every EXISTING column must be present
+    * with its committed type (widening/renames are rejected — loud
+    * beats lossy). The commit is metadata + new data only: no old
+    * file is touched, and reads of any file lacking an evolved column
+    * surface NULL for it (parquet by-name resolution against the
+    * manifest schema). Time travel keeps each version's own schema —
+    * the evolved column simply doesn't exist at older versions. */
+  def appendEvolved(df: DataFrame, batchId: Long): Option[Long] =
+    appendInternal(df, batchId, evolve = true)
+
+  private def appendInternal(df: DataFrame, batchId: Long,
+      evolve: Boolean): Option[Long] = {
     if (committedBatchIds.contains(batchId)) return None
     val version = currentVersion + 1
     val prev: Vector[String] =
       if (version == 1) Vector.empty else manifestLines(version - 1)
     val carried: Seq[String] =
       if (version == 1) Seq.empty else manifestFiles(prev)
-    val (snap, files, schema) = writeData(df, version)
+    val schemaOut: StructType =
+      if (!evolve || version == 1) df.schema
+      else {
+        val table = schemaOf(prev)
+        table.fields.foreach { f =>
+          val got = df.schema.fields.find(_.name == f.name).getOrElse(
+            throw new IllegalArgumentException(
+              s"appendEvolved batch is missing table column ${f.name}"))
+          require(got.dataType == f.dataType,
+            s"appendEvolved cannot change ${f.name}: ${f.dataType} -> ${got.dataType}")
+        }
+        val added = df.schema.fields.filterNot(f => table.fieldNames.contains(f.name))
+        StructType(table.fields ++ added.map(_.copy(nullable = true)))
+      }
+    val (snap, files, _) = writeData(df, version)
     // appends don't rewrite, so prior deletes ride along as DV lines
-    val tmp = writeTmpManifest(version, schema,
+    val tmp = writeTmpManifest(version, schemaOut,
       (s"#batchId=$batchId" +: manifestDvLines(prev)) ++ (carried ++ files))
     try publish(version, tmp)
     catch { case e: CommitConflictException =>

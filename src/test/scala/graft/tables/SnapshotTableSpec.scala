@@ -635,4 +635,28 @@ class SnapshotTableSpec extends SparkSpec {
       assert(t.read(v3).orderBy("k").as[(Long, Double)].collect().toSeq == expected)
     } finally SnapshotTable.drop(t)
   }
+
+  test("appendEvolved: new nullable column, old files read NULL, old versions keep their schema") {
+    val t = freshTable("evolve")
+    try {
+      t.commit(kv(1L -> 1.0, 2L -> 2.0))
+      val v2 = t.appendEvolved(Seq((3L, 3.0, "x")).toDF("k", "v", "tag"), 1L).get
+      assert(t.read(v2).columns.toSeq == Seq("k", "v", "tag"))
+      val got = t.read(v2).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSeq
+      assert(got == Seq((1L, 1.0, None), (2L, 2.0, None), (3L, 3.0, Some("x"))))
+      // time travel keeps v1's own (unevolved) schema
+      assert(t.read(1L).columns.toSeq == Seq("k", "v"))
+      // type changes and missing table columns are rejected up front
+      intercept[IllegalArgumentException] {
+        t.appendEvolved(Seq(("s", 1.0)).toDF("k", "v"), 2L)
+      }
+      intercept[IllegalArgumentException] {
+        t.appendEvolved(Seq(4L).toDF("k"), 3L)
+      }
+      // evolution composes with deletion vectors on pre-evolution rows
+      t.delete(col("k") === 1L)
+      assert(t.read().orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    } finally SnapshotTable.drop(t)
+  }
 }
