@@ -422,12 +422,32 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** STRING-key data skipping: customers committed range-clustered on
+    * `c_name` with truncated byte-wise min/max bounds per file; a
+    * name-range read prunes files by those bounds (pruning itself
+    * asserted in SnapshotTableSpec) and the residual filter makes it
+    * row-exact — hash-matched against the oracle's plain BETWEEN.
+    * Unsigned-byte bound order == Spark's binary UTF8String order ==
+    * DuckDB's default binary collation, so all three agree. */
+  private def tableSkippingStr(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_skipping_str_")
+    try {
+      val df = Tables.customer(s, d)
+        .select(col("c_name").as("name"), col("c_acctbal").as("v"))
+      val v1 = t.commitClusteredString(df, "name", 8)
+      t.readWhereString(v1, "name", "Customer#000000200", "Customer#000000599")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+        .localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_mv_incremental"   -> mvIncremental,
     "q_table_stream"     -> tableStream,
     "q_table_stream_sink" -> tableStreamSink,
     "q_table_delete_dv"  -> tableDeleteDv,
     "q_table_evolve"     -> tableEvolve,
+    "q_table_skipping_str" -> tableSkippingStr,
     "q_table_commit"     -> tableCommit,
     "q_table_compact"    -> tableCompact,
     "q_table_skipping"   -> tableSkipping,
@@ -487,6 +507,10 @@ object TableOps extends QueryPack {
          |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total,
          |       CAST(SUM(flag) AS BIGINT) AS flags
          |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_table_skipping_str" ->
+      s"""SELECT COUNT(*) AS n, ${Det.dsumSql("c_acctbal", 2)} AS total
+         |FROM customer
+         |WHERE c_name BETWEEN 'Customer#000000200' AND 'Customer#000000599'""".stripMargin,
     "q_table_commit" ->
       s"""WITH $newsnapCte
          |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total

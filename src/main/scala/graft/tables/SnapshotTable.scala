@@ -257,6 +257,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
           l.startsWith("#cdc=") || l == SnapshotTable.CdcTracked => false
         case RangeMeta(rel, _, _) => keptSet(rel)
         case Range2Meta(rel, _, _, _, _) => keptSet(rel)
+        case RangeSMeta(rel, _, _, _) => keptSet(rel)
         case _ => true
       }
       val tmp = writeTmpManifest(version, schema,
@@ -831,6 +832,95 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     base.filter(enc >= lo && enc <= hi)
   }
 
+  // ---- string-key clustered stats --------------------------------------
+
+  private val RangeSMeta = """#ranges=([^|]+)\|([^|]*)\|([^|]*)\|([01])""".r
+
+  /** STRING-key clustered commit: same layout as [[commitClustered]]
+    * (range-partitioned, sorted, per-file min/max in the manifest) for
+    * a string key, with Delta-style TRUNCATED byte-wise bounds so wide
+    * keys cannot bloat the manifest: bounds are capped at
+    * [[SnapshotTable.StringStatMaxBytes]] UTF-8 bytes; a truncated
+    * lower bound is valid as-is (the prefix sorts <= the value), a
+    * truncated upper bound is bumped past every string sharing the
+    * prefix (last non-0xFF byte incremented, tail dropped), and a
+    * bound with no such successor is recorded as UNBOUNDED above
+    * (conservatively kept by every read). Bounds are base64-escaped
+    * in the manifest; all comparisons — write-side truncation,
+    * driver-side pruning, the read's residual filter — use unsigned
+    * byte order, which is exactly Spark's binary UTF8String order, so
+    * pruning is lossless. */
+  def commitClusteredString(df: DataFrame, keyCol: String, nFiles: Int): Long = {
+    require(df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType,
+      s"commitClusteredString requires a string key; $keyCol is ${df.schema(keyCol).dataType}")
+    val version = currentVersion + 1
+    val snap = dataDir.resolve(s"v$version-${UUID.randomUUID()}")
+    df.repartitionByRange(nFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.parquet(snap.toString)
+    val statRows = spark.read.parquet(snap.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+      .collect() // nFiles rows — bounded driver metadata
+    val byName = statRows.filterNot(r => r.isNullAt(1) || r.isNullAt(2)).map { r =>
+      val name = r.getString(0).split('/').last
+      val lo = SnapshotTable.truncatedLower(
+        r.getString(1).getBytes("UTF-8"), SnapshotTable.StringStatMaxBytes)
+      val hi = SnapshotTable.truncatedUpper(
+        r.getString(2).getBytes("UTF-8"), SnapshotTable.StringStatMaxBytes)
+      val enc = java.util.Base64.getEncoder
+      name -> (enc.encodeToString(lo),
+        hi.fold(("", "1")) (b => (enc.encodeToString(b), "0")))
+    }.toMap
+    val files = listParquetRec(snap).map(p => rootPath.relativize(p).toString).sorted
+    val statLines = files.flatMap { rel =>
+      byName.get(rel.split('/').last).map { case (lo64, (hi64, unb)) =>
+        s"#ranges=$rel|$lo64|$hi64|$unb" }
+    }
+    val tmp = writeTmpManifest(version, df.schema,
+      (s"#clusters=$keyCol" +: statLines) ++ files)
+    try publish(version, tmp)
+    catch { case e: CommitConflictException =>
+      deleteRecursively(snap); throw e
+    }
+    version
+  }
+
+  /** Files of `version` whose truncated string-bound interval
+    * intersects [lo, hi] under unsigned byte order; stat-less files
+    * (all-null keys) and unbounded-above files are conservatively
+    * kept. */
+  def prunedFilesString(version: Long, lo: String, hi: String): Seq[String] = {
+    val dec = java.util.Base64.getDecoder
+    val loB = lo.getBytes("UTF-8"); val hiB = hi.getBytes("UTF-8")
+    val lines = manifestLines(version)
+    val bounds: Map[String, (Array[Byte], Option[Array[Byte]])] =
+      lines.drop(2).collect {
+        case RangeSMeta(rel, lo64, hi64, unb) =>
+          rel -> (dec.decode(lo64),
+            if (unb == "1") None else Some(dec.decode(hi64)))
+      }.toMap
+    import java.util.Arrays.{compareUnsigned => cmp}
+    manifestFiles(lines).filter { rel =>
+      bounds.get(rel) match {
+        case Some((fLo, fHi)) =>
+          cmp(fLo, hiB) <= 0 && fHi.forall(h => cmp(h, loB) >= 0)
+        case None => true
+      }
+    }
+  }
+
+  /** String-key range read with manifest-stats file skipping, then
+    * the exact residual filter (and DVs, like every read path). */
+  def readWhereString(version: Long, keyCol: String, lo: String, hi: String): DataFrame = {
+    val lines = manifestLines(version)
+    require(lines.drop(2).collectFirst {
+      case l if l.startsWith("#clusters=") => l.stripPrefix("#clusters=")
+    }.contains(keyCol), s"version $version is not string-clustered on $keyCol")
+    scanWithDv(lines, prunedFilesString(version, lo, hi))
+      .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+
   /** Z-ORDERED snapshot commit: rows sorted by the Morton interleave
     * of TWO (encoded) key dimensions and range-partitioned into
     * `nFiles` z-contiguous files, with per-file [min, max] stats ON
@@ -1061,6 +1151,35 @@ object SnapshotTable {
     * `#cdc=` lines are the complete change set — possibly zero, as
     * for compaction's content-identical rewrite). */
   private[tables] val CdcTracked: String = "#cdctracked"
+
+  /** Byte cap for string min/max manifest stats — bounds longer than
+    * this are truncated (lower: prefix; upper: incremented prefix). */
+  val StringStatMaxBytes: Int = 32
+
+  /** Lower bound, truncated: a byte prefix sorts <= the full value
+    * under unsigned byte order, so it stays a valid lower bound. */
+  private[tables] def truncatedLower(bytes: Array[Byte], cap: Int): Array[Byte] =
+    if (bytes.length <= cap) bytes else bytes.take(cap)
+
+  /** Upper bound, truncated: a prefix is NOT a valid upper bound (it
+    * sorts below the value), so the last non-0xFF byte is incremented
+    * and the tail dropped — the successor of every string sharing the
+    * prefix. An all-0xFF prefix has no successor: None = unbounded
+    * above. (Unreachable for valid UTF-8, which never contains 0xFF,
+    * but kept total for future binary keys.) */
+  private[tables] def truncatedUpper(bytes: Array[Byte], cap: Int): Option[Array[Byte]] =
+    if (bytes.length <= cap) Some(bytes)
+    else {
+      val p = bytes.take(cap)
+      var i = p.length - 1
+      while (i >= 0 && p(i) == -1) i -= 1
+      if (i < 0) None
+      else {
+        val out = java.util.Arrays.copyOf(p, i + 1)
+        out(i) = (out(i) + 1).toByte
+        Some(out)
+      }
+    }
 
   /** Deletion-vector sidecar schema: each row tombstones one data row
     * by (file name, row index) address. */

@@ -636,6 +636,37 @@ class SnapshotTableSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("string-clustered commit: truncated byte-wise bounds prune range reads losslessly") {
+    val t = freshTable("clusters")
+    try {
+      // keys long enough to force truncation (> 32 bytes) and a null
+      val rows = (0 until 400).map(i => (f"key-$i%03d-" + ("x" * 40), i.toDouble)) :+
+        (null.asInstanceOf[String], -1.0)
+      val v = t.commitClusteredString(rows.toDF("name", "v"), "name", 8)
+      val pruned = t.prunedFilesString(v, "key-100", "key-199|")
+      val all = SnapshotTable.manifestFilesOf(
+        SnapshotTable.manifestLinesAt(Paths.get(t.root), v))
+      // 100 of 400 keys → ~2 of 8 range files (+ the stat-less
+      // null-pool file is conservatively kept)
+      assert(pruned.size < all.size && pruned.size <= 4,
+        s"expected <=4 of ${all.size} files, pruned kept ${pruned.size}")
+      val got = t.readWhereString(v, "name", "key-100", "key-199|")
+        .collect().map(_.getDouble(1)).sorted
+      assert(got.toSeq == (100 until 200).map(_.toDouble))
+      // truncation helpers: lower is a prefix; upper increments past it
+      val lo = SnapshotTable.truncatedLower("abcdef".getBytes, 3)
+      assert(new String(lo) == "abc")
+      val hi = SnapshotTable.truncatedUpper("abcdef".getBytes, 3).get
+      assert(new String(hi) == "abd")
+      assert(SnapshotTable.truncatedUpper(Array.fill(5)(-1: Byte), 3).isEmpty)
+      // deletes compose: DV-aware string range read
+      t.delete(col("v") === 150.0)
+      val afterDel = t.readWhereString(t.currentVersion, "name", "key-100", "key-199|")
+        .collect().map(_.getDouble(1)).sorted
+      assert(afterDel.toSeq == (100 until 200).filterNot(_ == 150).map(_.toDouble))
+    } finally SnapshotTable.drop(t)
+  }
+
   test("appendEvolved: new nullable column, old files read NULL, old versions keep their schema") {
     val t = freshTable("evolve")
     try {
