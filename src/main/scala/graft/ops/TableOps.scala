@@ -441,7 +441,38 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** BLOOM point-lookup skipping through the gate: orders committed
+    * hash-partitioned with per-file key Bloom sidecars; three point
+    * lookups — the data's own min and max key (derived identically by
+    * both engines) and a guaranteed-absent key — each via
+    * [[graft.tables.SnapshotTable.readWhereEq]], which probes the
+    * sidecars driver-side and opens only may-contain files (the
+    * pruning bound itself is asserted in SnapshotTableSpec). The
+    * oracle recomputes the three lookups declaratively with scalar
+    * subqueries. */
+  private def tableBloom(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_bloom_")
+    try {
+      val b = base(s, d)
+      val v = t.commitBloom(b, "k", 16)
+      val bounds = b.agg(min(col("k")).as("lo"), max(col("k")).as("hi")).head()
+      // empty input: the oracle's scalar subqueries go NULL (no rows
+      // match k = NULL); probe an absent key to mirror that
+      def bound(i: Int) = if (bounds.isNullAt(i)) -1L else bounds.getLong(i)
+      def look(tag: String, key: Long) =
+        t.readWhereEq(v, "k", key)
+          .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+          .withColumn("probe", lit(tag))
+      look("absent", -1L)
+        .unionAll(look("max", bound(1)))
+        .unionAll(look("min", bound(0)))
+        .select(col("probe"), col("n"), col("total"))
+        .orderBy("probe").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_table_bloom"      -> tableBloom,
     "q_mv_incremental"   -> mvIncremental,
     "q_table_stream"     -> tableStream,
     "q_table_stream_sink" -> tableStreamSink,
@@ -507,6 +538,17 @@ object TableOps extends QueryPack {
          |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total,
          |       CAST(SUM(flag) AS BIGINT) AS flags
          |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_table_bloom" ->
+      s"""WITH b AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders)
+         |SELECT 'absent' AS probe, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total
+         |FROM b WHERE k = -1
+         |UNION ALL
+         |SELECT 'max', COUNT(*), ${Det.dsumSql("v", 2)}
+         |FROM b WHERE k = (SELECT MAX(k) FROM b)
+         |UNION ALL
+         |SELECT 'min', COUNT(*), ${Det.dsumSql("v", 2)}
+         |FROM b WHERE k = (SELECT MIN(k) FROM b)
+         |ORDER BY probe""".stripMargin,
     "q_table_skipping_str" ->
       s"""SELECT COUNT(*) AS n, ${Det.dsumSql("c_acctbal", 2)} AS total
          |FROM customer

@@ -258,6 +258,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         case RangeMeta(rel, _, _) => keptSet(rel)
         case Range2Meta(rel, _, _, _, _) => keptSet(rel)
         case RangeSMeta(rel, _, _, _) => keptSet(rel)
+        case BloomFMeta(rel, _) => keptSet(rel)
         case _ => true
       }
       val tmp = writeTmpManifest(version, schema,
@@ -832,6 +833,143 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     base.filter(enc >= lo && enc <= hi)
   }
 
+  // ---- per-file Bloom filters: point-lookup file skipping ---------------
+
+  private val BloomKMeta = """#bloomk=([^ ]+) fpp=(.+)""".r
+  private val BloomFMeta = """#bloomf=([^|]+)\|(.+)""".r
+
+  /** Canonical key bytes shared by the bloom BUILD (executor SQL
+    * expression) and the PROBE (driver JVM): integral keys as 8-byte
+    * big-endian two's complement, strings as UTF-8. */
+  private def keyBytesExpr(dt: org.apache.spark.sql.types.DataType, keyCol: String) = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        unhex(lpad(hex(col(keyCol).cast("long")), 16, "0"))
+      case StringType => encode(col(keyCol), "UTF-8")
+      case other => throw new IllegalArgumentException(
+        s"bloom skipping requires an integral or string key; $keyCol is $other")
+    }
+  }
+
+  private def keyBytesOf(value: Any): Array[Byte] = value match {
+    case l: Long => java.nio.ByteBuffer.allocate(8).putLong(l).array()
+    case i: Int => keyBytesOf(i.toLong)
+    case s: Short => keyBytesOf(s.toLong)
+    case b: Byte => keyBytesOf(b.toLong)
+    case s: String => s.getBytes("UTF-8")
+    case other => throw new IllegalArgumentException(
+      s"bloom lookup value must be integral or string, got $other")
+  }
+
+  /** BLOOM-SKIPPING commit: rows hash-partitioned on the key into
+    * `nFiles` files (each key lives in exactly ONE file), with a
+    * per-file Bloom filter of the key set written as a SIDECAR file
+    * (manifest `#bloomf=<data>|<bloom>` lines — the manifest carries
+    * paths, not filter bits, so 100 TB tables don't bloat their
+    * metadata). The high-cardinality complement of min/max stats: a
+    * point lookup ([[readWhereEq]]) probes ≤nFiles tiny sidecars on
+    * the driver and opens only files whose filter may contain the
+    * value — one file plus fpp·nFiles false positives expected, on a
+    * layout with no useful key ordering. Build is one distributed
+    * pass: per-partition partial filters (sized from an exact per-file
+    * count pre-pass, so partials of a split file merge compatibly)
+    * OR-merged per file. Null keys never enter a filter; a file with
+    * only null keys records no sidecar and is conservatively kept. */
+  def commitBloom(df: DataFrame, keyCol: String, nFiles: Int,
+      fpp: Double = 0.01): Long = {
+    val kb = keyBytesExpr(df.schema(keyCol).dataType, keyCol) // validates type
+    val version = currentVersion + 1
+    val snap = dataDir.resolve(s"v$version-${UUID.randomUUID()}")
+    df.repartition(nFiles, col(keyCol)).write.parquet(snap.toString)
+    val segs = split(col("_metadata.file_path"), "/")
+    val addrCol = concat_ws("/", element_at(segs, -2), element_at(segs, -1))
+    val keyed = spark.read.parquet(snap.toString)
+      .filter(col(keyCol).isNotNull)
+      .select(addrCol.as("a"), kb.as("k"))
+    // exact per-file key counts — partial filters created with the
+    // same (n, fpp) merge compatibly even when a file spans partitions
+    val counts: Map[String, Long] = keyed.groupBy("a").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bCounts = spark.sparkContext.broadcast(counts)
+    import spark.implicits._
+    val partials: Array[(String, Array[Byte])] =
+      keyed.as[(String, Array[Byte])].mapPartitions { it =>
+        val local = scala.collection.mutable.HashMap
+          .empty[String, org.apache.spark.util.sketch.BloomFilter]
+        it.foreach { case (a, k) =>
+          local.getOrElseUpdate(a, org.apache.spark.util.sketch.BloomFilter
+            .create(bCounts.value(a), fpp)).putBinary(k)
+        }
+        local.iterator.map { case (a, bf) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          (a, bos.toByteArray)
+        }
+      }.collect() // ≤ partitions × files-per-partition filters — metadata-sized
+    val merged: Map[String, org.apache.spark.util.sketch.BloomFilter] =
+      partials.groupBy(_._1).map { case (a, ps) =>
+        val bfs = ps.map(p => org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(p._2)))
+        a -> bfs.reduce((x, y) => { x.mergeInPlace(y); x })
+      }
+    val bloomDir = dataDir.resolve(s"v$version-bloom-${UUID.randomUUID()}")
+    Files.createDirectories(bloomDir)
+    val files = listParquetRec(snap).map(p => rootPath.relativize(p).toString).sorted
+    val bloomLines = files.flatMap { rel =>
+      merged.get(dvAddressOf(rel)).map { bf =>
+        val side = bloomDir.resolve(rel.split('/').last + ".bloom")
+        val os = Files.newOutputStream(side)
+        try bf.writeTo(os) finally os.close()
+        s"#bloomf=$rel|${rootPath.relativize(side)}"
+      }
+    }
+    val tmp = writeTmpManifest(version, df.schema,
+      (s"#bloomk=$keyCol fpp=$fpp" +: bloomLines) ++ files)
+    try publish(version, tmp)
+    catch { case e: CommitConflictException =>
+      deleteRecursively(snap); deleteRecursively(bloomDir); throw e
+    }
+    version
+  }
+
+  /** Bloom sidecar files referenced by `lines` (for vacuum pinning). */
+  private def manifestBloomFiles(lines: Vector[String]): Vector[String] =
+    lines.drop(2).collect { case BloomFMeta(_, bloomRel) => bloomRel }
+
+  /** Files of `version` whose Bloom filter may contain the key bytes;
+    * files without a sidecar are conservatively kept. Driver-side
+    * probes over metadata-sized sidecars — no data file is opened. */
+  def prunedFilesBloom(version: Long, value: Any): Seq[String] = {
+    val kb = keyBytesOf(value)
+    val lines = manifestLines(version)
+    val blooms: Map[String, String] = lines.drop(2).collect {
+      case BloomFMeta(rel, bloomRel) => rel -> bloomRel
+    }.toMap
+    manifestFiles(lines).filter { rel =>
+      blooms.get(rel) match {
+        case Some(bloomRel) =>
+          val is = Files.newInputStream(rootPath.resolve(bloomRel))
+          try org.apache.spark.util.sketch.BloomFilter.readFrom(is)
+            .mightContainBinary(kb)
+          finally is.close()
+        case None => true
+      }
+    }
+  }
+
+  /** Point lookup with Bloom file skipping, then the exact residual
+    * equality filter (and DVs, like every read path). */
+  def readWhereEq(version: Long, keyCol: String, value: Any): DataFrame = {
+    require(value != null, "readWhereEq: use an IS NULL filter for null lookups")
+    val lines = manifestLines(version)
+    require(lines.drop(2).collectFirst {
+      case BloomKMeta(k, _) => k
+    }.contains(keyCol), s"version $version has no bloom index on $keyCol")
+    scanWithDv(lines, prunedFilesBloom(version, value))
+      .filter(col(keyCol) === lit(value))
+  }
+
   // ---- string-key clustered stats --------------------------------------
 
   private val RangeSMeta = """#ranges=([^|]+)\|([^|]*)\|([^|]*)\|([01])""".r
@@ -1111,9 +1249,10 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     }
     val referenced: Set[String] = listCommitted().flatMap { v =>
       val lines = manifestLines(v)
-      // data files, row-level changelog files AND deletion-vector
-      // sidecars all pin their dirs
-      (manifestFiles(lines) ++ manifestCdcFiles(lines) ++ manifestDvFiles(lines))
+      // data files, row-level changelog files, deletion-vector and
+      // bloom sidecars all pin their dirs
+      (manifestFiles(lines) ++ manifestCdcFiles(lines) ++
+        manifestDvFiles(lines) ++ manifestBloomFiles(lines))
         .map(rel => snapDirOf(rootPath.resolve(rel)).toString)
     }.toSet
     val sData = Files.list(dataDir)

@@ -667,6 +667,39 @@ class SnapshotTableSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("bloom commit: point lookups open at most a false-positive handful of files") {
+    val t = freshTable("bloom")
+    try {
+      val rows: Seq[(java.lang.Long, Double)] =
+        (1L to 2000L).map(k => (java.lang.Long.valueOf(k), k.toDouble)) :+
+          ((null: java.lang.Long), -1.0)
+      val v = t.commitBloom(rows.toDF("k", "v"), "k", 16, fpp = 0.01)
+      val all = filesOf(t, v)
+      assert(all.size >= 8, s"expected a multi-file layout, got ${all.size}")
+      // present key: its one home file + expected fpp*nFiles ≈ 0.16
+      // false positives; 4 is a generous deterministic bound
+      assert(t.prunedFilesBloom(v, 777L).size <= 4)
+      assert(t.readWhereEq(v, "k", 777L).collect().map(_.getDouble(1)).toSeq == Seq(777.0))
+      // absent key: pruning alone usually empties the scan
+      assert(t.prunedFilesBloom(v, -5L).size <= 4)
+      assert(t.readWhereEq(v, "k", -5L).count() == 0)
+      // null keys never enter a filter and never match an eq lookup
+      assert(t.read(v).filter(col("k").isNull).count() == 1)
+      // deletes compose: tombstoned row vanishes from the point lookup
+      t.delete(col("k") === 777L)
+      assert(t.readWhereEq(t.currentVersion, "k", 777L).count() == 0)
+      // string keys share the same canonical-bytes path
+      val t2 = freshTable("bloom_str")
+      try {
+        val v2 = t2.commitBloom(
+          (1 to 500).map(i => (f"id-$i%04d", i.toDouble)).toDF("k", "v"), "k", 8)
+        assert(t2.prunedFilesBloom(v2, "id-0042").size <= 3)
+        assert(t2.readWhereEq(v2, "k", "id-0042").collect()
+          .map(_.getDouble(1)).toSeq == Seq(42.0))
+      } finally SnapshotTable.drop(t2)
+    } finally SnapshotTable.drop(t)
+  }
+
   test("appendEvolved: new nullable column, old files read NULL, old versions keep their schema") {
     val t = freshTable("evolve")
     try {
