@@ -471,7 +471,34 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** CAPSTONE: the full lakehouse lifecycle through one gate. v1
+    * commits the even keys; v2 appends the odds WITH a new `flag`
+    * column (schema evolution); v3 tombstones keys ≡0 mod 7 via
+    * deletion vectors (no rewrite); v4 compacts — folding the
+    * tombstones in and materializing the evolved schema — and the
+    * COMPACTED version's aggregate is what hashes against the
+    * oracle's declarative recomputation. Every mechanism the table
+    * layer owns (atomic commit, evolution, DV delete, rewrite,
+    * read-back) has to compose correctly for this to match. */
+  private def tableLifecycle(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_lifecycle_")
+    try {
+      val b = base(s, d)
+      t.commit(b.filter(col("k") % 2 === 0))
+      t.appendEvolved(b.filter(col("k") % 2 === 1)
+        .withColumn("flag", col("k") % 3), 0L)
+      t.delete(col("k") % 7 === 0)
+      val v4 = t.compact(4)
+      t.read(v4)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"),
+          sum(col("flag")).as("flags"))
+        .orderBy("bucket").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_table_lifecycle"  -> tableLifecycle,
     "q_table_bloom"      -> tableBloom,
     "q_mv_incremental"   -> mvIncremental,
     "q_table_stream"     -> tableStream,
@@ -535,6 +562,14 @@ object TableOps extends QueryPack {
          |  SELECT o_orderkey AS k, o_totalprice AS v,
          |         CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 3 END AS flag
          |  FROM orders)
+         |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total,
+         |       CAST(SUM(flag) AS BIGINT) AS flags
+         |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_table_lifecycle" ->
+      s"""WITH x AS (
+         |  SELECT o_orderkey AS k, o_totalprice AS v,
+         |         CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 3 END AS flag
+         |  FROM orders WHERE o_orderkey % 7 <> 0)
          |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total,
          |       CAST(SUM(flag) AS BIGINT) AS flags
          |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin,
