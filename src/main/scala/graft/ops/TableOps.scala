@@ -497,7 +497,96 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** RESTORE through the gate: v1 commits the even keys; v2 appends
+    * the odds; v3 tombstones keys ≡0 mod 7 (deletion vectors); v4 =
+    * restore(v1) — one metadata-only commit, nothing read or
+    * rewritten. The result tags the restored CURRENT read alongside
+    * the v3 time-travel read, so one hash proves restore rolled the
+    * content back exactly AND left the rolled-over version intact. */
+  private def tableRestore(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_restore_")
+    try {
+      val b = base(s, d)
+      val v1 = t.commit(b.filter(col("k") % 2 === 0))
+      t.appendOnce(b.filter(col("k") % 2 === 1), 0L)
+      val v3 = t.delete(col("k") % 7 === 0)
+      t.restore(v1)
+      bucketAgg(t.read()).withColumn("phase", lit("restored"))
+        .unionAll(bucketAgg(t.read(v3)).withColumn("phase", lit("pre")))
+        .select(col("phase"), col("bucket"), col("n"), col("total"))
+        .orderBy("phase", "bucket").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
+  /** SHALLOW CLONE through the gate: the source commits the base
+    * snapshot; a zero-copy clone forks it (metadata only — the spec
+    * asserts no data files under the clone's root); the CLONE then
+    * appends shifted keys. Result = clone aggregate ∪ source
+    * aggregate, so the hash proves the clone sees the source's data
+    * by reference AND its divergence never leaked back. */
+  private def tableClone(s: SparkSession, d: String): DataFrame = {
+    val src = SnapshotTable.temp(s, "graft_q_table_clone_src_")
+    var cl: SnapshotTable = null
+    try {
+      val b = base(s, d)
+      src.commit(b)
+      val dest = java.nio.file.Files.createTempDirectory("graft_q_table_clone_dst_")
+      cl = src.shallowCloneTo(dest.toString)
+      cl.appendOnce(b.select((col("k") + 6000000L).as("k"), col("v")), 0L)
+      bucketAgg(cl.read()).withColumn("side", lit("clone"))
+        .unionAll(bucketAgg(src.read()).withColumn("side", lit("src")))
+        .select(col("side"), col("bucket"), col("n"), col("total"))
+        .orderBy("side", "bucket").localCheckpoint(true)
+    } finally {
+      SnapshotTable.drop(src)
+      if (cl != null) SnapshotTable.drop(cl)
+    }
+  }
+
+  /** METADATA-ONLY aggregate through the gate: a clustered commit,
+    * then COUNT(*)/MIN/MAX answered from the manifest's per-file
+    * stats via [[graft.tables.SnapshotTable.metaAgg]] — no data file
+    * opened (the zero-IO claim itself is proven destructively in
+    * SnapshotTableSpec: the data dir is deleted and metaAgg still
+    * answers). The oracle recomputes the three aggregates by
+    * scanning, so the hash proves the manifest stats are exact. */
+  private def tableMetaAgg(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_meta_agg_")
+    try {
+      val v = t.commitClustered(base(s, d), "k", 8)
+      val (n, lo, hi) = t.metaAgg(v)
+      s.range(1).select(
+        lit(n).as("n"),
+        lit(lo.map(java.lang.Long.valueOf).orNull).cast("long").as("lo"),
+        lit(hi.map(java.lang.Long.valueOf).orNull).cast("long").as("hi"))
+        .localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
+  /** Row-level UPDATE via deletion vectors through the gate: v1
+    * commits the base; v2 doubles `v` on keys ≡0 mod 5 — tombstone +
+    * post-image append, no file rewritten (asserted in
+    * SnapshotTableSpec; here the oracle owns the semantics). The
+    * result unions the post-update aggregate with the time-traveled
+    * v1 aggregate: one hash proves the update hit exactly the
+    * matching rows AND snapshot isolation held underneath. */
+  private def tableUpdateDv(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_update_dv_")
+    try {
+      val v1 = t.commit(base(s, d))
+      val v2 = t.update(col("k") % 5 === 0, Map("v" -> (col("v") * 2)))
+      bucketAgg(t.read(v2)).withColumn("phase", lit("after"))
+        .unionAll(bucketAgg(t.read(v1)).withColumn("phase", lit("base")))
+        .select(col("phase"), col("bucket"), col("n"), col("total"))
+        .orderBy("phase", "bucket").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_table_restore"    -> tableRestore,
+    "q_table_clone"      -> tableClone,
+    "q_table_meta_agg"   -> tableMetaAgg,
+    "q_table_update_dv"  -> tableUpdateDv,
     "q_table_lifecycle"  -> tableLifecycle,
     "q_table_bloom"      -> tableBloom,
     "q_mv_incremental"   -> mvIncremental,
@@ -530,6 +619,47 @@ object TableOps extends QueryPack {
       |  FROM orders WHERE o_orderkey % 103 = 0)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "q_table_restore" ->
+      s"""WITH b AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+         |res AS (
+         |  SELECT 'restored' AS phase, k % 10 AS bucket, COUNT(*) AS n,
+         |         ${Det.dsumSql("v", 2)} AS total
+         |  FROM b WHERE k % 2 = 0 GROUP BY phase, bucket),
+         |pre AS (
+         |  SELECT 'pre' AS phase, k % 10 AS bucket, COUNT(*) AS n,
+         |         ${Det.dsumSql("v", 2)} AS total
+         |  FROM b WHERE k % 7 <> 0 GROUP BY phase, bucket)
+         |SELECT * FROM (SELECT * FROM res UNION ALL SELECT * FROM pre)
+         |ORDER BY phase, bucket""".stripMargin,
+    "q_table_clone" ->
+      s"""WITH b AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+         |c AS (SELECT k, v FROM b UNION ALL SELECT k + 6000000, v FROM b),
+         |cl AS (
+         |  SELECT 'clone' AS side, k % 10 AS bucket, COUNT(*) AS n,
+         |         ${Det.dsumSql("v", 2)} AS total
+         |  FROM c GROUP BY side, bucket),
+         |sr AS (
+         |  SELECT 'src' AS side, k % 10 AS bucket, COUNT(*) AS n,
+         |         ${Det.dsumSql("v", 2)} AS total
+         |  FROM b GROUP BY side, bucket)
+         |SELECT * FROM (SELECT * FROM cl UNION ALL SELECT * FROM sr)
+         |ORDER BY side, bucket""".stripMargin,
+    "q_table_meta_agg" ->
+      """SELECT COUNT(*) AS n, MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
+        |FROM orders""".stripMargin,
+    "q_table_update_dv" ->
+      s"""WITH b AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+         |upd AS (SELECT k, CASE WHEN k % 5 = 0 THEN v * 2 ELSE v END AS v FROM b),
+         |aft AS (
+         |  SELECT 'after' AS phase, k % 10 AS bucket, COUNT(*) AS n,
+         |         ${Det.dsumSql("v", 2)} AS total
+         |  FROM upd GROUP BY phase, bucket),
+         |bas AS (
+         |  SELECT 'base' AS phase, k % 10 AS bucket, COUNT(*) AS n,
+         |         ${Det.dsumSql("v", 2)} AS total
+         |  FROM b GROUP BY phase, bucket)
+         |SELECT * FROM (SELECT * FROM aft UNION ALL SELECT * FROM bas)
+         |ORDER BY phase, bucket""".stripMargin,
     "q_mv_incremental" ->
       s"""SELECT o_orderpriority AS pri, COUNT(*) AS n,
          |       ${Det.dsumSql("o_totalprice", 2)} AS total

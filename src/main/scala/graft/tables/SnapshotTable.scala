@@ -255,6 +255,9 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       val carriedMeta = lines.drop(2).filter(_.startsWith("#")).filter {
         case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
           l.startsWith("#cdc=") || l == SnapshotTable.CdcTracked => false
+        // row counts die with the first tombstone — [[metaAgg]] must
+        // never sum counts the DVs have falsified
+        case RowsMeta(_, _) => false
         case RangeMeta(rel, _, _) => keptSet(rel)
         case Range2Meta(rel, _, _, _, _) => keptSet(rel)
         case RangeSMeta(rel, _, _, _) => keptSet(rel)
@@ -269,6 +272,95 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       }
       version
     } finally doomed.unpersist()
+  }
+
+  /** Row-level UPDATE via DELETION VECTORS: rows matching `cond` are
+    * tombstoned at their current address (no data file rewritten —
+    * the same DV mechanics as [[delete]]) and their UPDATED images
+    * are appended as fresh data files, all in ONE atomic commit.
+    * Cost is O(matching rows), not O(table): the copy-on-write
+    * granularity is the row, not the file (Delta's DV-backed UPDATE).
+    * `assignments` maps column name → replacement expression
+    * (evaluated over the pre-image row); unassigned columns carry
+    * over, and every assignment is cast back to the column's
+    * committed type so the table schema never drifts. The commit
+    * records update_preimage/update_postimage rows in the row-level
+    * change feed. Files whose rows ALL matched degrade to pure
+    * metadata drops, like [[delete]]. */
+  def update(cond: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    val baseVersion = currentVersion
+    require(baseVersion > 0, s"table at $root has no committed version")
+    require(assignments.nonEmpty, "update needs at least one assignment")
+    val lines = manifestLines(baseVersion)
+    val files = manifestFiles(lines)
+    if (files.isEmpty) return baseVersion
+    val schema = schemaOf(lines)
+    assignments.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"update assigns unknown column $k at $root"))
+    val addrs = files.map(dvAddressOf)
+    require(addrs.distinct.size == addrs.size,
+      s"update needs manifest-unique data file addresses at $root")
+    val version = baseVersion + 1
+    val live = scanAddressed(lines, files)
+    val matched = live.filter(cond).persist()
+    val dvDir = dataDir.resolve(s"v$version-dv-${UUID.randomUUID()}")
+    try {
+      matched.select(col("__graft_dv_f").as(SnapshotTable.DvFileCol),
+        col("__graft_dv_p").as(SnapshotTable.DvPosCol))
+        .write.parquet(dvDir.toString)
+      val matchedPerFile: Map[String, Long] = matched.groupBy("__graft_dv_f").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val newDvLines =
+        if (matchedPerFile.isEmpty) { deleteRecursively(dvDir); Vector.empty[String] }
+        else listParquetRec(dvDir).map(p => s"#dv=${rootPath.relativize(p)}").sorted
+      val totalPerFile: Map[String, Long] = live.groupBy("__graft_dv_f").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val keptFiles = files.filter { rel =>
+        val a = dvAddressOf(rel)
+        matchedPerFile.getOrElse(a, 0L) < totalPerFile.getOrElse(a, 0L)
+      }
+      val keptSet = keptFiles.toSet
+      // post-images: assignments over the pre-image, schema pinned
+      val post = matched.select(schema.fields.map(f =>
+        assignments.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name))
+          .as(f.name)).toSeq: _*)
+      val (postSnap, newFiles) =
+        if (matchedPerFile.isEmpty) (None, Vector.empty[String])
+        else {
+          val (snap, parts, _) = writeData(post, version)
+          (Some(snap), parts.toVector)
+        }
+      val cdcRows = matched.select(
+        schema.fieldNames.map(col).toSeq :+
+          lit("update_preimage").as(SnapshotTable.ChangeTypeCol): _*)
+        .unionAll(post.withColumn(SnapshotTable.ChangeTypeCol,
+          lit("update_postimage")))
+      val (cdcSnap, cdcLines) = writeCdcData(cdcRows, version)
+      val carriedMeta = lines.drop(2).filter(_.startsWith("#")).filter {
+        case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
+          l.startsWith("#cdc=") || l == SnapshotTable.CdcTracked => false
+        case RowsMeta(_, _) => false // falsified by the tombstones
+        // post-image files are not bucket-addressed, so a carried
+        // bucket spec would lie to the next mergeBucketed — drop it
+        // (the merge then refuses loudly instead of mis-routing)
+        case l if l.startsWith("#buckets=") => false
+        case RangeMeta(rel, _, _) => keptSet(rel)
+        case Range2Meta(rel, _, _, _, _) => keptSet(rel)
+        case RangeSMeta(rel, _, _, _) => keptSet(rel)
+        case BloomFMeta(rel, _) => keptSet(rel)
+        case _ => true
+      }
+      val tmp = writeTmpManifest(version, schema,
+        (SnapshotTable.CdcTracked +: (carriedMeta ++ cdcLines ++ newDvLines)) ++
+          (keptFiles ++ newFiles))
+      try publish(version, tmp)
+      catch { case e: CommitConflictException =>
+        deleteRecursively(dvDir); postSnap.foreach(deleteRecursively)
+        deleteRecursively(cdcSnap); throw e
+      }
+      version
+    } finally matched.unpersist()
   }
 
   /** Read the latest committed version. */
@@ -738,6 +830,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
 
   private val ClusterMeta = """#cluster=(.+)""".r
   private val RangeMeta = """#range=([^|]+)\|(-?\d+)\|(-?\d+)""".r
+  private val RowsMeta = """#rows=([^|]+)\|(\d+)""".r
   private val ZClusterMeta = """#zcluster=([^|]+)\|(.+)""".r
   private val Range2Meta = """#range2=([^|]+)\|(-?\d+)\|(-?\d+)\|(-?\d+)\|(-?\d+)""".r
 
@@ -778,7 +871,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       .write.parquet(snap.toString)
     val statRows = spark.read.parquet(snap.toString)
       .groupBy(input_file_name().as("f"))
-      .agg(min(keyStat).as("lo"), max(keyStat).as("hi"))
+      .agg(min(keyStat).as("lo"), max(keyStat).as("hi"),
+        count(lit(1)).as("n"))
       .collect() // nFiles rows — bounded driver metadata
     // a file whose key values are ALL null (nulls sort first under
     // repartitionByRange, so they pool in the first file) has null
@@ -788,12 +882,20 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       val name = r.getString(0).split('/').last
       name -> (r.getLong(1), r.getLong(2))
     }.toMap
+    // per-file row counts (never null — counted over ALL rows, null
+    // keys included) power the metadata-only aggregate [[metaAgg]]
+    val rowsByName = statRows.map { r =>
+      r.getString(0).split('/').last -> r.getLong(3)
+    }.toMap
     val files = listParquetRec(snap).map(p => rootPath.relativize(p).toString).sorted
     val statLines = files.flatMap { rel =>
       byName.get(rel.split('/').last).map { case (lo, hi) => s"#range=$rel|$lo|$hi" }
     }
+    val rowLines = files.flatMap { rel =>
+      rowsByName.get(rel.split('/').last).map(n => s"#rows=$rel|$n")
+    }
     val tmp = writeTmpManifest(version, df.schema,
-      (s"#cluster=$keyCol" +: statLines) ++ files)
+      (s"#cluster=$keyCol" +: (statLines ++ rowLines)) ++ files)
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
       deleteRecursively(snap); throw e
@@ -831,6 +933,40 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val base = scanWithDv(lines, prunedFiles(version, lo, hi))
     val enc = statLongExpr(schema(keyCol).dataType, keyCol)
     base.filter(enc >= lo && enc <= hi)
+  }
+
+  /** METADATA-ONLY aggregate: COUNT(*) plus the clustered key's
+    * MIN/MAX answered purely from manifest stats — zero data files
+    * opened (SnapshotTableSpec proves it by deleting the data dir
+    * and asking again). The lakehouse "metadata-only query" fast
+    * path: at 100 TB, a manifest read instead of a table scan.
+    * Preconditions, each checked loudly rather than answered wrong:
+    * the version was written by [[commitClustered]] (under which a
+    * stat-less file can only be an all-null-key file, which MIN/MAX
+    * ignores anyway), every data file carries a `#rows=` count, and
+    * no deletion vectors are present (tombstones would falsify the
+    * counts — `#rows` lines are dropped by [[delete]]/[[update]] for
+    * exactly this reason). MIN/MAX come back in the key's encoded
+    * Long domain (the value itself for integral keys, epoch
+    * micros/days for timestamp/date), None when every key is NULL. */
+  def metaAgg(version: Long): (Long, Option[Long], Option[Long]) = {
+    val lines = manifestLines(version)
+    require(lines.drop(2).exists { case ClusterMeta(_) => true; case _ => false },
+      s"metaAgg needs a clustered version; v$version at $root is not")
+    require(manifestDvFiles(lines).isEmpty,
+      s"metaAgg cannot answer over deletion vectors at $root v$version")
+    val rows: Map[String, Long] = lines.drop(2).collect {
+      case RowsMeta(rel, n) => rel -> n.toLong
+    }.toMap
+    val files = manifestFiles(lines)
+    files.foreach(rel => require(rows.contains(rel),
+      s"metaAgg: file $rel has no #rows stat at $root v$version"))
+    val ranges = lines.drop(2).collect {
+      case RangeMeta(_, a, b) => (a.toLong, b.toLong)
+    }
+    val lo = if (ranges.isEmpty) None else Some(ranges.map(_._1).min)
+    val hi = if (ranges.isEmpty) None else Some(ranges.map(_._2).max)
+    (files.map(rows).sum, lo, hi)
   }
 
   // ---- per-file Bloom filters: point-lookup file skipping ---------------
@@ -1179,6 +1315,69 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       deleteRecursively(snap); throw e
     }
     version
+  }
+
+  /** RESTORE: make `toVersion`'s exact content the CURRENT version by
+    * re-committing its manifest body — data files, layout stats,
+    * deletion-vector and bloom sidecars all carried BY PATH into v+1.
+    * Metadata-only (O(1): nothing is read or rewritten), atomic like
+    * every commit, and non-destructive — the rolled-back-over
+    * versions stay time-travelable, so a bad write is undone with one
+    * manifest write instead of a table rewrite. Per-commit lineage
+    * markers (#batchId/#writer/#cdc) are NOT carried: the restore is
+    * a new commit, not a replay (a carried batchId would wrongly
+    * dedupe a future streaming epoch), and it does not track
+    * row-level changes — use [[diff]] across a restore (Delta's
+    * RESTORE has the same CDF gap). */
+  def restore(toVersion: Long): Long = {
+    val cur = currentVersion
+    require(toVersion >= 1 && toVersion <= cur,
+      s"restore: no committed v$toVersion at $root")
+    val lines = manifestLines(toVersion)
+    val body = lines.drop(2).filterNot(l =>
+      l.startsWith("#batchId=") || l.startsWith("#writer=") ||
+        l.startsWith("#cdc=") || l == SnapshotTable.CdcTracked)
+    val version = cur + 1
+    val tmp = writeTmpManifest(version, schemaOf(lines), body)
+    publish(version, tmp)
+    version
+  }
+
+  /** SHALLOW CLONE: create an independent table at `destRoot` whose
+    * first version references THIS table's current data files (and
+    * DV/bloom sidecars) by ABSOLUTE path — zero bytes copied, O(1)
+    * metadata (Delta's SHALLOW CLONE). The clone then evolves
+    * independently: its appends/merges/deletes/compactions write
+    * under its own root and never touch the source's files, so a
+    * 100 TB table forks into a writable dev/test copy instantly.
+    * Layout stats and DV addresses survive path absolutization
+    * (DV addressing uses the last two path segments only), so data
+    * skipping and tombstones keep working on the clone. Caveat
+    * (Delta's too): the source's vacuum/drop does not know about
+    * clones — don't reclaim a source out from under one. */
+  def shallowCloneTo(destRoot: String): SnapshotTable = {
+    val v = currentVersion
+    require(v > 0, s"shallowCloneTo: no committed version at $root")
+    val lines = manifestLines(v)
+    def abs(rel: String): String = rootPath.resolve(rel).toString
+    val body = lines.drop(2).flatMap {
+      case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
+        l.startsWith("#cdc=") || l == SnapshotTable.CdcTracked => None
+      case DvMeta(rel) => Some(s"#dv=${abs(rel)}")
+      case RowsMeta(rel, n) => Some(s"#rows=${abs(rel)}|$n")
+      case RangeMeta(rel, a, b) => Some(s"#range=${abs(rel)}|$a|$b")
+      case Range2Meta(rel, a, b, c, d) => Some(s"#range2=${abs(rel)}|$a|$b|$c|$d")
+      case RangeSMeta(rel, lo64, hi64, unb) =>
+        Some(s"#ranges=${abs(rel)}|$lo64|$hi64|$unb")
+      case BloomFMeta(rel, bloomRel) =>
+        Some(s"#bloomf=${abs(rel)}|${abs(bloomRel)}")
+      case l if l.startsWith("#") => Some(l) // cluster/zcluster/buckets/bloomk
+      case rel => Some(abs(rel))
+    }
+    val clone = SnapshotTable(spark, destRoot)
+    val tmp = clone.writeTmpManifest(1L, schemaOf(lines), body)
+    clone.publish(1L, tmp)
+    clone
   }
 
   /** ROW-LEVEL change feed across (vA, vB]: every version's exact row

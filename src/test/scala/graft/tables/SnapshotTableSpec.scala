@@ -723,4 +723,125 @@ class SnapshotTableSpec extends SparkSpec {
       assert(t.read().orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
     } finally SnapshotTable.drop(t)
   }
+
+  test("update: tombstone + post-image append, no data file rewritten, CDC records both images") {
+    val t = freshTable("dv_update")
+    try {
+      val v1 = t.commit(kv((1L to 20L).map(k => k -> k.toDouble): _*))
+      val v2 = t.update(col("k") % 4 === 0, Map("v" -> (col("v") * 10)))
+      val expected = (1L to 20L).map(k =>
+        (k, if (k % 4 == 0) k * 10.0 else k.toDouble))
+      assert(t.read(v2).orderBy("k").as[(Long, Double)].collect().toSeq == expected)
+      // snapshot isolation underneath
+      assert(t.read(v1).orderBy("k").as[(Long, Double)].collect().toSeq ==
+        (1L to 20L).map(k => (k, k.toDouble)))
+      // v1's files survive untouched; the update only ADDED post-image files
+      assert(filesOf(t, v1).toSet.subsetOf(filesOf(t, v2).toSet))
+      assert(dvLinesOf(t, v2).nonEmpty)
+      // the feed carries pre- AND post-images, nothing else
+      val feed = t.rowChangesBetween(v1, v2).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted.toSeq
+      assert(feed == (4L to 20L by 4).flatMap(k =>
+        Seq((k, k.toDouble, "update_preimage"),
+          (k, k * 10.0, "update_postimage"))).sorted)
+      // stacking: a second update sees through the first's tombstones
+      val v3 = t.update(col("k") === 4L, Map("v" -> lit(-1.0)))
+      assert(t.read(v3).filter(col("k") === 4L).as[(Long, Double)].head() ==
+        ((4L, -1.0)))
+      // unknown column and empty assignment are rejected up front
+      intercept[IllegalArgumentException] {
+        t.update(col("k") === 1L, Map("nope" -> lit(0)))
+      }
+      intercept[IllegalArgumentException] {
+        t.update(col("k") === 1L, Map.empty)
+      }
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("restore is a metadata-only rollback that keeps rolled-over versions time-travelable") {
+    val t = freshTable("restore")
+    try {
+      val v1 = t.commit(kv((1L to 10L).map(k => k -> k.toDouble): _*))
+      t.appendOnce(kv(11L -> 11.0, 12L -> 12.0), 0L)
+      val v3 = t.delete(col("k") <= 4)
+      val dataFilesBefore = Files.walk(Paths.get(t.root, "data")).iterator()
+      val nBefore = { var n = 0; while (dataFilesBefore.hasNext) { dataFilesBefore.next(); n += 1 }; n }
+      val v4 = t.restore(v1)
+      // metadata-only: not one new file under data/
+      val dataFilesAfter = Files.walk(Paths.get(t.root, "data")).iterator()
+      val nAfter = { var n = 0; while (dataFilesAfter.hasNext) { dataFilesAfter.next(); n += 1 }; n }
+      assert(nAfter == nBefore)
+      assert(v4 == v3 + 1 && t.currentVersion == v4)
+      // current content == v1 exactly, by path
+      assert(t.read().orderBy("k").as[(Long, Double)].collect().toSeq ==
+        (1L to 10L).map(k => (k, k.toDouble)))
+      assert(filesOf(t, v4) == filesOf(t, v1))
+      // the rolled-over versions are still there
+      assert(t.read(v3).count() == 8)
+      // restoring a DV version carries its tombstones
+      val v5 = t.restore(v3)
+      assert(t.read(v5).orderBy("k").as[(Long, Double)].collect().map(_._1).toSeq ==
+        (5L to 12L))
+      assert(dvLinesOf(t, v5).nonEmpty)
+      intercept[IllegalArgumentException] { t.restore(0L) }
+      intercept[IllegalArgumentException] { t.restore(v5 + 1) }
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("shallow clone copies zero bytes, reads by reference, and diverges independently") {
+    val t = freshTable("clone_src")
+    try {
+      val v1 = t.commitClustered(kv((1L to 40L).map(k => k -> k.toDouble): _*), "k", 4)
+      t.delete(col("k") === 7L)
+      val dest = Files.createTempDirectory("graft_spec_clone_dst_")
+      val cl = t.shallowCloneTo(dest.toString)
+      try {
+        // zero-copy: the clone's own data dir holds nothing
+        val s = Files.list(Paths.get(cl.root, "data"))
+        val ownFiles = try s.iterator().hasNext finally s.close()
+        assert(!ownFiles)
+        // reads by reference, tombstones included
+        assert(cl.read().orderBy("k").as[(Long, Double)].collect().map(_._1).toSeq ==
+          (1L to 40L).filterNot(_ == 7L))
+        // clustered stats survive absolutization: range reads still prune
+        assert(cl.prunedFiles(1L, 2L, 3L).size < filesOf(t, v1).size)
+        assert(cl.readWhere(1L, "k", 2L, 3L).as[(Long, Double)].collect()
+          .map(_._1).sorted.toSeq == Seq(2L, 3L))
+        // divergence: writes to the clone never touch the source
+        cl.appendOnce(kv(100L -> 100.0), 0L)
+        cl.delete(col("k") === 1L)
+        assert(cl.read().count() == 39)      // 40 - 7 - 1 + 100
+        assert(t.read().count() == 39)       // source: only its own delete of 7
+        assert(t.read().filter(col("k") === 1L).count() == 1)
+        assert(filesOf(t, t.currentVersion) == filesOf(t, 2L))
+      } finally SnapshotTable.drop(cl)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("metaAgg answers count/min/max from the manifest with zero data IO") {
+    val t = freshTable("metaagg")
+    try {
+      val keyed = (1L to 100L).map(k => k -> k.toDouble)
+      val v1 = t.commitClustered(
+        kv(keyed: _*).withColumn("k", when(col("k") <= 5, lit(null)).otherwise(col("k"))),
+        "k", 4)
+      val (n, lo, hi) = t.metaAgg(v1)
+      assert(n == 100L)           // null keys still count
+      assert(lo.contains(6L) && hi.contains(100L)) // min/max ignore nulls
+      // DVs falsify counts — refused, not answered wrong
+      val v2 = t.delete(col("v") > 90)
+      intercept[IllegalArgumentException] { t.metaAgg(v2) }
+      // non-clustered versions have no stats — refused
+      val t2 = freshTable("metaagg_plain")
+      try {
+        t2.commit(kv(1L -> 1.0))
+        intercept[IllegalArgumentException] { t2.metaAgg(1L) }
+      } finally SnapshotTable.drop(t2)
+      // the zero-IO proof: destroy the data files; metaAgg still answers
+      SnapshotTable.deleteRecursively(Paths.get(t.root, "data"))
+      val (n2, lo2, hi2) = t.metaAgg(v1)
+      assert(n2 == 100L && lo2.contains(6L) && hi2.contains(100L))
+      intercept[Exception] { t.read(v1).count() }
+    } finally SnapshotTable.drop(t)
+  }
 }
