@@ -582,7 +582,57 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** Commit-time EXPECTATIONS through the gate: the base snapshot
+    * commits behind two named constraints; violators land in the
+    * quarantine side output tagged with the FIRST failed constraint
+    * (sorted-name order — deterministic). Result = kept aggregate ∪
+    * per-constraint quarantine aggregates: one hash proves the split
+    * is exact (nothing lost, nothing double-counted) and the tagging
+    * rule matches the oracle's CASE. */
+  private def tableExpect(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_expect_")
+    try {
+      val v = t.commitExpect(base(s, d), Map(
+        "cap"     -> (col("v") < 300000.0),
+        "key_mod" -> (col("k") % 11 =!= 0)))
+      val kept = t.read(v)
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+        .withColumn("phase", lit("kept"))
+      val quar = t.quarantine(v)
+        .groupBy(col(SnapshotTable.ViolatedCol).as("phase"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+      kept.select(col("phase"), col("n"), col("total"))
+        .unionAll(quar.select(col("phase"), col("n"), col("total")))
+        .orderBy("phase").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
+  /** OPTIMIZE ZORDER through the gate: an append chain accretes small
+    * files, a DV delete stacks tombstones, then optimizeZOrdered
+    * rewrites the LIVE rows z-clustered on (cust, k) — folding the
+    * tombstones in, coalescing files, and minting 2-D skipping stats.
+    * The gated read is a rectangle over the optimized version, so the
+    * hash proves the maintenance rewrite lost nothing while the
+    * pruning stayed row-exact. */
+  private def tableOptimizeZ(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_optimize_z_")
+    try {
+      val df = Tables.orders(s, d).select(
+        col("o_custkey").as("cust"), col("o_orderkey").as("k"),
+        col("o_totalprice").as("v"))
+      t.commit(df.filter(col("k") % 2 === 0))
+      t.appendOnce(df.filter(col("k") % 2 === 1), 0L)
+      t.delete(col("k") % 9 === 0)
+      val v = t.optimizeZOrdered("cust", "k", 16)
+      t.readWhere2(v, 100L, 800L, 1000L, 20000L)
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+        .localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_table_expect"     -> tableExpect,
+    "q_table_optimize_z" -> tableOptimizeZ,
     "q_table_restore"    -> tableRestore,
     "q_table_clone"      -> tableClone,
     "q_table_meta_agg"   -> tableMetaAgg,
@@ -619,6 +669,27 @@ object TableOps extends QueryPack {
       |  FROM orders WHERE o_orderkey % 103 = 0)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "q_table_expect" ->
+      s"""WITH b AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+         |tagged AS (
+         |  SELECT k, v,
+         |         CASE WHEN NOT (v < 300000) THEN 'cap'
+         |              WHEN NOT (k % 11 <> 0) THEN 'key_mod' END AS phase
+         |  FROM b),
+         |kept AS (
+         |  SELECT 'kept' AS phase, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total
+         |  FROM tagged WHERE phase IS NULL),
+         |quar AS (
+         |  SELECT phase, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total
+         |  FROM tagged WHERE phase IS NOT NULL GROUP BY phase)
+         |SELECT * FROM (SELECT * FROM kept UNION ALL SELECT * FROM quar)
+         |ORDER BY phase""".stripMargin,
+    "q_table_optimize_z" ->
+      s"""SELECT COUNT(*) AS n, ${Det.dsumSql("o_totalprice", 2)} AS total
+         |FROM orders
+         |WHERE o_custkey BETWEEN 100 AND 800
+         |  AND o_orderkey BETWEEN 1000 AND 20000
+         |  AND o_orderkey % 9 <> 0""".stripMargin,
     "q_table_restore" ->
       s"""WITH b AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
          |res AS (

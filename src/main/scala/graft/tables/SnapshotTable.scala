@@ -254,7 +254,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       // stat lines of dead files
       val carriedMeta = lines.drop(2).filter(_.startsWith("#")).filter {
         case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
-          l.startsWith("#cdc=") || l == SnapshotTable.CdcTracked => false
+          l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
+          l == SnapshotTable.CdcTracked => false
         // row counts die with the first tombstone — [[metaAgg]] must
         // never sum counts the DVs have falsified
         case RowsMeta(_, _) => false
@@ -339,7 +340,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       val (cdcSnap, cdcLines) = writeCdcData(cdcRows, version)
       val carriedMeta = lines.drop(2).filter(_.startsWith("#")).filter {
         case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
-          l.startsWith("#cdc=") || l == SnapshotTable.CdcTracked => false
+          l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
+          l == SnapshotTable.CdcTracked => false
         case RowsMeta(_, _) => false // falsified by the tombstones
         // post-image files are not bucket-addressed, so a carried
         // bucket spec would lie to the next mergeBucketed — drop it
@@ -419,6 +421,67 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       throw e
     }
     version
+  }
+
+  // ---- commit-time expectations (quality gates) ----------------------
+
+  private val QuarantineMeta = """#quarantine=(.+)""".r
+
+  /** Commit with EXPECTATIONS (DLT-style quality gates): every row
+    * must satisfy ALL `constraints` (named boolean expressions; NULL
+    * counts as a violation — only TRUE passes) to enter the table.
+    * Violating rows are NOT lost: they land in a per-commit
+    * QUARANTINE side output under the table root, tagged with the
+    * first failed constraint (first by sorted name — deterministic),
+    * read back via [[quarantine]] and pinned against [[vacuum]] by
+    * `#quarantine=` manifest lines that publish atomically WITH the
+    * commit. One pass over the input splits it, so at 100 TB the
+    * gate costs the write you were doing anyway, not a second scan.
+    * This lifts the reference's quarantine side output for failed
+    * upserts (reference task.ts:267-271) from the sink into the
+    * commit protocol itself. */
+  def commitExpect(df: DataFrame,
+      constraints: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(constraints.nonEmpty, "commitExpect needs at least one constraint")
+    val names = constraints.keys.toSeq.sorted
+    names.foreach(n => require(!n.contains('\n') && !n.contains('|'),
+      s"constraint name '$n' must be single-line without '|'"))
+    require(!df.schema.fieldNames.contains(SnapshotTable.ViolatedCol),
+      s"input schema collides with reserved column ${SnapshotTable.ViolatedCol}")
+    def pass(n: String) = coalesce(constraints(n).cast("boolean"), lit(false))
+    val allPass = names.map(pass).reduce(_ && _)
+    val violated = names.tail.foldLeft(
+      when(!pass(names.head), lit(names.head))) {
+      (acc, n) => acc.when(!pass(n), lit(n))
+    }
+    val version = currentVersion + 1
+    val qDir = dataDir.resolve(s"v$version-quarantine-${UUID.randomUUID()}")
+    df.filter(!allPass)
+      .withColumn(SnapshotTable.ViolatedCol, violated)
+      .write.parquet(qDir.toString)
+    val qLines: Seq[String] = listParquetRec(qDir)
+      .map(p => s"#quarantine=${rootPath.relativize(p)}").sorted
+    val (snap, files, schema) = writeData(df.filter(allPass), version)
+    val tmp = writeTmpManifest(version, schema, qLines ++ files)
+    try publish(version, tmp)
+    catch { case e: CommitConflictException =>
+      deleteRecursively(snap); deleteRecursively(qDir); throw e
+    }
+    version
+  }
+
+  /** The quarantine side output of `version`'s [[commitExpect]]: the
+    * rejected rows plus [[SnapshotTable.ViolatedCol]] naming the
+    * first failed constraint. Empty (table schema + the tag column)
+    * when the commit had no gate or no violations. */
+  def quarantine(version: Long): DataFrame = {
+    val lines = manifestLines(version)
+    val rels = lines.drop(2).collect { case QuarantineMeta(rel) => rel }
+    if (rels.isEmpty) {
+      val schema = schemaOf(lines).add(SnapshotTable.ViolatedCol,
+        org.apache.spark.sql.types.StringType, nullable = true)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    } else spark.read.parquet(rels.map(rel => rootPath.resolve(rel).toString): _*)
   }
 
   /** The SCD1 merge relation: source rows win on key match (update),
@@ -1208,7 +1271,23 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * time); keys may be integral, timestamp or date, encoded exactly
     * as in [[commitClustered]]. */
   def commitZOrdered(df: DataFrame, keyX: String, keyY: String, nFiles: Int,
-      bits: Int = 12): Long = {
+      bits: Int = 12): Long =
+    zOrderedInternal(df, keyX, keyY, nFiles, bits, tracked = false)
+
+  /** OPTIMIZE: rewrite the CURRENT version's live rows Z-ordered on
+    * (keyX, keyY) — Delta's `OPTIMIZE ... ZORDER BY`. Reads through
+    * [[read]], so deletion vectors FOLD IN and small files coalesce
+    * while the layout gains 2-D skipping stats; content-identical, so
+    * the commit tracks zero row-level changes (change-feed consumers
+    * skip it, like [[compact]]). The maintenance op a 100 TB event
+    * table runs nightly: one O(live data) rewrite buys every
+    * subsequent rectangle read its file pruning. */
+  def optimizeZOrdered(keyX: String, keyY: String, nFiles: Int,
+      bits: Int = 12): Long =
+    zOrderedInternal(read(), keyX, keyY, nFiles, bits, tracked = true)
+
+  private def zOrderedInternal(df: DataFrame, keyX: String, keyY: String,
+      nFiles: Int, bits: Int, tracked: Boolean): Long = {
     val xEnc = statLongExpr(df.schema(keyX).dataType, keyX)
     val yEnc = statLongExpr(df.schema(keyY).dataType, keyY)
     val statHead = df.agg(min(xEnc), max(xEnc), min(yEnc), max(yEnc)).head()
@@ -1253,8 +1332,11 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       byName.get(rel.split('/').last).map { case (a, b, c, dd) =>
         s"#range2=$rel|$a|$b|$c|$dd" }
     }
+    val head =
+      if (tracked) Vector(SnapshotTable.CdcTracked, s"#zcluster=$keyX|$keyY")
+      else Vector(s"#zcluster=$keyX|$keyY")
     val tmp = writeTmpManifest(version, df.schema,
-      (s"#zcluster=$keyX|$keyY" +: statLines) ++ files)
+      (head ++ statLines) ++ files)
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
       deleteRecursively(snap); throw e
@@ -1336,7 +1418,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val lines = manifestLines(toVersion)
     val body = lines.drop(2).filterNot(l =>
       l.startsWith("#batchId=") || l.startsWith("#writer=") ||
-        l.startsWith("#cdc=") || l == SnapshotTable.CdcTracked)
+        l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
+        l == SnapshotTable.CdcTracked)
     val version = cur + 1
     val tmp = writeTmpManifest(version, schemaOf(lines), body)
     publish(version, tmp)
@@ -1362,7 +1445,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     def abs(rel: String): String = rootPath.resolve(rel).toString
     val body = lines.drop(2).flatMap {
       case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
-        l.startsWith("#cdc=") || l == SnapshotTable.CdcTracked => None
+        l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
+        l == SnapshotTable.CdcTracked => None
       case DvMeta(rel) => Some(s"#dv=${abs(rel)}")
       case RowsMeta(rel, n) => Some(s"#rows=${abs(rel)}|$n")
       case RangeMeta(rel, a, b) => Some(s"#range=${abs(rel)}|$a|$b")
@@ -1451,7 +1535,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       // data files, row-level changelog files, deletion-vector and
       // bloom sidecars all pin their dirs
       (manifestFiles(lines) ++ manifestCdcFiles(lines) ++
-        manifestDvFiles(lines) ++ manifestBloomFiles(lines))
+        manifestDvFiles(lines) ++ manifestBloomFiles(lines) ++
+        lines.drop(2).collect { case QuarantineMeta(rel) => rel })
         .map(rel => snapDirOf(rootPath.resolve(rel)).toString)
     }.toSet
     val sData = Files.list(dataDir)
@@ -1489,6 +1574,10 @@ object SnapshotTable {
     * `#cdc=` lines are the complete change set — possibly zero, as
     * for compaction's content-identical rewrite). */
   private[tables] val CdcTracked: String = "#cdctracked"
+
+  /** Column tagging a quarantined row with the name of the first
+    * constraint it failed, in [[SnapshotTable.quarantine]] output. */
+  val ViolatedCol: String = "_violated"
 
   /** Byte cap for string min/max manifest stats — bounds longer than
     * this are truncated (lower: prefix; upper: incremented prefix). */

@@ -818,6 +818,69 @@ class SnapshotTableSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("commitExpect quarantines violators atomically with the commit, tagged by first failed constraint") {
+    val t = freshTable("expect")
+    try {
+      val df = kv((1L to 20L).map(k => k -> k.toDouble): _*)
+      val v = t.commitExpect(df, Map(
+        "v_cap" -> (col("v") <= 15.0),
+        "k_odd" -> (col("k") % 2 === 1)))
+      // kept: odd keys with v <= 15
+      assert(t.read(v).orderBy("k").as[(Long, Double)].collect().map(_._1).toSeq ==
+        (1L to 15L by 2))
+      // quarantine: everything else, tagged by the FIRST failed
+      // constraint in sorted-name order (k_odd before v_cap)
+      val q = t.quarantine(v).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSeq
+      val expected = (1L to 20L).filterNot(k => k % 2 == 1 && k <= 15).map { k =>
+        (k, if (k % 2 == 0) "k_odd" else "v_cap")
+      }
+      assert(q == expected)
+      // the quarantine is pinned: vacuum never reclaims it
+      t.vacuum(0L)
+      assert(t.quarantine(v).count().toInt == q.size)
+      // NULL constraint results are violations, not silent passes
+      val t2 = freshTable("expect_null")
+      try {
+        val dfn = Seq((1L, Some(1.0)), (2L, None)).toDF("k", "v")
+        val v2 = t2.commitExpect(dfn, Map("v_pos" -> (col("v") > 0)))
+        assert(t2.read(v2).count() == 1)
+        assert(t2.quarantine(v2).collect().map(_.getString(2)).toSeq == Seq("v_pos"))
+      } finally SnapshotTable.drop(t2)
+      // an all-pass gate reads back an EMPTY quarantine with the right shape
+      val t3 = freshTable("expect_clean")
+      try {
+        val v3 = t3.commitExpect(kv(1L -> 1.0), Map("ok" -> (col("k") > 0)))
+        assert(t3.read(v3).count() == 1)
+        val empty = t3.quarantine(v3)
+        assert(empty.count() == 0)
+        assert(empty.columns.toSeq == Seq("k", "v", SnapshotTable.ViolatedCol))
+      } finally SnapshotTable.drop(t3)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("optimizeZOrdered folds tombstones in, coalesces the append chain, and mints 2-D stats") {
+    val t = freshTable("optz")
+    try {
+      val grid = for { x <- 0L until 64L; y <- 0L until 64L }
+        yield (x, y, (x * 64 + y).toDouble)
+      val df = grid.toDF("x", "y", "v")
+      t.commit(df.filter(col("x") % 2 === 0))
+      t.appendOnce(df.filter(col("x") % 2 === 1), 0L)
+      t.delete(col("x") === 10L)
+      val v = t.optimizeZOrdered("x", "y", 16)
+      // DVs folded into the rewrite; manifest sheds its #dv lines
+      assert(dvLinesOf(t, v).isEmpty)
+      assert(t.read(v).count() == 64L * 64L - 64L)
+      // the optimized layout prunes rectangles like a fresh z-commit
+      val pruned = t.prunedFiles2(v, 0L, 15L, 0L, 15L)
+      assert(pruned.size <= 4, s"16x16 rectangle over 64x64 opened ${pruned.size} of 16 files")
+      assert(t.readWhere2(v, 0L, 15L, 0L, 15L).count() == 15L * 16L) // x==10 deleted
+      // content-identical maintenance: the change feed skips it
+      assert(t.rowChangesBetween(v - 1, v).count() == 0)
+    } finally SnapshotTable.drop(t)
+  }
+
   test("metaAgg answers count/min/max from the manifest with zero data IO") {
     val t = freshTable("metaagg")
     try {
