@@ -104,6 +104,10 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
+    // external-load snapshot BEFORE any of our own work: the warmup
+    // pass alone drives the 1-min loadavg past the threshold, so
+    // reading it later self-flags every sweep as contended
+    val loadAtStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -158,7 +162,7 @@ object Bench {
     names.foreach(timeOne(_, warmDir))
     errors.clear() // warmup errors will re-surface at sfDir if real
     val nThreads = Runtime.getRuntime.availableProcessors
-    val loadPre = loadAvg()
+    val loadPre = loadAtStart
     if (loadPre > 2.0)
       System.err.println(f"Bench: WARNING loadavg $loadPre%.1f at sweep start — " +
         "timings will be flagged contended; prefer an idle machine")
