@@ -630,7 +630,93 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** Manifest-stats pushdown through the STANDARD read surface:
+    * orders committed range-clustered, a DV delete stacked on top,
+    * then the aggregate runs over `spark.read.format("graft-table")`
+    * with a plain WHERE — Catalyst pushes the range to the scan,
+    * the scan prunes files by manifest stats (one input partition
+    * per surviving file — GraftTableBatchSpec asserts the count),
+    * deletion vectors apply inside the readers, and Spark re-applies
+    * the predicate row-exactly. The hash proves the whole composed
+    * path against a declarative filter. */
+  private def tableScanPushdown(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_scan_pd_")
+    try {
+      t.commitClustered(base(s, d), "k", 16)
+      t.delete(col("k") % 9 === 0)
+      s.read.format("graft-table").option("path", t.root).load()
+        .filter(col("k") >= 500L && col("k") <= 20000L)
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+        .localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
+  private val sqlRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The table layer through PLAIN SQL (the [[graft.tables.GraftCatalog]]
+    * surface): CREATE TABLE pins the schema as an empty v1, two
+    * INSERT INTO ... SELECTs append (v2, v3), INSERT OVERWRITE
+    * replaces (v4, one atomic metadata commit), and the result unions
+    * the post-overwrite aggregate with `VERSION AS OF 3` — time
+    * travel written in SQL, resolved by the catalog, scanned by the
+    * pushdown-capable batch source. One hash proves identifier
+    * resolution, both write modes and SQL time travel compose. */
+  private def tableSql(s: SparkSession, d: String): DataFrame = {
+    val catRoot = s"${sys.props("java.io.tmpdir")}/graft_sql_catalog"
+    s.conf.set("spark.sql.catalog.graftsql", "graft.tables.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftsql.root", catRoot)
+    val n = sqlRuns.incrementAndGet()
+    val tbl = s"orders_${n}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val view = s"graft_sql_src_$n"
+    base(s, d).createOrReplaceTempView(view)
+    try {
+      s.sql(s"CREATE TABLE graftsql.$tbl (k BIGINT, v DOUBLE)")
+      s.sql(s"INSERT INTO graftsql.$tbl SELECT k, v FROM $view WHERE k % 2 = 0")
+      s.sql(s"INSERT INTO graftsql.$tbl SELECT k, v FROM $view WHERE k % 2 = 1")
+      s.sql(s"INSERT OVERWRITE graftsql.$tbl SELECT k, v * 2 FROM $view WHERE k % 5 = 0")
+      def agg(df: DataFrame, phase: String) =
+        df.groupBy((col("k") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+          .select(lit(phase).as("phase"), col("bucket"), col("n"), col("total"))
+      agg(s.sql(s"SELECT * FROM graftsql.$tbl"), "after")
+        .unionAll(agg(s.sql(s"SELECT * FROM graftsql.$tbl VERSION AS OF 3"), "before"))
+        .orderBy("phase", "bucket").localCheckpoint(true)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS graftsql.$tbl")
+      s.catalog.dropTempView(view)
+    }
+  }
+
+  /** The ROW-LEVEL change feed through the STANDARD batch read
+    * surface: after the bucketed merge, the recorded changelog is
+    * consumed via `spark.read.format("graft-table")` with
+    * `readChangeFeed` + version bounds (Delta's CDF batch-read
+    * shape) — the scan plans ONLY `-cdc-` changelog files, never the
+    * table. Same oracle semantics as q_table_changes_merge, now
+    * through the DSv2 scan instead of the instance API. */
+  private def tableCdfBatch(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_cdf_batch_")
+    try {
+      val b = base(s, d)
+      t.commitBucketed(b, "k", 16)
+      val changes = b.filter(col("k") % 7 === 0)
+        .select(col("k"), (col("v") + 1234.56).as("v"))
+        .unionAll(b.filter(col("k") % 13 === 0 && col("k") =!= 0)
+          .select(negate(col("k")).as("k"), col("v")))
+      t.mergeBucketed(changes, "k")
+      s.read.format("graft-table").option("path", t.root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").option("endingVersion", "2").load()
+        .groupBy(col(SnapshotTable.ChangeTypeCol).as("change"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+        .orderBy("change").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_table_scan_pushdown" -> tableScanPushdown,
+    "q_table_sql"        -> tableSql,
+    "q_table_cdf_batch"  -> tableCdfBatch,
     "q_table_expect"     -> tableExpect,
     "q_table_optimize_z" -> tableOptimizeZ,
     "q_table_restore"    -> tableRestore,
@@ -669,6 +755,34 @@ object TableOps extends QueryPack {
       |  FROM orders WHERE o_orderkey % 103 = 0)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "q_table_scan_pushdown" ->
+      s"""SELECT COUNT(*) AS n, ${Det.dsumSql("o_totalprice", 2)} AS total
+         |FROM orders
+         |WHERE o_orderkey BETWEEN 500 AND 20000
+         |  AND o_orderkey % 9 <> 0""".stripMargin,
+    "q_table_sql" ->
+      s"""WITH b AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders)
+         |SELECT * FROM (
+         |  SELECT 'after' AS phase, k % 10 AS bucket, COUNT(*) AS n,
+         |         ${Det.dsumSql("v * 2", 2)} AS total
+         |  FROM b WHERE k % 5 = 0 GROUP BY bucket
+         |  UNION ALL
+         |  SELECT 'before' AS phase, k % 10 AS bucket, COUNT(*) AS n,
+         |         ${Det.dsumSql("v", 2)} AS total
+         |  FROM b GROUP BY bucket)
+         |ORDER BY phase, bucket""".stripMargin,
+    "q_table_cdf_batch" ->
+      s"""WITH t AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders)
+         |SELECT * FROM (
+         |  SELECT 'insert' AS change, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total
+         |  FROM t WHERE k % 13 = 0 AND k <> 0
+         |  UNION ALL
+         |  SELECT 'update_postimage', COUNT(*), ${Det.dsumSql("v + 1234.56", 2)}
+         |  FROM t WHERE k % 7 = 0
+         |  UNION ALL
+         |  SELECT 'update_preimage', COUNT(*), ${Det.dsumSql("v", 2)}
+         |  FROM t WHERE k % 7 = 0)
+         |ORDER BY change""".stripMargin,
     "q_table_expect" ->
       s"""WITH b AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
          |tagged AS (

@@ -1,0 +1,138 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** [[SnapshotTable]]s as a Spark SQL CATALOG: register once —
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.tables.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/data/tables")
+  * }}}
+  * — and the whole table layer is reachable from plain SQL:
+  * `CREATE TABLE graft.t (...)`, `INSERT INTO graft.t SELECT ...`,
+  * `INSERT OVERWRITE graft.t ...`, `SELECT ... FROM graft.t` (batch
+  * scan with manifest-stats pushdown pruning), and time travel via
+  * `SELECT ... FROM graft.t VERSION AS OF 3` (Spark routes the
+  * version literal to [[loadTable(ident:Identifier,version:String)*]],
+  * which pins the scan's `versionAsOf`).
+  *
+  * Identifiers map to directories: `graft.ns.tbl` lives at
+  * `<root>/ns/tbl`. A CREATE commits version 1 with the declared
+  * schema and zero data files (the same atomic manifest publish as
+  * every write — two racing CREATEs resolve by the commit CAS), so
+  * schema inference works on empty tables. All catalog state IS the
+  * table layout on disk — no side metastore to drift.
+  */
+class GraftCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: Path = _
+
+  override def name(): String = catalogName
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null && r.nonEmpty,
+      s"catalog $name requires spark.sql.catalog.$name.root=<dir>")
+    root = Paths.get(r)
+    Files.createDirectories(root)
+  }
+
+  private def pathOf(ident: Identifier): Path = {
+    val segs = ident.namespace().toSeq :+ ident.name()
+    segs.foreach(s => require(!s.contains('/') && s != ".." && s != ".",
+      s"bad identifier segment '$s'"))
+    segs.foldLeft(root)(_.resolve(_))
+  }
+
+  private def isTableDir(p: Path): Boolean =
+    Files.isDirectory(p.resolve("_manifests"))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(root)(_.resolve(_))
+    if (!Files.isDirectory(dir)) return Array.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(isTableDir)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTableDir(pathOf(ident))
+
+  private def tableAt(p: Path, extraOptions: Map[String, String]): Table = {
+    val v = extraOptions.get("versionAsOf").map(_.toLong)
+      .getOrElse(SnapshotTable.currentVersionAt(p))
+    require(v > 0, s"table at $p has no committed version")
+    new GraftTableStreamTable(SnapshotTable.schemaAt(p, v),
+      Map("path" -> p.toString) ++ extraOptions)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathOf(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    tableAt(p, Map.empty)
+  }
+
+  /** Time travel: `VERSION AS OF <v>` — the scan pins `versionAsOf`,
+    * so reads, schema and pushdown pruning all come from THAT
+    * committed manifest. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    tableAt(p, Map("versionAsOf" -> version))
+  }
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog tables do not take PARTITIONED BY (layout comes from commit verbs)")
+    val p = pathOf(ident)
+    if (isTableDir(p)) throw new TableAlreadyExistsException(ident)
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    val t = new SnapshotTable(SparkSession.active, p.toString)
+    // an EMPTY version 1 pins the declared schema; racing CREATEs
+    // resolve by the same publish CAS as every commit
+    try t.publish(1L, t.writeTmpManifest(1L, schema, Seq.empty))
+    catch { case _: CommitConflictException =>
+      throw new TableAlreadyExistsException(ident)
+    }
+    new GraftTableStreamTable(schema, Map("path" -> p.toString))
+  }
+
+  @deprecated("use the Column[] variant", "graft")
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table =
+    createTable(ident,
+      schema.fields.map(f => Column.create(f.name, f.dataType, f.nullable)),
+      partitions, properties)
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema evolves through appendEvolved")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = pathOf(ident)
+    if (!isTableDir(p)) false
+    else { SnapshotTable.deleteRecursively(p); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = pathOf(oldIdent)
+    if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
+    val to = pathOf(newIdent)
+    if (isTableDir(to)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+}

@@ -1,0 +1,585 @@
+package graft.tables
+
+import java.nio.file.{Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Driver-side translation of Catalyst data-source filters into
+  * manifest-stats FILE pruning — the piece that makes the table's
+  * data-skipping layouts ([[SnapshotTable.commitClustered]]'s range
+  * stats, [[SnapshotTable.commitClusteredString]]'s truncated string
+  * bounds, [[SnapshotTable.commitZOrdered]]'s 2-D rectangles,
+  * [[SnapshotTable.commitBloom]]'s point-lookup sidecars) transparent
+  * to ANY Spark query: `spark.read.format("graft-table")` pushes its
+  * WHERE clause here, the scan plans only intersecting files, and
+  * Spark re-applies the predicates row-exactly above the scan (file
+  * stats prune at file granularity, so every filter stays residual —
+  * the same contract parquet row-group stats have).
+  *
+  * Everything here is O(manifest) driver metadata: stat lines are
+  * already bounded per file, bloom probes read fixed-size sidecars,
+  * and no data file is opened before pruning decides it must be.
+  */
+private[tables] object ManifestPruning {
+
+  /** Encode a pushed literal into the manifest stats' Long domain —
+    * the exact encoding [[SnapshotTable]] used at write time
+    * (integral as-is, timestamps as epoch micros, dates as epoch
+    * days). Filters hand back external JVM values whose class depends
+    * on the session's datetime API setting, so both families are
+    * handled. None = not a stats-comparable value. */
+  def encodeLong(value: Any): Option[Long] = value match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case t: java.sql.Timestamp =>
+      Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+    case i: java.time.Instant =>
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        (i.getNano / 1000).toLong))
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  /** Closed interval in the encoded Long domain; None = unbounded.
+    * Comparisons stay CONSERVATIVE: strict bounds are widened to
+    * closed ones (the residual filter restores exactness). */
+  private final case class Bounds(lo: Option[Long], hi: Option[Long]) {
+    def withLo(v: Long): Bounds = Bounds(Some(lo.fold(v)(math.max(_, v))), hi)
+    def withHi(v: Long): Bounds = Bounds(lo, Some(hi.fold(v)(math.min(_, v))))
+    def isBounded: Boolean = lo.isDefined || hi.isDefined
+  }
+
+  /** Fold one conjunct into the bounds for `key`; returns the updated
+    * bounds and whether the filter contributed. And() recurses (both
+    * sides hold); Or/Not are never used for pruning. */
+  private def foldLong(key: String, b: Bounds, f: Filter): (Bounds, Boolean) = f match {
+    case EqualTo(a, v) if a == key =>
+      encodeLong(v).fold((b, false))(x => (b.withLo(x).withHi(x), true))
+    case EqualNullSafe(a, v) if a == key && v != null =>
+      encodeLong(v).fold((b, false))(x => (b.withLo(x).withHi(x), true))
+    case GreaterThan(a, v) if a == key =>
+      encodeLong(v).fold((b, false))(x => (b.withLo(x), true))
+    case GreaterThanOrEqual(a, v) if a == key =>
+      encodeLong(v).fold((b, false))(x => (b.withLo(x), true))
+    case LessThan(a, v) if a == key =>
+      encodeLong(v).fold((b, false))(x => (b.withHi(x), true))
+    case LessThanOrEqual(a, v) if a == key =>
+      encodeLong(v).fold((b, false))(x => (b.withHi(x), true))
+    case In(a, vs) if a == key && vs.nonEmpty =>
+      val encs = vs.toSeq.map(encodeLong)
+      if (encs.exists(_.isEmpty)) (b, false)
+      else (b.withLo(encs.flatten.min).withHi(encs.flatten.max), true)
+    case And(l, r) =>
+      val (b1, u1) = foldLong(key, b, l)
+      val (b2, u2) = foldLong(key, b1, r)
+      (b2, u1 || u2)
+    case _ => (b, false)
+  }
+
+  private def longBounds(key: String, filters: Seq[Filter]): (Bounds, Set[Filter]) =
+    filters.foldLeft((Bounds(None, None), Set.empty[Filter])) {
+      case ((b, used), f) =>
+        val (b2, u) = foldLong(key, b, f)
+        (b2, if (u) used + f else used)
+    }
+
+  /** String bounds under unsigned byte order (== UTF8String order ==
+    * the truncated manifest bounds' order). */
+  private final case class SBounds(lo: Option[Array[Byte]], hi: Option[Array[Byte]]) {
+    import java.util.Arrays.{compareUnsigned => cmp}
+    def withLo(v: Array[Byte]): SBounds =
+      SBounds(Some(lo.fold(v)(x => if (cmp(x, v) >= 0) x else v)), hi)
+    def withHi(v: Array[Byte]): SBounds =
+      SBounds(lo, Some(hi.fold(v)(x => if (cmp(x, v) <= 0) x else v)))
+    def isBounded: Boolean = lo.isDefined || hi.isDefined
+  }
+
+  private def strBytes(v: Any): Option[Array[Byte]] = v match {
+    case s: String => Some(s.getBytes("UTF-8"))
+    case _ => None
+  }
+
+  private def foldStr(key: String, b: SBounds, f: Filter): (SBounds, Boolean) = f match {
+    case EqualTo(a, v) if a == key =>
+      strBytes(v).fold((b, false))(x => (b.withLo(x).withHi(x), true))
+    case EqualNullSafe(a, v) if a == key && v != null =>
+      strBytes(v).fold((b, false))(x => (b.withLo(x).withHi(x), true))
+    case GreaterThan(a, v) if a == key =>
+      strBytes(v).fold((b, false))(x => (b.withLo(x), true))
+    case GreaterThanOrEqual(a, v) if a == key =>
+      strBytes(v).fold((b, false))(x => (b.withLo(x), true))
+    case LessThan(a, v) if a == key =>
+      strBytes(v).fold((b, false))(x => (b.withHi(x), true))
+    case LessThanOrEqual(a, v) if a == key =>
+      strBytes(v).fold((b, false))(x => (b.withHi(x), true))
+    case StringStartsWith(a, p) if a == key =>
+      // prefix ≡ range [p, successor(p)) — the same bump rule the
+      // write-side truncation uses
+      strBytes(p).fold((b, false)) { lo =>
+        val withLo = b.withLo(lo)
+        (SnapshotTable.truncatedUpper(lo ++ Array(0xFF.toByte), lo.length)
+          .fold(withLo)(withLo.withHi), true)
+      }
+    case And(l, r) =>
+      val (b1, u1) = foldStr(key, b, l)
+      val (b2, u2) = foldStr(key, b1, r)
+      (b2, u1 || u2)
+    case _ => (b, false)
+  }
+
+  private def strBounds(key: String, filters: Seq[Filter]): (SBounds, Set[Filter]) =
+    filters.foldLeft((SBounds(None, None), Set.empty[Filter])) {
+      case ((b, used), f) =>
+        val (b2, u) = foldStr(key, b, f)
+        (b2, if (u) used + f else used)
+    }
+
+  /** Equality values pushed on the bloom key (In = any-of). */
+  private def bloomValues(key: String, f: Filter): Option[Seq[Any]] = f match {
+    case EqualTo(a, v) if a == key && v != null => Some(Seq(v))
+    case EqualNullSafe(a, v) if a == key && v != null => Some(Seq(v))
+    case In(a, vs) if a == key && vs.nonEmpty && !vs.contains(null) =>
+      Some(vs.toSeq)
+    case _ => None
+  }
+
+  private def bloomKeyBytes(value: Any): Option[Array[Byte]] = value match {
+    case l: Long => Some(java.nio.ByteBuffer.allocate(8).putLong(l).array())
+    case i: Int => bloomKeyBytes(i.toLong)
+    case s: Short => bloomKeyBytes(s.toLong)
+    case b: Byte => bloomKeyBytes(b.toLong)
+    case s: String => Some(s.getBytes("UTF-8"))
+    case _ => None
+  }
+
+  /** The subset of `filters` the manifest's stat lines can use for
+    * pruning — reported as the scan's pushed filters (explain shows
+    * them), computed structurally without touching any sidecar. */
+  def usableFilters(lines: Vector[String], filters: Seq[Filter]): Seq[Filter] = {
+    val meta = lines.drop(2)
+    val used = scala.collection.mutable.LinkedHashSet.empty[Filter]
+    meta.collectFirst { case SnapshotTable.ClusterMeta(k) => k }.foreach { k =>
+      used ++= longBounds(k, filters)._2
+    }
+    meta.collectFirst { case SnapshotTable.ClusterSMeta(k) => k }.foreach { k =>
+      used ++= strBounds(k, filters)._2
+    }
+    meta.collectFirst { case SnapshotTable.ZClusterMeta(x, y) => (x, y) }.foreach {
+      case (x, y) =>
+        used ++= longBounds(x, filters)._2
+        used ++= longBounds(y, filters)._2
+    }
+    meta.collectFirst { case SnapshotTable.BloomKMeta(k, _) => k }.foreach { k =>
+      used ++= filters.filter(f => bloomValues(k, f).isDefined)
+    }
+    filters.filter(used)
+  }
+
+  /** Manifest files of `lines` surviving every stats family the
+    * pushed filters can drive. Stat-less files are always kept
+    * (conservative), so pruning can never lose rows. */
+  def prunedFiles(rootPath: Path, lines: Vector[String],
+      filters: Seq[Filter]): Vector[String] = {
+    val meta = lines.drop(2)
+    val files = SnapshotTable.manifestFilesOf(lines)
+    var kept = files
+
+    meta.collectFirst { case SnapshotTable.ClusterMeta(k) => k }.foreach { k =>
+      val (b, _) = longBounds(k, filters)
+      if (b.isBounded) {
+        val ranges: Map[String, (Long, Long)] = meta.collect {
+          case SnapshotTable.RangeMeta(rel, a, bb) => rel -> (a.toLong, bb.toLong)
+        }.toMap
+        kept = kept.filter { rel =>
+          ranges.get(rel).forall { case (a, bb) =>
+            b.hi.forall(a <= _) && b.lo.forall(bb >= _)
+          }
+        }
+      }
+    }
+
+    meta.collectFirst { case SnapshotTable.ClusterSMeta(k) => k }.foreach { k =>
+      val (b, _) = strBounds(k, filters)
+      if (b.isBounded) {
+        val dec = java.util.Base64.getDecoder
+        val bounds: Map[String, (Array[Byte], Option[Array[Byte]])] = meta.collect {
+          case SnapshotTable.RangeSMeta(rel, lo64, hi64, unb) =>
+            rel -> (dec.decode(lo64),
+              if (unb == "1") None else Some(dec.decode(hi64)))
+        }.toMap
+        import java.util.Arrays.{compareUnsigned => cmp}
+        kept = kept.filter { rel =>
+          bounds.get(rel).forall { case (fLo, fHi) =>
+            b.hi.forall(cmp(fLo, _) <= 0) &&
+              b.lo.forall(q => fHi.forall(cmp(_, q) >= 0))
+          }
+        }
+      }
+    }
+
+    meta.collectFirst { case SnapshotTable.ZClusterMeta(x, y) => (x, y) }.foreach {
+      case (xKey, yKey) =>
+        val (bx, _) = longBounds(xKey, filters)
+        val (by, _) = longBounds(yKey, filters)
+        if (bx.isBounded || by.isBounded) {
+          val rects: Map[String, (Long, Long, Long, Long)] = meta.collect {
+            case SnapshotTable.Range2Meta(rel, a, b2, c, d) =>
+              rel -> (a.toLong, b2.toLong, c.toLong, d.toLong)
+          }.toMap
+          kept = kept.filter { rel =>
+            rects.get(rel).forall { case (xlo, xhi, ylo, yhi) =>
+              bx.hi.forall(xlo <= _) && bx.lo.forall(xhi >= _) &&
+                by.hi.forall(ylo <= _) && by.lo.forall(yhi >= _)
+            }
+          }
+        }
+    }
+
+    meta.collectFirst { case SnapshotTable.BloomKMeta(k, _) => k }.foreach { k =>
+      val vals = filters.flatMap(bloomValues(k, _))
+      if (vals.nonEmpty) {
+        val blooms: Map[String, String] = meta.collect {
+          case SnapshotTable.BloomFMeta(rel, bloomRel) => rel -> bloomRel
+        }.toMap
+        // each conjunct independently: a file survives if for EVERY
+        // pushed equality-set it may contain at least one value
+        val keyBytes: Seq[Seq[Array[Byte]]] = vals.map(_.flatMap(bloomKeyBytes))
+        if (keyBytes.forall(_.nonEmpty)) {
+          kept = kept.filter { rel =>
+            blooms.get(rel).forall { bloomRel =>
+              val is = java.nio.file.Files.newInputStream(rootPath.resolve(bloomRel))
+              val bf =
+                try org.apache.spark.util.sketch.BloomFilter.readFrom(is)
+                finally is.close()
+              keyBytes.forall(_.exists(bf.mightContainBinary))
+            }
+          }
+        }
+      }
+    }
+
+    kept
+  }
+
+  /** The manifest's deletion vectors as per-file SORTED row-index
+    * arrays, loaded driver-side (DV sidecars are O(deleted rows)) and
+    * shipped inside each file's input partition — the reader skips
+    * tombstoned positions as it streams the file. */
+  def loadDvPositions(rootPath: Path, lines: Vector[String]): Map[String, Array[Long]] = {
+    val dvRels = lines.drop(2).collect { case SnapshotTable.DvMeta(rel) => rel }
+    if (dvRels.isEmpty) return Map.empty
+    val acc = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    dvRels.foreach { rel =>
+      val reader: ParquetReader[Group] = ParquetReader.builder(
+        new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(rootPath.resolve(rel).toString))
+        .withConf(new Configuration()).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val t = g.getType
+          val fIdx = t.getFieldIndex(SnapshotTable.DvFileCol)
+          val pIdx = t.getFieldIndex(SnapshotTable.DvPosCol)
+          val f = new String(g.getBinary(fIdx, 0).getBytes, "UTF-8")
+          acc.getOrElseUpdate(f, scala.collection.mutable.ArrayBuffer.empty) +=
+            g.getLong(pIdx, 0)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    acc.view.mapValues(_.toArray.sorted).toMap
+  }
+}
+
+/** Pushdown-capable ScanBuilder for the `graft-table` source, serving
+  * BOTH surfaces: `toBatch` (committed-snapshot reads with manifest
+  * pruning, DV application, schema evolution and time travel) and
+  * `toMicroBatchStream` (the streaming source, unchanged contract).
+  *
+  * Batch options: `versionAsOf` (time travel; default = latest at
+  * scan build), `readChangeFeed` + `startingVersion`/`endingVersion`
+  * (batch read of the row-level change feed over (start, end]). */
+class GraftTableScanBuilder(options: Map[String, String], tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private val root = options("path")
+  private val rootPath = Paths.get(root)
+  private val changeFeed = options.get("readChangeFeed").exists(_.toBoolean)
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Snapshot pinned at scan-build time: every partition of this
+    * query reads ONE committed version, regardless of concurrent
+    * commits between planning and execution. */
+  private val version: Long = options.get("versionAsOf").map(_.toLong)
+    .getOrElse(SnapshotTable.currentVersionAt(rootPath))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // file-stats pruning is file-granular, so EVERY filter remains a
+    // residual for Spark to re-apply row-exactly; pushedFilters()
+    // reports the subset the manifest can actually use (explain shows
+    // it, and planInputPartitions prunes with it)
+    if (!changeFeed && version > 0)
+      pushed = ManifestPruning.usableFilters(
+        SnapshotTable.manifestLinesAt(rootPath, version), filters.toSeq).toArray
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftTableScan(root, version, tableSchema, required, pushed, options)
+}
+
+/** One committed data (or changelog) file plus its deletion-vector
+  * positions; `literalChangeType` tags append-derived change-feed
+  * partitions whose files carry no `_change_type` column. */
+case class GraftTableBatchPartition(absPath: String,
+    dvPositions: Array[Long],
+    literalChangeType: Option[String]) extends InputPartition
+
+class GraftTableScan(root: String, version: Long, tableSchema: StructType,
+    required: StructType, pushed: Array[Filter], options: Map[String, String])
+    extends Scan with Batch {
+  private val rootPath = Paths.get(root)
+  private val changeFeed = options.get("readChangeFeed").exists(_.toBoolean)
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-table $root v$version, PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  /** The streaming surface, unchanged: per-trigger manifest diffs
+    * under the FULL table schema (streaming plans don't run the
+    * batch pushdown rules). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftTableMicroBatchStream(root,
+      options.getOrElse("startingVersion", "0"), tableSchema,
+      changeFeed = changeFeed)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (version == 0L && !changeFeed) return Array.empty
+    if (!changeFeed) {
+      val lines = SnapshotTable.manifestLinesAt(rootPath, version)
+      val kept = ManifestPruning.prunedFiles(rootPath, lines, pushed.toSeq)
+      val dv = ManifestPruning.loadDvPositions(rootPath, lines)
+      kept.map { rel =>
+        val addr = rel.split('/').takeRight(2).mkString("/")
+        GraftTableBatchPartition(rootPath.resolve(rel).toString,
+          dv.getOrElse(addr, Array.emptyLongArray), None): InputPartition
+      }.toArray
+    } else {
+      // batch change-feed read over (start, end] — the same
+      // per-version walk as the streaming change feed, as one batch
+      val start = options.get("startingVersion").map(_.toLong).getOrElse(0L)
+      val end = options.get("endingVersion").map(_.toLong)
+        .getOrElse(SnapshotTable.currentVersionAt(rootPath))
+      require(start <= end, s"readChangeFeed needs startingVersion <= endingVersion, got ($start, $end)")
+      def filesAt(v: Long): Vector[String] =
+        if (v == 0L) Vector.empty
+        else SnapshotTable.manifestFilesOf(SnapshotTable.manifestLinesAt(rootPath, v))
+      ((start + 1) to end).iterator.flatMap { v =>
+        val lines = SnapshotTable.manifestLinesAt(rootPath, v)
+        if (SnapshotTable.cdcTrackedOf(lines))
+          SnapshotTable.manifestCdcFilesOf(lines).map(rel =>
+            GraftTableBatchPartition(rootPath.resolve(rel).toString,
+              Array.emptyLongArray, None))
+        else if (SnapshotTable.isAppendCommitOf(lines)) {
+          val before = filesAt(v - 1).toSet
+          SnapshotTable.manifestFilesOf(lines).filterNot(before).map(rel =>
+            GraftTableBatchPartition(rootPath.resolve(rel).toString,
+              Array.emptyLongArray, Some("insert")))
+        } else throw new IllegalStateException(
+          s"graft-table change feed: version $v at $root does not track " +
+            "row-level changes (written by plain commit)")
+      }.map(p => p: InputPartition).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftTableBatchReaderFactory(required.json)
+}
+
+/** Executor-side per-file batch reader: decodes ONLY the required
+  * columns (a parquet projection is pushed when the file has more),
+  * resolves fields BY NAME against the file's own schema — a field
+  * the file predates (schema evolution) surfaces as NULL — and skips
+  * deletion-vector positions as it streams the file in row order. */
+class GraftTableBatchReaderFactory(requiredJson: String)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    val part = p.asInstanceOf[GraftTableBatchPartition]
+    val literal = part.literalChangeType.map(UTF8String.fromString)
+    val hPath = new org.apache.hadoop.fs.Path(part.absPath)
+    val conf = new Configuration()
+
+    // fields decoded FROM THE FILE: the required set minus a
+    // literal-satisfied change-type column
+    val decodeFields = required.fields.filterNot(f =>
+      literal.isDefined && f.name == SnapshotTable.ChangeTypeCol)
+
+    // footer pre-read: the file's own schema drives both by-name
+    // resolution (evolution) and the column projection
+    val fileSchema: MessageType = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf)
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+    }
+    val present = decodeFields.filter(f => fileSchema.containsField(f.name))
+    if (present.nonEmpty && present.length < fileSchema.getFieldCount) {
+      val projFields: java.util.List[org.apache.parquet.schema.Type] =
+        present.map(f =>
+          fileSchema.getType(fileSchema.getFieldIndex(f.name))).toList.asJava
+      val proj = new MessageType(fileSchema.getName, projFields)
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        proj.toString)
+    }
+
+    new PartitionReader[InternalRow] {
+      private val reader: ParquetReader[Group] =
+        ParquetReader.builder(new GroupReadSupport(), hPath)
+          .withConf(conf).build()
+      private var current: InternalRow = _
+      private var rowIdx: Long = -1L
+      private var dvPtr: Int = 0 // dvPositions sorted; rows stream in order
+
+      private def deleted(idx: Long): Boolean = {
+        val dv = part.dvPositions
+        while (dvPtr < dv.length && dv(dvPtr) < idx) dvPtr += 1
+        dvPtr < dv.length && dv(dvPtr) == idx
+      }
+
+      private def convert(g: Group): InternalRow = {
+        val gType = g.getType
+        InternalRow.fromSeq(required.fields.toSeq.map[Any] { f =>
+          if (literal.isDefined && f.name == SnapshotTable.ChangeTypeCol)
+            literal.get
+          else if (!gType.containsField(f.name)) null // evolved column
+          else {
+            val idx = gType.getFieldIndex(f.name)
+            if (g.getFieldRepetitionCount(idx) == 0) null
+            else GraftTableBatchReaderFactory.decode(g, gType, idx, f)
+          }
+        })
+      }
+
+      override def next(): Boolean = {
+        var g = reader.read()
+        rowIdx += 1
+        while (g != null && deleted(rowIdx)) { g = reader.read(); rowIdx += 1 }
+        if (g == null) false
+        else { current = convert(g); true }
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = reader.close()
+    }
+  }
+}
+
+object GraftTableBatchReaderFactory {
+  /** Decode one present, non-null primitive field — the same type
+    * coverage as the streaming reader ([[GraftTableReaderFactory]]). */
+  private[tables] def decode(g: Group,
+      gType: org.apache.parquet.schema.GroupType, idx: Int,
+      f: StructField): Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val prim = gType.getType(idx).asPrimitiveType().getPrimitiveTypeName
+    (f.dataType, prim) match {
+      case (BooleanType, _) => g.getBoolean(idx, 0)
+      case (ByteType, _) => g.getInteger(idx, 0).toByte
+      case (ShortType, _) => g.getInteger(idx, 0).toShort
+      case (IntegerType | DateType, _) => g.getInteger(idx, 0)
+      case (LongType, _) => g.getLong(idx, 0)
+      case (FloatType, _) => g.getFloat(idx, 0)
+      case (DoubleType, _) => g.getDouble(idx, 0)
+      case (StringType, _) => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+      case (BinaryType, _) => g.getBinary(idx, 0).getBytes
+      case (TimestampType, INT96) =>
+        GraftTableReaderFactory.int96ToMicros(g.getInt96(idx, 0).getBytes)
+      case (TimestampType, INT64) =>
+        val ann = gType.getType(idx).asPrimitiveType().getLogicalTypeAnnotation
+        ann match {
+          case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            g.getLong(idx, 0) * 1000L
+          case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS =>
+            g.getLong(idx, 0) / 1000L
+          case _ => g.getLong(idx, 0) // MICROS (Spark's default)
+        }
+      case (dt, pt) => throw new UnsupportedOperationException(
+        s"graft-table reader: column ${f.name} $dt from parquet $pt")
+    }
+  }
+}
+
+/** Batch write into the table: executors stage part files under
+  * data/ (fully parallel), the driver publishes ONE atomic manifest —
+  * `mode("append")` carries the current version's files forward,
+  * `mode("overwrite")` (INSERT OVERWRITE / SupportsTruncate) lists
+  * only the new files. Idempotent per (writer, attempt) through the
+  * same manifest ledger the streaming sink uses. */
+class GraftTableBatchWrite(root: String, schema: StructType, queryId: String,
+    truncate: Boolean) extends BatchWrite {
+  schema.fields.foreach { f =>
+    require(GraftTableReaderFactory.supported(f.dataType),
+      s"graft-table sink does not support column ${f.name}: ${f.dataType}")
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftTableBatchWriterFactory(root, schema.json, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rels = messages.collect {
+      case GraftTableWriteMessage(rel, n) if n > 0 => rel
+    }.sorted
+    val table = new SnapshotTable(SparkSession.active, root)
+    val committed = table.commitFilesOnce(rels.toSeq, schema, 0L,
+      s"batch:$queryId", carry = !truncate)
+    if (committed.isEmpty) {
+      // replayed attempt: the committed version references the first
+      // attempt's files — these staged duplicates are garbage
+      rels.foreach { rel =>
+        try java.nio.file.Files.deleteIfExists(Paths.get(root).resolve(rel))
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftTableWriteMessage(rel, _) =>
+        try java.nio.file.Files.deleteIfExists(Paths.get(root).resolve(rel))
+        catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
+}
+
+class GraftTableBatchWriterFactory(root: String, schemaJson: String,
+    queryId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    new GraftTableDataWriter(root, schema, partitionId, taskId, s"batch-$queryId")
+  }
+}

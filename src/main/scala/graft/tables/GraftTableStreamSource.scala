@@ -83,7 +83,8 @@ class GraftTableSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = Paths.get(rootOf(options))
-    val v = SnapshotTable.currentVersionAt(root)
+    val v = Option(options.get("versionAsOf")).map(_.toLong)
+      .getOrElse(SnapshotTable.currentVersionAt(root))
     require(v > 0, s"graft-table at $root has no committed version to infer a schema from")
     val schema = SnapshotTable.schemaAt(root, v)
     schema.fields.foreach { f =>
@@ -105,27 +106,29 @@ class GraftTableStreamTable(tableSchema: StructType, options: Map[String, String
   override def name(): String = s"graft_table(${options.getOrElse("path", "?")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = new Write {
-        override def toStreaming: StreamingWrite =
+        override def toStreaming: StreamingWrite = {
+          require(!doTruncate,
+            "graft-table streaming sink supports append epochs only")
           new GraftTableStreamingWrite(options("path"), info.schema(), info.queryId())
+        }
+        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+          new GraftTableBatchWrite(options("path"), info.schema(), info.queryId(),
+            truncate = doTruncate)
       }
     }
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
-    val opts = options ++ o.asScala
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = tableSchema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftTableMicroBatchStream(opts("path"),
-            opts.getOrElse("startingVersion", "0"), tableSchema,
-            changeFeed = opts.get("readChangeFeed").exists(_.toBoolean))
-      }
-    }
-  }
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftTableScanBuilder(options ++ o.asScala, tableSchema)
 }
 
 /** The committed table version (0 = before the first commit). */
@@ -198,21 +201,21 @@ class GraftTableWriterFactory(root: String, schemaJson: String)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    new GraftTableDataWriter(root, schema, partitionId, taskId, epochId)
+    new GraftTableDataWriter(root, schema, partitionId, taskId, s"stream-epoch$epochId")
   }
 }
 
 /** Executor-side parquet writer (public parquet-hadoop Group API;
   * same type coverage as the reader, INT64-micros timestamps). Each
-  * task owns one part file under a per-epoch staging prefix; the file
-  * becomes durable table state only when the driver's manifest commit
-  * references it. */
+  * task owns one part file under a per-write staging prefix (one per
+  * streaming epoch or batch query); the file becomes durable table
+  * state only when the driver's manifest commit references it. */
 class GraftTableDataWriter(root: String, schema: StructType,
-    partitionId: Int, taskId: Long, epochId: Long)
+    partitionId: Int, taskId: Long, stagingTag: String)
     extends DataWriter[InternalRow] {
 
   private val rel =
-    s"data/stream-epoch$epochId/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet"
+    s"data/$stagingTag/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet"
   private val abs = Paths.get(root).resolve(rel)
   java.nio.file.Files.createDirectories(abs.getParent)
 

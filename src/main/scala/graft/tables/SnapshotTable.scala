@@ -94,6 +94,19 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
 
   private val BucketMeta = """#buckets=(\d+) key=(.+)""".r
 
+  // stat-line regexes live on the companion (private[tables]) so the
+  // DSv2 batch scan's manifest pruning shares ONE format definition
+  // with the instance read paths — aliased here for pattern matching
+  private val RangeMeta = SnapshotTable.RangeMeta
+  private val RowsMeta = SnapshotTable.RowsMeta
+  private val Range2Meta = SnapshotTable.Range2Meta
+  private val RangeSMeta = SnapshotTable.RangeSMeta
+  private val BloomFMeta = SnapshotTable.BloomFMeta
+  private val ClusterMeta = SnapshotTable.ClusterMeta
+  private val ZClusterMeta = SnapshotTable.ZClusterMeta
+  private val BloomKMeta = SnapshotTable.BloomKMeta
+  private val DvMeta = SnapshotTable.DvMeta
+
   private def manifestBuckets(lines: Vector[String]): Option[(Int, String)] =
     lines.drop(2).collectFirst { case BucketMeta(n, k) => (n.toInt, k) }
 
@@ -108,8 +121,6 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       .asInstanceOf[StructType]
 
   // ---- deletion vectors ----------------------------------------------
-
-  private val DvMeta = """#dv=(.+)""".r
 
   /** DV sidecar files (`#dv=` manifest lines): parquet datasets of
     * (file name, row index) addresses of DELETED rows — the manifest's
@@ -811,25 +822,39 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * append composes with any interleaving). Metadata-only on the
     * driver. */
   private[tables] def appendFilesOnce(relPaths: Seq[String], schema: StructType,
-      batchId: Long, writerId: String): Option[Long] = {
+      batchId: Long, writerId: String): Option[Long] =
+    commitFilesOnce(relPaths, schema, batchId, writerId, carry = true)
+
+  /** [[appendFilesOnce]] generalized with a `carry` switch:
+    * carry=true appends (the prior version's files and DV lines ride
+    * along), carry=false REPLACES (the new manifest lists only
+    * `relPaths` — INSERT OVERWRITE / truncate semantics, still one
+    * atomic metadata commit with every old version time-travelable). */
+  private[tables] def commitFilesOnce(relPaths: Seq[String], schema: StructType,
+      batchId: Long, writerId: String, carry: Boolean): Option[Long] = {
     require(!writerId.contains('\n'), "writerId must be single-line")
     var attempts = 0
     while (true) {
       if (committedBatchIdsTagged.contains((writerId, batchId))) return None
       val version = currentVersion + 1
       val prev: Vector[String] =
-        if (version == 1) Vector.empty else manifestLines(version - 1)
+        if (version == 1 || !carry) Vector.empty else manifestLines(version - 1)
       val carried: Seq[String] =
-        if (version == 1) Seq.empty else manifestFiles(prev)
+        if (version == 1 || !carry) Seq.empty else manifestFiles(prev)
       val writerLine = if (writerId.isEmpty) Seq.empty else Seq(s"#writer=$writerId")
+      val dvLines = if (carry && version > 1) manifestDvLines(prev) else Vector.empty
+      // a replacing commit is a REWRITING writer: the marker keeps the
+      // change feed from misreading its #batchId as an append (the
+      // dropped rows' deletes are unrecorded — use diff() across it)
+      val replaceLine = if (carry) Seq.empty else Seq(SnapshotTable.ReplaceMarker)
       val tmp = writeTmpManifest(version, schema,
-        (s"#batchId=$batchId" +: (writerLine ++ manifestDvLines(prev))) ++
+        (s"#batchId=$batchId" +: (replaceLine ++ writerLine ++ dvLines)) ++
           (carried ++ relPaths))
       try { publish(version, tmp); return Some(version) }
       catch { case _: CommitConflictException =>
         attempts += 1
         if (attempts > 100) throw new IllegalStateException(
-          s"appendFilesOnce: lost the publish race $attempts times at $root")
+          s"commitFilesOnce: lost the publish race $attempts times at $root")
       }
     }
     None // unreachable
@@ -891,12 +916,6 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       .filter(col("change") =!= "unchanged")
   }
 
-  private val ClusterMeta = """#cluster=(.+)""".r
-  private val RangeMeta = """#range=([^|]+)\|(-?\d+)\|(-?\d+)""".r
-  private val RowsMeta = """#rows=([^|]+)\|(\d+)""".r
-  private val ZClusterMeta = """#zcluster=([^|]+)\|(.+)""".r
-  private val Range2Meta = """#range2=([^|]+)\|(-?\d+)\|(-?\d+)\|(-?\d+)\|(-?\d+)""".r
-
   /** Encode a clusterable key to the Long stats domain, EXACTLY:
     * integral keys as-is, timestamps as epoch micros, dates as epoch
     * days — no truncation anywhere, so manifest-stats pruning is
@@ -954,8 +973,11 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val statLines = files.flatMap { rel =>
       byName.get(rel.split('/').last).map { case (lo, hi) => s"#range=$rel|$lo|$hi" }
     }
-    val rowLines = files.flatMap { rel =>
-      rowsByName.get(rel.split('/').last).map(n => s"#rows=$rel|$n")
+    // a file the stats scan attributed NO rows to is by construction
+    // empty (the scan covers every file in the snapshot) — record 0,
+    // so metaAgg stays answerable on empty/degenerate commits
+    val rowLines = files.map { rel =>
+      s"#rows=$rel|${rowsByName.getOrElse(rel.split('/').last, 0L)}"
     }
     val tmp = writeTmpManifest(version, df.schema,
       (s"#cluster=$keyCol" +: (statLines ++ rowLines)) ++ files)
@@ -1033,9 +1055,6 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
   }
 
   // ---- per-file Bloom filters: point-lookup file skipping ---------------
-
-  private val BloomKMeta = """#bloomk=([^ ]+) fpp=(.+)""".r
-  private val BloomFMeta = """#bloomf=([^|]+)\|(.+)""".r
 
   /** Canonical key bytes shared by the bloom BUILD (executor SQL
     * expression) and the PROBE (driver JVM): integral keys as 8-byte
@@ -1170,8 +1189,6 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
   }
 
   // ---- string-key clustered stats --------------------------------------
-
-  private val RangeSMeta = """#ranges=([^|]+)\|([^|]*)\|([^|]*)\|([01])""".r
 
   /** STRING-key clustered commit: same layout as [[commitClustered]]
     * (range-partitioned, sorted, per-file min/max in the manifest) for
@@ -1490,8 +1507,11 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         if (files.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cdcSchema)
         else spark.read.schema(cdcSchema).parquet(files: _*)
-      } else if (lines.drop(2).exists(l => BatchMeta.findFirstIn(l).isDefined)) {
+      } else if (SnapshotTable.isAppendCommitOf(lines)) {
         // append commit: the added files ARE the inserted rows
+        // (isAppendCommitOf excludes #replace overwrites, whose
+        // batchId is only an idempotence ledger — their dropped rows
+        // have no recorded deletes)
         changesBetween(v - 1, v)
           .withColumn(SnapshotTable.ChangeTypeCol, lit("insert"))
       } else throw new IllegalStateException(
@@ -1575,6 +1595,11 @@ object SnapshotTable {
     * for compaction's content-identical rewrite). */
   private[tables] val CdcTracked: String = "#cdctracked"
 
+  /** Manifest marker: this commit REPLACED the table's content
+    * (INSERT OVERWRITE) — a rewriting writer despite carrying a
+    * `#batchId=` ledger line. */
+  private[tables] val ReplaceMarker: String = "#replace"
+
   /** Column tagging a quarantined row with the name of the first
     * constraint it failed, in [[SnapshotTable.quarantine]] output. */
   val ViolatedCol: String = "_violated"
@@ -1607,6 +1632,19 @@ object SnapshotTable {
         Some(out)
       }
     }
+
+  // -- manifest stat-line formats, shared between the instance read
+  // -- paths and the DSv2 batch scan's driver-side pruning --
+  private[tables] val DvMeta = """#dv=(.+)""".r
+  private[tables] val ClusterMeta = """#cluster=(.+)""".r
+  private[tables] val ClusterSMeta = """#clusters=(.+)""".r
+  private[tables] val RangeMeta = """#range=([^|]+)\|(-?\d+)\|(-?\d+)""".r
+  private[tables] val RowsMeta = """#rows=([^|]+)\|(\d+)""".r
+  private[tables] val ZClusterMeta = """#zcluster=([^|]+)\|(.+)""".r
+  private[tables] val Range2Meta = """#range2=([^|]+)\|(-?\d+)\|(-?\d+)\|(-?\d+)\|(-?\d+)""".r
+  private[tables] val RangeSMeta = """#ranges=([^|]+)\|([^|]*)\|([^|]*)\|([01])""".r
+  private[tables] val BloomKMeta = """#bloomk=([^ ]+) fpp=(.+)""".r
+  private[tables] val BloomFMeta = """#bloomf=([^|]+)\|(.+)""".r
 
   /** Deletion-vector sidecar schema: each row tombstones one data row
     * by (file name, row index) address. */
@@ -1663,7 +1701,8 @@ object SnapshotTable {
     lines.drop(2).contains(CdcTracked)
 
   private[tables] def isAppendCommitOf(lines: Vector[String]): Boolean =
-    lines.drop(2).exists(l => BatchMetaStatic.findFirstIn(l).isDefined)
+    lines.drop(2).exists(l => BatchMetaStatic.findFirstIn(l).isDefined) &&
+      !lines.drop(2).contains(ReplaceMarker)
 
   /** Fresh table under java.io.tmpdir; caller owns cleanup. */
   def temp(spark: SparkSession, prefix: String): SnapshotTable = {

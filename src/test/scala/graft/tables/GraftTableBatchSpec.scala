@@ -1,0 +1,270 @@
+package graft.tables
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The DSv2 BATCH surface of the table layer: `spark.read` scans with
+  * Catalyst filter pushdown driving manifest-stats file pruning
+  * (range / string / z-order / bloom), deletion-vector application,
+  * schema evolution, time travel, batch writes (append + overwrite),
+  * the batch change-feed read, and the SQL catalog
+  * (CREATE / INSERT / SELECT ... VERSION AS OF / DROP).
+  *
+  * Pruning is observable: one input partition per surviving file, so
+  * `rdd.getNumPartitions` IS the files-opened count.
+  */
+class GraftTableBatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String): SnapshotTable =
+    SnapshotTable.temp(spark, s"graft_batch_${name}_")
+
+  private def load(t: SnapshotTable): DataFrame =
+    spark.read.format("graft-table").option("path", t.root).load()
+
+  private def kv(pairs: (Long, Double)*) = pairs.toDF("k", "v")
+
+  test("batch read round-trips a committed snapshot") {
+    val t = freshTable("roundtrip")
+    try {
+      t.commit(kv(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+      val got = load(t).orderBy("k").as[(Long, Double)].collect().toSeq
+      assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("versionAsOf reads the time-traveled snapshot") {
+    val t = freshTable("timetravel")
+    try {
+      t.commit(kv(1L -> 1.0))
+      t.appendOnce(kv(2L -> 2.0), 0L)
+      val v1 = spark.read.format("graft-table").option("path", t.root)
+        .option("versionAsOf", "1").load()
+      assert(v1.as[(Long, Double)].collect().toSeq == Seq((1L, 1.0)))
+      assert(load(t).count() == 2)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("range-clustered pushdown prunes files and stays row-exact") {
+    val t = freshTable("prune_range")
+    try {
+      val df = (1L to 8000L).map(k => (k, k * 0.5)).toDF("k", "v")
+      val v = t.commitClustered(df, "k", 8)
+      val q = load(t).filter(col("k") >= 2000L && col("k") <= 2999L)
+      // one partition per surviving file — must match the instance
+      // API's own pruning and be well under the file count
+      val expected = t.prunedFiles(v, 2000L, 2999L).size
+      assert(q.rdd.getNumPartitions == expected)
+      // a ~1-file-wide range can straddle up to 3 range-sampled files
+      assert(expected <= 3, s"expected <=3 of 8 files, got $expected")
+      // row-exact: equals the unpruned filter
+      assert(q.count() == 1000)
+      assert(q.agg(sum("v")).head.getDouble(0) ==
+        (2000L to 2999L).map(_ * 0.5).sum)
+      // the pushdown is visible in the plan
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: ["), plan.take(800))
+      assert(plan.contains("GreaterThanOrEqual(k,2000"), plan.take(800))
+      // a disjoint range opens zero files
+      assert(load(t).filter(col("k") > 100000L).rdd.getNumPartitions == 0)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("timestamp-clustered pushdown prunes with temporal literals") {
+    val t = freshTable("prune_ts")
+    try {
+      val df = (0L until 4000L)
+        .map(i => (java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 3600)), i))
+        .toDF("ts", "n")
+      val v = t.commitClustered(df, "ts", 8)
+      val lo = "2024-03-01 00:00:00"
+      val hi = "2024-03-10 00:00:00"
+      val q = load(t).filter(col("ts") >= lit(lo).cast("timestamp") &&
+        col("ts") <= lit(hi).cast("timestamp"))
+      val loM = java.time.Instant.parse("2024-03-01T00:00:00Z")
+      val hiM = java.time.Instant.parse("2024-03-10T00:00:00Z")
+      def micros(i: java.time.Instant) = i.getEpochSecond * 1000000L
+      val expected = t.prunedFiles(v, micros(loM), micros(hiM)).size
+      assert(q.rdd.getNumPartitions == expected)
+      assert(expected <= 2, s"expected <=2 of 8 files, got $expected")
+      assert(q.count() == 9 * 24 + 1)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("string-clustered pushdown prunes on string ranges") {
+    val t = freshTable("prune_str")
+    try {
+      val df = (0 until 2600).map(i =>
+        (f"${('a' + i % 26).toChar}%c${i}%04d", i)).toDF("name", "n")
+      t.commitClusteredString(df, "name", 8)
+      val q = load(t).filter(col("name") >= "c" && col("name") <= "d")
+      val parts = q.rdd.getNumPartitions
+      assert(parts <= 2, s"expected <=2 of 8 files, got $parts")
+      assert(q.count() == 100) // the 'c'-prefixed hundred
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("bloom pushdown: point lookup opens <=1 file, absent key zero") {
+    val t = freshTable("prune_bloom")
+    try {
+      val df = (1L to 5000L).map(k => (k, s"row$k")).toDF("k", "s")
+      val v = t.commitBloom(df, "k", 8)
+      val hit = load(t).filter(col("k") === 4242L)
+      assert(hit.rdd.getNumPartitions <= 2)
+      assert(hit.select("s").as[String].collect().toSeq == Seq("row4242"))
+      // a key that was never written: the pushdown must agree with the
+      // instance API's probe exactly (fpp=0.01 allows a rare
+      // false-positive file, never a false negative)
+      val miss = load(t).filter(col("k") === 999999L)
+      assert(miss.rdd.getNumPartitions == t.prunedFilesBloom(v, 999999L).size)
+      assert(miss.rdd.getNumPartitions <= 1)
+      assert(miss.count() == 0)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("z-order pushdown: rectangle read opens only intersecting tiles") {
+    val t = freshTable("prune_z")
+    try {
+      val df = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y, x * 64 + y))
+        .toDF("x", "y", "v")
+      val v = t.commitZOrdered(df, "x", "y", 16)
+      val q = load(t).filter(col("x") >= 8L && col("x") <= 23L &&
+        col("y") >= 8L && col("y") <= 23L)
+      val expected = t.prunedFiles2(v, 8L, 23L, 8L, 23L).size
+      assert(q.rdd.getNumPartitions == expected)
+      assert(expected <= 4, s"16x16 rectangle should open <=4 of 16 files, got $expected")
+      assert(q.count() == 256)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("deletion vectors apply to batch reads") {
+    val t = freshTable("dv")
+    try {
+      t.commit((1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"))
+      t.delete(col("k") % 10 === 0)
+      val got = load(t)
+      assert(got.count() == 90)
+      assert(got.filter(col("k") % 10 === 0).count() == 0)
+      // stacked delete on top
+      t.delete(col("k") === 1L)
+      assert(load(t).count() == 89)
+      // time travel underneath the tombstones
+      assert(spark.read.format("graft-table").option("path", t.root)
+        .option("versionAsOf", "1").load().count() == 100)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("schema evolution: pre-evolution files surface NULL for new columns") {
+    val t = freshTable("evolve")
+    try {
+      t.commit(kv(1L -> 1.0, 2L -> 2.0))
+      t.appendEvolved(Seq((3L, 3.0, "x")).toDF("k", "v", "tag"), 0L)
+      val got = load(t).orderBy("k")
+        .select("k", "tag").as[(Long, Option[String])].collect().toSeq
+      assert(got == Seq((1L, None), (2L, None), (3L, Some("x"))))
+      // column pruning down to the evolved column alone still resolves
+      assert(load(t).select("tag").filter(col("tag").isNotNull)
+        .as[String].collect().toSeq == Seq("x"))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("batch write: append mode commits atomically, twice appends twice") {
+    val t = freshTable("write_append")
+    try {
+      t.commit(kv(1L -> 1.0))
+      kv(2L -> 2.0).write.format("graft-table")
+        .option("path", t.root).mode("append").save()
+      assert(t.currentVersion == 2)
+      assert(t.read().orderBy("k").as[(Long, Double)].collect().toSeq ==
+        Seq((1L, 1.0), (2L, 2.0)))
+      kv(3L -> 3.0).write.format("graft-table")
+        .option("path", t.root).mode("append").save()
+      assert(t.read().count() == 3)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("batch write: overwrite replaces content, old versions time-travel") {
+    val t = freshTable("write_overwrite")
+    try {
+      t.commit(kv(1L -> 1.0, 2L -> 2.0))
+      kv(9L -> 9.0).write.format("graft-table")
+        .option("path", t.root).mode("overwrite").save()
+      assert(t.read().as[(Long, Double)].collect().toSeq == Seq((9L, 9.0)))
+      assert(t.read(1L).count() == 2)
+      // an overwrite is a REWRITING commit: the row-level change feed
+      // must refuse it rather than misread its files as inserts
+      intercept[IllegalStateException] { t.rowChangesBetween(1L, 2L).count() }
+      assert(!t.isAppendOnly(1L, 2L))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("batch change-feed read equals rowChangesBetween") {
+    val t = freshTable("cdf_batch")
+    try {
+      t.commit(kv(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+      t.merge(kv(2L -> 20.0, 4L -> 4.0), "k")
+      val viaApi = t.rowChangesBetween(1L, 2L)
+        .orderBy("k", SnapshotTable.ChangeTypeCol)
+        .collect().map(_.toSeq).toSeq
+      val viaRead = spark.read.format("graft-table").option("path", t.root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").option("endingVersion", "2").load()
+        .orderBy("k", SnapshotTable.ChangeTypeCol)
+        .collect().map(_.toSeq).toSeq
+      assert(viaRead == viaApi)
+      assert(viaRead.nonEmpty)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("SQL catalog: CREATE / INSERT / SELECT / VERSION AS OF / OVERWRITE / DROP") {
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_cat_")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.root", catRoot.toString)
+    try {
+      spark.sql("CREATE TABLE graftcat.smoke (k BIGINT, v DOUBLE)")
+      spark.sql("INSERT INTO graftcat.smoke VALUES (1, 1.0), (2, 2.0)")
+      spark.sql("INSERT INTO graftcat.smoke VALUES (3, 3.0)")
+      assert(spark.sql("SELECT sum(k) FROM graftcat.smoke").head.getLong(0) == 6L)
+      // time travel through SQL: v2 was the first insert
+      assert(spark.sql("SELECT count(*) FROM graftcat.smoke VERSION AS OF 2")
+        .head.getLong(0) == 2L)
+      // INSERT OVERWRITE replaces
+      spark.sql("INSERT OVERWRITE graftcat.smoke VALUES (9, 9.0)")
+      assert(spark.sql("SELECT count(*) FROM graftcat.smoke").head.getLong(0) == 1L)
+      assert(spark.sql("SELECT count(*) FROM graftcat.smoke VERSION AS OF 3")
+        .head.getLong(0) == 3L)
+      // a second CREATE must fail, then DROP removes the table
+      intercept[Exception] {
+        spark.sql("CREATE TABLE graftcat.smoke (k BIGINT)")
+      }
+      spark.sql("DROP TABLE graftcat.smoke")
+      assert(spark.sql("SHOW TABLES IN graftcat").count() == 0)
+    } finally {
+      SnapshotTable.deleteRecursively(catRoot)
+    }
+  }
+
+  test("SQL catalog scan pushes filters into manifest pruning") {
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_cat2_")
+    spark.conf.set("spark.sql.catalog.graftcat2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat2.root", catRoot.toString)
+    try {
+      // commit a CLUSTERED layout directly at the catalog's path, then
+      // query it through SQL — the pushdown must reach the manifest
+      val t = new SnapshotTable(spark, catRoot.resolve("events").toString)
+      val v = t.commitClustered(
+        (1L to 8000L).map(k => (k, k * 0.5)).toDF("k", "v"), "k", 8)
+      val q = spark.sql(
+        "SELECT sum(v) AS s FROM graftcat2.events WHERE k BETWEEN 1000 AND 1999")
+      assert(q.head.getDouble(0) == (1000L to 1999L).map(_ * 0.5).sum)
+      val scan = spark.sql(
+        "SELECT * FROM graftcat2.events WHERE k BETWEEN 1000 AND 1999")
+      assert(scan.rdd.getNumPartitions == t.prunedFiles(v, 1000L, 1999L).size)
+    } finally {
+      SnapshotTable.deleteRecursively(catRoot)
+    }
+  }
+}
