@@ -713,7 +713,75 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** OPTIMISTIC CONCURRENCY through the gate: two writers MERGE the
+    * same bucketed table at the same time (a latch releases both) —
+    * writer A reprices keys in buckets ≡3 (mod 16) and inserts their
+    * +160M mirrors (same buckets), writer B does the same for ≡7.
+    * Whoever loses the publish CAS rebases (disjoint buckets: carried
+    * files change, its own data doesn't — SnapshotTableSpec proves
+    * rebase-vs-recompute deterministically via the injection hook);
+    * both commits MUST land, and the final content is interleaving-
+    * independent, so the oracle hash doubles as the serializability
+    * proof. At 100 TB this is concurrent pipelines merging into one
+    * table without a global lock. */
+  private def tableOcc(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_occ_")
+    try {
+      val b = base(s, d)
+      t.commitBucketed(b, "k", 16)
+      def changeSet(m: Long, bump: Double): DataFrame =
+        b.filter(pmod(col("k"), lit(16L)) === m)
+          .select(col("k"), (col("v") + bump).as("v"))
+          .unionAll(b.filter(pmod(col("k"), lit(16L)) === m)
+            .select((col("k") + 160000000L).as("k"), col("v")))
+      val srcA = changeSet(3L, 1000.0)
+      val srcB = changeSet(7L, 2000.0)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val threads = Seq(srcA, srcB).map { src =>
+        val th = new Thread(() => {
+          start.await()
+          try t.mergeBucketed(src, "k")
+          catch { case e: Throwable => failure.compareAndSet(null, e) }
+        })
+        th.start(); th
+      }
+      start.countDown()
+      threads.foreach(_.join())
+      if (failure.get != null) throw failure.get
+      require(t.currentVersion == 3L, s"both merges must commit, at v${t.currentVersion}")
+      bucketAgg(t.read()).orderBy("bucket").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
+  /** LOG RETENTION through the gate: an append chain accretes history
+    * (v1 commit evens, v2 append odds), compaction rewrites it (v3),
+    * one more append lands (v4), then `expireVersions(keepLast=2)` +
+    * an immediate vacuum retire v1/v2 and reclaim the pre-compaction
+    * originals — and the CURRENT version must still read back
+    * perfectly (its files are referenced by surviving manifests, so
+    * vacuum pinned them). The gated aggregate runs AFTER the
+    * destructive cleanup: the hash proves retention never touches
+    * live data. At 100 TB this is the nightly ops pair that keeps a
+    * streaming table's metadata and storage bounded. */
+  private def tableExpire(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_expire_")
+    try {
+      val b = base(s, d)
+      t.commit(b.filter(col("k") % 2 === 0))
+      t.appendOnce(b.filter(col("k") % 2 === 1), 0L)
+      t.compact(4)
+      t.appendOnce(b.filter(col("k") % 103 === 0)
+        .select((col("k") + 6000000L).as("k"), col("v")), 1L)
+      t.expireVersions(keepLast = 2)
+      t.vacuum(retainMillis = 0L) // single-writer gate — immediate reclaim
+      bucketAgg(t.read()).orderBy("bucket").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_table_expire"     -> tableExpire,
+    "q_table_occ"        -> tableOcc,
     "q_table_scan_pushdown" -> tableScanPushdown,
     "q_table_sql"        -> tableSql,
     "q_table_cdf_batch"  -> tableCdfBatch,
@@ -755,6 +823,26 @@ object TableOps extends QueryPack {
       |  FROM orders WHERE o_orderkey % 103 = 0)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "q_table_expire" ->
+      s"""WITH snap AS (
+         |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey + 6000000 AS k, o_totalprice AS v
+         |  FROM orders WHERE o_orderkey % 103 = 0)
+         |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total
+         |FROM snap GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_table_occ" ->
+      s"""WITH b AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+         |merged AS (
+         |  SELECT k,
+         |         CASE WHEN ((k % 16) + 16) % 16 = 3 THEN v + 1000.0
+         |              WHEN ((k % 16) + 16) % 16 = 7 THEN v + 2000.0
+         |              ELSE v END AS v
+         |  FROM b
+         |  UNION ALL
+         |  SELECT k + 160000000 AS k, v FROM b WHERE ((k % 16) + 16) % 16 IN (3, 7))
+         |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total
+         |FROM merged GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_table_scan_pushdown" ->
       s"""SELECT COUNT(*) AS n, ${Det.dsumSql("o_totalprice", 2)} AS total
          |FROM orders

@@ -5,10 +5,13 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Column, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** [[SnapshotTable]]s as a Spark SQL CATALOG: register once —
@@ -31,7 +34,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * schema inference works on empty tables. All catalog state IS the
   * table layout on disk — no side metastore to drift.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var root: Path = _
 
@@ -134,5 +137,90 @@ class GraftCatalog extends TableCatalog {
     if (isTableDir(to)) throw new TableAlreadyExistsException(newIdent)
     Files.createDirectories(to.getParent)
     Files.move(from, to)
+  }
+
+  // ---- maintenance PROCEDURES: `CALL <cat>.compact(...)` etc. ----------
+  //
+  // The operational verbs a 100 TB table runs nightly, callable from
+  // plain SQL (DSv2 ProcedureCatalog, Spark 4's CALL statement) — the
+  // same surface Iceberg exposes its maintenance through. Each returns
+  // one row so schedulers can log the outcome.
+
+  private def snapshotOf(tableName: String): SnapshotTable = {
+    val p = root.resolve(tableName)
+    require(isTableDir(p), s"no table '$tableName' in catalog $catalogName")
+    new SnapshotTable(SparkSession.active, p.toString)
+  }
+
+  /** One-row result scan for a procedure outcome. */
+  private def oneRow(schema: StructType, values: Any*): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] =
+        Array(InternalRow.fromSeq(values.toSeq))
+    }).iterator()
+
+  private val VersionOut = StructType(Seq(
+    org.apache.spark.sql.types.StructField("version", LongType, nullable = false)))
+
+  private def param(n: String, dt: DataType) =
+    ProcedureParameter.in(n, dt).build()
+
+  private def proc(procName: String, params: Seq[ProcedureParameter],
+      body: InternalRow => java.util.Iterator[Scan]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft maintenance procedure $procName"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"graft maintenance procedure $procName"
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = body(input)
+      }
+    }
+
+  private lazy val procedures: Map[String, UnboundProcedure] = Map(
+    "compact" -> proc("compact",
+      Seq(param("table", StringType), param("target_files",
+        org.apache.spark.sql.types.IntegerType)),
+      in => oneRow(VersionOut,
+        snapshotOf(in.getUTF8String(0).toString).compact(in.getInt(1)))),
+    "expire_versions" -> proc("expire_versions",
+      Seq(param("table", StringType), param("keep_last",
+        org.apache.spark.sql.types.IntegerType)),
+      in => {
+        val t = snapshotOf(in.getUTF8String(0).toString)
+        t.expireVersions(in.getInt(1))
+        oneRow(VersionOut, t.currentVersion)
+      }),
+    "vacuum" -> proc("vacuum",
+      Seq(param("table", StringType), param("retain_ms", LongType)),
+      in => {
+        val t = snapshotOf(in.getUTF8String(0).toString)
+        t.vacuum(in.getLong(1))
+        oneRow(VersionOut, t.currentVersion)
+      }),
+    "restore" -> proc("restore",
+      Seq(param("table", StringType), param("version", LongType)),
+      in => oneRow(VersionOut,
+        snapshotOf(in.getUTF8String(0).toString).restore(in.getLong(1)))),
+    "optimize_zorder" -> proc("optimize_zorder",
+      Seq(param("table", StringType), param("key_x", StringType),
+        param("key_y", StringType), param("n_files",
+          org.apache.spark.sql.types.IntegerType)),
+      in => oneRow(VersionOut,
+        snapshotOf(in.getUTF8String(0).toString).optimizeZOrdered(
+          in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+          in.getInt(3)))))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.nonEmpty) Array.empty
+    else procedures.keys.toArray.sorted.map(Identifier.of(Array.empty[String], _))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().isEmpty, s"no such procedure: $ident")
+    procedures.getOrElse(ident.name(),
+      throw new IllegalArgumentException(s"no such procedure: ${ident.name()}"))
   }
 }

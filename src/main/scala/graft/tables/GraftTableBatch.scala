@@ -358,7 +358,7 @@ case class GraftTableBatchPartition(absPath: String,
 
 class GraftTableScan(root: String, version: Long, tableSchema: StructType,
     required: StructType, pushed: Array[Filter], options: Map[String, String])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   private val rootPath = Paths.get(root)
   private val changeFeed = options.get("readChangeFeed").exists(_.toBoolean)
 
@@ -366,6 +366,39 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
 
   override def description(): String =
     s"graft-table $root v$version, PushedFilters: [${pushed.mkString(", ")}]"
+
+  /** Scan statistics from metadata only — POST-pruning file sizes
+    * (and `#rows=` counts when the manifest carries them), so the
+    * planner sees what the scan will actually read: a small
+    * graft-table side of a join auto-broadcasts, AQE sizes its
+    * shuffles honestly, and a pruned point lookup reports bytes near
+    * zero. No data file is opened. */
+  override def estimateStatistics(): Statistics = {
+    import java.util.OptionalLong
+    if (version == 0L) return new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(0L)
+      override def numRows(): OptionalLong = OptionalLong.of(0L)
+    }
+    val lines = SnapshotTable.manifestLinesAt(rootPath, version)
+    val kept =
+      if (changeFeed) SnapshotTable.manifestCdcFilesOf(lines)
+      else ManifestPruning.prunedFiles(rootPath, lines, pushed.toSeq)
+    val bytes = kept.map { rel =>
+      try java.nio.file.Files.size(rootPath.resolve(rel))
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+    val rowCounts: Map[String, Long] = lines.drop(2).collect {
+      case SnapshotTable.RowsMeta(rel, n) => rel -> n.toLong
+    }.toMap
+    val hasDv = lines.drop(2).exists(_.startsWith("#dv="))
+    val rows: OptionalLong =
+      if (changeFeed || hasDv || !kept.forall(rowCounts.contains)) OptionalLong.empty()
+      else OptionalLong.of(kept.map(rowCounts).sum)
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+      override def numRows(): OptionalLong = rows
+    }
+  }
 
   override def toBatch: Batch = this
 

@@ -646,41 +646,89 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * touched-bucket list is a ≤n-row driver aggregate; the merge
     * itself is the same one-full-outer-join shape as [[merge]], but
     * over only the touched buckets' rows. */
-  def mergeBucketed(source: DataFrame, keyCol: String): Long = {
+  def mergeBucketed(source: DataFrame, keyCol: String): Long =
+    mergeBucketedInternal(source, keyCol, () => ())
+
+  /** [[mergeBucketed]] with a test-injection point between the data
+    * write and the publish attempt — how the OCC spec interleaves a
+    * concurrent writer DETERMINISTICALLY (same pattern as the
+    * crash-injection specs' use of the step APIs). */
+  private[tables] def mergeBucketedInternal(source: DataFrame, keyCol: String,
+      beforePublish: () => Unit): Long = {
     requireIntegralKey(source.schema, keyCol, "mergeBucketed")
-    val baseVersion = currentVersion
-    val lines = manifestLines(baseVersion)
-    val (n, key) = manifestBuckets(lines).getOrElse(
-      throw new IllegalStateException(s"version $baseVersion is not bucketed"))
-    require(key == keyCol, s"table is bucketed on $key, merge key is $keyCol")
-    val schema = org.apache.spark.sql.types.DataType.fromJson(lines(1))
-      .asInstanceOf[StructType]
-    val byBucket = manifestFiles(lines).groupBy(bucketOfPath)
-    // ≤n bucket ids — the only driver-side state in the merge
-    val touched = source.select(bucketOf(keyCol, n).as("__b")).distinct()
-      .collect().map(_.getLong(0).toInt).toSet
-    val touchedFiles = byBucket.view.filterKeys(touched).values.flatten.toSeq
-    val carried = byBucket.view.filterKeys(b => !touched(b)).values.flatten.toSeq
-    // DV-aware touched-bucket read: deleted rows must not resurrect
-    // through the merge; carried buckets keep their deletes via the
-    // carried-forward `#dv=` lines (entries addressing the rewritten
-    // touched files go inert — those names leave the manifest)
-    val targetTouched = scanWithDv(lines, touchedFiles)
-    val (merged, cdc) = scd1WithCdc(targetTouched, source, keyCol)
-    val version = baseVersion + 1
-    val (snap, newFiles) = writeBucketedData(merged, version, keyCol, n)
-    // carried buckets are by definition unchanged, so the touched-
-    // bucket classification IS the whole table's row-level change set
-    val (cdcSnap, cdcLines) = writeCdcData(cdc, version)
-    val meta = s"#buckets=$n key=$keyCol"
-    val tmp = writeTmpManifest(version, schema,
-      (meta +: SnapshotTable.CdcTracked +: (manifestDvLines(lines) ++ cdcLines)) ++
-        (carried ++ newFiles).sorted)
-    try publish(version, tmp)
-    catch { case e: CommitConflictException =>
-      deleteRecursively(snap); deleteRecursively(cdcSnap); throw e
+    var recomputes = 0
+    while (true) {
+      val baseVersion = currentVersion
+      val lines = manifestLines(baseVersion)
+      val (n, key) = manifestBuckets(lines).getOrElse(
+        throw new IllegalStateException(s"version $baseVersion is not bucketed"))
+      require(key == keyCol, s"table is bucketed on $key, merge key is $keyCol")
+      val schema = org.apache.spark.sql.types.DataType.fromJson(lines(1))
+        .asInstanceOf[StructType]
+      val byBucket = manifestFiles(lines).groupBy(bucketOfPath)
+      // ≤n bucket ids — the only driver-side state in the merge
+      val touched = source.select(bucketOf(keyCol, n).as("__b")).distinct()
+        .collect().map(_.getLong(0).toInt).toSet
+      val touchedFiles = byBucket.view.filterKeys(touched).values.flatten.toVector
+      // DV-aware touched-bucket read: deleted rows must not resurrect
+      // through the merge; carried buckets keep their deletes via the
+      // carried-forward `#dv=` lines (entries addressing the rewritten
+      // touched files go inert — those names leave the manifest)
+      val targetTouched = scanWithDv(lines, touchedFiles)
+      val (merged, cdc) = scd1WithCdc(targetTouched, source, keyCol)
+      val version = baseVersion + 1
+      val (snap, newFiles) = writeBucketedData(merged, version, keyCol, n)
+      // carried buckets are by definition unchanged, so the touched-
+      // bucket classification IS the whole table's row-level change set
+      val (cdcSnap, cdcLines) = writeCdcData(cdc, version)
+      val meta = s"#buckets=$n key=$keyCol"
+      beforePublish()
+      // OPTIMISTIC-CONCURRENCY publish loop: losing the CAS to a
+      // writer whose commit left our touched buckets' files and the
+      // deletion vectors untouched (e.g. a merge on DISJOINT buckets)
+      // only changes which files we CARRY — rebase the manifest onto
+      // the new current version and re-publish, never re-reading or
+      // re-writing data (Delta-style logical conflict resolution). A
+      // SEMANTIC conflict (our touched data or its DVs changed
+      // underneath us) discards this attempt's files and recomputes
+      // the whole merge against the new snapshot — serializable
+      // either way.
+      var base = lines
+      var publishVersion = version
+      var outcome: Option[Long] = None
+      while (outcome.isEmpty) {
+        val carried = manifestFiles(base).groupBy(bucketOfPath)
+          .view.filterKeys(b => !touched(b)).values.flatten.toVector
+        val tmp = writeTmpManifest(publishVersion, schema,
+          (meta +: SnapshotTable.CdcTracked +: (manifestDvLines(base) ++ cdcLines)) ++
+            (carried ++ newFiles).sorted)
+        try { publish(publishVersion, tmp); outcome = Some(publishVersion) }
+        catch { case e: CommitConflictException =>
+          val curV = currentVersion
+          val cur = manifestLines(curV)
+          val sameBuckets = manifestBuckets(cur).contains((n, keyCol))
+          val sameSchema = cur(1) == base(1)
+          val sameTouched = sameBuckets && {
+            val curTouched = manifestFiles(cur).groupBy(bucketOfPath)
+              .view.filterKeys(touched).values.flatten.toSet
+            curTouched == touchedFiles.toSet
+          }
+          val sameDv = manifestDvLines(cur).toSet == manifestDvLines(base).toSet
+          if (sameBuckets && sameSchema && sameTouched && sameDv) {
+            base = cur; publishVersion = curV + 1 // rebase, keep our data
+          } else {
+            // our inputs changed — recompute against the new snapshot
+            deleteRecursively(snap); deleteRecursively(cdcSnap)
+            recomputes += 1
+            if (recomputes > 20) throw new IllegalStateException(
+              s"mergeBucketed: $recomputes semantic conflicts at $root", e)
+            outcome = Some(-1L)
+          }
+        }
+      }
+      if (outcome.get >= 0L) return outcome.get
     }
-    version
+    -1L // unreachable
   }
 
   /** CDC apply: `changes` carries the target's columns plus `opCol`
@@ -1519,6 +1567,30 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
           "(written by plain commit); use diff(vA, vB, key) instead")
     }
     perVersion.reduceLeft(_ unionAll _)
+  }
+
+  /** RETIRE old versions (log retention): delete every manifest below
+    * the newest `keepLast` committed versions. Metadata-only and
+    * instant — data files are untouched here; whatever the expired
+    * manifests referenced EXCLUSIVELY becomes unreferenced garbage
+    * that the next [[vacuum]] reclaims, while files carried forward
+    * into surviving manifests (append chains reference history by
+    * path) stay pinned. Time travel to an expired version raises
+    * loudly. The Delta/Iceberg retention trade-offs apply and are
+    * deliberate: (a) a version expired under a live reader can have
+    * its files vacuumed — retention must exceed the longest reader;
+    * (b) the streaming-append idempotence ledger (#batchId lines)
+    * lives in the manifests, so retention must also exceed any
+    * writer's replay horizon. */
+  def expireVersions(keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "expireVersions needs keepLast >= 1")
+    val committed = listCommitted().sorted
+    if (committed.size <= keepLast) return
+    val cutoff = committed.takeRight(keepLast).head
+    committed.filter(_ < cutoff).foreach { v =>
+      try Files.deleteIfExists(manifestPath(v))
+      catch { case _: java.io.IOException => () } // racing expiry: skip
+    }
   }
 
   /** Delete data dirs no committed manifest references and stray tmp

@@ -247,6 +247,76 @@ class GraftTableBatchSpec extends SparkSpec {
     }
   }
 
+  test("scan reports metadata statistics: small side auto-broadcasts, pruning shrinks bytes") {
+    val t = freshTable("stats")
+    try {
+      val v = t.commitClustered((1L to 2000L).map(k => (k, k * 0.5)).toDF("k", "v"), "k", 8)
+      assert(v == 1)
+      // planner-visible stats WITHOUT a broadcast hint: the tiny
+      // graft-table side of the join must auto-broadcast
+      val big = spark.range(0, 100000).select((col("id") % 2000L + 1L).as("k"))
+      val joined = big.join(load(t), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+      // pruned scans report post-pruning bytes: a narrow range must
+      // claim far less than the full table
+      def scanStats(df: DataFrame): Long = {
+        val scans = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.asInstanceOf[GraftTableScan].estimateStatistics()
+        }
+        assert(scans.size == 1)
+        scans.head.sizeInBytes().getAsLong
+      }
+      val full = scanStats(load(t))
+      val pruned = scanStats(load(t).filter(col("k") >= 100L && col("k") <= 150L))
+      assert(full > 0)
+      assert(pruned < full / 2, s"pruned=$pruned full=$full")
+      // row counts come from #rows manifest stats on a clean snapshot
+      val rows = load(t).queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[GraftTableScan].estimateStatistics().numRows()
+      }.head
+      assert(rows.isPresent && rows.getAsLong == 2000L)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("SQL CALL procedures run the maintenance verbs: compact, expire, vacuum, restore, zorder") {
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_cat3_")
+    spark.conf.set("spark.sql.catalog.graftcat3", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat3.root", catRoot.toString)
+    try {
+      val t = new SnapshotTable(spark, catRoot.resolve("m").toString)
+      t.commit((1L to 50L).map(k => (k, k * 1.0)).toDF("k", "v"))
+      t.appendOnce((51L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"), 0L)
+      t.appendOnce((101L to 150L).map(k => (k, k * 1.0)).toDF("k", "v"), 1L)
+      // compact via SQL: one call, returns the committed version
+      val v = spark.sql("CALL graftcat3.compact(table => 'm', target_files => 2)")
+        .head.getLong(0)
+      assert(v == 4L)
+      assert(t.read(v).inputFiles.length <= 2)
+      assert(t.read().count() == 150)
+      // retention + vacuum via SQL: expired files actually reclaimed
+      val preCompact = t.read(1L).inputFiles.toSet
+      spark.sql("CALL graftcat3.expire_versions(table => 'm', keep_last => 1)")
+      spark.sql("CALL graftcat3.vacuum(table => 'm', retain_ms => 0L)")
+      preCompact.foreach(f => assert(
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(f.stripPrefix("file:")))))
+      assert(t.read().count() == 150)
+      // zorder + restore round-trip via SQL
+      val vz = spark.sql(
+        "CALL graftcat3.optimize_zorder(table => 'm', key_x => 'k', key_y => 'k', n_files => 4)")
+        .head.getLong(0)
+      assert(t.currentVersion == vz)
+      val vr = spark.sql(s"CALL graftcat3.restore(table => 'm', version => ${vz - 1}L)")
+        .head.getLong(0)
+      assert(vr == vz + 1)
+      assert(t.read().count() == 150)
+    } finally {
+      SnapshotTable.deleteRecursively(catRoot)
+    }
+  }
+
   test("SQL catalog scan pushes filters into manifest pruning") {
     val catRoot = java.nio.file.Files.createTempDirectory("graft_cat2_")
     spark.conf.set("spark.sql.catalog.graftcat2", classOf[GraftCatalog].getName)

@@ -101,6 +101,107 @@ class SnapshotTableSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("expireVersions: retention keeps carried history alive, frees superseded rewrites") {
+    val t = freshTable("expire")
+    try {
+      t.commit(kv(1L -> 1.0, 2L -> 2.0))              // v1
+      t.appendOnce(kv(3L -> 3.0), 0L)                  // v2 carries v1's files
+      val v1Files = t.read(1L).inputFiles.toSet
+      t.compact(1)                                     // v3 rewrites everything
+      val v3Files = t.read(3L).inputFiles.toSet
+      t.appendOnce(kv(4L -> 4.0), 1L)                  // v4 carries v3's files
+      t.expireVersions(keepLast = 2)                   // keep v3, v4
+      // expired versions are gone loudly; survivors read fine
+      intercept[IllegalArgumentException] { t.read(2L) }
+      assert(t.read(3L).count() == 3)
+      assert(t.read(4L).count() == 4)
+      // vacuum reclaims ONLY what no surviving manifest references:
+      // the pre-compact originals go, the compacted files survive
+      t.vacuum(retainMillis = 0L)
+      v1Files.foreach(f => assert(!Files.exists(Paths.get(f.stripPrefix("file:"))),
+        s"superseded file survived vacuum: $f"))
+      v3Files.foreach(f => assert(Files.exists(Paths.get(f.stripPrefix("file:"))),
+        s"carried file was vacuumed: $f"))
+      assert(t.read().orderBy("k").as[(Long, Double)].collect().toSeq ==
+        Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("OCC rebase: a disjoint-bucket merge interleaved before publish is carried, not recomputed") {
+    val t = freshTable("occ_rebase")
+    try {
+      val base = (1L to 160L).map(k => (k, k * 1.0))
+      t.commitBucketed(kv(base: _*), "k", 16)
+      val hookRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+      // writer A updates bucket 3; between A's data write and publish,
+      // writer B lands a full merge on bucket 7 — A loses the CAS but
+      // B's commit left A's touched files and the DVs untouched, so A
+      // REBASES (carries B's bucket-7 rewrite) and publishes v3
+      val srcA = kv(base.filter(_._1 % 16 == 3).map { case (k, v) => (k, v + 1000.0) }: _*)
+      val srcB = kv(base.filter(_._1 % 16 == 7).map { case (k, v) => (k, v + 2000.0) }: _*)
+      val vA = t.mergeBucketedInternal(srcA, "k", () => {
+        if (hookRuns.incrementAndGet() == 1) t.mergeBucketed(srcB, "k")
+      })
+      assert(vA == 3L) // B took v2, A rebased onto it
+      // ONE compute pass = rebase, not recompute
+      assert(hookRuns.get == 1, s"merge recomputed (${hookRuns.get} passes); expected a rebase")
+      val got = t.read().as[(Long, Double)].collect().toMap
+      base.foreach { case (k, v) =>
+        val want = if (k % 16 == 3) v + 1000.0 else if (k % 16 == 7) v + 2000.0 else v
+        assert(got(k) == want, s"k=$k")
+      }
+      assert(got.size == base.size)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("OCC semantic conflict: a same-bucket merge interleaved before publish forces a recompute") {
+    val t = freshTable("occ_recompute")
+    try {
+      val base = (1L to 160L).map(k => (k, k * 1.0))
+      t.commitBucketed(kv(base: _*), "k", 16)
+      val hookRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+      // both writers touch bucket 3 (different keys): A's read is
+      // stale once B lands, so A must RECOMPUTE against B's snapshot
+      val keysIn3 = base.filter(_._1 % 16 == 3).map(_._1)
+      val srcA = kv(keysIn3.take(3).map(k => (k, -1.0)): _*)
+      val srcB = kv(keysIn3.drop(3).take(3).map(k => (k, -2.0)): _*)
+      val vA = t.mergeBucketedInternal(srcA, "k", () => {
+        if (hookRuns.incrementAndGet() == 1) t.mergeBucketed(srcB, "k")
+      })
+      assert(vA == 3L)
+      assert(hookRuns.get == 2, "expected a recompute (two compute passes)")
+      val got = t.read().as[(Long, Double)].collect().toMap
+      keysIn3.take(3).foreach(k => assert(got(k) == -1.0))
+      keysIn3.drop(3).take(3).foreach(k => assert(got(k) == -2.0))
+      assert(got.size == base.size) // serial application, nothing lost
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("OCC semantic conflict: a DELETE interleaved before publish forces a recompute — no resurrection") {
+    val t = freshTable("occ_delete")
+    try {
+      val base = (1L to 160L).map(k => (k, k * 1.0))
+      t.commitBucketed(kv(base: _*), "k", 16)
+      val hookRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+      // A updates bucket-3 keys; B deletes ONE bucket-3 key that A's
+      // source does NOT touch. A's stale merge would resurrect it;
+      // the DV change must force A to recompute through the tombstone.
+      val keysIn3 = base.filter(_._1 % 16 == 3).map(_._1)
+      val doomed = keysIn3.last
+      val srcA = kv(keysIn3.take(2).map(k => (k, -1.0)): _*)
+      val vA = t.mergeBucketedInternal(srcA, "k", () => {
+        if (hookRuns.incrementAndGet() == 1)
+          t.delete(org.apache.spark.sql.functions.col("k") === doomed)
+      })
+      assert(vA == 3L)
+      assert(hookRuns.get == 2, "expected a recompute (two compute passes)")
+      val got = t.read().as[(Long, Double)].collect().toMap
+      assert(!got.contains(doomed), "deleted row resurrected through the merge")
+      keysIn3.take(2).foreach(k => assert(got(k) == -1.0))
+      assert(got.size == base.size - 1)
+    } finally SnapshotTable.drop(t)
+  }
+
   test("two writers racing the publish of the same version: exactly one wins, under real threads") {
     val t = freshTable("race")
     try {
