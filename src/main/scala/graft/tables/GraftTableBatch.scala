@@ -128,6 +128,15 @@ private[tables] object ManifestPruning {
       strBytes(v).fold((b, false))(x => (b.withHi(x), true))
     case LessThanOrEqual(a, v) if a == key =>
       strBytes(v).fold((b, false))(x => (b.withHi(x), true))
+    case In(a, vs) if a == key && vs.nonEmpty =>
+      val encs = vs.toSeq.map(strBytes)
+      if (encs.exists(_.isEmpty)) (b, false)
+      else {
+        import java.util.Arrays.{compareUnsigned => cmp}
+        val bs = encs.flatten
+        (b.withLo(bs.reduce((x, y) => if (cmp(x, y) <= 0) x else y))
+          .withHi(bs.reduce((x, y) => if (cmp(x, y) >= 0) x else y)), true)
+      }
     case StringStartsWith(a, p) if a == key =>
       // prefix ≡ range [p, successor(p)) — the same bump rule the
       // write-side truncation uses
@@ -157,6 +166,41 @@ private[tables] object ManifestPruning {
     case In(a, vs) if a == key && vs.nonEmpty && !vs.contains(null) =>
       Some(vs.toSeq)
     case _ => None
+  }
+
+  /** A runtime V2 predicate (join-driven filtering: Spark ships the
+    * build side's key set as `IN`, or `=` for a single key) lowered
+    * to the source-filter algebra the pruning already speaks.
+    * LiteralValue carries CATALYST-internal values — UTF8String for
+    * strings, epoch micros/days for timestamp/date — which is exactly
+    * the stats domain, so temporal keys need no re-encoding. */
+  def fromRuntimePredicate(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[Filter] = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    def scalaValue(e: org.apache.spark.sql.connector.expressions.Expression): Option[Any] =
+      e match {
+        case l: Literal[_] => l.value() match {
+          case s: UTF8String => Some(s.toString)
+          case v => Option(v)
+        }
+        case _ => None
+      }
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference => Some(r.fieldNames().mkString("."))
+        case _ => None
+      }
+    val ch = p.children()
+    p.name() match {
+      case "IN" if ch.length >= 2 =>
+        for {
+          c <- colName(ch.head)
+          vs <- Some(ch.tail.flatMap(scalaValue)) if vs.length == ch.tail.length
+        } yield In(c, vs.toArray)
+      case "=" if ch.length == 2 =>
+        for { c <- colName(ch(0)); v <- scalaValue(ch(1)) } yield EqualTo(c, v)
+      case _ => None
+    }
   }
 
   private def bloomKeyBytes(value: Any): Option[Array[Byte]] = value match {
@@ -358,9 +402,34 @@ case class GraftTableBatchPartition(absPath: String,
 
 class GraftTableScan(root: String, version: Long, tableSchema: StructType,
     required: StructType, pushed: Array[Filter], options: Map[String, String])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
   private val rootPath = Paths.get(root)
   private val changeFeed = options.get("readChangeFeed").exists(_.toBoolean)
+
+  /** Runtime (join-driven) predicates, folded into the same manifest
+    * pruning as the compile-time pushdown. */
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  /** Keys the manifest can prune on — advertising them invites
+    * Spark's dynamic filtering (DPP-style): a selective dimension
+    * side ships its key set here before this scan plans, and whole
+    * files drop at RUNTIME. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    if (changeFeed || version == 0L) return Array.empty
+    val meta = SnapshotTable.manifestLinesAt(rootPath, version).drop(2)
+    (meta.collectFirst { case SnapshotTable.ClusterMeta(k) => k } ++
+      meta.collectFirst { case SnapshotTable.ClusterSMeta(k) => k } ++
+      meta.collectFirst { case SnapshotTable.BloomKMeta(k, _) => k } ++
+      meta.collectFirst { case SnapshotTable.ZClusterMeta(x, y) => x } ++
+      meta.collectFirst { case SnapshotTable.ZClusterMeta(x, y) => y })
+      .toArray.distinct
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    runtimeFilters = predicates.flatMap(ManifestPruning.fromRuntimePredicate)
 
   override def readSchema(): StructType = required
 
@@ -414,7 +483,8 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
     if (version == 0L && !changeFeed) return Array.empty
     if (!changeFeed) {
       val lines = SnapshotTable.manifestLinesAt(rootPath, version)
-      val kept = ManifestPruning.prunedFiles(rootPath, lines, pushed.toSeq)
+      val kept = ManifestPruning.prunedFiles(rootPath, lines,
+        pushed.toSeq ++ runtimeFilters)
       val dv = ManifestPruning.loadDvPositions(rootPath, lines)
       kept.map { rel =>
         val addr = rel.split('/').takeRight(2).mkString("/")

@@ -435,6 +435,10 @@ class GraftTableReaderFactory(schemaJson: String) extends PartitionReaderFactory
       private def convert(g: Group): InternalRow = {
         val gType = g.getType
         InternalRow.fromSeq(schema.fields.toSeq.map[Any] { f =>
+          // a file older than a schema evolution lacks the new column
+          // entirely — surface NULL, like the batch reader
+          if (!gType.containsField(f.name)) null
+          else {
           val idx = gType.getFieldIndex(f.name)
           if (g.getFieldRepetitionCount(idx) == 0) null
           else {
@@ -467,6 +471,7 @@ class GraftTableReaderFactory(schemaJson: String) extends PartitionReaderFactory
               case (dt, pt) => throw new UnsupportedOperationException(
                 s"graft-table reader: column ${f.name} $dt from parquet $pt")
             }
+          }
           }
         } ++ literal.toSeq)
       }

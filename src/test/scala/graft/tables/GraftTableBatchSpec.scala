@@ -171,6 +171,24 @@ class GraftTableBatchSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("streaming read over an EVOLVED table: pre-evolution files surface NULL") {
+    val t = freshTable("stream_evolve")
+    try {
+      t.commit(kv(1L -> 1.0, 2L -> 2.0))
+      t.appendEvolved(Seq((3L, 3.0, "x")).toDF("k", "v", "tag"), 0L)
+      val sink = s"graft_evolve_stream_${System.nanoTime()}"
+      val q = spark.readStream.format("graft-table").option("path", t.root).load()
+        .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table(sink).collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+      spark.catalog.dropTempView(sink)
+      assert(got == Map(None -> 2L, Some("x") -> 1L))
+    } finally SnapshotTable.drop(t)
+  }
+
   test("batch write: append mode commits atomically, twice appends twice") {
     val t = freshTable("write_append")
     try {
@@ -278,6 +296,32 @@ class GraftTableBatchSpec extends SparkSpec {
           r.scan.asInstanceOf[GraftTableScan].estimateStatistics().numRows()
       }.head
       assert(rows.isPresent && rows.getAsLong == 2000L)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("runtime V2 filtering: a join-shipped IN set prunes files before execution") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val t = freshTable("runtime")
+    try {
+      val v = t.commitClustered((1L to 8000L).map(k => (k, k * 0.5)).toDF("k", "v"), "k", 8)
+      val df = load(t)
+      val scan = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[GraftTableScan]
+      }.head
+      // the scan advertises its prunable key for dynamic filtering
+      assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("k"))
+      val before = scan.toBatch.planInputPartitions().length
+      assert(before == 8)
+      // Spark ships the build side's key set as IN(col, lits...)
+      val in = new Predicate("IN",
+        Array[org.apache.spark.sql.connector.expressions.Expression](
+          Expressions.column("k"),
+          Expressions.literal(1500L), Expressions.literal(1501L)))
+      scan.filter(Array(in))
+      val after = scan.toBatch.planInputPartitions().length
+      assert(after <= 2 && after >= 1, s"runtime IN should prune to the one file, got $after")
     } finally SnapshotTable.drop(t)
   }
 
