@@ -95,6 +95,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     tableAt(p, Map("versionAsOf" -> version))
   }
 
+  /** Time travel: `TIMESTAMP AS OF <t>` — Spark hands the literal as
+    * epoch MICROseconds; resolve to the newest version committed at
+    * or before it (from the manifests' own `#op= ts=` records). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = pathOf(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val v = SnapshotTable.versionAtTs(p, Math.floorDiv(timestampMicros, 1000L))
+    tableAt(p, Map("versionAsOf" -> v.toString))
+  }
+
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     require(partitions.isEmpty,
@@ -205,6 +215,33 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       Seq(param("table", StringType), param("version", LongType)),
       in => oneRow(VersionOut,
         snapshotOf(in.getUTF8String(0).toString).restore(in.getLong(1)))),
+    "history" -> proc("history",
+      Seq(param("table", StringType)),
+      in => {
+        val tableName = in.getUTF8String(0).toString
+        val p = root.resolve(tableName)
+        require(isTableDir(p), s"no table '$tableName' in catalog $catalogName")
+        val md = p.resolve("_manifests")
+        val hist = SnapshotTable.listCommittedAt(md).sorted.map { v =>
+          val lines = SnapshotTable.manifestLinesAt(p, v)
+          val op = lines.drop(2).collectFirst {
+            case l if l.startsWith("#op=") => l.stripPrefix("#op=").split(' ').head
+          }
+          InternalRow(v,
+            op.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
+            SnapshotTable.commitTsAt(p, v) * 1000L, // micros
+            SnapshotTable.manifestFilesOf(lines).size.toLong)
+        }.toArray
+        java.util.List.of[Scan](new LocalScan {
+          override def readSchema(): StructType = StructType(Seq(
+            org.apache.spark.sql.types.StructField("version", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("operation", StringType, nullable = true),
+            org.apache.spark.sql.types.StructField("committed_at",
+              org.apache.spark.sql.types.TimestampType, nullable = false),
+            org.apache.spark.sql.types.StructField("num_files", LongType, nullable = false)))
+          override def rows(): Array[InternalRow] = hist
+        }).iterator()
+      }),
     "optimize_zorder" -> proc("optimize_zorder",
       Seq(param("table", StringType), param("key_x", StringType),
         param("key_y", StringType), param("n_files",

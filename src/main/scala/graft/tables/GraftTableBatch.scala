@@ -370,8 +370,12 @@ class GraftTableScanBuilder(options: Map[String, String], tableSchema: StructTyp
 
   /** Snapshot pinned at scan-build time: every partition of this
     * query reads ONE committed version, regardless of concurrent
-    * commits between planning and execution. */
+    * commits between planning and execution. `versionAsOf` wins,
+    * then `timestampAsOf` (epoch millis — the newest commit at or
+    * before it), else the latest. */
   private val version: Long = options.get("versionAsOf").map(_.toLong)
+    .orElse(options.get("timestampAsOf").map(ts =>
+      SnapshotTable.versionAtTs(rootPath, ts.toLong)))
     .getOrElse(SnapshotTable.currentVersionAt(rootPath))
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {

@@ -84,6 +84,8 @@ class GraftTableSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = Paths.get(rootOf(options))
     val v = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Option(options.get("timestampAsOf")).map(ts =>
+        SnapshotTable.versionAtTs(root, ts.toLong)))
       .getOrElse(SnapshotTable.currentVersionAt(root))
     require(v > 0, s"graft-table at $root has no committed version to infer a schema from")
     val schema = SnapshotTable.schemaAt(root, v)

@@ -266,7 +266,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       val carriedMeta = lines.drop(2).filter(_.startsWith("#")).filter {
         case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
           l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
-          l == SnapshotTable.CdcTracked => false
+          l.startsWith("#op=") || l == SnapshotTable.CdcTracked => false
         // row counts die with the first tombstone — [[metaAgg]] must
         // never sum counts the DVs have falsified
         case RowsMeta(_, _) => false
@@ -277,7 +277,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         case _ => true
       }
       val tmp = writeTmpManifest(version, schema,
-        (SnapshotTable.CdcTracked +: (carriedMeta ++ cdcLines ++ newDvLines)) ++ keptFiles)
+        (SnapshotTable.CdcTracked +: (carriedMeta ++ cdcLines ++ newDvLines)) ++ keptFiles,
+        op = "DELETE")
       try publish(version, tmp)
       catch { case e: CommitConflictException =>
         deleteRecursively(dvDir); deleteRecursively(cdcSnap); throw e
@@ -352,7 +353,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       val carriedMeta = lines.drop(2).filter(_.startsWith("#")).filter {
         case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
           l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
-          l == SnapshotTable.CdcTracked => false
+          l.startsWith("#op=") || l == SnapshotTable.CdcTracked => false
         case RowsMeta(_, _) => false // falsified by the tombstones
         // post-image files are not bucket-addressed, so a carried
         // bucket spec would lie to the next mergeBucketed — drop it
@@ -366,7 +367,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       }
       val tmp = writeTmpManifest(version, schema,
         (SnapshotTable.CdcTracked +: (carriedMeta ++ cdcLines ++ newDvLines)) ++
-          (keptFiles ++ newFiles))
+          (keptFiles ++ newFiles), op = "UPDATE")
       try publish(version, tmp)
       catch { case e: CommitConflictException =>
         deleteRecursively(dvDir); postSnap.foreach(deleteRecursively)
@@ -400,12 +401,21 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     (snap, parts.map(p => rootPath.relativize(snap.resolve(p)).toString), df.schema)
   }
 
+  /** Commit wall clock, injectable so specs can pin deterministic
+    * history/timestampAsOf sequences. */
+  private[tables] var nowMs: () => Long = () => System.currentTimeMillis()
+
   /** Step 2: write the complete manifest under a reader-invisible tmp
-    * name. Crash after this step leaves a stray `.tmp-` — invisible. */
+    * name. Crash after this step leaves a stray `.tmp-` — invisible.
+    * Every manifest self-describes with an `#op=<verb> ts=<millis>`
+    * head line — the commit-history record behind [[history]] and
+    * timestamp time travel ([[versionAt]]). */
   private[tables] def writeTmpManifest(version: Long, schema: StructType,
-      files: Seq[String]): Path = {
+      files: Seq[String], op: String = "WRITE"): Path = {
+    require(!op.contains(' ') && !op.contains('\n'), s"bad op tag '$op'")
     val tmp = manifestsDir.resolve(s".tmp-${UUID.randomUUID()}")
-    val content = (version.toString +: schema.json +: files).mkString("\n")
+    val head = s"#op=$op ts=${nowMs()}"
+    val content = (version.toString +: schema.json +: head +: files).mkString("\n")
     Files.write(tmp, content.getBytes("UTF-8"))
     tmp
   }
@@ -547,7 +557,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val (snap, files, schema) = writeData(merged, version)
     val (cdcSnap, cdcLines) = writeCdcData(cdc, version)
     val tmp = writeTmpManifest(version, schema,
-      (SnapshotTable.CdcTracked +: cdcLines) ++ files)
+      (SnapshotTable.CdcTracked +: cdcLines) ++ files, op = "MERGE")
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
       deleteRecursively(snap); deleteRecursively(cdcSnap); throw e
@@ -701,7 +711,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
           .view.filterKeys(b => !touched(b)).values.flatten.toVector
         val tmp = writeTmpManifest(publishVersion, schema,
           (meta +: SnapshotTable.CdcTracked +: (manifestDvLines(base) ++ cdcLines)) ++
-            (carried ++ newFiles).sorted)
+            (carried ++ newFiles).sorted, op = "MERGE")
         try { publish(publishVersion, tmp); outcome = Some(publishVersion) }
         catch { case e: CommitConflictException =>
           val curV = currentVersion
@@ -752,7 +762,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val (snap, files, schema) = writeData(merged, version)
     val (cdcSnap, cdcLines) = writeCdcData(cdc, version)
     val tmp = writeTmpManifest(version, schema,
-      (SnapshotTable.CdcTracked +: cdcLines) ++ files)
+      (SnapshotTable.CdcTracked +: cdcLines) ++ files, op = "CDC")
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
       deleteRecursively(snap); deleteRecursively(cdcSnap); throw e
@@ -845,7 +855,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val (snap, files, _) = writeData(df, version)
     // appends don't rewrite, so prior deletes ride along as DV lines
     val tmp = writeTmpManifest(version, schemaOut,
-      (s"#batchId=$batchId" +: manifestDvLines(prev)) ++ (carried ++ files))
+      (s"#batchId=$batchId" +: manifestDvLines(prev)) ++ (carried ++ files),
+      op = "APPEND")
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
       deleteRecursively(snap); throw e
@@ -897,7 +908,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       val replaceLine = if (carry) Seq.empty else Seq(SnapshotTable.ReplaceMarker)
       val tmp = writeTmpManifest(version, schema,
         (s"#batchId=$batchId" +: (replaceLine ++ writerLine ++ dvLines)) ++
-          (carried ++ relPaths))
+          (carried ++ relPaths), op = if (carry) "APPEND" else "OVERWRITE")
       try { publish(version, tmp); return Some(version) }
       catch { case _: CommitConflictException =>
         attempts += 1
@@ -1401,7 +1412,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       if (tracked) Vector(SnapshotTable.CdcTracked, s"#zcluster=$keyX|$keyY")
       else Vector(s"#zcluster=$keyX|$keyY")
     val tmp = writeTmpManifest(version, df.schema,
-      (head ++ statLines) ++ files)
+      (head ++ statLines) ++ files, op = if (tracked) "OPTIMIZE" else "WRITE")
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
       deleteRecursively(snap); throw e
@@ -1456,7 +1467,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     // content-identical rewrite: the commit TRACKS row-level changes
     // (there are exactly zero), so a change-feed consumer skips it
     // instead of erroring on an untracked rewrite
-    val tmp = writeTmpManifest(version, schema, SnapshotTable.CdcTracked +: files)
+    val tmp = writeTmpManifest(version, schema, SnapshotTable.CdcTracked +: files,
+      op = "COMPACT")
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
       deleteRecursively(snap); throw e
@@ -1484,9 +1496,9 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val body = lines.drop(2).filterNot(l =>
       l.startsWith("#batchId=") || l.startsWith("#writer=") ||
         l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
-        l == SnapshotTable.CdcTracked)
+        l.startsWith("#op=") || l == SnapshotTable.CdcTracked)
     val version = cur + 1
-    val tmp = writeTmpManifest(version, schemaOf(lines), body)
+    val tmp = writeTmpManifest(version, schemaOf(lines), body, op = "RESTORE")
     publish(version, tmp)
     version
   }
@@ -1511,7 +1523,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val body = lines.drop(2).flatMap {
       case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
         l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
-        l == SnapshotTable.CdcTracked => None
+        l.startsWith("#op=") || l == SnapshotTable.CdcTracked => None
       case DvMeta(rel) => Some(s"#dv=${abs(rel)}")
       case RowsMeta(rel, n) => Some(s"#rows=${abs(rel)}|$n")
       case RangeMeta(rel, a, b) => Some(s"#range=${abs(rel)}|$a|$b")
@@ -1524,7 +1536,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       case rel => Some(abs(rel))
     }
     val clone = SnapshotTable(spark, destRoot)
-    val tmp = clone.writeTmpManifest(1L, schemaOf(lines), body)
+    val tmp = clone.writeTmpManifest(1L, schemaOf(lines), body, op = "CLONE")
     clone.publish(1L, tmp)
     clone
   }
@@ -1568,6 +1580,40 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     }
     perVersion.reduceLeft(_ unionAll _)
   }
+
+  /** Commit HISTORY (DESCRIBE HISTORY): one row per committed
+    * version — version, operation verb, commit wall time, number of
+    * listed data files, and the streaming batch id when present. Read
+    * purely from the manifests (metadata-sized); versions committed
+    * before op tracking surface a NULL op with the manifest's mtime. */
+  def history(): DataFrame = {
+    val rows = listCommitted().sorted.map { v =>
+      val lines = manifestLines(v)
+      val meta = lines.drop(2)
+      val opTs = meta.collectFirst { case SnapshotTable.OpMeta(o, ts) => (o, ts.toLong) }
+      val ts = opTs.map(_._2).getOrElse(
+        Files.getLastModifiedTime(manifestPath(v)).toMillis)
+      val batchId = meta.collectFirst { case BatchMeta(b) => java.lang.Long.valueOf(b.toLong) }
+      Row(v, opTs.map(_._1).orNull,
+        new java.sql.Timestamp(ts),
+        manifestFiles(lines).size.toLong, batchId.orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("version", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("operation", org.apache.spark.sql.types.StringType, nullable = true),
+        StructField("committed_at", org.apache.spark.sql.types.TimestampType, nullable = false),
+        StructField("num_files", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("batch_id", org.apache.spark.sql.types.LongType, nullable = true))))
+  }
+
+  /** TIMESTAMP time travel: the newest version committed at or before
+    * `tsMillis` (Delta's TIMESTAMP AS OF resolution). Commit times
+    * come from the manifests' own `#op= ts=` records (mtime for
+    * pre-tracking versions). */
+  def versionAt(tsMillis: Long): Long =
+    SnapshotTable.versionAtTs(rootPath, tsMillis)
 
   /** RETIRE old versions (log retention): delete every manifest below
     * the newest `keepLast` committed versions. Metadata-only and
@@ -1717,6 +1763,7 @@ object SnapshotTable {
   private[tables] val RangeSMeta = """#ranges=([^|]+)\|([^|]*)\|([^|]*)\|([01])""".r
   private[tables] val BloomKMeta = """#bloomk=([^ ]+) fpp=(.+)""".r
   private[tables] val BloomFMeta = """#bloomf=([^|]+)\|(.+)""".r
+  private[tables] val OpMeta = """#op=([^ ]+) ts=(\d+)""".r
 
   /** Deletion-vector sidecar schema: each row tombstones one data row
     * by (file name, row index) address. */
@@ -1771,6 +1818,25 @@ object SnapshotTable {
 
   private[tables] def cdcTrackedOf(lines: Vector[String]): Boolean =
     lines.drop(2).contains(CdcTracked)
+
+  /** Commit wall time of `version` from its `#op= ts=` record, with
+    * the manifest's mtime as the pre-tracking fallback. */
+  private[tables] def commitTsAt(rootPath: Path, version: Long): Long =
+    manifestLinesAt(rootPath, version).drop(2)
+      .collectFirst { case OpMeta(_, t) => t.toLong }
+      .getOrElse(Files.getLastModifiedTime(
+        rootPath.resolve("_manifests").resolve(s"v$version.manifest")).toMillis)
+
+  /** Newest version committed at or before `tsMillis`. */
+  private[tables] def versionAtTs(rootPath: Path, tsMillis: Long): Long = {
+    val stamped = listCommittedAt(rootPath.resolve("_manifests")).sorted
+      .map(v => (v, commitTsAt(rootPath, v)))
+    val at = stamped.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no version committed at or before $tsMillis at $rootPath " +
+        s"(earliest: ${stamped.headOption.map(_._2).getOrElse(-1L)})")
+    at.maxBy(_._1)._1
+  }
 
   private[tables] def isAppendCommitOf(lines: Vector[String]): Boolean =
     lines.drop(2).exists(l => BatchMetaStatic.findFirstIn(l).isDefined) &&

@@ -299,6 +299,63 @@ class GraftTableBatchSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("history + timestampAsOf: commit verbs recorded, timestamp time travel resolves") {
+    val t = freshTable("history")
+    try {
+      // pinned clock: v1@t0, v2@t0+1000, ... — deterministic history
+      val t0 = 1700000000000L
+      var tick = -1L
+      t.nowMs = () => { tick += 1; t0 + tick * 1000L }
+      t.commit(kv(1L -> 1.0, 2L -> 2.0))
+      t.appendOnce(kv(3L -> 3.0), 0L)
+      t.delete(col("k") === 1L)
+      t.compact(1)
+      t.restore(2L)
+      val hist = t.history().orderBy("version")
+        .select("version", "operation", "num_files", "batch_id")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+      assert(hist.map(h => (h._1, h._2)) == Seq(
+        (1L, "WRITE"), (2L, "APPEND"), (3L, "DELETE"), (4L, "COMPACT"), (5L, "RESTORE")))
+      assert(hist(1)._3 == 0L) // the append's batch id surfaces
+      // timestamp resolution: exactly-at, between, and before-earliest
+      assert(t.versionAt(t0) == 1L)
+      assert(t.versionAt(t0 + 1500L) == 2L)
+      assert(t.versionAt(t0 + 999999L) == 5L)
+      intercept[IllegalArgumentException] { t.versionAt(t0 - 1L) }
+      // DSv2 timestampAsOf reads the resolved snapshot
+      val asOf = spark.read.format("graft-table").option("path", t.root)
+        .option("timestampAsOf", (t0 + 1500L).toString).load()
+      assert(asOf.orderBy("k").as[(Long, Double)].collect().toSeq ==
+        Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("SQL TIMESTAMP AS OF + CALL history through the catalog") {
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_cat4_")
+    spark.conf.set("spark.sql.catalog.graftcat4", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat4.root", catRoot.toString)
+    try {
+      val t = new SnapshotTable(spark, catRoot.resolve("h").toString)
+      val t0 = 1700000000000L // 2023-11-14 22:13:20 UTC
+      var tick = -1L
+      t.nowMs = () => { tick += 1; t0 + tick * 60000L }
+      t.commit(kv(1L -> 1.0))
+      t.appendOnce(kv(2L -> 2.0), 0L)
+      t.appendOnce(kv(3L -> 3.0), 1L)
+      // v2 committed at t0+1min; ask for t0+90s → v2
+      val lit = java.time.Instant.ofEpochMilli(t0 + 90000L).toString
+        .replace("T", " ").stripSuffix("Z")
+      val n = spark.sql(
+        s"SELECT count(*) FROM graftcat4.h TIMESTAMP AS OF '$lit'")
+        .head.getLong(0)
+      assert(n == 2L)
+      val ops = spark.sql("CALL graftcat4.history(table => 'h')")
+        .orderBy("version").select("operation").collect().map(_.getString(0)).toSeq
+      assert(ops == Seq("WRITE", "APPEND", "APPEND"))
+    } finally SnapshotTable.deleteRecursively(catRoot)
+  }
+
   test("runtime V2 filtering: a join-shipped IN set prunes files before execution") {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.expressions.filter.Predicate
