@@ -232,6 +232,9 @@ private[tables] object ManifestPruning {
     meta.collectFirst { case SnapshotTable.BloomKMeta(k, _) => k }.foreach { k =>
       used ++= filters.filter(f => bloomValues(k, f).isDefined)
     }
+    meta.collectFirst { case SnapshotTable.BucketMeta(_, k) => k }.foreach { k =>
+      used ++= filters.filter(f => bloomValues(k, f).isDefined)
+    }
     filters.filter(used)
   }
 
@@ -290,6 +293,34 @@ private[tables] object ManifestPruning {
             rects.get(rel).forall { case (xlo, xhi, ylo, yhi) =>
               bx.hi.forall(xlo <= _) && bx.lo.forall(xhi >= _) &&
                 by.hi.forall(ylo <= _) && by.lo.forall(yhi >= _)
+            }
+          }
+        }
+    }
+
+    meta.collectFirst { case SnapshotTable.BucketMeta(n, k) => (n.toInt, k) }.foreach {
+      case (n, k) =>
+        // hash-bucketed layout: an equality (or IN) on the bucket key
+        // pins each value to exactly ONE bucket directory — pmod, the
+        // same function the writer striped with
+        val vals = filters.flatMap(bloomValues(k, _))
+        if (vals.nonEmpty) {
+          val bucketSets: Seq[Set[Int]] = vals.map(_.flatMap {
+            case l: Long => Some((((l % n) + n) % n).toInt)
+            case i: Int => Some((((i.toLong % n) + n) % n).toInt)
+            case s: Short => Some((((s.toLong % n) + n) % n).toInt)
+            case b: Byte => Some((((b.toLong % n) + n) % n).toInt)
+            case _ => None
+          }.toSet)
+          if (bucketSets.forall(_.nonEmpty)) {
+            // conjunct semantics: a file survives if its bucket is
+            // admitted by EVERY pushed equality-set
+            val admitted = bucketSets.reduce(_ intersect _)
+            kept = kept.filter { rel =>
+              SnapshotTable.BucketDirP.findFirstMatchIn(rel) match {
+                case Some(m) => admitted.contains(m.group(1).toInt)
+                case None => true // non-bucket-addressed file: keep
+              }
             }
           }
         }
@@ -425,6 +456,7 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
     (meta.collectFirst { case SnapshotTable.ClusterMeta(k) => k } ++
       meta.collectFirst { case SnapshotTable.ClusterSMeta(k) => k } ++
       meta.collectFirst { case SnapshotTable.BloomKMeta(k, _) => k } ++
+      meta.collectFirst { case SnapshotTable.BucketMeta(_, k) => k } ++
       meta.collectFirst { case SnapshotTable.ZClusterMeta(x, y) => x } ++
       meta.collectFirst { case SnapshotTable.ZClusterMeta(x, y) => y })
       .toArray.distinct
@@ -554,13 +586,33 @@ class GraftTableBatchReaderFactory(requiredJson: String)
       try fr.getFooter.getFileMetaData.getSchema finally fr.close()
     }
     val present = decodeFields.filter(f => fileSchema.containsField(f.name))
-    if (present.nonEmpty && present.length < fileSchema.getFieldCount) {
-      val projFields: java.util.List[org.apache.parquet.schema.Type] =
-        present.map(f =>
-          fileSchema.getType(fileSchema.getFieldIndex(f.name))).toList.asJava
-      val proj = new MessageType(fileSchema.getName, projFields)
-      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-        proj.toString)
+    // the type the reader will hand back: the pushed projection when
+    // narrower, else the file's own schema — field indexes are stable
+    // per file, so decoders resolve them ONCE, not per row
+    val readType: MessageType =
+      if (present.nonEmpty && present.length < fileSchema.getFieldCount) {
+        val projFields: java.util.List[org.apache.parquet.schema.Type] =
+          present.map(f =>
+            fileSchema.getType(fileSchema.getFieldIndex(f.name))).toList.asJava
+        val proj = new MessageType(fileSchema.getName, projFields)
+        conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+          proj.toString)
+        proj
+      } else fileSchema
+
+    // per-field decoders, fully resolved (index, physical type,
+    // timestamp unit) at reader construction — the per-row loop is
+    // null-check + direct accessor, no schema lookups, no dispatch
+    val decoders: Array[Group => Any] = required.fields.map { f =>
+      if (literal.isDefined && f.name == SnapshotTable.ChangeTypeCol)
+        (_: Group) => literal.get
+      else if (!readType.containsField(f.name))
+        (_: Group) => null // evolved column the file predates
+      else {
+        val idx = readType.getFieldIndex(f.name)
+        val leaf = GraftTableBatchReaderFactory.decoderFor(readType, idx, f)
+        (g: Group) => if (g.getFieldRepetitionCount(idx) == 0) null else leaf(g)
+      }
     }
 
     new PartitionReader[InternalRow] {
@@ -578,17 +630,10 @@ class GraftTableBatchReaderFactory(requiredJson: String)
       }
 
       private def convert(g: Group): InternalRow = {
-        val gType = g.getType
-        InternalRow.fromSeq(required.fields.toSeq.map[Any] { f =>
-          if (literal.isDefined && f.name == SnapshotTable.ChangeTypeCol)
-            literal.get
-          else if (!gType.containsField(f.name)) null // evolved column
-          else {
-            val idx = gType.getFieldIndex(f.name)
-            if (g.getFieldRepetitionCount(idx) == 0) null
-            else GraftTableBatchReaderFactory.decode(g, gType, idx, f)
-          }
-        })
+        val out = new Array[Any](decoders.length)
+        var i = 0
+        while (i < decoders.length) { out(i) = decoders(i)(g); i += 1 }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
       }
 
       override def next(): Boolean = {
@@ -605,35 +650,34 @@ class GraftTableBatchReaderFactory(requiredJson: String)
 }
 
 object GraftTableBatchReaderFactory {
-  /** Decode one present, non-null primitive field — the same type
-    * coverage as the streaming reader ([[GraftTableReaderFactory]]). */
-  private[tables] def decode(g: Group,
-      gType: org.apache.parquet.schema.GroupType, idx: Int,
-      f: StructField): Any = {
+  /** Build the decoder for one present field, resolving physical
+    * type and timestamp unit ONCE — the same type coverage as the
+    * streaming reader ([[GraftTableReaderFactory]]), minus the
+    * per-row dispatch. */
+  private[tables] def decoderFor(gType: org.apache.parquet.schema.GroupType,
+      idx: Int, f: StructField): Group => Any = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val prim = gType.getType(idx).asPrimitiveType().getPrimitiveTypeName
     (f.dataType, prim) match {
-      case (BooleanType, _) => g.getBoolean(idx, 0)
-      case (ByteType, _) => g.getInteger(idx, 0).toByte
-      case (ShortType, _) => g.getInteger(idx, 0).toShort
-      case (IntegerType | DateType, _) => g.getInteger(idx, 0)
-      case (LongType, _) => g.getLong(idx, 0)
-      case (FloatType, _) => g.getFloat(idx, 0)
-      case (DoubleType, _) => g.getDouble(idx, 0)
-      case (StringType, _) => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
-      case (BinaryType, _) => g.getBinary(idx, 0).getBytes
+      case (BooleanType, _) => g => g.getBoolean(idx, 0)
+      case (ByteType, _) => g => g.getInteger(idx, 0).toByte
+      case (ShortType, _) => g => g.getInteger(idx, 0).toShort
+      case (IntegerType | DateType, _) => g => g.getInteger(idx, 0)
+      case (LongType, _) => g => g.getLong(idx, 0)
+      case (FloatType, _) => g => g.getFloat(idx, 0)
+      case (DoubleType, _) => g => g.getDouble(idx, 0)
+      case (StringType, _) => g => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+      case (BinaryType, _) => g => g.getBinary(idx, 0).getBytes
       case (TimestampType, INT96) =>
-        GraftTableReaderFactory.int96ToMicros(g.getInt96(idx, 0).getBytes)
+        g => GraftTableReaderFactory.int96ToMicros(g.getInt96(idx, 0).getBytes)
       case (TimestampType, INT64) =>
-        val ann = gType.getType(idx).asPrimitiveType().getLogicalTypeAnnotation
-        ann match {
-          case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-              if t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS =>
-            g.getLong(idx, 0) * 1000L
-          case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-              if t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS =>
-            g.getLong(idx, 0) / 1000L
-          case _ => g.getLong(idx, 0) // MICROS (Spark's default)
+        import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
+        gType.getType(idx).asPrimitiveType().getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation if t.getUnit == TimeUnit.MILLIS =>
+            g => g.getLong(idx, 0) * 1000L
+          case t: TimestampLogicalTypeAnnotation if t.getUnit == TimeUnit.NANOS =>
+            g => g.getLong(idx, 0) / 1000L
+          case _ => g => g.getLong(idx, 0) // MICROS (Spark's default)
         }
       case (dt, pt) => throw new UnsupportedOperationException(
         s"graft-table reader: column ${f.name} $dt from parquet $pt")

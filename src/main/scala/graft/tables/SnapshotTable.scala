@@ -92,7 +92,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
   private def manifestFiles(lines: Vector[String]): Vector[String] =
     SnapshotTable.manifestFilesOf(lines)
 
-  private val BucketMeta = """#buckets=(\d+) key=(.+)""".r
+  private val BucketMeta = SnapshotTable.BucketMeta
 
   // stat-line regexes live on the companion (private[tables]) so the
   // DSv2 batch scan's manifest pruning shares ONE format definition
@@ -1764,6 +1764,8 @@ object SnapshotTable {
   private[tables] val BloomKMeta = """#bloomk=([^ ]+) fpp=(.+)""".r
   private[tables] val BloomFMeta = """#bloomf=([^|]+)\|(.+)""".r
   private[tables] val OpMeta = """#op=([^ ]+) ts=(\d+)""".r
+  private[tables] val BucketMeta = """#buckets=(\d+) key=(.+)""".r
+  private[tables] val BucketDirP = """__bdir=(\d+)""".r
 
   /** Deletion-vector sidecar schema: each row tombstones one data row
     * by (file name, row index) address. */

@@ -107,6 +107,23 @@ class GraftTableBatchSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("bucket pushdown: an equality on the bucket key opens one bucket's files") {
+    val t = freshTable("prune_bucket")
+    try {
+      t.commitBucketed((1L to 4000L).map(k => (k, k * 0.5)).toDF("k", "v"), "k", 16)
+      val allFiles = t.read().inputFiles.length
+      val q = load(t).filter(col("k") === 1234L)
+      val parts = q.rdd.getNumPartitions
+      assert(parts < allFiles && parts >= 1,
+        s"expected one bucket's files of $allFiles, got $parts")
+      assert(q.as[(Long, Double)].collect().toSeq == Seq((1234L, 617.0)))
+      // IN across two buckets keeps both, drops the rest
+      val in2 = load(t).filter(col("k").isin(1234L, 1235L))
+      assert(in2.count() == 2)
+      assert(in2.rdd.getNumPartitions <= 2 * parts)
+    } finally SnapshotTable.drop(t)
+  }
+
   test("bloom pushdown: point lookup opens <=1 file, absent key zero") {
     val t = freshTable("prune_bloom")
     try {
