@@ -215,6 +215,28 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       Seq(param("table", StringType), param("version", LongType)),
       in => oneRow(VersionOut,
         snapshotOf(in.getUTF8String(0).toString).restore(in.getLong(1)))),
+    "delete_where" -> proc("delete_where",
+      Seq(param("table", StringType), param("predicate", StringType)),
+      in => oneRow(VersionOut,
+        snapshotOf(in.getUTF8String(0).toString)
+          .delete(org.apache.spark.sql.functions.expr(
+            in.getUTF8String(1).toString)))),
+    "update_where" -> proc("update_where",
+      // assignments as 'col = <expr>[, col = <expr>...]' — each rhs a
+      // Spark SQL expression over the pre-image row
+      Seq(param("table", StringType), param("predicate", StringType),
+        param("assignments", StringType)),
+      in => {
+        val assigns = in.getUTF8String(2).toString.split(',').map { a =>
+          val i = a.indexOf('=')
+          require(i > 0, s"bad assignment '$a' (want col = expr)")
+          a.take(i).trim -> org.apache.spark.sql.functions.expr(a.drop(i + 1))
+        }.toMap
+        oneRow(VersionOut,
+          snapshotOf(in.getUTF8String(0).toString)
+            .update(org.apache.spark.sql.functions.expr(
+              in.getUTF8String(1).toString), assigns))
+      }),
     "history" -> proc("history",
       Seq(param("table", StringType)),
       in => {

@@ -435,6 +435,28 @@ class GraftTableBatchSpec extends SparkSpec {
     }
   }
 
+  test("SQL CALL delete_where / update_where: row-level DML via deletion vectors") {
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_cat5_")
+    spark.conf.set("spark.sql.catalog.graftcat5", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat5.root", catRoot.toString)
+    try {
+      val t = new SnapshotTable(spark, catRoot.resolve("d").toString)
+      t.commit((1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"))
+      val files1 = t.read(1L).inputFiles.toSet
+      spark.sql("CALL graftcat5.delete_where(table => 'd', predicate => 'k % 10 = 0')")
+      spark.sql(
+        "CALL graftcat5.update_where(table => 'd', predicate => 'k < 5', assignments => 'v = v * 100')")
+      val got = spark.sql("SELECT * FROM graftcat5.d").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(got.size == 90)
+      assert(!got.contains(10L) && !got.contains(100L))
+      assert(got(1L) == 100.0 && got(4L) == 400.0 && got(5L) == 5.0)
+      // the v1 data files were never rewritten (DV path, not COW)
+      assert(files1.forall(f =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(f.stripPrefix("file:")))))
+    } finally SnapshotTable.deleteRecursively(catRoot)
+  }
+
   test("SQL catalog scan pushes filters into manifest pruning") {
     val catRoot = java.nio.file.Files.createTempDirectory("graft_cat2_")
     spark.conf.set("spark.sql.catalog.graftcat2", classOf[GraftCatalog].getName)
