@@ -779,7 +779,42 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** LAKEHOUSE CURATION capstone: the LLM-corpus quality pipeline run
+    * THROUGH the table layer's verbs instead of as one query —
+    * (1) documents commit behind quality EXPECTATIONS (short and
+    * synthetic-gated rows quarantined, not dropped), (2) exact-dup
+    * losers (same md5(text), higher doc_id) are computed AS A
+    * RELATION and tombstoned via [[graft.tables.SnapshotTable.deleteKeys]]
+    * — deletion vectors, no file rewritten, O(dups) — and (3) the
+    * curated snapshot is read back through the standard
+    * `spark.read.format("graft-table")` scan. One hash proves gate ∘
+    * dedup-delete ∘ DV-read compose exactly. At 100 TB each step
+    * keeps its cost class: one gated write, one loser join + DV
+    * write, metadata-planned reads. */
+  private def pipelineLakehouse(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_pipeline_lakehouse_")
+    try {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      t.commitExpect(docs, Map(
+        "min_len" -> (col("n_chars") >= 200),
+        "id_gate" -> (col("doc_id") % 97 =!= 0)))
+      val kept = t.read()
+      val losers = kept.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep"))
+        .join(kept.select(md5(col("text")).as("h"), col("doc_id")), "h")
+        .filter(col("doc_id") =!= col("keep"))
+        .select("doc_id")
+      t.deleteKeys(losers, "doc_id")
+      s.read.format("graft-table").option("path", t.root).load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_pipeline_lakehouse" -> pipelineLakehouse,
     "q_table_expire"     -> tableExpire,
     "q_table_occ"        -> tableOcc,
     "q_table_scan_pushdown" -> tableScanPushdown,
@@ -823,6 +858,17 @@ object TableOps extends QueryPack {
       |  FROM orders WHERE o_orderkey % 103 = 0)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "q_pipeline_lakehouse" ->
+      """WITH kept AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents
+        |  WHERE n_chars >= 200 AND doc_id % 97 <> 0),
+        |firsts AS (
+        |  SELECT k.* FROM kept k
+        |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keep
+        |        FROM kept GROUP BY md5(text)) f
+        |    ON md5(k.text) = f.h AND k.doc_id = f.keep)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM firsts GROUP BY lang ORDER BY lang""".stripMargin,
     "q_table_expire" ->
       s"""WITH snap AS (
          |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders

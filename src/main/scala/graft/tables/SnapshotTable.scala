@@ -223,7 +223,22 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * version (the base version unchanged if the table has no data
     * files). Throws [[CommitConflictException]] on a publish race,
     * like every other writer. */
-  def delete(cond: org.apache.spark.sql.Column): Long = {
+  def delete(cond: org.apache.spark.sql.Column): Long =
+    deleteMatching(_.filter(cond))
+
+  /** DV DELETE driven by a KEY RELATION instead of a per-row
+    * predicate — `MERGE ... WHEN MATCHED THEN DELETE`. Rows whose
+    * `keyCol` appears in `keys` are tombstoned; cost is O(matching
+    * rows + the join), no file rewritten. The shape a 100 TB dedup or
+    * GDPR-erasure pipeline needs: the doomed set is computed AS A
+    * DATAFRAME (a dedup-loser ranking, an erasure list) and never
+    * collects to the driver. AQE broadcasts small key sets. */
+  def deleteKeys(keys: DataFrame, keyCol: String): Long = {
+    val k = keys.select(col(keyCol)).distinct()
+    deleteMatching(_.join(k, Seq(keyCol), "left_semi"))
+  }
+
+  private def deleteMatching(doomedOf: DataFrame => DataFrame): Long = {
     val baseVersion = currentVersion
     require(baseVersion > 0, s"table at $root has no committed version")
     val lines = manifestLines(baseVersion)
@@ -235,7 +250,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val schema = schemaOf(lines)
     val version = baseVersion + 1
     val live = scanAddressed(lines, files)
-    val doomed = live.filter(cond).persist()
+    val doomed = doomedOf(live).persist()
     val dvDir = dataDir.resolve(s"v$version-dv-${UUID.randomUUID()}")
     try {
       doomed.select(col("__graft_dv_f").as(SnapshotTable.DvFileCol),

@@ -101,6 +101,27 @@ class SnapshotTableSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("deleteKeys: a key relation tombstones matching rows, no file rewritten") {
+    val t = freshTable("delete_keys")
+    try {
+      t.commit(kv((1L to 50L).map(k => (k, k * 1.0)): _*))
+      val v1Files = t.read(1L).inputFiles.toSet
+      import spark.implicits._
+      val losers = Seq(5L, 10L, 15L, 999L).toDF("k") // 999 matches nothing
+      val v2 = t.deleteKeys(losers, "k")
+      assert(v2 == 2L)
+      val got = t.read().as[(Long, Double)].collect().toMap
+      assert(got.size == 47 && !got.contains(5L) && !got.contains(10L) && !got.contains(15L))
+      // DV path: v2 scans exactly v1's data files (plus DV sidecars) —
+      // nothing rewritten
+      assert(t.read(2L).inputFiles.filterNot(_.contains("-dv-")).toSet == v1Files)
+      val feed = t.rowChangesBetween(1L, 2L)
+        .groupBy(SnapshotTable.ChangeTypeCol).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(feed == Map("delete" -> 3L))
+    } finally SnapshotTable.drop(t)
+  }
+
   test("expireVersions: retention keeps carried history alive, frees superseded rewrites") {
     val t = freshTable("expire")
     try {
