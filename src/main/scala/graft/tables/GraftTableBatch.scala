@@ -392,7 +392,7 @@ private[tables] object ManifestPruning {
   * (batch read of the row-level change feed over (start, end]). */
 class GraftTableScanBuilder(options: Map[String, String], tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private val root = options("path")
   private val rootPath = Paths.get(root)
   private val changeFeed = options.get("readChangeFeed").exists(_.toBoolean)
@@ -424,9 +424,107 @@ class GraftTableScanBuilder(options: Map[String, String], tableSchema: StructTyp
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftTableScan(root, version, tableSchema, required, pushed, options)
+  // ---- METADATA-ONLY aggregate pushdown --------------------------------
+  //
+  // COUNT(*) / MIN(key) / MAX(key) over a clustered version answer
+  // from the manifest's own #rows/#range stats — ZERO data files
+  // opened (the metaAgg fast path, reachable from plain SQL). Only
+  // COMPLETE pushdown is offered, and only when the stats are
+  // trustworthy: a clustered commit, per-file row counts present, no
+  // deletion vectors, no residual filters, no grouping. Anything else
+  // refuses and Spark runs the ordinary aggregate over the scan. The
+  // encoded stats domain (value / epoch micros / epoch days) IS
+  // Catalyst's internal representation for every supported key type,
+  // so min/max need no re-encoding — only a width cast.
+  private var aggResult: Option[(StructType, Array[Any])] = None
+
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+
+  private def aggPlan(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    if (changeFeed || version == 0L) return None
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    val lines = SnapshotTable.manifestLinesAt(rootPath, version)
+    val meta = lines.drop(2)
+    val clusterKey = meta.collectFirst { case SnapshotTable.ClusterMeta(k) => k }
+      .getOrElse(return None)
+    if (meta.exists(_.startsWith("#dv="))) return None
+    val rows: Map[String, Long] = meta.collect {
+      case SnapshotTable.RowsMeta(rel, n) => rel -> n.toLong
+    }.toMap
+    val files = SnapshotTable.manifestFilesOf(lines)
+    if (!files.forall(rows.contains)) return None
+    val ranges = meta.collect { case SnapshotTable.RangeMeta(_, a, b) =>
+      (a.toLong, b.toLong)
+    }
+    val keyType = tableSchema(clusterKey).dataType
+    def decode(v: Long): Any = keyType match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType | DateType => v.toInt
+      case _ => v // Long / Timestamp(micros)
+    }
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+          Some(r.fieldNames().mkString("."))
+        case _ => None
+      }
+    val lo = if (ranges.isEmpty) null else decode(ranges.map(_._1).min)
+    val hi = if (ranges.isEmpty) null else decode(ranges.map(_._2).max)
+    val out = agg.aggregateExpressions().map {
+      case _: CountStar =>
+        (StructField("count(*)", LongType, nullable = false),
+          java.lang.Long.valueOf(files.map(rows).sum))
+      case m: Min if colOf(m.column()).contains(clusterKey) =>
+        (StructField(s"min($clusterKey)", keyType, nullable = true), lo)
+      case m: Max if colOf(m.column()).contains(clusterKey) =>
+        (StructField(s"max($clusterKey)", keyType, nullable = true), hi)
+      case _ => return None
+    }
+    Some((StructType(out.map(_._1)), out.map(_._2: Any)))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    aggPlan(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val plan = aggPlan(agg)
+    plan.foreach(p => aggResult = Some(p))
+    plan.isDefined
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, values)) =>
+      new GraftTableAggScan(root, version, schema, values)
+    case None =>
+      new GraftTableScan(root, version, tableSchema, required, pushed, options)
+  }
 }
+
+/** The metadata-only aggregate as a one-row, zero-IO scan. */
+class GraftTableAggScan(root: String, version: Long, aggSchema: StructType,
+    values: Array[Any]) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"graft-table $root v$version, PushedAggregates (metadata-only)"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftTableAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              p.asInstanceOf[GraftTableAggPartition].values)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class GraftTableAggPartition(values: Array[Any]) extends InputPartition
 
 /** One committed data (or changelog) file plus its deletion-vector
   * positions; `literalChangeType` tags append-derived change-feed

@@ -373,6 +373,45 @@ class GraftTableBatchSpec extends SparkSpec {
     } finally SnapshotTable.deleteRecursively(catRoot)
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answer from the manifest, zero data files") {
+    val t = freshTable("agg_push")
+    try {
+      t.commitClustered((1L to 5000L).map(k => (k, k * 0.5)).toDF("k", "v"), "k", 8)
+      val q = load(t).agg(count(lit(1)), min("k"), max("k"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregates (metadata-only)"), plan.take(1000))
+      // the zero-IO claim, destructively: drop every data file, the
+      // pushed aggregate still answers from the manifest
+      val dataDir = java.nio.file.Paths.get(t.root).resolve("data")
+      SnapshotTable.deleteRecursively(dataDir)
+      val r = q.head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (5000L, 1L, 5000L))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("aggregate pushdown refuses when stats are untrustworthy (DVs, filters, other aggs)") {
+    val t = freshTable("agg_refuse")
+    try {
+      t.commitClustered((1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 4)
+      t.delete(col("k") === 50L) // DVs falsify counts → no pushdown
+      val q1 = load(t).agg(count(lit(1)), min("k"), max("k"))
+      assert(!q1.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+      assert(q1.head.getLong(0) == 99L)
+      // a residual filter → no pushdown, exact answer
+      val t2 = freshTable("agg_refuse2")
+      try {
+        t2.commitClustered((1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 4)
+        val q2 = load(t2).filter(col("k") <= 10L).agg(count(lit(1)))
+        assert(!q2.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+        assert(q2.head.getLong(0) == 10L)
+        // SUM is not manifest-answerable → normal path
+        val q3 = load(t2).agg(sum("v"))
+        assert(!q3.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+        assert(q3.head.getDouble(0) == (1 to 100).map(_ * 1.0).sum)
+      } finally SnapshotTable.drop(t2)
+    } finally SnapshotTable.drop(t)
+  }
+
   test("runtime V2 filtering: a join-shipped IN set prunes files before execution") {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.expressions.filter.Predicate
