@@ -392,7 +392,8 @@ private[tables] object ManifestPruning {
   * (batch read of the row-level change feed over (start, end]). */
 class GraftTableScanBuilder(options: Map[String, String], tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   private val root = options("path")
   private val rootPath = Paths.get(root)
   private val changeFeed = options.get("readChangeFeed").exists(_.toBoolean)
@@ -423,6 +424,16 @@ class GraftTableScanBuilder(options: Map[String, String], tableSchema: StructTyp
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT pushdown, PARTIAL: each file's reader stops decoding after
+    * `limit` surviving rows (DV-filtered), and Spark applies the
+    * global limit above — `SELECT * LIMIT 10` on a 10k-file table
+    * decodes ≤10 rows per file instead of every row. */
+  private var pushedLimit: Int = Int.MaxValue
+  override def pushLimit(limit: Int): Boolean = {
+    if (!changeFeed) pushedLimit = limit
+    !changeFeed // partial: isPartiallyPushed default true keeps Spark's limit
+  }
 
   // ---- METADATA-ONLY aggregate pushdown --------------------------------
   //
@@ -497,7 +508,8 @@ class GraftTableScanBuilder(options: Map[String, String], tableSchema: StructTyp
     case Some((schema, values)) =>
       new GraftTableAggScan(root, version, schema, values)
     case None =>
-      new GraftTableScan(root, version, tableSchema, required, pushed, options)
+      new GraftTableScan(root, version, tableSchema, required, pushed, options,
+        pushedLimit)
   }
 }
 
@@ -534,7 +546,8 @@ case class GraftTableBatchPartition(absPath: String,
     literalChangeType: Option[String]) extends InputPartition
 
 class GraftTableScan(root: String, version: Long, tableSchema: StructType,
-    required: StructType, pushed: Array[Filter], options: Map[String, String])
+    required: StructType, pushed: Array[Filter], options: Map[String, String],
+    limit: Int = Int.MaxValue)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
   private val rootPath = Paths.get(root)
@@ -611,7 +624,8 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftTableMicroBatchStream(root,
       options.getOrElse("startingVersion", "0"), tableSchema,
-      changeFeed = changeFeed)
+      changeFeed = changeFeed,
+      maxVersionsPerTrigger = options.get("maxVersionsPerTrigger").map(_.toLong))
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (version == 0L && !changeFeed) return Array.empty
@@ -654,7 +668,7 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTableBatchReaderFactory(required.json)
+    new GraftTableBatchReaderFactory(required.json, limit)
 }
 
 /** Executor-side per-file batch reader: decodes ONLY the required
@@ -662,8 +676,8 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
   * resolves fields BY NAME against the file's own schema — a field
   * the file predates (schema evolution) surfaces as NULL — and skips
   * deletion-vector positions as it streams the file in row order. */
-class GraftTableBatchReaderFactory(requiredJson: String)
-    extends PartitionReaderFactory {
+class GraftTableBatchReaderFactory(requiredJson: String,
+    limit: Int = Int.MaxValue) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
     val part = p.asInstanceOf[GraftTableBatchPartition]
@@ -719,6 +733,7 @@ class GraftTableBatchReaderFactory(requiredJson: String)
           .withConf(conf).build()
       private var current: InternalRow = _
       private var rowIdx: Long = -1L
+      private var emitted: Int = 0 // pushed-limit counter (per file)
       private var dvPtr: Int = 0 // dvPositions sorted; rows stream in order
 
       private def deleted(idx: Long): Boolean = {
@@ -735,11 +750,12 @@ class GraftTableBatchReaderFactory(requiredJson: String)
       }
 
       override def next(): Boolean = {
+        if (emitted >= limit) return false // pushed LIMIT: stop decoding
         var g = reader.read()
         rowIdx += 1
         while (g != null && deleted(rowIdx)) { g = reader.read(); rowIdx += 1 }
         if (g == null) false
-        else { current = convert(g); true }
+        else { current = convert(g); emitted += 1; true }
       }
       override def get(): InternalRow = current
       override def close(): Unit = reader.close()

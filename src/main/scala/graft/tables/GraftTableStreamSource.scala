@@ -308,7 +308,8 @@ object GraftTableDataWriter {
 }
 
 class GraftTableMicroBatchStream(root: String, startingVersion: String,
-    schema: StructType, changeFeed: Boolean = false)
+    schema: StructType, changeFeed: Boolean = false,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val rootPath = Paths.get(root)
 
@@ -333,7 +334,17 @@ class GraftTableMicroBatchStream(root: String, startingVersion: String,
   override def latestOffset(): Offset =
     GraftTableOffset(pinnedVersion.getOrElse(SnapshotTable.currentVersionAt(rootPath)))
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+  /** Admission control: `maxVersionsPerTrigger` caps how many commits
+    * one micro-batch ingests — a catch-up read over a long commit
+    * chain proceeds in bounded steps instead of one giant batch
+    * (Delta's maxFilesPerTrigger, at this source's natural commit
+    * granularity). Composes with Trigger.AvailableNow: the drain
+    * still terminates at the pinned version, just in capped steps. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = pinnedVersion.getOrElse(SnapshotTable.currentVersionAt(rootPath))
+    val s = start.asInstanceOf[GraftTableOffset].version
+    GraftTableOffset(maxVersionsPerTrigger.fold(target)(m => math.min(target, s + m)))
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val v = "\"version\":(\\d+)".r.findFirstMatchIn(json)
