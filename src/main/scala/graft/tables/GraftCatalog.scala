@@ -156,8 +156,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   // same surface Iceberg exposes its maintenance through. Each returns
   // one row so schedulers can log the outcome.
 
+  /** Resolve a procedure's raw `table` argument ('tbl' or 'ns/tbl')
+    * under the SAME segment validation as [[pathOf]] — rejecting
+    * '..', '.', empty and backslash segments — so destructive
+    * procedures (vacuum, delete_where, restore, ...) can never escape
+    * the catalog root via a crafted name. */
+  private def procTablePath(tableName: String): Path = {
+    val segs = tableName.split('/').toSeq
+    require(segs.nonEmpty && segs.forall(s =>
+      s.nonEmpty && s != ".." && s != "." && !s.contains('\\')),
+      s"bad table name '$tableName' (want seg[/seg...], no '..'/'.'/empty)")
+    segs.foldLeft(root)(_.resolve(_))
+  }
+
   private def snapshotOf(tableName: String): SnapshotTable = {
-    val p = root.resolve(tableName)
+    val p = procTablePath(tableName)
     require(isTableDir(p), s"no table '$tableName' in catalog $catalogName")
     new SnapshotTable(SparkSession.active, p.toString)
   }
@@ -241,7 +254,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       Seq(param("table", StringType)),
       in => {
         val tableName = in.getUTF8String(0).toString
-        val p = root.resolve(tableName)
+        val p = procTablePath(tableName)
         require(isTableDir(p), s"no table '$tableName' in catalog $catalogName")
         val md = p.resolve("_manifests")
         val hist = SnapshotTable.listCommittedAt(md).sorted.map { v =>

@@ -352,33 +352,36 @@ private[tables] object ManifestPruning {
     kept
   }
 
-  /** The manifest's deletion vectors as per-file SORTED row-index
-    * arrays, loaded driver-side (DV sidecars are O(deleted rows)) and
-    * shipped inside each file's input partition — the reader skips
-    * tombstoned positions as it streams the file. */
-  def loadDvPositions(rootPath: Path, lines: Vector[String]): Map[String, Array[Long]] = {
-    val dvRels = lines.drop(2).collect { case SnapshotTable.DvMeta(rel) => rel }
-    if (dvRels.isEmpty) return Map.empty
-    val acc = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
-    dvRels.foreach { rel =>
+  /** One data file's deletion-vector positions, loaded EXECUTOR-SIDE
+    * by the partition reader that owns the file: the driver never
+    * materializes DV rows (it ships only the sidecar PATHS, O(files)
+    * metadata), so a 100 TB table with 10⁹ tombstones costs the
+    * driver nothing. Each reader pushes `file == addr` as a parquet
+    * record filter — sidecars are written range-clustered by address
+    * ([[SnapshotTable]]'s delete/update), so row-group stats skip the
+    * groups that belong to other files and the common untouched-file
+    * read degrades to footer reads. */
+  def loadOwnDvPositions(addr: String, sidecarPaths: Array[String]): Array[Long] = {
+    if (sidecarPaths.isEmpty) return Array.emptyLongArray
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    val pred = FilterApi.eq(FilterApi.binaryColumn(SnapshotTable.DvFileCol),
+      org.apache.parquet.io.api.Binary.fromString(addr))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    sidecarPaths.foreach { s =>
       val reader: ParquetReader[Group] = ParquetReader.builder(
-        new GroupReadSupport(),
-        new org.apache.hadoop.fs.Path(rootPath.resolve(rel).toString))
-        .withConf(new Configuration()).build()
+        new GroupReadSupport(), new org.apache.hadoop.fs.Path(s))
+        .withConf(new Configuration())
+        .withFilter(FilterCompat.get(pred)).build()
       try {
         var g = reader.read()
         while (g != null) {
-          val t = g.getType
-          val fIdx = t.getFieldIndex(SnapshotTable.DvFileCol)
-          val pIdx = t.getFieldIndex(SnapshotTable.DvPosCol)
-          val f = new String(g.getBinary(fIdx, 0).getBytes, "UTF-8")
-          acc.getOrElseUpdate(f, scala.collection.mutable.ArrayBuffer.empty) +=
-            g.getLong(pIdx, 0)
+          buf += g.getLong(g.getType.getFieldIndex(SnapshotTable.DvPosCol), 0)
           g = reader.read()
         }
       } finally reader.close()
     }
-    acc.view.mapValues(_.toArray.sorted).toMap
+    buf.toArray.sorted
   }
 }
 
@@ -538,11 +541,14 @@ class GraftTableAggScan(root: String, version: Long, aggSchema: StructType,
 
 case class GraftTableAggPartition(values: Array[Any]) extends InputPartition
 
-/** One committed data (or changelog) file plus its deletion-vector
-  * positions; `literalChangeType` tags append-derived change-feed
-  * partitions whose files carry no `_change_type` column. */
+/** One committed data (or changelog) file plus the snapshot's DV
+  * sidecar PATHS (O(sidecars) strings — the reader loads its own
+  * file's positions executor-side, keyed by `dvAddr`);
+  * `literalChangeType` tags append-derived change-feed partitions
+  * whose files carry no `_change_type` column. */
 case class GraftTableBatchPartition(absPath: String,
-    dvPositions: Array[Long],
+    dvAddr: String,
+    dvSidecarPaths: Array[String],
     literalChangeType: Option[String]) extends InputPartition
 
 class GraftTableScan(root: String, version: Long, tableSchema: StructType,
@@ -633,11 +639,15 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
       val lines = SnapshotTable.manifestLinesAt(rootPath, version)
       val kept = ManifestPruning.prunedFiles(rootPath, lines,
         pushed.toSeq ++ runtimeFilters)
-      val dv = ManifestPruning.loadDvPositions(rootPath, lines)
+      // DV sidecar PATHS only — positions load executor-side, keyed
+      // per file; driver cost stays O(files), never O(deleted rows)
+      val dvPaths = lines.drop(2).collect {
+        case SnapshotTable.DvMeta(rel) => rootPath.resolve(rel).toString
+      }.toArray
       kept.map { rel =>
         val addr = rel.split('/').takeRight(2).mkString("/")
         GraftTableBatchPartition(rootPath.resolve(rel).toString,
-          dv.getOrElse(addr, Array.emptyLongArray), None): InputPartition
+          addr, dvPaths, None): InputPartition
       }.toArray
     } else {
       // batch change-feed read over (start, end] — the same
@@ -648,18 +658,26 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
       require(start <= end, s"readChangeFeed needs startingVersion <= endingVersion, got ($start, $end)")
       def filesAt(v: Long): Vector[String] =
         if (v == 0L) Vector.empty
-        else SnapshotTable.manifestFilesOf(SnapshotTable.manifestLinesAt(rootPath, v))
+        else try SnapshotTable.manifestFilesOf(SnapshotTable.manifestLinesAt(rootPath, v))
+        catch { case e: IllegalArgumentException =>
+          // the predecessor manifest fell to expireVersions — surface
+          // a change-feed-specific error, not 'version not committed'
+          throw new IllegalStateException(
+            s"graft-table change feed at $root: version $v (needed to diff an " +
+              "append commit) is past the log retention cutoff; use a " +
+              "startingVersion >= the oldest retained version", e)
+        }
       ((start + 1) to end).iterator.flatMap { v =>
         val lines = SnapshotTable.manifestLinesAt(rootPath, v)
         if (SnapshotTable.cdcTrackedOf(lines))
           SnapshotTable.manifestCdcFilesOf(lines).map(rel =>
             GraftTableBatchPartition(rootPath.resolve(rel).toString,
-              Array.emptyLongArray, None))
+              "", Array.empty, None))
         else if (SnapshotTable.isAppendCommitOf(lines)) {
           val before = filesAt(v - 1).toSet
           SnapshotTable.manifestFilesOf(lines).filterNot(before).map(rel =>
             GraftTableBatchPartition(rootPath.resolve(rel).toString,
-              Array.emptyLongArray, Some("insert")))
+              "", Array.empty, Some("insert")))
         } else throw new IllegalStateException(
           s"graft-table change feed: version $v at $root does not track " +
             "row-level changes (written by plain commit)")
@@ -731,13 +749,17 @@ class GraftTableBatchReaderFactory(requiredJson: String,
       private val reader: ParquetReader[Group] =
         ParquetReader.builder(new GroupReadSupport(), hPath)
           .withConf(conf).build()
+      // this file's own tombstones, loaded HERE on the executor —
+      // never materialized on the driver
+      private val dvPositions: Array[Long] =
+        ManifestPruning.loadOwnDvPositions(part.dvAddr, part.dvSidecarPaths)
       private var current: InternalRow = _
       private var rowIdx: Long = -1L
       private var emitted: Int = 0 // pushed-limit counter (per file)
       private var dvPtr: Int = 0 // dvPositions sorted; rows stream in order
 
       private def deleted(idx: Long): Boolean = {
-        val dv = part.dvPositions
+        val dv = dvPositions
         while (dvPtr < dv.length && dv(dvPtr) < idx) dvPtr += 1
         dvPtr < dv.length && dv(dvPtr) == idx
       }

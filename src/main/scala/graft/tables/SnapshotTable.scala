@@ -238,6 +238,27 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     deleteMatching(_.join(k, Seq(keyCol), "left_semi"))
   }
 
+  /** Live row counts for the files in `touchedAddrs` — the dead-file
+    * check of DELETE/UPDATE. When the manifest carries `#rows=`
+    * lines (clustered commits) and no prior DVs have falsified them,
+    * the answer is pure metadata (ZERO files opened); otherwise only
+    * the TOUCHED files are scanned — O(matching files), never the
+    * O(table) metadata-column sweep a naive survivors-count costs. */
+  private def livePerFile(lines: Vector[String], files: Vector[String],
+      touchedAddrs: Set[String]): Map[String, Long] = {
+    if (touchedAddrs.isEmpty) return Map.empty
+    val rowsByAddr: Map[String, Long] = lines.drop(2).collect {
+      case RowsMeta(rel, n) => dvAddressOf(rel) -> n.toLong
+    }.toMap
+    if (manifestDvFiles(lines).isEmpty && touchedAddrs.forall(rowsByAddr.contains))
+      rowsByAddr.filter { case (a, _) => touchedAddrs(a) }
+    else {
+      val touchedFiles = files.filter(rel => touchedAddrs(dvAddressOf(rel)))
+      scanAddressed(lines, touchedFiles).groupBy("__graft_dv_f").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+  }
+
   private def deleteMatching(doomedOf: DataFrame => DataFrame): Long = {
     val baseVersion = currentVersion
     require(baseVersion > 0, s"table at $root has no committed version")
@@ -253,8 +274,14 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val doomed = doomedOf(live).persist()
     val dvDir = dataDir.resolve(s"v$version-dv-${UUID.randomUUID()}")
     try {
+      // range-cluster the sidecar by (file, pos): the DSv2 scan loads
+      // each file's tombstones executor-side with a file==addr parquet
+      // record filter, and clustered row groups let its stats skip
+      // every group belonging to other files
       doomed.select(col("__graft_dv_f").as(SnapshotTable.DvFileCol),
         col("__graft_dv_p").as(SnapshotTable.DvPosCol))
+        .repartitionByRange(col(SnapshotTable.DvFileCol), col(SnapshotTable.DvPosCol))
+        .sortWithinPartitions(SnapshotTable.DvFileCol, SnapshotTable.DvPosCol)
         .write.parquet(dvDir.toString)
       // per-file doomed counts — ≤ nFiles rows, answered from the cache
       val doomedPerFile: Map[String, Long] = doomed.groupBy("__graft_dv_f").count()
@@ -263,12 +290,13 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         if (doomedPerFile.isEmpty) { deleteRecursively(dvDir); Vector.empty[String] }
         else listParquetRec(dvDir).map(p => s"#dv=${rootPath.relativize(p)}").sorted
       // file-level deletes: drop files with zero surviving rows
-      // (total per file is a metadata-columns-only scan)
-      val totalPerFile: Map[String, Long] = live.groupBy("__graft_dv_f").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // (untouched files keep without a count; a missing count keeps
+      // conservatively)
+      val totalPerFile = livePerFile(lines, files, doomedPerFile.keySet)
       val keptFiles = files.filter { rel =>
         val a = dvAddressOf(rel)
-        doomedPerFile.getOrElse(a, 0L) < totalPerFile.getOrElse(a, 0L)
+        val d = doomedPerFile.getOrElse(a, 0L)
+        d == 0L || d < totalPerFile.getOrElse(a, Long.MaxValue)
       }
       val keptSet = keptFiles.toSet
       // pre-image change feed: the deleted rows, op=delete
@@ -334,19 +362,22 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val matched = live.filter(cond).persist()
     val dvDir = dataDir.resolve(s"v$version-dv-${UUID.randomUUID()}")
     try {
+      // range-clustered like delete()'s sidecar — see the note there
       matched.select(col("__graft_dv_f").as(SnapshotTable.DvFileCol),
         col("__graft_dv_p").as(SnapshotTable.DvPosCol))
+        .repartitionByRange(col(SnapshotTable.DvFileCol), col(SnapshotTable.DvPosCol))
+        .sortWithinPartitions(SnapshotTable.DvFileCol, SnapshotTable.DvPosCol)
         .write.parquet(dvDir.toString)
       val matchedPerFile: Map[String, Long] = matched.groupBy("__graft_dv_f").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val newDvLines =
         if (matchedPerFile.isEmpty) { deleteRecursively(dvDir); Vector.empty[String] }
         else listParquetRec(dvDir).map(p => s"#dv=${rootPath.relativize(p)}").sorted
-      val totalPerFile: Map[String, Long] = live.groupBy("__graft_dv_f").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val totalPerFile = livePerFile(lines, files, matchedPerFile.keySet)
       val keptFiles = files.filter { rel =>
         val a = dvAddressOf(rel)
-        matchedPerFile.getOrElse(a, 0L) < totalPerFile.getOrElse(a, 0L)
+        val d = matchedPerFile.getOrElse(a, 0L)
+        d == 0L || d < totalPerFile.getOrElse(a, Long.MaxValue)
       }
       val keptSet = keptFiles.toSet
       // post-images: assignments over the pre-image, schema pinned
@@ -492,18 +523,25 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     }
     val version = currentVersion + 1
     val qDir = dataDir.resolve(s"v$version-quarantine-${UUID.randomUUID()}")
-    df.filter(!allPass)
-      .withColumn(SnapshotTable.ViolatedCol, violated)
-      .write.parquet(qDir.toString)
-    val qLines: Seq[String] = listParquetRec(qDir)
-      .map(p => s"#quarantine=${rootPath.relativize(p)}").sorted
-    val (snap, files, schema) = writeData(df.filter(allPass), version)
-    val tmp = writeTmpManifest(version, schema, qLines ++ files)
-    try publish(version, tmp)
-    catch { case e: CommitConflictException =>
-      deleteRecursively(snap); deleteRecursively(qDir); throw e
-    }
-    version
+    // pin the input before splitting it two ways: a nondeterministic
+    // source re-evaluated per side could land a row in both or
+    // neither output, breaking the nothing-lost/nothing-doubled
+    // contract (same discipline as delete()'s persisted `doomed`)
+    val pinned = df.persist()
+    try {
+      pinned.filter(!allPass)
+        .withColumn(SnapshotTable.ViolatedCol, violated)
+        .write.parquet(qDir.toString)
+      val qLines: Seq[String] = listParquetRec(qDir)
+        .map(p => s"#quarantine=${rootPath.relativize(p)}").sorted
+      val (snap, files, schema) = writeData(pinned.filter(allPass), version)
+      val tmp = writeTmpManifest(version, schema, qLines ++ files)
+      try publish(version, tmp)
+      catch { case e: CommitConflictException =>
+        deleteRecursively(snap); deleteRecursively(qDir); throw e
+      }
+      version
+    } finally pinned.unpersist()
   }
 
   /** The quarantine side output of `version`'s [[commitExpect]]: the
@@ -721,6 +759,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       var base = lines
       var publishVersion = version
       var outcome: Option[Long] = None
+      var rebases = 0
       while (outcome.isEmpty) {
         val carried = manifestFiles(base).groupBy(bucketOfPath)
           .view.filterKeys(b => !touched(b)).values.flatten.toVector
@@ -740,6 +779,12 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
           }
           val sameDv = manifestDvLines(cur).toSet == manifestDvLines(base).toSet
           if (sameBuckets && sameSchema && sameTouched && sameDv) {
+            // bounded like commitFilesOnce's CAS loop: a sustained
+            // stream of disjoint-bucket committers must fail loudly,
+            // not spin this writer forever
+            rebases += 1
+            if (rebases > 100) throw new IllegalStateException(
+              s"mergeBucketed: lost the publish CAS $rebases times at $root", e)
             base = cur; publishVersion = curV + 1 // rebase, keep our data
           } else {
             // our inputs changed — recompute against the new snapshot

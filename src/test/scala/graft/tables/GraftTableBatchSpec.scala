@@ -174,6 +174,39 @@ class GraftTableBatchSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("DV application is executor-side: partitions ship sidecar PATHS, O(files) driver bytes") {
+    val t = freshTable("dv_exec")
+    try {
+      // 4 files, then a LARGE delete: 20k tombstones. Driver-side DV
+      // materialization would put all 20k positions inside the
+      // planned partitions; the executor-side design ships only the
+      // sidecar paths, so each partition serializes to a few hundred
+      // bytes no matter how many rows are deleted.
+      t.commitClustered((1L to 40000L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 4)
+      t.delete(col("k") % 2 === 0)
+      val scan = load(t).queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[GraftTableScan]
+      }.head
+      val parts = scan.toBatch.planInputPartitions()
+      assert(parts.nonEmpty)
+      parts.foreach { p =>
+        val bp = p.asInstanceOf[GraftTableBatchPartition]
+        assert(bp.dvSidecarPaths.nonEmpty, "partition must carry its sidecar paths")
+        val bos = new java.io.ByteArrayOutputStream()
+        val oos = new java.io.ObjectOutputStream(bos)
+        oos.writeObject(bp); oos.close()
+        // 20k Long positions would be ≥160 KB; paths are O(sidecars)
+        assert(bos.size() < 8192,
+          s"partition serialized to ${bos.size()} bytes — smells like materialized DV positions")
+      }
+      // and the scan is row-exact through the executor-side DVs
+      assert(load(t).count() == 20000L)
+      assert(load(t).filter(col("k") % 2 === 0).count() == 0L)
+      assert(load(t).agg(sum("k")).head.getLong(0) == (1L to 39999L by 2).sum)
+    } finally SnapshotTable.drop(t)
+  }
+
   test("schema evolution: pre-evolution files surface NULL for new columns") {
     val t = freshTable("evolve")
     try {

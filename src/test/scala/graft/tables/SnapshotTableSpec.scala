@@ -723,6 +723,39 @@ class SnapshotTableSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("delete: dead-file detection answers from manifest #rows, not a second table scan") {
+    // a CLUSTERED commit carries per-file #rows= counts; the delete's
+    // file-drop check must use them (zero extra reads) instead of
+    // re-scanning the table for per-file survivor counts. Observable
+    // as total input records across the delete: ~one pass over the
+    // 40k rows (the doomed computation), NOT two.
+    val t = freshTable("dv_deadfile_meta")
+    try {
+      t.commitClustered(kv((1L to 40000L).map(k => k -> k.toDouble): _*), "k", 8)
+      val records = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            records.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val v2 = t.delete(col("k") <= 5000L) // kills the lowest file(s)
+        // quiesce: listener events drain asynchronously
+        var prev = -1L
+        while (records.get() != prev) { prev = records.get(); Thread.sleep(300) }
+        assert(t.read(v2).count() == 35000L)
+        assert(filesOf(t, v2).size < 8)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      // one full pass = 40k input records (doomed scan; the DV write
+      // and CDC pre-images replay from the persisted doomed set). The
+      // old survivor-count sweep added a second full 40k-record pass;
+      // allow slack for range-sampling re-reads but stay well under 2x.
+      assert(records.get() <= 70000L,
+        s"delete read ${records.get()} input records — dead-file check is re-scanning the table")
+    } finally SnapshotTable.drop(t)
+  }
+
   test("delete composes: appends carry tombstones, compact folds them in") {
     val t = freshTable("dv_append")
     try {
