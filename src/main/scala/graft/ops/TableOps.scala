@@ -687,6 +687,54 @@ object TableOps extends QueryPack {
     }
   }
 
+  /** STANDARD SQL row-level DML end-to-end: the reference's
+    * PATCH-or-POST upsert loop (reference task.ts:228-271) as ONE
+    * `MERGE INTO` statement — matched-and-flagged rows DELETE,
+    * matched rows UPDATE, unmatched INSERT — followed by a plain
+    * `UPDATE` and a `DELETE FROM`, all through Spark SQL against the
+    * graft catalog (DSv2 SupportsRowLevelOperations + SupportsDelta:
+    * tombstones stage as DV sidecars, post-images as data parts, one
+    * atomic manifest commit per statement, NO pre-existing data file
+    * rewritten). The oracle recomputes the same three statements
+    * relationally in DuckDB. */
+  private def tableSqlMerge(s: SparkSession, d: String): DataFrame = {
+    val catRoot = s"${sys.props("java.io.tmpdir")}/graft_sql_catalog"
+    s.conf.set("spark.sql.catalog.graftsql", "graft.tables.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftsql.root", catRoot)
+    val n = sqlRuns.incrementAndGet()
+    val tbl = s"dml_${n}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val view = s"graft_dml_src_$n"
+    base(s, d).createOrReplaceTempView(view)
+    try {
+      s.sql(s"CREATE TABLE graftsql.$tbl (k BIGINT, v DOUBLE)")
+      s.sql(s"INSERT INTO graftsql.$tbl SELECT k, v FROM $view")
+      // the CDC delta, derived deterministically from the data itself
+      // (disjoint ops so the MERGE source is key-unique)
+      s.sql(
+        s"""MERGE INTO graftsql.$tbl AS t
+           |USING (
+           |  SELECT k, v, 'd' AS op FROM $view WHERE k % 97 = 0
+           |  UNION ALL
+           |  SELECT k, v + 1234.56, 'u' FROM $view WHERE k % 101 = 0 AND k % 97 <> 0
+           |  UNION ALL
+           |  SELECT k + 6000000, v, 'i' FROM $view WHERE k % 103 = 0 AND k <> 0
+           |) AS s ON t.k = s.k
+           |WHEN MATCHED AND s.op = 'd' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+           |""".stripMargin)
+      s.sql(s"UPDATE graftsql.$tbl SET v = v * 2 WHERE k % 11 = 0")
+      s.sql(s"DELETE FROM graftsql.$tbl WHERE k % 13 = 0")
+      s.sql(s"SELECT * FROM graftsql.$tbl")
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+        .orderBy("bucket").localCheckpoint(true)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS graftsql.$tbl")
+      s.catalog.dropTempView(view)
+    }
+  }
+
   /** The ROW-LEVEL change feed through the STANDARD batch read
     * surface: after the bucketed merge, the recorded changelog is
     * consumed via `spark.read.format("graft-table")` with
@@ -819,6 +867,7 @@ object TableOps extends QueryPack {
     "q_table_occ"        -> tableOcc,
     "q_table_scan_pushdown" -> tableScanPushdown,
     "q_table_sql"        -> tableSql,
+    "q_table_sql_merge"  -> tableSqlMerge,
     "q_table_cdf_batch"  -> tableCdfBatch,
     "q_table_expect"     -> tableExpect,
     "q_table_optimize_z" -> tableOptimizeZ,
@@ -905,6 +954,20 @@ object TableOps extends QueryPack {
          |         ${Det.dsumSql("v", 2)} AS total
          |  FROM b GROUP BY bucket)
          |ORDER BY phase, bucket""".stripMargin,
+    "q_table_sql_merge" ->
+      s"""WITH b AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+         |merged AS (
+         |  SELECT t.k,
+         |         CASE WHEN t.k % 101 = 0 AND t.k % 97 <> 0 THEN t.v + 1234.56
+         |              ELSE t.v END AS v
+         |  FROM b t WHERE t.k % 97 <> 0
+         |  UNION ALL
+         |  SELECT k + 6000000 AS k, v FROM b WHERE k % 103 = 0 AND k <> 0),
+         |updated AS (
+         |  SELECT k, CASE WHEN k % 11 = 0 THEN v * 2 ELSE v END AS v FROM merged),
+         |final AS (SELECT * FROM updated WHERE k % 13 <> 0)
+         |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total
+         |FROM final GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_table_cdf_batch" ->
       s"""WITH t AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders)
          |SELECT * FROM (

@@ -704,9 +704,12 @@ class GraftTableBatchReaderFactory(requiredJson: String,
     val conf = new Configuration()
 
     // fields decoded FROM THE FILE: the required set minus a
-    // literal-satisfied change-type column
+    // literal-satisfied change-type column and the synthesized row-
+    // address metadata columns (__graft_file / __graft_pos — the
+    // rowId of SQL row-level DML)
     val decodeFields = required.fields.filterNot(f =>
-      literal.isDefined && f.name == SnapshotTable.ChangeTypeCol)
+      (literal.isDefined && f.name == SnapshotTable.ChangeTypeCol) ||
+        f.name == GraftRowMeta.FileCol || f.name == GraftRowMeta.PosCol)
 
     // footer pre-read: the file's own schema drives both by-name
     // resolution (evolution) and the column projection
@@ -733,9 +736,16 @@ class GraftTableBatchReaderFactory(requiredJson: String,
     // per-field decoders, fully resolved (index, physical type,
     // timestamp unit) at reader construction — the per-row loop is
     // null-check + direct accessor, no schema lookups, no dispatch
+    val fileAddr = UTF8String.fromString(part.dvAddr)
+    // ordinal of a requested __graft_pos column — filled from the
+    // reader's physical row counter, not a decoder
+    val posOrdinals: Array[Int] = required.fields.zipWithIndex
+      .collect { case (f, i) if f.name == GraftRowMeta.PosCol => i }
     val decoders: Array[Group => Any] = required.fields.map { f =>
       if (literal.isDefined && f.name == SnapshotTable.ChangeTypeCol)
         (_: Group) => literal.get
+      else if (f.name == GraftRowMeta.FileCol) (_: Group) => fileAddr
+      else if (f.name == GraftRowMeta.PosCol) (_: Group) => null // posOrdinals
       else if (!readType.containsField(f.name))
         (_: Group) => null // evolved column the file predates
       else {
@@ -768,6 +778,10 @@ class GraftTableBatchReaderFactory(requiredJson: String,
         val out = new Array[Any](decoders.length)
         var i = 0
         while (i < decoders.length) { out(i) = decoders(i)(g); i += 1 }
+        i = 0
+        while (i < posOrdinals.length) { // row address = physical index
+          out(posOrdinals(i)) = rowIdx; i += 1
+        }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
       }
 

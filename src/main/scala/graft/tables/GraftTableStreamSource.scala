@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -104,7 +104,10 @@ class GraftTableSource extends TableProvider with DataSourceRegister {
 }
 
 class GraftTableStreamTable(tableSchema: StructType, options: Map[String, String])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft_table(${options.getOrElse("path", "?")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -112,6 +115,52 @@ class GraftTableStreamTable(tableSchema: StructType, options: Map[String, String
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
+
+  // ---- standard SQL row-level DML --------------------------------------
+
+  /** Row addresses as METADATA columns — the rowId of the delta-based
+    * row-level protocol, synthesized by the batch reader, never
+    * stored. Also directly queryable (`SELECT __graft_file, ... FROM
+    * t` — handy for audits), like Iceberg's _file/_pos. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftRowMeta.FileCol
+        override def dataType(): org.apache.spark.sql.types.DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "data file address (dir/name) of the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftRowMeta.PosCol
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "physical row index within the data file"
+      })
+
+  /** `UPDATE` / `MERGE INTO` / subquery-`DELETE`: the delta-based
+    * row-level rewrite ([[GraftRowLevelOperation]]). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(options, tableSchema, info.command())
+
+  /** Simple `DELETE FROM t WHERE p`: Spark's metadata-delete path —
+    * accepted only when every conjunct translates, and then routed to
+    * [[SnapshotTable.delete]] (DV tombstones, file-drop detection,
+    * CDC pre-images). Untranslatable conditions refuse and fall back
+    * to the row-level rewrite above. */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    predicates.forall(p => GraftRowMeta.predicateToColumn(p).isDefined)
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val cond = predicates.toSeq.map(p => GraftRowMeta.predicateToColumn(p)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"untranslatable delete predicate: $p")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    new SnapshotTable(SparkSession.active, options("path")).delete(cond)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {

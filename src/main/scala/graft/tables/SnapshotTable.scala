@@ -490,6 +490,61 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     version
   }
 
+  /** Commit a DELTA of row-level changes produced by the SQL DML
+    * surface (`DELETE FROM` / `UPDATE` / `MERGE INTO` through DSv2
+    * [[GraftRowLevelOperation]]): `dvRels` are freshly staged DV
+    * sidecar parquet files (tombstones addressed against
+    * `baseVersion`'s files) and `dataRels` freshly staged data files
+    * (MERGE inserts / UPDATE post-images). One atomic manifest commit
+    * carries everything of the current version forward plus the
+    * delta — O(changed rows) data cost, O(1) commit cost.
+    *
+    * Conflict rule: tombstone addresses are only meaningful against
+    * the file set the command SCANNED. If the current version still
+    * has the same data files, DV lines and schema (only metadata/
+    * append-free maintenance landed in between — or nothing), the
+    * commit rebases forward; otherwise a [[CommitConflictException]]
+    * asks the caller to re-run the statement (Delta's serializable
+    * write-conflict behavior).
+    *
+    * Carried-meta rules mirror [[delete]]/[[update]]: `#rows=` counts
+    * die with new tombstones (metaAgg must never sum falsified
+    * counts); `#buckets=` dies when foreign (unbucketed) data files
+    * join the layout; range/string/z-order stat lines stay — they
+    * remain CONSERVATIVE for pruning. SQL DML commits do not mint
+    * change-feed rows (the DSv2 delta protocol hands the writer
+    * addresses, not pre-images); like plain commits they read as
+    * non-CDC-tracked versions. */
+  private[tables] def commitDelta(baseVersion: Long, dvRels: Seq[String],
+      dataRels: Seq[String], op: String): Long = {
+    val cur = currentVersion
+    require(cur > 0, s"table at $root has no committed version")
+    val lines = manifestLines(cur)
+    if (cur != baseVersion) {
+      val baseLines = manifestLines(baseVersion)
+      val unchanged = manifestFiles(lines) == manifestFiles(baseLines) &&
+        manifestDvLines(lines).toSet == manifestDvLines(baseLines).toSet &&
+        lines(1) == baseLines(1)
+      if (!unchanged) throw new CommitConflictException(cur + 1)
+    }
+    val version = cur + 1
+    val schema = schemaOf(lines)
+    val carriedMeta = lines.drop(2).filter(_.startsWith("#")).filter {
+      case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
+        l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
+        l.startsWith("#op=") || l == SnapshotTable.CdcTracked => false
+      case RowsMeta(_, _) => dvRels.isEmpty
+      case BucketMeta(_, _) => dataRels.isEmpty
+      case _ => true
+    }
+    val newDvLines = dvRels.map(r => s"#dv=$r").sorted
+    val tmp = writeTmpManifest(version, schema,
+      (carriedMeta ++ newDvLines) ++ (manifestFiles(lines) ++ dataRels).sorted,
+      op = op)
+    publish(version, tmp)
+    version
+  }
+
   // ---- commit-time expectations (quality gates) ----------------------
 
   private val QuarantineMeta = """#quarantine=(.+)""".r

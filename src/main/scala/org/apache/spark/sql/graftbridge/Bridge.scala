@@ -15,6 +15,13 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  // NOTE: deliberately NO forwarder to PredicateUtils.toV1 here. That
+  // translation is approximate (it rewrites `a OR b` to `b` when `a`
+  // has no V1 form — sound only under a residual filter), which makes
+  // it a correctness trap for DELETE conditions and anything else
+  // consumed without re-application. graft translates V2 predicates
+  // itself, exactly (graft.tables.GraftRowMeta.predicateToColumn).
+
   /** Release the block-manager storage behind a `localCheckpoint()`ed
     * DataFrame. Checkpoint caches are plain RDD persists that never
     * register with the CacheManager, so `spark.catalog.clearCache()`

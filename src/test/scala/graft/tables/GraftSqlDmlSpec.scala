@@ -1,0 +1,158 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Standard SQL row-level DML against graft tables: `DELETE FROM`
+  * (metadata path AND subquery row-level path), `UPDATE`, and
+  * `MERGE INTO` — the reference's PATCH-or-POST upsert loop
+  * (task.ts:228-271) as one SQL statement. All land on deletion
+  * vectors + staged data parts: no pre-existing data file is ever
+  * rewritten, and the version log stays time-travelable through
+  * every statement.
+  */
+class GraftSqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val catName = "graftdml"
+  private lazy val catRoot = {
+    val r = java.nio.file.Files.createTempDirectory("graft_dml_")
+    spark.conf.set(s"spark.sql.catalog.$catName", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.root", r.toString)
+    r
+  }
+
+  private var n = 0
+  /** Fresh catalog table seeded with (k, v) rows 1..rows. */
+  private def seeded(rows: Long): (String, SnapshotTable) = {
+    n += 1
+    val name = s"t$n"
+    val t = new SnapshotTable(spark, catRoot.resolve(name).toString)
+    t.commit((1L to rows).map(k => (k, k * 1.0)).toDF("k", "v"))
+    (s"$catName.$name", t)
+  }
+
+  test("DELETE FROM with a translatable WHERE runs the metadata (deleteWhere) path") {
+    val (tbl, t) = seeded(100)
+    spark.sql(s"DELETE FROM $tbl WHERE k % 2 = 0 OR k > 90")
+    // % doesn't translate to a v1 filter... unless it does: either
+    // path must produce the same rows, so assert semantics only
+    val got = spark.sql(s"SELECT k FROM $tbl ORDER BY k").as[Long].collect().toSeq
+    assert(got == (1L to 90L).filter(_ % 2 == 1))
+    // no data file rewritten: v2's files are a subset of v1's
+    assert(t.currentVersion == 2L)
+    assert(spark.read.format("graft-table").option("path", t.root)
+      .option("versionAsOf", "1").load().count() == 100)
+  }
+
+  test("DELETE FROM with a simple range predicate: file-drop + DV, one commit") {
+    val (tbl, t) = seeded(100)
+    spark.sql(s"DELETE FROM $tbl WHERE k <= 10")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) == 90L)
+    assert(t.currentVersion == 2L)
+  }
+
+  test("DELETE FROM with a subquery takes the row-level rewrite (no v1 translation exists)") {
+    val (tbl, t) = seeded(50)
+    val (other, _) = seeded(50)
+    spark.sql(s"DELETE FROM $tbl WHERE k IN (SELECT k FROM $other WHERE k <= 20)")
+    val got = spark.sql(s"SELECT k FROM $tbl ORDER BY k").as[Long].collect().toSeq
+    assert(got == (21L to 50L))
+    // the delta commit: DV lines present, all v1 data files still listed
+    assert(t.currentVersion == 2L)
+    assert(t.read(1L).count() == 50)
+  }
+
+  test("UPDATE SET with expressions over the pre-image") {
+    val (tbl, t) = seeded(30)
+    spark.sql(s"UPDATE $tbl SET v = v * 10 WHERE k <= 3")
+    val got = spark.sql(s"SELECT k, v FROM $tbl ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+    assert(got.take(3) == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    assert(got.drop(3) == (4L to 30L).map(k => (k, k * 1.0)))
+    assert(t.currentVersion == 2L)
+  }
+
+  test("MERGE INTO: matched-update, matched-delete, not-matched-insert in one statement") {
+    val (tbl, t) = seeded(10)
+    val (src, _) = seeded(0) // reuse machinery for a second table
+    spark.sql(s"INSERT INTO $src VALUES (3, 300.0), (5, -1.0), (11, 11.0), (12, 12.0)")
+    spark.sql(
+      s"""MERGE INTO $tbl AS t USING $src AS s ON t.k = s.k
+         |WHEN MATCHED AND s.v < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+         |""".stripMargin)
+    val got = spark.sql(s"SELECT k, v FROM $tbl ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+    val expected = ((1L to 10L).filterNot(_ == 5).map(k =>
+      (k, if (k == 3) 300.0 else k * 1.0)) ++ Seq((11L, 11.0), (12L, 12.0))).sortBy(_._1)
+    assert(got == expected)
+    // one atomic version: tombstones + inserts together
+    assert(t.currentVersion == 2L)
+    // time travel under the merge
+    assert(t.read(1L).count() == 10)
+  }
+
+  test("MERGE INTO is the reference upsert: source wins on match, inserts otherwise") {
+    val (tbl, t) = seeded(5)
+    val (src, _) = seeded(0)
+    spark.sql(s"INSERT INTO $src VALUES (4, 40.0), (5, 50.0), (6, 60.0), (7, 70.0)")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING $src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val got = spark.sql(s"SELECT k, v FROM $tbl ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 40.0), (5L, 50.0),
+      (6L, 60.0), (7L, 70.0)))
+  }
+
+  test("row-address metadata columns are queryable and consistent with DV addressing") {
+    val (tbl, _) = seeded(20)
+    val rows = spark.sql(
+      s"SELECT ${GraftRowMeta.FileCol} AS f, ${GraftRowMeta.PosCol} AS p, k FROM $tbl")
+      .collect()
+    assert(rows.length == 20)
+    // addresses are dir/name and positions are dense within a file
+    rows.foreach(r => assert(r.getString(0).split('/').length == 2))
+    val posByFile = rows.groupBy(_.getString(0)).values
+    posByFile.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (0L until rs.length).toSeq)
+    }
+  }
+
+  test("DML statements compose: delete, update, merge, stacked, all time-travelable") {
+    val (tbl, t) = seeded(100)
+    spark.sql(s"DELETE FROM $tbl WHERE k > 90")
+    spark.sql(s"UPDATE $tbl SET v = 0.0 WHERE k <= 5")
+    val (src, _) = seeded(0)
+    spark.sql(s"INSERT INTO $src VALUES (1, 111.0), (200, 200.0)")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING $src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+         |""".stripMargin)
+    val got = spark.sql(s"SELECT sum(v) FROM $tbl").head.getDouble(0)
+    val expected = 111.0 + 0.0 * 4 + (6L to 90L).map(_ * 1.0).sum + 200.0
+    assert(math.abs(got - expected) < 1e-9)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) == 91L)
+    // every intermediate version still reads exactly
+    assert(t.read(1L).count() == 100)
+    // DV-aware scans also serve the SQL VERSION AS OF surface
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 2").head.getLong(0) == 90L)
+  }
+
+  test("a MERGE matching nothing does not move the version") {
+    val (tbl, t) = seeded(5)
+    val (src, _) = seeded(0)
+    // empty source: no deletes, no inserts
+    spark.sql(
+      s"""MERGE INTO $tbl t USING $src s ON t.k = s.k
+         |WHEN MATCHED THEN DELETE
+         |""".stripMargin)
+    assert(t.currentVersion == 1L)
+  }
+}
