@@ -686,16 +686,97 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTableBatchReaderFactory(required.json, limit)
+    new GraftTableBatchReaderFactory(required.json, limit,
+      allowColumnar = !changeFeed)
+}
+
+/** VECTORIZED read path shared by the batch scan and the streaming
+  * source: Spark's own vectorized parquet reader decodes straight
+  * into ColumnarBatches (the engine inserts a codegen'd ColumnarToRow
+  * above, so the scan joins whole-stage codegen), with constant-null
+  * vectors spliced in required-schema order for evolved columns a
+  * file predates. Used whenever per-row work isn't required — no
+  * deletion vectors, no synthesized row-address columns, no
+  * change-type literal, no pushed per-file limit; those paths keep
+  * the row-at-a-time Group reader below. */
+private[tables] object GraftVectorized {
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private[tables] val Capacity = 4096
+
+  /** True when the row reader's per-row machinery isn't needed. Must
+    * be UNIFORM across one scan's partitions (Spark rejects mixed
+    * row/columnar partitions), so every input here is scan-level:
+    * the factory's `allowColumnar` covers change-feed mode (whose
+    * partitions mix literal-tagged and plain files). */
+  def eligible(allowColumnar: Boolean, required: StructType, dvSidecars: Int,
+      limit: Int): Boolean =
+    allowColumnar && dvSidecars == 0 && limit == Int.MaxValue &&
+      !required.fieldNames.exists(n =>
+        n == GraftRowMeta.FileCol || n == GraftRowMeta.PosCol)
+
+  def createReader(absPath: String,
+      required: StructType): PartitionReader[ColumnarBatch] = {
+    // the PRODUCTION initialize path (FileSplit + TaskAttemptContext):
+    // ParquetReadSupport clips the requested catalyst schema against
+    // the file's own, and the vectorized reader serves evolved
+    // columns a file predates as its own constant-null vectors
+    val conf = new Configuration()
+    conf.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema", required.json)
+    // the schema converter reads these with NO defaults — the same
+    // set Spark's own parquet partition-reader factory populates
+    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    conf.setBoolean("spark.sql.caseSensitive", false)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+    conf.set("spark.sql.session.timeZone", "UTC")
+    val hPath = new org.apache.hadoop.fs.Path(absPath)
+    val len = hPath.getFileSystem(conf).getFileStatus(hPath).getLen
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      hPath, 0, len, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    val vr = new org.apache.spark.sql.execution.datasources.parquet
+      .VectorizedParquetRecordReader(false, Capacity)
+    vr.initialize(split, ctx)
+    vr.enableReturningBatches()
+    val batch = vr.resultBatch()
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = vr.nextBatch()
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = vr.close()
+    }
+  }
 }
 
 /** Executor-side per-file batch reader: decodes ONLY the required
   * columns (a parquet projection is pushed when the file has more),
   * resolves fields BY NAME against the file's own schema — a field
   * the file predates (schema evolution) surfaces as NULL — and skips
-  * deletion-vector positions as it streams the file in row order. */
+  * deletion-vector positions as it streams the file in row order.
+  * DV-free scans without synthesized columns take the columnar
+  * ([[GraftVectorized]]) path instead. */
 class GraftTableBatchReaderFactory(requiredJson: String,
-    limit: Int = Int.MaxValue) extends PartitionReaderFactory {
+    limit: Int = Int.MaxValue, allowColumnar: Boolean = true)
+    extends PartitionReaderFactory {
+  @transient private lazy val requiredSchema: StructType =
+    DataType.fromJson(requiredJson).asInstanceOf[StructType]
+
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case bp: GraftTableBatchPartition =>
+      GraftVectorized.eligible(allowColumnar, requiredSchema,
+        bp.dvSidecarPaths.length, limit)
+    case _ => false
+  }
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    GraftVectorized.createReader(
+      p.asInstanceOf[GraftTableBatchPartition].absPath, requiredSchema)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
     val part = p.asInstanceOf[GraftTableBatchPartition]

@@ -441,7 +441,7 @@ class GraftTableMicroBatchStream(root: String, startingVersion: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTableReaderFactory(schema.json)
+    new GraftTableReaderFactory(schema.json, allowColumnar = !changeFeed)
 
   /** Versions are durable, immutable, and re-derivable from the
     * manifest log — nothing to release on commit. */
@@ -475,10 +475,28 @@ object GraftTableReaderFactory {
   }
 }
 
-/** Executor-side per-file reader: parquet Group records → InternalRow
-  * under the stream's Catalyst schema, matching columns BY NAME so
-  * file-level field order never matters. */
-class GraftTableReaderFactory(schemaJson: String) extends PartitionReaderFactory {
+/** Executor-side per-file reader: ordinary data files stream through
+  * the VECTORIZED columnar path ([[GraftVectorized]] — ColumnarBatch
+  * straight into whole-stage codegen); change-feed partitions that
+  * synthesize a literal `_change_type` keep the row-at-a-time Group
+  * decode (matching columns BY NAME so file-level field order never
+  * matters). */
+class GraftTableReaderFactory(schemaJson: String,
+    allowColumnar: Boolean = true) extends PartitionReaderFactory {
+  @transient private lazy val streamSchema: StructType =
+    DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case fp: GraftTableFilePartition =>
+      GraftVectorized.eligible(allowColumnar, streamSchema, 0, Int.MaxValue)
+    case _ => false
+  }
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    GraftVectorized.createReader(
+      p.asInstanceOf[GraftTableFilePartition].absPath, streamSchema)
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fullSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val part = p.asInstanceOf[GraftTableFilePartition]

@@ -174,6 +174,33 @@ class GraftTableBatchSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("vectorized read path: DV-free scans are columnar (ColumnarToRow in plan), row-exact") {
+    val t = freshTable("vectorized")
+    try {
+      t.commitClustered((1L to 10000L).map(k => (k, k * 0.5, s"s$k")).toDF("k", "v", "s"), "k", 4)
+      val q = load(t).filter(col("k") <= 5000L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("ColumnarToRow"),
+        s"DV-free graft-table scan should be columnar:\n${plan.take(800)}")
+      assert(q.count() == 5000L)
+      assert(q.agg(sum("v")).head.getDouble(0) == (1L to 5000L).map(_ * 0.5).sum)
+      assert(q.filter(col("s") === "s123").count() == 1L)
+      // schema evolution: the evolved column splices as nulls for old
+      // files, still columnar
+      t.appendEvolved(Seq((10001L, 0.5, "x", 7L)).toDF("k", "v", "s", "extra"), 0L)
+      val q2 = load(t).select("k", "extra")
+      assert(q2.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      assert(q2.filter(col("extra").isNull).count() == 10000L)
+      assert(q2.filter(col("extra") === 7L).count() == 1L)
+      // a delete flips the scan to the row path (DV skipping) — plan
+      // changes, results stay exact
+      t.delete(col("k") % 2 === 0)
+      val q3 = load(t)
+      assert(!q3.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      assert(q3.count() == 5001L)
+    } finally SnapshotTable.drop(t)
+  }
+
   test("DV application is executor-side: partitions ship sidecar PATHS, O(files) driver bytes") {
     val t = freshTable("dv_exec")
     try {
