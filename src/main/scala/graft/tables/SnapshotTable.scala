@@ -455,15 +455,57 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * name. Crash after this step leaves a stray `.tmp-` — invisible.
     * Every manifest self-describes with an `#op=<verb> ts=<millis>`
     * head line — the commit-history record behind [[history]] and
-    * timestamp time travel ([[versionAt]]). */
+    * timestamp time travel ([[versionAt]]).
+    *
+    * MANIFEST SEGMENTATION (the Iceberg manifest-list idea): past
+    * [[SnapshotTable.SegmentThreshold]] per-file lines, the file list
+    * (data paths + their per-file stat lines) spills into immutable
+    * CONTENT-ADDRESSED segment files (`_manifests/seg-<sha1>.txt`)
+    * referenced by `#seg=` lines. Chunk boundaries are content-
+    * defined (a rolling per-line hash), so an append or delete
+    * perturbs only the chunks its lines land in — every other chunk
+    * re-hashes to an EXISTING segment file and is carried by
+    * reference, never rewritten. Per-commit metadata cost drops from
+    * O(files) bytes to O(delta + files/chunk) stub lines; at a
+    * million files a commit writes a ~16k-line stub plus the touched
+    * chunks instead of a ~100 MB flat list. Readers expand
+    * transparently ([[SnapshotTable.manifestLinesAt]]); [[vacuum]]
+    * reclaims unreferenced segments. */
   private[tables] def writeTmpManifest(version: Long, schema: StructType,
       files: Seq[String], op: String = "WRITE"): Path = {
     require(!op.contains(' ') && !op.contains('\n'), s"bad op tag '$op'")
     val tmp = manifestsDir.resolve(s".tmp-${UUID.randomUUID()}")
     val head = s"#op=$op ts=${nowMs()}"
-    val content = (version.toString +: schema.json +: head +: files).mkString("\n")
+    val (segmentable, inline) = files.partition(SnapshotTable.isSegmentable)
+    val body =
+      if (segmentable.size <= SnapshotTable.SegmentThreshold) files
+      else inline ++ SnapshotTable.chunkLines(segmentable.sorted.toVector).map { c =>
+        s"#seg=${writeSegmentIfAbsent(c)}"
+      }
+    val content = (version.toString +: schema.json +: head +: body).mkString("\n")
     Files.write(tmp, content.getBytes("UTF-8"))
     tmp
+  }
+
+  /** Persist one segment chunk under its content hash; a chunk whose
+    * content already exists (the common carried-forward case) writes
+    * NOTHING. Crash-safe: tmp write + atomic move; a lost race to the
+    * same name is a win (identical content). */
+  private def writeSegmentIfAbsent(chunk: Vector[String]): String = {
+    val bytes = chunk.mkString("\n").getBytes("UTF-8")
+    val sha = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+      .map("%02x".format(_)).mkString
+    val name = s"seg-$sha.txt"
+    val dest = manifestsDir.resolve(name)
+    if (!Files.exists(dest)) {
+      val tmp = manifestsDir.resolve(s".tmp-seg-${UUID.randomUUID()}")
+      Files.write(tmp, bytes)
+      try Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: FileAlreadyExistsException | _: java.nio.file.FileSystemException =>
+        try Files.deleteIfExists(tmp) catch { case _: Throwable => () }
+      }
+    }
+    name
   }
 
   /** Step 3: the commit point — atomic create-exclusive link of the
@@ -1806,6 +1848,21 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         .filter(oldEnough).toVector
       finally sMan.close()
     tmps.foreach(p => Files.deleteIfExists(p))
+    // segment GC: content-addressed manifest segments referenced by
+    // NO committed manifest (their versions expired, or a crashed
+    // commit orphaned them) are reclaimable like any other artifact
+    val refSegs: Set[String] = listCommitted().flatMap { v =>
+      SnapshotTable.manifestRawLinesAt(rootPath, v)
+        .collect { case SnapshotTable.SegMeta(name) => name }
+    }.toSet
+    val sSeg = Files.list(manifestsDir)
+    val deadSegs =
+      try sSeg.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("seg-"))
+        .filterNot(p => refSegs.contains(p.getFileName.toString))
+        .filter(oldEnough).toVector
+      finally sSeg.close()
+    deadSegs.foreach(p => Files.deleteIfExists(p))
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -1914,7 +1971,55 @@ object SnapshotTable {
   private[tables] def currentVersionAt(root: Path): Long =
     listCommittedAt(root.resolve("_manifests")).foldLeft(0L)(math.max)
 
+  /** Segmentation knobs (see [[SnapshotTable#writeTmpManifest]]):
+    * flat manifests up to this many per-file lines, content-defined
+    * chunks of ~64 (hard cap 512) lines beyond it. */
+  private[tables] val SegmentThreshold = 256
+  private[tables] val SegBoundaryMask = 63
+  private[tables] val SegMaxChunk = 512
+  private[tables] val SegMeta = """#seg=(.+)""".r
+
+  /** Per-FILE manifest content — eligible to live in segment files.
+    * Table-level and per-commit metadata stays inline in the stub. */
+  private[tables] def isSegmentable(l: String): Boolean =
+    !l.startsWith("#") ||
+      l.startsWith("#rows=") || l.startsWith("#range=") ||
+      l.startsWith("#range2=") || l.startsWith("#ranges=") ||
+      l.startsWith("#bloomf=")
+
+  /** Content-defined chunking: a boundary lands after any line whose
+    * hash has its low bits clear, so insertions and removals only
+    * reshape the chunk they touch — neighbouring chunks keep their
+    * content hash and are carried by reference. */
+  private[tables] def chunkLines(sorted: Vector[String]): Vector[Vector[String]] = {
+    val out = Vector.newBuilder[Vector[String]]
+    var cur = Vector.newBuilder[String]
+    var n = 0
+    sorted.foreach { l =>
+      cur += l; n += 1
+      if ((scala.util.hashing.MurmurHash3.stringHash(l) & SegBoundaryMask) == 0 ||
+          n >= SegMaxChunk) {
+        out += cur.result(); cur = Vector.newBuilder[String]; n = 0
+      }
+    }
+    if (n > 0) out += cur.result()
+    out.result()
+  }
+
+  /** Manifest lines with `#seg=` references EXPANDED — what every
+    * reader sees; the raw (stub) form exists only for segment GC. */
   private[tables] def manifestLinesAt(root: Path, version: Long): Vector[String] = {
+    val raw = manifestRawLinesAt(root, version)
+    if (!raw.exists(_.startsWith("#seg="))) raw
+    else raw.flatMap {
+      case SegMeta(name) =>
+        Files.readAllLines(
+          root.resolve("_manifests").resolve(name)).asScala.toVector
+      case l => Vector(l)
+    }
+  }
+
+  private[tables] def manifestRawLinesAt(root: Path, version: Long): Vector[String] = {
     val mp = root.resolve("_manifests").resolve(s"v$version.manifest")
     require(Files.exists(mp), s"version $version is not committed at $root")
     Files.readAllLines(mp).asScala.toVector

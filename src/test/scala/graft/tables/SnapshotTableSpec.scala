@@ -759,6 +759,66 @@ class SnapshotTableSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("manifest segmentation: per-commit metadata tracks the delta, not the file count") {
+    import scala.jdk.CollectionConverters._
+    val t = freshTable("segments")
+    try {
+      // seed one real part file, then register many single-file
+      // appends by path (Files.copy: the data content is irrelevant
+      // to manifest mechanics, the REFERENCES are what scale)
+      t.commit(kv(1L -> 1.0))
+      val first = t.read(1L).inputFiles.head.stripPrefix("file:")
+      val root = java.nio.file.Paths.get(t.root)
+      val total = 420
+      (1 to total).foreach { i =>
+        val rel = s"data/segspec/part-$i.parquet"
+        val abs = root.resolve(rel)
+        java.nio.file.Files.createDirectories(abs.getParent)
+        java.nio.file.Files.copy(java.nio.file.Paths.get(first), abs)
+        t.appendFilesOnce(Seq(rel), t.read(1L).schema, i.toLong, "segspec")
+      }
+      val cur = t.currentVersion
+      assert(cur == 1L + total)
+      // the stub is SMALL: #seg references + inline meta, not 420 paths
+      val raw = SnapshotTable.manifestRawLinesAt(root, cur)
+      assert(raw.count(_.startsWith("#seg=")) > 2)
+      assert(raw.size < 60, s"stub has ${raw.size} lines — not segmented?")
+      // late commits write O(delta) new segment bytes: content-
+      // addressed chunks are shared across versions, so the total
+      // segment population grows like versions * touched-chunks, far
+      // below versions * all-chunks
+      val segFiles = {
+        val s = java.nio.file.Files.list(root.resolve("_manifests"))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("seg-")).toVector
+        finally s.close()
+      }
+      val chunksPerVersion = raw.count(_.startsWith("#seg="))
+      assert(segFiles.size < total * 3,
+        s"${segFiles.size} segment files for $total commits of ~$chunksPerVersion chunks each — no reuse?")
+      // reads expand transparently: every version stays exact
+      val paths = SnapshotTable.manifestFilesOf(
+        SnapshotTable.manifestLinesAt(root, cur))
+      assert(paths.size == paths.distinct.size)
+      assert(paths.size == total + 1)
+      assert(t.read().inputFiles.length == total + 1)
+      assert(t.read(200L).inputFiles.length == 200)
+      // retention + GC: expired versions' exclusive segments reclaim,
+      // survivors keep reading
+      t.expireVersions(keepLast = 2)
+      t.vacuum(retainMillis = 0L)
+      assert(t.read().inputFiles.length == total + 1)
+      val segsAfter = {
+        val s = java.nio.file.Files.list(root.resolve("_manifests"))
+        try s.iterator().asScala.count(_.getFileName.toString.startsWith("seg-"))
+        finally s.close()
+      }
+      assert(segsAfter < segFiles.size,
+        s"vacuum reclaimed no segments ($segsAfter vs ${segFiles.size})")
+      assert(segsAfter >= chunksPerVersion)
+    } finally SnapshotTable.drop(t)
+  }
+
   test("delete composes: appends carry tombstones, compact folds them in") {
     val t = freshTable("dv_append")
     try {
