@@ -3,8 +3,9 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Cast}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Transparent materialized-view rewrite (SURVEY.md §4 "custom
@@ -16,14 +17,29 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * writing the declarative aggregate; the optimizer decides to read
   * the precomputed answer.
   *
-  * Matching is EXACT (canonicalized-plan fingerprint, which
-  * normalizes exprIds and cosmetic aliases): the sound, predictable
-  * core of MV rewriting. Containment-based rewriting (answering a
-  * NARROWER query from a WIDER view) is deliberately out of scope —
-  * its correctness conditions (rollup-ability of every aggregate,
-  * join-preservation proofs) are a research surface, while
-  * exact-match covers the operational pattern of a shared dashboard
-  * aggregate computed once and read many times.
+  * Matching is EXACT first (canonicalized-plan fingerprint, which
+  * normalizes exprIds and cosmetic aliases) — the sound, predictable
+  * core of MV rewriting — then falls back to the two CONTAINMENT
+  * shapes with decidable correctness conditions:
+  *
+  *  - FILTER-ABOVE-VIEW: `Aggregate(G, A, Filter(p, base))` where
+  *    `Aggregate(G, A, base)` is registered and `p` references only
+  *    bare grouping COLUMNS the view outputs — filtering on group
+  *    keys commutes with the group-by, so the answer is the view
+  *    filtered by the same keys;
+  *  - ROLLUP-ABOVE-VIEW: `Aggregate(G₂, A₂, base)` where a view
+  *    `Aggregate(G₁, A₁, base)` is registered with G₂ ⊆ G₁ and every
+  *    aggregate in A₂ re-aggregable from a view column — SUM(e) from
+  *    SUM(e), MIN/MAX(e) from MIN/MAX(e), COUNT from
+  *    COALESCE(SUM(count), 0) (the coalesce keeps the empty-view
+  *    global COUNT at 0, not NULL). Distinct/filtered aggregates and
+  *    anything outside {SUM, MIN, MAX, COUNT} refuse — AVG and
+  *    friends would need a sum/count decomposition the view didn't
+  *    necessarily store.
+  *
+  * Both shapes compose (a key-filtered rollup rewrites too). Anything
+  * that fails a check falls through to the ordinary plan — the
+  * rewrite is an accelerator, never a semantics change.
   *
   * Scale posture: the registry holds fingerprints + paths (O(views)
   * driver metadata); the rewrite itself turns an O(fact-table)
@@ -74,6 +90,131 @@ object MaterializedViews {
   private[plans] def lookup(fingerprint: String): Option[String] =
     Option(registry.get(fingerprint)).map(_.path)
 
+  // ---- containment index -------------------------------------------------
+
+  /** A registered Aggregate view's matchable anatomy, all in the
+    * CANONICAL expression domain (exprIds normalized to child-output
+    * ordinals, so query-side and view-side renders compare as plain
+    * strings over the identical canonical child):
+    *  - groupingByRender: canonical render of each grouping expr the
+    *    view also OUTPUTS → its view-output ordinal;
+    *  - aggByRender: "fn|canonical-operand" → view-output ordinal for
+    *    each plain (non-distinct, unfiltered) SUM/MIN/MAX/COUNT;
+    *  - childOrdinalToOutput: child-output ordinal → view-output
+    *    ordinal for BARE-COLUMN groupings (what a filter predicate's
+    *    references can be remapped through). */
+  private[plans] final case class ViewShape(fp: String,
+      groupingRenders: Set[String],
+      groupingByRender: Map[String, Int],
+      aggByRender: Map[String, Int],
+      childOrdinalToOutput: Map[Long, Int])
+
+  private val containment =
+    new ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[ViewShape]]()
+
+  private[plans] def shapesFor(childRender: String): Seq[ViewShape] = {
+    import scala.jdk.CollectionConverters._
+    Option(containment.get(childRender))
+      .map(_.iterator().asScala.toSeq).getOrElse(Seq.empty)
+  }
+
+  /** Canonical render of one aggregate FUNCTION call, or None when it
+    * is not containment-safe (distinct, filtered, unsupported fn). */
+  private[plans] def aggRender(ae: AggregateExpression): Option[(String, String)] = {
+    if (ae.isDistinct || ae.filter.isDefined) return None
+    ae.aggregateFunction match {
+      case Sum(e, _) => Some(("sum", s"sum|$e"))
+      case Min(e) => Some(("min", s"min|$e"))
+      case Max(e) => Some(("max", s"max|$e"))
+      case c: Count if c.children.length == 1 =>
+        Some(("count", s"count|${c.children.head}"))
+      case _ => None
+    }
+  }
+
+  private def stripAlias(ne: NamedExpression): Expression = ne match {
+    case Alias(c, _) => c
+    case e => e
+  }
+
+  /** Peel at most one Filter and one column-pruning (attribute-only)
+    * Project off an Aggregate's child, in either order — the shapes
+    * the optimizer leaves between an aggregate and its base relation.
+    * Returns (base, projection list if present, condition if
+    * present). Any other structure → None. */
+  private[plans] def peel(child: LogicalPlan)
+      : Option[(LogicalPlan, Option[Seq[AttributeReference]], Option[Expression])] = {
+    var cur = child
+    var cond: Option[Expression] = None
+    var proj: Option[Seq[AttributeReference]] = None
+    var progress = true
+    while (progress) {
+      progress = false
+      cur match {
+        case f: Filter if cond.isEmpty =>
+          cond = Some(f.condition); cur = f.child; progress = true
+        case p: Project if proj.isEmpty &&
+            p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+          proj = Some(p.projectList.map(_.asInstanceOf[AttributeReference]))
+          cur = p.child; progress = true
+        case _ => ()
+      }
+    }
+    Some((cur, proj, cond))
+  }
+
+  /** Rewrite a CANONICAL aggregate-level expression into RELATION
+    * ordinal space by substituting project-output attributes (whose
+    * canonical exprId IS the project ordinal) with the projected
+    * relation attributes. Identity without a project. */
+  private[plans] def toRelSpace(e: Expression,
+      proj: Option[Seq[AttributeReference]]): Expression = proj match {
+    case None => e
+    case Some(pl) => e.transform {
+      case a: AttributeReference if a.exprId.id >= 0 && a.exprId.id < pl.length =>
+        pl(a.exprId.id.toInt)
+    }
+  }
+
+  /** Index a freshly registered view for containment when its
+    * optimized plan is an Aggregate over an (optionally pruned)
+    * unfiltered base — everything stored in relation space, so
+    * queries with DIFFERENT column pruning still match. */
+  private def indexShape(fp: String, df: DataFrame): Unit = withRewriteDisabled {
+    df.queryExecution.optimizedPlan.canonicalized match {
+      case Aggregate(g1, aggs1, child, _) =>
+        val (base, proj, cond) = peel(child).getOrElse(return)
+        if (cond.isDefined) return // filtered views: exact-match only
+        val g1Rel = g1.map(toRelSpace(_, proj))
+        var groupingByRender = Map.empty[String, Int]
+        var aggByRender = Map.empty[String, Int]
+        var childOrd = Map.empty[Long, Int]
+        aggs1.zipWithIndex.foreach { case (ne, j) =>
+          toRelSpace(stripAlias(ne), proj) match {
+            case ae: AggregateExpression =>
+              aggRender(ae).foreach { case (_, r) => aggByRender += r -> j }
+            case e if g1Rel.exists(_.semanticEquals(e)) =>
+              groupingByRender += e.toString -> j
+              e match {
+                case a: AttributeReference => childOrd += a.exprId.id -> j
+                case _ => ()
+              }
+            case _ => ()
+          }
+        }
+        val shape = ViewShape(fp, g1Rel.map(_.toString).toSet,
+          groupingByRender, aggByRender, childOrd)
+        containment.computeIfAbsent(render(base),
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[ViewShape]()).add(shape)
+      case _ => ()
+    }
+  }
+
+  private def dropShapes(fp: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    containment.values().asScala.foreach(q => q.removeIf(_.fp == fp))
+  }
+
   /** UNTRUNCATED render of a canonicalized plan. `toString` (the old
     * fingerprint) elides expression lists past
     * spark.sql.debug.maxToStringFields (default 25), so two distinct
@@ -116,6 +257,7 @@ object MaterializedViews {
     withRewriteDisabled { df.write.parquet(path) }
     Option(registry.put(fp, Entry(path)))
       .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
+    indexShape(fp, df)
     reapSuperseded(all = false)
     fp
   }
@@ -125,6 +267,7 @@ object MaterializedViews {
       .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
     Option(incremental.remove(fingerprint))
       .foreach(e => superseded.add((e.statePath, System.currentTimeMillis())))
+    dropShapes(fingerprint)
   }
 
   // ---- incremental (SnapshotTable-backed) views ----
@@ -184,6 +327,7 @@ object MaterializedViews {
     Option(incremental.put(fp, IncEntry(table, version, statePath, basePath,
       query, partial, combine, finalize)))
       .foreach(o => superseded.add((o.statePath, System.currentTimeMillis())))
+    withRewriteDisabled { indexShape(fp, query(table.read(version))) }
     fp
   }
 
@@ -220,11 +364,13 @@ object MaterializedViews {
     Option(registry.put(newFp, Entry(newViewPath)))
       .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
     incremental.put(newFp, e.copy(version = newVersion, statePath = newStatePath))
+    withRewriteDisabled { indexShape(newFp, e.query(t.read(newVersion))) }
     if (newFp != fp) {
       Option(registry.remove(fp))
         .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
       Option(incremental.remove(fp))
         .foreach(o => superseded.add((o.statePath, System.currentTimeMillis())))
+      dropShapes(fp)
     }
     reapSuperseded(all = false)
     Some(RefreshResult(newFp, mode, inputs))
@@ -238,6 +384,7 @@ object MaterializedViews {
   def clear(): Unit = {
     registry.clear()
     incremental.clear()
+    containment.clear()
     reapSuperseded(all = true)
   }
 }
@@ -268,7 +415,104 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
               agg.output.zip(mv.output).map { case (orig, fromMv) =>
                 Alias(Cast(fromMv, orig.dataType), orig.name)(exprId = orig.exprId)
               }, mv)
-          case None => agg
+          case None => rewriteByContainment(agg).getOrElse(agg)
         }
     }
+
+  /** The containment fallback: try every registered view over the
+    * same canonical base relation; first shape whose grouping,
+    * aggregates and (optional) key filter all map wins. Any check
+    * failing → None → the plan stands. */
+  private def rewriteByContainment(agg: Aggregate): Option[LogicalPlan] = {
+    val aggC = agg.canonicalized match {
+      case a: Aggregate => a
+      case _ => return None
+    }
+    // peel an optional filter — real and canonical stay in lockstep
+    // (canonicalization preserves node structure)
+    val (realCond, realChild, childC) = (agg.child, aggC.child) match {
+      case (f: Filter, fc: Filter) => (Some(f.condition), f.child, fc.child)
+      case (c, cc) => (None, c, cc)
+    }
+    val shapes = MaterializedViews.shapesFor(MaterializedViews.render(childC))
+    if (shapes.isEmpty) return None
+
+    shapes.iterator.flatMap { shape =>
+      MaterializedViews.lookup(shape.fp).flatMap { path =>
+        attempt(agg, aggC, realCond, realChild, shape, path)
+      }
+    }.nextOption()
+  }
+
+  private def attempt(agg: Aggregate, aggC: Aggregate,
+      realCond: Option[Expression], realChild: LogicalPlan,
+      shape: MaterializedViews.ViewShape, path: String): Option[LogicalPlan] = {
+    // every query grouping expr must be one the view grouped AND
+    // output (G₂ ⊆ G₁, with the key readable back from the view)
+    val groupingOrds: Seq[Int] = aggC.groupingExpressions.map { g =>
+      shape.groupingByRender.getOrElse(g.toString, return None)
+    }
+    // the filter may only reference bare base columns that are view
+    // group keys — remap each through child-ordinal → view output
+    val condOrdMap: Option[Map[Long, Int]] = realCond.map { cond =>
+      cond.references.toSeq.map { a =>
+        val childOrd = realChild.output.indexWhere(_.exprId == a.exprId)
+        if (childOrd < 0) return None
+        val viewOrd = shape.childOrdinalToOutput.getOrElse(childOrd.toLong, return None)
+        a.exprId.id -> viewOrd
+      }.toMap
+    }
+    // every output: a view group key passthrough, or a re-aggregable
+    // SUM/MIN/MAX/COUNT the view stored
+    sealed trait Out
+    case class Pass(viewOrd: Int) extends Out
+    case class Roll(fn: String, viewOrd: Int) extends Out
+    val outs: Seq[Out] = aggC.aggregateExpressions.map { ne =>
+      (ne match { case Alias(c, _) => c; case e => e }) match {
+        case ae: AggregateExpression =>
+          if (ae.isDistinct || ae.filter.isDefined) return None
+          val (fn, rendered) = ae.aggregateFunction match {
+            case Sum(e, _) => ("sum", s"sum|$e")
+            case Min(e) => ("min", s"min|$e")
+            case Max(e) => ("max", s"max|$e")
+            case c: Count if c.children.length == 1 =>
+              ("count", s"count|${c.children.head}")
+            case _ => return None
+          }
+          Roll(fn, shape.aggByRender.getOrElse(rendered, return None))
+        case e =>
+          Pass(shape.groupingByRender.getOrElse(e.toString, return None))
+      }
+    }
+
+    val mv = spark.read.parquet(path).queryExecution.analyzed
+    val filtered = (realCond, condOrdMap) match {
+      case (Some(cond), Some(ords)) =>
+        Filter(cond.transform {
+          case a: AttributeReference if ords.contains(a.exprId.id) =>
+            mv.output(ords(a.exprId.id))
+        }, mv)
+      case _ => mv
+    }
+    val rebuilt = agg.output.zip(outs).map { case (orig, out) =>
+      val expr: Expression = out match {
+        case Pass(v) => filtered.output(v)
+        case Roll(fn, v) =>
+          val col = filtered.output(v)
+          def ae(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction) =
+            AggregateExpression(f, Complete, isDistinct = false)
+          fn match {
+            case "sum" => ae(Sum(col))
+            case "min" => ae(Min(col))
+            case "max" => ae(Max(col))
+            // COALESCE keeps the empty-view GLOBAL count at 0, the
+            // value the unrewritten COUNT would produce
+            case "count" => Coalesce(Seq(ae(Sum(col)), Literal(0L)))
+          }
+      }
+      Alias(Cast(expr, orig.dataType), orig.name)(exprId = orig.exprId)
+    }
+    val groupKeys: Seq[Expression] = groupingOrds.map(filtered.output(_))
+    Some(Aggregate(groupKeys, rebuilt, filtered))
+  }
 }

@@ -82,6 +82,83 @@ class ExtensionsSpec extends SparkSpec {
     } finally MaterializedViews.deregister(fp)
   }
 
+  test("MV containment: key-filter and rollup queries answer from a wider view") {
+    val mvPath = java.nio.file.Files.createTempDirectory("graft_mv_cont_").toString + "/mv"
+    // the WIDE view: grouped by (pri, status), storing count + sums
+    def wide() = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"),
+        max(col("o_totalprice")).as("hi"))
+    val fp = MaterializedViews.register(wide(), mvPath)
+    try {
+      // FILTER-ABOVE-VIEW: a WHERE on a group key rewrites to a
+      // filtered view scan — no orders scan in the plan
+      val filtered = graft.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"),
+          max(col("o_totalprice")).as("hi"))
+      val fPlan = filtered.queryExecution.executedPlan.toString
+      assert(fPlan.contains("graft_mv_cont_"), s"no MV in plan:\n${fPlan.take(800)}")
+      assert(!fPlan.contains("orders.parquet"), fPlan.take(800))
+      // values match the unrewritten computation
+      MaterializedViews.clear()
+      val expectF = graft.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)), sum(col("o_totalprice")), max(col("o_totalprice")))
+        .orderBy("o_orderstatus").collect().toSeq.map(_.toSeq)
+      val fp2 = MaterializedViews.register(wide(), mvPath)
+      assert(filtered.orderBy("st").collect().toSeq.map(_.toSeq) == expectF)
+
+      // ROLLUP-ABOVE-VIEW: coarser grouping re-aggregates view rows
+      val rollup = graft.Tables.orders(spark, sf)
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"),
+          max(col("o_totalprice")).as("hi"))
+      val rPlan = rollup.queryExecution.executedPlan.toString
+      assert(rPlan.contains("graft_mv_cont_"), s"no MV in rollup plan:\n${rPlan.take(800)}")
+      assert(!rPlan.contains("orders.parquet"), rPlan.take(800))
+      MaterializedViews.clear()
+      val expectR = graft.Tables.orders(spark, sf)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)), sum(col("o_totalprice")), max(col("o_totalprice")))
+        .orderBy("o_orderpriority").collect().toSeq.map(_.toSeq)
+      val fp3 = MaterializedViews.register(wide(), mvPath)
+      assert(rollup.orderBy("pri").collect().toSeq.map(_.toSeq) == expectR)
+
+      // GLOBAL rollup (no groups): COUNT comes back 0-safe via the
+      // coalesced sum; values exact
+      val global = graft.Tables.orders(spark, sf)
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+      val gPlan = global.queryExecution.executedPlan.toString
+      assert(gPlan.contains("graft_mv_cont_"), gPlan.take(800))
+      MaterializedViews.clear()
+      val expectG = graft.Tables.orders(spark, sf)
+        .agg(count(lit(1)), sum(col("o_totalprice"))).collect().toSeq.map(_.toSeq)
+      MaterializedViews.register(wide(), mvPath)
+      assert(global.collect().toSeq.map(_.toSeq) == expectG)
+
+      // NON-REWRITABLE shapes refuse: an AVG (no decomposition
+      // stored) and a MIN the view lacks both scan the fact table
+      val avgQ = graft.Tables.orders(spark, sf)
+        .groupBy(col("o_orderpriority"))
+        .agg(avg(col("o_totalprice")).as("a"))
+      assert(!avgQ.queryExecution.executedPlan.toString.contains("graft_mv_cont_"))
+      val minQ = graft.Tables.orders(spark, sf)
+        .groupBy(col("o_orderpriority"))
+        .agg(min(col("o_totalprice")).as("lo"))
+      assert(!minQ.queryExecution.executedPlan.toString.contains("graft_mv_cont_"))
+      // a filter on a NON-key column refuses too
+      val badFilter = graft.Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 1000.0)
+        .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"),
+          max(col("o_totalprice")).as("hi"))
+      assert(!badFilter.queryExecution.executedPlan.toString.contains("graft_mv_cont_"))
+    } finally MaterializedViews.clear()
+  }
+
   test("re-registering an MV refreshes from BASE data, not from the stale materialization") {
     import spark.implicits._
     // regression: the refresh write must run with rewriting disabled,
