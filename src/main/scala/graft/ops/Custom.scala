@@ -103,12 +103,49 @@ object Custom extends QueryPack {
     mvShape(s, d).orderBy("pri")
   }
 
+  /** Containment rewrite end-to-end (oracle-gated, not just
+    * spec-guarded): register a WIDER view — grouped by (priority,
+    * status) with count/min/max — then run a key-FILTERED ROLLUP
+    * grouped by priority alone. Exact-match cannot answer it; only
+    * the containment shapes (filter-above-view composed with
+    * rollup-above-view) can, and the `require` makes the key fail
+    * loudly if the rewrite ever stops firing, so the driver's DuckDB
+    * hash (the unrewritten recompute) gates both the firing AND the
+    * re-aggregated values. Aggregates are count/min/max only —
+    * order-independent, so rolling the view's partials up is
+    * bit-identical to aggregating base rows. */
+  private def mvContained(s: SparkSession, d: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_mvc_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+    val wide = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+    val fp = graft.plans.MaterializedViews.register(wide, path)
+    val q = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH")
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("pri")
+    // force the physical plan NOW (QueryExecution caches it — later
+    // actions on this DataFrame reuse the rewritten plan), then drop
+    // the registration so it cannot leak into unrelated queries over
+    // the same orders base
+    try require(q.queryExecution.executedPlan.toString.contains("graft_mvc_"),
+      "containment rewrite did not fire: the filtered rollup still scans orders")
+    finally graft.plans.MaterializedViews.deregister(fp)
+    q
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_udaf_wavg"        -> udafWavg,
     "q_sim_search_native" -> simSearchNative,
     "q_topk_agg"         -> topkAgg,
     "q_sql_funcs"        -> sqlFuncs,
     "q_mv_rewrite"       -> mvRewrite,
+    "q_mv_contained"     -> mvContained,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -116,6 +153,12 @@ object Custom extends QueryPack {
       s"""SELECT o_orderpriority AS pri, COUNT(*) AS n,
          |       ${graft.Det.dsumSql("o_totalprice", 2)} AS total
          |FROM orders GROUP BY pri ORDER BY pri""".stripMargin,
+    "q_mv_contained" ->
+      """SELECT o_orderpriority AS pri, COUNT(*) AS n,
+        |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY pri ORDER BY pri""".stripMargin,
     "q_udaf_wavg" ->
       s"""SELECT l_returnflag,
         |       ${graft.Det.r4Sql("SUM(l_extendedprice * l_quantity) / SUM(l_quantity)")} AS wavg_price

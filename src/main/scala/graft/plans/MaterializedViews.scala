@@ -220,9 +220,33 @@ object MaterializedViews {
     * spark.sql.debug.maxToStringFields (default 25), so two distinct
     * wide aggregates could share a fingerprint and a query would be
     * silently answered from the WRONG materialization; rendering with
-    * maxFields = Int.MaxValue keeps every expression in the key. */
-  private[plans] def render(plan: LogicalPlan): String =
-    plan.treeString(false, false, Int.MaxValue, false, false)
+    * maxFields = Int.MaxValue keeps every expression in the key.
+    *
+    * The tree string alone is NOT a sound key: a canonicalized
+    * [[org.apache.spark.sql.execution.datasources.LogicalRelation]]
+    * prints `Relation [attrs] parquet` with NO location, so two
+    * different parquet datasets with the same column types render
+    * identically and a query over one would silently answer from a
+    * view over the other. Every leaf's DATA IDENTITY (file-source
+    * root paths, V2 table name, in-memory data hash) is appended to
+    * the key to keep distinct sources distinct. */
+  private[plans] def render(plan: LogicalPlan): String = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val tree = plan.treeString(false, false, Int.MaxValue, false, false)
+    val leafIds = plan.collectLeaves().map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
+        case other => other.toString
+      }
+      case v2: DataSourceV2Relation =>
+        s"${v2.table.name()}|${v2.options.asCaseSensitiveMap().toString}"
+      case l: LocalRelation => s"local:${l.data.hashCode()}"
+      case leaf => leaf.toString
+    }
+    leafIds.mkString(tree + "\n@", "\n@", "")
+  }
 
   /** Fingerprint of a DataFrame's OPTIMIZED plan — registration and
     * rewrite must canonicalize at the same optimizer phase, or
@@ -422,43 +446,80 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
   /** The containment fallback: try every registered view over the
     * same canonical base relation; first shape whose grouping,
     * aggregates and (optional) key filter all map wins. Any check
-    * failing → None → the plan stands. */
+    * failing → None → the plan stands.
+    *
+    * The QUERY side must peel exactly what [[MaterializedViews.peel]]
+    * peels on the INDEX side — Catalyst inserts a column-pruning
+    * Project between the aggregate (or its filter) and the base
+    * relation for any table wider than the referenced columns, so
+    * matching the raw child against the indexed base render would
+    * never fire on real plans. Everything — base lookup, grouping,
+    * aggregate operands — is remapped through [[MaterializedViews
+    * .toRelSpace]] and compared in relation ordinal space. */
   private def rewriteByContainment(agg: Aggregate): Option[LogicalPlan] = {
     val aggC = agg.canonicalized match {
       case a: Aggregate => a
       case _ => return None
     }
-    // peel an optional filter — real and canonical stay in lockstep
-    // (canonicalization preserves node structure)
-    val (realCond, realChild, childC) = (agg.child, aggC.child) match {
-      case (f: Filter, fc: Filter) => (Some(f.condition), f.child, fc.child)
-      case (c, cc) => (None, c, cc)
+    // canonical side: peel the optional Filter + pruning Project (in
+    // either order) down to the base relation
+    val (baseC, projC, _) =
+      MaterializedViews.peel(aggC.child).getOrElse(return None)
+    // real side in lockstep (canonicalization preserves structure):
+    // keep the REAL filter condition for the rebuilt plan, and the
+    // REAL base whose attribute exprIds the condition references —
+    // pruning Projects are attribute-only, so a real attr's exprId is
+    // the same at the base relation as above the Project
+    var realCur = agg.child
+    var realCond: Option[Expression] = None
+    var sawProj = false
+    var progress = true
+    while (progress) {
+      progress = false
+      realCur match {
+        case f: Filter if realCond.isEmpty =>
+          realCond = Some(f.condition); realCur = f.child; progress = true
+        case p: Project if !sawProj &&
+            p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+          sawProj = true; realCur = p.child; progress = true
+        case _ => ()
+      }
     }
-    val shapes = MaterializedViews.shapesFor(MaterializedViews.render(childC))
+    val realBase = realCur
+    // commuting the filter below the aggregate to above the view
+    // changes its evaluation count (once per base row → once per
+    // group); only sound for deterministic predicates (mirrors
+    // PushDownPredicates)
+    if (!realCond.forall(_.deterministic)) return None
+    val shapes = MaterializedViews.shapesFor(MaterializedViews.render(baseC))
     if (shapes.isEmpty) return None
 
     shapes.iterator.flatMap { shape =>
       MaterializedViews.lookup(shape.fp).flatMap { path =>
-        attempt(agg, aggC, realCond, realChild, shape, path)
+        attempt(agg, aggC, projC, realCond, realBase, shape, path)
       }
     }.nextOption()
   }
 
   private def attempt(agg: Aggregate, aggC: Aggregate,
-      realCond: Option[Expression], realChild: LogicalPlan,
+      projC: Option[Seq[AttributeReference]],
+      realCond: Option[Expression], realBase: LogicalPlan,
       shape: MaterializedViews.ViewShape, path: String): Option[LogicalPlan] = {
+    import MaterializedViews.toRelSpace
     // every query grouping expr must be one the view grouped AND
-    // output (G₂ ⊆ G₁, with the key readable back from the view)
+    // output (G₂ ⊆ G₁, with the key readable back from the view) —
+    // compared in relation space, like the index stores them
     val groupingOrds: Seq[Int] = aggC.groupingExpressions.map { g =>
-      shape.groupingByRender.getOrElse(g.toString, return None)
+      shape.groupingByRender.getOrElse(toRelSpace(g, projC).toString, return None)
     }
     // the filter may only reference bare base columns that are view
-    // group keys — remap each through child-ordinal → view output
+    // group keys — remap each through base-relation ordinal → view
+    // output ordinal
     val condOrdMap: Option[Map[Long, Int]] = realCond.map { cond =>
       cond.references.toSeq.map { a =>
-        val childOrd = realChild.output.indexWhere(_.exprId == a.exprId)
-        if (childOrd < 0) return None
-        val viewOrd = shape.childOrdinalToOutput.getOrElse(childOrd.toLong, return None)
+        val baseOrd = realBase.output.indexWhere(_.exprId == a.exprId)
+        if (baseOrd < 0) return None
+        val viewOrd = shape.childOrdinalToOutput.getOrElse(baseOrd.toLong, return None)
         a.exprId.id -> viewOrd
       }.toMap
     }
@@ -468,17 +529,9 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
     case class Pass(viewOrd: Int) extends Out
     case class Roll(fn: String, viewOrd: Int) extends Out
     val outs: Seq[Out] = aggC.aggregateExpressions.map { ne =>
-      (ne match { case Alias(c, _) => c; case e => e }) match {
+      toRelSpace(ne match { case Alias(c, _) => c; case e => e }, projC) match {
         case ae: AggregateExpression =>
-          if (ae.isDistinct || ae.filter.isDefined) return None
-          val (fn, rendered) = ae.aggregateFunction match {
-            case Sum(e, _) => ("sum", s"sum|$e")
-            case Min(e) => ("min", s"min|$e")
-            case Max(e) => ("max", s"max|$e")
-            case c: Count if c.children.length == 1 =>
-              ("count", s"count|${c.children.head}")
-            case _ => return None
-          }
+          val (fn, rendered) = MaterializedViews.aggRender(ae).getOrElse(return None)
           Roll(fn, shape.aggByRender.getOrElse(rendered, return None))
         case e =>
           Pass(shape.groupingByRender.getOrElse(e.toString, return None))

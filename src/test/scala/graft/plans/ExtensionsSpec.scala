@@ -84,6 +84,17 @@ class ExtensionsSpec extends SparkSpec {
 
   test("MV containment: key-filter and rollup queries answer from a wider view") {
     val mvPath = java.nio.file.Files.createTempDirectory("graft_mv_cont_").toString + "/mv"
+    // double sums are addition-order dependent: re-aggregating the
+    // view's partial sums legitimately differs from summing base rows
+    // in the last ULPs, so value comparisons use a relative tolerance
+    def approxEq(a: Seq[Seq[Any]], b: Seq[Seq[Any]]): Boolean =
+      a.length == b.length && a.zip(b).forall { case (ra, rb) =>
+        ra.length == rb.length && ra.zip(rb).forall {
+          case (x: Double, y: Double) =>
+            math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
+          case (x, y) => x == y
+        }
+      }
     // the WIDE view: grouped by (pri, status), storing count + sums
     def wide() = graft.Tables.orders(spark, sf)
       .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
@@ -109,7 +120,7 @@ class ExtensionsSpec extends SparkSpec {
         .agg(count(lit(1)), sum(col("o_totalprice")), max(col("o_totalprice")))
         .orderBy("o_orderstatus").collect().toSeq.map(_.toSeq)
       val fp2 = MaterializedViews.register(wide(), mvPath)
-      assert(filtered.orderBy("st").collect().toSeq.map(_.toSeq) == expectF)
+      assert(approxEq(filtered.orderBy("st").collect().toSeq.map(_.toSeq), expectF))
 
       // ROLLUP-ABOVE-VIEW: coarser grouping re-aggregates view rows
       val rollup = graft.Tables.orders(spark, sf)
@@ -125,7 +136,7 @@ class ExtensionsSpec extends SparkSpec {
         .agg(count(lit(1)), sum(col("o_totalprice")), max(col("o_totalprice")))
         .orderBy("o_orderpriority").collect().toSeq.map(_.toSeq)
       val fp3 = MaterializedViews.register(wide(), mvPath)
-      assert(rollup.orderBy("pri").collect().toSeq.map(_.toSeq) == expectR)
+      assert(approxEq(rollup.orderBy("pri").collect().toSeq.map(_.toSeq), expectR))
 
       // GLOBAL rollup (no groups): COUNT comes back 0-safe via the
       // coalesced sum; values exact
@@ -137,7 +148,7 @@ class ExtensionsSpec extends SparkSpec {
       val expectG = graft.Tables.orders(spark, sf)
         .agg(count(lit(1)), sum(col("o_totalprice"))).collect().toSeq.map(_.toSeq)
       MaterializedViews.register(wide(), mvPath)
-      assert(global.collect().toSeq.map(_.toSeq) == expectG)
+      assert(approxEq(global.collect().toSeq.map(_.toSeq), expectG))
 
       // NON-REWRITABLE shapes refuse: an AVG (no decomposition
       // stored) and a MIN the view lacks both scan the fact table
