@@ -422,6 +422,32 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** COLUMN MAPPING end-to-end (rename without rewrite): v1 commits
+    * (k, v); `renameColumn(v → price)` is a METADATA-ONLY commit (the
+    * field's physical name pins to what the files say); an append
+    * under the NEW name lands beside the pre-rename files; a DV
+    * delete keyed on the renamed column tombstones across BOTH eras.
+    * The read-back aggregate references only `price`, so the hash
+    * match proves pre-rename files resolve through the mapping, the
+    * post-rename append interleaves, and deletes see one coherent
+    * column — the oracle recomputes the final relation declaratively
+    * with the rename applied from the start. */
+  private def tableEvolveRename(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_evolve_rename_")
+    try {
+      val b = base(s, d)
+      t.commit(b)
+      t.renameColumn("v", "price")
+      t.appendOnce(b.filter(col("k") % 103 === 0)
+        .select((col("k") + 6000000L).as("k"), (col("v") + 1000.0).as("price")), 0L)
+      t.delete(col("k") % 97 === 0)
+      t.read()
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("price"), 2).as("total"))
+        .orderBy("bucket").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   /** STRING-key data skipping: customers committed range-clustered on
     * `c_name` with truncated byte-wise min/max bounds per file; a
     * name-range read prunes files by those bounds (pruning itself
@@ -882,6 +908,7 @@ object TableOps extends QueryPack {
     "q_table_stream_sink" -> tableStreamSink,
     "q_table_delete_dv"  -> tableDeleteDv,
     "q_table_evolve"     -> tableEvolve,
+    "q_table_evolve_rename" -> tableEvolveRename,
     "q_table_skipping_str" -> tableSkippingStr,
     "q_table_commit"     -> tableCommit,
     "q_table_compact"    -> tableCompact,
@@ -1077,6 +1104,15 @@ object TableOps extends QueryPack {
          |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total,
          |       CAST(SUM(flag) AS BIGINT) AS flags
          |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_table_evolve_rename" ->
+      s"""WITH snap AS (
+         |  SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey + 6000000, o_totalprice + 1000.0
+         |  FROM orders WHERE o_orderkey % 103 = 0)
+         |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("price", 2)} AS total
+         |FROM snap WHERE k % 97 <> 0
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_table_lifecycle" ->
       s"""WITH x AS (
          |  SELECT o_orderkey AS k, o_totalprice AS v,

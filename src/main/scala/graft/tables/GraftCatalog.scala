@@ -130,9 +130,37 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       schema.fields.map(f => Column.create(f.name, f.dataType, f.nullable)),
       partitions, properties)
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolves through appendEvolved")
+  /** `ALTER TABLE ... RENAME COLUMN / DROP COLUMN / ADD COLUMN` —
+    * metadata-only commits on the column-mapping layer
+    * ([[SnapshotTable.renameColumn]]/[[SnapshotTable.dropColumn]]/
+    * [[SnapshotTable.addColumn]]): no data file is touched, renames
+    * keep resolving in pre-rename files through their pinned physical
+    * names, drops survive time travel, and a re-added name can never
+    * resurrect dropped data (retired-name guard). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val t = new SnapshotTable(SparkSession.active, p.toString)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "graft tables rename top-level columns only")
+        t.renameColumn(r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "graft tables drop top-level columns only")
+        t.dropColumn(d.fieldNames()(0))
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft tables add top-level columns only")
+        require(a.isNullable, "added columns must be nullable " +
+          "(old files surface NULL for them)")
+        t.addColumn(a.fieldNames()(0), a.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change not supported by graft tables: $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = pathOf(ident)

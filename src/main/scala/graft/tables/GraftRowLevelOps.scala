@@ -155,9 +155,14 @@ class GraftRowLevelOperation(options: Map[String, String],
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite =
-        new GraftDeltaWrite(root, tableSchema, info.queryId(), pinnedVersion,
+      override def build(): DeltaWrite = {
+        // staged parts (MERGE inserts / UPDATE post-images) land under
+        // the table's PHYSICAL column names when the schema is mapped
+        val writeSchema = SnapshotTable.physApplied(tableSchema,
+          SnapshotTable.physMapAt(Paths.get(root), pinnedVersion))
+        new GraftDeltaWrite(root, writeSchema, info.queryId(), pinnedVersion,
           s"SQL-$cmd")
+      }
     }
 }
 
@@ -168,7 +173,8 @@ class GraftDeltaWrite(root: String, schema: StructType, queryId: String,
   override def description(): String = s"graft-table delta write $op"
 }
 
-case class GraftDeltaWriteMessage(dataRel: Option[String], dataRows: Long,
+case class GraftDeltaWriteMessage(insRel: Option[String], insRows: Long,
+    updRel: Option[String], updRows: Long,
     dvRel: Option[String], tombstones: Long) extends WriterCommitMessage
 
 /** Driver-side commit of a statement's staged delta: collects the
@@ -185,16 +191,17 @@ class GraftDeltaBatchWrite(root: String, schema: StructType, queryId: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: GraftDeltaWriteMessage => m }
     val dvRels = msgs.flatMap(_.dvRel).toSeq
-    val dataRels = msgs.flatMap(_.dataRel).toSeq
-    if (dvRels.isEmpty && dataRels.isEmpty) return // matched nothing
+    val insRels = msgs.flatMap(_.insRel).toSeq
+    val updRels = msgs.flatMap(_.updRel).toSeq
+    if (dvRels.isEmpty && insRels.isEmpty && updRels.isEmpty) return // matched nothing
     val table = new SnapshotTable(SparkSession.active, root)
-    try table.commitDelta(baseVersion, dvRels, dataRels, op)
-    catch { case e: Throwable => cleanup(dvRels ++ dataRels); throw e }
+    try table.commitDelta(baseVersion, dvRels, insRels, updRels, op)
+    catch { case e: Throwable => cleanup(dvRels ++ insRels ++ updRels); throw e }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     cleanup(messages.collect { case m: GraftDeltaWriteMessage => m }
-      .flatMap(m => m.dvRel.toSeq ++ m.dataRel.toSeq).toSeq)
+      .flatMap(m => m.dvRel.toSeq ++ m.insRel.toSeq ++ m.updRel.toSeq).toSeq)
 
   private def cleanup(rels: Seq[String]): Unit = rels.foreach { rel =>
     try java.nio.file.Files.deleteIfExists(Paths.get(root).resolve(rel))
@@ -211,36 +218,48 @@ class GraftDeltaWriterFactory(root: String, schemaJson: String,
   }
 }
 
-/** Executor-side delta writer for one task: inserts/update
-  * post-images stream into an ordinary staged data part
-  * ([[GraftTableDataWriter]]); delete/update tombstone addresses
-  * buffer, sort by (file, pos) and flush as one DV sidecar part at
-  * commit — the same clustered layout [[SnapshotTable.delete]]
-  * writes, so the batch scan's per-file sidecar filter keeps its
-  * row-group skipping. Memory is O(this task's tombstones): 16 bytes
-  * a row plus the address string, bounded by the statement's match
-  * partition, not the table. */
+/** Executor-side delta writer for one task: MERGE inserts and update
+  * post-images stream into SEPARATE staged data parts
+  * ([[GraftTableDataWriter]] each — the split is what lets the commit
+  * mint `insert` vs `update_postimage` change-feed rows without
+  * re-deriving anything); delete/update tombstone addresses buffer,
+  * sort by (file, pos) and flush as one DV sidecar part at commit —
+  * the same clustered layout [[SnapshotTable.delete]] writes, so the
+  * batch scan's per-file sidecar filter keeps its row-group
+  * skipping. The sidecar carries a third `u` column (update vs
+  * delete) that only the commit's CDC pass reads — scan-side readers
+  * project (file, pos) and never see it. Memory is O(this task's
+  * tombstones): 16 bytes a row plus the address string, bounded by
+  * the statement's match partition, not the table. */
 class GraftDeltaWriter(root: String, schema: StructType,
     partitionId: Int, taskId: Long, stagingTag: String)
     extends DeltaWriter[InternalRow] {
 
-  private var dataWriter: GraftTableDataWriter = _
-  private def dw: GraftTableDataWriter = {
-    if (dataWriter == null)
-      dataWriter = new GraftTableDataWriter(root, schema, partitionId, taskId, stagingTag)
-    dataWriter
+  private var insWriter: GraftTableDataWriter = _
+  private var updWriter: GraftTableDataWriter = _
+  private def ins: GraftTableDataWriter = {
+    if (insWriter == null)
+      insWriter = new GraftTableDataWriter(root, schema, partitionId, taskId,
+        s"$stagingTag-ins")
+    insWriter
+  }
+  private def upd: GraftTableDataWriter = {
+    if (updWriter == null)
+      updWriter = new GraftTableDataWriter(root, schema, partitionId, taskId,
+        s"$stagingTag-upd")
+    updWriter
   }
 
-  private val tombstones = ArrayBuffer.empty[(String, Long)]
+  private val tombstones = ArrayBuffer.empty[(String, Long, Boolean)]
 
-  override def insert(row: InternalRow): Unit = dw.write(row)
+  override def insert(row: InternalRow): Unit = ins.write(row)
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit =
-    tombstones += ((id.getUTF8String(0).toString, id.getLong(1)))
+    tombstones += ((id.getUTF8String(0).toString, id.getLong(1), false))
 
   override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
-    delete(metadata, id)
-    insert(row)
+    tombstones += ((id.getUTF8String(0).toString, id.getLong(1), true))
+    upd.write(row)
   }
 
   private def writeDvPart(): Option[String] = {
@@ -253,6 +272,8 @@ class GraftDeltaWriter(root: String, schema: StructType,
         .as(LogicalTypeAnnotation.stringType()).named(SnapshotTable.DvFileCol))
       .addField(PTypes.required(PrimitiveTypeName.INT64)
         .named(SnapshotTable.DvPosCol))
+      .addField(PTypes.required(PrimitiveTypeName.BOOLEAN)
+        .named(SnapshotTable.DvUpdCol))
       .named("graft_dv")
     val conf = new Configuration()
     org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msgType, conf)
@@ -261,11 +282,12 @@ class GraftDeltaWriter(root: String, schema: StructType,
       .withConf(conf).withType(msgType).build()
     try {
       val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
-      tombstones.sortInPlace()
-      tombstones.foreach { case (f, p) =>
+      tombstones.sortInPlace()(Ordering.by(t => (t._1, t._2)))
+      tombstones.foreach { case (f, p, u) =>
         val g = factory.newGroup()
         g.add(SnapshotTable.DvFileCol, Binary.fromString(f))
         g.add(SnapshotTable.DvPosCol, p)
+        g.add(SnapshotTable.DvUpdCol, u)
         writer.write(g)
       }
     } finally writer.close()
@@ -273,14 +295,21 @@ class GraftDeltaWriter(root: String, schema: StructType,
   }
 
   override def commit(): WriterCommitMessage = {
-    val dataMsg = Option(dataWriter).map(_.commit().asInstanceOf[GraftTableWriteMessage])
-      .filter(_.rows > 0)
+    def done(w: GraftTableDataWriter): Option[GraftTableWriteMessage] =
+      Option(w).map(_.commit().asInstanceOf[GraftTableWriteMessage])
+        .filter(_.rows > 0)
+    val insMsg = done(insWriter)
+    val updMsg = done(updWriter)
     val dvRel = writeDvPart()
-    GraftDeltaWriteMessage(dataMsg.map(_.relPath), dataMsg.fold(0L)(_.rows),
+    GraftDeltaWriteMessage(insMsg.map(_.relPath), insMsg.fold(0L)(_.rows),
+      updMsg.map(_.relPath), updMsg.fold(0L)(_.rows),
       dvRel, tombstones.size.toLong)
   }
 
-  override def abort(): Unit = Option(dataWriter).foreach(_.abort())
+  override def abort(): Unit = {
+    Option(insWriter).foreach(_.abort())
+    Option(updWriter).foreach(_.abort())
+  }
 
   override def close(): Unit = ()
 }

@@ -218,22 +218,25 @@ private[tables] object ManifestPruning {
   def usableFilters(lines: Vector[String], filters: Seq[Filter]): Seq[Filter] = {
     val meta = lines.drop(2)
     val used = scala.collection.mutable.LinkedHashSet.empty[Filter]
+    // stat lines carry commit-era (physical) key names; the pushed
+    // filters reference the current LOGICAL ones — translate first
+    def lg(k: String): String = SnapshotTable.logicalNameFor(lines, k)
     meta.collectFirst { case SnapshotTable.ClusterMeta(k) => k }.foreach { k =>
-      used ++= longBounds(k, filters)._2
+      used ++= longBounds(lg(k), filters)._2
     }
     meta.collectFirst { case SnapshotTable.ClusterSMeta(k) => k }.foreach { k =>
-      used ++= strBounds(k, filters)._2
+      used ++= strBounds(lg(k), filters)._2
     }
     meta.collectFirst { case SnapshotTable.ZClusterMeta(x, y) => (x, y) }.foreach {
       case (x, y) =>
-        used ++= longBounds(x, filters)._2
-        used ++= longBounds(y, filters)._2
+        used ++= longBounds(lg(x), filters)._2
+        used ++= longBounds(lg(y), filters)._2
     }
     meta.collectFirst { case SnapshotTable.BloomKMeta(k, _) => k }.foreach { k =>
-      used ++= filters.filter(f => bloomValues(k, f).isDefined)
+      used ++= filters.filter(f => bloomValues(lg(k), f).isDefined)
     }
     meta.collectFirst { case SnapshotTable.BucketMeta(_, k) => k }.foreach { k =>
-      used ++= filters.filter(f => bloomValues(k, f).isDefined)
+      used ++= filters.filter(f => bloomValues(lg(k), f).isDefined)
     }
     filters.filter(used)
   }
@@ -246,9 +249,11 @@ private[tables] object ManifestPruning {
     val meta = lines.drop(2)
     val files = SnapshotTable.manifestFilesOf(lines)
     var kept = files
+    // physical stat keys → current logical names (see usableFilters)
+    def lg(k: String): String = SnapshotTable.logicalNameFor(lines, k)
 
     meta.collectFirst { case SnapshotTable.ClusterMeta(k) => k }.foreach { k =>
-      val (b, _) = longBounds(k, filters)
+      val (b, _) = longBounds(lg(k), filters)
       if (b.isBounded) {
         val ranges: Map[String, (Long, Long)] = meta.collect {
           case SnapshotTable.RangeMeta(rel, a, bb) => rel -> (a.toLong, bb.toLong)
@@ -262,7 +267,7 @@ private[tables] object ManifestPruning {
     }
 
     meta.collectFirst { case SnapshotTable.ClusterSMeta(k) => k }.foreach { k =>
-      val (b, _) = strBounds(k, filters)
+      val (b, _) = strBounds(lg(k), filters)
       if (b.isBounded) {
         val dec = java.util.Base64.getDecoder
         val bounds: Map[String, (Array[Byte], Option[Array[Byte]])] = meta.collect {
@@ -282,8 +287,8 @@ private[tables] object ManifestPruning {
 
     meta.collectFirst { case SnapshotTable.ZClusterMeta(x, y) => (x, y) }.foreach {
       case (xKey, yKey) =>
-        val (bx, _) = longBounds(xKey, filters)
-        val (by, _) = longBounds(yKey, filters)
+        val (bx, _) = longBounds(lg(xKey), filters)
+        val (by, _) = longBounds(lg(yKey), filters)
         if (bx.isBounded || by.isBounded) {
           val rects: Map[String, (Long, Long, Long, Long)] = meta.collect {
             case SnapshotTable.Range2Meta(rel, a, b2, c, d) =>
@@ -303,7 +308,7 @@ private[tables] object ManifestPruning {
         // hash-bucketed layout: an equality (or IN) on the bucket key
         // pins each value to exactly ONE bucket directory — pmod, the
         // same function the writer striped with
-        val vals = filters.flatMap(bloomValues(k, _))
+        val vals = filters.flatMap(bloomValues(lg(k), _))
         if (vals.nonEmpty) {
           val bucketSets: Seq[Set[Int]] = vals.map(_.flatMap {
             case l: Long => Some((((l % n) + n) % n).toInt)
@@ -327,7 +332,7 @@ private[tables] object ManifestPruning {
     }
 
     meta.collectFirst { case SnapshotTable.BloomKMeta(k, _) => k }.foreach { k =>
-      val vals = filters.flatMap(bloomValues(k, _))
+      val vals = filters.flatMap(bloomValues(lg(k), _))
       if (vals.nonEmpty) {
         val blooms: Map[String, String] = meta.collect {
           case SnapshotTable.BloomFMeta(rel, bloomRel) => rel -> bloomRel
@@ -459,7 +464,11 @@ class GraftTableScanBuilder(options: Map[String, String], tableSchema: StructTyp
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
     val lines = SnapshotTable.manifestLinesAt(rootPath, version)
     val meta = lines.drop(2)
+    // stat key is commit-era physical; the aggregation references the
+    // current logical name — and a since-DROPPED key answers nothing
     val clusterKey = meta.collectFirst { case SnapshotTable.ClusterMeta(k) => k }
+      .map(k => SnapshotTable.logicalNameFor(lines, k))
+      .filter(k => tableSchema.fieldNames.contains(k))
       .getOrElse(return None)
     if (meta.exists(_.startsWith("#dv="))) return None
     val rows: Map[String, Long] = meta.collect {
@@ -569,7 +578,8 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
     * files drop at RUNTIME. */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     if (changeFeed || version == 0L) return Array.empty
-    val meta = SnapshotTable.manifestLinesAt(rootPath, version).drop(2)
+    val lines = SnapshotTable.manifestLinesAt(rootPath, version)
+    val meta = lines.drop(2)
     (meta.collectFirst { case SnapshotTable.ClusterMeta(k) => k } ++
       meta.collectFirst { case SnapshotTable.ClusterSMeta(k) => k } ++
       meta.collectFirst { case SnapshotTable.BloomKMeta(k, _) => k } ++
@@ -577,6 +587,9 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
       meta.collectFirst { case SnapshotTable.ZClusterMeta(x, y) => x } ++
       meta.collectFirst { case SnapshotTable.ZClusterMeta(x, y) => y })
       .toArray.distinct
+      // stat lines carry commit-era (physical) names; queries filter
+      // on the CURRENT logical ones
+      .map(k => SnapshotTable.logicalNameFor(lines, k))
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
   }
 
@@ -685,9 +698,17 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTableBatchReaderFactory(required.json, limit,
-      allowColumnar = !changeFeed)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // column mapping: executors resolve file columns by PHYSICAL name
+    // (output rows are positional, so the rename is invisible above);
+    // change-feed files are written under logical names — no mapping
+    val decodeSchema =
+      if (changeFeed || version == 0L) required
+      else SnapshotTable.physApplied(required,
+        SnapshotTable.physMapAt(rootPath, version))
+    new GraftTableBatchReaderFactory(decodeSchema.json, limit,
+      allowColumnar = !changeFeed, readConf = GraftReadConf.capture())
+  }
 }
 
 /** VECTORIZED read path shared by the batch scan and the streaming
@@ -695,10 +716,38 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
   * into ColumnarBatches (the engine inserts a codegen'd ColumnarToRow
   * above, so the scan joins whole-stage codegen), with constant-null
   * vectors spliced in required-schema order for evolved columns a
-  * file predates. Used whenever per-row work isn't required — no
-  * deletion vectors, no synthesized row-address columns, no
-  * change-type literal, no pushed per-file limit; those paths keep
-  * the row-at-a-time Group reader below. */
+  * file predates. Deletion vectors apply COLUMNAR-side
+  * ([[GraftVectorized.createReaderWithDv]] — clean batches pass
+  * through zero-copy). Only synthesized row-address columns, a
+  * change-type literal, or a pushed per-file limit fall back to the
+  * row-at-a-time Group reader below. */
+/** Driver-captured session read configuration, serialized into the
+  * reader factories so executor-side vectorized decode agrees with
+  * BOTH Spark's own parquet read path and this scan's row-at-a-time
+  * fallback: session timezone, datetime/INT96 rebase modes (resolved
+  * per file against its footer metadata, exactly as Spark's
+  * ParquetPartitionReaderFactory does), and INT96 conversion. */
+private[tables] case class GraftReadConf(
+    sessionTz: String,
+    datetimeRebaseModeInRead: String,
+    int96RebaseModeInRead: String,
+    int96TimestampConversion: Boolean)
+
+private[tables] object GraftReadConf {
+  /** Capture from the active session's SQLConf — call DRIVER-side
+    * (factory construction during planning). */
+  def capture(): GraftReadConf = {
+    val c = org.apache.spark.sql.internal.SQLConf.get
+    GraftReadConf(
+      c.getConfString("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID),
+      c.getConfString("spark.sql.parquet.datetimeRebaseModeInRead", "EXCEPTION"),
+      c.getConfString("spark.sql.parquet.int96RebaseModeInRead", "EXCEPTION"),
+      c.getConfString("spark.sql.parquet.int96TimestampConversion",
+        "false").toBoolean)
+  }
+}
+
 private[tables] object GraftVectorized {
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
@@ -708,15 +757,18 @@ private[tables] object GraftVectorized {
     * be UNIFORM across one scan's partitions (Spark rejects mixed
     * row/columnar partitions), so every input here is scan-level:
     * the factory's `allowColumnar` covers change-feed mode (whose
-    * partitions mix literal-tagged and plain files). */
-  def eligible(allowColumnar: Boolean, required: StructType, dvSidecars: Int,
+    * partitions mix literal-tagged and plain files). Deletion vectors
+    * no longer refuse — [[createReader]] applies them columnar-side
+    * (clean batches pass through untouched, tombstoned ones
+    * compact). */
+  def eligible(allowColumnar: Boolean, required: StructType,
       limit: Int): Boolean =
-    allowColumnar && dvSidecars == 0 && limit == Int.MaxValue &&
+    allowColumnar && limit == Int.MaxValue &&
       !required.fieldNames.exists(n =>
         n == GraftRowMeta.FileCol || n == GraftRowMeta.PosCol)
 
-  def createReader(absPath: String,
-      required: StructType): PartitionReader[ColumnarBatch] = {
+  def createReader(absPath: String, required: StructType,
+      readConf: GraftReadConf): PartitionReader[ColumnarBatch] = {
     // the PRODUCTION initialize path (FileSplit + TaskAttemptContext):
     // ParquetReadSupport clips the requested catalyst schema against
     // the file's own, and the vectorized reader serves evolved
@@ -733,15 +785,41 @@ private[tables] object GraftVectorized {
     conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
     conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
     conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
-    conf.set("spark.sql.session.timeZone", "UTC")
+    conf.set("spark.sql.session.timeZone", readConf.sessionTz)
     val hPath = new org.apache.hadoop.fs.Path(absPath)
     val len = hPath.getFileSystem(conf).getFileStatus(hPath).getLen
     val split = new org.apache.hadoop.mapred.FileSplit(
       hPath, 0, len, Array.empty[String])
     val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
       conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    // per-file rebase resolution against the footer's own metadata —
+    // a Spark-3+-written file decodes CORRECTED regardless of the
+    // conf, a legacy-rebased file decodes LEGACY in its origin tz,
+    // and an unmarked foreign file falls back to the session conf
+    // (exactly DataSourceUtils' contract, shared with Spark's scan)
+    val inputFile =
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf)
+    val footerMeta = org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFooterReader.readFooter(inputFile,
+        org.apache.parquet.format.converter.ParquetMetadataConverter
+          .SKIP_ROW_GROUPS).getFileMetaData
+    val kv = footerMeta.getKeyValueMetaData
+    val lookup: String => String = k => kv.get(k)
+    val dtSpec = org.apache.spark.sql.execution.datasources.DataSourceUtils
+      .datetimeRebaseSpec(lookup, readConf.datetimeRebaseModeInRead)
+    val i96Spec = org.apache.spark.sql.execution.datasources.DataSourceUtils
+      .int96RebaseSpec(lookup, readConf.int96RebaseModeInRead)
+    // INT96 conversion applies only to parquet-mr-written files, as
+    // in Spark's ParquetFileFormat
+    val convertTz: java.time.ZoneId =
+      if (readConf.int96TimestampConversion &&
+          Option(footerMeta.getCreatedBy).exists(_.startsWith("parquet-mr")))
+        java.time.ZoneId.of(readConf.sessionTz)
+      else null
     val vr = new org.apache.spark.sql.execution.datasources.parquet
-      .VectorizedParquetRecordReader(false, Capacity)
+      .VectorizedParquetRecordReader(convertTz,
+        dtSpec.mode.toString, dtSpec.timeZone,
+        i96Spec.mode.toString, i96Spec.timeZone, false, Capacity)
     vr.initialize(split, ctx)
     vr.enableReturningBatches()
     val batch = vr.resultBatch()
@@ -751,6 +829,105 @@ private[tables] object GraftVectorized {
       override def close(): Unit = vr.close()
     }
   }
+
+  /** Columnar decode WITH deletion vectors: the file's own tombstone
+    * positions load executor-side (same as the row path), then batches
+    * whose row range contains NO tombstone — the overwhelmingly common
+    * case under sparse deletes — pass through with ZERO copying; only
+    * batches that do get compacted (survivors copied into reusable
+    * on-heap vectors). Heavy-delete tables stay columnar instead of
+    * falling back to row-at-a-time decode. */
+  def createReaderWithDv(absPath: String, required: StructType,
+      readConf: GraftReadConf, dvAddr: String,
+      dvSidecarPaths: Array[String]): PartitionReader[ColumnarBatch] = {
+    val base = createReader(absPath, required, readConf)
+    if (dvSidecarPaths.isEmpty) return base
+    val positions = ManifestPruning.loadOwnDvPositions(dvAddr, dvSidecarPaths)
+    if (positions.isEmpty) base
+    else new DvColumnarReader(base, positions, required)
+  }
+
+  private final class DvColumnarReader(base: PartitionReader[ColumnarBatch],
+      positions: Array[Long], required: StructType)
+      extends PartitionReader[ColumnarBatch] {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.ColumnVector
+
+    private var offset = 0L // row index of the current batch's first row
+    private var ptr = 0 // positions cursor (sorted; batches stream in order)
+    private var out: ColumnarBatch = _
+    private var compacted: Array[OnHeapColumnVector] = _
+    private var compactedBatch: ColumnarBatch = _
+
+    // per-column copiers resolved once — the compact loop is a direct
+    // typed get/append per surviving cell
+    private val copiers: Array[(ColumnVector, Int, OnHeapColumnVector) => Unit] =
+      required.fields.map { f =>
+        val c: (ColumnVector, Int, OnHeapColumnVector) => Unit = f.dataType match {
+          case BooleanType => (s, i, d) => d.appendBoolean(s.getBoolean(i))
+          case ByteType => (s, i, d) => d.appendByte(s.getByte(i))
+          case ShortType => (s, i, d) => d.appendShort(s.getShort(i))
+          case IntegerType | DateType => (s, i, d) => d.appendInt(s.getInt(i))
+          case LongType | TimestampType | TimestampNTZType =>
+            (s, i, d) => d.appendLong(s.getLong(i))
+          case FloatType => (s, i, d) => d.appendFloat(s.getFloat(i))
+          case DoubleType => (s, i, d) => d.appendDouble(s.getDouble(i))
+          case StringType | BinaryType => (s, i, d) => {
+            val b = if (f.dataType == StringType) s.getUTF8String(i).getBytes
+              else s.getBinary(i)
+            d.appendByteArray(b, 0, b.length)
+          }
+          case dt => throw new UnsupportedOperationException(
+            s"columnar DV compaction: unsupported type $dt for ${f.name}")
+        }
+        (s: ColumnVector, i: Int, d: OnHeapColumnVector) =>
+          if (s.isNullAt(i)) { d.appendNull(); () } else c(s, i, d)
+      }
+
+    @scala.annotation.tailrec
+    override def next(): Boolean = {
+      if (!base.next()) return false
+      val in = base.get()
+      val n = in.numRows()
+      val lo = offset
+      offset += n
+      while (ptr < positions.length && positions(ptr) < lo) ptr += 1
+      val start = ptr
+      var end = ptr
+      while (end < positions.length && positions(end) < lo + n) end += 1
+      if (end == start) { out = in; return true } // clean batch: zero copy
+      ptr = end
+      if (compacted == null) {
+        compacted = required.fields.map(f =>
+          new OnHeapColumnVector(Capacity, f.dataType))
+        compactedBatch = new ColumnarBatch(
+          compacted.toArray[ColumnVector])
+      }
+      compacted.foreach(_.reset())
+      var outRows = 0
+      var i = 0
+      var p = start
+      while (i < n) {
+        if (p < end && positions(p) == lo + i) p += 1
+        else {
+          var j = 0
+          while (j < copiers.length) {
+            copiers(j)(in.column(j), i, compacted(j)); j += 1
+          }
+          outRows += 1
+        }
+        i += 1
+      }
+      if (outRows == 0) next() // fully-deleted batch: pull the next one
+      else { compactedBatch.setNumRows(outRows); out = compactedBatch; true }
+    }
+
+    override def get(): ColumnarBatch = out
+    override def close(): Unit = {
+      if (compacted != null) compacted.foreach(_.close())
+      base.close()
+    }
+  }
 }
 
 /** Executor-side per-file batch reader: decodes ONLY the required
@@ -758,25 +935,28 @@ private[tables] object GraftVectorized {
   * resolves fields BY NAME against the file's own schema — a field
   * the file predates (schema evolution) surfaces as NULL — and skips
   * deletion-vector positions as it streams the file in row order.
-  * DV-free scans without synthesized columns take the columnar
-  * ([[GraftVectorized]]) path instead. */
+  * Scans without synthesized columns or a pushed limit take the
+  * columnar ([[GraftVectorized]]) path instead — with or without
+  * deletion vectors. */
 class GraftTableBatchReaderFactory(requiredJson: String,
-    limit: Int = Int.MaxValue, allowColumnar: Boolean = true)
+    limit: Int = Int.MaxValue, allowColumnar: Boolean = true,
+    readConf: GraftReadConf = GraftReadConf.capture())
     extends PartitionReaderFactory {
   @transient private lazy val requiredSchema: StructType =
     DataType.fromJson(requiredJson).asInstanceOf[StructType]
 
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
-    case bp: GraftTableBatchPartition =>
-      GraftVectorized.eligible(allowColumnar, requiredSchema,
-        bp.dvSidecarPaths.length, limit)
+    case _: GraftTableBatchPartition =>
+      GraftVectorized.eligible(allowColumnar, requiredSchema, limit)
     case _ => false
   }
 
   override def createColumnarReader(
-      p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    GraftVectorized.createReader(
-      p.asInstanceOf[GraftTableBatchPartition].absPath, requiredSchema)
+      p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val bp = p.asInstanceOf[GraftTableBatchPartition]
+    GraftVectorized.createReaderWithDv(bp.absPath, requiredSchema, readConf,
+      bp.dvAddr, bp.dvSidecarPaths)
+  }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
     val part = p.asInstanceOf[GraftTableBatchPartition]
@@ -929,8 +1109,16 @@ class GraftTableBatchWrite(root: String, schema: StructType, queryId: String,
       s"graft-table sink does not support column ${f.name}: ${f.dataType}")
   }
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftTableBatchWriterFactory(root, schema.json, queryId)
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // appends into a column-mapped table stage their parts under the
+    // PHYSICAL names the table's files use; an overwrite replaces the
+    // schema wholesale (mapping resets), so it writes logical names
+    val writeSchema =
+      if (truncate) schema
+      else SnapshotTable.physApplied(schema, SnapshotTable.physMapAt(
+        Paths.get(root), SnapshotTable.currentVersionAt(Paths.get(root))))
+    new GraftTableBatchWriterFactory(root, writeSchema.json, queryId)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rels = messages.collect {

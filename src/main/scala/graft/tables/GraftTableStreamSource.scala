@@ -215,8 +215,14 @@ class GraftTableStreamingWrite(root: String, schema: StructType, queryId: String
   }
 
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftTableWriterFactory(root, schema.json)
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    // epochs appended to a column-mapped table stage their parts
+    // under the table's PHYSICAL names
+    val writeSchema = SnapshotTable.physApplied(schema,
+      SnapshotTable.physMapAt(java.nio.file.Paths.get(root),
+        SnapshotTable.currentVersionAt(java.nio.file.Paths.get(root))))
+    new GraftTableWriterFactory(root, writeSchema.json)
+  }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val rels = messages.collect {
@@ -440,8 +446,17 @@ class GraftTableMicroBatchStream(root: String, startingVersion: String,
     }.map(p => p: InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTableReaderFactory(schema.json, allowColumnar = !changeFeed)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // executors resolve data-file columns by PHYSICAL name (stable
+    // across renames, so one mapping serves every trigger); CDC files
+    // are written under logical names — no mapping on the feed
+    val decodeSchema =
+      if (changeFeed) schema
+      else SnapshotTable.physApplied(schema, SnapshotTable.physMapAt(
+        rootPath, SnapshotTable.currentVersionAt(rootPath)))
+    new GraftTableReaderFactory(decodeSchema.json, allowColumnar = !changeFeed,
+      readConf = GraftReadConf.capture())
+  }
 
   /** Versions are durable, immutable, and re-derivable from the
     * manifest log — nothing to release on commit. */
@@ -482,20 +497,23 @@ object GraftTableReaderFactory {
   * decode (matching columns BY NAME so file-level field order never
   * matters). */
 class GraftTableReaderFactory(schemaJson: String,
-    allowColumnar: Boolean = true) extends PartitionReaderFactory {
+    allowColumnar: Boolean = true,
+    readConf: GraftReadConf = GraftReadConf.capture())
+    extends PartitionReaderFactory {
   @transient private lazy val streamSchema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case fp: GraftTableFilePartition =>
-      GraftVectorized.eligible(allowColumnar, streamSchema, 0, Int.MaxValue)
+      GraftVectorized.eligible(allowColumnar, streamSchema, Int.MaxValue)
     case _ => false
   }
 
   override def createColumnarReader(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     GraftVectorized.createReader(
-      p.asInstanceOf[GraftTableFilePartition].absPath, streamSchema)
+      p.asInstanceOf[GraftTableFilePartition].absPath, streamSchema,
+      readConf)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fullSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]

@@ -164,11 +164,18 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     require(!schema.fieldNames.exists(reserved.contains),
       s"table schema at $root collides with reserved DV column names")
     val segs = split(col("_metadata.file_path"), "/")
-    val base = spark.read.schema(schema)
+    // address columns attach on the RAW scan (metadata columns are
+    // only resolvable there), logical renames project after
+    val raw = spark.read.schema(SnapshotTable.physSchemaOf(schema))
       .parquet(relFiles.map(rel => rootPath.resolve(rel).toString): _*)
       .withColumn("__graft_dv_f",
         concat_ws("/", element_at(segs, -2), element_at(segs, -1)))
       .withColumn("__graft_dv_p", col("_metadata.row_index"))
+    val base =
+      if (!SnapshotTable.hasMapping(schema)) raw
+      else raw.select(schema.fields.map(f =>
+        col(SnapshotTable.physNameOf(f)).as(f.name)).toIndexedSeq ++
+        Seq(col("__graft_dv_f"), col("__graft_dv_p")): _*)
     val dvRels = manifestDvFiles(lines)
     if (dvRels.isEmpty) base
     else base.join(dvScan(dvRels),
@@ -187,11 +194,30 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     if (relFiles.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else if (manifestDvFiles(lines).isEmpty)
-      spark.read.schema(schema)
-        .parquet(relFiles.map(rel => rootPath.resolve(rel).toString): _*)
+      physRead(schema, relFiles)
     else scanAddressed(lines, relFiles)
       .select(schema.fieldNames.map(col).toSeq: _*)
   }
+
+  /** Parquet scan of `relFiles` surfacing LOGICAL column names: files
+    * are read under the schema's PHYSICAL names (what renames left in
+    * the data) and renamed back — a no-op Project when the mapping is
+    * identity (the common case adds nothing to the plan). */
+  private def physRead(schema: StructType, relFiles: Seq[String]): DataFrame = {
+    val paths = relFiles.map(rel => rootPath.resolve(rel).toString)
+    if (!SnapshotTable.hasMapping(schema))
+      spark.read.schema(schema).parquet(paths: _*)
+    else spark.read.schema(SnapshotTable.physSchemaOf(schema)).parquet(paths: _*)
+      .toDF(schema.fieldNames.toIndexedSeq: _*)
+  }
+
+  /** `df`'s columns renamed to their PHYSICAL names in `schema`
+    * order, for writers that stage data under a mapped schema —
+    * identity (no projection) when the mapping is. */
+  private def toPhysDf(df: DataFrame, schema: StructType): DataFrame =
+    if (!SnapshotTable.hasMapping(schema)) df
+    else df.select(schema.fields.map(f =>
+      col(f.name).as(SnapshotTable.physNameOf(f))).toIndexedSeq: _*)
 
   /** Row-level DELETE via DELETION VECTORS: rows matching `cond`
     * (SQL filter semantics — null does not match) are tombstoned by
@@ -387,7 +413,9 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       val (postSnap, newFiles) =
         if (matchedPerFile.isEmpty) (None, Vector.empty[String])
         else {
-          val (snap, parts, _) = writeData(post, version)
+          // the carried schema may be column-mapped — post-images land
+          // under the same PHYSICAL names the live files use
+          val (snap, parts, _) = writeData(toPhysDf(post, schema), version)
           (Some(snap), parts.toVector)
         }
       val cdcRows = matched.select(
@@ -501,9 +529,21 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       val tmp = manifestsDir.resolve(s".tmp-seg-${UUID.randomUUID()}")
       Files.write(tmp, bytes)
       try Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: FileAlreadyExistsException | _: java.nio.file.FileSystemException =>
+      catch { case e: java.nio.file.FileSystemException =>
         try Files.deleteIfExists(tmp) catch { case _: Throwable => () }
+        // only a lost RACE (identical content already at dest) is
+        // benign; a genuine move failure would otherwise publish a
+        // manifest referencing a segment that was never created,
+        // permanently corrupting the committed version
+        if (!Files.exists(dest)) throw e
       }
+    } else {
+      // reusing an ORPHANED segment (e.g. restore re-creating an
+      // expired chunk): refresh its mtime so vacuum's age-retention
+      // guard shields it between this exists() check and publish
+      try Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: java.io.IOException => () }
     }
     name
   }
@@ -553,22 +593,33 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * die with new tombstones (metaAgg must never sum falsified
     * counts); `#buckets=` dies when foreign (unbucketed) data files
     * join the layout; range/string/z-order stat lines stay — they
-    * remain CONSERVATIVE for pruning. SQL DML commits do not mint
-    * change-feed rows (the DSv2 delta protocol hands the writer
-    * addresses, not pre-images); like plain commits they read as
-    * non-CDC-tracked versions. */
+    * remain CONSERVATIVE for pruning.
+    *
+    * CDC PARITY: the delta protocol hands the writer addresses, not
+    * pre-images — so the commit MINTS the row-level changelog itself,
+    * exactly as the instance verbs do. Inserts and update post-images
+    * arrive as separate staged parts (`insRels` / `updRels` — the
+    * executor writers split them); delete/update pre-images are
+    * looked up by address: one scan of only the TOUCHED files of the
+    * pinned snapshot, inner-joined with the freshly staged sidecars
+    * (whose [[SnapshotTable.DvUpdCol]] distinguishes the two change
+    * types). Cost is O(touched files + changed rows) — the same
+    * class as Delta's Change Data Feed on DML — and the resulting
+    * `#cdc=` lines make [[rowChangesBetween]] / `readChangeFeed`
+    * work straight through `MERGE INTO`/`UPDATE`/`DELETE FROM`. */
   private[tables] def commitDelta(baseVersion: Long, dvRels: Seq[String],
-      dataRels: Seq[String], op: String): Long = {
+      insRels: Seq[String], updRels: Seq[String], op: String): Long = {
     val cur = currentVersion
     require(cur > 0, s"table at $root has no committed version")
     val lines = manifestLines(cur)
+    val baseLines = if (cur == baseVersion) lines else manifestLines(baseVersion)
     if (cur != baseVersion) {
-      val baseLines = manifestLines(baseVersion)
       val unchanged = manifestFiles(lines) == manifestFiles(baseLines) &&
         manifestDvLines(lines).toSet == manifestDvLines(baseLines).toSet &&
         lines(1) == baseLines(1)
       if (!unchanged) throw new CommitConflictException(cur + 1)
     }
+    val dataRels = insRels ++ updRels
     val version = cur + 1
     val schema = schemaOf(lines)
     val carriedMeta = lines.drop(2).filter(_.startsWith("#")).filter {
@@ -579,12 +630,54 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       case BucketMeta(_, _) => dataRels.isEmpty
       case _ => true
     }
+    val (cdcSnap, cdcLines) = writeCdcData(deltaCdc(baseLines, dvRels,
+      insRels, updRels, schema), version)
     val newDvLines = dvRels.map(r => s"#dv=$r").sorted
     val tmp = writeTmpManifest(version, schema,
-      (carriedMeta ++ newDvLines) ++ (manifestFiles(lines) ++ dataRels).sorted,
+      (SnapshotTable.CdcTracked +: cdcLines) ++ carriedMeta ++ newDvLines ++
+        (manifestFiles(lines) ++ dataRels).sorted,
       op = op)
-    publish(version, tmp)
+    try publish(version, tmp)
+    catch { case e: CommitConflictException =>
+      deleteRecursively(cdcSnap); throw e
+    }
     version
+  }
+
+  /** The SQL-DML change set as Delta-CDF-style rows: `insert` rows
+    * from the staged insert parts, `update_postimage` from the staged
+    * post-image parts, and `delete` / `update_preimage` by reading
+    * the pinned snapshot's TOUCHED files back through their addresses
+    * (inner join with the staged sidecars — the pre-image lookup the
+    * delta protocol itself cannot provide). */
+  private def deltaCdc(baseLines: Vector[String], dvRels: Seq[String],
+      insRels: Seq[String], updRels: Seq[String],
+      schema: StructType): DataFrame = {
+    val outCols = schema.fieldNames.map(col).toSeq
+    def tagged(rels: Seq[String], typ: String): DataFrame =
+      physRead(schema, rels)
+        .select(outCols :+ lit(typ).as(SnapshotTable.ChangeTypeCol): _*)
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      schema.add(SnapshotTable.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false))
+    val pre: DataFrame = if (dvRels.isEmpty) empty else {
+      val dv = spark.read.schema(SnapshotTable.DvCdcSchema)
+        .parquet(dvRels.map(rel => rootPath.resolve(rel).toString): _*)
+      // touched-file set: ≤ one address per sidecar'd file, tiny
+      val touchedAddrs = dv.select(SnapshotTable.DvFileCol).distinct()
+        .collect().map(_.getString(0)).toSet
+      val touchedFiles = manifestFiles(baseLines)
+        .filter(rel => touchedAddrs(dvAddressOf(rel)))
+      scanAddressed(baseLines, touchedFiles)
+        .join(dv, col("__graft_dv_f") === col(SnapshotTable.DvFileCol) &&
+          col("__graft_dv_p") === col(SnapshotTable.DvPosCol), "inner")
+        .select(outCols :+ when(col(SnapshotTable.DvUpdCol),
+          lit("update_preimage")).otherwise(lit("delete"))
+          .as(SnapshotTable.ChangeTypeCol): _*)
+    }
+    val ins = if (insRels.isEmpty) empty else tagged(insRels, "insert")
+    val upd = if (updRels.isEmpty) empty else tagged(updRels, "update_postimage")
+    pre.unionAll(ins).unionAll(upd)
   }
 
   // ---- commit-time expectations (quality gates) ----------------------
@@ -996,8 +1089,20 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val carried: Seq[String] =
       if (version == 1) Seq.empty else manifestFiles(prev)
     val schemaOut: StructType =
-      if (!evolve || version == 1) df.schema
-      else {
+      if (version == 1) df.schema
+      else if (!evolve) {
+        val table = schemaOf(prev)
+        if (!SnapshotTable.hasMapping(table)) df.schema
+        else {
+          // a column-mapped schema must survive the append verbatim —
+          // df.schema would wipe the phys metadata and break every
+          // read of the pre-rename files
+          require(df.schema.fieldNames.sorted.sameElements(table.fieldNames.sorted),
+            s"append columns ${df.schema.fieldNames.mkString(",")} != " +
+              s"mapped table ${table.fieldNames.mkString(",")}")
+          table
+        }
+      } else {
         val table = schemaOf(prev)
         table.fields.foreach { f =>
           val got = df.schema.fields.find(_.name == f.name).getOrElse(
@@ -1006,13 +1111,28 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
           require(got.dataType == f.dataType,
             s"appendEvolved cannot change ${f.name}: ${f.dataType} -> ${got.dataType}")
         }
+        // a re-added name may never RESURRECT dropped/renamed-away
+        // data: if it was ever a physical name (retired) it gets a
+        // fresh physical identity, so old files stop resolving it
+        val retired = SnapshotTable.retiredOf(prev)
+        val usedPhys = table.fields.map(SnapshotTable.physNameOf).toSet
         val added = df.schema.fields.filterNot(f => table.fieldNames.contains(f.name))
-        StructType(table.fields ++ added.map(_.copy(nullable = true)))
+          .map { f =>
+            val g = f.copy(nullable = true)
+            if (!retired.contains(f.name) && !usedPhys.contains(f.name)) g
+            else g.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(g.metadata).putString(SnapshotTable.PhysKey,
+                s"${f.name}_g${UUID.randomUUID().toString.take(8)}").build())
+          }
+        StructType(table.fields ++ added)
       }
-    val (snap, files, _) = writeData(df, version)
-    // appends don't rewrite, so prior deletes ride along as DV lines
+    val (snap, files, _) = writeData(toPhysDf(df, schemaOut), version)
+    // appends don't rewrite, so prior deletes ride along as DV lines;
+    // retired-name guards ride along too
+    val retiredLines = prev.drop(2).filter(_.startsWith("#retired="))
     val tmp = writeTmpManifest(version, schemaOut,
-      (s"#batchId=$batchId" +: manifestDvLines(prev)) ++ (carried ++ files),
+      (s"#batchId=$batchId" +: (manifestDvLines(prev) ++ retiredLines)) ++
+        (carried ++ files),
       op = "APPEND")
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
@@ -1059,13 +1179,30 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         if (version == 1 || !carry) Seq.empty else manifestFiles(prev)
       val writerLine = if (writerId.isEmpty) Seq.empty else Seq(s"#writer=$writerId")
       val dvLines = if (carry && version > 1) manifestDvLines(prev) else Vector.empty
+      val retiredLines = prev.drop(2).filter(_.startsWith("#retired="))
+      // carrying onto a column-mapped schema: keep the committed
+      // schema (the caller's is the query's plain logical one — using
+      // it would wipe the phys metadata old files need)
+      val schemaOut: StructType =
+        if (version == 1 || !carry) schema
+        else {
+          val table = schemaOf(prev)
+          if (!SnapshotTable.hasMapping(table)) schema
+          else {
+            require(schema.fieldNames.sorted.sameElements(table.fieldNames.sorted),
+              s"append columns ${schema.fieldNames.mkString(",")} != " +
+                s"mapped table ${table.fieldNames.mkString(",")}")
+            table
+          }
+        }
       // a replacing commit is a REWRITING writer: the marker keeps the
       // change feed from misreading its #batchId as an append (the
       // dropped rows' deletes are unrecorded — use diff() across it)
       val replaceLine = if (carry) Seq.empty else Seq(SnapshotTable.ReplaceMarker)
-      val tmp = writeTmpManifest(version, schema,
-        (s"#batchId=$batchId" +: (replaceLine ++ writerLine ++ dvLines)) ++
-          (carried ++ relPaths), op = if (carry) "APPEND" else "OVERWRITE")
+      val tmp = writeTmpManifest(version, schemaOut,
+        (s"#batchId=$batchId" +: (replaceLine ++ writerLine ++ dvLines ++
+          retiredLines)) ++ (carried ++ relPaths),
+        op = if (carry) "APPEND" else "OVERWRITE")
       try { publish(version, tmp); return Some(version) }
       catch { case _: CommitConflictException =>
         attempts += 1
@@ -1099,10 +1236,10 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val lines = manifestLines(vB)
     val schema = org.apache.spark.sql.types.DataType.fromJson(lines(1))
       .asInstanceOf[StructType]
-    val files = addedFiles(vA, vB).map(rel => rootPath.resolve(rel).toString)
+    val files = addedFiles(vA, vB)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    else physRead(schema, files)
   }
 
   /** Row-level diff between two committed versions, keyed on
@@ -1228,7 +1365,9 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * timestamps, epoch days for dates. */
   def readWhere(version: Long, keyCol: String, lo: Long, hi: Long): DataFrame = {
     val lines = manifestLines(version)
+    // stat lines carry commit-era (physical) names — compare logically
     require(lines.drop(2).collectFirst { case ClusterMeta(k) => k }
+      .map(k => SnapshotTable.logicalNameFor(lines, k))
       .contains(keyCol), s"version $version is not clustered on $keyCol")
     val schema = schemaOf(lines)
     val base = scanWithDv(lines, prunedFiles(version, lo, hi))
@@ -1399,7 +1538,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val lines = manifestLines(version)
     require(lines.drop(2).collectFirst {
       case BloomKMeta(k, _) => k
-    }.contains(keyCol), s"version $version has no bloom index on $keyCol")
+    }.map(k => SnapshotTable.logicalNameFor(lines, k))
+      .contains(keyCol), s"version $version has no bloom index on $keyCol")
     scanWithDv(lines, prunedFilesBloom(version, value))
       .filter(col(keyCol) === lit(value))
   }
@@ -1486,7 +1626,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val lines = manifestLines(version)
     require(lines.drop(2).collectFirst {
       case l if l.startsWith("#clusters=") => l.stripPrefix("#clusters=")
-    }.contains(keyCol), s"version $version is not string-clustered on $keyCol")
+    }.map(k => SnapshotTable.logicalNameFor(lines, k))
+      .contains(keyCol), s"version $version is not string-clustered on $keyCol")
     scanWithDv(lines, prunedFilesString(version, lo, hi))
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
@@ -1599,7 +1740,9 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       yLo: Long, yHi: Long): DataFrame = {
     val lines = manifestLines(version)
     val (kx, ky) = lines.drop(2).collectFirst {
-      case ZClusterMeta(x, y) => (x, y)
+      case ZClusterMeta(x, y) =>
+        (SnapshotTable.logicalNameFor(lines, x),
+          SnapshotTable.logicalNameFor(lines, y))
     }.getOrElse(throw new IllegalArgumentException(
       s"version $version is not z-ordered"))
     val schema = schemaOf(lines)
@@ -1631,6 +1774,85 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       deleteRecursively(snap); throw e
     }
     version
+  }
+
+  /** The shared metadata-only schema-change commit behind
+    * [[renameColumn]]/[[dropColumn]]/[[addColumn]]: carries EVERY
+    * data file, DV sidecar and layout stat line of the current
+    * version untouched (per-commit lineage markers excluded, same
+    * rule as [[restore]]) under the NEW schema, plus any newly
+    * retired physical names. One manifest write — O(1) whatever the
+    * table size. */
+  private def commitSchemaChange(newSchema: StructType,
+      newlyRetired: Seq[String], op: String): Long = {
+    val cur = currentVersion
+    require(cur > 0, s"table at $root has no committed version")
+    val lines = manifestLines(cur)
+    require(!lines.drop(2).exists(_.startsWith("#buckets=")),
+      s"$op on a bucketed table requires a rewrite (commitBucketed) at $root")
+    val body = lines.drop(2).filterNot(l =>
+      l.startsWith("#batchId=") || l.startsWith("#writer=") ||
+        l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
+        l.startsWith("#op=") || l == SnapshotTable.CdcTracked) ++
+      newlyRetired.map(n => s"#retired=$n")
+    val version = cur + 1
+    val tmp = writeTmpManifest(version, newSchema, body, op = op)
+    publish(version, tmp)
+    version
+  }
+
+  /** RENAME COLUMN, metadata-only (no data file touched): the field's
+    * PHYSICAL name is pinned to what the files already say and only
+    * the logical name changes — every read path translates through
+    * the mapping, old versions keep their own names under time
+    * travel, and the old name is RETIRED so a future re-add can never
+    * resurrect this column's data. Delta's column-mapping name
+    * mode. */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val schema = schemaOf(manifestLines(currentVersion))
+    require(schema.fieldNames.contains(oldName),
+      s"renameColumn: no column $oldName at $root")
+    require(!schema.fieldNames.contains(newName),
+      s"renameColumn: column $newName already exists at $root")
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == oldName) SnapshotTable.physPinned(f).copy(name = newName)
+      else f))
+    commitSchemaChange(newSchema, Seq(oldName), "RENAME")
+  }
+
+  /** DROP COLUMN, metadata-only: the field leaves the schema (reads
+    * stop projecting it — the bytes stay in the files until a
+    * rewrite), its physical name is retired against resurrection, and
+    * every older version still serves the column under time
+    * travel. */
+  def dropColumn(name: String): Long = {
+    val schema = schemaOf(manifestLines(currentVersion))
+    val field = schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"dropColumn: no column $name at $root"))
+    require(schema.fields.length > 1,
+      s"dropColumn: cannot drop the last column of $root")
+    commitSchemaChange(StructType(schema.fields.filterNot(_.name == name)),
+      Seq(SnapshotTable.physNameOf(field)), "DROP")
+  }
+
+  /** ADD COLUMN, metadata-only (nullable — old files surface NULL for
+    * it, the same by-name resolution as [[appendEvolved]]): a
+    * re-added retired name gets a FRESH physical identity so dropped
+    * data stays dropped. */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Long = {
+    val lines = manifestLines(currentVersion)
+    val schema = schemaOf(lines)
+    require(!schema.fieldNames.contains(name),
+      s"addColumn: column $name already exists at $root")
+    val retired = SnapshotTable.retiredOf(lines)
+    val usedPhys = schema.fields.map(SnapshotTable.physNameOf).toSet
+    val base = StructField(name, dataType, nullable = true)
+    val field =
+      if (!retired.contains(name) && !usedPhys.contains(name)) base
+      else base.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(SnapshotTable.PhysKey,
+          s"${name}_g${UUID.randomUUID().toString.take(8)}").build())
+    commitSchemaChange(StructType(schema.fields :+ field), Seq.empty, "ADDCOL")
   }
 
   /** RESTORE: make `toVersion`'s exact content the CURRENT version by
@@ -1706,11 +1928,14 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * merge/mergeBucketed/applyChanges record their change
     * classification at commit time (computed inside the merge's own
     * full-outer join — no extra table scan) into `#cdc=` manifest
-    * files, compaction records "tracked, zero changes", and appends
-    * derive inserts from the manifest file diff. Read cost is
-    * O(changelog + appended files) — never the table. A version
-    * written by a NON-tracking writer (plain [[commit]]) has no
-    * row-level record and raises; use [[diff]] there. */
+    * files, SQL `MERGE INTO`/`UPDATE`/`DELETE FROM` mint theirs in
+    * [[commitDelta]] (post-images from the staged parts, pre-images
+    * by address lookup over only the touched files), compaction
+    * records "tracked, zero changes", and appends derive inserts from
+    * the manifest file diff. Read cost is O(changelog + appended
+    * files) — never the table. A version written by a NON-tracking
+    * writer (plain [[commit]]) has no row-level record and raises;
+    * use [[diff]] there. */
   def rowChangesBetween(vA: Long, vB: Long): DataFrame = {
     require(vA < vB, s"rowChangesBetween needs vA < vB, got ($vA, $vB)")
     val perVersion = ((vA + 1) to vB).map { v =>
@@ -1946,6 +2171,86 @@ object SnapshotTable {
   private[tables] val DvSchema: StructType = StructType(Seq(
     StructField(DvFileCol, org.apache.spark.sql.types.StringType, nullable = false),
     StructField(DvPosCol, org.apache.spark.sql.types.LongType, nullable = false)))
+
+  // ---- COLUMN MAPPING (rename/drop without data rewrite) -------------
+  //
+  // Delta's "name mode": each schema field may carry a PHYSICAL name
+  // in its metadata (`graft.phys`) — the name the column has inside
+  // parquet data files. Logical renames change only the field name
+  // (phys pinned to what the files already say); drops remove the
+  // field (files untouched — readers simply stop projecting it).
+  // Rewriting writers (commit/merge/applyChanges/compact/cluster)
+  // materialize through read() and write logical names, so their
+  // fresh schema resets the mapping — consistent by construction.
+  // `#retired=<name>` manifest lines record names that may never be
+  // used as a physical name again (the old logical name of a rename,
+  // the phys name of a drop): without the guard, re-adding a dropped
+  // column would RESURRECT the old files' data under the new field.
+
+  private[tables] val PhysKey = "graft.phys"
+
+  /** Physical (on-disk parquet) name of a schema field. */
+  private[tables] def physNameOf(f: StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
+
+  /** Pin a field's current physical name explicitly (before renaming
+    * its logical name). */
+  private[tables] def physPinned(f: StructField): StructField =
+    if (f.metadata.contains(PhysKey)) f
+    else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putString(PhysKey, f.name).build())
+
+  /** True when any field's physical name differs from its logical
+    * name — the only case readers/writers must translate. */
+  private[tables] def hasMapping(schema: StructType): Boolean =
+    schema.fields.exists(f => physNameOf(f) != f.name)
+
+  /** `schema` with every field under its PHYSICAL name (for parquet
+    * file reads/writes). */
+  private[tables] def physSchemaOf(schema: StructType): StructType =
+    StructType(schema.fields.map(f => f.copy(name = physNameOf(f))))
+
+  /** Rename `schema`'s fields through a logical→physical `map`
+    * (fields not in the map keep their name). */
+  private[tables] def physApplied(schema: StructType,
+      map: Map[String, String]): StructType =
+    if (map.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = map.getOrElse(f.name, f.name))))
+
+  /** logical→physical name map of the schema committed at `version`
+    * under `rootPath` (empty when identity — the common case). */
+  private[tables] def physMapAt(rootPath: Path, version: Long): Map[String, String] = {
+    if (version <= 0L) return Map.empty
+    schemaAt(rootPath, version).fields.iterator
+      .filter(f => physNameOf(f) != f.name)
+      .map(f => f.name -> physNameOf(f)).toMap
+  }
+
+  /** CURRENT logical name of a physical name recorded in a stat line
+    * (`#cluster=`/`#buckets=`/bloom keys are written at commit time,
+    * when logical == physical); identity when unmapped. */
+  private[tables] def logicalNameFor(lines: Vector[String], phys: String): String = {
+    val schema = org.apache.spark.sql.types.DataType.fromJson(lines(1))
+      .asInstanceOf[StructType]
+    schema.fields.find(f => physNameOf(f) == phys).map(_.name).getOrElse(phys)
+  }
+
+  private[tables] val RetiredMeta = """#retired=(.+)""".r
+
+  /** Names that may never be used as a PHYSICAL column name again. */
+  private[tables] def retiredOf(lines: Vector[String]): Set[String] =
+    lines.drop(2).collect { case RetiredMeta(n) => n }.toSet
+
+  /** Extra column SQL-DML sidecars carry ([[GraftDeltaWriter]]): was
+    * the tombstone an UPDATE's pre-image address (true) or a
+    * DELETE's (false)? Only [[SnapshotTable.commitDelta]]'s CDC pass
+    * reads it — every scan-side DV reader projects the two address
+    * columns and never sees it. */
+  private[tables] val DvUpdCol: String = "__graft_dv_upd"
+  private[tables] val DvCdcSchema: StructType =
+    DvSchema.add(StructField(DvUpdCol,
+      org.apache.spark.sql.types.BooleanType, nullable = false))
 
   def apply(spark: SparkSession, root: String): SnapshotTable =
     new SnapshotTable(spark, root)

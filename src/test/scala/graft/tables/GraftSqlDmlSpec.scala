@@ -145,6 +145,52 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 2").head.getLong(0) == 90L)
   }
 
+  test("SQL MERGE mints the row-level change feed: per-type rows exact") {
+    val (tbl, t) = seeded(10)
+    val (src, _) = seeded(0)
+    spark.sql(s"INSERT INTO $src VALUES (3, 300.0), (5, -1.0), (11, 11.0), (12, 12.0)")
+    spark.sql(
+      s"""MERGE INTO $tbl AS t USING $src AS s ON t.k = s.k
+         |WHEN MATCHED AND s.v < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+         |""".stripMargin)
+    val cdc = t.rowChangesBetween(1L, 2L)
+      .select(col("k"), col("v"), col(SnapshotTable.ChangeTypeCol))
+      .as[(Long, Double, String)].collect().toSeq.sorted
+    assert(cdc == Seq(
+      (3L, 3.0, "update_preimage"), (3L, 300.0, "update_postimage"),
+      (5L, 5.0, "delete"),
+      (11L, 11.0, "insert"), (12L, 12.0, "insert")).sorted)
+    // the same feed through the DSv2 readChangeFeed surface
+    val viaRead = spark.read.format("graft-table").option("path", t.root)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "2").load()
+      .select(col("k"), col("v"), col(SnapshotTable.ChangeTypeCol))
+      .as[(Long, Double, String)].collect().toSeq.sorted
+    assert(viaRead == cdc)
+  }
+
+  test("SQL UPDATE and subquery DELETE record exact pre-images in the change feed") {
+    val (tbl, t) = seeded(30)
+    spark.sql(s"UPDATE $tbl SET v = v * 10 WHERE k <= 3")
+    val updCdc = t.rowChangesBetween(1L, 2L)
+      .select(col("k"), col("v"), col(SnapshotTable.ChangeTypeCol))
+      .as[(Long, Double, String)].collect().toSeq.sorted
+    assert(updCdc == (1L to 3L).flatMap(k => Seq(
+      (k, k * 1.0, "update_preimage"), (k, k * 10.0, "update_postimage"))).sorted)
+    // subquery DELETE forces the row-level rewrite path — its deletes
+    // must carry full pre-images too (v reflects the prior UPDATE)
+    val (other, _) = seeded(30)
+    spark.sql(s"DELETE FROM $tbl WHERE k IN (SELECT k FROM $other WHERE k <= 2)")
+    val delCdc = t.rowChangesBetween(2L, 3L)
+      .select(col("k"), col("v"), col(SnapshotTable.ChangeTypeCol))
+      .as[(Long, Double, String)].collect().toSeq.sorted
+    assert(delCdc == Seq((1L, 10.0, "delete"), (2L, 20.0, "delete")))
+    // and the feed composes across the whole SQL DML stack
+    assert(t.rowChangesBetween(1L, 3L).count() == 8L)
+  }
+
   test("a MERGE matching nothing does not move the version") {
     val (tbl, t) = seeded(5)
     val (src, _) = seeded(0)

@@ -192,12 +192,45 @@ class GraftTableBatchSpec extends SparkSpec {
       assert(q2.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
       assert(q2.filter(col("extra").isNull).count() == 10000L)
       assert(q2.filter(col("extra") === 7L).count() == 1L)
-      // a delete flips the scan to the row path (DV skipping) — plan
-      // changes, results stay exact
+      // a delete KEEPS the scan columnar (r12): tombstone-free batches
+      // pass through zero-copy, tombstoned ones compact — results exact
       t.delete(col("k") % 2 === 0)
       val q3 = load(t)
-      assert(!q3.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      assert(q3.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "DV-carrying scan fell off the columnar path")
       assert(q3.count() == 5001L)
+      assert(q3.agg(sum("v")).head.getDouble(0) ==
+        ((1L to 10000L).filter(_ % 2 == 1).map(_ * 0.5).sum + 0.5))
+      // every surviving row's own values intact after compaction
+      assert(q3.filter(col("s") === "s123").count() == 1L)
+      assert(q3.filter(col("s") === "s124").count() == 0L)
+      // stacked second delete composes (two sidecar generations)
+      t.delete(col("k") <= 101L)
+      val q4 = load(t)
+      assert(q4.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      assert(q4.count() == 4950L)
+      assert(q4.agg(min("k")).head.getLong(0) == 103L)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("columnar DV compaction is exact under dense, sparse and full-batch deletes") {
+    val t = freshTable("dv_columnar")
+    try {
+      // one file, 20k rows → ~5 vectorized batches of 4096
+      t.commit((0L until 20000L).map(k => (k, k * 1.0, s"v$k")).toDF("k", "v", "s"))
+      // delete ALL of batch 2 (positions 8192..12287), a sparse comb
+      // over batch 0, and nothing in batches 1/3/4 (pass-through)
+      t.delete((col("k") >= 8192L && col("k") < 12288L) ||
+        (col("k") < 4096L && col("k") % 137 === 0))
+      val q = load(t)
+      assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      val survivors = (0L until 20000L).filterNot(k =>
+        (k >= 8192L && k < 12288L) || (k < 4096L && k % 137 == 0))
+      assert(q.count() == survivors.length)
+      assert(q.agg(sum("k")).head.getLong(0) == survivors.sum)
+      // string cells survive compaction intact
+      assert(q.filter(col("s") === "v137").count() == 0L)
+      assert(q.filter(col("s") === "v138").count() == 1L)
     } finally SnapshotTable.drop(t)
   }
 
