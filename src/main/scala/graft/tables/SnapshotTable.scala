@@ -778,17 +778,21 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val changed = dataCols
       .map(c => !(col(s"t.$c") <=> col(s"s.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    def side(which: String) =
-      col(s"$which.$keyCol").as(keyCol) +: dataCols.map(c => col(s"$which.$c").as(c))
-    val inserts = joined.filter(col("t.__t").isNull)
-      .select(side("s") :+ lit("insert").as(SnapshotTable.ChangeTypeCol): _*)
-    val matchedChanged = joined
-      .filter(col("t.__t").isNotNull && col("s.__s").isNotNull && changed)
-    val updPre = matchedChanged
-      .select(side("t") :+ lit("update_preimage").as(SnapshotTable.ChangeTypeCol): _*)
-    val updPost = matchedChanged
-      .select(side("s") :+ lit("update_postimage").as(SnapshotTable.ChangeTypeCol): _*)
-    (merged, inserts.unionAll(updPre).unionAll(updPost))
+    def side(which: String, typ: String) = struct(
+      col(s"$which.$keyCol").as(keyCol) +: dataCols.map(c => col(s"$which.$c").as(c)) :+
+        lit(typ).as(SnapshotTable.ChangeTypeCol): _*)
+    // ONE pass over the join: each row explodes into its 0-2 CDC rows.
+    // A per-type union would re-execute the full-outer join once per
+    // branch — on a merge that is 3 extra joins for nothing.
+    val isInsert = col("t.__t").isNull
+    val isUpd = col("t.__t").isNotNull && col("s.__s").isNotNull && changed
+    val cdc = joined.select(explode(filter(array(
+        when(isInsert, side("s", "insert")),
+        when(isUpd, side("t", "update_preimage")),
+        when(isUpd, side("s", "update_postimage"))),
+      r => r.isNotNull)).as("__r"))
+      .select(col("__r.*"))
+    (merged, cdc)
   }
 
   /** SCD1 MERGE committed as v+1 (full-snapshot rewrite — see
