@@ -346,6 +346,59 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** RETRACTION-based incremental view maintenance (IVM through
+    * DELETES and UPDATES): the incremental view registers a
+    * `partialDelta` that folds the SIGNED row-level change feed —
+    * delete/update_preimage rows subtract from the keyed count/sum
+    * state, insert/update_postimage rows add — so a refresh across a
+    * DV DELETE and a DV UPDATE costs O(state + changelog), never the
+    * table (the in-query requires assert BOTH the mode and that no
+    * base data file was read). The gated output is the refreshed
+    * VIEW's own materialization, so the DuckDB hash checks the IVM
+    * arithmetic itself, not a recompute. */
+  private def mvIncDml(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val t = SnapshotTable.temp(s, "graft_q_mv_inc_dml_")
+    val basePath = s"${sys.props("java.io.tmpdir")}/graft_mv_inc_dml_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val b = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"), col("o_totalprice").as("v"))
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast(DecimalType(18, 2)).cast(DecimalType(38, 2))
+    try {
+      t.commit(b)
+      val sign = when(col(SnapshotTable.ChangeTypeCol)
+        .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+      val fp = graft.plans.MaterializedViews.registerIncremental(t, basePath)(
+        query = df => df.groupBy("pri")
+          .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total")),
+        partial = df => df.groupBy("pri")
+          .agg(count(lit(1)).as("n"), sum(dec(col("v"))).as("dec")),
+        combine = df => df.groupBy("pri").agg(sum(col("n")).as("n"),
+          sum(col("dec")).cast(DecimalType(38, 2)).as("dec")),
+        finalize = df => df.filter(col("n") > 0).select(col("pri"), col("n"),
+          col("dec").cast("double").as("total")),
+        partialDelta = Some(cdc => cdc.groupBy("pri")
+          .agg(sum(sign).as("n"), sum(sign * dec(col("v"))).as("dec"))))
+      t.delete(col("k") % 7 === 0)
+      t.update(col("k") % 11 === 0 && col("k") % 7 =!= 0,
+        Map("v" -> (col("v") + 100.0)))
+      val res = graft.plans.MaterializedViews.refresh(fp)
+        .getOrElse(throw new IllegalStateException("not an incremental view"))
+      require(res.mode == "incremental-cdc",
+        s"DML refresh must fold the signed change feed, was ${res.mode}")
+      require(!res.inputFiles.exists(f => f.contains("/data/v1-")),
+        s"IVM refresh read a base data file: ${res.inputFiles.mkString(",")}")
+      // the gated rows are the refreshed VIEW's own materialization
+      val viewPath = graft.plans.MaterializedViews
+        .materializationPath(res.fingerprint)
+        .getOrElse(throw new IllegalStateException("refreshed view not registered"))
+      val out = s.read.parquet(viewPath).orderBy("pri").localCheckpoint(true)
+      graft.plans.MaterializedViews.deregister(res.fingerprint)
+      out
+    } finally SnapshotTable.drop(t)
+  }
+
   /** Table→table streaming pipeline through the gate: source table =
     * commit(evens) + append(odds); a Structured Streaming query reads
     * its commit log (`graft-table` source), transforms, and lands in
@@ -904,6 +957,7 @@ object TableOps extends QueryPack {
     "q_table_lifecycle"  -> tableLifecycle,
     "q_table_bloom"      -> tableBloom,
     "q_mv_incremental"   -> mvIncremental,
+    "q_mv_inc_dml"       -> mvIncDml,
     "q_table_stream"     -> tableStream,
     "q_table_stream_sink" -> tableStreamSink,
     "q_table_delete_dv"  -> tableDeleteDv,
@@ -1073,6 +1127,14 @@ object TableOps extends QueryPack {
       s"""SELECT o_orderpriority AS pri, COUNT(*) AS n,
          |       ${Det.dsumSql("o_totalprice", 2)} AS total
          |FROM orders GROUP BY pri ORDER BY pri""".stripMargin,
+    "q_mv_inc_dml" ->
+      s"""WITH x AS (
+         |  SELECT o_orderpriority AS pri,
+         |         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 100.0
+         |              ELSE o_totalprice END AS v
+         |  FROM orders WHERE o_orderkey % 7 <> 0)
+         |SELECT pri, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total
+         |FROM x GROUP BY pri ORDER BY pri""".stripMargin,
     "q_table_stream" ->
       s"""SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
          |       ${Det.dsumSql("o_totalprice", 2)} AS total

@@ -90,6 +90,11 @@ object MaterializedViews {
   private[plans] def lookup(fingerprint: String): Option[String] =
     Option(registry.get(fingerprint)).map(_.path)
 
+  /** The registered materialization's path — for callers that gate
+    * the VIEW's own content (IVM arithmetic) rather than a recompute. */
+  def materializationPath(fingerprint: String): Option[String] =
+    lookup(fingerprint)
+
   // ---- containment index -------------------------------------------------
 
   /** A registered Aggregate view's matchable anatomy, all in the
@@ -311,7 +316,8 @@ object MaterializedViews {
     query: DataFrame => DataFrame,
     partial: DataFrame => DataFrame,
     combine: DataFrame => DataFrame,
-    finalizeFn: DataFrame => DataFrame)
+    finalizeFn: DataFrame => DataFrame,
+    partialDelta: Option[DataFrame => DataFrame] = None)
 
   private val incremental = new ConcurrentHashMap[String, IncEntry]()
 
@@ -337,7 +343,8 @@ object MaterializedViews {
       query: DataFrame => DataFrame,
       partial: DataFrame => DataFrame,
       combine: DataFrame => DataFrame,
-      finalize: DataFrame => DataFrame): String = {
+      finalize: DataFrame => DataFrame,
+      partialDelta: Option[DataFrame => DataFrame] = None): String = {
     val version = table.currentVersion
     val statePath = s"$basePath-state-${java.util.UUID.randomUUID()}"
     val viewPath = s"$basePath-${java.util.UUID.randomUUID()}"
@@ -349,7 +356,7 @@ object MaterializedViews {
     Option(registry.put(fp, Entry(viewPath)))
       .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
     Option(incremental.put(fp, IncEntry(table, version, statePath, basePath,
-      query, partial, combine, finalize)))
+      query, partial, combine, finalize, partialDelta)))
       .foreach(o => superseded.add((o.statePath, System.currentTimeMillis())))
     withRewriteDisabled { indexShape(fp, query(table.read(version))) }
     fp
@@ -357,11 +364,15 @@ object MaterializedViews {
 
   /** Bring an incremental view up to its table's current version.
     * Append-only ranges fold the change feed into the partial state
-    * (O(state + Δ)); rewriting commits in the range (merge, CDC,
-    * compact) fall back to a full recompute — correct either way,
-    * and the mode is reported so callers can alert on silent
-    * de-incrementalization. Returns None if the fingerprint is not
-    * an incremental view. */
+    * (O(state + Δ)). When the view registered a `partialDelta` and
+    * every commit in the range records row-level changes (merge,
+    * applyChanges, DV delete/update, SQL DML, compaction), the
+    * SIGNED feed folds instead — retraction-based IVM, still
+    * O(state + Δ) through deletes and updates. Anything else falls
+    * back to a full recompute — correct either way, and the mode is
+    * reported ("incremental" / "incremental-cdc" / "full") so callers
+    * can alert on silent de-incrementalization. Returns None if the
+    * fingerprint is not an incremental view. */
   def refresh(fp: String): Option[RefreshResult] = {
     val e = Option(incremental.get(fp)).getOrElse(return None)
     val t = e.table
@@ -376,6 +387,18 @@ object MaterializedViews {
         val delta = t.changesBetween(e.version, newVersion)
         (e.combine(t.spark.read.parquet(e.statePath).unionAll(e.partial(delta))),
           "incremental")
+      } else if (e.partialDelta.isDefined && t.isRowTracked(e.version, newVersion)) {
+        // RETRACTION-based IVM: every commit in the range records its
+        // exact row changes, so the SIGNED change feed folds into the
+        // state — deletes/update pre-images subtract, inserts/update
+        // post-images add. O(state + changelog), never the table,
+        // straight through DELETE/UPDATE/MERGE (instance or SQL DML).
+        // Caller contract: partialDelta(cdcRows) emits partials whose
+        // combine-fold retracts (count/sum-style), and finalize drops
+        // zero-count groups.
+        val delta = t.rowChangesBetween(e.version, newVersion)
+        (e.combine(t.spark.read.parquet(e.statePath)
+          .unionAll(e.partialDelta.get(delta))), "incremental-cdc")
       } else (e.combine(e.partial(t.read(newVersion))), "full")
     val inputs = withRewriteDisabled { newStateDf.inputFiles.toSeq }
     val newFp = withRewriteDisabled {

@@ -1153,6 +1153,17 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     ((vA + 1) to vB).forall(v =>
       SnapshotTable.isAppendCommitOf(manifestLines(v)))
 
+  /** True iff [[rowChangesBetween]] can serve (vA, vB] exactly: every
+    * commit either records its row-level changes (merge/applyChanges/
+    * delete/update/SQL DML/compact) or is an append (inserts derived
+    * from the file diff). The precondition for RETRACTION-based
+    * incremental view maintenance. Metadata-only check. */
+  def isRowTracked(vA: Long, vB: Long): Boolean =
+    ((vA + 1) to vB).forall { v =>
+      val lines = manifestLines(v)
+      cdcTracked(lines) || SnapshotTable.isAppendCommitOf(lines)
+    }
+
   /** Manifest-level twin of [[appendOnce]] for writers whose DATA is
     * already on disk (the streaming sink's executors wrote their part
     * files directly): append `relPaths` to the current version's file

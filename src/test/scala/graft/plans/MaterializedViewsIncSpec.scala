@@ -86,4 +86,67 @@ class MaterializedViewsIncSpec extends SparkSpec {
       assert(served.collect().toSeq == expected)
     } finally SnapshotTable.drop(t)
   }
+
+  private def finDropEmpty(df: DataFrame): DataFrame =
+    df.filter(col("n") > 0).select(col("g"), col("n"),
+      col("dec").cast("double").as("total"))
+
+  private val partialDelta: DataFrame => DataFrame = { cdc =>
+    val sign = when(col(SnapshotTable.ChangeTypeCol)
+      .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+    cdc.groupBy("g").agg(sum(sign).as("n"),
+      sum(sign * col("v").cast(DecimalType(18, 2)).cast(DecimalType(38, 2)))
+        .cast(DecimalType(38, 2)).as("dec"))
+  }
+
+  test("retraction IVM: deletes and updates fold the signed change feed, O(state+changelog)") {
+    val t = SnapshotTable.temp(spark, "graft_mvinc_cdc_")
+    val base = java.nio.file.Files.createTempDirectory("graft_mvinc_cdc_").toString + "/mv"
+    try {
+      val rows = (0L until 1000L).map(k => (k, k % 7, k * 1.5)).toDF("k", "g", "v")
+      t.commit(rows)
+      val fp = MaterializedViews.registerIncremental(t, base)(
+        q, partial, combine, finDropEmpty, Some(partialDelta))
+      // a DV DELETE that fully empties group g=6, plus a DV UPDATE
+      t.delete($"g" === 6L || $"k" === 10L)
+      t.update($"k" === 3L, Map("v" -> lit(12345.0)))
+      val res = MaterializedViews.refresh(fp).get
+      assert(res.mode == "incremental-cdc", res.toString)
+      // delta-scaled: inputs are the persisted state + changelog files
+      // only — never a v1 base data file
+      assert(res.inputFiles.nonEmpty)
+      assert(res.inputFiles.forall(f =>
+        f.contains("-state-") || f.contains("-cdc-")),
+        s"IVM refresh inputs not state+changelog: ${res.inputFiles}")
+      // the refreshed MV answers the user's fresh aggregate exactly,
+      // and the fully-retracted group is GONE (not a zero-count row)
+      val served = q(t.read()).orderBy("g")
+      assert(served.queryExecution.executedPlan.toString.contains("graft_mvinc_"))
+      val expected = {
+        MaterializedViews.deregister(res.fingerprint)
+        q(t.read()).orderBy("g").collect().toSeq
+      }
+      assert(served.collect().toSeq == expected)
+      assert(!expected.exists(_.getLong(0) == 6L))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("a DML range WITHOUT a registered partialDelta still falls back to full, exact") {
+    val t = SnapshotTable.temp(spark, "graft_mvinc_nodelta_")
+    val base = java.nio.file.Files.createTempDirectory("graft_mvinc_nd_").toString + "/mv"
+    try {
+      val rows = (0L until 300L).map(k => (k, k % 3, k * 1.0)).toDF("k", "g", "v")
+      t.commit(rows)
+      val fp = register(t, base) // no partialDelta
+      t.delete($"k" % 10 === 0)
+      val res = MaterializedViews.refresh(fp).get
+      assert(res.mode == "full", res.toString)
+      val served = q(t.read()).orderBy("g")
+      val expected = {
+        MaterializedViews.deregister(res.fingerprint)
+        q(t.read()).orderBy("g").collect().toSeq
+      }
+      assert(served.collect().toSeq == expected)
+    } finally SnapshotTable.drop(t)
+  }
 }
