@@ -450,7 +450,9 @@ class GraftTableScanBuilder(options: Map[String, String], tableSchema: StructTyp
   // opened (the metaAgg fast path, reachable from plain SQL). Only
   // COMPLETE pushdown is offered, and only when the stats are
   // trustworthy: a clustered commit, per-file row counts present, no
-  // deletion vectors, no residual filters, no grouping. Anything else
+  // residual filters, no grouping. Deletion vectors keep COUNT(*)
+  // answerable (live = #rows − #dvrows, both metadata) but refuse
+  // MIN/MAX — a tombstone may have held the extreme. Anything else
   // refuses and Spark runs the ordinary aggregate over the scan. The
   // encoded stats domain (value / epoch micros / epoch days) IS
   // Catalyst's internal representation for every supported key type,
@@ -470,9 +472,19 @@ class GraftTableScanBuilder(options: Map[String, String], tableSchema: StructTyp
       .map(k => SnapshotTable.logicalNameFor(lines, k))
       .filter(k => tableSchema.fieldNames.contains(k))
       .getOrElse(return None)
-    if (meta.exists(_.startsWith("#dv="))) return None
+    // deletion vectors: COUNT(*) stays metadata-only (every DV commit
+    // records per-file #dvrows — live = rows − dvrows); MIN/MAX must
+    // refuse (a tombstone may have held the extreme). A DV'd manifest
+    // without complete counts refuses everything.
+    val hasDv = meta.exists(_.startsWith("#dv="))
+    val dvRows = SnapshotTable.dvRowsOf(lines)
+    if (hasDv && dvRows.isEmpty) return None
+    if (hasDv && agg.aggregateExpressions().exists {
+        case _: CountStar => false; case _ => true
+      }) return None
     val rows: Map[String, Long] = meta.collect {
-      case SnapshotTable.RowsMeta(rel, n) => rel -> n.toLong
+      case SnapshotTable.RowsMeta(rel, n) =>
+        rel -> (n.toLong - dvRows.getOrElse(SnapshotTable.dvAddrOf(rel), 0L))
     }.toMap
     val files = SnapshotTable.manifestFilesOf(lines)
     if (!files.forall(rows.contains)) return None
@@ -622,12 +634,17 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
       try java.nio.file.Files.size(rootPath.resolve(rel))
       catch { case _: java.io.IOException => 0L }
     }.sum
-    val rowCounts: Map[String, Long] = lines.drop(2).collect {
-      case SnapshotTable.RowsMeta(rel, n) => rel -> n.toLong
-    }.toMap
+    // live counts: committed #rows minus recorded per-file tombstones
+    // (#dvrows) — a DV'd manifest missing its counts reports no rows
+    val dvRows = SnapshotTable.dvRowsOf(lines)
     val hasDv = lines.drop(2).exists(_.startsWith("#dv="))
+    val rowCounts: Map[String, Long] = lines.drop(2).collect {
+      case SnapshotTable.RowsMeta(rel, n) =>
+        rel -> (n.toLong - dvRows.getOrElse(SnapshotTable.dvAddrOf(rel), 0L))
+    }.toMap
     val rows: OptionalLong =
-      if (changeFeed || hasDv || !kept.forall(rowCounts.contains)) OptionalLong.empty()
+      if (changeFeed || (hasDv && dvRows.isEmpty) ||
+        !kept.forall(rowCounts.contains)) OptionalLong.empty()
       else OptionalLong.of(kept.map(rowCounts).sum)
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)

@@ -276,8 +276,16 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val rowsByAddr: Map[String, Long] = lines.drop(2).collect {
       case RowsMeta(rel, n) => dvAddressOf(rel) -> n.toLong
     }.toMap
-    if (manifestDvFiles(lines).isEmpty && touchedAddrs.forall(rowsByAddr.contains))
-      rowsByAddr.filter { case (a, _) => touchedAddrs(a) }
+    // prior tombstones subtract from the committed counts — every
+    // DV-minting writer records its per-file #dvrows, so a manifest
+    // with DVs but NO counts (a stats-dropping writer intervened) is
+    // the only case that still pays the scan
+    val dvRows = SnapshotTable.dvRowsOf(lines)
+    val countsTrusted = manifestDvFiles(lines).isEmpty || dvRows.nonEmpty
+    if (countsTrusted && touchedAddrs.forall(rowsByAddr.contains))
+      rowsByAddr.collect { case (a, n) if touchedAddrs(a) =>
+        a -> (n - dvRows.getOrElse(a, 0L))
+      }
     else {
       val touchedFiles = files.filter(rel => touchedAddrs(dvAddressOf(rel)))
       scanAddressed(lines, touchedFiles).groupBy("__graft_dv_f").count()
@@ -325,20 +333,25 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         d == 0L || d < totalPerFile.getOrElse(a, Long.MaxValue)
       }
       val keptSet = keptFiles.toSet
+      val keptAddrs = keptFiles.map(dvAddressOf).toSet
       // pre-image change feed: the deleted rows, op=delete
       val cdcRows = doomed.select(
         schema.fieldNames.map(col).toSeq :+
           lit("delete").as(SnapshotTable.ChangeTypeCol): _*)
       val (cdcSnap, cdcLines) = writeCdcData(cdcRows, version)
-      // carry layout meta + prior DV lines; drop per-commit meta and
-      // stat lines of dead files
+      // carry layout meta + prior DV lines; drop stat lines of dead
+      // files. #rows SURVIVES tombstones: the paired #dvrows count
+      // (merged across stacked deletes) keeps `live = rows - dvrows`
+      // answerable from metadata alone
+      val mergedDvRows = (SnapshotTable.dvRowsOf(lines).toSeq ++ doomedPerFile.toSeq)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        .filter { case (a, _) => keptAddrs(a) }
       val carriedMeta = lines.drop(2).filter(_.startsWith("#")).filter {
         case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
           l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
           l.startsWith("#op=") || l == SnapshotTable.CdcTracked => false
-        // row counts die with the first tombstone — [[metaAgg]] must
-        // never sum counts the DVs have falsified
-        case RowsMeta(_, _) => false
+        case SnapshotTable.DvRowsMeta(_, _) => false // regenerated merged
+        case RowsMeta(rel, _) => keptSet(rel)
         case RangeMeta(rel, _, _) => keptSet(rel)
         case Range2Meta(rel, _, _, _, _) => keptSet(rel)
         case RangeSMeta(rel, _, _, _) => keptSet(rel)
@@ -346,7 +359,9 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         case _ => true
       }
       val tmp = writeTmpManifest(version, schema,
-        (SnapshotTable.CdcTracked +: (carriedMeta ++ cdcLines ++ newDvLines)) ++ keptFiles,
+        (SnapshotTable.CdcTracked +: (carriedMeta ++
+          SnapshotTable.dvRowsLines(mergedDvRows) ++ cdcLines ++ newDvLines)) ++
+          keptFiles,
         op = "DELETE")
       try publish(version, tmp)
       catch { case e: CommitConflictException =>
@@ -424,11 +439,19 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         .unionAll(post.withColumn(SnapshotTable.ChangeTypeCol,
           lit("update_postimage")))
       val (cdcSnap, cdcLines) = writeCdcData(cdcRows, version)
+      val keptAddrs = keptFiles.map(dvAddressOf).toSet
+      val mergedDvRows = (SnapshotTable.dvRowsOf(lines).toSeq ++ matchedPerFile.toSeq)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        .filter { case (a, _) => keptAddrs(a) }
       val carriedMeta = lines.drop(2).filter(_.startsWith("#")).filter {
         case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
           l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
           l.startsWith("#op=") || l == SnapshotTable.CdcTracked => false
-        case RowsMeta(_, _) => false // falsified by the tombstones
+        case SnapshotTable.DvRowsMeta(_, _) => false // regenerated merged
+        // #rows survives (paired with #dvrows); the appended
+        // post-image files simply have no count, which keeps every
+        // completeness-gated consumer refusing exactly as before
+        case RowsMeta(rel, _) => keptSet(rel)
         // post-image files are not bucket-addressed, so a carried
         // bucket spec would lie to the next mergeBucketed — drop it
         // (the merge then refuses loudly instead of mis-routing)
@@ -440,7 +463,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         case _ => true
       }
       val tmp = writeTmpManifest(version, schema,
-        (SnapshotTable.CdcTracked +: (carriedMeta ++ cdcLines ++ newDvLines)) ++
+        (SnapshotTable.CdcTracked +: (carriedMeta ++
+          SnapshotTable.dvRowsLines(mergedDvRows) ++ cdcLines ++ newDvLines)) ++
           (keptFiles ++ newFiles), op = "UPDATE")
       try publish(version, tmp)
       catch { case e: CommitConflictException =>
@@ -622,20 +646,49 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val dataRels = insRels ++ updRels
     val version = cur + 1
     val schema = schemaOf(lines)
+    // per-file tombstone counts from the freshly staged sidecars (one
+    // tiny driver job), merged with carried counts — keeps COUNT(*)
+    // metadata-only and drives the dead-file check below
+    val newPerFile: Map[String, Long] =
+      if (dvRels.isEmpty) Map.empty
+      else spark.read.schema(SnapshotTable.DvSchema)
+        .parquet(dvRels.map(rel => rootPath.resolve(rel).toString): _*)
+        .groupBy(SnapshotTable.DvFileCol).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mergedDvRows = (SnapshotTable.dvRowsOf(lines).toSeq ++ newPerFile.toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // metadata dead-file detection, same rule as delete(): a file
+    // whose known #rows are all tombstoned leaves the manifest (its
+    // DV entries go inert — the address no longer resolves)
+    val rowsByAddr: Map[String, Long] = lines.drop(2).collect {
+      case RowsMeta(rel, n) => dvAddressOf(rel) -> n.toLong
+    }.toMap
+    val deadAddrs: Set[String] = mergedDvRows.collect {
+      case (a, d) if rowsByAddr.get(a).exists(d >= _) => a
+    }.toSet
+    val keptRels = manifestFiles(lines).filterNot(rel => deadAddrs(dvAddressOf(rel)))
+    val keptSet = keptRels.toSet
+    val keptDvRows = mergedDvRows.filter { case (a, _) => !deadAddrs(a) }
     val carriedMeta = lines.drop(2).filter(_.startsWith("#")).filter {
       case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
         l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
         l.startsWith("#op=") || l == SnapshotTable.CdcTracked => false
-      case RowsMeta(_, _) => dvRels.isEmpty
+      case SnapshotTable.DvRowsMeta(_, _) => false // regenerated merged
+      case RowsMeta(rel, _) => keptSet(rel)
       case BucketMeta(_, _) => dataRels.isEmpty
+      case RangeMeta(rel, _, _) => keptSet(rel)
+      case Range2Meta(rel, _, _, _, _) => keptSet(rel)
+      case RangeSMeta(rel, _, _, _) => keptSet(rel)
+      case BloomFMeta(rel, _) => keptSet(rel)
       case _ => true
     }
     val (cdcSnap, cdcLines) = writeCdcData(deltaCdc(baseLines, dvRels,
       insRels, updRels, schema), version)
     val newDvLines = dvRels.map(r => s"#dv=$r").sorted
     val tmp = writeTmpManifest(version, schema,
-      (SnapshotTable.CdcTracked +: cdcLines) ++ carriedMeta ++ newDvLines ++
-        (manifestFiles(lines) ++ dataRels).sorted,
+      (SnapshotTable.CdcTracked +: cdcLines) ++ carriedMeta ++
+        SnapshotTable.dvRowsLines(keptDvRows) ++ newDvLines ++
+        (keptRels ++ dataRels).sorted,
       op = op)
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
@@ -2253,6 +2306,29 @@ object SnapshotTable {
 
   private[tables] val RetiredMeta = """#retired=(.+)""".r
 
+  /** Per-file TOMBSTONE COUNT (`#dvrows=<address>|<n>`, address in
+    * the [[dvAddressOf]] domain): written by every DV-minting commit
+    * and summed across stacked deletes, so `live rows of a file =
+    * its #rows − its #dvrows` stays answerable from METADATA — the
+    * COUNT(*) pushdown and the dead-file check survive deletion
+    * vectors without opening a data file. Tombstones always target
+    * LIVE rows (each delete scans with prior DVs applied), so counts
+    * from different commits are disjoint and summable. */
+  private[tables] val DvRowsMeta = """#dvrows=(.+)\|(\d+)""".r
+
+  /** Static twin of the instance `dvAddressOf` (same contract), for
+    * driver-side consumers without a table handle. */
+  private[tables] def dvAddrOf(rel: String): String =
+    rel.split('/').takeRight(2).mkString("/")
+
+  private[tables] def dvRowsOf(lines: Vector[String]): Map[String, Long] =
+    lines.drop(2).collect { case DvRowsMeta(addr, n) => addr -> n.toLong }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+
+  private[tables] def dvRowsLines(merged: Map[String, Long]): Vector[String] =
+    merged.collect { case (addr, n) if n > 0 => s"#dvrows=$addr|$n" }
+      .toVector.sorted
+
   /** Names that may never be used as a PHYSICAL column name again. */
   private[tables] def retiredOf(lines: Vector[String]): Set[String] =
     lines.drop(2).collect { case RetiredMeta(n) => n }.toSet
@@ -2305,7 +2381,7 @@ object SnapshotTable {
     !l.startsWith("#") ||
       l.startsWith("#rows=") || l.startsWith("#range=") ||
       l.startsWith("#range2=") || l.startsWith("#ranges=") ||
-      l.startsWith("#bloomf=")
+      l.startsWith("#bloomf=") || l.startsWith("#dvrows=")
 
   /** Content-defined chunking: a boundary lands after any line whose
     * hash has its low bits clear, so insertions and removals only

@@ -191,6 +191,27 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(t.rowChangesBetween(1L, 3L).count() == 8L)
   }
 
+  test("SQL DELETE drops fully-tombstoned files from the manifest (metadata dead-file check)") {
+    val t = new SnapshotTable(spark, catRoot.resolve("deadfile").toString)
+    t.commitClustered((1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 4)
+    val v1Files = SnapshotTable.manifestFilesOf(
+      SnapshotTable.manifestLinesAt(catRoot.resolve("deadfile"), 1L))
+    assert(v1Files.length == 4)
+    val (other, _) = seeded(60)
+    // subquery forces the row-level delta path; keys 1..60 fully
+    // cover at least the first range-clustered file, whose known
+    // #rows all tombstone — the commit drops it without any scan
+    spark.sql(s"DELETE FROM $catName.deadfile WHERE k IN (SELECT k FROM $other)")
+    assert(spark.sql(s"SELECT count(*) FROM $catName.deadfile").head.getLong(0) == 40L)
+    val v2Lines = SnapshotTable.manifestLinesAt(catRoot.resolve("deadfile"),
+      t.currentVersion)
+    assert(SnapshotTable.manifestFilesOf(v2Lines).length < 4,
+      "fully-tombstoned file still listed after SQL DELETE")
+    // the surviving files' tombstone counts are recorded, so COUNT(*)
+    // stays metadata-answerable under the DVs
+    assert(v2Lines.exists(_.startsWith("#dvrows=")))
+  }
+
   test("a MERGE matching nothing does not move the version") {
     val (tbl, t) = seeded(5)
     val (src, _) = seeded(0)

@@ -524,10 +524,20 @@ class GraftTableBatchSpec extends SparkSpec {
     val t = freshTable("agg_refuse")
     try {
       t.commitClustered((1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 4)
-      t.delete(col("k") === 50L) // DVs falsify counts → no pushdown
+      t.delete(col("k") === 50L) // DVs: min/max refuse (50 could be the extreme)
       val q1 = load(t).agg(count(lit(1)), min("k"), max("k"))
       assert(!q1.queryExecution.executedPlan.toString.contains("PushedAggregates"))
       assert(q1.head.getLong(0) == 99L)
+      // ...but COUNT(*) alone stays metadata-only under DVs:
+      // live = #rows − #dvrows, proved destructively like the
+      // DV-free case (stacked deletes merge their counts first)
+      t.delete(col("k") <= 10L)
+      val qc = load(t).agg(count(lit(1)))
+      assert(qc.queryExecution.executedPlan.toString
+        .contains("PushedAggregates (metadata-only)"),
+        qc.queryExecution.executedPlan.toString.take(800))
+      SnapshotTable.deleteRecursively(java.nio.file.Paths.get(t.root).resolve("data"))
+      assert(qc.head.getLong(0) == 89L)
       // a residual filter → no pushdown, exact answer
       val t2 = freshTable("agg_refuse2")
       try {
