@@ -1477,6 +1477,27 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     (files.map(rows).sum, lo, hi)
   }
 
+  /** Metadata-only COUNT(*) that, unlike [[metaAgg]], SURVIVES
+    * deletion vectors: live = Σ`#rows` − Σ`#dvrows`, both manifest
+    * lines (every DV-minting commit records its per-file tombstone
+    * counts). Zero data files opened. Preconditions checked loudly:
+    * every file carries a `#rows` count, and a DV'd manifest must
+    * carry its tombstone counts (a stats-dropping writer in between
+    * forfeits the fast path). */
+  def metaCount(version: Long): Long = {
+    val lines = manifestLines(version)
+    val dvRows = SnapshotTable.dvRowsOf(lines)
+    require(manifestDvFiles(lines).isEmpty || dvRows.nonEmpty,
+      s"metaCount: deletion vectors without #dvrows counts at $root v$version")
+    val rows: Map[String, Long] = lines.drop(2).collect {
+      case RowsMeta(rel, n) => rel -> n.toLong
+    }.toMap
+    val files = manifestFiles(lines)
+    files.foreach(rel => require(rows.contains(rel),
+      s"metaCount: file $rel has no #rows stat at $root v$version"))
+    files.map(rel => rows(rel) - dvRows.getOrElse(dvAddressOf(rel), 0L)).sum
+  }
+
   // ---- per-file Bloom filters: point-lookup file skipping ---------------
 
   /** Canonical key bytes shared by the bloom BUILD (executor SQL

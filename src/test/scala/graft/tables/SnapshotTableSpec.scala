@@ -1125,4 +1125,22 @@ class SnapshotTableSpec extends SparkSpec {
       intercept[Exception] { t.read(v1).count() }
     } finally SnapshotTable.drop(t)
   }
+
+  test("metaCount survives deletion vectors: live = #rows − #dvrows, zero data IO") {
+    val t = freshTable("metacount_dv")
+    try {
+      t.commitClustered((1L to 200L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 4)
+      // stacked deletes: counts must MERGE across commits
+      t.delete($"k" % 10 === 0) // 20 tombstones
+      val v3 = t.delete($"k" <= 7L) // 7 more (1..7, none %10)
+      assert(t.metaCount(v3) == 173L)
+      // pre-delete versions still answer their own counts
+      assert(t.metaCount(1L) == 200L)
+      // zero-IO proof: data files (and DV sidecars) gone, still answers
+      SnapshotTable.deleteRecursively(Paths.get(t.root, "data"))
+      assert(t.metaCount(v3) == 173L)
+      // metaAgg (min/max semantics) still refuses under DVs, loudly
+      intercept[IllegalArgumentException] { t.metaAgg(v3) }
+    } finally SnapshotTable.drop(t)
+  }
 }
