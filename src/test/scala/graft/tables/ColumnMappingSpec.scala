@@ -114,6 +114,42 @@ class ColumnMappingSpec extends SparkSpec {
     }
   }
 
+  test("appendEvolved after a rename: mapping survives, the added column composes") {
+    val t = freshTable("evolve_after_rename")
+    try {
+      t.commit(kv(1L -> 1.0, 2L -> 2.0))
+      t.renameColumn("v", "price")
+      assert(t.appendEvolved(Seq((3L, 3.0, 7L)).toDF("k", "price", "flag"), 0L).isDefined)
+      val got = t.read().select("k", "price", "flag")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+      assert(got == Seq(Seq(1L, 1.0, null), Seq(2L, 2.0, null), Seq(3L, 3.0, 7L)))
+      // pre-rename files still resolve price through the pinned phys
+      // name even though the schema also evolved since
+      assert(t.read().agg(sum(col("price"))).head.getDouble(0) == 6.0)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("SQL DML change feed carries exact images across a rename") {
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_cmap_cdc_")
+    spark.conf.set("spark.sql.catalog.cmapcdc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cmapcdc.root", catRoot.toString)
+    try {
+      spark.sql("CREATE TABLE cmapcdc.t (k BIGINT, v DOUBLE)")
+      spark.sql("INSERT INTO cmapcdc.t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+      spark.sql("ALTER TABLE cmapcdc.t RENAME COLUMN v TO price")
+      spark.sql("UPDATE cmapcdc.t SET price = price * 10 WHERE k = 2")
+      val t = new SnapshotTable(spark, catRoot.resolve("t").toString)
+      val v = t.currentVersion
+      val cdc = t.rowChangesBetween(v - 1, v)
+        .select(col("k"), col("price"), col(SnapshotTable.ChangeTypeCol))
+        .as[(Long, Double, String)].collect().toSeq.sorted
+      assert(cdc == Seq((2L, 2.0, "update_preimage"), (2L, 20.0, "update_postimage")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cmapcdc.t")
+      SnapshotTable.deleteRecursively(catRoot)
+    }
+  }
+
   test("stats pruning keeps working through a rename (filters translate to phys keys)") {
     val t = freshTable("stats")
     try {
