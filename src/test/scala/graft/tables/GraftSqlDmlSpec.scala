@@ -212,6 +212,32 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(v2Lines.exists(_.startsWith("#dvrows=")))
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: target-only rows delete/update through the delta path") {
+    val (tbl, t) = seeded(10)
+    val (src, _) = seeded(0)
+    spark.sql(s"INSERT INTO $src VALUES (1, 100.0), (2, 200.0), (11, 11.0)")
+    spark.sql(
+      s"""MERGE INTO $tbl AS t USING $src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+         |WHEN NOT MATCHED BY SOURCE AND t.k > 8 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0.0
+         |""".stripMargin)
+    val got = spark.sql(s"SELECT k, v FROM $tbl ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+    // 1,2 updated from source; 11 inserted; 9,10 (target-only, k>8)
+    // deleted; 3..8 (target-only) zeroed
+    assert(got == Seq((1L, 100.0), (2L, 200.0)) ++
+      (3L to 8L).map(k => (k, 0.0)) :+ (11L, 11.0))
+    assert(t.currentVersion == 2L)
+    // and the change feed classifies every branch exactly
+    val cdc = t.rowChangesBetween(1L, 2L)
+      .groupBy(SnapshotTable.ChangeTypeCol).count()
+      .as[(String, Long)].collect().toMap
+    assert(cdc == Map("insert" -> 1L, "delete" -> 2L,
+      "update_preimage" -> 8L, "update_postimage" -> 8L), cdc.toString)
+  }
+
   test("a MERGE matching nothing does not move the version") {
     val (tbl, t) = seeded(5)
     val (src, _) = seeded(0)
