@@ -840,6 +840,39 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** The ROW-LEVEL change feed through an INSERT OVERWRITE (Delta's
+    * overwrite CDF shape): the replace commit mints the replaced
+    * snapshot's live rows as `delete` pre-images and the new content
+    * as `insert`s in the overwrite's own write job, so the feed —
+    * and retraction-based IVM above it — stays exact straight through
+    * a periodic dim-table refresh instead of refusing. The feed is
+    * consumed through the standard DSv2 `readChangeFeed` scan over
+    * exactly the overwrite version; the oracle recomputes both sides
+    * declaratively. */
+  private def tableCdfReplace(s: SparkSession, d: String): DataFrame = {
+    val catRoot = s"${sys.props("java.io.tmpdir")}/graft_sql_catalog"
+    s.conf.set("spark.sql.catalog.graftsql", "graft.tables.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftsql.root", catRoot)
+    val n = sqlRuns.incrementAndGet()
+    val tbl = s"repl_${n}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val view = s"graft_repl_src_$n"
+    base(s, d).createOrReplaceTempView(view)
+    try {
+      s.sql(s"CREATE TABLE graftsql.$tbl (k BIGINT, v DOUBLE)")
+      s.sql(s"INSERT INTO graftsql.$tbl SELECT k, v FROM $view")
+      s.sql(s"INSERT OVERWRITE graftsql.$tbl SELECT k, v * 2 FROM $view WHERE k % 5 = 0")
+      s.read.format("graft-table").option("path", s"$catRoot/$tbl")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2").option("endingVersion", "3").load()
+        .groupBy(col(SnapshotTable.ChangeTypeCol).as("change"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+        .orderBy("change").localCheckpoint(true)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS graftsql.$tbl")
+      s.catalog.dropTempView(view)
+    }
+  }
+
   /** OPTIMISTIC CONCURRENCY through the gate: two writers MERGE the
     * same bucketed table at the same time (a latch releases both) —
     * writer A reprices keys in buckets ≡3 (mod 16) and inserts their
@@ -948,6 +981,7 @@ object TableOps extends QueryPack {
     "q_table_sql"        -> tableSql,
     "q_table_sql_merge"  -> tableSqlMerge,
     "q_table_cdf_batch"  -> tableCdfBatch,
+    "q_table_cdf_replace" -> tableCdfReplace,
     "q_table_expect"     -> tableExpect,
     "q_table_optimize_z" -> tableOptimizeZ,
     "q_table_restore"    -> tableRestore,
@@ -1060,6 +1094,15 @@ object TableOps extends QueryPack {
          |  UNION ALL
          |  SELECT 'update_preimage', COUNT(*), ${Det.dsumSql("v", 2)}
          |  FROM t WHERE k % 7 = 0)
+         |ORDER BY change""".stripMargin,
+    "q_table_cdf_replace" ->
+      s"""WITH b AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders)
+         |SELECT * FROM (
+         |  SELECT 'delete' AS change, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total
+         |  FROM b
+         |  UNION ALL
+         |  SELECT 'insert', COUNT(*), ${Det.dsumSql("v * 2", 2)}
+         |  FROM b WHERE k % 5 = 0)
          |ORDER BY change""".stripMargin,
     "q_table_expect" ->
       s"""WITH b AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),

@@ -141,24 +141,45 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val p = pathOf(ident)
     if (!isTableDir(p)) throw new NoSuchTableException(ident)
     val t = new SnapshotTable(SparkSession.active, p.toString)
-    changes.foreach {
+    // translate + validate EVERY change first, then publish ONE
+    // schema-change commit ([[SnapshotTable.alterSchema]] re-validates
+    // each op against the schema as evolved by its predecessors) — a
+    // multi-action ALTER that fails partway leaves NOTHING committed
+    val ops: Seq[SnapshotTable.SchemaOp] = changes.map {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           "graft tables rename top-level columns only")
-        t.renameColumn(r.fieldNames()(0), r.newName())
+        SnapshotTable.SchemaOp.Rename(r.fieldNames()(0), r.newName())
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames().length == 1,
           "graft tables drop top-level columns only")
-        t.dropColumn(d.fieldNames()(0))
+        SnapshotTable.SchemaOp.Drop(d.fieldNames()(0))
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "graft tables add top-level columns only")
         require(a.isNullable, "added columns must be nullable " +
           "(old files surface NULL for them)")
-        t.addColumn(a.fieldNames()(0), a.dataType())
+        // FIRST/AFTER would need a positional schema rewrite the
+        // mapping layer doesn't do — refuse rather than silently
+        // appending at the tail
+        if (a.position() != null) throw new UnsupportedOperationException(
+          "graft tables do not support positioned ADD COLUMN (FIRST/AFTER); " +
+            "columns append at the schema tail")
+        SnapshotTable.SchemaOp.Add(a.fieldNames()(0), a.dataType())
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          "graft tables alter top-level column types only")
+        SnapshotTable.SchemaOp.Widen(u.fieldNames()(0), u.newDataType())
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported by graft tables: $other")
     }
+    t.alterSchema(ops,
+      if (ops.length == 1) ops.head match {
+        case _: SnapshotTable.SchemaOp.Rename => "RENAME"
+        case _: SnapshotTable.SchemaOp.Drop => "DROP"
+        case _: SnapshotTable.SchemaOp.Add => "ADDCOL"
+        case _: SnapshotTable.SchemaOp.Widen => "WIDEN"
+      } else "ALTER")
     loadTable(ident)
   }
 

@@ -717,14 +717,23 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // column mapping: executors resolve file columns by PHYSICAL name
-    // (output rows are positional, so the rename is invisible above);
-    // change-feed files are written under logical names — no mapping
+    // (output rows are positional, so the rename is invisible above).
+    // Change-feed `#cdc=` files are written under logical names — no
+    // mapping — but APPEND-derived change-feed partitions (tagged
+    // literalChangeType) are ordinary DATA files staged under physical
+    // names: the reader applies the map per-partition for those
+    // (physical names are pinned forever, so the scan version's map
+    // covers every append era).
     val decodeSchema =
       if (changeFeed || version == 0L) required
       else SnapshotTable.physApplied(required,
         SnapshotTable.physMapAt(rootPath, version))
+    val appendPhysMap =
+      if (changeFeed && version > 0L) SnapshotTable.physMapAt(rootPath, version)
+      else Map.empty[String, String]
     new GraftTableBatchReaderFactory(decodeSchema.json, limit,
-      allowColumnar = !changeFeed, readConf = GraftReadConf.capture())
+      allowColumnar = !changeFeed, readConf = GraftReadConf.capture(),
+      appendPhysMap = appendPhysMap)
   }
 }
 
@@ -957,7 +966,8 @@ private[tables] object GraftVectorized {
   * deletion vectors. */
 class GraftTableBatchReaderFactory(requiredJson: String,
     limit: Int = Int.MaxValue, allowColumnar: Boolean = true,
-    readConf: GraftReadConf = GraftReadConf.capture())
+    readConf: GraftReadConf = GraftReadConf.capture(),
+    appendPhysMap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   @transient private lazy val requiredSchema: StructType =
     DataType.fromJson(requiredJson).asInstanceOf[StructType]
@@ -975,8 +985,17 @@ class GraftTableBatchReaderFactory(requiredJson: String,
       bp.dvAddr, bp.dvSidecarPaths)
   }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
     val part = p.asInstanceOf[GraftTableBatchPartition]
+    // append-derived change-feed partitions are DATA files staged
+    // under PHYSICAL names: resolve file columns through the mapping
+    // (output rows are positional, so only file-side lookups change);
+    // `#cdc=` changelog files stay logical
+    val required = {
+      val r = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+      if (part.literalChangeType.isDefined && appendPhysMap.nonEmpty)
+        SnapshotTable.physApplied(r, appendPhysMap)
+      else r
+    }
     val literal = part.literalChangeType.map(UTF8String.fromString)
     val hPath = new org.apache.hadoop.fs.Path(part.absPath)
     val conf = new Configuration()

@@ -448,14 +448,19 @@ class GraftTableMicroBatchStream(root: String, startingVersion: String,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // executors resolve data-file columns by PHYSICAL name (stable
-    // across renames, so one mapping serves every trigger); CDC files
-    // are written under logical names — no mapping on the feed
+    // across renames, so one mapping serves every trigger); CDC
+    // `#cdc=` files are written under logical names — no mapping on
+    // those — but APPEND-derived change-feed partitions are ordinary
+    // data files under physical names, so the factory carries the map
+    // and applies it per-partition (literalChangeType-tagged only).
+    val physMap = SnapshotTable.physMapAt(
+      rootPath, SnapshotTable.currentVersionAt(rootPath))
     val decodeSchema =
       if (changeFeed) schema
-      else SnapshotTable.physApplied(schema, SnapshotTable.physMapAt(
-        rootPath, SnapshotTable.currentVersionAt(rootPath)))
+      else SnapshotTable.physApplied(schema, physMap)
     new GraftTableReaderFactory(decodeSchema.json, allowColumnar = !changeFeed,
-      readConf = GraftReadConf.capture())
+      readConf = GraftReadConf.capture(),
+      appendPhysMap = if (changeFeed) physMap else Map.empty)
   }
 
   /** Versions are durable, immutable, and re-derivable from the
@@ -498,7 +503,8 @@ object GraftTableReaderFactory {
   * matters). */
 class GraftTableReaderFactory(schemaJson: String,
     allowColumnar: Boolean = true,
-    readConf: GraftReadConf = GraftReadConf.capture())
+    readConf: GraftReadConf = GraftReadConf.capture(),
+    appendPhysMap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   @transient private lazy val streamSchema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -520,10 +526,17 @@ class GraftTableReaderFactory(schemaJson: String,
     val part = p.asInstanceOf[GraftTableFilePartition]
     val path = part.absPath
     // append-derived change-feed files carry no _change_type column:
-    // decode the table fields from the file, append the constant
+    // decode the table fields from the file, append the constant —
+    // and resolve them by PHYSICAL name (appends stage under the
+    // mapping; `#cdc=` files, which take the literal=None path, stay
+    // logical)
     val literal = part.literalChangeType.map(UTF8String.fromString)
-    val schema =
-      if (literal.isDefined) StructType(fullSchema.fields.init) else fullSchema
+    val schema = {
+      val s = if (literal.isDefined) StructType(fullSchema.fields.init) else fullSchema
+      if (literal.isDefined && appendPhysMap.nonEmpty)
+        SnapshotTable.physApplied(s, appendPhysMap)
+      else s
+    }
     new PartitionReader[InternalRow] {
       private val reader: ParquetReader[Group] =
         ParquetReader.builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(path))

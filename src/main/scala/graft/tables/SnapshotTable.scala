@@ -320,9 +320,6 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       // per-file doomed counts — ≤ nFiles rows, answered from the cache
       val doomedPerFile: Map[String, Long] = doomed.groupBy("__graft_dv_f").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val newDvLines =
-        if (doomedPerFile.isEmpty) { deleteRecursively(dvDir); Vector.empty[String] }
-        else listParquetRec(dvDir).map(p => s"#dv=${rootPath.relativize(p)}").sorted
       // file-level deletes: drop files with zero surviving rows
       // (untouched files keep without a count; a missing count keeps
       // conservatively)
@@ -334,6 +331,26 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       }
       val keptSet = keptFiles.toSet
       val keptAddrs = keptFiles.map(dvAddressOf).toSet
+      // INERT sidecar elision: a sidecar whose every addressed file
+      // left the manifest (dead-file drop) tombstones nothing a reader
+      // can still resolve — keeping it would only push metaCount and
+      // the aggregate pushdown off their metadata-only fast paths (a
+      // `#dv=` line with an empty #dvrows ledger is indistinguishable
+      // from counts LOST to an intervening append, which must refuse).
+      // The fresh sidecar is provably inert when all its files died;
+      // carried sidecars are provably inert when the carried #dvrows
+      // ledger (complete-by-invariant whenever present: every
+      // DV-minting writer regenerates the FULL merged map, appends
+      // drop it entirely) addresses only dead files.
+      val newInert = doomedPerFile.nonEmpty &&
+        doomedPerFile.keys.forall(a => !keptAddrs(a))
+      val newDvLines =
+        if (doomedPerFile.isEmpty || newInert) {
+          deleteRecursively(dvDir); Vector.empty[String]
+        } else listParquetRec(dvDir).map(p => s"#dv=${rootPath.relativize(p)}").sorted
+      val priorDvRows = SnapshotTable.dvRowsOf(lines)
+      val priorDvInert = priorDvRows.nonEmpty &&
+        priorDvRows.keys.forall(a => !keptAddrs(a))
       // pre-image change feed: the deleted rows, op=delete
       val cdcRows = doomed.select(
         schema.fieldNames.map(col).toSeq :+
@@ -351,6 +368,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
           l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
           l.startsWith("#op=") || l == SnapshotTable.CdcTracked => false
         case SnapshotTable.DvRowsMeta(_, _) => false // regenerated merged
+        case DvMeta(_) => !priorDvInert // inert carried sidecars drop
         case RowsMeta(rel, _) => keptSet(rel)
         case RangeMeta(rel, _, _) => keptSet(rel)
         case Range2Meta(rel, _, _, _, _) => keptSet(rel)
@@ -411,9 +429,6 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         .write.parquet(dvDir.toString)
       val matchedPerFile: Map[String, Long] = matched.groupBy("__graft_dv_f").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val newDvLines =
-        if (matchedPerFile.isEmpty) { deleteRecursively(dvDir); Vector.empty[String] }
-        else listParquetRec(dvDir).map(p => s"#dv=${rootPath.relativize(p)}").sorted
       val totalPerFile = livePerFile(lines, files, matchedPerFile.keySet)
       val keptFiles = files.filter { rel =>
         val a = dvAddressOf(rel)
@@ -421,6 +436,20 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         d == 0L || d < totalPerFile.getOrElse(a, Long.MaxValue)
       }
       val keptSet = keptFiles.toSet
+      // inert sidecar elision — same reasoning as [[delete]]: sidecars
+      // addressing only dead (dropped) files carry nothing a reader
+      // resolves, and keeping them would break the metadata-only
+      // COUNT(*) contract (#dv present, #dvrows empty)
+      val updKeptAddrs = keptFiles.map(dvAddressOf).toSet
+      val newInert = matchedPerFile.nonEmpty &&
+        matchedPerFile.keys.forall(a => !updKeptAddrs(a))
+      val newDvLines =
+        if (matchedPerFile.isEmpty || newInert) {
+          deleteRecursively(dvDir); Vector.empty[String]
+        } else listParquetRec(dvDir).map(p => s"#dv=${rootPath.relativize(p)}").sorted
+      val priorDvRows = SnapshotTable.dvRowsOf(lines)
+      val priorDvInert = priorDvRows.nonEmpty &&
+        priorDvRows.keys.forall(a => !updKeptAddrs(a))
       // post-images: assignments over the pre-image, schema pinned
       val post = matched.select(schema.fields.map(f =>
         assignments.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name))
@@ -448,6 +477,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
           l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
           l.startsWith("#op=") || l == SnapshotTable.CdcTracked => false
         case SnapshotTable.DvRowsMeta(_, _) => false // regenerated merged
+        case DvMeta(_) => !priorDvInert // inert carried sidecars drop
         // #rows survives (paired with #dvrows); the appended
         // post-image files simply have no count, which keeps every
         // completeness-gated consumer refusing exactly as before
@@ -669,11 +699,19 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val keptRels = manifestFiles(lines).filterNot(rel => deadAddrs(dvAddressOf(rel)))
     val keptSet = keptRels.toSet
     val keptDvRows = mergedDvRows.filter { case (a, _) => !deadAddrs(a) }
+    // inert sidecar elision — same reasoning as [[delete]]: a sidecar
+    // whose every addressed file just left the manifest resolves
+    // nothing; dropping it keeps the #dv ⇒ #dvrows-nonEmpty invariant
+    // that metaCount and the aggregate pushdown rely on
+    val newDvInert = newPerFile.nonEmpty && newPerFile.keys.forall(deadAddrs)
+    val priorDvRows = SnapshotTable.dvRowsOf(lines)
+    val priorDvInert = priorDvRows.nonEmpty && priorDvRows.keys.forall(deadAddrs)
     val carriedMeta = lines.drop(2).filter(_.startsWith("#")).filter {
       case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
         l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
         l.startsWith("#op=") || l == SnapshotTable.CdcTracked => false
       case SnapshotTable.DvRowsMeta(_, _) => false // regenerated merged
+      case DvMeta(_) => !priorDvInert // inert carried sidecars drop
       case RowsMeta(rel, _) => keptSet(rel)
       case BucketMeta(_, _) => dataRels.isEmpty
       case RangeMeta(rel, _, _) => keptSet(rel)
@@ -684,7 +722,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     }
     val (cdcSnap, cdcLines) = writeCdcData(deltaCdc(baseLines, dvRels,
       insRels, updRels, schema), version)
-    val newDvLines = dvRels.map(r => s"#dv=$r").sorted
+    val newDvLines =
+      if (newDvInert) Vector.empty[String] else dvRels.map(r => s"#dv=$r").sorted
     val tmp = writeTmpManifest(version, schema,
       (SnapshotTable.CdcTracked +: cdcLines) ++ carriedMeta ++
         SnapshotTable.dvRowsLines(keptDvRows) ++ newDvLines ++
@@ -1264,15 +1303,57 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
           }
         }
       // a replacing commit is a REWRITING writer: the marker keeps the
-      // change feed from misreading its #batchId as an append (the
-      // dropped rows' deletes are unrecorded — use diff() across it)
+      // change feed from misreading its #batchId as an append
       val replaceLine = if (carry) Seq.empty else Seq(SnapshotTable.ReplaceMarker)
+      // INSERT OVERWRITE change feed (Delta's overwrite CDF shape):
+      // the replaced snapshot's live rows mint `delete` pre-images and
+      // the staged files mint `insert` rows — O(old + new), the same
+      // cost class as the overwrite itself — so readChangeFeed and
+      // retraction-based IVM stay exact straight through a periodic
+      // replace instead of refusing / de-incrementalizing. Minted only
+      // when the schema is UNCHANGED (or the table was empty): a
+      // schema-changing overwrite has no single feed schema, and the
+      // bare #replace marker keeps the downstream refusal loud there.
+      val replacedLines: Option[Vector[String]] =
+        if (carry || version == 1) None else Some(manifestLines(version - 1))
+      val overwriteCdcMintable = !carry && (version == 1 ||
+        replacedLines.exists(pl => schemaOf(pl).fields
+          .map(f => (f.name, f.dataType))
+          .sameElements(schema.fields.map(f => (f.name, f.dataType)))))
+      val overwriteCdc: Option[(Path, Seq[String])] =
+        if (!overwriteCdcMintable) None
+        else {
+          val outCols = schema.fieldNames.map(col).toSeq
+          val cdcSchema = StructType(schema.fields.map(_.copy(nullable = true)))
+            .add(SnapshotTable.ChangeTypeCol,
+              org.apache.spark.sql.types.StringType, nullable = false)
+          def emptyCdc = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], cdcSchema)
+          val pre = replacedLines
+            .filter(pl => manifestFiles(pl).nonEmpty)
+            .map(pl => scanWithDv(pl, manifestFiles(pl)).select(
+              outCols :+ lit("delete").as(SnapshotTable.ChangeTypeCol): _*))
+            .getOrElse(emptyCdc)
+          val ins =
+            if (relPaths.isEmpty) emptyCdc
+            else spark.read
+              .schema(StructType(schema.fields.map(_.copy(nullable = true))))
+              .parquet(relPaths.map(rel => rootPath.resolve(rel).toString): _*)
+              .select(outCols :+ lit("insert").as(SnapshotTable.ChangeTypeCol): _*)
+          Some(writeCdcData(pre.unionAll(ins), version))
+        }
+      val cdcHead = overwriteCdc
+        .map { case (_, cdcLines) => SnapshotTable.CdcTracked +: cdcLines }
+        .getOrElse(Seq.empty)
       val tmp = writeTmpManifest(version, schemaOut,
-        (s"#batchId=$batchId" +: (replaceLine ++ writerLine ++ dvLines ++
-          retiredLines)) ++ (carried ++ relPaths),
+        (s"#batchId=$batchId" +: (replaceLine ++ cdcHead ++ writerLine ++
+          dvLines ++ retiredLines)) ++ (carried ++ relPaths),
         op = if (carry) "APPEND" else "OVERWRITE")
       try { publish(version, tmp); return Some(version) }
       catch { case _: CommitConflictException =>
+        // the overwrite CDC was minted against THIS attempt's replaced
+        // version — recompute against the new current on retry
+        overwriteCdc.foreach { case (snap, _) => deleteRecursively(snap) }
         attempts += 1
         if (attempts > 100) throw new IllegalStateException(
           s"commitFilesOnce: lost the publish race $attempts times at $root")
@@ -1897,51 +1978,92 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * travel, and the old name is RETIRED so a future re-add can never
     * resurrect this column's data. Delta's column-mapping name
     * mode. */
-  def renameColumn(oldName: String, newName: String): Long = {
-    val schema = schemaOf(manifestLines(currentVersion))
-    require(schema.fieldNames.contains(oldName),
-      s"renameColumn: no column $oldName at $root")
-    require(!schema.fieldNames.contains(newName),
-      s"renameColumn: column $newName already exists at $root")
-    val newSchema = StructType(schema.fields.map(f =>
-      if (f.name == oldName) SnapshotTable.physPinned(f).copy(name = newName)
-      else f))
-    commitSchemaChange(newSchema, Seq(oldName), "RENAME")
-  }
+  def renameColumn(oldName: String, newName: String): Long =
+    alterSchema(Seq(SnapshotTable.SchemaOp.Rename(oldName, newName)), "RENAME")
 
   /** DROP COLUMN, metadata-only: the field leaves the schema (reads
     * stop projecting it — the bytes stay in the files until a
     * rewrite), its physical name is retired against resurrection, and
     * every older version still serves the column under time
     * travel. */
-  def dropColumn(name: String): Long = {
-    val schema = schemaOf(manifestLines(currentVersion))
-    val field = schema.fields.find(_.name == name).getOrElse(
-      throw new IllegalArgumentException(s"dropColumn: no column $name at $root"))
-    require(schema.fields.length > 1,
-      s"dropColumn: cannot drop the last column of $root")
-    commitSchemaChange(StructType(schema.fields.filterNot(_.name == name)),
-      Seq(SnapshotTable.physNameOf(field)), "DROP")
-  }
+  def dropColumn(name: String): Long =
+    alterSchema(Seq(SnapshotTable.SchemaOp.Drop(name)), "DROP")
 
   /** ADD COLUMN, metadata-only (nullable — old files surface NULL for
     * it, the same by-name resolution as [[appendEvolved]]): a
     * re-added retired name gets a FRESH physical identity so dropped
     * data stays dropped. */
-  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Long = {
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Long =
+    alterSchema(Seq(SnapshotTable.SchemaOp.Add(name, dataType)), "ADDCOL")
+
+  /** TYPE WIDENING, metadata-only (Delta's typeWidening): the column's
+    * declared type widens along a LOSSLESS promotion lane
+    * (byte→short→int→long, float→double, byte/short/int→double) — no
+    * data file is rewritten; readers decode each file's committed
+    * physical type and promote up (parquet by-name resolution +
+    * Spark's widening vectorized decode). Narrowing and cross-family
+    * changes refuse loudly. Per-file `#range=`/`#rows=` stats stay
+    * valid: the encoded Long stats domain is unchanged by an integral
+    * widen, and float keys were never stat-eligible. */
+  def widenColumn(name: String, newType: org.apache.spark.sql.types.DataType): Long =
+    alterSchema(Seq(SnapshotTable.SchemaOp.Widen(name, newType)), "WIDEN")
+
+  /** Apply a SEQUENCE of schema changes as ONE metadata-only commit:
+    * each op validates against the schema as evolved by its
+    * predecessors, and nothing publishes unless EVERY op validates —
+    * a multi-action `ALTER TABLE` is atomic (a mid-sequence failure
+    * leaves no partial commit, unlike per-op commits). Retired names
+    * accumulate WITHIN the sequence too, so `RENAME a TO b` followed
+    * by `ADD COLUMN a` in the same statement still mints a fresh
+    * physical identity for the re-used name. */
+  def alterSchema(ops: Seq[SnapshotTable.SchemaOp], opTag: String = "ALTER"): Long = {
+    import SnapshotTable.SchemaOp
+    require(ops.nonEmpty, s"alterSchema at $root needs at least one change")
     val lines = manifestLines(currentVersion)
-    val schema = schemaOf(lines)
-    require(!schema.fieldNames.contains(name),
-      s"addColumn: column $name already exists at $root")
-    val retired = SnapshotTable.retiredOf(lines)
-    val usedPhys = schema.fields.map(SnapshotTable.physNameOf).toSet
-    val base = StructField(name, dataType, nullable = true)
-    val field =
-      if (!retired.contains(name) && !usedPhys.contains(name)) base
-      else base.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-        .putString(SnapshotTable.PhysKey,
-          s"${name}_g${UUID.randomUUID().toString.take(8)}").build())
-    commitSchemaChange(StructType(schema.fields :+ field), Seq.empty, "ADDCOL")
+    var schema = schemaOf(lines)
+    var retired = SnapshotTable.retiredOf(lines)
+    val newlyRetired = Seq.newBuilder[String]
+    ops.foreach {
+      case SchemaOp.Rename(oldName, newName) =>
+        require(schema.fieldNames.contains(oldName),
+          s"renameColumn: no column $oldName at $root")
+        require(!schema.fieldNames.contains(newName),
+          s"renameColumn: column $newName already exists at $root")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == oldName) SnapshotTable.physPinned(f).copy(name = newName)
+          else f))
+        newlyRetired += oldName
+        retired += oldName
+      case SchemaOp.Drop(name) =>
+        val field = schema.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"dropColumn: no column $name at $root"))
+        require(schema.fields.length > 1,
+          s"dropColumn: cannot drop the last column of $root")
+        val phys = SnapshotTable.physNameOf(field)
+        schema = StructType(schema.fields.filterNot(_.name == name))
+        newlyRetired += phys
+        retired += phys
+      case SchemaOp.Add(name, dataType) =>
+        require(!schema.fieldNames.contains(name),
+          s"addColumn: column $name already exists at $root")
+        val usedPhys = schema.fields.map(SnapshotTable.physNameOf).toSet
+        val base = StructField(name, dataType, nullable = true)
+        val field =
+          if (!retired.contains(name) && !usedPhys.contains(name)) base
+          else base.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(SnapshotTable.PhysKey,
+              s"${name}_g${UUID.randomUUID().toString.take(8)}").build())
+        schema = StructType(schema.fields :+ field)
+      case SchemaOp.Widen(name, newType) =>
+        val field = schema.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"widenColumn: no column $name at $root"))
+        require(SnapshotTable.widensTo(field.dataType, newType),
+          s"widenColumn: ${field.dataType.simpleString} -> ${newType.simpleString} " +
+            s"is not a lossless widening for $name at $root")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = newType) else f))
+    }
+    commitSchemaChange(schema, newlyRetired.result(), opTag)
   }
 
   /** RESTORE: make `toVersion`'s exact content the CURRENT version by
@@ -2323,6 +2445,34 @@ object SnapshotTable {
     val schema = org.apache.spark.sql.types.DataType.fromJson(lines(1))
       .asInstanceOf[StructType]
     schema.fields.find(f => physNameOf(f) == phys).map(_.name).getOrElse(phys)
+  }
+
+  /** One validated schema change inside an (atomic) [[SnapshotTable.alterSchema]]. */
+  sealed trait SchemaOp
+  object SchemaOp {
+    final case class Rename(oldName: String, newName: String) extends SchemaOp
+    final case class Drop(name: String) extends SchemaOp
+    final case class Add(name: String,
+      dataType: org.apache.spark.sql.types.DataType) extends SchemaOp
+    final case class Widen(name: String,
+      newType: org.apache.spark.sql.types.DataType) extends SchemaOp
+  }
+
+  /** The lossless type-promotion lanes [[SnapshotTable.widenColumn]]
+    * accepts (Delta typeWidening's primitive set): integral up-casts,
+    * float→double, and integral→double up to INT (a LONG has 64
+    * significand-relevant bits, double only 53 — lossy, refused). */
+  private[tables] def widensTo(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case _ => false
+    }
   }
 
   private[tables] val RetiredMeta = """#retired=(.+)""".r

@@ -131,6 +131,38 @@ class MaterializedViewsIncSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("retraction IVM survives INSERT OVERWRITE: the replace folds as deletes + inserts") {
+    val t = SnapshotTable.temp(spark, "graft_mvinc_replace_")
+    val base = java.nio.file.Files.createTempDirectory("graft_mvinc_repl_").toString + "/mv"
+    try {
+      val rows = (0L until 600L).map(k => (k, k % 5, k * 1.0)).toDF("k", "g", "v")
+      t.commit(rows)
+      val fp = MaterializedViews.registerIncremental(t, base)(
+        q, partial, combine, finDropEmpty, Some(partialDelta))
+      // INSERT OVERWRITE through the DSv2 batch write: groups 3,4
+      // vanish entirely, 0..2 change value
+      val repl = (0L until 100L).map(k => (k, k % 3, k * 2.0)).toDF("k", "g", "v")
+      repl.write.format("graft-table").option("path", t.root)
+        .mode("overwrite").save()
+      val res = MaterializedViews.refresh(fp).get
+      assert(res.mode == "incremental-cdc", res.toString)
+      // the replace's own changelog + state only — no re-scan of either snapshot
+      assert(res.inputFiles.nonEmpty)
+      assert(res.inputFiles.forall(f =>
+        f.contains("-state-") || f.contains("-cdc-")),
+        s"overwrite IVM refresh inputs not state+changelog: ${res.inputFiles}")
+      val served = q(t.read()).orderBy("g")
+      assert(served.queryExecution.executedPlan.toString.contains("graft_mvinc_repl"))
+      val expected = {
+        MaterializedViews.deregister(res.fingerprint)
+        q(t.read()).orderBy("g").collect().toSeq
+      }
+      assert(served.collect().toSeq == expected)
+      assert(!expected.exists(r => r.getLong(0) == 3L || r.getLong(0) == 4L),
+        "fully-replaced groups must retract to nothing")
+    } finally SnapshotTable.drop(t)
+  }
+
   test("a DML range WITHOUT a registered partialDelta still falls back to full, exact") {
     val t = SnapshotTable.temp(spark, "graft_mvinc_nodelta_")
     val base = java.nio.file.Files.createTempDirectory("graft_mvinc_nd_").toString + "/mv"

@@ -150,6 +150,70 @@ class ColumnMappingSpec extends SparkSpec {
     }
   }
 
+  test("readChangeFeed decodes post-rename appends under the mapping (batch + streaming)") {
+    val t = freshTable("cdf_rename")
+    try {
+      t.commit(kv(1L -> 1.0))
+      t.renameColumn("v", "price") // v2: price pinned to physical "v"
+      // v3 append: staged under the PHYSICAL name — the change feed's
+      // append-derived insert rows must still decode `price`, not NULL
+      assert(t.appendOnce(Seq((2L, 2.0)).toDF("k", "price"), 0L).isDefined)
+      val feed = spark.read.format("graft-table").option("path", t.root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2").option("endingVersion", "3").load()
+        .select(col("k"), col("price"), col(SnapshotTable.ChangeTypeCol))
+        .as[(Long, Double, String)].collect().toSeq
+      assert(feed == Seq((2L, 2.0, "insert")), feed.toString)
+      // streaming twin: the MicroBatchStream reader factory carries
+      // the same per-partition mapping
+      val sink = "cmap_cdf_stream"
+      val q = spark.readStream.format("graft-table").option("path", t.root)
+        .option("readChangeFeed", "true").option("startingVersion", "2").load()
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table(sink).select("k", "price")
+        .as[(Long, Double)].collect().toSeq
+      spark.catalog.dropTempView(sink)
+      assert(got == Seq((2L, 2.0)), got.toString)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("multi-action ALTER TABLE is atomic: a failing later change commits nothing") {
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_cmap_atomic_")
+    spark.conf.set("spark.sql.catalog.cmapatomic", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cmapatomic.root", catRoot.toString)
+    try {
+      spark.sql("CREATE TABLE cmapatomic.t (k BIGINT, v DOUBLE)")
+      spark.sql("INSERT INTO cmapatomic.t VALUES (1, 1.0)")
+      val t = new SnapshotTable(spark, catRoot.resolve("t").toString)
+      val before = t.currentVersion
+      // second added column collides with an existing one: the whole
+      // statement must refuse with NOTHING committed (previously the
+      // first column landed as a durable partial commit)
+      intercept[Exception] {
+        spark.sql("ALTER TABLE cmapatomic.t ADD COLUMNS (x INT, k INT)")
+      }
+      assert(t.currentVersion == before, "partial ALTER committed")
+      assert(t.read().columns.toSeq == Seq("k", "v"))
+      // positioned ADD COLUMN refuses loudly instead of silently
+      // appending at the tail
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE cmapatomic.t ADD COLUMNS (y INT FIRST)")
+      }
+      assert(e.getMessage.contains("positioned") ||
+        Option(e.getCause).exists(_.getMessage.contains("positioned")), e.getMessage)
+      assert(t.currentVersion == before)
+      // a VALID multi-action ADD commits exactly once, atomically
+      spark.sql("ALTER TABLE cmapatomic.t ADD COLUMNS (x INT, y STRING)")
+      assert(t.currentVersion == before + 1)
+      assert(t.read().columns.toSeq == Seq("k", "v", "x", "y"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cmapatomic.t")
+      SnapshotTable.deleteRecursively(catRoot)
+    }
+  }
+
   test("stats pruning keeps working through a rename (filters translate to phys keys)") {
     val t = freshTable("stats")
     try {

@@ -238,6 +238,49 @@ class GraftSqlDmlSpec extends SparkSpec {
       "update_preimage" -> 8L, "update_postimage" -> 8L), cdc.toString)
   }
 
+  test("INSERT OVERWRITE mints the overwrite change feed: deletes + inserts exact") {
+    val (tbl, t) = seeded(5)
+    spark.sql(s"INSERT OVERWRITE $tbl VALUES (100, 1.0), (200, 2.0)")
+    val v = t.currentVersion
+    val cdc = t.rowChangesBetween(v - 1, v)
+      .select(col("k"), col("v"), col(SnapshotTable.ChangeTypeCol))
+      .as[(Long, Double, String)].collect().toSeq.sorted
+    assert(cdc == ((1L to 5L).map(k => (k, k * 1.0, "delete")) ++
+      Seq((100L, 1.0, "insert"), (200L, 2.0, "insert"))).sorted, cdc.toString)
+    // the DSv2 readChangeFeed surface serves the same rows
+    val viaRead = spark.read.format("graft-table").option("path", t.root)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", (v - 1).toString)
+      .option("endingVersion", v.toString).load()
+      .select(col("k"), col("v"), col(SnapshotTable.ChangeTypeCol))
+      .as[(Long, Double, String)].collect().toSeq.sorted
+    assert(viaRead == cdc)
+    // and the feed composes across insert + overwrite history
+    assert(t.isRowTracked(v - 1, v))
+  }
+
+  test("overwrite CDC pre-images respect prior deletion vectors (live rows only)") {
+    val (tbl, t) = seeded(10)
+    spark.sql(s"DELETE FROM $tbl WHERE k <= 5") // v2: DV tombstones
+    spark.sql(s"INSERT OVERWRITE $tbl VALUES (42, 4.2)") // v3
+    val cdc = t.rowChangesBetween(2L, 3L)
+      .select(col("k"), col("v"), col(SnapshotTable.ChangeTypeCol))
+      .as[(Long, Double, String)].collect().toSeq.sorted
+    assert(cdc == ((6L to 10L).map(k => (k, k * 1.0, "delete")) :+
+      (42L, 4.2, "insert")).sorted, cdc.toString)
+  }
+
+  test("a schema-changing overwrite stays untracked: the change feed refuses loudly") {
+    val (_, t) = seeded(3)
+    Seq(("a", 1L)).toDF("name", "x").write.format("graft-table")
+      .option("path", t.root).mode("overwrite").save()
+    val v = t.currentVersion
+    assert(!t.isRowTracked(v - 1, v))
+    intercept[IllegalStateException] {
+      t.rowChangesBetween(v - 1, v).collect()
+    }
+  }
+
   test("a MERGE matching nothing does not move the version") {
     val (tbl, t) = seeded(5)
     val (src, _) = seeded(0)
