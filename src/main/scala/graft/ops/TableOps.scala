@@ -642,6 +642,29 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** METADATA-ONLY aggregate UNDER DELETION VECTORS: after a DV
+    * delete on the clustered table — which re-mints the touched
+    * files' `#range` bounds over their live remainder and records
+    * per-file tombstone counts — COUNT(*)/MIN/MAX still answer purely
+    * from the manifest (zero data files opened; the destructive proof
+    * deletes the data dir in DvMaintenanceSpec). The delete removes
+    * the global minimum's whole neighborhood, so a stale commit-time
+    * bound would hash-mismatch: the oracle recomputes over the
+    * filtered relation. */
+  private def tableMetaAggDv(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_meta_agg_dv_")
+    try {
+      t.commitClustered(base(s, d), "k", 8)
+      val v = t.delete(col("k") < 500L || col("k") % 7 === 0)
+      val (n, lo, hi) = t.metaAgg(v)
+      s.range(1).select(
+        lit(n).as("n"),
+        lit(lo.map(java.lang.Long.valueOf).orNull).cast("long").as("lo"),
+        lit(hi.map(java.lang.Long.valueOf).orNull).cast("long").as("hi"))
+        .localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   /** Row-level UPDATE via deletion vectors through the gate: v1
     * commits the base; v2 doubles `v` on keys ≡0 mod 5 — tombstone +
     * post-image append, no file rewritten (asserted in
@@ -987,6 +1010,7 @@ object TableOps extends QueryPack {
     "q_table_restore"    -> tableRestore,
     "q_table_clone"      -> tableClone,
     "q_table_meta_agg"   -> tableMetaAgg,
+    "q_table_meta_agg_dv" -> tableMetaAggDv,
     "q_table_update_dv"  -> tableUpdateDv,
     "q_table_lifecycle"  -> tableLifecycle,
     "q_table_bloom"      -> tableBloom,
@@ -1153,6 +1177,10 @@ object TableOps extends QueryPack {
     "q_table_meta_agg" ->
       """SELECT COUNT(*) AS n, MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
         |FROM orders""".stripMargin,
+    "q_table_meta_agg_dv" ->
+      """SELECT COUNT(*) AS n, MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
+        |FROM orders
+        |WHERE NOT (o_orderkey < 500 OR o_orderkey % 7 = 0)""".stripMargin,
     "q_table_update_dv" ->
       s"""WITH b AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
          |upd AS (SELECT k, CASE WHEN k % 5 = 0 THEN v * 2 ELSE v END AS v FROM b),

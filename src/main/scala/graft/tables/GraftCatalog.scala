@@ -326,6 +326,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           override def rows(): Array[InternalRow] = hist
         }).iterator()
       }),
+    "compact_dvs" -> proc("compact_dvs",
+      Seq(param("table", StringType)),
+      in => oneRow(VersionOut,
+        snapshotOf(in.getUTF8String(0).toString).compactDvs())),
     "optimize_zorder" -> proc("optimize_zorder",
       Seq(param("table", StringType), param("key_x", StringType),
         param("key_y", StringType), param("n_files",

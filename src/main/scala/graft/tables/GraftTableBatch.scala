@@ -473,13 +473,17 @@ class GraftTableScanBuilder(options: Map[String, String], tableSchema: StructTyp
       .filter(k => tableSchema.fieldNames.contains(k))
       .getOrElse(return None)
     // deletion vectors: COUNT(*) stays metadata-only (every DV commit
-    // records per-file #dvrows — live = rows − dvrows); MIN/MAX must
-    // refuse (a tombstone may have held the extreme). A DV'd manifest
-    // without complete counts refuses everything.
+    // records per-file #dvrows — live = rows − dvrows); MIN/MAX stays
+    // ONLY when the manifest carries the #dvminmax marker (DV deletes
+    // on clustered tables re-mint touched files' #range bounds over
+    // live rows — SnapshotTable.delete), since otherwise a tombstone
+    // may have held the extreme. A DV'd manifest without complete
+    // counts refuses everything.
     val hasDv = meta.exists(_.startsWith("#dv="))
     val dvRows = SnapshotTable.dvRowsOf(lines)
     if (hasDv && dvRows.isEmpty) return None
-    if (hasDv && agg.aggregateExpressions().exists {
+    val dvMinMaxExact = meta.contains(SnapshotTable.DvMinMax)
+    if (hasDv && !dvMinMaxExact && agg.aggregateExpressions().exists {
         case _: CountStar => false; case _ => true
       }) return None
     val rows: Map[String, Long] = meta.collect {

@@ -351,6 +351,48 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       val priorDvRows = SnapshotTable.dvRowsOf(lines)
       val priorDvInert = priorDvRows.nonEmpty &&
         priorDvRows.keys.forall(a => !keptAddrs(a))
+      // MIN/MAX STATS UNDER DVs: on a clustered table the delete
+      // RE-MINTS the touched kept files' #range bounds over their live
+      // remainder — one extra O(touched files) job on data the delete
+      // already addressed — and marks the manifest `#dvminmax`, so
+      // [[metaAgg]] and the SQL aggregate pushdown keep answering
+      // MIN/MAX with zero IO even though a tombstone may have held the
+      // old extreme. Untouched files' commit-time bounds stay exact;
+      // stacked deletes stay exact because each re-mint scans with all
+      // prior DVs applied. Prior DVs WITHOUT the marker (a pre-feature
+      // or SQL-DML commit) forfeit the path — bounds may already be
+      // stale-conservative, so no marker is minted over them.
+      val clusterKeyPhys = lines.drop(2).collectFirst { case ClusterMeta(k) => k }
+      val priorMinMaxEligible = manifestDvFiles(lines).isEmpty ||
+        lines.drop(2).contains(SnapshotTable.DvMinMax)
+      val touchedKept = keptFiles.filter(rel => doomedPerFile.contains(dvAddressOf(rel)))
+      val remint: Map[String, (Long, Long)] =
+        if (clusterKeyPhys.isEmpty || !priorMinMaxEligible || touchedKept.isEmpty)
+          Map.empty
+        else {
+          val keyCol = SnapshotTable.logicalNameFor(lines, clusterKeyPhys.get)
+          val enc = statLongExpr(schemaOf(lines)(keyCol).dataType, keyCol)
+          val doomedAddrs = doomed.select(
+            col("__graft_dv_f").as(SnapshotTable.DvFileCol),
+            col("__graft_dv_p").as(SnapshotTable.DvPosCol))
+          scanAddressed(lines, touchedKept)
+            .join(doomedAddrs,
+              col("__graft_dv_f") === col(SnapshotTable.DvFileCol) &&
+                col("__graft_dv_p") === col(SnapshotTable.DvPosCol), "left_anti")
+            .groupBy("__graft_dv_f").agg(min(enc).as("lo"), max(enc).as("hi"))
+            .collect() // ≤ touched files rows — bounded driver metadata
+            .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
+            .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        }
+      val remintLines = touchedKept.flatMap { rel =>
+        remint.get(dvAddressOf(rel)).map { case (lo, hi) => s"#range=$rel|$lo|$hi" }
+      }
+      val willHaveDvs = newDvLines.nonEmpty ||
+        (manifestDvFiles(lines).nonEmpty && !priorDvInert)
+      val minMaxMarker =
+        if (clusterKeyPhys.isDefined && priorMinMaxEligible && willHaveDvs)
+          Vector(SnapshotTable.DvMinMax)
+        else Vector.empty[String]
       // pre-image change feed: the deleted rows, op=delete
       val cdcRows = doomed.select(
         schema.fieldNames.map(col).toSeq :+
@@ -363,21 +405,29 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       val mergedDvRows = (SnapshotTable.dvRowsOf(lines).toSeq ++ doomedPerFile.toSeq)
         .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
         .filter { case (a, _) => keptAddrs(a) }
+      val remintAttempted =
+        clusterKeyPhys.isDefined && priorMinMaxEligible && touchedKept.nonEmpty
+      val touchedKeptSet = touchedKept.toSet
       val carriedMeta = lines.drop(2).filter(_.startsWith("#")).filter {
         case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
           l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
-          l.startsWith("#op=") || l == SnapshotTable.CdcTracked => false
+          l.startsWith("#op=") || l == SnapshotTable.CdcTracked ||
+          l == SnapshotTable.DvMinMax => false // re-minted below when valid
         case SnapshotTable.DvRowsMeta(_, _) => false // regenerated merged
         case DvMeta(_) => !priorDvInert // inert carried sidecars drop
         case RowsMeta(rel, _) => keptSet(rel)
-        case RangeMeta(rel, _, _) => keptSet(rel)
+        // a touched file's commit-era bounds are STALE after a re-mint
+        // (an extreme may have been tombstoned) — replaced by the fresh
+        // lines, or dropped entirely when only null keys survive
+        case RangeMeta(rel, _, _) =>
+          keptSet(rel) && !(remintAttempted && touchedKeptSet(rel))
         case Range2Meta(rel, _, _, _, _) => keptSet(rel)
         case RangeSMeta(rel, _, _, _) => keptSet(rel)
         case BloomFMeta(rel, _) => keptSet(rel)
         case _ => true
       }
       val tmp = writeTmpManifest(version, schema,
-        (SnapshotTable.CdcTracked +: (carriedMeta ++
+        (SnapshotTable.CdcTracked +: (minMaxMarker ++ carriedMeta ++ remintLines ++
           SnapshotTable.dvRowsLines(mergedDvRows) ++ cdcLines ++ newDvLines)) ++
           keptFiles,
         op = "DELETE")
@@ -478,6 +528,9 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
           l.startsWith("#op=") || l == SnapshotTable.CdcTracked => false
         case SnapshotTable.DvRowsMeta(_, _) => false // regenerated merged
         case DvMeta(_) => !priorDvInert // inert carried sidecars drop
+        // the post-image files land with NO #range stats, so MIN/MAX
+        // can no longer be answered from metadata — the marker dies
+        case l if l == SnapshotTable.DvMinMax => false
         // #rows survives (paired with #dvrows); the appended
         // post-image files simply have no count, which keeps every
         // completeness-gated consumer refusing exactly as before
@@ -712,6 +765,9 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         l.startsWith("#op=") || l == SnapshotTable.CdcTracked => false
       case SnapshotTable.DvRowsMeta(_, _) => false // regenerated merged
       case DvMeta(_) => !priorDvInert // inert carried sidecars drop
+      // SQL DML doesn't re-mint #range bounds for its tombstoned
+      // files, so the zero-IO MIN/MAX guarantee dies with this commit
+      case l if l == SnapshotTable.DvMinMax => false
       case RowsMeta(rel, _) => keptSet(rel)
       case BucketMeta(_, _) => dataRels.isEmpty
       case RangeMeta(rel, _, _) => keptSet(rel)
@@ -1533,17 +1589,23 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * the version was written by [[commitClustered]] (under which a
     * stat-less file can only be an all-null-key file, which MIN/MAX
     * ignores anyway), every data file carries a `#rows=` count, and
-    * no deletion vectors are present (tombstones would falsify the
-    * counts — `#rows` lines are dropped by [[delete]]/[[update]] for
-    * exactly this reason). MIN/MAX come back in the key's encoded
-    * Long domain (the value itself for integral keys, epoch
-    * micros/days for timestamp/date), None when every key is NULL. */
+    * deletion vectors are either ABSENT or the manifest carries BOTH
+    * the `#dvrows` tombstone counts (COUNT stays live = rows − dvrows)
+    * AND the [[SnapshotTable.DvMinMax]] marker proving every `#range`
+    * bound was re-minted over live rows (DV deletes on clustered
+    * tables maintain both; SQL-DML tombstones forfeit the path).
+    * MIN/MAX come back in the key's encoded Long domain (the value
+    * itself for integral keys, epoch micros/days for timestamp/date),
+    * None when every key is NULL. */
   def metaAgg(version: Long): (Long, Option[Long], Option[Long]) = {
     val lines = manifestLines(version)
     require(lines.drop(2).exists { case ClusterMeta(_) => true; case _ => false },
       s"metaAgg needs a clustered version; v$version at $root is not")
-    require(manifestDvFiles(lines).isEmpty,
-      s"metaAgg cannot answer over deletion vectors at $root v$version")
+    val dvRows = SnapshotTable.dvRowsOf(lines)
+    require(manifestDvFiles(lines).isEmpty ||
+      (dvRows.nonEmpty && lines.drop(2).contains(SnapshotTable.DvMinMax)),
+      s"metaAgg cannot answer over deletion vectors at $root v$version " +
+        "(tombstone counts or re-minted #range bounds missing)")
     val rows: Map[String, Long] = lines.drop(2).collect {
       case RowsMeta(rel, n) => rel -> n.toLong
     }.toMap
@@ -1555,7 +1617,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     }
     val lo = if (ranges.isEmpty) None else Some(ranges.map(_._1).min)
     val hi = if (ranges.isEmpty) None else Some(ranges.map(_._2).max)
-    (files.map(rows).sum, lo, hi)
+    (files.map(rel => rows(rel) - dvRows.getOrElse(dvAddressOf(rel), 0L)).sum,
+      lo, hi)
   }
 
   /** Metadata-only COUNT(*) that, unlike [[metaAgg]], SURVIVES
@@ -1946,6 +2009,60 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     version
   }
 
+  /** COMPACT DELETION VECTORS: merge every stacked `#dv=` sidecar set
+    * into ONE fresh range-clustered sidecar dataset. Deletes STACK one
+    * sidecar set per commit, and every read pays one sidecar-set load
+    * per stacked delete; this maintenance verb folds them at
+    * O(tombstones) cost — NO data file is read or rewritten (compare
+    * [[compact]]/[[optimizeZOrdered]], which fold DVs by rewriting
+    * data). Inert entries addressing files no longer in the manifest
+    * are dropped on the way through. Entries are disjoint across
+    * stacked sidecars by construction (every delete tombstones LIVE
+    * rows), so the merge is a plain union. The commit is
+    * content-identical: it tracks zero row-level changes
+    * (change-feed consumers skip it), carries every stat line
+    * (`#rows`/`#dvrows`/`#range`/`#dvminmax` all stay exact), and
+    * returns the current version unchanged when there is ≤1 sidecar
+    * file to fold. */
+  def compactDvs(): Long = {
+    val baseVersion = currentVersion
+    require(baseVersion > 0, s"table at $root has no committed version")
+    val lines = manifestLines(baseVersion)
+    val dvRels = manifestDvFiles(lines)
+    if (dvRels.size <= 1) return baseVersion
+    val version = baseVersion + 1
+    val liveAddrs = manifestFiles(lines).map(dvAddressOf)
+    val addrDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(liveAddrs.map(Row(_)), 1),
+      StructType(Seq(StructField(SnapshotTable.DvFileCol,
+        org.apache.spark.sql.types.StringType, nullable = false))))
+    val merged = dvScan(dvRels)
+      .join(broadcast(addrDf), Seq(SnapshotTable.DvFileCol), "left_semi")
+    val dvDir = dataDir.resolve(s"v$version-dv-${UUID.randomUUID()}")
+    val newDvLines =
+      if (merged.isEmpty) Vector.empty[String]
+      else {
+        merged.repartitionByRange(col(SnapshotTable.DvFileCol),
+            col(SnapshotTable.DvPosCol))
+          .sortWithinPartitions(SnapshotTable.DvFileCol, SnapshotTable.DvPosCol)
+          .write.parquet(dvDir.toString)
+        listParquetRec(dvDir).map(p => s"#dv=${rootPath.relativize(p)}").sorted
+      }
+    val carried = lines.drop(2).filter(_.startsWith("#")).filterNot(l =>
+      l.startsWith("#batchId=") || l.startsWith("#writer=") ||
+        l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
+        l.startsWith("#op=") || l == SnapshotTable.CdcTracked ||
+        DvMeta.matches(l))
+    val tmp = writeTmpManifest(version, schemaOf(lines),
+      (SnapshotTable.CdcTracked +: (carried ++ newDvLines)) ++ manifestFiles(lines),
+      op = "COMPACTDV")
+    try publish(version, tmp)
+    catch { case e: CommitConflictException =>
+      deleteRecursively(dvDir); throw e
+    }
+    version
+  }
+
   /** The shared metadata-only schema-change commit behind
     * [[renameColumn]]/[[dropColumn]]/[[addColumn]]: carries EVERY
     * data file, DV sidecar and layout stat line of the current
@@ -2325,6 +2442,13 @@ object SnapshotTable {
     * (INSERT OVERWRITE) — a rewriting writer despite carrying a
     * `#batchId=` ledger line. */
   private[tables] val ReplaceMarker: String = "#replace"
+
+  /** Manifest marker: every `#range=` bound is EXACT over the live
+    * (DV-filtered) rows — DV deletes on clustered tables re-mint
+    * touched files' bounds, so MIN/MAX stays metadata-answerable
+    * under tombstones. Dropped by any DV-adding writer that does not
+    * re-mint (SQL DML, update's stat-less post-image files). */
+  private[tables] val DvMinMax: String = "#dvminmax"
 
   /** Column tagging a quarantined row with the name of the first
     * constraint it failed, in [[SnapshotTable.quarantine]] output. */

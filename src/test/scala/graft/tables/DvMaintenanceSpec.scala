@@ -62,6 +62,95 @@ class DvMaintenanceSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("MIN/MAX metadata stats survive DV deletes on a clustered table (zero IO, destructive)") {
+    val t = SnapshotTable.temp(spark, "graft_dvmaint_minmax_")
+    try {
+      t.commitClustered((1L to 1000L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 8)
+      // kill the global min's neighborhood and a stripe: stale
+      // commit-time bounds would report lo=1
+      val v2 = t.delete(col("k") <= 130L || col("k") % 9 === 0)
+      val live = (1L to 1000L).filter(k => k > 130L && k % 9 != 0)
+      assert(t.metaAgg(v2) == ((live.length.toLong, Some(live.min), Some(live.max))))
+      // stacked: a second delete removing the current max re-mints again
+      val v3 = t.delete(col("k") >= live.max - 5L)
+      val live3 = live.filter(_ < live.max - 5L)
+      assert(t.metaAgg(v3) == ((live3.length.toLong, Some(live3.min), Some(live3.max))))
+      // SQL aggregate pushdown twin: COUNT/MIN/MAX answered by the
+      // metadata-only scan — proven destructively by deleting the data
+      // dir; only the manifest (+ DV sidecars outside data/? no — keep
+      // the dv dirs) must answer
+      val agg = spark.read.format("graft-table").option("path", t.root).load()
+        .agg(count(lit(1)), min(col("k")), max(col("k")))
+      assert(agg.queryExecution.executedPlan.toString.contains("metadata-only"))
+      val r = agg.head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+        ((live3.length.toLong, live3.min, live3.max)))
+      // destructive: metaAgg answers with every DATA file gone (the
+      // dv sidecar dirs live under data/ too, but metaAgg never opens
+      // them either — the whole dir goes)
+      SnapshotTable.deleteRecursively(Paths.get(t.root).resolve("data"))
+      assert(t.metaAgg(v3) == ((live3.length.toLong, Some(live3.min), Some(live3.max))))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("SQL-DML tombstones forfeit the MIN/MAX fast path (marker dies, refusal stays loud)") {
+    val t = SnapshotTable.temp(spark, "graft_dvmaint_forfeit_")
+    try {
+      t.commitClustered((1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 4)
+      t.delete(col("k") === 50L) // marker minted
+      assert(t.metaAgg(t.currentVersion)._1 == 99L)
+      // an instance UPDATE adds stat-less post-image files: marker dies
+      t.update(col("k") === 60L, Map("v" -> lit(0.0)))
+      intercept[IllegalArgumentException] { t.metaAgg(t.currentVersion) }
+      // and the SQL pushdown falls back to a real scan, still exact
+      val r = spark.read.format("graft-table").option("path", t.root).load()
+        .agg(count(lit(1)), min(col("k")), max(col("k"))).head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((99L, 1L, 100L)))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("compactDvs folds stacked sidecar sets into one, content-identical, feed-skippable") {
+    val t = SnapshotTable.temp(spark, "graft_dvmaint_compactdv_")
+    try {
+      t.commitClustered((1L to 1000L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 4)
+      t.delete(col("k") % 11 === 0)
+      t.delete(col("k") % 13 === 0)
+      t.delete(col("k") % 17 === 0)
+      val before = t.read().orderBy("k").collect().toSeq
+      val stacked = lines(t, t.currentVersion).count(_.startsWith("#dv="))
+      assert(stacked >= 3, s"expected stacked sidecars, got $stacked")
+      val v = t.compactDvs()
+      val after = lines(t, v).count(_.startsWith("#dv="))
+      assert(after < stacked, s"compactDvs did not fold: $stacked -> $after")
+      // content-identical reads
+      assert(t.read(v).orderBy("k").collect().toSeq == before)
+      // zero-change tracked commit: the feed skips it instead of raising
+      assert(t.rowChangesBetween(v - 1, v).count() == 0L)
+      // counts and re-minted bounds still exact after the fold
+      assert(t.metaCount(v) == before.length.toLong)
+      assert(t.metaAgg(v)._1 == before.length.toLong)
+      // no data file was rewritten: v's data files are exactly v1's
+      assert(SnapshotTable.manifestFilesOf(lines(t, v)) ==
+        SnapshotTable.manifestFilesOf(lines(t, 1L)))
+      // SQL surface: CALL compact_dvs is a no-op now (single sidecar set)
+      val catRoot = java.nio.file.Files.createTempDirectory("graft_dvmaint_cat_")
+      spark.conf.set("spark.sql.catalog.dvmaint", classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.dvmaint.root", catRoot.toString)
+      try {
+        spark.sql("CREATE TABLE dvmaint.t (k BIGINT, v DOUBLE)")
+        spark.sql("INSERT INTO dvmaint.t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+        spark.sql("DELETE FROM dvmaint.t WHERE k = 1")
+        spark.sql("DELETE FROM dvmaint.t WHERE k = 2")
+        val out = spark.sql("CALL dvmaint.compact_dvs(table => 't')").head
+        assert(out.getLong(0) >= 3L)
+        assert(spark.sql("SELECT k FROM dvmaint.t").collect().map(_.getLong(0)).toSeq == Seq(3L))
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS dvmaint.t")
+        SnapshotTable.deleteRecursively(catRoot)
+      }
+    } finally SnapshotTable.drop(t)
+  }
+
   test("partially-live sidecars stay: metaCount uses rows minus dvrows") {
     val t = SnapshotTable.temp(spark, "graft_dvmaint_partial_")
     try {
