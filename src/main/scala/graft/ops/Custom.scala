@@ -139,6 +139,61 @@ object Custom extends QueryPack {
     q
   }
 
+  /** JOIN containment end-to-end (oracle-gated): register the classic
+    * production MV — orders⋈customer grouped by (mktsegment, priority)
+    * — then run the same join FILTERED to one segment and rolled up to
+    * priority alone. Only the join-containment path can answer it
+    * (different pruning, pushed filters, coarser keys); the `require`
+    * fails loudly if the rewrite stops firing, and the DuckDB hash
+    * gates the re-aggregated values. Aggregates are count + min/max +
+    * an exact integral sum — all order-independent, so the rollup is
+    * bit-identical to aggregating base rows. */
+  private def mvContainedJoin(s: SparkSession, d: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_mvcj_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+    def joined = Tables.orders(s, d).join(Tables.customer(s, d),
+      col("o_custkey") === col("c_custkey"))
+    val wide = joined
+      .groupBy(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"), sum(col("o_custkey")).as("sum_cust"))
+    val fp = graft.plans.MaterializedViews.register(wide, path)
+    val q = joined
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"), sum(col("o_custkey")).as("sum_cust"))
+      .orderBy("pri")
+    try require(q.queryExecution.executedPlan.toString.contains("graft_mvcj_"),
+      "join containment rewrite did not fire: the filtered rollup still joins base tables")
+    finally graft.plans.MaterializedViews.deregister(fp)
+    q
+  }
+
+  /** AVG rollup in containment (oracle-gated): the view stores
+    * SUM(o_custkey) + COUNT(o_custkey) partials per (priority, status);
+    * the query asks AVG(o_custkey) per priority — decomposed into
+    * SUM(sums)/SUM(counts) in double, exactly Average's own arithmetic
+    * (and exact here: integral sums < 2^53). The `require` proves the
+    * rewrite fired; the DuckDB hash proves the decomposition. */
+  private def mvContainedAvg(s: SparkSession, d: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_mvca_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+    val wide = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+      .agg(sum(col("o_custkey")).as("s"), count(col("o_custkey")).as("c"),
+        count(lit(1)).as("n"))
+    val fp = graft.plans.MaterializedViews.register(wide, path)
+    val q = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(avg(col("o_custkey")).as("avg_cust"), count(lit(1)).as("n"))
+      .orderBy("pri")
+    try require(q.queryExecution.executedPlan.toString.contains("graft_mvca_"),
+      "AVG containment rewrite did not fire: the rollup still scans orders")
+    finally graft.plans.MaterializedViews.deregister(fp)
+    q
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_udaf_wavg"        -> udafWavg,
     "q_sim_search_native" -> simSearchNative,
@@ -146,6 +201,8 @@ object Custom extends QueryPack {
     "q_sql_funcs"        -> sqlFuncs,
     "q_mv_rewrite"       -> mvRewrite,
     "q_mv_contained"     -> mvContained,
+    "q_mv_contained_join" -> mvContainedJoin,
+    "q_mv_contained_avg" -> mvContainedAvg,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -159,6 +216,17 @@ object Custom extends QueryPack {
         |FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY pri ORDER BY pri""".stripMargin,
+    "q_mv_contained_join" ->
+      """SELECT o_orderpriority AS pri, COUNT(*) AS n,
+        |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY pri ORDER BY pri""".stripMargin,
+    "q_mv_contained_avg" ->
+      """SELECT o_orderpriority AS pri, AVG(o_custkey) AS avg_cust,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY pri ORDER BY pri""".stripMargin,
     "q_udaf_wavg" ->
       s"""SELECT l_returnflag,
         |       ${graft.Det.r4Sql("SUM(l_extendedprice * l_quantity) / SUM(l_quantity)")} AS wavg_price

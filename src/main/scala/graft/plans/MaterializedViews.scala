@@ -3,8 +3,8 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -186,6 +186,7 @@ object MaterializedViews {
     * unfiltered base — everything stored in relation space, so
     * queries with DIFFERENT column pruning still match. */
   private def indexShape(fp: String, df: DataFrame): Unit = withRewriteDisabled {
+    indexJoinShape(fp, df)
     df.queryExecution.optimizedPlan.canonicalized match {
       case Aggregate(g1, aggs1, child, _) =>
         val (base, proj, cond) = peel(child).getOrElse(return)
@@ -218,6 +219,178 @@ object MaterializedViews {
   private def dropShapes(fp: String): Unit = {
     import scala.jdk.CollectionConverters._
     containment.values().asScala.foreach(q => q.removeIf(_.fp == fp))
+    joinContainment.values().asScala.foreach(q => q.removeIf(_.fp == fp))
+  }
+
+  // ---- JOIN containment (view = fact⋈dim aggregate) ----------------------
+  //
+  // The production MV shape: a view `Aggregate(G₁, A₁, A ⋈ B)` answers
+  // a query `Aggregate(G₂, A₂, σ(A ⋈ B))` with the SAME inner
+  // equi-join, G₂ ⊆ G₁, re-aggregable A₂, and any extra filter
+  // conjuncts referencing only view group-key base columns. Matching
+  // here works on the REAL optimized plans (stable exprIds), with
+  // every expression re-rendered in CONCATENATED-BASE ordinal space —
+  // each attribute replaced by a marker keyed to its ordinal in
+  // (leftBase.output ++ rightBase.output) — so the two plans' differing
+  // column-pruning Projects and exprIds never break the comparison,
+  // and two DIFFERENT columns can never collide (ordinals are unique).
+  // Join conditions and pushed-down child filters are compared as ONE
+  // conjunct-render set on each side: optimizer placement (ON clause
+  // vs pushed Filter, inferred IsNotNull) varies, set semantics don't.
+
+  /** A registered join-aggregate view's matchable anatomy, all in
+    * concatenated-base ordinal space. */
+  private[plans] final case class JoinViewShape(fp: String,
+      groupingByRender: Map[String, Int],
+      aggByRender: Map[String, Int],
+      baseOrdinalToOutput: Map[Int, Int],
+      condRenders: Set[String])
+
+  private val joinContainment =
+    new ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[JoinViewShape]]()
+
+  private[plans] def joinShapesFor(key: String): Seq[JoinViewShape] = {
+    import scala.jdk.CollectionConverters._
+    Option(joinContainment.get(key))
+      .map(_.iterator().asScala.toSeq).getOrElse(Seq.empty)
+  }
+
+  private[plans] def splitAnd(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** The decomposed `[Filter/Project]* Join(leaf, leaf)` under an
+    * aggregate: both leaf bases, every filter/join conjunct found on
+    * the way (placement-independent), and the attribute→concatenated-
+    * base-ordinal mapping. Pruning Projects are attribute-only, so a
+    * real attribute's exprId is identical above and below them. */
+  private[plans] final case class JoinAnatomy(leftBase: LogicalPlan,
+      rightBase: LogicalPlan, conds: Seq[Expression]) {
+    private val nLeft = leftBase.output.length
+    def ordOf(a: org.apache.spark.sql.catalyst.expressions.Attribute): Option[Int] = {
+      val li = leftBase.output.indexWhere(_.exprId == a.exprId)
+      if (li >= 0) Some(li)
+      else {
+        val ri = rightBase.output.indexWhere(_.exprId == a.exprId)
+        if (ri >= 0) Some(nLeft + ri) else None
+      }
+    }
+  }
+
+  private[plans] def decomposeJoinAgg(child: LogicalPlan): Option[JoinAnatomy] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.Inner
+    val conds = scala.collection.mutable.Buffer.empty[Expression]
+    def peelTo(p: LogicalPlan): LogicalPlan = {
+      var cur = p
+      var progress = true
+      while (progress) {
+        progress = false
+        cur match {
+          case f: Filter =>
+            conds ++= splitAnd(f.condition); cur = f.child; progress = true
+          case pr: Project
+              if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+            cur = pr.child; progress = true
+          case _ => ()
+        }
+      }
+      cur
+    }
+    peelTo(child) match {
+      case Join(l, r, Inner, cond, _) =>
+        val lBase = peelTo(l)
+        val rBase = peelTo(r)
+        // leaf relations only: anything deeper (join-of-joins, nested
+        // aggregates) refuses — the rewrite stays an accelerator
+        if (lBase.children.nonEmpty || rBase.children.nonEmpty) None
+        else {
+          conds ++= cond.toSeq.flatMap(splitAnd)
+          Some(JoinAnatomy(lBase, rBase, conds.toSeq))
+        }
+      case _ => None
+    }
+  }
+
+  /** Render `e` with every attribute replaced by a marker carrying its
+    * concatenated-base ordinal — exprId- and pruning-independent, and
+    * injective per base pair (ordinals are unique). None when any
+    * attribute resolves to neither base. */
+  private[plans] def relRender(e: Expression,
+      ordOf: org.apache.spark.sql.catalyst.expressions.Attribute => Option[Int])
+      : Option[String] = {
+    var ok = true
+    val n = e.transformUp {
+      case a: AttributeReference => ordOf(a) match {
+        case Some(o) => AttributeReference("__rc", a.dataType, a.nullable)(
+          exprId = org.apache.spark.sql.catalyst.expressions.ExprId(o.toLong))
+        case None => ok = false; a
+      }
+    }
+    if (ok) Some(n.toString) else None
+  }
+
+  private[plans] def joinKeyOf(anatomy: JoinAnatomy): String =
+    render(anatomy.leftBase.canonicalized) + "\n===JOIN===\n" +
+      render(anatomy.rightBase.canonicalized)
+
+  /** Non-decimal numerics reaggregate AVG exactly as
+    * SUM(sums)/SUM(counts) in double — the same arithmetic Spark's own
+    * Average uses. Decimal AVG has its own scale rules; refuse. */
+  private[plans] def avgOkType(e: Expression): Boolean = {
+    import org.apache.spark.sql.types._
+    e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => true
+      case _ => false
+    }
+  }
+
+  /** Index a registered view for JOIN containment when its optimized
+    * plan is an aggregate over an inner join of two leaf relations. */
+  private def indexJoinShape(fp: String, df: DataFrame): Unit = withRewriteDisabled {
+    df.queryExecution.optimizedPlan match {
+      case Aggregate(g1, aggs1, child, _) =>
+        val anatomy = decomposeJoinAgg(child).getOrElse(return)
+        if (!anatomy.conds.forall(_.deterministic)) return
+        val condRenders: Set[String] = anatomy.conds.map(c =>
+          relRender(c, anatomy.ordOf).getOrElse(return)).toSet
+        var groupingByRender = Map.empty[String, Int]
+        var aggByRender = Map.empty[String, Int]
+        var baseOrd = Map.empty[Int, Int]
+        aggs1.zipWithIndex.foreach { case (ne, j) =>
+          stripAlias(ne) match {
+            case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+              val fnOp: Option[(String, Expression)] = ae.aggregateFunction match {
+                case Sum(e, _) => Some(("sum", e))
+                case Min(e) => Some(("min", e))
+                case Max(e) => Some(("max", e))
+                case c: Count if c.children.length == 1 =>
+                  Some(("count", c.children.head))
+                case _ => None
+              }
+              fnOp.foreach { case (fn, e) =>
+                relRender(e, anatomy.ordOf).foreach(r => aggByRender += s"$fn|$r" -> j)
+              }
+            case e if g1.exists(_.semanticEquals(e)) =>
+              relRender(e, anatomy.ordOf).foreach { r =>
+                groupingByRender += r -> j
+                e match {
+                  case a: AttributeReference =>
+                    anatomy.ordOf(a).foreach(o => baseOrd += o -> j)
+                  case _ => ()
+                }
+              }
+            case _ => ()
+          }
+        }
+        joinContainment.computeIfAbsent(joinKeyOf(anatomy),
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[JoinViewShape]())
+          .add(JoinViewShape(fp, groupingByRender, aggByRender, baseOrd, condRenders))
+      case _ => ()
+    }
   }
 
   /** UNTRUNCATED render of a canonicalized plan. `toString` (the old
@@ -432,6 +605,7 @@ object MaterializedViews {
     registry.clear()
     incremental.clear()
     containment.clear()
+    joinContainment.clear()
     reapSuperseded(all = true)
   }
 }
@@ -515,13 +689,123 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
     // PushDownPredicates)
     if (!realCond.forall(_.deterministic)) return None
     val shapes = MaterializedViews.shapesFor(MaterializedViews.render(baseC))
-    if (shapes.isEmpty) return None
+    if (shapes.isEmpty) return rewriteByJoinContainment(agg)
 
     shapes.iterator.flatMap { shape =>
       MaterializedViews.lookup(shape.fp).flatMap { path =>
         attempt(agg, aggC, projC, realCond, realBase, shape, path)
       }
+    }.nextOption().orElse(rewriteByJoinContainment(agg))
+  }
+
+  /** JOIN containment: the query's `Aggregate(G₂, A₂, σ(A ⋈ B))`
+    * answered from a registered `Aggregate(G₁, A₁, A ⋈ B)` over the
+    * SAME inner equi-join of the same two leaf relations. All
+    * comparisons run in concatenated-base ordinal space on the REAL
+    * optimized plans ([[MaterializedViews.relRender]]); the view's
+    * conjunct set must be a SUBSET of the query's (optimizer placement
+    * of join keys / inferred not-nulls varies — set semantics don't),
+    * and every EXTRA query conjunct must reference only bare base
+    * columns the view groups by and outputs — those commute with the
+    * group-by and become a Filter above the view scan. */
+  private def rewriteByJoinContainment(agg: Aggregate): Option[LogicalPlan] = {
+    import MaterializedViews._
+    val anatomy = decomposeJoinAgg(agg.child).getOrElse(return None)
+    if (!anatomy.conds.forall(_.deterministic)) return None
+    val condPairs: Seq[(String, Expression)] = anatomy.conds.map { c =>
+      (relRender(c, anatomy.ordOf).getOrElse(return None), c)
+    }
+    val shapes = joinShapesFor(joinKeyOf(anatomy))
+    if (shapes.isEmpty) return None
+    shapes.iterator.flatMap { shape =>
+      MaterializedViews.lookup(shape.fp).flatMap { path =>
+        attemptJoin(agg, anatomy, condPairs, shape, path)
+      }
     }.nextOption()
+  }
+
+  private def attemptJoin(agg: Aggregate,
+      anatomy: MaterializedViews.JoinAnatomy,
+      condPairs: Seq[(String, Expression)],
+      shape: MaterializedViews.JoinViewShape, path: String): Option[LogicalPlan] = {
+    import MaterializedViews.{avgOkType, relRender}
+    // the view computed over σ_viewconds(A ⋈ B); the query needs
+    // σ_queryconds ⊇ σ_viewconds, extras commuting through the group-by
+    val queryRenders = condPairs.map(_._1).toSet
+    if (!shape.condRenders.subsetOf(queryRenders)) return None
+    val extras: Seq[Expression] =
+      condPairs.filterNot(p => shape.condRenders.contains(p._1)).map(_._2)
+    extras.foreach { e =>
+      e.references.foreach { a =>
+        val ord = anatomy.ordOf(a).getOrElse(return None)
+        if (!shape.baseOrdinalToOutput.contains(ord)) return None
+      }
+    }
+    val groupingOrds: Seq[Int] = agg.groupingExpressions.map { g =>
+      shape.groupingByRender.getOrElse(
+        relRender(g, anatomy.ordOf).getOrElse(return None), return None)
+    }
+    sealed trait Out
+    case class Pass(viewOrd: Int) extends Out
+    case class Roll(fn: String, viewOrd: Int) extends Out
+    case class RollAvg(sumOrd: Int, cntOrd: Int) extends Out
+    val outs: Seq[Out] = agg.aggregateExpressions.map { ne =>
+      (ne match { case Alias(c, _) => c; case e => e }) match {
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case Average(e, _) if avgOkType(e) =>
+              val r = relRender(e, anatomy.ordOf).getOrElse(return None)
+              RollAvg(shape.aggByRender.getOrElse(s"sum|$r", return None),
+                shape.aggByRender.getOrElse(s"count|$r", return None))
+            case Sum(e, _) =>
+              Roll("sum", shape.aggByRender.getOrElse(
+                s"sum|${relRender(e, anatomy.ordOf).getOrElse(return None)}", return None))
+            case Min(e) =>
+              Roll("min", shape.aggByRender.getOrElse(
+                s"min|${relRender(e, anatomy.ordOf).getOrElse(return None)}", return None))
+            case Max(e) =>
+              Roll("max", shape.aggByRender.getOrElse(
+                s"max|${relRender(e, anatomy.ordOf).getOrElse(return None)}", return None))
+            case c: Count if c.children.length == 1 =>
+              Roll("count", shape.aggByRender.getOrElse(
+                s"count|${relRender(c.children.head, anatomy.ordOf).getOrElse(return None)}",
+                return None))
+            case _ => return None
+          }
+        case e =>
+          Pass(shape.groupingByRender.getOrElse(
+            relRender(e, anatomy.ordOf).getOrElse(return None), return None))
+      }
+    }
+    val mv = spark.read.parquet(path).queryExecution.analyzed
+    val filtered =
+      if (extras.isEmpty) mv
+      else Filter(extras.map(_.transform {
+        case a: AttributeReference if anatomy.ordOf(a).isDefined =>
+          mv.output(shape.baseOrdinalToOutput(anatomy.ordOf(a).get))
+      }).reduce(And), mv)
+    val rebuilt = agg.output.zip(outs).map { case (orig, out) =>
+      def ae(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction) =
+        AggregateExpression(f, Complete, isDistinct = false)
+      val expr: Expression = out match {
+        case Pass(v) => filtered.output(v)
+        case Roll(fn, v) =>
+          val colRef = filtered.output(v)
+          fn match {
+            case "sum" => ae(Sum(colRef))
+            case "min" => ae(Min(colRef))
+            case "max" => ae(Max(colRef))
+            case "count" => Coalesce(Seq(ae(Sum(colRef)), Literal(0L)))
+          }
+        case RollAvg(s, c) =>
+          // SUM(sums)/SUM(counts) in double — Average's own arithmetic
+          Divide(
+            Cast(ae(Sum(filtered.output(s))), org.apache.spark.sql.types.DoubleType),
+            Cast(ae(Sum(filtered.output(c))), org.apache.spark.sql.types.DoubleType))
+      }
+      Alias(Cast(expr, orig.dataType), orig.name)(exprId = orig.exprId)
+    }
+    Some(Aggregate(groupingOrds.map(filtered.output(_)), rebuilt, filtered))
   }
 
   private def attempt(agg: Aggregate, aggC: Aggregate,
@@ -546,13 +830,23 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
         a.exprId.id -> viewOrd
       }.toMap
     }
-    // every output: a view group key passthrough, or a re-aggregable
-    // SUM/MIN/MAX/COUNT the view stored
+    // every output: a view group key passthrough, a re-aggregable
+    // SUM/MIN/MAX/COUNT the view stored, or an AVG decomposed into
+    // view-stored SUM + COUNT partials of the same operand
     sealed trait Out
     case class Pass(viewOrd: Int) extends Out
     case class Roll(fn: String, viewOrd: Int) extends Out
+    case class RollAvg(sumOrd: Int, cntOrd: Int) extends Out
     val outs: Seq[Out] = aggC.aggregateExpressions.map { ne =>
       toRelSpace(ne match { case Alias(c, _) => c; case e => e }, projC) match {
+        case ae: AggregateExpression
+            if !ae.isDistinct && ae.filter.isEmpty &&
+              ae.aggregateFunction.isInstanceOf[Average] &&
+              MaterializedViews.avgOkType(
+                ae.aggregateFunction.asInstanceOf[Average].child) =>
+          val e = ae.aggregateFunction.asInstanceOf[Average].child
+          RollAvg(shape.aggByRender.getOrElse(s"sum|$e", return None),
+            shape.aggByRender.getOrElse(s"count|$e", return None))
         case ae: AggregateExpression =>
           val (fn, rendered) = MaterializedViews.aggRender(ae).getOrElse(return None)
           Roll(fn, shape.aggByRender.getOrElse(rendered, return None))
@@ -571,12 +865,12 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => mv
     }
     val rebuilt = agg.output.zip(outs).map { case (orig, out) =>
+      def ae(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction) =
+        AggregateExpression(f, Complete, isDistinct = false)
       val expr: Expression = out match {
         case Pass(v) => filtered.output(v)
         case Roll(fn, v) =>
           val col = filtered.output(v)
-          def ae(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction) =
-            AggregateExpression(f, Complete, isDistinct = false)
           fn match {
             case "sum" => ae(Sum(col))
             case "min" => ae(Min(col))
@@ -585,6 +879,12 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
             // value the unrewritten COUNT would produce
             case "count" => Coalesce(Seq(ae(Sum(col)), Literal(0L)))
           }
+        case RollAvg(s, c) =>
+          // SUM(sums)/SUM(counts) in double — Average's own arithmetic
+          // (Average sums non-decimal inputs as double too)
+          Divide(
+            Cast(ae(Sum(filtered.output(s))), org.apache.spark.sql.types.DoubleType),
+            Cast(ae(Sum(filtered.output(c))), org.apache.spark.sql.types.DoubleType))
       }
       Alias(Cast(expr, orig.dataType), orig.name)(exprId = orig.exprId)
     }

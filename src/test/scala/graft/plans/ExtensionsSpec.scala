@@ -170,6 +170,96 @@ class ExtensionsSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("MV join containment: same join rewrites; different keys/filters/joins refuse") {
+    val mvPath = java.nio.file.Files.createTempDirectory("graft_mv_join_").toString + "/mvj"
+    def approxEq(a: Seq[Seq[Any]], b: Seq[Seq[Any]]): Boolean =
+      a.length == b.length && a.zip(b).forall { case (ra, rb) =>
+        ra.zip(rb).forall {
+          case (x: Double, y: Double) =>
+            math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
+          case (x, y) => x == y
+        }
+      }
+    def joined = graft.Tables.orders(spark, sf).join(
+      graft.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+    def wide() = joined
+      .groupBy(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("s"),
+        count(col("o_custkey")).as("c"), max(col("o_totalprice")).as("hi"))
+    val fp = MaterializedViews.register(wide(), mvPath)
+    try {
+      // the classic shape: same join, filtered on a view group key,
+      // rolled up coarser — answered from the view, base tables gone
+      def q() = joined.filter(col("c_mktsegment") === "BUILDING")
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"), max(col("o_totalprice")).as("hi"))
+      val plan = q().queryExecution.executedPlan.toString
+      assert(plan.contains("graft_mv_join_"), s"join containment did not fire:\n${plan.take(900)}")
+      assert(!plan.contains("orders.parquet") && !plan.contains("customer.parquet"),
+        plan.take(900))
+      // AVG decomposes from the view's sum+count of the same operand
+      def qa() = joined.groupBy(col("c_mktsegment").as("seg"))
+        .agg(avg(col("o_custkey")).as("a"))
+      assert(qa().queryExecution.executedPlan.toString.contains("graft_mv_join_"))
+      // values match the unrewritten computations
+      MaterializedViews.clear()
+      val expect = q().orderBy("pri").collect().toSeq.map(_.toSeq)
+      val expectA = qa().orderBy("seg").collect().toSeq.map(_.toSeq)
+      MaterializedViews.register(wide(), mvPath)
+      assert(approxEq(q().orderBy("pri").collect().toSeq.map(_.toSeq), expect))
+      assert(approxEq(qa().orderBy("seg").collect().toSeq.map(_.toSeq), expectA))
+
+      // DIFFERENT join keys must NOT rewrite (the conjunct sets differ)
+      val wrongKeys = graft.Tables.orders(spark, sf).join(
+        graft.Tables.customer(spark, sf), col("o_custkey") === col("c_nationkey"))
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"), max(col("o_totalprice")).as("hi"))
+      assert(!wrongKeys.queryExecution.executedPlan.toString.contains("graft_mv_join_"))
+      // a filter on a NON-group-key column must NOT rewrite
+      val badFilter = joined.filter(col("o_totalprice") > 1000.0)
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"), max(col("o_totalprice")).as("hi"))
+      assert(!badFilter.queryExecution.executedPlan.toString.contains("graft_mv_join_"))
+      // a different JOIN TYPE must NOT rewrite (inner-only containment)
+      val leftJoin = graft.Tables.orders(spark, sf).join(
+        graft.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"), max(col("o_totalprice")).as("hi"))
+      assert(!leftJoin.queryExecution.executedPlan.toString.contains("graft_mv_join_"))
+      // an aggregate the view did not store must NOT rewrite
+      val missingAgg = joined.groupBy(col("o_orderpriority").as("pri"))
+        .agg(min(col("o_totalprice")).as("lo"))
+      assert(!missingAgg.queryExecution.executedPlan.toString.contains("graft_mv_join_"))
+    } finally MaterializedViews.clear()
+  }
+
+  test("MV AVG containment on a single relation decomposes into stored SUM/COUNT partials") {
+    val mvPath = java.nio.file.Files.createTempDirectory("graft_mv_avg_").toString + "/mva"
+    def wide() = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+      .agg(sum(col("o_custkey")).as("s"), count(col("o_custkey")).as("c"))
+    MaterializedViews.register(wide(), mvPath)
+    try {
+      def q() = graft.Tables.orders(spark, sf)
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(avg(col("o_custkey")).as("a"))
+      val plan = q().queryExecution.executedPlan.toString
+      assert(plan.contains("graft_mv_avg_"), s"AVG containment did not fire:\n${plan.take(800)}")
+      assert(!plan.contains("orders.parquet"), plan.take(800))
+      MaterializedViews.clear()
+      val expect = q().orderBy("pri").collect().toSeq
+      MaterializedViews.register(wide(), mvPath)
+      // integral sums are exact in double: values are bit-identical
+      assert(q().orderBy("pri").collect().toSeq == expect)
+      // DISTINCT AVG must not rewrite (no decomposition exists)
+      val distinctAvg = graft.Tables.orders(spark, sf)
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(expr("avg(DISTINCT o_custkey)").as("a"))
+      assert(!distinctAvg.queryExecution.executedPlan.toString.contains("graft_mv_avg_"))
+    } finally MaterializedViews.clear()
+  }
+
   test("re-registering an MV refreshes from BASE data, not from the stale materialization") {
     import spark.implicits._
     // regression: the refresh write must run with rewriting disabled,
