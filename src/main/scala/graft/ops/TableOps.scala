@@ -501,6 +501,28 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** TYPE WIDENING end-to-end (int→long without rewrite): v1 commits
+    * the key as INT; `widenColumn(k → BIGINT)` is a METADATA-ONLY
+    * commit; an append lands keys beyond the int range beside the
+    * narrow-era files. The read-back aggregate groups over the widened
+    * key, so the hash match proves pre-widen files promote up on
+    * decode and both eras interleave — the oracle recomputes the final
+    * relation declaratively with 64-bit keys from the start. */
+  private def tableEvolveWiden(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_evolve_widen_")
+    try {
+      val b = base(s, d)
+      t.commit(b.select(col("k").cast("int").as("k"), col("v")))
+      t.widenColumn("k", org.apache.spark.sql.types.LongType)
+      t.appendOnce(b.filter(col("k") % 103 === 0)
+        .select((col("k") + 6000000000L).as("k"), col("v")), 0L)
+      t.read()
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+        .orderBy("bucket").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   /** STRING-key data skipping: customers committed range-clustered on
     * `c_name` with truncated byte-wise min/max bounds per file; a
     * name-range read prunes files by those bounds (pruning itself
@@ -1021,6 +1043,7 @@ object TableOps extends QueryPack {
     "q_table_delete_dv"  -> tableDeleteDv,
     "q_table_evolve"     -> tableEvolve,
     "q_table_evolve_rename" -> tableEvolveRename,
+    "q_table_evolve_widen" -> tableEvolveWiden,
     "q_table_skipping_str" -> tableSkippingStr,
     "q_table_commit"     -> tableCommit,
     "q_table_compact"    -> tableCompact,
@@ -1246,6 +1269,14 @@ object TableOps extends QueryPack {
          |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("price", 2)} AS total
          |FROM snap WHERE k % 97 <> 0
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_table_evolve_widen" ->
+      s"""WITH snap AS (
+         |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey + 6000000000 AS k, o_totalprice AS v
+         |  FROM orders WHERE o_orderkey % 103 = 0)
+         |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total
+         |FROM snap GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_table_lifecycle" ->
       s"""WITH x AS (
          |  SELECT o_orderkey AS k, o_totalprice AS v,

@@ -660,10 +660,16 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
 
   /** The streaming surface, unchanged: per-trigger manifest diffs
     * under the FULL table schema (streaming plans don't run the
-    * batch pushdown rules). */
+    * batch pushdown rules). `startingTimestamp` (epoch millis)
+    * resolves through the manifests' own commit-time records to the
+    * exclusive start version, so the stream delivers every commit at
+    * or after the timestamp — timestamp parity with time travel. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftTableMicroBatchStream(root,
-      options.getOrElse("startingVersion", "0"), tableSchema,
+      options.get("startingVersion")
+        .orElse(options.get("startingTimestamp").map(ts =>
+          SnapshotTable.versionBeforeTs(rootPath, ts.toLong).toString))
+        .getOrElse("0"), tableSchema,
       changeFeed = changeFeed,
       maxVersionsPerTrigger = options.get("maxVersionsPerTrigger").map(_.toLong))
 
@@ -685,8 +691,12 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
       }.toArray
     } else {
       // batch change-feed read over (start, end] — the same
-      // per-version walk as the streaming change feed, as one batch
-      val start = options.get("startingVersion").map(_.toLong).getOrElse(0L)
+      // per-version walk as the streaming change feed, as one batch;
+      // startingTimestamp resolves like the streaming surface
+      val start = options.get("startingVersion").map(_.toLong)
+        .orElse(options.get("startingTimestamp").map(ts =>
+          SnapshotTable.versionBeforeTs(rootPath, ts.toLong)))
+        .getOrElse(0L)
       val end = options.get("endingVersion").map(_.toLong)
         .getOrElse(SnapshotTable.currentVersionAt(rootPath))
       require(start <= end, s"readChangeFeed needs startingVersion <= endingVersion, got ($start, $end)")
@@ -1114,6 +1124,11 @@ object GraftTableBatchReaderFactory {
       case (ByteType, _) => g => g.getInteger(idx, 0).toByte
       case (ShortType, _) => g => g.getInteger(idx, 0).toShort
       case (IntegerType | DateType, _) => g => g.getInteger(idx, 0)
+      // TYPE-WIDENING decode: files committed before a widenColumn
+      // keep their narrower physical type — promote up losslessly
+      case (LongType, INT32) => g => g.getInteger(idx, 0).toLong
+      case (DoubleType, FLOAT) => g => g.getFloat(idx, 0).toDouble
+      case (DoubleType, INT32) => g => g.getInteger(idx, 0).toDouble
       case (LongType, _) => g => g.getLong(idx, 0)
       case (FloatType, _) => g => g.getFloat(idx, 0)
       case (DoubleType, _) => g => g.getDouble(idx, 0)

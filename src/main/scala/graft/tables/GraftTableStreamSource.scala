@@ -560,6 +560,10 @@ class GraftTableReaderFactory(schemaJson: String,
               case (ByteType, _) => g.getInteger(idx, 0).toByte
               case (ShortType, _) => g.getInteger(idx, 0).toShort
               case (IntegerType | DateType, _) => g.getInteger(idx, 0)
+              // type-widening decode (see the batch reader's twin)
+              case (LongType, INT32) => g.getInteger(idx, 0).toLong
+              case (DoubleType, FLOAT) => g.getFloat(idx, 0).toDouble
+              case (DoubleType, INT32) => g.getInteger(idx, 0).toDouble
               case (LongType, _) => g.getLong(idx, 0)
               case (FloatType, _) => g.getFloat(idx, 0)
               case (DoubleType, _) => g.getDouble(idx, 0)

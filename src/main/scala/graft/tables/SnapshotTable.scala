@@ -1244,8 +1244,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       if (version == 1) df.schema
       else if (!evolve) {
         val table = schemaOf(prev)
-        if (!SnapshotTable.hasMapping(table)) df.schema
-        else {
+        if (SnapshotTable.hasMapping(table)) {
           // a column-mapped schema must survive the append verbatim —
           // df.schema would wipe the phys metadata and break every
           // read of the pre-rename files
@@ -1253,7 +1252,19 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
             s"append columns ${df.schema.fieldNames.mkString(",")} != " +
               s"mapped table ${table.fieldNames.mkString(",")}")
           table
-        }
+        } else if (df.schema.fieldNames.sameElements(table.fieldNames)) {
+          // same columns: the COMMITTED types win. A batch narrower
+          // than a widened column decodes up at read time; anything
+          // else would silently re-type the table — reject loudly
+          // (explicit widening goes through widenColumn).
+          table.fields.zip(df.schema.fields).foreach { case (t, g) =>
+            require(t.dataType == g.dataType ||
+              SnapshotTable.widensTo(g.dataType, t.dataType),
+              s"appendOnce cannot change ${t.name}: ${t.dataType} -> " +
+                s"${g.dataType} at $root (use widenColumn / appendEvolved)")
+          }
+          table
+        } else df.schema
       } else {
         val table = schemaOf(prev)
         table.fields.foreach { f =>
@@ -2739,6 +2750,17 @@ object SnapshotTable {
       .collectFirst { case OpMeta(_, t) => t.toLong }
       .getOrElse(Files.getLastModifiedTime(
         rootPath.resolve("_manifests").resolve(s"v$version.manifest")).toMillis)
+
+  /** Newest version committed strictly BEFORE `tsMillis`, or 0 when
+    * none — the exclusive-start resolution behind a streaming/CDF
+    * `startingTimestamp` (the feed over (v, end] then delivers every
+    * commit at or after the timestamp, Delta's startingTimestamp
+    * contract). */
+  private[tables] def versionBeforeTs(rootPath: Path, tsMillis: Long): Long =
+    listCommittedAt(rootPath.resolve("_manifests"))
+      .map(v => (v, commitTsAt(rootPath, v)))
+      .filter(_._2 < tsMillis).map(_._1)
+      .maxOption.getOrElse(0L)
 
   /** Newest version committed at or before `tsMillis`. */
   private[tables] def versionAtTs(rootPath: Path, tsMillis: Long): Long = {

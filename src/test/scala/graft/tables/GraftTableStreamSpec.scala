@@ -200,6 +200,39 @@ class GraftTableStreamSpec extends SparkSpec {
     } finally { SnapshotTable.drop(t1); SnapshotTable.drop(t2) }
   }
 
+  test("startingTimestamp resolves to the first commit at or after it (stream + batch CDF)") {
+    val t = tempTable("start_ts")
+    try {
+      // pinned commit clock: three appends at ts 1000/2000/3000
+      t.nowMs = () => 1000L
+      assert(t.appendOnce(Seq((1L, 1.0)).toDF("k", "v"), 0L).isDefined)
+      t.nowMs = () => 2000L
+      assert(t.appendOnce(Seq((2L, 2.0)).toDF("k", "v"), 1L).isDefined)
+      t.nowMs = () => 3000L
+      assert(t.appendOnce(Seq((3L, 3.0)).toDF("k", "v"), 2L).isDefined)
+      // streaming from ts=2000: v2 (committed AT 2000) and v3 deliver
+      val sink = "gt_start_ts"
+      val q = spark.readStream.format("graft-table").option("path", t.root)
+        .option("startingTimestamp", "2000").load()
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table(sink).select("k").as[Long].collect().toSeq.sorted
+      spark.catalog.dropTempView(sink)
+      assert(got == Seq(2L, 3L), got.toString)
+      // change-feed twin through the batch surface
+      val cdf = spark.read.format("graft-table").option("path", t.root)
+        .option("readChangeFeed", "true").option("startingTimestamp", "2000").load()
+        .select("k").as[Long].collect().toSeq.sorted
+      assert(cdf == Seq(2L, 3L), cdf.toString)
+      // a timestamp before every commit streams the whole log
+      val cdfAll = spark.read.format("graft-table").option("path", t.root)
+        .option("readChangeFeed", "true").option("startingTimestamp", "500").load()
+        .count()
+      assert(cdfAll == 3L)
+    } finally SnapshotTable.drop(t)
+  }
+
   test("decodes every supported primitive type identically to the batch reader") {
     val t = tempTable("types")
     try {
