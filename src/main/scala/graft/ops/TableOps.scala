@@ -687,6 +687,28 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** METADATA-ONLY SUM under deletion vectors: commitClustered mints
+    * per-file `#sum=` (key sum + non-null count) alongside `#range=`;
+    * the DV delete re-mints the touched files' sums over their live
+    * remainder in the same job as the bounds. [[SnapshotTable.metaSum]]
+    * then answers SUM(key) — and with metaCount, exact AVG — with
+    * ZERO data IO (DvMaintenanceSpec carries the destructive
+    * data-dir-deleted proof and the SQL pushdown plan guard). The
+    * delete removes whole neighborhoods plus a modular comb, so any
+    * stale per-file sum would hash-mismatch the oracle's recompute. */
+  private def tableMetaSum(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_meta_sum_")
+    try {
+      t.commitClustered(base(s, d), "k", 8)
+      val v = t.delete(col("k") % 7 === 0 || col("k") < 500L)
+      val (sm, nn) = t.metaSum(v)
+      s.range(1).select(
+        lit(sm.map(java.lang.Long.valueOf).orNull).cast("long").as("s"),
+        lit(nn).as("nn"))
+        .localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   /** Row-level UPDATE via deletion vectors through the gate: v1
     * commits the base; v2 doubles `v` on keys ≡0 mod 5 — tombstone +
     * post-image append, no file rewritten (asserted in
@@ -728,6 +750,65 @@ object TableOps extends QueryPack {
       kept.select(col("phase"), col("n"), col("total"))
         .unionAll(quar.select(col("phase"), col("n"), col("total")))
         .orderBy("phase").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
+  /** Persistent CHECK constraints through the gate (Delta's
+    * `ALTER TABLE ADD CONSTRAINT`): v1 commits the even-key half,
+    * `v_pos` (v > 0) lands as a metadata-only commit with add-time
+    * validation, a valid append passes, a NULL-price row passes (SQL
+    * CHECK: only FALSE violates), a negated-price append and a
+    * negating UPDATE are both REJECTED inside their own write jobs
+    * (nothing publishes — in-query requires prove both rejections
+    * fired and the version never moved), and after [[dropConstraint]]
+    * the previously-rejected rows land. One hash over the final
+    * relation proves enforcement was row-exact on every path. */
+  private def tableConstraint(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_constraint_")
+    try {
+      def chainHas(e: Throwable, needle: String): Boolean = {
+        var c: Throwable = e
+        while (c != null) {
+          if (Option(c.getMessage).exists(_.contains(needle))) return true
+          c = c.getCause
+        }
+        false
+      }
+      def rejected(f: => Unit): Boolean =
+        try { f; false }
+        catch { case e: Throwable =>
+          if (chainHas(e, "CHECK constraint")) true else throw e
+        }
+      val b = base(s, d)
+      t.commit(b.filter(col("k") % 2 === 0))
+      t.addConstraint("v_pos", "v > 0.0")
+      require(t.constraints == Map("v_pos" -> "v > 0.0"),
+        s"constraint not stored: ${t.constraints}")
+      // adding a constraint existing rows violate must refuse
+      require(rejected(t.addConstraint("impossible", "v < 0.0")),
+        "add-time validation missed")
+      require(!t.constraints.contains("impossible"), "invalid constraint stored")
+      t.appendOnce(b.filter(col("k") % 2 === 1), 0L) // valid
+      t.appendOnce(s.range(1).select(lit(9000000L).as("k"),
+        lit(null).cast("double").as("v")), 1L) // NULL passes CHECK
+      val vBefore = t.currentVersion
+      require(rejected {
+        t.appendOnce(b.filter(col("k") % 3 === 0)
+          .withColumn("v", col("v") * -1), 2L)
+      }, "violating append was not rejected")
+      require(rejected {
+        t.update(col("k") % 11 === 0, Map("v" -> (col("v") * -1)))
+      }, "violating update was not rejected")
+      require(t.currentVersion == vBefore,
+        "a rejected write must publish nothing")
+      t.update(col("k") % 7 === 0, Map("v" -> (col("v") + lit(1.0)))) // valid
+      t.dropConstraint("v_pos")
+      require(t.constraints.isEmpty, "dropConstraint left metadata behind")
+      t.appendOnce(b.filter(col("k") % 1000 === 0)
+        .withColumn("v", col("v") * -1), 3L) // passes now
+      t.read().groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+        .orderBy("bucket").localCheckpoint(true)
     } finally SnapshotTable.drop(t)
   }
 
@@ -1028,11 +1109,13 @@ object TableOps extends QueryPack {
     "q_table_cdf_batch"  -> tableCdfBatch,
     "q_table_cdf_replace" -> tableCdfReplace,
     "q_table_expect"     -> tableExpect,
+    "q_table_constraint" -> tableConstraint,
     "q_table_optimize_z" -> tableOptimizeZ,
     "q_table_restore"    -> tableRestore,
     "q_table_clone"      -> tableClone,
     "q_table_meta_agg"   -> tableMetaAgg,
     "q_table_meta_agg_dv" -> tableMetaAggDv,
+    "q_table_meta_sum"   -> tableMetaSum,
     "q_table_update_dv"  -> tableUpdateDv,
     "q_table_lifecycle"  -> tableLifecycle,
     "q_table_bloom"      -> tableBloom,
@@ -1151,6 +1234,14 @@ object TableOps extends QueryPack {
          |  SELECT 'insert', COUNT(*), ${Det.dsumSql("v * 2", 2)}
          |  FROM b WHERE k % 5 = 0)
          |ORDER BY change""".stripMargin,
+    "q_table_constraint" ->
+      s"""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+         |fin AS (
+         |  SELECT k, CASE WHEN k % 7 = 0 THEN v + 1.0 ELSE v END AS v FROM o
+         |  UNION ALL SELECT 9000000, CAST(NULL AS DOUBLE)
+         |  UNION ALL SELECT k, -v FROM o WHERE k % 1000 = 0)
+         |SELECT k % 10 AS bucket, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total
+         |FROM fin GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_table_expect" ->
       s"""WITH b AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
          |tagged AS (
@@ -1204,6 +1295,10 @@ object TableOps extends QueryPack {
       """SELECT COUNT(*) AS n, MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
         |FROM orders
         |WHERE NOT (o_orderkey < 500 OR o_orderkey % 7 = 0)""".stripMargin,
+    "q_table_meta_sum" ->
+      """SELECT CAST(SUM(o_orderkey) AS BIGINT) AS s, COUNT(o_orderkey) AS nn
+        |FROM orders
+        |WHERE NOT (o_orderkey % 7 = 0 OR o_orderkey < 500)""".stripMargin,
     "q_table_update_dv" ->
       s"""WITH b AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
          |upd AS (SELECT k, CASE WHEN k % 5 = 0 THEN v * 2 ELSE v END AS v FROM b),

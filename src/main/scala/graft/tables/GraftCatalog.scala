@@ -326,6 +326,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           override def rows(): Array[InternalRow] = hist
         }).iterator()
       }),
+    "add_constraint" -> proc("add_constraint",
+      // CALL cat.add_constraint('tbl', 'name', 'k > 0') — Delta's
+      // ALTER TABLE ADD CONSTRAINT (Spark's TableChange surface has
+      // no CHECK-constraint change, so the verb rides the procedure
+      // catalog like the other maintenance ops)
+      Seq(param("table", StringType), param("name", StringType),
+        param("expression", StringType)),
+      in => oneRow(VersionOut,
+        snapshotOf(in.getUTF8String(0).toString).addConstraint(
+          in.getUTF8String(1).toString, in.getUTF8String(2).toString))),
+    "drop_constraint" -> proc("drop_constraint",
+      Seq(param("table", StringType), param("name", StringType)),
+      in => oneRow(VersionOut,
+        snapshotOf(in.getUTF8String(0).toString).dropConstraint(
+          in.getUTF8String(1).toString))),
     "compact_dvs" -> proc("compact_dvs",
       Seq(param("table", StringType)),
       in => oneRow(VersionOut,

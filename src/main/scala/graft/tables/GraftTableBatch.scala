@@ -459,7 +459,7 @@ class GraftTableScanBuilder(options: Map[String, String], tableSchema: StructTyp
   // so min/max need no re-encoding — only a width cast.
   private var aggResult: Option[(StructType, Array[Any])] = None
 
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min, Sum}
 
   private def aggPlan(agg: Aggregation): Option[(StructType, Array[Any])] = {
     if (changeFeed || version == 0L) return None
@@ -495,6 +495,14 @@ class GraftTableScanBuilder(options: Map[String, String], tableSchema: StructTyp
     val ranges = meta.collect { case SnapshotTable.RangeMeta(_, a, b) =>
       (a.toLong, b.toLong)
     }
+    // per-file key sums (#sum — integral cluster keys only): complete
+    // coverage answers SUM(key) zero-IO; DV staleness is excluded by
+    // the same #dvminmax gate as MIN/MAX (the delete that re-mints
+    // bounds re-mints sums in the same job)
+    val sums: Map[String, (Long, Long)] = meta.collect {
+      case SnapshotTable.SumMeta(rel, sm, nn) => rel -> (sm.toLong, nn.toLong)
+    }.toMap
+    val sumsComplete = files.forall(sums.contains)
     val keyType = tableSchema(clusterKey).dataType
     def decode(v: Long): Any = keyType match {
       case ByteType => v.toByte
@@ -518,6 +526,14 @@ class GraftTableScanBuilder(options: Map[String, String], tableSchema: StructTyp
         (StructField(s"min($clusterKey)", keyType, nullable = true), lo)
       case m: Max if colOf(m.column()).contains(clusterKey) =>
         (StructField(s"max($clusterKey)", keyType, nullable = true), hi)
+      case s: Sum if !s.isDistinct && sumsComplete &&
+          colOf(s.column()).contains(clusterKey) =>
+        // integral inputs: Spark's sum() returns LongType with non-ANSI
+        // wrapping '+', which Σ-of-per-file-Long-sums reproduces exactly
+        val nn = files.map(f => sums(f)._2).sum
+        val tot: Any =
+          if (nn == 0L) null else java.lang.Long.valueOf(files.map(f => sums(f)._1).sum)
+        (StructField(s"sum($clusterKey)", LongType, nullable = true), tot)
       case _ => return None
     }
     Some((StructType(out.map(_._1)), out.map(_._2: Any)))
@@ -1180,8 +1196,18 @@ class GraftTableBatchWrite(root: String, schema: StructType, queryId: String,
       case GraftTableWriteMessage(rel, n) if n > 0 => rel
     }.sorted
     val table = new SnapshotTable(SparkSession.active, root)
-    val committed = table.commitFilesOnce(rels.toSeq, schema, 0L,
-      s"batch:$queryId", carry = !truncate)
+    val committed =
+      try table.commitFilesOnce(rels.toSeq, schema, 0L,
+        s"batch:$queryId", carry = !truncate)
+      catch { case e: Throwable =>
+        // nothing published (e.g. a CHECK-constraint violation in the
+        // staged rows) — the staged parts are this writer's garbage
+        rels.foreach { rel =>
+          try java.nio.file.Files.deleteIfExists(Paths.get(root).resolve(rel))
+          catch { case _: java.io.IOException => () }
+        }
+        throw e
+      }
     if (committed.isEmpty) {
       // replayed attempt: the committed version references the first
       // attempt's files — these staged duplicates are garbage

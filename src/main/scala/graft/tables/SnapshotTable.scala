@@ -366,9 +366,14 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       val priorMinMaxEligible = manifestDvFiles(lines).isEmpty ||
         lines.drop(2).contains(SnapshotTable.DvMinMax)
       val touchedKept = keptFiles.filter(rel => doomedPerFile.contains(dvAddressOf(rel)))
-      val remint: Map[String, (Long, Long)] =
+      // #sum stats exist only on integral-keyed clustered commits —
+      // re-mint them in the SAME job as the #range bounds
+      val priorSums = lines.drop(2).exists {
+        case SnapshotTable.SumMeta(_, _, _) => true; case _ => false
+      }
+      val remintRows: Array[Row] =
         if (clusterKeyPhys.isEmpty || !priorMinMaxEligible || touchedKept.isEmpty)
-          Map.empty
+          Array.empty
         else {
           val keyCol = SnapshotTable.logicalNameFor(lines, clusterKeyPhys.get)
           val enc = statLongExpr(schemaOf(lines)(keyCol).dataType, keyCol)
@@ -379,14 +384,23 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
             .join(doomedAddrs,
               col("__graft_dv_f") === col(SnapshotTable.DvFileCol) &&
                 col("__graft_dv_p") === col(SnapshotTable.DvPosCol), "left_anti")
-            .groupBy("__graft_dv_f").agg(min(enc).as("lo"), max(enc).as("hi"))
+            .groupBy("__graft_dv_f").agg(min(enc).as("lo"), max(enc).as("hi"),
+              sum(enc).as("s"), count(enc).as("nn"))
             .collect() // ≤ touched files rows — bounded driver metadata
-            .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
-            .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
         }
+      val remint: Map[String, (Long, Long)] = remintRows
+        .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // all-null-survivors record 0|0 (SUM ignores nulls) — unlike
+      // #range, which drops so pruning stays conservative
+      val remintSums: Map[String, (Long, Long)] = remintRows.map { r =>
+        r.getString(0) -> (if (r.isNullAt(3)) 0L else r.getLong(3), r.getLong(4))
+      }.toMap
       val remintLines = touchedKept.flatMap { rel =>
         remint.get(dvAddressOf(rel)).map { case (lo, hi) => s"#range=$rel|$lo|$hi" }
-      }
+      } ++ (if (!priorSums) Vector.empty[String] else touchedKept.flatMap { rel =>
+        remintSums.get(dvAddressOf(rel)).map { case (sm, nn) => s"#sum=$rel|$sm|$nn" }
+      })
       val willHaveDvs = newDvLines.nonEmpty ||
         (manifestDvFiles(lines).nonEmpty && !priorDvInert)
       val minMaxMarker =
@@ -420,6 +434,10 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         // (an extreme may have been tombstoned) — replaced by the fresh
         // lines, or dropped entirely when only null keys survive
         case RangeMeta(rel, _, _) =>
+          keptSet(rel) && !(remintAttempted && touchedKeptSet(rel))
+        // same staleness rule for per-file sums (tombstoned rows would
+        // still be counted) — replaced by the re-minted lines
+        case SnapshotTable.SumMeta(rel, _, _) =>
           keptSet(rel) && !(remintAttempted && touchedKeptSet(rel))
         case Range2Meta(rel, _, _, _, _) => keptSet(rel)
         case RangeSMeta(rel, _, _, _) => keptSet(rel)
@@ -500,10 +518,11 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       val priorDvRows = SnapshotTable.dvRowsOf(lines)
       val priorDvInert = priorDvRows.nonEmpty &&
         priorDvRows.keys.forall(a => !updKeptAddrs(a))
-      // post-images: assignments over the pre-image, schema pinned
-      val post = matched.select(schema.fields.map(f =>
+      // post-images: assignments over the pre-image, schema pinned;
+      // CHECK constraints guard the new values inline
+      val post = guarded(matched.select(schema.fields.map(f =>
         assignments.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name))
-          .as(f.name)).toSeq: _*)
+          .as(f.name)).toSeq: _*))
       val (postSnap, newFiles) =
         if (matchedPerFile.isEmpty) (None, Vector.empty[String])
         else {
@@ -539,6 +558,10 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         // bucket spec would lie to the next mergeBucketed — drop it
         // (the merge then refuses loudly instead of mis-routing)
         case l if l.startsWith("#buckets=") => false
+        // a tombstoned file's key sum is falsified (no re-mint on the
+        // update path) — drop it; stale ranges stay (conservative)
+        case SnapshotTable.SumMeta(rel, _, _) =>
+          keptSet(rel) && !matchedPerFile.contains(dvAddressOf(rel))
         case RangeMeta(rel, _, _) => keptSet(rel)
         case Range2Meta(rel, _, _, _, _) => keptSet(rel)
         case RangeSMeta(rel, _, _, _) => keptSet(rel)
@@ -607,13 +630,27 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * transparently ([[SnapshotTable.manifestLinesAt]]); [[vacuum]]
     * reclaims unreferenced segments. */
   private[tables] def writeTmpManifest(version: Long, schema: StructType,
-      files: Seq[String], op: String = "WRITE"): Path = {
+      files: Seq[String], op: String = "WRITE",
+      carryConstraints: Boolean = true): Path = {
     require(!op.contains(' ') && !op.contains('\n'), s"bad op tag '$op'")
     val tmp = manifestsDir.resolve(s".tmp-${UUID.randomUUID()}")
     val head = s"#op=$op ts=${nowMs()}"
-    val (segmentable, inline) = files.partition(SnapshotTable.isSegmentable)
+    // TABLE-LEVEL metadata survives every commit by default:
+    // `#constraint=` lines are auto-carried from the previous version
+    // at this single choke point, so no write verb can silently shed
+    // the table's CHECK constraints. [[dropConstraint]] and
+    // [[restore]] manage the lines explicitly and opt out.
+    val withConstraints: Seq[String] =
+      if (!carryConstraints || version <= 1) files
+      else {
+        val prevCs = manifestLines(version - 1).drop(2)
+          .filter(SnapshotTable.ConstraintMeta.matches)
+        if (prevCs.isEmpty) files
+        else files ++ prevCs.filterNot(files.toSet)
+      }
+    val (segmentable, inline) = withConstraints.partition(SnapshotTable.isSegmentable)
     val body =
-      if (segmentable.size <= SnapshotTable.SegmentThreshold) files
+      if (segmentable.size <= SnapshotTable.SegmentThreshold) withConstraints
       else inline ++ SnapshotTable.chunkLines(segmentable.sorted.toVector).map { c =>
         s"#seg=${writeSegmentIfAbsent(c)}"
       }
@@ -669,7 +706,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
   /** Commit `df` as the next version and return its version number. */
   def commit(df: DataFrame): Long = {
     val version = currentVersion + 1
-    val (snap, files, schema) = writeData(df, version)
+    val (snap, files, schema) = writeData(guarded(df), version)
     val tmp = writeTmpManifest(version, schema, files)
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
@@ -729,6 +766,12 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val dataRels = insRels ++ updRels
     val version = cur + 1
     val schema = schemaOf(lines)
+    // CHECK constraints on the SQL row-level DML path: MERGE inserts
+    // and UPDATE post-images were staged by the delta writers under
+    // physical names — validate them in one O(changed rows) scan
+    // before the commit publishes (the caller cleans staged files up
+    // on throw)
+    validateStagedConstraints(dataRels, schema)
     // per-file tombstone counts from the freshly staged sidecars (one
     // tiny driver job), merged with carried counts — keeps COUNT(*)
     // metadata-only and drives the dead-file check below
@@ -768,6 +811,9 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       // SQL DML doesn't re-mint #range bounds for its tombstoned
       // files, so the zero-IO MIN/MAX guarantee dies with this commit
       case l if l == SnapshotTable.DvMinMax => false
+      // ...nor the tombstoned files' key sums — drop theirs
+      case SnapshotTable.SumMeta(rel, _, _) =>
+        keptSet(rel) && !newPerFile.contains(dvAddressOf(rel))
       case RowsMeta(rel, _) => keptSet(rel)
       case BucketMeta(_, _) => dataRels.isEmpty
       case RangeMeta(rel, _, _) => keptSet(rel)
@@ -872,7 +918,9 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         .write.parquet(qDir.toString)
       val qLines: Seq[String] = listParquetRec(qDir)
         .map(p => s"#quarantine=${rootPath.relativize(p)}").sorted
-      val (snap, files, schema) = writeData(pinned.filter(allPass), version)
+      // table CHECK constraints are HARD gates on top of the soft
+      // expectations: a kept row violating one aborts the commit
+      val (snap, files, schema) = writeData(guarded(pinned.filter(allPass)), version)
       val tmp = writeTmpManifest(version, schema, qLines ++ files)
       try publish(version, tmp)
       catch { case e: CommitConflictException =>
@@ -894,6 +942,135 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         org.apache.spark.sql.types.StringType, nullable = true)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else spark.read.parquet(rels.map(rel => rootPath.resolve(rel).toString): _*)
+  }
+
+  // ---- persistent CHECK constraints (table-level, write-enforced) ------
+
+  /** Named CHECK constraints of the current version: name → SQL
+    * boolean expression over LOGICAL column names. Durable table
+    * metadata (`#constraint=` manifest lines, auto-carried across
+    * every commit); enforced inside every write job until
+    * [[dropConstraint]]. Empty on an empty table. */
+  def constraints: Map[String, String] = {
+    val v = currentVersion
+    if (v == 0) Map.empty
+    else SnapshotTable.constraintsOf(manifestLines(v)).toMap
+  }
+
+  private def currentConstraintPairs(): Seq[(String, String)] = {
+    val v = currentVersion
+    if (v == 0) Seq.empty else SnapshotTable.constraintsOf(manifestLines(v))
+  }
+
+  /** Column names a stored constraint expression references (parsed,
+    * unresolved — lowercase for Spark's case-insensitive matching). */
+  private def constraintRefs(exprSql: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+
+  /** SQL CHECK semantics: a row passes unless the expression is
+    * literally FALSE (NULL passes — Delta's CHECK behavior, unlike
+    * [[commitExpect]]'s strict gates where NULL violates). */
+  private def constraintPass(exprSql: String): org.apache.spark.sql.Column =
+    coalesce(expr(exprSql).cast("boolean"), lit(true))
+
+  /** Wrap `df` so the WRITE JOB ITSELF aborts on the first row that
+    * violates a CHECK constraint — an inline codegen'd predicate on
+    * rows already flowing to the writer (zero extra passes at any
+    * scale; the orphaned staged snapshot is vacuum garbage). The
+    * pass-through filter keeps the assertion in the plan: its
+    * predicate is always true, but `assert_true` raises before it
+    * can say so on a violating row. */
+  private def guardConstraints(df: DataFrame,
+      cs: Seq[(String, String)]): DataFrame =
+    cs.foldLeft(df) { case (d, (n, sql)) =>
+      d.filter(coalesce(assert_true(constraintPass(sql),
+        lit(s"graft CHECK constraint violated: $n ($sql) at $root")),
+        lit(true)))
+    }
+
+  /** `df` guarded by the CURRENT version's constraints (no-op when
+    * the table has none — the common case adds nothing). */
+  private def guarded(df: DataFrame): DataFrame = {
+    val cs = currentConstraintPairs()
+    if (cs.isEmpty) df else guardConstraints(df, cs)
+  }
+
+  /** Validate ALREADY-STAGED part files against the current CHECK
+    * constraints — the SQL INSERT / row-level-DML paths, whose rows
+    * ran through Spark's own DSv2 writers rather than a DataFrame
+    * this layer could wrap inline. One scan of ONLY the staged rels
+    * (O(changed data), never the table), all constraints evaluated
+    * in a single aggregate pass; throws naming the first violated
+    * constraint (sorted-name order — deterministic). */
+  private[tables] def validateStagedConstraints(rels: Seq[String],
+      schema: StructType): Unit = {
+    val cs = currentConstraintPairs()
+    if (cs.isEmpty || rels.isEmpty) return
+    val counts = physRead(schema, rels).select(
+      cs.map { case (n, sql) =>
+        sum(when(!constraintPass(sql), 1L).otherwise(0L)).as(n)
+      }: _*).collect().head
+    cs.zipWithIndex.foreach { case ((n, sql), i) =>
+      val bad = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+      if (bad > 0L) throw new IllegalStateException(
+        s"graft CHECK constraint violated: $n ($sql) by $bad staged rows at $root")
+    }
+  }
+
+  /** ADD a persistent CHECK constraint (Delta's `ALTER TABLE ... ADD
+    * CONSTRAINT ... CHECK`): resolves the expression against the
+    * current schema, verifies EVERY existing live row satisfies it
+    * (one scan — exactly Delta's add-time validation), then publishes
+    * a METADATA-ONLY commit carrying the `#constraint=` line. The
+    * commit tracks zero row-level changes (CdcTracked), so change
+    * feeds and incremental view refresh pass straight through it.
+    * Every subsequent write on any path — instance verbs, SQL
+    * INSERT/DML, streaming appends — enforces the constraint inside
+    * its own write job and aborts the commit on violation. */
+  def addConstraint(name: String, exprSql: String): Long = {
+    require(name.nonEmpty && !name.contains('|') && !name.contains('\n') &&
+      !name.contains(' '), s"bad constraint name '$name'")
+    require(!exprSql.contains('\n'),
+      "constraint expression must be single-line")
+    val cur = currentVersion
+    require(cur > 0, s"table at $root has no committed version")
+    val lines = manifestLines(cur)
+    require(!SnapshotTable.constraintsOf(lines).exists(_._1 == name),
+      s"constraint '$name' already exists at $root")
+    val violations = read(cur).filter(!constraintPass(exprSql)).limit(1).count()
+    require(violations == 0L,
+      s"cannot add CHECK constraint $name ($exprSql): existing rows violate it at $root")
+    val body = (SnapshotTable.CdcTracked +: lines.drop(2).filterNot(l =>
+      l.startsWith("#batchId=") || l.startsWith("#writer=") ||
+        l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
+        l.startsWith("#op=") || l == SnapshotTable.CdcTracked)) :+
+      s"#constraint=$name|$exprSql"
+    val version = cur + 1
+    publish(version, writeTmpManifest(version, schemaOf(lines), body, op = "ALTER"))
+    version
+  }
+
+  /** DROP a CHECK constraint: metadata-only commit without the line
+    * (opting out of the auto-carry that would resurrect it). */
+  def dropConstraint(name: String): Long = {
+    val cur = currentVersion
+    require(cur > 0, s"table at $root has no committed version")
+    val lines = manifestLines(cur)
+    require(SnapshotTable.constraintsOf(lines).exists(_._1 == name),
+      s"no constraint '$name' at $root")
+    val body = SnapshotTable.CdcTracked +: lines.drop(2).filterNot {
+      case SnapshotTable.ConstraintMeta(n, _) if n == name => true
+      case l => l.startsWith("#batchId=") || l.startsWith("#writer=") ||
+        l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
+        l.startsWith("#op=") || l == SnapshotTable.CdcTracked
+    }
+    val version = cur + 1
+    publish(version, writeTmpManifest(version, schemaOf(lines), body,
+      op = "ALTER", carryConstraints = false))
+    version
   }
 
   /** The SCD1 merge relation: source rows win on key match (update),
@@ -947,7 +1124,9 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * [[mergeBucketed]] for the O(changed) path). Records the
     * row-level change feed ([[rowChangesBetween]]). */
   def merge(source: DataFrame, keyCol: String): Long = {
-    val (merged, cdc) = scd1WithCdc(read(), source, keyCol)
+    // every NEW row of the merged relation comes verbatim from the
+    // source side — guarding source is complete and O(source)
+    val (merged, cdc) = scd1WithCdc(read(), guarded(source), keyCol)
     val version = currentVersion + 1
     val (snap, files, schema) = writeData(merged, version)
     val (cdcSnap, cdcLines) = writeCdcData(cdc, version)
@@ -991,7 +1170,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
   def commitBucketed(df: DataFrame, keyCol: String, nBuckets: Int): Long = {
     requireIntegralKey(df.schema, keyCol, "commitBucketed")
     val version = currentVersion + 1
-    val (snap, files) = writeBucketedData(df, version, keyCol, nBuckets)
+    val (snap, files) = writeBucketedData(guarded(df), version, keyCol, nBuckets)
     val meta = s"#buckets=$nBuckets key=$keyCol"
     val tmp = writeTmpManifest(version, df.schema, meta +: files)
     try publish(version, tmp)
@@ -1080,7 +1259,9 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       // carried-forward `#dv=` lines (entries addressing the rewritten
       // touched files go inert — those names leave the manifest)
       val targetTouched = scanWithDv(lines, touchedFiles)
-      val (merged, cdc) = scd1WithCdc(targetTouched, source, keyCol)
+      // new rows come verbatim from source — CHECK constraints guard it
+      val (merged, cdc) = scd1WithCdc(targetTouched,
+        guardConstraints(source, SnapshotTable.constraintsOf(lines)), keyCol)
       val version = baseVersion + 1
       val (snap, newFiles) = writeBucketedData(merged, version, keyCol, n)
       // carried buckets are by definition unchanged, so the touched-
@@ -1150,7 +1331,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
   def applyChanges(changes: DataFrame, keyCol: String, opCol: String): Long = {
     val target = read()
     val dels = changes.filter(col(opCol) === "d").select(col(keyCol).as("__delk")).distinct()
-    val ups = changes.filter(col(opCol) === "u").drop(opCol)
+    // new/updated rows come verbatim from the upsert side — guard it
+    val ups = guarded(changes.filter(col(opCol) === "u").drop(opCol))
     val kept = target.join(dels, target(keyCol) === dels("__delk"), "left_anti")
     // column order must match scd1WithCdc's CDC output (unionAll is
     // positional): key first, then data cols, then the change type
@@ -1289,7 +1471,11 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
           }
         StructType(table.fields ++ added)
       }
-    val (snap, files, _) = writeData(toPhysDf(df, schemaOut), version)
+    val appendCs =
+      if (version == 1) Seq.empty else SnapshotTable.constraintsOf(prev)
+    val guardedDf =
+      if (appendCs.isEmpty) df else guardConstraints(df, appendCs)
+    val (snap, files, _) = writeData(toPhysDf(guardedDf, schemaOut), version)
     // appends don't rewrite, so prior deletes ride along as DV lines;
     // retired-name guards ride along too
     val retiredLines = prev.drop(2).filter(_.startsWith("#retired="))
@@ -1344,6 +1530,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       batchId: Long, writerId: String, carry: Boolean): Option[Long] = {
     require(!writerId.contains('\n'), "writerId must be single-line")
     var attempts = 0
+    var constraintsValidated = false
     while (true) {
       if (committedBatchIdsTagged.contains((writerId, batchId))) return None
       val version = currentVersion + 1
@@ -1369,6 +1556,15 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
             table
           }
         }
+      // CHECK constraints on the SQL INSERT / streaming-sink path: the
+      // rows were staged by Spark's own DSv2 writers, so validate the
+      // staged rels (one O(new data) scan, only when constraints
+      // exist) before anything is published. Runs once — a CAS retry
+      // re-publishes the same validated files.
+      if (!constraintsValidated) {
+        validateStagedConstraints(relPaths, schemaOut)
+        constraintsValidated = true
+      }
       // a replacing commit is a REWRITING writer: the marker keeps the
       // change feed from misreading its #batchId as an append
       val replaceLine = if (carry) Seq.empty else Seq(SnapshotTable.ReplaceMarker)
@@ -1517,13 +1713,14 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val keyStat = statLongExpr(df.schema(keyCol).dataType, keyCol) // validates type
     val version = currentVersion + 1
     val snap = dataDir.resolve(s"v$version-${UUID.randomUUID()}")
-    df.repartitionByRange(nFiles, col(keyCol))
+    guarded(df).repartitionByRange(nFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.parquet(snap.toString)
     val statRows = spark.read.parquet(snap.toString)
       .groupBy(input_file_name().as("f"))
       .agg(min(keyStat).as("lo"), max(keyStat).as("hi"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        sum(keyStat).as("s"), count(col(keyCol)).as("nn"))
       .collect() // nFiles rows — bounded driver metadata
     // a file whose key values are ALL null (nulls sort first under
     // repartitionByRange, so they pool in the first file) has null
@@ -1548,8 +1745,28 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val rowLines = files.map { rel =>
       s"#rows=$rel|${rowsByName.getOrElse(rel.split('/').last, 0L)}"
     }
+    // per-file key SUM + non-null count, INTEGRAL keys only (the
+    // encoded Long domain IS the value there, so Σ is the true SUM;
+    // epoch-encoded date/timestamp sums would be meaningless). An
+    // all-null-key file records 0|0 — SUM ignores nulls, and the
+    // count keeps the all-null-table answer NULL, not 0.
+    val integralKey = df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val sumByName = statRows.map { r =>
+      r.getString(0).split('/').last ->
+        (if (r.isNullAt(4)) 0L else r.getLong(4), r.getLong(5))
+    }.toMap
+    val sumLines =
+      if (!integralKey) Vector.empty[String]
+      else files.map { rel =>
+        val (sm, nn) = sumByName.getOrElse(rel.split('/').last, (0L, 0L))
+        s"#sum=$rel|$sm|$nn"
+      }
     val tmp = writeTmpManifest(version, df.schema,
-      (s"#cluster=$keyCol" +: (statLines ++ rowLines)) ++ files)
+      (s"#cluster=$keyCol" +: (statLines ++ rowLines ++ sumLines)) ++ files)
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
       deleteRecursively(snap); throw e
@@ -1632,6 +1849,43 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       lo, hi)
   }
 
+  /** Metadata-only SUM over the cluster key — (Σ key, non-null key
+    * count), answered purely from `#sum=` manifest lines the same way
+    * [[metaAgg]] answers MIN/MAX from `#range=`: zero data files
+    * opened. Minted by [[commitClustered]] for INTEGRAL keys (the
+    * encoded Long domain is the value itself); DV deletes re-mint the
+    * touched files' sums over their live remainder inside the delete
+    * commit. Sum is None when every key is NULL. Preconditions
+    * checked loudly: a clustered version, every file carrying a
+    * `#sum=` stat (date/timestamp keys, rewriting maintenance and
+    * post-image appends have none — refused, never answered wrong),
+    * and deletion vectors either absent or proven re-minted (the
+    * [[SnapshotTable.DvMinMax]] marker — minted by the same job that
+    * re-mints sums). The second leg of the zero-IO aggregate story:
+    * COUNT/MIN/MAX/SUM — and therefore AVG — without touching data.
+    * Overflow note: per-file sums and their Σ use Long arithmetic,
+    * wrapping exactly as Spark's non-ANSI `sum(long)` does, so the
+    * metadata answer is bit-identical to the scan answer even at the
+    * wrap boundary. */
+  def metaSum(version: Long): (Option[Long], Long) = {
+    val lines = manifestLines(version)
+    require(lines.drop(2).exists { case ClusterMeta(_) => true; case _ => false },
+      s"metaSum needs a clustered version; v$version at $root is not")
+    val dvRows = SnapshotTable.dvRowsOf(lines)
+    require(manifestDvFiles(lines).isEmpty ||
+      (dvRows.nonEmpty && lines.drop(2).contains(SnapshotTable.DvMinMax)),
+      s"metaSum cannot answer over deletion vectors at $root v$version " +
+        "(tombstone counts or re-minted stats missing)")
+    val sums: Map[String, (Long, Long)] = lines.drop(2).collect {
+      case SnapshotTable.SumMeta(rel, sm, nn) => rel -> (sm.toLong, nn.toLong)
+    }.toMap
+    val files = manifestFiles(lines)
+    files.foreach(rel => require(sums.contains(rel),
+      s"metaSum: file $rel has no #sum stat at $root v$version"))
+    val nn = files.map(rel => sums(rel)._2).sum
+    (if (nn == 0L) None else Some(files.map(rel => sums(rel)._1).sum), nn)
+  }
+
   /** Metadata-only COUNT(*) that, unlike [[metaAgg]], SURVIVES
     * deletion vectors: live = Σ`#rows` − Σ`#dvrows`, both manifest
     * lines (every DV-minting commit records its per-file tombstone
@@ -1698,7 +1952,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val kb = keyBytesExpr(df.schema(keyCol).dataType, keyCol) // validates type
     val version = currentVersion + 1
     val snap = dataDir.resolve(s"v$version-${UUID.randomUUID()}")
-    df.repartition(nFiles, col(keyCol)).write.parquet(snap.toString)
+    guarded(df).repartition(nFiles, col(keyCol)).write.parquet(snap.toString)
     val segs = split(col("_metadata.file_path"), "/")
     val addrCol = concat_ws("/", element_at(segs, -2), element_at(segs, -1))
     val keyed = spark.read.parquet(snap.toString)
@@ -1809,7 +2063,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       s"commitClusteredString requires a string key; $keyCol is ${df.schema(keyCol).dataType}")
     val version = currentVersion + 1
     val snap = dataDir.resolve(s"v$version-${UUID.randomUUID()}")
-    df.repartitionByRange(nFiles, col(keyCol))
+    guarded(df).repartitionByRange(nFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.parquet(snap.toString)
     val statRows = spark.read.parquet(snap.toString)
@@ -1890,7 +2144,9 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * as in [[commitClustered]]. */
   def commitZOrdered(df: DataFrame, keyX: String, keyY: String, nFiles: Int,
       bits: Int = 12): Long =
-    zOrderedInternal(df, keyX, keyY, nFiles, bits, tracked = false)
+    // optimizeZOrdered skips the guard: it rewrites the table's own
+    // already-validated rows
+    zOrderedInternal(guarded(df), keyX, keyY, nFiles, bits, tracked = false)
 
   /** OPTIMIZE: rewrite the CURRENT version's live rows Z-ordered on
     * (keyX, keyY) — Delta's `OPTIMIZE ... ZORDER BY`. Reads through
@@ -2151,8 +2407,22 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     var schema = schemaOf(lines)
     var retired = SnapshotTable.retiredOf(lines)
     val newlyRetired = Seq.newBuilder[String]
+    // a CHECK constraint stores its expression as SQL text over
+    // LOGICAL names — renaming or dropping a referenced column would
+    // silently break or falsify it. Refuse (Delta's rule): drop the
+    // constraint first. Widening is fine (the expression still
+    // resolves; lossless promotion cannot flip its verdict's domain).
+    val csNow = SnapshotTable.constraintsOf(lines)
+    def requireUnconstrained(colName: String, what: String): Unit =
+      csNow.foreach { case (n, sql) =>
+        require(!constraintRefs(sql).contains(
+          colName.toLowerCase(java.util.Locale.ROOT)),
+          s"cannot $what column $colName: referenced by CHECK constraint " +
+            s"$n ($sql) at $root — drop the constraint first")
+      }
     ops.foreach {
       case SchemaOp.Rename(oldName, newName) =>
+        requireUnconstrained(oldName, "rename")
         require(schema.fieldNames.contains(oldName),
           s"renameColumn: no column $oldName at $root")
         require(!schema.fieldNames.contains(newName),
@@ -2163,6 +2433,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         newlyRetired += oldName
         retired += oldName
       case SchemaOp.Drop(name) =>
+        requireUnconstrained(name, "drop")
         val field = schema.fields.find(_.name == name).getOrElse(
           throw new IllegalArgumentException(s"dropColumn: no column $name at $root"))
         require(schema.fields.length > 1,
@@ -2216,7 +2487,11 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
         l.startsWith("#op=") || l == SnapshotTable.CdcTracked)
     val version = cur + 1
-    val tmp = writeTmpManifest(version, schemaOf(lines), body, op = "RESTORE")
+    // carryConstraints=false: a restore REVERTS table metadata too —
+    // the restored version's own `#constraint=` lines (already in
+    // `body`) win over the rolled-back-over version's
+    val tmp = writeTmpManifest(version, schemaOf(lines), body, op = "RESTORE",
+      carryConstraints = false)
     publish(version, tmp)
     version
   }
@@ -2501,12 +2776,21 @@ object SnapshotTable {
   private[tables] val ClusterSMeta = """#clusters=(.+)""".r
   private[tables] val RangeMeta = """#range=([^|]+)\|(-?\d+)\|(-?\d+)""".r
   private[tables] val RowsMeta = """#rows=([^|]+)\|(\d+)""".r
+  // per-file key SUM + non-null count (integral cluster keys only):
+  // powers metadata-only SUM/AVG the same way #range powers MIN/MAX
+  private[tables] val SumMeta = """#sum=([^|]+)\|(-?\d+)\|(\d+)""".r
   private[tables] val ZClusterMeta = """#zcluster=([^|]+)\|(.+)""".r
   private[tables] val Range2Meta = """#range2=([^|]+)\|(-?\d+)\|(-?\d+)\|(-?\d+)\|(-?\d+)""".r
   private[tables] val RangeSMeta = """#ranges=([^|]+)\|([^|]*)\|([^|]*)\|([01])""".r
   private[tables] val BloomKMeta = """#bloomk=([^ ]+) fpp=(.+)""".r
   private[tables] val BloomFMeta = """#bloomf=([^|]+)\|(.+)""".r
   private[tables] val OpMeta = """#op=([^ ]+) ts=(\d+)""".r
+  private[tables] val ConstraintMeta = """#constraint=([^|]+)\|(.+)""".r
+
+  /** Persistent CHECK constraints of a manifest, sorted by name
+    * (deterministic evaluation/error order). */
+  private[tables] def constraintsOf(lines: Vector[String]): Seq[(String, String)] =
+    lines.drop(2).collect { case ConstraintMeta(n, e) => (n, e) }.sortBy(_._1)
   private[tables] val BucketMeta = """#buckets=(\d+) key=(.+)""".r
   private[tables] val BucketDirP = """__bdir=(\d+)""".r
 
@@ -2687,7 +2971,8 @@ object SnapshotTable {
     !l.startsWith("#") ||
       l.startsWith("#rows=") || l.startsWith("#range=") ||
       l.startsWith("#range2=") || l.startsWith("#ranges=") ||
-      l.startsWith("#bloomf=") || l.startsWith("#dvrows=")
+      l.startsWith("#bloomf=") || l.startsWith("#dvrows=") ||
+      l.startsWith("#sum=")
 
   /** Content-defined chunking: a boundary lands after any line whose
     * hash has its low bits clear, so insertions and removals only

@@ -161,4 +161,88 @@ class DvMaintenanceSpec extends SparkSpec {
       assert(t.metaCount(v2) == 90L)
     } finally SnapshotTable.drop(t)
   }
+
+  test("metaSum: zero-IO SUM survives stacked DV deletes, destructive proof") {
+    val t = SnapshotTable.temp(spark, "graft_dvmaint_sum_")
+    try {
+      t.commitClustered((1L to 200L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 4)
+      assert(t.metaSum(1L) == ((Some((1L to 200L).sum), 200L)))
+      // delete 1: comb — touched files re-mint sums over live remainder
+      t.delete(col("k") % 10 === 0)
+      val expect1 = (1L to 200L).filterNot(_ % 10 == 0)
+      assert(t.metaSum(t.currentVersion) == ((Some(expect1.sum), expect1.size.toLong)))
+      // delete 2 stacks: re-mint applies ALL prior DVs
+      val v3 = t.delete(col("k") <= 7L)
+      val expect2 = expect1.filterNot(_ <= 7L)
+      assert(t.metaSum(v3) == ((Some(expect2.sum), expect2.size.toLong)))
+      // destructive: the data dir is gone, the answer is not
+      SnapshotTable.deleteRecursively(Paths.get(t.root, "data"))
+      assert(t.metaSum(v3) == ((Some(expect2.sum), expect2.size.toLong)))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("metaSum handles null keys (0|0 per-file lines; all-null sum is None)") {
+    val t = SnapshotTable.temp(spark, "graft_dvmaint_sum_null_")
+    try {
+      // nulls pool in the first range partition
+      t.commitClustered((1L to 50L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .withColumn("k", when(col("k") <= 10, lit(null)).otherwise(col("k"))),
+        "k", 4)
+      assert(t.metaSum(1L) == ((Some((11L to 50L).sum), 40L)))
+      val t2 = SnapshotTable.temp(spark, "graft_dvmaint_sum_allnull_")
+      try {
+        t2.commitClustered(Seq((Option.empty[java.lang.Long], 1.0),
+          (Option.empty[java.lang.Long], 2.0)).toDF("k", "v"), "k", 2)
+        assert(t2.metaSum(1L) == ((None, 0L)))
+      } finally SnapshotTable.drop(t2)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("metaSum forfeits loudly where sums could be stale (update, SQL DML, non-integral keys)") {
+    val t = SnapshotTable.temp(spark, "graft_dvmaint_sum_forfeit_")
+    try {
+      t.commitClustered((1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 4)
+      // UPDATE appends stat-less post-images and tombstones — refuse
+      t.update(col("k") === 5L, Map("v" -> lit(99.0)))
+      intercept[IllegalArgumentException] { t.metaSum(t.currentVersion) }
+      // the exact scan is still right, of course
+      assert(t.read().agg(sum(col("k"))).head.getLong(0) == (1L to 100L).sum)
+    } finally SnapshotTable.drop(t)
+    // timestamp-keyed clustered commits mint no #sum (epoch sums are
+    // meaningless) — coverage check refuses
+    val ts = SnapshotTable.temp(spark, "graft_dvmaint_sum_ts_")
+    try {
+      ts.commitClustered((1L to 10L).map(k => (k, k * 1.0)).toDF("k0", "v")
+        .withColumn("k", timestamp_micros(col("k0") * 1000000L)).drop("k0"),
+        "k", 2)
+      intercept[IllegalArgumentException] { ts.metaSum(1L) }
+    } finally SnapshotTable.drop(ts)
+  }
+
+  test("SQL SUM pushes down to the manifest: PushedAggregates, zero data IO") {
+    val t = SnapshotTable.temp(spark, "graft_dvmaint_sum_sql_")
+    try {
+      t.commitClustered((1L to 1000L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 4)
+      t.delete(col("k") % 3 === 0)
+      val live = (1L to 1000L).filterNot(_ % 3 == 0)
+      val q = spark.read.format("graft-table").option("path", t.root).load()
+        .agg(count(lit(1)), sum("k"), min("k"), max("k"))
+      assert(q.queryExecution.executedPlan.toString
+        .contains("PushedAggregates (metadata-only)"),
+        q.queryExecution.executedPlan.toString.take(800))
+      SnapshotTable.deleteRecursively(Paths.get(t.root, "data"))
+      val r = q.head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        (live.size.toLong, live.sum, 1L, 1000L))
+      // SUM over a NON-key column must refuse (normal scan path)
+      val t2 = SnapshotTable.temp(spark, "graft_dvmaint_sum_sql2_")
+      try {
+        t2.commitClustered((1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 2)
+        val q2 = spark.read.format("graft-table").option("path", t2.root).load()
+          .agg(sum("v"))
+        assert(!q2.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+        assert(q2.head.getDouble(0) == (1 to 10).map(_ * 1.0).sum)
+      } finally SnapshotTable.drop(t2)
+    } finally SnapshotTable.drop(t)
+  }
 }

@@ -1,0 +1,182 @@
+package graft.tables
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persistent CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT):
+  * durable `#constraint=` table metadata, auto-carried across every
+  * commit verb, enforced INSIDE every write job — instance verbs,
+  * SQL INSERT/OVERWRITE, SQL row-level DML, streaming appends — with
+  * SQL CHECK null semantics (only FALSE violates), add-time
+  * validation of existing rows, and rename/drop refusal for
+  * referenced columns. */
+class GraftConstraintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kv(rows: (Long, Double)*) = rows.toDF("k", "v")
+
+  private def chainHas(e: Throwable, needle: String): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      if (Option(c.getMessage).exists(_.contains(needle))) return true
+      c = c.getCause
+    }
+    false
+  }
+
+  private def rejects(needle: String)(f: => Any): Unit = {
+    val e = intercept[Throwable](f)
+    assert(chainHas(e, needle), s"wrong rejection: $e")
+  }
+
+  test("add validates existing rows, then every instance write path enforces") {
+    val t = SnapshotTable.temp(spark, "graft_cons_paths_")
+    try {
+      t.commit(kv(1L -> 1.0, 2L -> 2.0))
+      // add-time validation
+      rejects("CHECK constraint")(t.addConstraint("neg", "v < 0.0"))
+      t.addConstraint("v_pos", "v > 0.0")
+      assert(t.constraints == Map("v_pos" -> "v > 0.0"))
+      rejects("already exists")(t.addConstraint("v_pos", "v > 1.0"))
+      val v = t.currentVersion
+
+      // appendOnce: violating batch rejected, version unmoved, batchId
+      // NOT consumed (a corrected retry with the same id lands)
+      rejects("v_pos")(t.appendOnce(kv(3L -> -3.0), 7L))
+      assert(t.currentVersion == v)
+      assert(t.appendOnce(kv(3L -> 3.0), 7L).isDefined)
+
+      // merge: violating source row rejected
+      rejects("v_pos")(t.merge(kv(4L -> -4.0), "k"))
+      t.merge(kv(4L -> 4.0), "k")
+
+      // update: violating post-image rejected; valid one passes
+      rejects("v_pos")(t.update(col("k") === 1L, Map("v" -> (col("v") * -1))))
+      t.update(col("k") === 1L, Map("v" -> (col("v") + 10.0)))
+
+      // applyChanges: violating upsert rejected
+      rejects("v_pos")(t.applyChanges(
+        Seq((5L, -5.0, "u")).toDF("k", "v", "op"), "k", "op"))
+      // commit (overwrite): constraint survives it and still enforces
+      t.commit(kv(1L -> 1.0, 2L -> 2.0))
+      assert(t.constraints == Map("v_pos" -> "v > 0.0"))
+      rejects("v_pos")(t.commit(kv(1L -> -1.0)))
+
+      // NULL passes (SQL CHECK semantics)
+      assert(t.appendOnce(Seq((9L, Option.empty[Double])).toDF("k", "v"), 8L)
+        .isDefined)
+      assert(t.read().filter(col("v").isNull).count() == 1)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("constraints carry across layout rewrites, schema changes, clone; restore reverts them") {
+    val t = SnapshotTable.temp(spark, "graft_cons_carry_")
+    try {
+      t.commit((1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"))
+      t.addConstraint("v_pos", "v > 0.0")
+      val atAdd = t.currentVersion
+      t.compact(1)
+      assert(t.constraints.nonEmpty, "compact shed the constraint")
+      t.delete(col("k") === 50L)
+      assert(t.constraints.nonEmpty, "delete shed the constraint")
+      t.commitClustered(t.read(), "k", 4)
+      assert(t.constraints.nonEmpty, "commitClustered shed the constraint")
+      rejects("v_pos")(t.appendOnce(kv(200L -> -1.0), 1L))
+      t.addColumn("tag", org.apache.spark.sql.types.StringType)
+      assert(t.constraints.nonEmpty, "addColumn shed the constraint")
+      // clone keeps constraints and enforces them independently
+      val dest = java.nio.file.Files.createTempDirectory("graft_cons_clone_")
+      try {
+        val c = t.shallowCloneTo(dest.resolve("t").toString)
+        assert(c.constraints == Map("v_pos" -> "v > 0.0"))
+        rejects("v_pos")(c.merge(
+          Seq((300L, -3.0, "x")).toDF("k", "v", "tag"), "k"))
+      } finally SnapshotTable.deleteRecursively(dest)
+      // drop, then restore to a constrained version: reverts BOTH ways
+      t.dropConstraint("v_pos")
+      assert(t.constraints.isEmpty)
+      t.appendOnce(kv(300L -> -3.0), 2L) // violator lands while dropped
+      t.restore(atAdd)
+      assert(t.constraints == Map("v_pos" -> "v > 0.0"),
+        "restore must revert constraint metadata")
+      rejects("v_pos")(t.appendOnce(kv(400L -> -4.0), 3L))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("rename/drop of a referenced column refuse until the constraint drops") {
+    val t = SnapshotTable.temp(spark, "graft_cons_rename_")
+    try {
+      t.commit(Seq((1L, 1.0, "a")).toDF("k", "v", "tag"))
+      t.addConstraint("v_pos", "v > 0.0")
+      rejects("referenced by CHECK constraint")(t.renameColumn("v", "price"))
+      rejects("referenced by CHECK constraint")(t.dropColumn("v"))
+      t.renameColumn("tag", "label") // unreferenced: fine
+      assert(t.constraints.nonEmpty)
+      t.dropConstraint("v_pos")
+      t.renameColumn("v", "price") // now fine
+      assert(t.read().columns.toSet == Set("k", "price", "label"))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("SQL INSERT, INSERT OVERWRITE and row-level DML enforce via CALL add_constraint") {
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_cons_sql_")
+    spark.conf.set("spark.sql.catalog.conscat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.conscat.root", catRoot.toString)
+    try {
+      spark.sql("CREATE TABLE conscat.t (k BIGINT, v DOUBLE)")
+      spark.sql("INSERT INTO conscat.t VALUES (1, 1.0), (2, 2.0)")
+      spark.sql("CALL conscat.add_constraint('t', 'v_pos', 'v > 0.0')")
+      val t = new SnapshotTable(spark, catRoot.resolve("t").toString)
+      assert(t.constraints == Map("v_pos" -> "v > 0.0"))
+      val v = t.currentVersion
+
+      rejects("v_pos")(spark.sql("INSERT INTO conscat.t VALUES (3, -3.0)"))
+      assert(t.currentVersion == v, "rejected INSERT published")
+      // the rejected statement's staged parts are cleaned up, not
+      // left as orphan garbage under the table root
+      spark.sql("INSERT INTO conscat.t VALUES (3, 3.0)")
+
+      rejects("v_pos")(
+        spark.sql("INSERT OVERWRITE conscat.t VALUES (9, -9.0)"))
+      rejects("v_pos")(
+        spark.sql("UPDATE conscat.t SET v = -v WHERE k = 1"))
+      rejects("v_pos")(spark.sql(
+        "MERGE INTO conscat.t USING (SELECT 4 AS k, -4.0 AS v) s ON t.k = s.k " +
+          "WHEN NOT MATCHED THEN INSERT *"))
+      spark.sql(
+        "MERGE INTO conscat.t USING (SELECT 4 AS k, 4.0 AS v) s ON t.k = s.k " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      // DELETE introduces no rows — constraints never block it
+      spark.sql("DELETE FROM conscat.t WHERE k = 2")
+      assert(spark.sql("SELECT k, v FROM conscat.t ORDER BY k")
+        .as[(Long, Double)].collect().toSeq == Seq((1L, 1.0), (3L, 3.0), (4L, 4.0)))
+      spark.sql("CALL conscat.drop_constraint('t', 'v_pos')")
+      assert(t.constraints.isEmpty)
+      spark.sql("INSERT INTO conscat.t VALUES (5, -5.0)") // passes now
+      assert(spark.sql("SELECT COUNT(*) FROM conscat.t").head.getLong(0) == 4L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS conscat.t")
+      SnapshotTable.deleteRecursively(catRoot)
+    }
+  }
+
+  test("constraint commits are metadata-only, CdcTracked, and feed/IVM-transparent") {
+    val t = SnapshotTable.temp(spark, "graft_cons_meta_")
+    try {
+      t.commit(kv(1L -> 1.0))
+      val before = SnapshotTable.manifestFilesOf(
+        SnapshotTable.manifestLinesAt(Paths.get(t.root), 1L))
+      val v2 = t.addConstraint("v_pos", "v > 0.0")
+      val lines = SnapshotTable.manifestLinesAt(Paths.get(t.root), v2)
+      assert(SnapshotTable.manifestFilesOf(lines) == before,
+        "addConstraint touched data files")
+      // zero row-level changes tracked: the feed passes straight through
+      assert(t.rowChangesBetween(1L, v2).count() == 0L)
+      val v3 = t.dropConstraint("v_pos")
+      assert(t.rowChangesBetween(v2, v3).count() == 0L)
+    } finally SnapshotTable.drop(t)
+  }
+}

@@ -322,10 +322,16 @@ class GraftTableBatchSpec extends SparkSpec {
         .option("path", t.root).mode("overwrite").save()
       assert(t.read().as[(Long, Double)].collect().toSeq == Seq((9L, 9.0)))
       assert(t.read(1L).count() == 2)
-      // an overwrite is a REWRITING commit: the row-level change feed
-      // must refuse it rather than misread its files as inserts
-      intercept[IllegalStateException] { t.rowChangesBetween(1L, 2L).count() }
+      // an overwrite is a REWRITING commit — never misread as an
+      // append — but since r13 it MINTS its own change feed (Delta's
+      // overwrite-CDF shape): replaced live rows as deletes, staged
+      // rows as inserts
       assert(!t.isAppendOnly(1L, 2L))
+      val feed = t.rowChangesBetween(1L, 2L)
+        .select(col("k"), col("v"), col(SnapshotTable.ChangeTypeCol))
+        .as[(Long, Double, String)].collect().toSeq.sorted
+      assert(feed == Seq((1L, 1.0, "delete"), (2L, 2.0, "delete"),
+        (9L, 9.0, "insert")))
     } finally SnapshotTable.drop(t)
   }
 
@@ -524,20 +530,27 @@ class GraftTableBatchSpec extends SparkSpec {
     val t = freshTable("agg_refuse")
     try {
       t.commitClustered((1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 4)
-      t.delete(col("k") === 50L) // DVs: min/max refuse (50 could be the extreme)
+      // DVs no longer force a MIN/MAX refusal: the delete re-mints the
+      // touched files' #range bounds over live rows (#dvminmax), so
+      // the pushdown keeps answering — with the post-delete extremes
+      t.delete(col("k") === 50L)
       val q1 = load(t).agg(count(lit(1)), min("k"), max("k"))
-      assert(!q1.queryExecution.executedPlan.toString.contains("PushedAggregates"))
-      assert(q1.head.getLong(0) == 99L)
-      // ...but COUNT(*) alone stays metadata-only under DVs:
-      // live = #rows − #dvrows, proved destructively like the
-      // DV-free case (stacked deletes merge their counts first)
+      assert(q1.queryExecution.executedPlan.toString
+        .contains("PushedAggregates (metadata-only)"),
+        q1.queryExecution.executedPlan.toString.take(800))
+      assert((q1.head.getLong(0), q1.head.getLong(1), q1.head.getLong(2)) ==
+        (99L, 1L, 100L))
+      // stacked delete REMOVING the minimum's neighborhood: re-minted
+      // bounds move, COUNT merges the stacked tombstone counts —
+      // proved destructively (zero data IO)
       t.delete(col("k") <= 10L)
-      val qc = load(t).agg(count(lit(1)))
+      val qc = load(t).agg(count(lit(1)), min("k"), max("k"))
       assert(qc.queryExecution.executedPlan.toString
         .contains("PushedAggregates (metadata-only)"),
         qc.queryExecution.executedPlan.toString.take(800))
       SnapshotTable.deleteRecursively(java.nio.file.Paths.get(t.root).resolve("data"))
-      assert(qc.head.getLong(0) == 89L)
+      assert((qc.head.getLong(0), qc.head.getLong(1), qc.head.getLong(2)) ==
+        (89L, 11L, 100L))
       // a residual filter → no pushdown, exact answer
       val t2 = freshTable("agg_refuse2")
       try {

@@ -1109,9 +1109,11 @@ class SnapshotTableSpec extends SparkSpec {
       val (n, lo, hi) = t.metaAgg(v1)
       assert(n == 100L)           // null keys still count
       assert(lo.contains(6L) && hi.contains(100L)) // min/max ignore nulls
-      // DVs falsify counts — refused, not answered wrong
+      // DVs no longer refuse: the delete re-mints touched files'
+      // #range bounds over live rows (#dvminmax) and records #dvrows,
+      // so metaAgg answers the POST-delete truth from metadata
       val v2 = t.delete(col("v") > 90)
-      intercept[IllegalArgumentException] { t.metaAgg(v2) }
+      assert(t.metaAgg(v2) == ((90L, Some(6L), Some(90L))))
       // non-clustered versions have no stats — refused
       val t2 = freshTable("metaagg_plain")
       try {
@@ -1139,8 +1141,10 @@ class SnapshotTableSpec extends SparkSpec {
       // zero-IO proof: data files (and DV sidecars) gone, still answers
       SnapshotTable.deleteRecursively(Paths.get(t.root, "data"))
       assert(t.metaCount(v3) == 173L)
-      // metaAgg (min/max semantics) still refuses under DVs, loudly
-      intercept[IllegalArgumentException] { t.metaAgg(v3) }
+      // metaAgg now answers under DVs too (re-minted #range + #dvrows
+      // — the data dir is already gone, so this is also zero-IO):
+      // stacked deletes removed k%10==0 and k<=7
+      assert(t.metaAgg(v3) == ((173L, Some(8L), Some(199L))))
     } finally SnapshotTable.drop(t)
   }
 }
