@@ -148,6 +148,40 @@ object Custom extends QueryPack {
     * gates the re-aggregated values. Aggregates are count + min/max +
     * an exact integral sum — all order-independent, so the rollup is
     * bit-identical to aggregating base rows. */
+  /** STAR-JOIN containment (N-ary): the registered view aggregates a
+    * 3-way inner equi-join — fact (orders) ⋈ customer ⋈ nation, the
+    * production star shape — and the query, the SAME flattened join
+    * filtered on two view group keys and rolled up coarser, is
+    * answered from the view at O(view) instead of re-joining the
+    * fact. The matcher flattens the inner-join tree and canonicalizes
+    * the base order by leaf-identity render, so optimizer join
+    * REORDERING between registration and query cannot break the
+    * ordinal space (plans/MaterializedViews.decomposeJoinAgg); the
+    * in-query require proves the rewrite fired. */
+  private def mvContainedStar(s: SparkSession, d: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_mvcs_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+    def joined = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+    val wide = joined
+      .groupBy(col("n_name").as("nat"), col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"), sum(col("o_custkey")).as("sum_cust"))
+    val fp = graft.plans.MaterializedViews.register(wide, path)
+    val q = joined
+      .filter(col("n_name") === "NATION_12" && col("c_mktsegment") === "HOUSEHOLD")
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"), sum(col("o_custkey")).as("sum_cust"))
+      .orderBy("pri")
+    try require(q.queryExecution.executedPlan.toString.contains("graft_mvcs_"),
+      "star containment rewrite did not fire: the filtered rollup still joins base tables")
+    finally graft.plans.MaterializedViews.deregister(fp)
+    q
+  }
+
   private def mvContainedJoin(s: SparkSession, d: String): DataFrame = {
     val path = s"${sys.props("java.io.tmpdir")}/graft_mvcj_" +
       d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
@@ -202,6 +236,7 @@ object Custom extends QueryPack {
     "q_mv_rewrite"       -> mvRewrite,
     "q_mv_contained"     -> mvContained,
     "q_mv_contained_join" -> mvContainedJoin,
+    "q_mv_contained_star" -> mvContainedStar,
     "q_mv_contained_avg" -> mvContainedAvg,
   )
 
@@ -222,6 +257,15 @@ object Custom extends QueryPack {
         |       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY pri ORDER BY pri""".stripMargin,
+    "q_mv_contained_star" ->
+      """SELECT o_orderpriority AS pri, COUNT(*) AS n,
+        |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_12' AND c_mktsegment = 'HOUSEHOLD'
         |GROUP BY pri ORDER BY pri""".stripMargin,
     "q_mv_contained_avg" ->
       """SELECT o_orderpriority AS pri, AVG(o_custkey) AS avg_cust,

@@ -261,21 +261,29 @@ object MaterializedViews {
     case other => Seq(other)
   }
 
-  /** The decomposed `[Filter/Project]* Join(leaf, leaf)` under an
-    * aggregate: both leaf bases, every filter/join conjunct found on
-    * the way (placement-independent), and the attribute→concatenated-
-    * base-ordinal mapping. Pruning Projects are attribute-only, so a
-    * real attribute's exprId is identical above and below them. */
-  private[plans] final case class JoinAnatomy(leftBase: LogicalPlan,
-      rightBase: LogicalPlan, conds: Seq[Expression]) {
-    private val nLeft = leftBase.output.length
+  /** The decomposed `[Filter/Project]* Join-tree-of-leaves` under an
+    * aggregate: every leaf base of the flattened INNER-join tree (any
+    * arity — the classic star: fact ⋈ dim₁ ⋈ dim₂ ⋈ …), every
+    * filter/join conjunct found on the way (placement-independent),
+    * and the attribute→concatenated-base-ordinal mapping. The base
+    * sequence is CANONICALIZED by each leaf's identity render, so the
+    * ordinal space is stable under optimizer join reordering between
+    * view registration and query time; two bases with the SAME render
+    * (a self-join) are ambiguous and refuse upstream. Pruning
+    * Projects are attribute-only, so a real attribute's exprId is
+    * identical above and below them. */
+  private[plans] final case class JoinAnatomy(bases: Seq[LogicalPlan],
+      conds: Seq[Expression]) {
+    private val offsets: Array[Int] =
+      bases.scanLeft(0)(_ + _.output.length).toArray
     def ordOf(a: org.apache.spark.sql.catalyst.expressions.Attribute): Option[Int] = {
-      val li = leftBase.output.indexWhere(_.exprId == a.exprId)
-      if (li >= 0) Some(li)
-      else {
-        val ri = rightBase.output.indexWhere(_.exprId == a.exprId)
-        if (ri >= 0) Some(nLeft + ri) else None
+      var i = 0
+      while (i < bases.length) {
+        val idx = bases(i).output.indexWhere(_.exprId == a.exprId)
+        if (idx >= 0) return Some(offsets(i) + idx)
+        i += 1
       }
+      None
     }
   }
 
@@ -299,16 +307,26 @@ object MaterializedViews {
       }
       cur
     }
-    peelTo(child) match {
+    // flatten the INNER-join tree to its leaf bases (inner joins with
+    // conjunct predicates are associative/commutative, so the flat
+    // {bases} + {conds} form is placement-independent); anything else
+    // on the way down (outer joins, nested aggregates) refuses — the
+    // rewrite stays an accelerator
+    def flatten(p: LogicalPlan): Option[Seq[LogicalPlan]] = peelTo(p) match {
       case Join(l, r, Inner, cond, _) =>
-        val lBase = peelTo(l)
-        val rBase = peelTo(r)
-        // leaf relations only: anything deeper (join-of-joins, nested
-        // aggregates) refuses — the rewrite stays an accelerator
-        if (lBase.children.nonEmpty || rBase.children.nonEmpty) None
-        else {
-          conds ++= cond.toSeq.flatMap(splitAnd)
-          Some(JoinAnatomy(lBase, rBase, conds.toSeq))
+        conds ++= cond.toSeq.flatMap(splitAnd)
+        for (lb <- flatten(l); rb <- flatten(r)) yield lb ++ rb
+      case leaf if leaf.children.isEmpty => Some(Seq(leaf))
+      case _ => None
+    }
+    peelTo(child) match {
+      case j @ Join(_, _, Inner, _, _) =>
+        flatten(j).flatMap { bases =>
+          // canonical base order: sort by identity render. Identical
+          // renders (self-join) make ordinals ambiguous — refuse.
+          val keyed = bases.map(b => render(b.canonicalized) -> b)
+          if (keyed.map(_._1).distinct.length != bases.length) None
+          else Some(JoinAnatomy(keyed.sortBy(_._1).map(_._2), conds.toSeq))
         }
       case _ => None
     }
@@ -333,8 +351,7 @@ object MaterializedViews {
   }
 
   private[plans] def joinKeyOf(anatomy: JoinAnatomy): String =
-    render(anatomy.leftBase.canonicalized) + "\n===JOIN===\n" +
-      render(anatomy.rightBase.canonicalized)
+    anatomy.bases.map(b => render(b.canonicalized)).mkString("\n===JOIN===\n")
 
   /** Non-decimal numerics reaggregate AVG exactly as
     * SUM(sums)/SUM(counts) in double — the same arithmetic Spark's own

@@ -234,6 +234,65 @@ class ExtensionsSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("MV star containment: N-ary join rewrites order-independently; self-joins refuse") {
+    val mvPath = java.nio.file.Files.createTempDirectory("graft_mv_star_").toString + "/mvs"
+    def star = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+    def wide() = star
+      .groupBy(col("n_name").as("nat"), col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"), max(col("o_totalprice")).as("hi"))
+    val fp = MaterializedViews.register(wide(), mvPath)
+    try {
+      def q() = star.filter(col("n_name") === "NATION_12")
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"), max(col("o_totalprice")).as("hi"))
+      val plan = q().queryExecution.executedPlan.toString
+      assert(plan.contains("graft_mv_star_"), s"star containment did not fire:\n${plan.take(900)}")
+      assert(!plan.contains("orders.parquet") && !plan.contains("nation.parquet"),
+        plan.take(900))
+      // a DIFFERENT user-written join order flattens to the same
+      // canonical base sequence — still answered from the view
+      val permuted = graft.Tables.nation(spark, sf)
+        .join(graft.Tables.customer(spark, sf), col("c_nationkey") === col("n_nationkey"))
+        .join(graft.Tables.orders(spark, sf), col("o_custkey") === col("c_custkey"))
+        .filter(col("n_name") === "NATION_12")
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"), max(col("o_totalprice")).as("hi"))
+      assert(permuted.queryExecution.executedPlan.toString.contains("graft_mv_star_"),
+        "permuted join order did not canonicalize to the view's ordinal space")
+      // values match the unrewritten computation
+      MaterializedViews.clear()
+      val expect = q().orderBy("pri").collect().toSeq.map(_.toSeq)
+      MaterializedViews.register(wide(), mvPath)
+      assert(q().orderBy("pri").collect().toSeq.map(_.toSeq) == expect)
+      // a 2-way sub-join of the star must NOT rewrite (base sets differ)
+      val subJoin = graft.Tables.orders(spark, sf)
+        .join(graft.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"), max(col("o_totalprice")).as("hi"))
+      assert(!subJoin.queryExecution.executedPlan.toString.contains("graft_mv_star_"))
+    } finally MaterializedViews.clear()
+
+    // SELF-JOINS refuse at registration and lookup: identical leaf
+    // renders make the concatenated ordinal space ambiguous
+    val selfPath = java.nio.file.Files.createTempDirectory("graft_mv_self_").toString + "/self"
+    val o1 = graft.Tables.orders(spark, sf)
+    val o2 = graft.Tables.orders(spark, sf).select(
+      col("o_orderkey").as("k2"), col("o_orderpriority").as("pri2"))
+    val selfAgg = o1.join(o2, col("o_orderkey") === col("k2"))
+      .groupBy(col("o_orderpriority").as("pri")).agg(count(lit(1)).as("n"))
+    MaterializedViews.register(selfAgg, selfPath)
+    try {
+      val qSelf = o1.join(o2, col("o_orderkey") === col("k2"))
+        .filter(col("o_orderpriority") === "2-HIGH")
+        .groupBy(col("o_orderpriority").as("pri")).agg(count(lit(1)).as("n"))
+      assert(!qSelf.queryExecution.executedPlan.toString.contains("graft_mv_self_"),
+        "ambiguous self-join must not be answered via containment")
+    } finally MaterializedViews.clear()
+  }
+
   test("MV AVG containment on a single relation decomposes into stored SUM/COUNT partials") {
     val mvPath = java.nio.file.Files.createTempDirectory("graft_mv_avg_").toString + "/mva"
     def wide() = graft.Tables.orders(spark, sf)
