@@ -35,6 +35,44 @@ object Similarity extends QueryPack {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
 
+  /** INT8 SCALAR-QUANTIZED cosine top-k: each vector quantizes ONCE
+    * to per-vector-scaled int8 (qᵢ = ⌊xᵢ/amax·127 + 0.5⌋ — symmetric
+    * max-abs quantization, the standard embedding-compression lane),
+    * and the search ranks by the cosine of the QUANTIZED vectors —
+    * scale factors cancel, so no dequantization ever happens. The
+    * 100 TB story: int8 cuts index memory/bandwidth 4× versus float32
+    * and the integer dot product is the SIMD-friendliest kernel
+    * there is; quantization is a one-time O(n) pass you'd persist as
+    * a column, after which every probe reads a quarter of the bytes.
+    * Determinism end-to-end: the quantized components, dot products
+    * and norms are EXACT integers (≤127²·dims, inside the 2^53 double
+    * lane), so both engines compute bit-identical scores — the oracle
+    * hash gates the whole quantize→rank pipeline, not an
+    * approximation. All-zero vectors quantize to zeros and score 0. */
+  private def annSq8(s: SparkSession, d: String): DataFrame = {
+    def quantized(df: DataFrame): DataFrame = df
+      .withColumn("amax", aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => greatest(acc, abs(x.cast("double")))))
+      .withColumn("q", transform(col("embedding"),
+        x => when(col("amax") === 0.0d, lit(0L))
+          .otherwise(floor(x.cast("double") / col("amax") * 127.0d + 0.5d))))
+      .withColumn("qnorm", aggregate(col("q"), lit(0L),
+        (acc, x) => acc + x * x))
+    val base = quantized(Tables.embeddings(s, d))
+    val probe = base.filter(col("vec_id") === ProbeId)
+      .select(col("q").as("pq"), col("qnorm").as("pqnorm"))
+    val qdot = aggregate(zip_with(col("q"), col("pq"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    base.filter(col("vec_id") =!= ProbeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        graft.Det.r4(when(col("qnorm") === 0L || col("pqnorm") === 0L, lit(0.0d))
+          .otherwise(qdot.cast("double") /
+            sqrt((col("qnorm") * col("pqnorm")).cast("double")))).as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** k-NN classification of the probe vector: majority label among
     * the cosine top-10 (ties → smallest label), with the vote count
     * and the mean neighbor similarity per candidate label. Rides the
@@ -365,6 +403,7 @@ object Similarity extends QueryPack {
 
   override val queries: Map[String, Q] = Map(
     "q_sim_search"      -> simSearch,
+    "q_sim_ann_sq8"     -> annSq8,
     "q_sim_ann_lsh"     -> annLsh,
     "q_sim_ann_multiprobe" -> annMultiprobe,
     "q_sim_ann_indexed_multiprobe" -> annIndexedMultiprobe,
@@ -573,6 +612,35 @@ object Similarity extends QueryPack {
         |FROM embeddings e, p
         |WHERE e.vec_id <> 0
         |ORDER BY cos DESC, vec_id ASC
+        |LIMIT 10""".stripMargin,
+    "q_sim_ann_sq8" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, embedding,
+        |         list_max(list_transform(embedding,
+        |                  x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id, label,
+        |         CASE WHEN amax = 0
+        |              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(embedding,
+        |                x -> CAST(FLOOR(CAST(x AS DOUBLE) / amax * 127.0 + 0.5) AS BIGINT))
+        |         END AS qv
+        |  FROM base),
+        |n AS (
+        |  SELECT vec_id, label, qv,
+        |         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm
+        |  FROM qq),
+        |p AS (SELECT qv AS pq, qnorm AS pqnorm FROM n WHERE vec_id = 0)
+        |SELECT n.vec_id, n.label,
+        |       FLOOR((CASE WHEN n.qnorm = 0 OR p.pqnorm = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(list_zip(n.qv, p.pq),
+        |                t -> t[1] * t[2])) AS DOUBLE)
+        |              / SQRT(CAST(n.qnorm * p.pqnorm AS DOUBLE)) END)
+        |         * 10000 + 0.5) / 10000 AS qcos
+        |FROM n, p
+        |WHERE n.vec_id <> 0
+        |ORDER BY qcos DESC, vec_id ASC
         |LIMIT 10""".stripMargin,
     "q_knn_classify" ->
       s"""WITH p AS (SELECT embedding AS probe FROM embeddings WHERE vec_id = 0),

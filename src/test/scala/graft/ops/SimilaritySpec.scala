@@ -22,6 +22,21 @@ class SimilaritySpec extends SparkSpec {
       s"IVF recall too low: $ivf vs $brute")
   }
 
+  test("int8 scalar-quantized top-10 recalls most of the exact top-10") {
+    val exact = ids("q_sim_search", 10).toSet
+    val sq8 = ids("q_sim_ann_sq8", 10)
+    assert(sq8.size == 10)
+    // per-vector max-abs int8 keeps relative error ~1/127 per
+    // component — quantized cosine ranking should disagree with the
+    // exact one only near score ties
+    assert((exact & sq8.toSet).size >= 7,
+      s"sq8 recall too low: $sq8 vs $exact")
+    // quantized scores are genuine cosines
+    val scores = SparkEntry_queries("q_sim_ann_sq8").collect().map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(scores.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
   test("LSH ANN results are a subset of true cosine ordering") {
     val lsh = SparkEntry_queries("q_sim_ann_lsh").collect()
     assert(lsh.nonEmpty)
