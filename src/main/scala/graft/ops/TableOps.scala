@@ -753,6 +753,47 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** PARTIAL OPTIMIZE (bin-packing) through the gate: one large
+    * commit plus three small appends accrete a mixed layout, a DV
+    * delete tombstones across all of them, then [[SnapshotTable
+    * .compactSmall]] folds ONLY the sub-threshold files (tombstones
+    * folding in) while the large file is carried BY PATH — in-query
+    * requires prove the carry and the file-count drop, and the oracle
+    * hash proves the O(small)-cost rewrite lost nothing. The verb a
+    * streaming-ingest table runs continuously at 100 TB, where a full
+    * compact would dwarf the ingest. */
+  private def tableCompactSmall(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_compact_small_")
+    try {
+      val b = base(s, d)
+      t.commit(b.filter(col("k") % 4 =!= 3).coalesce(1))
+      t.appendOnce(b.filter(col("k") % 12 === 3).coalesce(1), 0L)
+      t.appendOnce(b.filter(col("k") % 12 === 7).coalesce(1), 1L)
+      t.appendOnce(b.filter(col("k") % 12 === 11).coalesce(1), 2L)
+      // sizes from the pre-delete snapshot: 4 plain data files (the
+      // delete only adds DV sidecars, which a DV'd read's inputFiles
+      // would also list — filtered below via the -dv- dir marker)
+      val before = t.read().inputFiles.toSeq.map { u =>
+        val p = java.nio.file.Paths.get(java.net.URI.create(u))
+        p -> java.nio.file.Files.size(p)
+      }
+      require(before.size == 4, s"expected 4 files, got ${before.size}")
+      val (bigPath, bigSize) = before.maxBy(_._2)
+      t.delete(col("k") % 9 === 0)
+      val v = t.compactSmall(bigSize, 1)
+      val after = t.read(v).inputFiles.toSeq
+        .map(u => java.nio.file.Paths.get(java.net.URI.create(u)))
+        .filterNot(_.toString.contains("-dv-"))
+      require(after.contains(bigPath),
+        "the over-threshold file must be carried by path, not rewritten")
+      require(after.size == 2,
+        s"3 small files should fold into 1 (plus the carried big), got ${after.size}")
+      t.read(v).groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+        .orderBy("bucket").localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   /** Persistent CHECK constraints through the gate (Delta's
     * `ALTER TABLE ADD CONSTRAINT`): v1 commits the even-key half,
     * `v_pos` (v > 0) lands as a metadata-only commit with add-time
@@ -1110,6 +1151,7 @@ object TableOps extends QueryPack {
     "q_table_cdf_replace" -> tableCdfReplace,
     "q_table_expect"     -> tableExpect,
     "q_table_constraint" -> tableConstraint,
+    "q_table_compact_small" -> tableCompactSmall,
     "q_table_optimize_z" -> tableOptimizeZ,
     "q_table_restore"    -> tableRestore,
     "q_table_clone"      -> tableClone,
@@ -1234,6 +1276,11 @@ object TableOps extends QueryPack {
          |  SELECT 'insert', COUNT(*), ${Det.dsumSql("v * 2", 2)}
          |  FROM b WHERE k % 5 = 0)
          |ORDER BY change""".stripMargin,
+    "q_table_compact_small" ->
+      s"""SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
+         |       ${Det.dsumSql("o_totalprice", 2)} AS total
+         |FROM orders WHERE o_orderkey % 9 <> 0
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_table_constraint" ->
       s"""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
          |fin AS (

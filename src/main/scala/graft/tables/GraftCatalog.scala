@@ -326,6 +326,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           override def rows(): Array[InternalRow] = hist
         }).iterator()
       }),
+    "compact_small" -> proc("compact_small",
+      // CALL cat.compact_small('tbl', 4194304, 1) — bin-packing
+      // partial OPTIMIZE: fold only files under small_bytes
+      Seq(param("table", StringType), param("small_bytes", LongType),
+        param("target_files", org.apache.spark.sql.types.IntegerType)),
+      in => oneRow(VersionOut,
+        snapshotOf(in.getUTF8String(0).toString).compactSmall(
+          in.getLong(1), in.getInt(2)))),
     "add_constraint" -> proc("add_constraint",
       // CALL cat.add_constraint('tbl', 'name', 'k > 0') — Delta's
       // ALTER TABLE ADD CONSTRAINT (Spark's TableChange surface has

@@ -2276,6 +2276,73 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     version
   }
 
+  /** PARTIAL OPTIMIZE (Delta's bin-packing OPTIMIZE): rewrite ONLY
+    * the data files smaller than `smallBytes` into `targetFiles`
+    * coalesced files — their deletion-vector tombstones folding in —
+    * while every file at or above the threshold is CARRIED BY PATH.
+    * Cost is O(small files), not O(table): the maintenance verb a
+    * streaming-ingest table runs continuously, where [[compact]]'s
+    * full rewrite would dwarf the ingest itself. Content-identical
+    * commit (tracks zero row-level changes — feed consumers skip it).
+    * Carried files keep their stat lines and their DV entries
+    * (sidecars whose every addressed file was rewritten elide);
+    * rewritten files' stat lines drop with them. Refuses on bucketed
+    * layouts — the rewrite would break bucket addressing. */
+  def compactSmall(smallBytes: Long, targetFiles: Int = 1): Long = {
+    val baseVersion = currentVersion
+    require(baseVersion > 0, s"table at $root has no committed version")
+    val lines = manifestLines(baseVersion)
+    require(!lines.drop(2).exists(_.startsWith("#buckets=")),
+      s"compactSmall on a bucketed table would break bucket addressing at $root " +
+        "(rewrite via commitBucketed)")
+    val files = manifestFiles(lines)
+    val (small, big) = files.partition(rel =>
+      Files.size(rootPath.resolve(rel)) < smallBytes)
+    if (small.size <= 1) return baseVersion // nothing worth folding
+    val version = baseVersion + 1
+    val schema = schemaOf(lines)
+    val (snap, newFiles, _) = writeData(
+      toPhysDf(scanWithDv(lines, small).coalesce(targetFiles), schema), version)
+    val bigSet = big.toSet
+    val bigAddrs = big.map(dvAddressOf).toSet
+    // DV entries addressing rewritten files go inert (the names leave
+    // the manifest); a prior ledger proves whether anything still
+    // resolves — if not, the sidecar lines drop entirely
+    val priorDvRows = SnapshotTable.dvRowsOf(lines)
+    val keptDvRows = priorDvRows.filter { case (a, _) => bigAddrs(a) }
+    val priorDvInert = manifestDvFiles(lines).nonEmpty &&
+      priorDvRows.nonEmpty && keptDvRows.isEmpty
+    val dvLines = if (priorDvInert) Vector.empty[String] else manifestDvLines(lines)
+    val carriedMeta = lines.drop(2).filter(_.startsWith("#")).filter {
+      case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
+        l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
+        l.startsWith("#op=") || l == SnapshotTable.CdcTracked => false
+      case SnapshotTable.DvRowsMeta(_, _) => false // regenerated filtered
+      case DvMeta(_) => false // re-added above (or elided)
+      // the marker's every-#range-re-minted claim only covers files
+      // still listed; carried big files keep exact bounds, and the
+      // fresh files have no stats at all — keep it only while DVs
+      // (and therefore the claim) still exist
+      case l if l == SnapshotTable.DvMinMax => dvLines.nonEmpty
+      case RowsMeta(rel, _) => bigSet(rel)
+      case SnapshotTable.SumMeta(rel, _, _) => bigSet(rel)
+      case RangeMeta(rel, _, _) => bigSet(rel)
+      case Range2Meta(rel, _, _, _, _) => bigSet(rel)
+      case RangeSMeta(rel, _, _, _) => bigSet(rel)
+      case BloomFMeta(rel, _) => bigSet(rel)
+      case _ => true
+    }
+    val tmp = writeTmpManifest(version, schema,
+      (SnapshotTable.CdcTracked +: (carriedMeta ++
+        SnapshotTable.dvRowsLines(keptDvRows) ++ dvLines)) ++
+        (big ++ newFiles), op = "COMPACTSMALL")
+    try publish(version, tmp)
+    catch { case e: CommitConflictException =>
+      deleteRecursively(snap); throw e
+    }
+    version
+  }
+
   /** COMPACT DELETION VECTORS: merge every stacked `#dv=` sidecar set
     * into ONE fresh range-clustered sidecar dataset. Deletes STACK one
     * sidecar set per commit, and every read pays one sidecar-set load

@@ -162,6 +162,36 @@ class DvMaintenanceSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("compactSmall folds only sub-threshold files; content identical; feed skips it") {
+    val t = SnapshotTable.temp(spark, "graft_dvmaint_csmall_")
+    try {
+      val big = (1L to 5000L).map(k => (k, k * 1.0)).toDF("k", "v").coalesce(1)
+      t.commit(big)
+      t.appendOnce(Seq((9001L, 1.0), (9003L, 3.0)).toDF("k", "v").coalesce(1), 0L)
+      t.appendOnce(Seq((9002L, 2.0), (9004L, 4.0)).toDF("k", "v").coalesce(1), 1L)
+      t.delete(col("k") === 10L || col("k") === 9001L)
+      val expect = t.read().orderBy("k").collect().toSeq
+      val sizes = t.read(1L).inputFiles.toSeq.map { u =>
+        java.nio.file.Files.size(java.nio.file.Paths.get(java.net.URI.create(u)))
+      }
+      val v = t.compactSmall(sizes.max) // folds the two tiny appends
+      assert(t.read(v).orderBy("k").collect().toSeq == expect,
+        "partial compaction changed table content")
+      // content-identical: zero row-level changes tracked
+      assert(t.rowChangesBetween(v - 1, v).count() == 0L)
+      // the big file's tombstone (k=10) still applies via carried DVs
+      assert(t.read(v).filter(col("k") === 10L).count() == 0L)
+      // below any real threshold: nothing to fold, version unmoved
+      assert(t.compactSmall(1L) == v)
+      // bucketed layouts refuse
+      val tb = SnapshotTable.temp(spark, "graft_dvmaint_csmall_b_")
+      try {
+        tb.commitBucketed((1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 2)
+        intercept[IllegalArgumentException] { tb.compactSmall(Long.MaxValue) }
+      } finally SnapshotTable.drop(tb)
+    } finally SnapshotTable.drop(t)
+  }
+
   test("metaSum: zero-IO SUM survives stacked DV deletes, destructive proof") {
     val t = SnapshotTable.temp(spark, "graft_dvmaint_sum_")
     try {
