@@ -356,6 +356,66 @@ object TableOps extends QueryPack {
     * base data file was read). The gated output is the refreshed
     * VIEW's own materialization, so the DuckDB hash checks the IVM
     * arithmetic itself, not a recompute. */
+  /** DELTA-JOIN incremental maintenance of a JOIN view (the classic
+    * "materialized star rollup stays fresh" story): the view is
+    * fact ⋈ dim grouped by a dim attribute, and refresh folds ONLY
+    * Δfact ⋈ dim into the keyed partial state — the broadcast-sized
+    * dim joins each CHANGE batch, never the fact table again. An
+    * append, a DV delete and an update all land before the one
+    * refresh; the signed feed (retraction IVM) carries the join
+    * through all three at O(state + Δ ⋈ dim). In-query requires pin
+    * the mode to `incremental-cdc` and prove no v1 fact file was
+    * read; the gated rows are the refreshed view's own
+    * materialization, so the hash checks the delta-join arithmetic
+    * itself against DuckDB's from-scratch recompute. */
+  private def mvIncJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val t = SnapshotTable.temp(s, "graft_q_mv_inc_join_")
+    val basePath = s"${sys.props("java.io.tmpdir")}/graft_mv_inc_join_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val fact = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_custkey").as("c"), col("o_totalprice").as("v"))
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+    def dec(cc: org.apache.spark.sql.Column) =
+      cc.cast(DecimalType(18, 2)).cast(DecimalType(38, 2))
+    def joined(df: DataFrame) =
+      df.join(broadcast(dim), col("c") === col("ck"))
+    try {
+      t.commit(fact)
+      val sign = when(col(SnapshotTable.ChangeTypeCol)
+        .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+      val fp = graft.plans.MaterializedViews.registerIncremental(t, basePath)(
+        query = df => joined(df).groupBy("seg")
+          .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total")),
+        partial = df => joined(df).groupBy("seg")
+          .agg(count(lit(1)).as("n"), sum(dec(col("v"))).as("dec")),
+        combine = df => df.groupBy("seg").agg(sum(col("n")).as("n"),
+          sum(col("dec")).cast(DecimalType(38, 2)).as("dec")),
+        finalize = df => df.filter(col("n") > 0).select(col("seg"), col("n"),
+          col("dec").cast("double").as("total")),
+        partialDelta = Some(cdc => joined(cdc).groupBy("seg")
+          .agg(sum(sign).as("n"), sum(sign * dec(col("v"))).as("dec"))))
+      t.appendOnce(fact.filter(col("k") % 100 === 0)
+        .withColumn("k", col("k") + 6000000L), 0L)
+      t.delete(col("k") % 7 === 0)
+      t.update(col("k") % 11 === 0 && col("k") % 7 =!= 0,
+        Map("v" -> (col("v") + 100.0)))
+      val res = graft.plans.MaterializedViews.refresh(fp)
+        .getOrElse(throw new IllegalStateException("not an incremental view"))
+      require(res.mode == "incremental-cdc",
+        s"join-view refresh must fold the signed change feed, was ${res.mode}")
+      require(!res.inputFiles.exists(f => f.contains("/data/v1-")),
+        s"delta-join refresh re-scanned the fact table: ${res.inputFiles.mkString(",")}")
+      val viewPath = graft.plans.MaterializedViews
+        .materializationPath(res.fingerprint)
+        .getOrElse(throw new IllegalStateException("refreshed view not registered"))
+      val out = s.read.parquet(viewPath).orderBy("seg").localCheckpoint(true)
+      graft.plans.MaterializedViews.deregister(res.fingerprint)
+      out
+    } finally SnapshotTable.drop(t)
+  }
+
   private def mvIncDml(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val t = SnapshotTable.temp(s, "graft_q_mv_inc_dml_")
@@ -1163,6 +1223,7 @@ object TableOps extends QueryPack {
     "q_table_bloom"      -> tableBloom,
     "q_mv_incremental"   -> mvIncremental,
     "q_mv_inc_dml"       -> mvIncDml,
+    "q_mv_inc_join"      -> mvIncJoin,
     "q_table_stream"     -> tableStream,
     "q_table_stream_sink" -> tableStreamSink,
     "q_table_delete_dv"  -> tableDeleteDv,
@@ -1363,6 +1424,18 @@ object TableOps extends QueryPack {
       s"""SELECT o_orderpriority AS pri, COUNT(*) AS n,
          |       ${Det.dsumSql("o_totalprice", 2)} AS total
          |FROM orders GROUP BY pri ORDER BY pri""".stripMargin,
+    "q_mv_inc_join" ->
+      s"""WITH f0 AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS v
+         |            FROM orders),
+         |u AS (SELECT k, c, v FROM f0
+         |      UNION ALL SELECT k + 6000000, c, v FROM f0 WHERE k % 100 = 0),
+         |fin AS (
+         |  SELECT k, c,
+         |         CASE WHEN k % 11 = 0 AND k % 7 <> 0 THEN v + 100.0 ELSE v END AS v
+         |  FROM u WHERE k % 7 <> 0)
+         |SELECT c_mktsegment AS seg, COUNT(*) AS n, ${Det.dsumSql("v", 2)} AS total
+         |FROM fin JOIN customer ON c = c_custkey
+         |GROUP BY seg ORDER BY seg""".stripMargin,
     "q_mv_inc_dml" ->
       s"""WITH x AS (
          |  SELECT o_orderpriority AS pri,

@@ -131,6 +131,50 @@ class MaterializedViewsIncSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("delta-join IVM: a fact-join-dim view refreshes from dim-joined deltas, stacked") {
+    val t = SnapshotTable.temp(spark, "graft_mvinc_join_")
+    val base = java.nio.file.Files.createTempDirectory("graft_mvinc_join_").toString + "/mv"
+    try {
+      // fact(k, c, v); static broadcast dim maps c -> g
+      val dim = (0L until 10L).map(c => (c, c % 3)).toDF("dc", "g")
+      def joined(df: DataFrame) = df.join(broadcast(dim), col("c") === col("dc"))
+      val fact = (0L until 500L).map(k => (k, k % 10, k * 2.0)).toDF("k", "c", "v")
+      t.commit(fact)
+      def jq(df: DataFrame) = q(joined(df).select("g", "v", "k"))
+      val sign = when(col(SnapshotTable.ChangeTypeCol)
+        .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+      val fp = MaterializedViews.registerIncremental(t, base)(
+        jq,
+        df => partial(joined(df).select("g", "v", "k")),
+        combine, finDropEmpty,
+        Some(cdc => joined(cdc).groupBy("g").agg(sum(sign).as("n"),
+          sum(sign * col("v").cast(DecimalType(18, 2))
+            .cast(DecimalType(38, 2))).cast(DecimalType(38, 2)).as("dec"))))
+      // round 1: append + delete, one refresh
+      t.appendOnce((500L until 600L).map(k => (k, k % 10, k * 2.0)).toDF("k", "c", "v"), 0L)
+      t.delete($"k" % 9 === 0)
+      val r1 = MaterializedViews.refresh(fp).get
+      assert(r1.mode == "incremental-cdc", r1.toString)
+      assert(!r1.inputFiles.exists(_.contains("/data/v1-")),
+        s"delta-join refresh re-scanned the fact: ${r1.inputFiles}")
+      // round 2: update on the REFRESHED state — still delta-scaled
+      t.update($"k" === 11L, Map("v" -> lit(9999.0)))
+      val r2 = MaterializedViews.refresh(r1.fingerprint).get
+      assert(r2.mode == "incremental-cdc", r2.toString)
+      assert(!r2.inputFiles.exists(_.contains("/data/v1-")) &&
+        !r2.inputFiles.exists(_.contains("/data/v2-")),
+        s"stacked refresh read fact data: ${r2.inputFiles}")
+      // exactness against the from-scratch recompute
+      val served = jq(t.read()).orderBy("g")
+      assert(served.queryExecution.executedPlan.toString.contains("graft_mvinc_"))
+      val expected = {
+        MaterializedViews.deregister(r2.fingerprint)
+        jq(t.read()).orderBy("g").collect().toSeq
+      }
+      assert(served.collect().toSeq == expected)
+    } finally SnapshotTable.drop(t)
+  }
+
   test("retraction IVM survives INSERT OVERWRITE: the replace folds as deletes + inserts") {
     val t = SnapshotTable.temp(spark, "graft_mvinc_replace_")
     val base = java.nio.file.Files.createTempDirectory("graft_mvinc_repl_").toString + "/mv"
