@@ -182,6 +182,34 @@ object Custom extends QueryPack {
     q
   }
 
+  /** HAVING above a containment rollup: the aggregate-filter sits
+    * ABOVE the rewritten Aggregate, so the rule answers the rollup
+    * from the wider view and Catalyst evaluates the HAVING over the
+    * re-aggregated outputs — the remaining composition of the
+    * warehouse idiom (WHERE on group keys + coarser GROUP BY +
+    * HAVING on aggregates) now all served from one registered view.
+    * The in-query require proves the rewrite fired under the
+    * filter. */
+  private def mvContainedHaving(s: SparkSession, d: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_mvch_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+    val wide = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+    val fp = graft.plans.MaterializedViews.register(wide, path)
+    val q = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .filter(col("n") > 100L && col("hi") < 600000.0)
+      .orderBy("pri")
+    try require(q.queryExecution.executedPlan.toString.contains("graft_mvch_"),
+      "HAVING containment did not fire: the rollup under the filter still scans orders")
+    finally graft.plans.MaterializedViews.deregister(fp)
+    q
+  }
+
   private def mvContainedJoin(s: SparkSession, d: String): DataFrame = {
     val path = s"${sys.props("java.io.tmpdir")}/graft_mvcj_" +
       d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
@@ -237,6 +265,7 @@ object Custom extends QueryPack {
     "q_mv_contained"     -> mvContained,
     "q_mv_contained_join" -> mvContainedJoin,
     "q_mv_contained_star" -> mvContainedStar,
+    "q_mv_contained_having" -> mvContainedHaving,
     "q_mv_contained_avg" -> mvContainedAvg,
   )
 
@@ -258,6 +287,13 @@ object Custom extends QueryPack {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY pri ORDER BY pri""".stripMargin,
+    "q_mv_contained_having" ->
+      """SELECT o_orderpriority AS pri, COUNT(*) AS n,
+        |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders
+        |GROUP BY pri
+        |HAVING COUNT(*) > 100 AND MAX(o_totalprice) < 600000.0
+        |ORDER BY pri""".stripMargin,
     "q_mv_contained_star" ->
       """SELECT o_orderpriority AS pri, COUNT(*) AS n,
         |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,

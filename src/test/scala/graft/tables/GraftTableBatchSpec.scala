@@ -353,6 +353,34 @@ class GraftTableBatchSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("SQL catalog: CTAS and REPLACE TABLE AS SELECT land as committed snapshots") {
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_ctas_")
+    spark.conf.set("spark.sql.catalog.ctascat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ctascat.root", catRoot.toString)
+    try {
+      spark.sql("CREATE TABLE ctascat.src (k BIGINT, v DOUBLE)")
+      spark.sql("INSERT INTO ctascat.src VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+      // CTAS: create + write in one statement, schema inferred from
+      // the query (createTable + append through the DSv2 write path)
+      spark.sql("CREATE TABLE ctascat.dst AS " +
+        "SELECT k, v * 10 AS v FROM ctascat.src WHERE k <> 2")
+      assert(spark.sql("SELECT k, v FROM ctascat.dst ORDER BY k")
+        .as[(Long, Double)].collect().toSeq == Seq((1L, 10.0), (3L, 30.0)))
+      // RTAS replaces schema + content; the new table starts fresh
+      spark.sql("REPLACE TABLE ctascat.dst AS SELECT k FROM ctascat.src")
+      assert(spark.sql("SELECT k FROM ctascat.dst ORDER BY k")
+        .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+      // the result is an ordinary snapshot table: versioned, readable
+      // through the instance surface
+      val t = new SnapshotTable(spark, catRoot.resolve("dst").toString)
+      assert(t.currentVersion >= 1L && t.read().count() == 3L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ctascat.src")
+      spark.sql("DROP TABLE IF EXISTS ctascat.dst")
+      SnapshotTable.deleteRecursively(catRoot)
+    }
+  }
+
   test("SQL catalog: CREATE / INSERT / SELECT / VERSION AS OF / OVERWRITE / DROP") {
     val catRoot = java.nio.file.Files.createTempDirectory("graft_cat_")
     spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
