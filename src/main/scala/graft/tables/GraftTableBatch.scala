@@ -221,7 +221,10 @@ private[tables] object ManifestPruning {
     // stat lines carry commit-era (physical) key names; the pushed
     // filters reference the current LOGICAL ones — translate first
     def lg(k: String): String = SnapshotTable.logicalNameFor(lines, k)
-    meta.collectFirst { case SnapshotTable.ClusterMeta(k) => k }.foreach { k =>
+    meta.collectFirst {
+      case SnapshotTable.ClusterMeta(k) => k
+      case SnapshotTable.ClusterPartMeta(k) => k // post-append partial claim
+    }.foreach { k =>
       used ++= longBounds(lg(k), filters)._2
     }
     meta.collectFirst { case SnapshotTable.ClusterSMeta(k) => k }.foreach { k =>
@@ -252,7 +255,10 @@ private[tables] object ManifestPruning {
     // physical stat keys → current logical names (see usableFilters)
     def lg(k: String): String = SnapshotTable.logicalNameFor(lines, k)
 
-    meta.collectFirst { case SnapshotTable.ClusterMeta(k) => k }.foreach { k =>
+    meta.collectFirst {
+      case SnapshotTable.ClusterMeta(k) => k
+      case SnapshotTable.ClusterPartMeta(k) => k // partial: stat-less files kept below
+    }.foreach { k =>
       val (b, _) = longBounds(lg(k), filters)
       if (b.isBounded) {
         val ranges: Map[String, (Long, Long)] = meta.collect {
@@ -467,11 +473,13 @@ class GraftTableScanBuilder(options: Map[String, String], tableSchema: StructTyp
     val lines = SnapshotTable.manifestLinesAt(rootPath, version)
     val meta = lines.drop(2)
     // stat key is commit-era physical; the aggregation references the
-    // current logical name — and a since-DROPPED key answers nothing
-    val clusterKey = meta.collectFirst { case SnapshotTable.ClusterMeta(k) => k }
-      .map(k => SnapshotTable.logicalNameFor(lines, k))
-      .filter(k => tableSchema.fieldNames.contains(k))
-      .getOrElse(return None)
+    // current logical name — and a since-DROPPED key answers nothing.
+    // COUNT(*) needs no key at all (every write path mints per-file
+    // footer counts), so the key is optional until a MIN/MAX/SUM asks.
+    val clusterKeyOpt: Option[String] =
+      meta.collectFirst { case SnapshotTable.ClusterMeta(k) => k }
+        .map(k => SnapshotTable.logicalNameFor(lines, k))
+        .filter(k => tableSchema.fieldNames.contains(k))
     // deletion vectors: COUNT(*) stays metadata-only (every DV commit
     // records per-file #dvrows — live = rows − dvrows); MIN/MAX stays
     // ONLY when the manifest carries the #dvminmax marker (DV deletes
@@ -503,8 +511,8 @@ class GraftTableScanBuilder(options: Map[String, String], tableSchema: StructTyp
       case SnapshotTable.SumMeta(rel, sm, nn) => rel -> (sm.toLong, nn.toLong)
     }.toMap
     val sumsComplete = files.forall(sums.contains)
-    val keyType = tableSchema(clusterKey).dataType
-    def decode(v: Long): Any = keyType match {
+    def keyTypeOf(k: String) = tableSchema(k).dataType
+    def decode(k: String, v: Long): Any = keyTypeOf(k) match {
       case ByteType => v.toByte
       case ShortType => v.toShort
       case IntegerType | DateType => v.toInt
@@ -516,24 +524,28 @@ class GraftTableScanBuilder(options: Map[String, String], tableSchema: StructTyp
           Some(r.fieldNames().mkString("."))
         case _ => None
       }
-    val lo = if (ranges.isEmpty) null else decode(ranges.map(_._1).min)
-    val hi = if (ranges.isEmpty) null else decode(ranges.map(_._2).max)
     val out = agg.aggregateExpressions().map {
       case _: CountStar =>
         (StructField("count(*)", LongType, nullable = false),
           java.lang.Long.valueOf(files.map(rows).sum))
-      case m: Min if colOf(m.column()).contains(clusterKey) =>
-        (StructField(s"min($clusterKey)", keyType, nullable = true), lo)
-      case m: Max if colOf(m.column()).contains(clusterKey) =>
-        (StructField(s"max($clusterKey)", keyType, nullable = true), hi)
+      case m: Min if clusterKeyOpt.isDefined &&
+          colOf(m.column()) == clusterKeyOpt =>
+        val k = clusterKeyOpt.get
+        val lo = if (ranges.isEmpty) null else decode(k, ranges.map(_._1).min)
+        (StructField(s"min($k)", keyTypeOf(k), nullable = true), lo)
+      case m: Max if clusterKeyOpt.isDefined &&
+          colOf(m.column()) == clusterKeyOpt =>
+        val k = clusterKeyOpt.get
+        val hi = if (ranges.isEmpty) null else decode(k, ranges.map(_._2).max)
+        (StructField(s"max($k)", keyTypeOf(k), nullable = true), hi)
       case s: Sum if !s.isDistinct && sumsComplete &&
-          colOf(s.column()).contains(clusterKey) =>
+          clusterKeyOpt.isDefined && colOf(s.column()) == clusterKeyOpt =>
         // integral inputs: Spark's sum() returns LongType with non-ANSI
         // wrapping '+', which Σ-of-per-file-Long-sums reproduces exactly
         val nn = files.map(f => sums(f)._2).sum
         val tot: Any =
           if (nn == 0L) null else java.lang.Long.valueOf(files.map(f => sums(f)._1).sum)
-        (StructField(s"sum($clusterKey)", LongType, nullable = true), tot)
+        (StructField(s"sum(${clusterKeyOpt.get})", LongType, nullable = true), tot)
       case _ => return None
     }
     Some((StructType(out.map(_._1)), out.map(_._2: Any)))
@@ -612,7 +624,10 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
     if (changeFeed || version == 0L) return Array.empty
     val lines = SnapshotTable.manifestLinesAt(rootPath, version)
     val meta = lines.drop(2)
-    (meta.collectFirst { case SnapshotTable.ClusterMeta(k) => k } ++
+    (meta.collectFirst {
+      case SnapshotTable.ClusterMeta(k) => k
+      case SnapshotTable.ClusterPartMeta(k) => k
+    } ++
       meta.collectFirst { case SnapshotTable.ClusterSMeta(k) => k } ++
       meta.collectFirst { case SnapshotTable.BloomKMeta(k, _) => k } ++
       meta.collectFirst { case SnapshotTable.BucketMeta(_, k) => k } ++

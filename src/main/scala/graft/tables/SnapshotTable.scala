@@ -550,9 +550,9 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         // the post-image files land with NO #range stats, so MIN/MAX
         // can no longer be answered from metadata — the marker dies
         case l if l == SnapshotTable.DvMinMax => false
-        // #rows survives (paired with #dvrows); the appended
-        // post-image files simply have no count, which keeps every
-        // completeness-gated consumer refusing exactly as before
+        // #rows survives (paired with #dvrows), and the post-image
+        // files mint their own counts below — live = Σrows − Σdvrows
+        // stays exact, so metaCount answers straight through updates
         case RowsMeta(rel, _) => keptSet(rel)
         // post-image files are not bucket-addressed, so a carried
         // bucket spec would lie to the next mergeBucketed — drop it
@@ -569,7 +569,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         case _ => true
       }
       val tmp = writeTmpManifest(version, schema,
-        (SnapshotTable.CdcTracked +: (carriedMeta ++
+        (SnapshotTable.CdcTracked +: (carriedMeta ++ footerRowsLines(newFiles) ++
           SnapshotTable.dvRowsLines(mergedDvRows) ++ cdcLines ++ newDvLines)) ++
           (keptFiles ++ newFiles), op = "UPDATE")
       try publish(version, tmp)
@@ -603,6 +603,48 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         .toVector.sorted
       finally s.close()
     (snap, parts.map(p => rootPath.relativize(snap.resolve(p)).toString), df.schema)
+  }
+
+  /** `#rows=` lines for freshly staged files, counted from their
+    * parquet footers (metadata-sized reads). Every writer mints these
+    * for its new files so [[metaCount]] — and the DSv2 COUNT(*)
+    * pushdown — keep answering with zero data IO through commits,
+    * appends, updates and SQL DML alike. */
+  private def footerRowsLines(rels: Seq[String]): Seq[String] =
+    rels.map(rel =>
+      s"#rows=$rel|${SnapshotTable.parquetRowCount(rootPath.resolve(rel))}")
+
+  /** The PER-FILE stat lines an APPEND carries forward for the files
+    * it keeps: counts/ranges/sums/bloom sidecars stay valid per file
+    * (every consumer keeps stat-less new files conservatively), and
+    * tombstone ledgers are untouched by an append. Whole-table layout
+    * claims (#cluster/#clusters/#zcluster/#buckets) are deliberately
+    * NOT carried — a min/max/sum answered from stats that do not
+    * cover the new files would be silently wrong, so those consumers
+    * must refuse instead. */
+  private def appendStatCarry(prev: Vector[String],
+      carriedSet: Set[String]): Vector[String] = {
+    val kept = prev.drop(2).filter {
+      case RowsMeta(rel, _) => carriedSet(rel)
+      case SnapshotTable.SumMeta(rel, _, _) => carriedSet(rel)
+      case RangeMeta(rel, _, _) => carriedSet(rel)
+      case Range2Meta(rel, _, _, _, _) => carriedSet(rel)
+      case RangeSMeta(rel, _, _, _) => carriedSet(rel)
+      case BloomFMeta(rel, _) => carriedSet(rel)
+      case SnapshotTable.DvRowsMeta(_, _) => true // no new tombstones
+      case l if l == SnapshotTable.DvMinMax => true // claim unchanged
+      case BloomKMeta(_, _) => true // sidecar-less files kept conservatively
+      case _ => false
+    }
+    // the full #cluster claim weakens to #clusterpart: the carried
+    // ranges still describe this key, so range READS keep pruning
+    // (uncovered new files conservatively kept), while min/max/sum
+    // metadata consumers see no full claim and refuse
+    val part = prev.drop(2).collectFirst {
+      case ClusterMeta(k) => s"#clusterpart=$k"
+      case SnapshotTable.ClusterPartMeta(k) => s"#clusterpart=$k"
+    }
+    kept ++ part.toVector
   }
 
   /** Commit wall clock, injectable so specs can pin deterministic
@@ -707,7 +749,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
   def commit(df: DataFrame): Long = {
     val version = currentVersion + 1
     val (snap, files, schema) = writeData(guarded(df), version)
-    val tmp = writeTmpManifest(version, schema, files)
+    val tmp = writeTmpManifest(version, schema, footerRowsLines(files) ++ files)
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
       deleteRecursively(snap) // loser cleans its own orphan data
@@ -828,6 +870,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       if (newDvInert) Vector.empty[String] else dvRels.map(r => s"#dv=$r").sorted
     val tmp = writeTmpManifest(version, schema,
       (SnapshotTable.CdcTracked +: cdcLines) ++ carriedMeta ++
+        footerRowsLines(dataRels) ++
         SnapshotTable.dvRowsLines(keptDvRows) ++ newDvLines ++
         (keptRels ++ dataRels).sorted,
       op = op)
@@ -921,7 +964,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       // table CHECK constraints are HARD gates on top of the soft
       // expectations: a kept row violating one aborts the commit
       val (snap, files, schema) = writeData(guarded(pinned.filter(allPass)), version)
-      val tmp = writeTmpManifest(version, schema, qLines ++ files)
+      val tmp = writeTmpManifest(version, schema,
+        (qLines ++ footerRowsLines(files)) ++ files)
       try publish(version, tmp)
       catch { case e: CommitConflictException =>
         deleteRecursively(snap); deleteRecursively(qDir); throw e
@@ -1131,7 +1175,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val (snap, files, schema) = writeData(merged, version)
     val (cdcSnap, cdcLines) = writeCdcData(cdc, version)
     val tmp = writeTmpManifest(version, schema,
-      (SnapshotTable.CdcTracked +: cdcLines) ++ files, op = "MERGE")
+      (SnapshotTable.CdcTracked +: (cdcLines ++ footerRowsLines(files))) ++ files,
+      op = "MERGE")
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
       deleteRecursively(snap); deleteRecursively(cdcSnap); throw e
@@ -1172,7 +1217,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val version = currentVersion + 1
     val (snap, files) = writeBucketedData(guarded(df), version, keyCol, nBuckets)
     val meta = s"#buckets=$nBuckets key=$keyCol"
-    val tmp = writeTmpManifest(version, df.schema, meta +: files)
+    val tmp = writeTmpManifest(version, df.schema,
+      (meta +: footerRowsLines(files)) ++ files)
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
       deleteRecursively(snap); throw e
@@ -1283,11 +1329,25 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       var publishVersion = version
       var outcome: Option[Long] = None
       var rebases = 0
+      val newRowsLines = footerRowsLines(newFiles)
       while (outcome.isEmpty) {
         val carried = manifestFiles(base).groupBy(bucketOfPath)
           .view.filterKeys(b => !touched(b)).values.flatten.toVector
+        val carriedSet = carried.toSet
+        // carried buckets keep their exact counts and tombstone
+        // ledgers (rewritten buckets' DV addresses go inert — their
+        // ledger entries must go too, or metaCount over-subtracts);
+        // rewritten buckets mint fresh footer counts — metaCount
+        // stays answerable across bucketed merges
+        val carriedAddrs = carried.map(dvAddressOf).toSet
+        val carriedRows = base.drop(2).filter {
+          case RowsMeta(rel, _) => carriedSet(rel)
+          case SnapshotTable.DvRowsMeta(addr, _) => carriedAddrs(addr)
+          case _ => false
+        }
         val tmp = writeTmpManifest(publishVersion, schema,
-          (meta +: SnapshotTable.CdcTracked +: (manifestDvLines(base) ++ cdcLines)) ++
+          (meta +: SnapshotTable.CdcTracked +: (manifestDvLines(base) ++
+            carriedRows ++ newRowsLines ++ cdcLines)) ++
             (carried ++ newFiles).sorted, op = "MERGE")
         try { publish(publishVersion, tmp); outcome = Some(publishVersion) }
         catch { case e: CommitConflictException =>
@@ -1346,7 +1406,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val (snap, files, schema) = writeData(merged, version)
     val (cdcSnap, cdcLines) = writeCdcData(cdc, version)
     val tmp = writeTmpManifest(version, schema,
-      (SnapshotTable.CdcTracked +: cdcLines) ++ files, op = "CDC")
+      (SnapshotTable.CdcTracked +: (cdcLines ++ footerRowsLines(files))) ++ files,
+      op = "CDC")
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
       deleteRecursively(snap); deleteRecursively(cdcSnap); throw e
@@ -1420,8 +1481,6 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val version = currentVersion + 1
     val prev: Vector[String] =
       if (version == 1) Vector.empty else manifestLines(version - 1)
-    val carried: Seq[String] =
-      if (version == 1) Seq.empty else manifestFiles(prev)
     val schemaOut: StructType =
       if (version == 1) df.schema
       else if (!evolve) {
@@ -1476,18 +1535,53 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val guardedDf =
       if (appendCs.isEmpty) df else guardConstraints(df, appendCs)
     val (snap, files, _) = writeData(toPhysDf(guardedDf, schemaOut), version)
-    // appends don't rewrite, so prior deletes ride along as DV lines;
-    // retired-name guards ride along too
-    val retiredLines = prev.drop(2).filter(_.startsWith("#retired="))
-    val tmp = writeTmpManifest(version, schemaOut,
-      (s"#batchId=$batchId" +: (manifestDvLines(prev) ++ retiredLines)) ++
-        (carried ++ files),
-      op = "APPEND")
-    try publish(version, tmp)
-    catch { case e: CommitConflictException =>
-      deleteRecursively(snap); throw e
+    // fresh files mint their exact footer counts; PER-FILE stat lines
+    // of carried files ride along (pruning, bloom lookups and the
+    // zero-IO COUNT(*) keep working — stat-less new files are
+    // conservatively kept by every consumer), while WHOLE-TABLE
+    // layout claims (#cluster/#clusters/#zcluster/#buckets) die: a
+    // min/max/sum answered from stats that do not cover the new
+    // files would be silently wrong, so those consumers must refuse.
+    val newRowsLines = footerRowsLines(files)
+    // OPTIMISTIC publish with REBASE: blind appends commute with any
+    // interleaving that leaves the schema and constraint set alone —
+    // a lost CAS re-reads the new current version, re-carries its
+    // files/DV/stat lines and re-publishes the SAME staged data, no
+    // rewrite (concurrent streaming writers stop failing each other).
+    // A schema or constraint change underneath rethrows: the staged
+    // files were written under the old mapping/guards.
+    val baseSchemaJson = if (version == 1) schemaOut.json else prev(1)
+    val baseCs = appendCs
+    var curPrev = prev
+    var curVersion = version
+    var rebases = 0
+    while (true) {
+      val carriedFiles: Seq[String] =
+        if (curVersion == 1) Seq.empty else manifestFiles(curPrev)
+      val retiredLines = curPrev.drop(2).filter(_.startsWith("#retired="))
+      val statCarry =
+        if (curVersion == 1) Vector.empty[String]
+        else appendStatCarry(curPrev, carriedFiles.toSet)
+      val tmp = writeTmpManifest(curVersion, schemaOut,
+        (s"#batchId=$batchId" +: (manifestDvLines(curPrev) ++ retiredLines ++
+          statCarry ++ newRowsLines)) ++ (carriedFiles ++ files),
+        op = "APPEND")
+      try { publish(curVersion, tmp); return Some(curVersion) }
+      catch { case e: CommitConflictException =>
+        rebases += 1
+        if (rebases > 100) { deleteRecursively(snap); throw e }
+        if (committedBatchIds.contains(batchId)) { // raced replay
+          deleteRecursively(snap); return None
+        }
+        val newCur = currentVersion
+        val newPrev = manifestLines(newCur)
+        val sameSchema = newPrev(1) == baseSchemaJson
+        val sameCs = SnapshotTable.constraintsOf(newPrev) == baseCs
+        if (!sameSchema || !sameCs) { deleteRecursively(snap); throw e }
+        curPrev = newPrev; curVersion = newCur + 1
+      }
     }
-    Some(version)
+    None // unreachable
   }
 
   /** True iff every commit in (vA, vB] is a streaming APPEND — the
@@ -1531,6 +1625,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     require(!writerId.contains('\n'), "writerId must be single-line")
     var attempts = 0
     var constraintsValidated = false
+    // footer counts of the staged rels are retry-invariant
+    lazy val stagedRowsLines = footerRowsLines(relPaths)
     while (true) {
       if (committedBatchIdsTagged.contains((writerId, batchId))) return None
       val version = currentVersion + 1
@@ -1608,9 +1704,17 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       val cdcHead = overwriteCdc
         .map { case (_, cdcLines) => SnapshotTable.CdcTracked +: cdcLines }
         .getOrElse(Seq.empty)
+      // same stat discipline as appendInternal: fresh files mint
+      // footer counts, carried files keep their per-file stat lines
+      // (an overwrite carries nothing — its fresh counts alone give
+      // metaCount full coverage)
+      val statCarry =
+        if (!carry || version == 1) Vector.empty[String]
+        else appendStatCarry(prev, carried.toSet)
       val tmp = writeTmpManifest(version, schemaOut,
         (s"#batchId=$batchId" +: (replaceLine ++ cdcHead ++ writerLine ++
-          dvLines ++ retiredLines)) ++ (carried ++ relPaths),
+          dvLines ++ retiredLines ++ statCarry ++ stagedRowsLines)) ++
+          (carried ++ relPaths),
         op = if (carry) "APPEND" else "OVERWRITE")
       try { publish(version, tmp); return Some(version) }
       catch { case _: CommitConflictException =>
@@ -1798,9 +1902,14 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * timestamps, epoch days for dates. */
   def readWhere(version: Long, keyCol: String, lo: Long, hi: Long): DataFrame = {
     val lines = manifestLines(version)
-    // stat lines carry commit-era (physical) names — compare logically
-    require(lines.drop(2).collectFirst { case ClusterMeta(k) => k }
-      .map(k => SnapshotTable.logicalNameFor(lines, k))
+    // stat lines carry commit-era (physical) names — compare
+    // logically. The weakened post-append claim (#clusterpart) is
+    // enough for a range READ: carried ranges prune, stat-less files
+    // are conservatively kept, and the row filter stays exact.
+    require(lines.drop(2).collectFirst {
+      case ClusterMeta(k) => k
+      case SnapshotTable.ClusterPartMeta(k) => k
+    }.map(k => SnapshotTable.logicalNameFor(lines, k))
       .contains(keyCol), s"version $version is not clustered on $keyCol")
     val schema = schemaOf(lines)
     val base = scanWithDv(lines, prunedFiles(version, lo, hi))
@@ -2267,7 +2376,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     // content-identical rewrite: the commit TRACKS row-level changes
     // (there are exactly zero), so a change-feed consumer skips it
     // instead of erroring on an untracked rewrite
-    val tmp = writeTmpManifest(version, schema, SnapshotTable.CdcTracked +: files,
+    val tmp = writeTmpManifest(version, schema,
+      (SnapshotTable.CdcTracked +: footerRowsLines(files)) ++ files,
       op = "COMPACT")
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
@@ -2333,7 +2443,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       case _ => true
     }
     val tmp = writeTmpManifest(version, schema,
-      (SnapshotTable.CdcTracked +: (carriedMeta ++
+      (SnapshotTable.CdcTracked +: (carriedMeta ++ footerRowsLines(newFiles) ++
         SnapshotTable.dvRowsLines(keptDvRows) ++ dvLines)) ++
         (big ++ newFiles), op = "COMPACTSMALL")
     try publish(version, tmp)
@@ -2840,6 +2950,11 @@ object SnapshotTable {
   // -- paths and the DSv2 batch scan's driver-side pruning --
   private[tables] val DvMeta = """#dv=(.+)""".r
   private[tables] val ClusterMeta = """#cluster=(.+)""".r
+  // the WEAKENED cluster claim an append leaves behind: carried
+  // #range lines still describe this key, but they no longer cover
+  // every file — range reads prune conservatively, metadata
+  // aggregates must refuse
+  private[tables] val ClusterPartMeta = """#clusterpart=(.+)""".r
   private[tables] val ClusterSMeta = """#clusters=(.+)""".r
   private[tables] val RangeMeta = """#range=([^|]+)\|(-?\d+)\|(-?\d+)""".r
   private[tables] val RowsMeta = """#rows=([^|]+)\|(\d+)""".r
@@ -3128,6 +3243,21 @@ object SnapshotTable {
   private[tables] def isAppendCommitOf(lines: Vector[String]): Boolean =
     lines.drop(2).exists(l => BatchMetaStatic.findFirstIn(l).isDefined) &&
       !lines.drop(2).contains(ReplaceMarker)
+
+  /** Exact row count of one parquet file from its FOOTER — a
+    * metadata-sized read, no data pages touched. Powers write-time
+    * `#rows=` minting on every path (commit/append/DML post-images),
+    * which keeps the zero-IO COUNT(*) contract alive through any
+    * write sequence. At cluster scale the same counts would ride the
+    * write tasks' commit messages instead of a footer pass; the
+    * manifest line format is identical either way. */
+  private[tables] def parquetRowCount(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
 
   /** Fresh table under java.io.tmpdir; caller owns cleanup. */
   def temp(spark: SparkSession, prefix: String): SnapshotTable = {
