@@ -48,17 +48,22 @@ object Similarity extends QueryPack {
     * and norms are EXACT integers (≤127²·dims, inside the 2^53 double
     * lane), so both engines compute bit-identical scores — the oracle
     * hash gates the whole quantize→rank pipeline, not an
-    * approximation. All-zero vectors quantize to zeros and score 0. */
+    * approximation. All-zero vectors quantize to zeros and score 0.
+    *
+    * `sq8Quantized` adds `q` (the quantized components as longs) and
+    * `qnorm` (exact integer squared norm) — shared by this
+    * brute-force search and the IVF-pruned [[annIvfSq8]]. */
+  private def sq8Quantized(df: DataFrame, vecCol: String): DataFrame = df
+    .withColumn("amax", aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double")))))
+    .withColumn("q", transform(col(vecCol),
+      x => when(col("amax") === 0.0d, lit(0L))
+        .otherwise(floor(x.cast("double") / col("amax") * 127.0d + 0.5d))))
+    .withColumn("qnorm", aggregate(col("q"), lit(0L),
+      (acc, x) => acc + x * x))
+
   private def annSq8(s: SparkSession, d: String): DataFrame = {
-    def quantized(df: DataFrame): DataFrame = df
-      .withColumn("amax", aggregate(col("embedding"), lit(0.0d),
-        (acc, x) => greatest(acc, abs(x.cast("double")))))
-      .withColumn("q", transform(col("embedding"),
-        x => when(col("amax") === 0.0d, lit(0L))
-          .otherwise(floor(x.cast("double") / col("amax") * 127.0d + 0.5d))))
-      .withColumn("qnorm", aggregate(col("q"), lit(0L),
-        (acc, x) => acc + x * x))
-    val base = quantized(Tables.embeddings(s, d))
+    val base = sq8Quantized(Tables.embeddings(s, d), "embedding")
     val probe = base.filter(col("vec_id") === ProbeId)
       .select(col("q").as("pq"), col("qnorm").as("pqnorm"))
     val qdot = aggregate(zip_with(col("q"), col("pq"), (a, b) => a * b),
@@ -118,6 +123,43 @@ object Similarity extends QueryPack {
     * → partition pruning at the source). */
   private def annIvf(s: SparkSession, d: String): DataFrame = {
     import graft.functions.CosineSimilarity.cosine_sim
+    val (cand, probe) = ivfCandidates(s, d)
+    cand.crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        graft.Det.r4(cosine_sim(col("embedding"), col("probe"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  /** IVF + INT8 composition — the production ANN recipe at 100 TB:
+    * the coarse quantizer prunes the candidate set to the probe's 2
+    * nearest partitions (IVF), then the per-vector int8 quantized
+    * cosine ranks them ([[annSq8]]'s scoring — 4× less memory
+    * bandwidth, integer SIMD kernels). Both stages are deterministic
+    * (exact integer quantization + r7's decimal-exact centroid
+    * arithmetic), so the DuckDB oracle gates the composed pipeline
+    * bit-exactly. */
+  private def annIvfSq8(s: SparkSession, d: String): DataFrame = {
+    val (cand, probe) = ivfCandidates(s, d)
+    val qc = sq8Quantized(cand, "embedding")
+    val qp = sq8Quantized(probe, "probe")
+      .select(col("q").as("pq"), col("qnorm").as("pqnorm"))
+    val qdot = aggregate(zip_with(col("q"), col("pq"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    qc.crossJoin(broadcast(qp))
+      .select(col("vec_id"), col("label"),
+        graft.Det.r4(when(col("qnorm") === 0L || col("pqnorm") === 0L, lit(0.0d))
+          .otherwise(qdot.cast("double") /
+            sqrt((col("qnorm") * col("pqnorm")).cast("double")))).as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  /** The IVF candidate set: coarse-quantizer clusters built with one
+    * deterministic k-means round, the probe's 2 nearest partitions
+    * joined back — (candidates(vec_id, label, embedding), probe). */
+  private def ivfCandidates(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.functions.CosineSimilarity.cosine_sim
     val k = 8
     val e = Tables.embeddings(s, d)
     // deterministic seed centroids: evenly spaced vec_ids. The
@@ -156,14 +198,11 @@ object Similarity extends QueryPack {
         cosine_sim(col("probe"), col("cvec")).as("csim"))
       .orderBy(col("csim").desc, col("cluster").asc)
       .limit(2)
-    assigned
+    (assigned
       .join(broadcast(probedClusters.select("cluster")), "cluster")
       .filter(col("vec_id") =!= ProbeId)
-      .crossJoin(broadcast(probe))
-      .select(col("vec_id"), col("label"),
-        graft.Det.r4(cosine_sim(col("embedding"), col("probe"))).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(5)
+      .select(col("vec_id"), col("label"), col("embedding")),
+      probe)
   }
 
   /** Persisted-index ANN: the LSH bucket is a PARTITION COLUMN of a
@@ -408,6 +447,7 @@ object Similarity extends QueryPack {
     "q_sim_ann_multiprobe" -> annMultiprobe,
     "q_sim_ann_indexed_multiprobe" -> annIndexedMultiprobe,
     "q_sim_ann_ivf"     -> annIvf,
+    "q_sim_ann_ivf_sq8" -> annIvfSq8,
     "q_sim_ann_indexed" -> annIndexed,
     "q_kmeans"          -> kmeans,
     "q_embed_project"   -> embedProject,
@@ -488,12 +528,16 @@ object Similarity extends QueryPack {
     * means cast to FLOAT (Det.davg's arithmetic — the Spark side
     * moved off plain avg for exactly this), probe's top-2 clusters,
     * cosine r4 top-5 within them. */
-  private def annIvfSql: String = {
-    def cosf(a: String, b: String): String =
-      s"""list_sum(list_transform(list_zip($a, $b),
-         |        t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
-         |      / (SQRT(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-         |         * SQRT(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+  private def ivfCosf(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |        t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+       |      / (SQRT(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |         * SQRT(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  /** The IVF pipeline's shared CTE chain through `pc` (the probe's 2
+    * nearest partitions) — both the exact and the int8-scored finals
+    * build on it. */
+  private def ivfCtes: String =
     s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
        |seeds AS (
        |  SELECT vec_id AS cid0, embedding AS cvec0 FROM e
@@ -502,7 +546,7 @@ object Similarity extends QueryPack {
        |  SELECT vec_id, label, embedding, cid0 AS cluster FROM (
        |    SELECT e.vec_id, e.label, e.embedding, s.cid0,
        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |             ORDER BY ${cosf("e.embedding", "s.cvec0")} DESC, s.cid0 ASC) AS rn
+       |             ORDER BY ${ivfCosf("e.embedding", "s.cvec0")} DESC, s.cid0 ASC) AS rn
        |    FROM e, seeds s)
        |  WHERE rn = 1),
        |cent AS (
@@ -518,14 +562,62 @@ object Similarity extends QueryPack {
        |p AS (SELECT embedding AS probe FROM e WHERE vec_id = $ProbeId),
        |pc AS (
        |  SELECT cluster FROM cent, p
-       |  ORDER BY ${cosf("p.probe", "cent.cvec")} DESC, cluster ASC
-       |  LIMIT 2)
-       |SELECT vec_id, label, ${graft.Det.r4Sql(s"(${cosf("a.embedding", "p.probe")})")} AS cos
+       |  ORDER BY ${ivfCosf("p.probe", "cent.cvec")} DESC, cluster ASC
+       |  LIMIT 2)""".stripMargin
+
+  private def annIvfSql: String =
+    s"""$ivfCtes
+       |SELECT vec_id, label, ${graft.Det.r4Sql(s"(${ivfCosf("a.embedding", "p.probe")})")} AS cos
        |FROM assigned a JOIN pc USING (cluster), p
        |WHERE a.vec_id <> $ProbeId
        |ORDER BY cos DESC, vec_id ASC
        |LIMIT 5""".stripMargin
-  }
+
+  /** IVF + int8 oracle: the shared candidate CTEs, then the sq8
+    * quantize/score arithmetic (q_sim_ann_sq8's) over ONLY the
+    * probed partitions' vectors. */
+  private def annIvfSq8Sql: String =
+    s"""$ivfCtes,
+       |cand AS (
+       |  SELECT a.vec_id, a.label, a.embedding
+       |  FROM assigned a JOIN pc USING (cluster)
+       |  WHERE a.vec_id <> $ProbeId),
+       |cq AS (
+       |  SELECT vec_id, label, qv,
+       |         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm
+       |  FROM (
+       |    SELECT vec_id, label,
+       |           CASE WHEN amax = 0
+       |                THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+       |                ELSE list_transform(embedding,
+       |                  x -> CAST(FLOOR(CAST(x AS DOUBLE) / amax * 127.0 + 0.5) AS BIGINT))
+       |           END AS qv
+       |    FROM (SELECT vec_id, label, embedding,
+       |                 list_max(list_transform(embedding,
+       |                          x -> abs(CAST(x AS DOUBLE)))) AS amax
+       |          FROM cand))),
+       |pq AS (
+       |  SELECT qv AS pqv,
+       |         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS pqnorm
+       |  FROM (
+       |    SELECT CASE WHEN amax = 0
+       |                THEN list_transform(probe, x -> CAST(0 AS BIGINT))
+       |                ELSE list_transform(probe,
+       |                  x -> CAST(FLOOR(CAST(x AS DOUBLE) / amax * 127.0 + 0.5) AS BIGINT))
+       |           END AS qv
+       |    FROM (SELECT probe,
+       |                 list_max(list_transform(probe,
+       |                          x -> abs(CAST(x AS DOUBLE)))) AS amax
+       |          FROM p)))
+       |SELECT cq.vec_id, cq.label,
+       |       FLOOR((CASE WHEN cq.qnorm = 0 OR pq.pqnorm = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(list_zip(cq.qv, pq.pqv),
+       |                t -> t[1] * t[2])) AS DOUBLE)
+       |              / SQRT(CAST(cq.qnorm * pq.pqnorm AS DOUBLE)) END)
+       |         * 10000 + 0.5) / 10000 AS qcos
+       |FROM cq, pq
+       |ORDER BY qcos DESC, vec_id ASC
+       |LIMIT 5""".stripMargin
 
   /** JL-projection oracle: the identical quantize → ±1-sign →
     * integer-sum arithmetic, stated set-wise (GROUP BY j over the
@@ -600,6 +692,7 @@ object Similarity extends QueryPack {
     "q_sim_ann_lsh" -> annLshSql,
     "q_sim_ann_indexed" -> annLshSql,
     "q_sim_ann_ivf" -> annIvfSql,
+    "q_sim_ann_ivf_sq8" -> annIvfSq8Sql,
     "q_sim_search" ->
       """WITH p AS (SELECT embedding AS probe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,
