@@ -326,6 +326,45 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           override def rows(): Array[InternalRow] = hist
         }).iterator()
       }),
+    "detail" -> proc("detail",
+      // CALL cat.detail('tbl') — DESCRIBE DETAIL: one metadata-only
+      // row (version, files, bytes, rows when the manifest can answer,
+      // cluster key, constraints)
+      Seq(param("table", StringType)),
+      in => {
+        val t = snapshotOf(in.getUTF8String(0).toString)
+        val root = java.nio.file.Paths.get(t.root)
+        val v = t.currentVersion
+        val lines = SnapshotTable.manifestLinesAt(root, v)
+        val files = SnapshotTable.manifestFilesOf(lines)
+        val bytes = files.map { rel =>
+          try java.nio.file.Files.size(root.resolve(rel))
+          catch { case _: java.io.IOException => 0L }
+        }.sum
+        val nRows: Option[Long] =
+          try Some(t.metaCount(v)) catch { case _: IllegalArgumentException => None }
+        val clusterKey = lines.drop(2).collectFirst {
+          case SnapshotTable.ClusterMeta(k) => k
+          case SnapshotTable.ClusterPartMeta(k) => s"$k (partial)"
+        }
+        val cons = t.constraints.toSeq.sorted
+          .map { case (n, e) => s"$n: $e" }.mkString("; ")
+        def utf(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        java.util.List.of[Scan](new LocalScan {
+          override def readSchema(): StructType = StructType(Seq(
+            org.apache.spark.sql.types.StructField("version", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("num_files", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("size_bytes", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("num_rows", LongType, nullable = true),
+            org.apache.spark.sql.types.StructField("cluster_key", StringType, nullable = true),
+            org.apache.spark.sql.types.StructField("constraints", StringType, nullable = true)))
+          override def rows(): Array[InternalRow] = Array(InternalRow(
+            v, files.size.toLong, bytes,
+            nRows.map(java.lang.Long.valueOf).orNull,
+            clusterKey.map(utf).orNull,
+            if (cons.isEmpty) null else utf(cons)))
+        }).iterator()
+      }),
     "compact_small" -> proc("compact_small",
       // CALL cat.compact_small('tbl', 4194304, 1) — bin-packing
       // partial OPTIMIZE: fold only files under small_bytes

@@ -163,6 +163,42 @@ class GraftConstraintSpec extends SparkSpec {
     }
   }
 
+  test("streaming sink enforces constraints per micro-batch; CALL detail reports them") {
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_cons_stream_")
+    spark.conf.set("spark.sql.catalog.consstr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.consstr.root", catRoot.toString)
+    try {
+      spark.sql("CREATE TABLE consstr.t (k BIGINT, v DOUBLE)")
+      spark.sql("INSERT INTO consstr.t VALUES (1, 1.0)")
+      spark.sql("CALL consstr.add_constraint('t', 'v_pos', 'v > 0.0')")
+      val tPath = catRoot.resolve("t").toString
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[(Long, Double)]
+      val ck = java.nio.file.Files.createTempDirectory("graft_cons_ck_").toString
+      val q = in.toDF().toDF("k", "v").writeStream
+        .format("graft-table").option("path", tPath)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      in.addData((2L, 2.0), (3L, -3.0)) // batch contains a violator
+      val failed = try { q.processAllAvailable(); false }
+        catch { case e: Throwable => chainHas(e, "CHECK constraint") }
+      try q.stop() catch { case _: Throwable => () }
+      assert(failed, "streaming batch with a violating row must fail the epoch")
+      val t = new SnapshotTable(spark, tPath)
+      assert(t.read().count() == 1L, "a failed epoch must publish nothing")
+      // DESCRIBE DETAIL surface: metadata-only summary row
+      val detail = spark.sql("CALL consstr.detail('t')").head
+      assert(detail.getLong(0) == t.currentVersion)
+      assert(detail.getLong(1) >= 1L) // files
+      assert(detail.getLong(3) == 1L) // rows from metadata
+      assert(detail.getString(5).contains("v_pos"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS consstr.t")
+      SnapshotTable.deleteRecursively(catRoot)
+    }
+  }
+
   test("constraint commits are metadata-only, CdcTracked, and feed/IVM-transparent") {
     val t = SnapshotTable.temp(spark, "graft_cons_meta_")
     try {
