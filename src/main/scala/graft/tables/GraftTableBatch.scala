@@ -540,11 +540,15 @@ class GraftTableScanBuilder(options: Map[String, String], tableSchema: StructTyp
         (StructField(s"max($k)", keyTypeOf(k), nullable = true), hi)
       case s: Sum if !s.isDistinct && sumsComplete &&
           clusterKeyOpt.isDefined && colOf(s.column()) == clusterKeyOpt =>
-        // integral inputs: Spark's sum() returns LongType with non-ANSI
-        // wrapping '+', which Σ-of-per-file-Long-sums reproduces exactly
+        // integral inputs: Spark's sum() returns LongType; the Σ of
+        // per-file sums adds EXACTLY — a driver-side overflow refuses
+        // the pushdown (the scan-side ANSI sum would fail too)
         val nn = files.map(f => sums(f)._2).sum
         val tot: Any =
-          if (nn == 0L) null else java.lang.Long.valueOf(files.map(f => sums(f)._1).sum)
+          if (nn == 0L) null
+          else try java.lang.Long.valueOf(
+            files.map(f => sums(f)._1).foldLeft(0L)(Math.addExact))
+          catch { case _: ArithmeticException => return None }
         (StructField(s"sum(${clusterKeyOpt.get})", LongType, nullable = true), tot)
       case _ => return None
     }

@@ -385,16 +385,20 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
               col("__graft_dv_f") === col(SnapshotTable.DvFileCol) &&
                 col("__graft_dv_p") === col(SnapshotTable.DvPosCol), "left_anti")
             .groupBy("__graft_dv_f").agg(min(enc).as("lo"), max(enc).as("hi"),
-              sum(enc).as("s"), count(enc).as("nn"))
+              try_sum(enc).as("s"), count(enc).as("nn"))
             .collect() // ≤ touched files rows — bounded driver metadata
         }
       val remint: Map[String, (Long, Long)] = remintRows
         .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
         .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
       // all-null-survivors record 0|0 (SUM ignores nulls) — unlike
-      // #range, which drops so pruning stays conservative
-      val remintSums: Map[String, (Long, Long)] = remintRows.map { r =>
-        r.getString(0) -> (if (r.isNullAt(3)) 0L else r.getLong(3), r.getLong(4))
+      // #range, which drops so pruning stays conservative; a try_sum
+      // overflow (null with nn > 0) mints no line → coverage refusal
+      val remintSums: Map[String, (Long, Long)] = remintRows.flatMap { r =>
+        val nn = r.getLong(4)
+        if (r.isNullAt(3) && nn > 0L) None
+        else Some(r.getString(0) ->
+          (if (r.isNullAt(3)) 0L else r.getLong(3), nn))
       }.toMap
       val remintLines = touchedKept.flatMap { rel =>
         remint.get(dvAddressOf(rel)).map { case (lo, hi) => s"#range=$rel|$lo|$hi" }
@@ -1815,16 +1819,26 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * merges, clustering buys range pruning. */
   def commitClustered(df: DataFrame, keyCol: String, nFiles: Int): Long = {
     val keyStat = statLongExpr(df.schema(keyCol).dataType, keyCol) // validates type
+    val integralKey = df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     val version = currentVersion + 1
     val snap = dataDir.resolve(s"v$version-${UUID.randomUUID()}")
     guarded(df).repartitionByRange(nFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.parquet(snap.toString)
+    // SUM stats only for integral keys — an epoch-micros sum both
+    // means nothing and overflows under ANSI; try_sum keeps an
+    // integral-key overflow from failing the COMMIT (the file just
+    // mints no #sum line and metaSum refuses loudly on coverage)
+    val sumAgg = if (integralKey) try_sum(keyStat) else lit(null).cast("long")
     val statRows = spark.read.parquet(snap.toString)
       .groupBy(input_file_name().as("f"))
       .agg(min(keyStat).as("lo"), max(keyStat).as("hi"),
         count(lit(1)).as("n"),
-        sum(keyStat).as("s"), count(col(keyCol)).as("nn"))
+        sumAgg.as("s"), count(col(keyCol)).as("nn"))
       .collect() // nFiles rows — bounded driver metadata
     // a file whose key values are ALL null (nulls sort first under
     // repartitionByRange, so they pool in the first file) has null
@@ -1850,24 +1864,22 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       s"#rows=$rel|${rowsByName.getOrElse(rel.split('/').last, 0L)}"
     }
     // per-file key SUM + non-null count, INTEGRAL keys only (the
-    // encoded Long domain IS the value there, so Σ is the true SUM;
-    // epoch-encoded date/timestamp sums would be meaningless). An
-    // all-null-key file records 0|0 — SUM ignores nulls, and the
-    // count keeps the all-null-table answer NULL, not 0.
-    val integralKey = df.schema(keyCol).dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
-    val sumByName = statRows.map { r =>
+    // encoded Long domain IS the value there, so Σ is the true SUM).
+    // An all-null-key file records 0|0 — SUM ignores nulls, and the
+    // count keeps the all-null-table answer NULL, not 0. A file whose
+    // try_sum overflowed (null sum, nn > 0) mints NO line: metaSum
+    // then refuses on coverage instead of answering wrong.
+    val sumByName: Map[String, Option[(Long, Long)]] = statRows.map { r =>
+      val nn = r.getLong(5)
       r.getString(0).split('/').last ->
-        (if (r.isNullAt(4)) 0L else r.getLong(4), r.getLong(5))
+        (if (r.isNullAt(4)) { if (nn == 0L) Some((0L, 0L)) else None }
+         else Some((r.getLong(4), nn)))
     }.toMap
     val sumLines =
       if (!integralKey) Vector.empty[String]
-      else files.map { rel =>
-        val (sm, nn) = sumByName.getOrElse(rel.split('/').last, (0L, 0L))
-        s"#sum=$rel|$sm|$nn"
+      else files.flatMap { rel =>
+        sumByName.getOrElse(rel.split('/').last, Some((0L, 0L)))
+          .map { case (sm, nn) => s"#sum=$rel|$sm|$nn" }
       }
     val tmp = writeTmpManifest(version, df.schema,
       (s"#cluster=$keyCol" +: (statLines ++ rowLines ++ sumLines)) ++ files)
@@ -1972,10 +1984,10 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * [[SnapshotTable.DvMinMax]] marker — minted by the same job that
     * re-mints sums). The second leg of the zero-IO aggregate story:
     * COUNT/MIN/MAX/SUM — and therefore AVG — without touching data.
-    * Overflow note: per-file sums and their Σ use Long arithmetic,
-    * wrapping exactly as Spark's non-ANSI `sum(long)` does, so the
-    * metadata answer is bit-identical to the scan answer even at the
-    * wrap boundary. */
+    * Overflow: a per-file try_sum overflow mints no line (coverage
+    * refusal here), and the driver-side Σ adds exactly — overflow
+    * refuses loudly, mirroring ANSI sum's failure instead of
+    * answering a wrapped value. */
   def metaSum(version: Long): (Option[Long], Long) = {
     val lines = manifestLines(version)
     require(lines.drop(2).exists { case ClusterMeta(_) => true; case _ => false },
@@ -1992,7 +2004,16 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     files.foreach(rel => require(sums.contains(rel),
       s"metaSum: file $rel has no #sum stat at $root v$version"))
     val nn = files.map(rel => sums(rel)._2).sum
-    (if (nn == 0L) None else Some(files.map(rel => sums(rel)._1).sum), nn)
+    if (nn == 0L) (None, 0L)
+    else {
+      val total =
+        try files.map(rel => sums(rel)._1).foldLeft(0L)(Math.addExact)
+        catch { case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"metaSum: global key sum overflows Long at $root v$version")
+        }
+      (Some(total), nn)
+    }
   }
 
   /** Metadata-only COUNT(*) that, unlike [[metaAgg]], SURVIVES
