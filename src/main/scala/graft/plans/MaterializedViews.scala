@@ -255,6 +255,13 @@ object MaterializedViews {
       .map(_.iterator().asScala.toSeq).getOrElse(Seq.empty)
   }
 
+  /** Cheap pre-gate for the join-containment path: with NO join view
+    * registered, [[decomposeJoinAgg]] must not run at all — its leaf
+    * canonicalization renders strings per Aggregate-over-join in
+    * EVERY query while any (even unrelated) view is registered, a
+    * per-plan cost the registry's emptiness refutes in O(1). */
+  private[plans] def anyJoinShapes: Boolean = !joinContainment.isEmpty
+
   private[plans] def splitAnd(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
       splitAnd(l) ++ splitAnd(r)
@@ -727,6 +734,7 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
     * group-by and become a Filter above the view scan. */
   private def rewriteByJoinContainment(agg: Aggregate): Option[LogicalPlan] = {
     import MaterializedViews._
+    if (!anyJoinShapes) return None // O(1) gate before any decompose/render work
     val anatomy = decomposeJoinAgg(agg.child).getOrElse(return None)
     if (!anatomy.conds.forall(_.deterministic)) return None
     val condPairs: Seq[(String, Expression)] = anatomy.conds.map { c =>

@@ -689,8 +689,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val withConstraints: Seq[String] =
       if (!carryConstraints || version <= 1) files
       else {
-        val prevCs = manifestLines(version - 1).drop(2)
-          .filter(SnapshotTable.ConstraintMeta.matches)
+        // raw stub read — constraint lines are never segmented
+        val prevCs = rawStubConstraintLines(version - 1)
         if (prevCs.isEmpty) files
         else files ++ prevCs.filterNot(files.toSet)
       }
@@ -1005,9 +1005,22 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     else SnapshotTable.constraintsOf(manifestLines(v)).toMap
   }
 
+  /** Raw STUB lines of a committed manifest — `#seg=` references NOT
+    * expanded. Constraint lines are never segmented (isSegmentable),
+    * so constraint lookups on every write path skip the segment IO a
+    * million-file manifest would otherwise pay. */
+  private def rawStubConstraintLines(version: Long): Vector[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(manifestPath(version)).asScala.toVector
+      .filter(SnapshotTable.ConstraintMeta.matches)
+  }
+
   private def currentConstraintPairs(): Seq[(String, String)] = {
     val v = currentVersion
-    if (v == 0) Seq.empty else SnapshotTable.constraintsOf(manifestLines(v))
+    if (v == 0) Seq.empty
+    else rawStubConstraintLines(v).collect {
+      case SnapshotTable.ConstraintMeta(n, e) => (n, e)
+    }.sortBy(_._1)
   }
 
   /** Column names a stored constraint expression references (parsed,
