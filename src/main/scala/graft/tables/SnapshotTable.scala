@@ -615,8 +615,17 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * pushdown — keep answering with zero data IO through commits,
     * appends, updates and SQL DML alike. */
   private def footerRowsLines(rels: Seq[String]): Seq[String] =
-    rels.map(rel =>
-      s"#rows=$rel|${SnapshotTable.parquetRowCount(rootPath.resolve(rel))}")
+    if (rels.lengthCompare(8) <= 0)
+      rels.map(rel =>
+        s"#rows=$rel|${SnapshotTable.parquetRowCount(rootPath.resolve(rel))}")
+    else {
+      // many files: footer reads are independent metadata IO — fan
+      // them out on the common pool instead of paying them serially
+      import scala.jdk.CollectionConverters._
+      rels.asJava.parallelStream().map[String] { rel =>
+        s"#rows=$rel|${SnapshotTable.parquetRowCount(rootPath.resolve(rel))}"
+      }.collect(java.util.stream.Collectors.toList[String]).asScala.toSeq
+    }
 
   /** The PER-FILE stat lines an APPEND carries forward for the files
     * it keeps: counts/ranges/sums/bloom sidecars stay valid per file
@@ -3285,10 +3294,13 @@ object SnapshotTable {
     * write sequence. At cluster scale the same counts would ride the
     * write tasks' commit messages instead of a footer pass; the
     * manifest line format is identical either way. */
+  // one shared read-only Configuration: constructing one per footer
+  // read costs more than the read itself
+  private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
+
   private[tables] def parquetRowCount(p: Path): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toUri),
-      new org.apache.hadoop.conf.Configuration())
+      new org.apache.hadoop.fs.Path(p.toUri), footerConf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
   }
