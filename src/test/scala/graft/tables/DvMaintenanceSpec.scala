@@ -249,6 +249,25 @@ class DvMaintenanceSpec extends SparkSpec {
     } finally SnapshotTable.drop(ts)
   }
 
+  test("metaSum overflow: a file whose key sum exceeds Long mints no line — loud refusal") {
+    val t = SnapshotTable.temp(spark, "graft_dvmaint_sum_ovf_")
+    try {
+      // three near-Long.Max keys in one file: the per-file try_sum
+      // overflows, so no #sum line lands and metaSum refuses on
+      // coverage instead of answering a wrapped value
+      val big = Long.MaxValue / 2
+      t.commitClustered(Seq((big, 1.0), (big + 1, 2.0), (big + 2, 3.0))
+        .toDF("k", "v"), "k", 1)
+      intercept[IllegalArgumentException] { t.metaSum(1L) }
+      // COUNT and MIN/MAX are unaffected
+      assert(t.metaAgg(1L) == ((3L, Some(big), Some(big + 2))))
+      // the SQL pushdown refuses SUM too (falls back to the scan)
+      val q = spark.read.format("graft-table").option("path", t.root).load()
+        .agg(sum("k"))
+      assert(!q.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    } finally SnapshotTable.drop(t)
+  }
+
   test("SQL SUM pushes down to the manifest: PushedAggregates, zero data IO") {
     val t = SnapshotTable.temp(spark, "graft_dvmaint_sum_sql_")
     try {
