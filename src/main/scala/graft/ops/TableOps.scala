@@ -259,6 +259,34 @@ object TableOps extends QueryPack {
     } finally SnapshotTable.drop(t)
   }
 
+  /** N-DIM Z-ORDER (3-D) data skipping: orders committed sorted by
+    * the 3-way Morton interleave of (o_custkey, o_orderkey,
+    * o_orderdate-micros) with per-file min/max bounds on ALL THREE
+    * dimensions (`#rangen=` manifest lines); a 3-D box read opens
+    * only files whose hyper-rectangle intersects (≤k-of-n pruning
+    * asserted in SnapshotTableSpec) and the residual filter makes it
+    * row-exact — hash-matched against the oracle's plain triple
+    * BETWEEN. The shape a 100 TB event table wants when queries
+    * slice on (tenant, entity, time) together: one clustered
+    * dimension leaves the others' per-file spans ~full-width, the
+    * interleave bounds all three. */
+  private def tableSkippingZ3(s: SparkSession, d: String): DataFrame = {
+    val t = SnapshotTable.temp(s, "graft_q_table_skipping_z3_")
+    try {
+      val df = Tables.orders(s, d).select(
+        col("o_custkey").as("cust"), col("o_orderkey").as("k"),
+        col("o_orderdate").cast("timestamp").as("ts"),
+        col("o_totalprice").as("v"))
+      val v1 = t.commitZOrderedN(df, Seq("cust", "k", "ts"), 16)
+      val tsLo = java.time.LocalDate.parse("1993-01-01").toEpochDay * 86400000000L
+      val tsHi = java.time.LocalDate.parse("1995-12-31").toEpochDay * 86400000000L
+      t.readWhereN(v1, Seq(("cust", 100L, 800L), ("k", 1000L, 20000L),
+        ("ts", tsLo, tsHi)))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("v"), 2).as("total"))
+        .localCheckpoint(true)
+    } finally SnapshotTable.drop(t)
+  }
+
   /** Compaction through the gate: an append chain (evens, then odds)
     * leaves a multi-file manifest; compact(4) commits a
     * content-identical rewrite as the new current version, and the
@@ -737,7 +765,17 @@ object TableOps extends QueryPack {
     val t = SnapshotTable.temp(s, "graft_q_table_meta_agg_dv_")
     try {
       t.commitClustered(base(s, d), "k", 8)
-      val v = t.delete(col("k") < 500L || col("k") % 7 === 0)
+      t.delete(col("k") < 500L || col("k") % 7 === 0)
+      // the formerly-forfeit paths, now covered: an APPEND mints
+      // write-time #range/#sum for its fresh files (full claim
+      // survives), and an UPDATE that rewrites keys re-mints the
+      // touched files' bounds over their live remainder while its
+      // post-images mint their own — the appended block holds the
+      // new MAX and the update moves keys past it, so any stale or
+      // missing stat hash-mismatches the oracle's recompute
+      t.appendOnce(base(s, d).filter(col("k") % 13 === 0)
+        .select((col("k") + 20000000L).as("k"), col("v")), 0L)
+      val v = t.update(col("k") % 997 === 0, Map("k" -> (col("k") + 30000000L)))
       val (n, lo, hi) = t.metaAgg(v)
       s.range(1).select(
         lit(n).as("n"),
@@ -760,7 +798,14 @@ object TableOps extends QueryPack {
     val t = SnapshotTable.temp(s, "graft_q_table_meta_sum_")
     try {
       t.commitClustered(base(s, d), "k", 8)
-      val v = t.delete(col("k") % 7 === 0 || col("k") < 500L)
+      t.delete(col("k") % 7 === 0 || col("k") < 500L)
+      // append + key-rewriting update (the formerly-forfeit paths):
+      // per-file #sum lines mint for fresh files and re-mint for
+      // touched ones, so the zero-IO SUM stays exact through the
+      // whole write sequence — moved key mass would hash-mismatch
+      t.appendOnce(base(s, d).filter(col("k") % 13 === 0)
+        .select((col("k") + 20000000L).as("k"), col("v")), 0L)
+      val v = t.update(col("k") % 997 === 0, Map("k" -> (col("k") + 30000000L)))
       val (sm, nn) = t.metaSum(v)
       s.range(1).select(
         lit(sm.map(java.lang.Long.valueOf).orNull).cast("long").as("s"),
@@ -1250,6 +1295,7 @@ object TableOps extends QueryPack {
     "q_table_skipping"   -> tableSkipping,
     "q_table_skipping_ts" -> tableSkippingTs,
     "q_table_skipping_z" -> tableSkippingZ,
+    "q_table_skipping_z3" -> tableSkippingZ3,
     "q_table_timetravel" -> tableTimetravel,
     "q_table_merge_bucketed" -> tableMergeBucketed,
     "q_table_changes"    -> tableChanges,
@@ -1414,13 +1460,29 @@ object TableOps extends QueryPack {
       """SELECT COUNT(*) AS n, MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
         |FROM orders""".stripMargin,
     "q_table_meta_agg_dv" ->
-      """SELECT COUNT(*) AS n, MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
-        |FROM orders
-        |WHERE NOT (o_orderkey < 500 OR o_orderkey % 7 = 0)""".stripMargin,
+      """WITH live0 AS (
+        |  SELECT o_orderkey AS k FROM orders
+        |  WHERE NOT (o_orderkey < 500 OR o_orderkey % 7 = 0)
+        |), appended AS (
+        |  SELECT o_orderkey + 20000000 AS k FROM orders WHERE o_orderkey % 13 = 0
+        |), allrows AS (
+        |  SELECT k FROM live0 UNION ALL SELECT k FROM appended
+        |), upd AS (
+        |  SELECT CASE WHEN k % 997 = 0 THEN k + 30000000 ELSE k END AS k FROM allrows
+        |)
+        |SELECT COUNT(*) AS n, MIN(k) AS lo, MAX(k) AS hi FROM upd""".stripMargin,
     "q_table_meta_sum" ->
-      """SELECT CAST(SUM(o_orderkey) AS BIGINT) AS s, COUNT(o_orderkey) AS nn
-        |FROM orders
-        |WHERE NOT (o_orderkey % 7 = 0 OR o_orderkey < 500)""".stripMargin,
+      """WITH live0 AS (
+        |  SELECT o_orderkey AS k FROM orders
+        |  WHERE NOT (o_orderkey % 7 = 0 OR o_orderkey < 500)
+        |), appended AS (
+        |  SELECT o_orderkey + 20000000 AS k FROM orders WHERE o_orderkey % 13 = 0
+        |), allrows AS (
+        |  SELECT k FROM live0 UNION ALL SELECT k FROM appended
+        |), upd AS (
+        |  SELECT CASE WHEN k % 997 = 0 THEN k + 30000000 ELSE k END AS k FROM allrows
+        |)
+        |SELECT CAST(SUM(k) AS BIGINT) AS s, COUNT(k) AS nn FROM upd""".stripMargin,
     "q_table_update_dv" ->
       s"""WITH b AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
          |upd AS (SELECT k, CASE WHEN k % 5 = 0 THEN v * 2 ELSE v END AS v FROM b),
@@ -1562,6 +1624,12 @@ object TableOps extends QueryPack {
          |FROM orders
          |WHERE o_custkey BETWEEN 100 AND 800
          |  AND o_orderkey BETWEEN 1000 AND 20000""".stripMargin,
+    "q_table_skipping_z3" ->
+      s"""SELECT COUNT(*) AS n, ${Det.dsumSql("o_totalprice", 2)} AS total
+         |FROM orders
+         |WHERE o_custkey BETWEEN 100 AND 800
+         |  AND o_orderkey BETWEEN 1000 AND 20000
+         |  AND o_orderdate BETWEEN DATE '1993-01-01' AND DATE '1995-12-31'""".stripMargin,
     "q_table_changes" ->
       s"""SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
          |       ${Det.dsumSql("o_totalprice", 2)} AS total

@@ -141,11 +141,24 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val p = pathOf(ident)
     if (!isTableDir(p)) throw new NoSuchTableException(ident)
     val t = new SnapshotTable(SparkSession.active, p.toString)
+    // ALTER COLUMN ... SET/DROP NOT NULL rides the CHECK-constraint
+    // machinery (SnapshotTable.setNotNull): add-time validation +
+    // write-time enforcement on every path, as a metadata-only
+    // commit per change — not a schema rewrite
+    val (nullability, rest) =
+      changes.partition(_.isInstanceOf[TableChange.UpdateColumnNullability])
+    nullability.foreach { case u: TableChange.UpdateColumnNullability =>
+      require(u.fieldNames().length == 1,
+        "graft tables alter top-level column nullability only")
+      if (!u.nullable()) t.setNotNull(u.fieldNames()(0))
+      else t.dropNotNull(u.fieldNames()(0))
+    }
+    if (rest.isEmpty) return loadTable(ident)
     // translate + validate EVERY change first, then publish ONE
     // schema-change commit ([[SnapshotTable.alterSchema]] re-validates
     // each op against the schema as evolved by its predecessors) — a
     // multi-action ALTER that fails partway leaves NOTHING committed
-    val ops: Seq[SnapshotTable.SchemaOp] = changes.map {
+    val ops: Seq[SnapshotTable.SchemaOp] = rest.map {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           "graft tables rename top-level columns only")
@@ -387,6 +400,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       Seq(param("table", StringType), param("name", StringType)),
       in => oneRow(VersionOut,
         snapshotOf(in.getUTF8String(0).toString).dropConstraint(
+          in.getUTF8String(1).toString))),
+    "set_not_null" -> proc("set_not_null",
+      // ALTER COLUMN ... SET NOT NULL: Spark's analyzer refuses a
+      // nullable→non-nullable TableChange outright (CheckAnalysis),
+      // so the verb rides the procedure catalog like add_constraint;
+      // DROP NOT NULL flows through ALTER TABLE normally
+      Seq(param("table", StringType), param("column", StringType)),
+      in => oneRow(VersionOut,
+        snapshotOf(in.getUTF8String(0).toString).setNotNull(
+          in.getUTF8String(1).toString))),
+    "drop_not_null" -> proc("drop_not_null",
+      Seq(param("table", StringType), param("column", StringType)),
+      in => oneRow(VersionOut,
+        snapshotOf(in.getUTF8String(0).toString).dropNotNull(
           in.getUTF8String(1).toString))),
     "compact_dvs" -> proc("compact_dvs",
       Seq(param("table", StringType)),

@@ -194,8 +194,14 @@ class GraftDeltaBatchWrite(root: String, schema: StructType, queryId: String,
     val insRels = msgs.flatMap(_.insRel).toSeq
     val updRels = msgs.flatMap(_.updRel).toSeq
     if (dvRels.isEmpty && insRels.isEmpty && updRels.isEmpty) return // matched nothing
+    // per-file counts ride the delta writers' commit messages — the
+    // driver publishes `#rows=` without re-opening parquet footers
+    val counted: Map[String, Long] =
+      (msgs.flatMap(m => m.insRel.map(_ -> m.insRows)) ++
+        msgs.flatMap(m => m.updRel.map(_ -> m.updRows))).toMap
     val table = new SnapshotTable(SparkSession.active, root)
-    try table.commitDelta(baseVersion, dvRels, insRels, updRels, op)
+    try table.commitDelta(baseVersion, dvRels, insRels, updRels, op,
+      stagedRows = Some(counted))
     catch { case e: Throwable => cleanup(dvRels ++ insRels ++ updRels); throw e }
   }
 

@@ -1211,13 +1211,18 @@ class GraftTableBatchWrite(root: String, schema: StructType, queryId: String,
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val rels = messages.collect {
-      case GraftTableWriteMessage(rel, n) if n > 0 => rel
-    }.sorted
+    // per-file row counts ride the write tasks' own commit messages —
+    // the cluster-scale stats channel: the driver publishes `#rows=`
+    // lines without re-opening a single parquet footer
+    val counted = messages.collect {
+      case GraftTableWriteMessage(rel, n) if n > 0 => rel -> n
+    }
+    val rels = counted.map(_._1).sorted
     val table = new SnapshotTable(SparkSession.active, root)
     val committed =
       try table.commitFilesOnce(rels.toSeq, schema, 0L,
-        s"batch:$queryId", carry = !truncate)
+        s"batch:$queryId", carry = !truncate,
+        stagedRows = Some(counted.toMap))
       catch { case e: Throwable =>
         // nothing published (e.g. a CHECK-constraint violation in the
         // staged rows) — the staged parts are this writer's garbage

@@ -225,13 +225,17 @@ class GraftTableStreamingWrite(root: String, schema: StructType, queryId: String
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val rels = messages.collect {
-      case GraftTableWriteMessage(rel, n) if n > 0 => rel
-    }.sorted
+    // per-file counts ride the epoch's write-task commit messages —
+    // `#rows=` lines land without any driver-side footer read
+    val counted = messages.collect {
+      case GraftTableWriteMessage(rel, n) if n > 0 => rel -> n
+    }
+    val rels = counted.map(_._1).sorted
     val table = new SnapshotTable(SparkSession.active, root)
     // the ledger key is (queryId, epochId): replays of THIS query's
     // epoch are dropped, while a different query's epoch 0 appends
-    if (table.appendFilesOnce(rels.toSeq, schema, epochId, queryId).isEmpty) {
+    if (table.appendFilesOnce(rels.toSeq, schema, epochId, queryId,
+        stagedRows = Some(counted.toMap)).isEmpty) {
       // replayed epoch: its staged files are duplicates — drop them
       // (the committed version references the FIRST attempt's files)
       rels.foreach { rel =>

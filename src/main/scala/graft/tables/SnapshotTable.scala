@@ -445,6 +445,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
           keptSet(rel) && !(remintAttempted && touchedKeptSet(rel))
         case Range2Meta(rel, _, _, _, _) => keptSet(rel)
         case RangeSMeta(rel, _, _, _) => keptSet(rel)
+        case SnapshotTable.RangeNMeta(rel, _) => keptSet(rel)
         case BloomFMeta(rel, _) => keptSet(rel)
         case _ => true
       }
@@ -545,15 +546,88 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       val mergedDvRows = (SnapshotTable.dvRowsOf(lines).toSeq ++ matchedPerFile.toSeq)
         .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
         .filter { case (a, _) => keptAddrs(a) }
+      // ZERO-IO STATS THROUGH UPDATES (mirrors [[delete]]'s re-mint):
+      // on a clustered table whose bounds are still exact, the update
+      // (a) RE-MINTS the touched kept files' #range/#sum over their
+      // live remainder — one O(touched files) job on data the update
+      // already addressed — and (b) mints write-time stats for its
+      // post-image files ([[mintStagedStats]]), so per-file coverage
+      // survives and the #dvminmax claim is re-minted instead of
+      // forfeited: COUNT/MIN/MAX/SUM keep answering with zero data IO
+      // straight through row-level updates. A prior marker-less DV
+      // history keeps the forfeit (bounds may already be stale): the
+      // claim weakens to #clusterpart and the marker stays dead.
+      val clusterKeyPhys = lines.drop(2).collectFirst { case ClusterMeta(k) => k }
+      val priorMinMaxEligible = manifestDvFiles(lines).isEmpty ||
+        lines.drop(2).contains(SnapshotTable.DvMinMax)
+      val statsAlive = clusterKeyPhys.isDefined && priorMinMaxEligible
+      val touchedKept = keptFiles.filter(rel => matchedPerFile.contains(dvAddressOf(rel)))
+      val priorSums = lines.drop(2).exists {
+        case SnapshotTable.SumMeta(_, _, _) => true; case _ => false
+      }
+      val remintRows: Array[Row] =
+        if (!statsAlive || touchedKept.isEmpty) Array.empty
+        else {
+          val keyCol = SnapshotTable.logicalNameFor(lines, clusterKeyPhys.get)
+          val enc = statLongExpr(schemaOf(lines)(keyCol).dataType, keyCol)
+          val matchedAddrs = matched.select(
+            col("__graft_dv_f").as(SnapshotTable.DvFileCol),
+            col("__graft_dv_p").as(SnapshotTable.DvPosCol))
+          scanAddressed(lines, touchedKept)
+            .join(matchedAddrs,
+              col("__graft_dv_f") === col(SnapshotTable.DvFileCol) &&
+                col("__graft_dv_p") === col(SnapshotTable.DvPosCol), "left_anti")
+            .groupBy("__graft_dv_f").agg(min(enc).as("lo"), max(enc).as("hi"),
+              try_sum(enc).as("s"), count(enc).as("nn"))
+            .collect() // ≤ touched files rows — bounded driver metadata
+        }
+      val remint: Map[String, (Long, Long)] = remintRows
+        .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val remintSums: Map[String, (Long, Long)] = remintRows.flatMap { r =>
+        val nn = r.getLong(4)
+        if (r.isNullAt(3) && nn > 0L) None
+        else Some(r.getString(0) ->
+          (if (r.isNullAt(3)) 0L else r.getLong(3), nn))
+      }.toMap
+      val remintLines = touchedKept.flatMap { rel =>
+        remint.get(dvAddressOf(rel)).map { case (lo, hi) => s"#range=$rel|$lo|$hi" }
+      } ++ (if (!priorSums) Vector.empty[String] else touchedKept.flatMap { rel =>
+        remintSums.get(dvAddressOf(rel)).map { case (sm, nn) => s"#sum=$rel|$sm|$nn" }
+      })
+      // write-time stats for the post-image files — the second half
+      // of the coverage claim (their counts ride the same pass)
+      val postStats: Option[(Seq[String], Seq[String], Seq[String])] =
+        if (!statsAlive) None
+        else clusterKeyPhys.map { k =>
+          mintStagedStats(newFiles, k,
+            schemaOf(lines)(SnapshotTable.logicalNameFor(lines, k)).dataType)
+        }
+      val remintAttempted = statsAlive && touchedKept.nonEmpty
+      val touchedKeptSet = touchedKept.toSet
+      val willHaveDvs = newDvLines.nonEmpty ||
+        (manifestDvFiles(lines).nonEmpty && !priorDvInert)
+      val minMaxMarker =
+        if (statsAlive && willHaveDvs) Vector(SnapshotTable.DvMinMax)
+        else Vector.empty[String]
+      // the cluster claim: FULL when coverage survives (stats minted
+      // for post-images, touched bounds re-minted), weakened to
+      // #clusterpart otherwise — a full claim carried over stat-less
+      // post-image files would answer MIN/MAX silently wrong
+      val claimLine = lines.drop(2).collectFirst {
+        case l @ ClusterMeta(_) if statsAlive => l
+        case ClusterMeta(k) => s"#clusterpart=$k"
+        case SnapshotTable.ClusterPartMeta(k) => s"#clusterpart=$k"
+      }
       val carriedMeta = lines.drop(2).filter(_.startsWith("#")).filter {
         case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
           l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
           l.startsWith("#op=") || l == SnapshotTable.CdcTracked => false
         case SnapshotTable.DvRowsMeta(_, _) => false // regenerated merged
         case DvMeta(_) => !priorDvInert // inert carried sidecars drop
-        // the post-image files land with NO #range stats, so MIN/MAX
-        // can no longer be answered from metadata — the marker dies
-        case l if l == SnapshotTable.DvMinMax => false
+        case l if l == SnapshotTable.DvMinMax => false // re-minted above when alive
+        case ClusterMeta(_) => false // re-emitted full or weakened above
+        case SnapshotTable.ClusterPartMeta(_) => false
         // #rows survives (paired with #dvrows), and the post-image
         // files mint their own counts below — live = Σrows − Σdvrows
         // stays exact, so metaCount answers straight through updates
@@ -562,18 +636,26 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         // bucket spec would lie to the next mergeBucketed — drop it
         // (the merge then refuses loudly instead of mis-routing)
         case l if l.startsWith("#buckets=") => false
-        // a tombstoned file's key sum is falsified (no re-mint on the
-        // update path) — drop it; stale ranges stay (conservative)
+        // a touched file's key sum is falsified by its tombstones —
+        // replaced by the re-minted line when stats are alive,
+        // dropped otherwise
         case SnapshotTable.SumMeta(rel, _, _) =>
-          keptSet(rel) && !matchedPerFile.contains(dvAddressOf(rel))
-        case RangeMeta(rel, _, _) => keptSet(rel)
+          keptSet(rel) && !touchedKeptSet(rel)
+        // touched bounds: replaced by the fresh re-mint when
+        // attempted; stale-conservative (pruning-safe) otherwise
+        case RangeMeta(rel, _, _) =>
+          keptSet(rel) && !(remintAttempted && touchedKeptSet(rel))
         case Range2Meta(rel, _, _, _, _) => keptSet(rel)
         case RangeSMeta(rel, _, _, _) => keptSet(rel)
+        case SnapshotTable.RangeNMeta(rel, _) => keptSet(rel)
         case BloomFMeta(rel, _) => keptSet(rel)
         case _ => true
       }
+      val postRowsLines = postStats.map(_._3).getOrElse(footerRowsLines(newFiles))
+      val postStatLines = postStats.map(m => m._1 ++ m._2).getOrElse(Seq.empty)
       val tmp = writeTmpManifest(version, schema,
-        (SnapshotTable.CdcTracked +: (carriedMeta ++ footerRowsLines(newFiles) ++
+        (SnapshotTable.CdcTracked +: (minMaxMarker ++ claimLine.toVector ++
+          carriedMeta ++ remintLines ++ postStatLines ++ postRowsLines ++
           SnapshotTable.dvRowsLines(mergedDvRows) ++ cdcLines ++ newDvLines)) ++
           (keptFiles ++ newFiles), op = "UPDATE")
       try publish(version, tmp)
@@ -613,7 +695,18 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * parquet footers (metadata-sized reads). Every writer mints these
     * for its new files so [[metaCount]] — and the DSv2 COUNT(*)
     * pushdown — keep answering with zero data IO through commits,
-    * appends, updates and SQL DML alike. */
+    * appends, updates and SQL DML alike.
+    *
+    * Since r14 this driver-side pass is the FALLBACK, not the norm:
+    * the DSv2 batch/streaming/delta writers ship per-file counts in
+    * their write-task COMMIT MESSAGES (zero extra IO anywhere), and
+    * every clustered-table write collects counts inside the same
+    * executor stats pass that mints `#range`/`#sum`
+    * ([[mintStagedStats]]). What remains here are the instance-verb
+    * conveniences on UNCLUSTERED tables (commit/appendOnce/update
+    * post-images through [[writeData]], whose `df.write.parquet`
+    * surfaces no per-task metadata) — O(staged files) parallel
+    * footer reads, bounded by one write's task count, never O(table). */
   private def footerRowsLines(rels: Seq[String]): Seq[String] =
     if (rels.lengthCompare(8) <= 0)
       rels.map(rel =>
@@ -627,16 +720,88 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       }.collect(java.util.stream.Collectors.toList[String]).asScala.toSeq
     }
 
+  /** Write-time per-file stats for FRESHLY STAGED files under an
+    * existing cluster claim: `#range=` bounds (+ `#sum=` key sums for
+    * integral keys) and exact `#rows=` counts, collected in ONE
+    * distributed pass over only the staged rels — the same O(new
+    * data) stats collection [[commitClustered]] runs at creation
+    * time, now riding the LATER write paths too (append, SQL INSERT,
+    * MERGE inserts/post-images, partial OPTIMIZE output). Per-file
+    * stat COVERAGE — not range disjointness — is what [[metaAgg]]/
+    * [[metaSum]] and the DSv2 aggregate pushdown need for
+    * correctness, so a manifest whose every file keeps a stat line
+    * keeps the FULL `#cluster=` claim across these writes instead of
+    * weakening to `#clusterpart` and forfeiting zero-IO MIN/MAX/SUM
+    * forever after the first append. Range pruning also tightens:
+    * fresh files get real bounds instead of "conservatively kept".
+    * All-null-key files mint no `#range` (the invariant the
+    * metadata aggregates already tolerate); an overflowing per-file
+    * try_sum mints no `#sum`, so [[metaSum]] refuses on coverage
+    * rather than answering wrapped. Row counts ride the same
+    * executor pass — these paths pay NO driver-side footer reads.
+    * Staged files carry commit-era PHYSICAL column names, exactly
+    * the namespace the `#cluster=` line lives in, so the raw read
+    * aggregates on `keyPhys` directly.
+    * Returns (#range lines, #sum lines, #rows lines). */
+  private[tables] def mintStagedStats(rels: Seq[String], keyPhys: String,
+      dt: org.apache.spark.sql.types.DataType)
+      : (Seq[String], Seq[String], Seq[String]) = {
+    if (rels.isEmpty) return (Seq.empty, Seq.empty, Seq.empty)
+    import org.apache.spark.sql.types._
+    val keyStat = statLongExpr(dt, keyPhys)
+    val integralKey = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val sumAgg = if (integralKey) try_sum(keyStat) else lit(null).cast("long")
+    val statRows = spark.read
+      .parquet(rels.map(rel => rootPath.resolve(rel).toString): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(keyStat).as("lo"), max(keyStat).as("hi"),
+        count(lit(1)).as("n"), sumAgg.as("s"), count(col(keyPhys)).as("nn"))
+      .collect() // ≤ |rels| rows — bounded driver metadata
+    val byName = statRows.filterNot(r => r.isNullAt(1) || r.isNullAt(2)).map { r =>
+      r.getString(0).split('/').last -> (r.getLong(1), r.getLong(2))
+    }.toMap
+    val rowsByName = statRows.map { r =>
+      r.getString(0).split('/').last -> r.getLong(3)
+    }.toMap
+    val sumByName: Map[String, Option[(Long, Long)]] = statRows.map { r =>
+      val nn = r.getLong(5)
+      r.getString(0).split('/').last ->
+        (if (r.isNullAt(4)) { if (nn == 0L) Some((0L, 0L)) else None }
+         else Some((r.getLong(4), nn)))
+    }.toMap
+    val rangeLines = rels.flatMap { rel =>
+      byName.get(rel.split('/').last).map { case (lo, hi) => s"#range=$rel|$lo|$hi" }
+    }
+    val sumLines =
+      if (!integralKey) Seq.empty[String]
+      else rels.flatMap { rel =>
+        sumByName.getOrElse(rel.split('/').last, Some((0L, 0L)))
+          .map { case (sm, nn) => s"#sum=$rel|$sm|$nn" }
+      }
+    // a file the stats scan attributed no rows to is empty — record 0
+    val rowLines = rels.map { rel =>
+      s"#rows=$rel|${rowsByName.getOrElse(rel.split('/').last, 0L)}"
+    }
+    (rangeLines, sumLines, rowLines)
+  }
+
   /** The PER-FILE stat lines an APPEND carries forward for the files
     * it keeps: counts/ranges/sums/bloom sidecars stay valid per file
     * (every consumer keeps stat-less new files conservatively), and
     * tombstone ledgers are untouched by an append. Whole-table layout
-    * claims (#cluster/#clusters/#zcluster/#buckets) are deliberately
-    * NOT carried — a min/max/sum answered from stats that do not
-    * cover the new files would be silently wrong, so those consumers
-    * must refuse instead. */
+    * claims (#clusters/#zcluster/#buckets) are NOT carried — a
+    * min/max/sum answered from stats that do not cover the new files
+    * would be silently wrong, so those consumers must refuse. The
+    * Long-domain `#cluster=` claim is the exception WHEN the caller
+    * minted write-time stats for its new files ([[mintStagedStats]],
+    * `newFilesCovered` = true): per-file coverage is then complete,
+    * so the full claim — and zero-IO MIN/MAX/SUM with it — survives
+    * the append; otherwise it weakens to `#clusterpart` as before. */
   private def appendStatCarry(prev: Vector[String],
-      carriedSet: Set[String]): Vector[String] = {
+      carriedSet: Set[String], newFilesCovered: Boolean = false): Vector[String] = {
     val kept = prev.drop(2).filter {
       case RowsMeta(rel, _) => carriedSet(rel)
       case SnapshotTable.SumMeta(rel, _, _) => carriedSet(rel)
@@ -649,11 +814,15 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       case BloomKMeta(_, _) => true // sidecar-less files kept conservatively
       case _ => false
     }
-    // the full #cluster claim weakens to #clusterpart: the carried
-    // ranges still describe this key, so range READS keep pruning
-    // (uncovered new files conservatively kept), while min/max/sum
-    // metadata consumers see no full claim and refuse
+    // full #cluster claim: survives when the new files minted their
+    // own stats (coverage complete); weakens to #clusterpart when
+    // they did not — carried ranges still describe this key, so range
+    // READS keep pruning (uncovered new files conservatively kept),
+    // while min/max/sum metadata consumers see no full claim and
+    // refuse. A prior partial claim can never re-strengthen: its
+    // coverage gap is permanent until a re-cluster.
     val part = prev.drop(2).collectFirst {
+      case l @ ClusterMeta(_) if newFilesCovered => l
       case ClusterMeta(k) => s"#clusterpart=$k"
       case SnapshotTable.ClusterPartMeta(k) => s"#clusterpart=$k"
     }
@@ -807,7 +976,8 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * `#cdc=` lines make [[rowChangesBetween]] / `readChangeFeed`
     * work straight through `MERGE INTO`/`UPDATE`/`DELETE FROM`. */
   private[tables] def commitDelta(baseVersion: Long, dvRels: Seq[String],
-      insRels: Seq[String], updRels: Seq[String], op: String): Long = {
+      insRels: Seq[String], updRels: Seq[String], op: String,
+      stagedRows: Option[Map[String, Long]] = None): Long = {
     val cur = currentVersion
     require(cur > 0, s"table at $root has no committed version")
     val lines = manifestLines(cur)
@@ -857,33 +1027,116 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val newDvInert = newPerFile.nonEmpty && newPerFile.keys.forall(deadAddrs)
     val priorDvRows = SnapshotTable.dvRowsOf(lines)
     val priorDvInert = priorDvRows.nonEmpty && priorDvRows.keys.forall(deadAddrs)
+    val newDvLines =
+      if (newDvInert) Vector.empty[String] else dvRels.map(r => s"#dv=$r").sorted
+    // ZERO-IO STATS THROUGH SQL DML (the same re-mint [[delete]] and
+    // [[update]] run): on a clustered table whose bounds are still
+    // exact, the commit re-mints the TOUCHED kept files' #range/#sum
+    // over their live remainder — the new tombstones ride the staged
+    // sidecars, so the exclusion join reads them back — and mints
+    // write-time stats for the staged insert/post-image parts, so
+    // MERGE/UPDATE/DELETE FROM keep the metadata fast path alive
+    // instead of forfeiting it. This also closes a sharper hole: the
+    // full #cluster claim used to be carried over stat-less MERGE
+    // inserts, which would have answered MIN/MAX from the OLD files'
+    // ranges only — now the claim is full only with full coverage,
+    // weakened to #clusterpart otherwise.
+    val clusterKeyPhys = lines.drop(2).collectFirst { case ClusterMeta(k) => k }
+    val priorMinMaxEligible = manifestDvFiles(lines).isEmpty ||
+      lines.drop(2).contains(SnapshotTable.DvMinMax)
+    val statsAlive = clusterKeyPhys.isDefined && priorMinMaxEligible
+    val touchedKept = keptRels.filter(rel => newPerFile.contains(dvAddressOf(rel)))
+    val priorSums = lines.drop(2).exists {
+      case SnapshotTable.SumMeta(_, _, _) => true; case _ => false
+    }
+    val remintRows: Array[Row] =
+      if (!statsAlive || touchedKept.isEmpty) Array.empty
+      else {
+        val keyCol = SnapshotTable.logicalNameFor(lines, clusterKeyPhys.get)
+        val enc = statLongExpr(schemaOf(lines)(keyCol).dataType, keyCol)
+        val newAddrs = spark.read.schema(SnapshotTable.DvSchema)
+          .parquet(dvRels.map(rel => rootPath.resolve(rel).toString): _*)
+        scanAddressed(lines, touchedKept)
+          .join(newAddrs,
+            col("__graft_dv_f") === col(SnapshotTable.DvFileCol) &&
+              col("__graft_dv_p") === col(SnapshotTable.DvPosCol), "left_anti")
+          .groupBy("__graft_dv_f").agg(min(enc).as("lo"), max(enc).as("hi"),
+            try_sum(enc).as("s"), count(enc).as("nn"))
+          .collect() // ≤ touched files rows — bounded driver metadata
+      }
+    val remint: Map[String, (Long, Long)] = remintRows
+      .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val remintSums: Map[String, (Long, Long)] = remintRows.flatMap { r =>
+      val nn = r.getLong(4)
+      if (r.isNullAt(3) && nn > 0L) None
+      else Some(r.getString(0) ->
+        (if (r.isNullAt(3)) 0L else r.getLong(3), nn))
+    }.toMap
+    val remintLines = touchedKept.flatMap { rel =>
+      remint.get(dvAddressOf(rel)).map { case (lo, hi) => s"#range=$rel|$lo|$hi" }
+    } ++ (if (!priorSums) Vector.empty[String] else touchedKept.flatMap { rel =>
+      remintSums.get(dvAddressOf(rel)).map { case (sm, nn) => s"#sum=$rel|$sm|$nn" }
+    })
+    val stagedStats: Option[(Seq[String], Seq[String], Seq[String])] =
+      if (!statsAlive) None
+      else clusterKeyPhys.map { k =>
+        mintStagedStats(dataRels, k,
+          schemaOf(lines)(SnapshotTable.logicalNameFor(lines, k)).dataType)
+      }
+    val remintAttempted = statsAlive && touchedKept.nonEmpty
+    val touchedKeptSet = touchedKept.toSet
+    val willHaveDvs = newDvLines.nonEmpty ||
+      (manifestDvFiles(lines).nonEmpty && !priorDvInert)
+    val minMaxMarker =
+      if (statsAlive && willHaveDvs) Vector(SnapshotTable.DvMinMax)
+      else Vector.empty[String]
+    val claimLine = lines.drop(2).collectFirst {
+      case l @ ClusterMeta(_) if statsAlive => l
+      case ClusterMeta(k) => s"#clusterpart=$k"
+      case SnapshotTable.ClusterPartMeta(k) => s"#clusterpart=$k"
+    }
     val carriedMeta = lines.drop(2).filter(_.startsWith("#")).filter {
       case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
         l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
         l.startsWith("#op=") || l == SnapshotTable.CdcTracked => false
       case SnapshotTable.DvRowsMeta(_, _) => false // regenerated merged
       case DvMeta(_) => !priorDvInert // inert carried sidecars drop
-      // SQL DML doesn't re-mint #range bounds for its tombstoned
-      // files, so the zero-IO MIN/MAX guarantee dies with this commit
-      case l if l == SnapshotTable.DvMinMax => false
-      // ...nor the tombstoned files' key sums — drop theirs
+      case l if l == SnapshotTable.DvMinMax => false // re-minted above when alive
+      case ClusterMeta(_) => false // re-emitted full or weakened above
+      case SnapshotTable.ClusterPartMeta(_) => false
+      // a touched file's key sum is falsified by its tombstones —
+      // replaced by the re-minted line when stats are alive, dropped
+      // otherwise
       case SnapshotTable.SumMeta(rel, _, _) =>
-        keptSet(rel) && !newPerFile.contains(dvAddressOf(rel))
+        keptSet(rel) && !touchedKeptSet(rel)
       case RowsMeta(rel, _) => keptSet(rel)
       case BucketMeta(_, _) => dataRels.isEmpty
-      case RangeMeta(rel, _, _) => keptSet(rel)
+      // touched bounds: replaced by the fresh re-mint when attempted;
+      // stale-conservative (pruning-safe) otherwise
+      case RangeMeta(rel, _, _) =>
+        keptSet(rel) && !(remintAttempted && touchedKeptSet(rel))
       case Range2Meta(rel, _, _, _, _) => keptSet(rel)
       case RangeSMeta(rel, _, _, _) => keptSet(rel)
+      case SnapshotTable.RangeNMeta(rel, _) => keptSet(rel)
       case BloomFMeta(rel, _) => keptSet(rel)
       case _ => true
     }
     val (cdcSnap, cdcLines) = writeCdcData(deltaCdc(baseLines, dvRels,
       insRels, updRels, schema), version)
-    val newDvLines =
-      if (newDvInert) Vector.empty[String] else dvRels.map(r => s"#dv=$r").sorted
+    // rows: the cluster-claim mint already counted them; otherwise
+    // the delta writers' commit messages carry per-file counts (zero
+    // extra IO); a footer pass is the last resort
+    val messageRowsLines: Option[Seq[String]] =
+      stagedRows.filter(m => dataRels.forall(m.contains))
+        .map(m => dataRels.map(rel => s"#rows=$rel|${m(rel)}"))
+    val stagedRowsLines = stagedStats.map(_._3)
+      .orElse(messageRowsLines).getOrElse(footerRowsLines(dataRels))
+    val stagedStatLines = stagedStats.map(m => m._1 ++ m._2).getOrElse(Seq.empty)
     val tmp = writeTmpManifest(version, schema,
-      (SnapshotTable.CdcTracked +: cdcLines) ++ carriedMeta ++
-        footerRowsLines(dataRels) ++
+      (SnapshotTable.CdcTracked +: cdcLines) ++ minMaxMarker ++
+        claimLine.toVector ++ carriedMeta ++ remintLines ++
+        stagedStatLines ++ stagedRowsLines ++
         SnapshotTable.dvRowsLines(keptDvRows) ++ newDvLines ++
         (keptRels ++ dataRels).sorted,
       op = op)
@@ -1122,6 +1375,34 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     publish(version, writeTmpManifest(version, schemaOf(lines), body, op = "ALTER"))
     version
   }
+
+  /** Column-level NOT NULL (Delta's `ALTER COLUMN ... SET NOT NULL`),
+    * riding the `#constraint=` machinery under the reserved name
+    * `__notnull_<col>`: the guarded expression `<col> IS NOT NULL`
+    * needs no special-casing of CHECK's NULL-passes rule, because IS
+    * NOT NULL never evaluates to SQL NULL — a null value is literally
+    * FALSE and aborts the write. Everything CHECK already has comes
+    * free: add-time validation of existing rows (one scan),
+    * enforcement inside every write job (instance verbs, SQL
+    * INSERT/OVERWRITE/DML, streaming epochs), auto-carry across every
+    * commit at the manifest choke point, CAS-retry re-validation, and
+    * the rename/drop refusal while the column is referenced. The
+    * committed schema keeps `nullable = true` — a conservative READER
+    * contract (decode paths stay unchanged); the WRITE contract is
+    * the constraint, exactly where enforcement lives. */
+  def setNotNull(colName: String): Long = {
+    require(colName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"setNotNull needs a plain identifier, got '$colName'")
+    val cur = currentVersion
+    require(cur > 0, s"table at $root has no committed version")
+    require(schemaOf(manifestLines(cur)).fieldNames.contains(colName),
+      s"setNotNull: no column '$colName' at $root")
+    addConstraint(s"__notnull_$colName", s"$colName IS NOT NULL")
+  }
+
+  /** Drop a [[setNotNull]] marker — `ALTER COLUMN ... DROP NOT NULL`. */
+  def dropNotNull(colName: String): Long =
+    dropConstraint(s"__notnull_$colName")
 
   /** DROP a CHECK constraint: metadata-only commit without the line
     * (opting out of the auto-carry that would resurrect it). */
@@ -1561,14 +1842,25 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val guardedDf =
       if (appendCs.isEmpty) df else guardConstraints(df, appendCs)
     val (snap, files, _) = writeData(toPhysDf(guardedDf, schemaOut), version)
-    // fresh files mint their exact footer counts; PER-FILE stat lines
-    // of carried files ride along (pruning, bloom lookups and the
-    // zero-IO COUNT(*) keep working — stat-less new files are
-    // conservatively kept by every consumer), while WHOLE-TABLE
-    // layout claims (#cluster/#clusters/#zcluster/#buckets) die: a
-    // min/max/sum answered from stats that do not cover the new
-    // files would be silently wrong, so those consumers must refuse.
-    val newRowsLines = footerRowsLines(files)
+    // WRITE-TIME STATS: under a full cluster claim the append mints
+    // per-file #range/#sum/#rows for its fresh files in one O(new
+    // data) executor pass ([[mintStagedStats]]) — per-file COVERAGE
+    // is what zero-IO MIN/MAX/SUM need, so the full claim SURVIVES
+    // the append instead of weakening to #clusterpart, and these
+    // appends pay no driver-side footer reads (the counts ride the
+    // same pass). Without a claim, fresh files mint footer counts
+    // only; carried files keep their per-file stat lines either way,
+    // and the other whole-table layout claims (#clusters/#zcluster/
+    // #buckets) still die — their stats would not cover the new files.
+    val mintKeyPhys: Option[String] =
+      if (version == 1) None
+      else prev.drop(2).collectFirst { case ClusterMeta(k) => k }
+    val minted: Option[(Seq[String], Seq[String], Seq[String])] =
+      mintKeyPhys.map { k =>
+        mintStagedStats(files, k,
+          schemaOf(prev)(SnapshotTable.logicalNameFor(prev, k)).dataType)
+      }
+    val newRowsLines = minted.map(_._3).getOrElse(footerRowsLines(files))
     // OPTIMISTIC publish with REBASE: blind appends commute with any
     // interleaving that leaves the schema and constraint set alone —
     // a lost CAS re-reads the new current version, re-carries its
@@ -1585,12 +1877,24 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       val carriedFiles: Seq[String] =
         if (curVersion == 1) Seq.empty else manifestFiles(curPrev)
       val retiredLines = curPrev.drop(2).filter(_.startsWith("#retired="))
+      // the minted ranges/sums describe the key they were computed
+      // over — on a rebase they ride along only while the (possibly
+      // new) current version still claims the SAME key; otherwise
+      // they drop and the claim weakens (row counts are key-free and
+      // always valid)
+      val curClaim: Option[String] =
+        if (curVersion == 1) None
+        else curPrev.drop(2).collectFirst { case ClusterMeta(k) => k }
+      val mintValid = minted.isDefined && curClaim == mintKeyPhys
       val statCarry =
         if (curVersion == 1) Vector.empty[String]
-        else appendStatCarry(curPrev, carriedFiles.toSet)
+        else appendStatCarry(curPrev, carriedFiles.toSet,
+          newFilesCovered = mintValid)
+      val mintedLines: Seq[String] =
+        if (mintValid) minted.get._1 ++ minted.get._2 else Seq.empty
       val tmp = writeTmpManifest(curVersion, schemaOut,
         (s"#batchId=$batchId" +: (manifestDvLines(curPrev) ++ retiredLines ++
-          statCarry ++ newRowsLines)) ++ (carriedFiles ++ files),
+          statCarry ++ mintedLines ++ newRowsLines)) ++ (carriedFiles ++ files),
         op = "APPEND")
       try { publish(curVersion, tmp); return Some(curVersion) }
       catch { case e: CommitConflictException =>
@@ -1638,8 +1942,10 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * append composes with any interleaving). Metadata-only on the
     * driver. */
   private[tables] def appendFilesOnce(relPaths: Seq[String], schema: StructType,
-      batchId: Long, writerId: String): Option[Long] =
-    commitFilesOnce(relPaths, schema, batchId, writerId, carry = true)
+      batchId: Long, writerId: String,
+      stagedRows: Option[Map[String, Long]] = None): Option[Long] =
+    commitFilesOnce(relPaths, schema, batchId, writerId, carry = true,
+      stagedRows = stagedRows)
 
   /** [[appendFilesOnce]] generalized with a `carry` switch:
     * carry=true appends (the prior version's files and DV lines ride
@@ -1647,12 +1953,28 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * `relPaths` — INSERT OVERWRITE / truncate semantics, still one
     * atomic metadata commit with every old version time-travelable). */
   private[tables] def commitFilesOnce(relPaths: Seq[String], schema: StructType,
-      batchId: Long, writerId: String, carry: Boolean): Option[Long] = {
+      batchId: Long, writerId: String, carry: Boolean,
+      stagedRows: Option[Map[String, Long]] = None): Option[Long] = {
     require(!writerId.contains('\n'), "writerId must be single-line")
     var attempts = 0
-    var constraintsValidated = false
-    // footer counts of the staged rels are retry-invariant
-    lazy val stagedRowsLines = footerRowsLines(relPaths)
+    // the CONSTRAINT SET the staged rels were validated against — a
+    // CAS retry under a concurrently added constraint must
+    // RE-validate (the new constraint's own add-time scan could not
+    // have seen these staged rows), so the guard is the set itself,
+    // not a boolean: same-set retries republish without re-scanning,
+    // a changed set re-runs the validation
+    var validatedCs: Option[Seq[(String, String)]] = None
+    // staged-file stats are retry-invariant per claim key — cached
+    // across CAS retries so a rebase never re-scans the staged data
+    var mintCache: Option[(String, (Seq[String], Seq[String], Seq[String]))] = None
+    // per-file counts: write-task commit messages (zero extra IO)
+    // beat the driver-side footer pass, which stays as the fallback
+    // for callers without messages; a cluster-claim mint beats both
+    // (the counts ride its executor pass)
+    lazy val fallbackRowsLines = footerRowsLines(relPaths)
+    val messageRowsLines: Option[Seq[String]] =
+      stagedRows.filter(m => relPaths.forall(m.contains))
+        .map(m => relPaths.map(rel => s"#rows=$rel|${m(rel)}"))
     while (true) {
       if (committedBatchIdsTagged.contains((writerId, batchId))) return None
       val version = currentVersion + 1
@@ -1663,29 +1985,35 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       val writerLine = if (writerId.isEmpty) Seq.empty else Seq(s"#writer=$writerId")
       val dvLines = if (carry && version > 1) manifestDvLines(prev) else Vector.empty
       val retiredLines = prev.drop(2).filter(_.startsWith("#retired="))
-      // carrying onto a column-mapped schema: keep the committed
-      // schema (the caller's is the query's plain logical one — using
-      // it would wipe the phys metadata old files need)
+      // carrying: keep the COMMITTED table schema — the caller's is
+      // the query's plain output schema, whose nullability reflects
+      // the inserted expressions (an `INSERT ... VALUES (4, 4.0)`
+      // carries non-nullable literals), and publishing it would DRIFT
+      // the table's nullability with every insert (later writes then
+      // trip Spark's AssertNotNull instead of this layer's checks);
+      // on a column-mapped table it would also wipe the phys metadata
+      // old files need. An append may not change the column set.
       val schemaOut: StructType =
         if (version == 1 || !carry) schema
         else {
           val table = schemaOf(prev)
-          if (!SnapshotTable.hasMapping(table)) schema
-          else {
-            require(schema.fieldNames.sorted.sameElements(table.fieldNames.sorted),
-              s"append columns ${schema.fieldNames.mkString(",")} != " +
-                s"mapped table ${table.fieldNames.mkString(",")}")
-            table
-          }
+          require(schema.fieldNames.sorted.sameElements(table.fieldNames.sorted),
+            s"append columns ${schema.fieldNames.mkString(",")} != " +
+              s"table ${table.fieldNames.mkString(",")}")
+          table
         }
       // CHECK constraints on the SQL INSERT / streaming-sink path: the
       // rows were staged by Spark's own DSv2 writers, so validate the
       // staged rels (one O(new data) scan, only when constraints
-      // exist) before anything is published. Runs once — a CAS retry
-      // re-publishes the same validated files.
-      if (!constraintsValidated) {
+      // exist) before anything is published. A CAS retry re-publishes
+      // the same validated files WITHOUT re-scanning — unless the
+      // constraint set changed underneath (a concurrent addConstraint
+      // landed between validation and publish), in which case the
+      // staged rows must pass the NEW set too before they may commit.
+      val curCs = currentConstraintPairs()
+      if (!validatedCs.contains(curCs)) {
         validateStagedConstraints(relPaths, schemaOut)
-        constraintsValidated = true
+        validatedCs = Some(curCs)
       }
       // a replacing commit is a REWRITING writer: the marker keeps the
       // change feed from misreading its #batchId as an append
@@ -1730,17 +2058,39 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       val cdcHead = overwriteCdc
         .map { case (_, cdcLines) => SnapshotTable.CdcTracked +: cdcLines }
         .getOrElse(Seq.empty)
-      // same stat discipline as appendInternal: fresh files mint
-      // footer counts, carried files keep their per-file stat lines
-      // (an overwrite carries nothing — its fresh counts alone give
-      // metaCount full coverage)
+      // same stat discipline as appendInternal: under a full cluster
+      // claim the staged files mint write-time #range/#sum/#rows in
+      // one executor pass and the claim SURVIVES; otherwise fresh
+      // files record counts (from the writers' commit messages when
+      // available, a footer pass when not) and the claim weakens.
+      // An overwrite carries nothing — its fresh counts alone give
+      // metaCount full coverage.
+      val claimKey: Option[String] =
+        if (!carry || version == 1) None
+        else prev.drop(2).collectFirst { case ClusterMeta(k) => k }
+      val minted: Option[(Seq[String], Seq[String], Seq[String])] =
+        claimKey.map { k =>
+          mintCache match {
+            case Some((ck, m)) if ck == k => m
+            case _ =>
+              val m = mintStagedStats(relPaths, k,
+                schemaOf(prev)(SnapshotTable.logicalNameFor(prev, k)).dataType)
+              mintCache = Some(k -> m)
+              m
+          }
+        }
       val statCarry =
         if (!carry || version == 1) Vector.empty[String]
-        else appendStatCarry(prev, carried.toSet)
+        else appendStatCarry(prev, carried.toSet,
+          newFilesCovered = minted.isDefined)
+      val mintedLines: Seq[String] =
+        minted.map(m => m._1 ++ m._2).getOrElse(Seq.empty)
+      val stagedRowsLines = minted.map(_._3)
+        .orElse(messageRowsLines).getOrElse(fallbackRowsLines)
       val tmp = writeTmpManifest(version, schemaOut,
         (s"#batchId=$batchId" +: (replaceLine ++ cdcHead ++ writerLine ++
-          dvLines ++ retiredLines ++ statCarry ++ stagedRowsLines)) ++
-          (carried ++ relPaths),
+          dvLines ++ retiredLines ++ statCarry ++ mintedLines ++
+          stagedRowsLines)) ++ (carried ++ relPaths),
         op = if (carry) "APPEND" else "OVERWRITE")
       try { publish(version, tmp); return Some(version) }
       catch { case _: CommitConflictException =>
@@ -2404,6 +2754,139 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     base.filter(xe >= xLo && xe <= xHi && ye >= yLo && ye <= yHi)
   }
 
+  /** N-DIMENSIONAL Z-ORDER commit (generalizes [[commitZOrdered]]'s
+    * 2-D Morton interleave to 3+ dimensions): bit `i` of dimension
+    * `j` lands at interleaved position `N·i + j`, rows sort by the
+    * interleave into `nFiles` z-contiguous files, and EVERY file
+    * records per-dimension [min, max] bounds (`#rangen=` lines) in
+    * the manifest, so an N-dimensional box read ([[readWhereN]])
+    * opens only files whose hyper-rectangle intersects the query's.
+    * The layout trade vs single-key clustering compounds with N: one
+    * clustered dimension leaves every other dimension's per-file
+    * span ~full-width, while the interleave bounds all N at
+    * granularity 2^bits each. `keys.size × bits` must stay under 63
+    * (the interleave lives in one Long); each dimension min/max-
+    * normalizes into `bits`-wide coordinates exactly as the 2-D path
+    * does, with the same integral/timestamp/date encoding and
+    * null-key pooling. */
+  def commitZOrderedN(df: DataFrame, keys: Seq[String], nFiles: Int,
+      bits: Int = 12): Long =
+    zOrderedNInternal(guarded(df), keys, nFiles, bits, tracked = false)
+
+  /** OPTIMIZE ZORDER BY (k1, …, kN): rewrite the current version's
+    * live rows N-dim z-ordered — DVs fold in, small files coalesce,
+    * content-identical (feed consumers skip it), like
+    * [[optimizeZOrdered]]. */
+  def optimizeZOrderedN(keys: Seq[String], nFiles: Int, bits: Int = 12): Long =
+    zOrderedNInternal(read(), keys, nFiles, bits, tracked = true)
+
+  private def zOrderedNInternal(df: DataFrame, keys: Seq[String],
+      nFiles: Int, bits: Int, tracked: Boolean): Long = {
+    val n = keys.size
+    require(n >= 2, s"z-order needs >= 2 dimensions, got $keys")
+    require(keys.distinct.size == n, s"z-order keys must be distinct: $keys")
+    require(n * bits < 64,
+      s"$n dims x $bits bits exceeds the 63-bit interleave budget")
+    require(!keys.exists(_.contains('|')), s"z-order key names must not contain '|'")
+    val encs = keys.map(k => statLongExpr(df.schema(k).dataType, k))
+    val aggExprs = encs.flatMap(e => Seq(min(e), max(e)))
+    val statHead = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    // empty/all-null dims degenerate to trivial bounds, like the 2-D
+    // path: null keys get a null z, pool into the first partition,
+    // and their file records no stats (conservatively kept)
+    val loHis: Seq[(Long, Long)] = keys.indices.map { j =>
+      if (statHead.isNullAt(2 * j) || statHead.isNullAt(2 * j + 1)) (0L, 0L)
+      else (statHead.getLong(2 * j), statHead.getLong(2 * j + 1))
+    }
+    val side = (1L << bits) - 1
+    // divide-first scaling — see zOrderedInternal's overflow note
+    def scaled(enc: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
+      val step = math.max(1L, (hi - lo) / side)
+      least((enc - lit(lo)) / lit(step), lit(side)).cast("long")
+    }
+    val z = (0 until bits).flatMap { i =>
+      keys.indices.map { j =>
+        shiftleft(shiftright(scaled(encs(j), loHis(j)._1, loHis(j)._2), i)
+          .bitwiseAND(lit(1L)), n * i + j)
+      }
+    }.reduce(_ + _)
+    val version = currentVersion + 1
+    val snap = dataDir.resolve(s"v$version-${UUID.randomUUID()}")
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.parquet(snap.toString)
+    val fileAggs = encs.zipWithIndex.flatMap { case (e, j) =>
+      Seq(min(e).as(s"lo$j"), max(e).as(s"hi$j"))
+    }
+    val statRows = spark.read.parquet(snap.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(fileAggs.head, fileAggs.tail: _*)
+      .collect() // nFiles rows — bounded driver metadata
+    val byName = statRows.filterNot(r => (1 to 2 * n).exists(r.isNullAt)).map { r =>
+      r.getString(0).split('/').last ->
+        (1 to 2 * n).map(r.getLong).mkString("|")
+    }.toMap
+    val files = listParquetRec(snap).map(p => rootPath.relativize(p).toString).sorted
+    val statLines = files.flatMap { rel =>
+      byName.get(rel.split('/').last).map(b => s"#rangen=$rel|$b")
+    }
+    val head =
+      if (tracked) Vector(SnapshotTable.CdcTracked, s"#zclustern=${keys.mkString("|")}")
+      else Vector(s"#zclustern=${keys.mkString("|")}")
+    val tmp = writeTmpManifest(version, df.schema,
+      (head ++ statLines) ++ files, op = if (tracked) "OPTIMIZE" else "WRITE")
+    try publish(version, tmp)
+    catch { case e: CommitConflictException =>
+      deleteRecursively(snap); throw e
+    }
+    version
+  }
+
+  /** Files of `version` whose N-dim stats hyper-rectangle intersects
+    * the query box (per-dimension [lo, hi], aligned with the
+    * committed key order); stat-less files conservatively kept. */
+  def prunedFilesN(version: Long, box: Seq[(Long, Long)]): Seq[String] = {
+    val lines = manifestLines(version)
+    val rects: Map[String, Seq[Long]] = lines.drop(2).collect {
+      case SnapshotTable.RangeNMeta(rel, b) => rel -> b.split('|').toSeq.map(_.toLong)
+    }.toMap
+    manifestFiles(lines).filter { rel =>
+      rects.get(rel) match {
+        case Some(b) if b.length == 2 * box.length =>
+          box.zipWithIndex.forall { case ((lo, hi), j) =>
+            b(2 * j) <= hi && b(2 * j + 1) >= lo
+          }
+        case _ => true
+      }
+    }
+  }
+
+  /** N-dim box read over an N-z-ordered version: manifest
+    * hyper-rectangle pruning, then the exact residual filter on
+    * every dimension. `box` maps logical key name → encoded [lo, hi]
+    * and must cover the committed dimensions in order. */
+  def readWhereN(version: Long, box: Seq[(String, Long, Long)]): DataFrame = {
+    val lines = manifestLines(version)
+    val keys = lines.drop(2).collectFirst {
+      case SnapshotTable.ZClusterNMeta(ks) => ks.split('|').toSeq
+    }.getOrElse(throw new IllegalArgumentException(
+      s"version $version is not N-dim z-ordered"))
+    val logical = keys.map(k => SnapshotTable.logicalNameFor(lines, k))
+    require(box.map(_._1) == logical,
+      s"box keys ${box.map(_._1)} != z-order dims $logical at $root v$version")
+    val schema = schemaOf(lines)
+    val base = scanWithDv(lines,
+      prunedFilesN(version, box.map(b => (b._2, b._3))))
+    box.map { case (k, lo, hi) =>
+      val e = statLongExpr(schema(k).dataType, k)
+      e >= lo && e <= hi
+    }.reduce(_ && _) match {
+      case cond => base.filter(cond)
+    }
+  }
+
   /** Compact the current version into `targetFiles` data files and
     * commit the rewrite as v+1 with IDENTICAL content (hash-equality
     * asserted in spec). The operational companion of streaming
@@ -2414,13 +2897,35 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * Old versions keep reading their original (uncompacted) files;
     * vacuum reclaims them only when their manifests are gone. */
   def compact(targetFiles: Int = 1): Long = {
-    val version = currentVersion + 1
+    val baseVersion = currentVersion
+    val version = baseVersion + 1
+    val prev = if (baseVersion > 0) manifestLines(baseVersion) else Vector.empty[String]
     val (snap, files, schema) = writeData(read().coalesce(targetFiles), version)
+    // a full rewrite folds every DV in and keeps NO old stat line —
+    // but under a cluster claim the fresh files mint their own
+    // #range/#sum (exact over live rows by construction), so the
+    // claim and the zero-IO aggregates survive the compaction; the
+    // coalesced files are not key-ordered, so pruning granularity
+    // coarsens to the file count, which is the trade compaction makes
+    // compact() rewrites through read(), so the fresh files carry
+    // CURRENT LOGICAL names (the published schema resets its column
+    // mapping — every old file left the manifest) — the claim line is
+    // re-minted in that namespace too
+    val keyLogical = prev.drop(2).collectFirst { case ClusterMeta(k) => k }
+      .map(k => SnapshotTable.logicalNameFor(prev, k))
+    val newStats: Option[(Seq[String], Seq[String], Seq[String])] =
+      keyLogical.map(k => mintStagedStats(files, k, schemaOf(prev)(k).dataType))
+    val claimAndStats: Seq[String] = (keyLogical, newStats) match {
+      case (Some(k), Some((ranges, sums, _))) =>
+        s"#cluster=$k" +: (ranges ++ sums)
+      case _ => Seq.empty
+    }
+    val rowsLines = newStats.map(_._3).getOrElse(footerRowsLines(files))
     // content-identical rewrite: the commit TRACKS row-level changes
     // (there are exactly zero), so a change-feed consumer skips it
     // instead of erroring on an untracked rewrite
     val tmp = writeTmpManifest(version, schema,
-      (SnapshotTable.CdcTracked +: footerRowsLines(files)) ++ files,
+      (SnapshotTable.CdcTracked +: (claimAndStats ++ rowsLines)) ++ files,
       op = "COMPACT")
     try publish(version, tmp)
     catch { case e: CommitConflictException =>
@@ -2466,6 +2971,22 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     val priorDvInert = manifestDvFiles(lines).nonEmpty &&
       priorDvRows.nonEmpty && keptDvRows.isEmpty
     val dvLines = if (priorDvInert) Vector.empty[String] else manifestDvLines(lines)
+    // WRITE-TIME STATS FOR THE COALESCED OUTPUT: under a full cluster
+    // claim the folded files' stat lines die with them, so the fresh
+    // files MUST mint their own #range/#sum (one O(small data) pass —
+    // the rewrite just read the same bytes) or the carried claim
+    // would answer MIN/MAX/SUM from the surviving big files' stats
+    // only: wrong extremes whenever a folded file held the min or
+    // max, NULL bounds when every file folds. The fresh bounds are
+    // exact over live rows by construction (the rewrite applied the
+    // tombstones), which is also what keeps the #dvminmax claim
+    // honest for the carried files' surviving DVs.
+    val clusterKeyPhys = lines.drop(2).collectFirst { case ClusterMeta(k) => k }
+    val newStats: Option[(Seq[String], Seq[String], Seq[String])] =
+      clusterKeyPhys.map { k =>
+        mintStagedStats(newFiles, k,
+          schemaOf(lines)(SnapshotTable.logicalNameFor(lines, k)).dataType)
+      }
     val carriedMeta = lines.drop(2).filter(_.startsWith("#")).filter {
       case l if l.startsWith("#batchId=") || l.startsWith("#writer=") ||
         l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
@@ -2474,19 +2995,22 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       case DvMeta(_) => false // re-added above (or elided)
       // the marker's every-#range-re-minted claim only covers files
       // still listed; carried big files keep exact bounds, and the
-      // fresh files have no stats at all — keep it only while DVs
-      // (and therefore the claim) still exist
+      // fresh files minted exact ones — keep it only while DVs (and
+      // therefore the claim) still exist
       case l if l == SnapshotTable.DvMinMax => dvLines.nonEmpty
       case RowsMeta(rel, _) => bigSet(rel)
       case SnapshotTable.SumMeta(rel, _, _) => bigSet(rel)
       case RangeMeta(rel, _, _) => bigSet(rel)
       case Range2Meta(rel, _, _, _, _) => bigSet(rel)
       case RangeSMeta(rel, _, _, _) => bigSet(rel)
+      case SnapshotTable.RangeNMeta(rel, _) => bigSet(rel)
       case BloomFMeta(rel, _) => bigSet(rel)
       case _ => true
     }
+    val newRowsLines = newStats.map(_._3).getOrElse(footerRowsLines(newFiles))
+    val newStatLines = newStats.map(m => m._1 ++ m._2).getOrElse(Seq.empty)
     val tmp = writeTmpManifest(version, schema,
-      (SnapshotTable.CdcTracked +: (carriedMeta ++ footerRowsLines(newFiles) ++
+      (SnapshotTable.CdcTracked +: (carriedMeta ++ newStatLines ++ newRowsLines ++
         SnapshotTable.dvRowsLines(keptDvRows) ++ dvLines)) ++
         (big ++ newFiles), op = "COMPACTSMALL")
     try publish(version, tmp)
@@ -3005,6 +3529,10 @@ object SnapshotTable {
   // powers metadata-only SUM/AVG the same way #range powers MIN/MAX
   private[tables] val SumMeta = """#sum=([^|]+)\|(-?\d+)\|(\d+)""".r
   private[tables] val ZClusterMeta = """#zcluster=([^|]+)\|(.+)""".r
+  // N-dim z-order: keys joined by '|'; per-file bounds as lo|hi pairs
+  // in key order
+  private[tables] val ZClusterNMeta = """#zclustern=(.+)""".r
+  private[tables] val RangeNMeta = """#rangen=([^|]+)\|(-?\d+(?:\|-?\d+)+)""".r
   private[tables] val Range2Meta = """#range2=([^|]+)\|(-?\d+)\|(-?\d+)\|(-?\d+)\|(-?\d+)""".r
   private[tables] val RangeSMeta = """#ranges=([^|]+)\|([^|]*)\|([^|]*)\|([01])""".r
   private[tables] val BloomKMeta = """#bloomk=([^ ]+) fpp=(.+)""".r

@@ -57,23 +57,48 @@ class AppendStatsSpec extends SparkSpec {
         q.queryExecution.executedPlan.toString.take(800))
       SnapshotTable.deleteRecursively(Paths.get(t.root, "data"))
       assert(q.head.getLong(0) == 600L)
-      // MIN/MAX must still refuse: the append dropped the cluster
-      // claim (stats do not cover the new file)
+      // MIN/MAX/SUM now SURVIVE appends: the append mints write-time
+      // #range/#sum for its fresh files (one executor pass), so the
+      // full cluster claim — and the zero-IO aggregate pushdown with
+      // it — keeps answering, proven destructively
       val t2 = SnapshotTable.temp(spark, "graft_appstats_sql2_")
       try {
         t2.commitClustered((1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 4)
         t2.appendOnce(kv(1000L -> 1.0), 0L)
+        assert(t2.metaAgg(t2.currentVersion) == ((101L, Some(1L), Some(1000L))))
+        assert(t2.metaSum(t2.currentVersion) == ((Some((1L to 100L).sum + 1000L), 101L)))
         val q2 = spark.read.format("graft-table").option("path", t2.root).load()
-          .agg(min("k"), max("k"))
-        assert(!q2.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+          .agg(min("k"), max("k"), sum("k"), count(lit(1)))
+        assert(q2.queryExecution.executedPlan.toString
+          .contains("PushedAggregates (metadata-only)"),
+          q2.queryExecution.executedPlan.toString.take(800))
+        SnapshotTable.deleteRecursively(Paths.get(t2.root, "data"))
         val r2 = q2.head
-        assert((r2.getLong(0), r2.getLong(1)) == (1L, 1000L))
-        // ...but COUNT alone still answers
-        val q3 = spark.read.format("graft-table").option("path", t2.root).load()
-          .agg(count(lit(1)))
-        assert(q3.queryExecution.executedPlan.toString.contains("PushedAggregates"))
-        assert(q3.head.getLong(0) == 101L)
+        assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3)) ==
+          ((1L, 1000L, (1L to 100L).sum + 1000L, 101L)))
       } finally SnapshotTable.drop(t2)
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("appends keep pruning AND coverage: fresh files mint real bounds") {
+    val t = SnapshotTable.temp(spark, "graft_appstats_mint_")
+    try {
+      t.commitClustered((1L to 1000L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 8)
+      t.appendOnce(kv(5000L -> 5.0, 5100L -> 5.1), 0L)
+      val v = t.currentVersion
+      // the appended file has REAL bounds now, so a range read that
+      // does not intersect [5000, 5100] prunes it too: ≤2 of 9 files
+      assert(t.prunedFiles(v, 100L, 150L).size <= 2)
+      assert(t.readWhere(v, "k", 100L, 150L).count() == 51L)
+      assert(t.readWhere(v, "k", 4999L, 5101L).count() == 2L)
+      // a second append stacks more coverage; a DV delete then
+      // re-mints across BOTH eras and the metadata aggregates answer
+      t.appendOnce(kv(6000L -> 6.0), 1L)
+      t.delete(col("k") === 5000L || col("k") <= 10L)
+      val v3 = t.currentVersion
+      val live = ((11L to 1000L) ++ Seq(5100L, 6000L))
+      assert(t.metaAgg(v3) == ((live.size.toLong, Some(11L), Some(6000L))))
+      assert(t.metaSum(v3) == ((Some(live.sum), live.size.toLong)))
     } finally SnapshotTable.drop(t)
   }
 

@@ -93,19 +93,49 @@ class DvMaintenanceSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
-  test("SQL-DML tombstones forfeit the MIN/MAX fast path (marker dies, refusal stays loud)") {
-    val t = SnapshotTable.temp(spark, "graft_dvmaint_forfeit_")
+  test("MIN/MAX fast path survives UPDATE and SQL DML: post-images mint, touched files re-mint") {
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_dvmaint_survive_")
+    spark.conf.set("spark.sql.catalog.graftdvm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdvm.root", catRoot.toString)
+    val t = new SnapshotTable(spark, catRoot.resolve("d").toString)
     try {
       t.commitClustered((1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 4)
       t.delete(col("k") === 50L) // marker minted
       assert(t.metaAgg(t.currentVersion)._1 == 99L)
-      // an instance UPDATE adds stat-less post-image files: marker dies
+      // an instance UPDATE tombstones + appends post-images: the
+      // touched files' bounds re-mint over the live remainder and the
+      // post-image files mint their own — the marker survives
       t.update(col("k") === 60L, Map("v" -> lit(0.0)))
-      intercept[IllegalArgumentException] { t.metaAgg(t.currentVersion) }
-      // and the SQL pushdown falls back to a real scan, still exact
-      val r = spark.read.format("graft-table").option("path", t.root).load()
-        .agg(count(lit(1)), min(col("k")), max(col("k"))).head
-      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((99L, 1L, 100L)))
+      assert(t.metaAgg(t.currentVersion) == ((99L, Some(1L), Some(100L))))
+      // an update that REWRITES the extreme key itself: the old max's
+      // file re-mints (its live max drops) and the post-image carries
+      // the new value — a stale bound would answer 100, not 250
+      t.update(col("k") === 100L, Map("k" -> lit(250L)))
+      assert(t.metaAgg(t.currentVersion) == ((99L, Some(1L), Some(250L))))
+      // SQL row-level DML (the delta-writer path, commitDelta) rides
+      // the same machinery: UPDATE post-images and MERGE inserts mint
+      // their stats, tombstoned files re-mint — a MERGE insert above
+      // the current max is exactly the case a carried-stale claim
+      // would answer wrong
+      spark.sql("UPDATE graftdvm.d SET v = -1.0 WHERE k IN (SELECT k FROM graftdvm.d WHERE k <= 5)")
+      assert(t.metaAgg(t.currentVersion) == ((99L, Some(1L), Some(250L))))
+      spark.sql(
+        """MERGE INTO graftdvm.d USING (SELECT 300 AS k, 3.0 AS v) s
+          |ON d.k = s.k
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(t.metaAgg(t.currentVersion) == ((100L, Some(1L), Some(300L))))
+      // and the SQL pushdown answers all four with ZERO data IO,
+      // proven destructively
+      val q = spark.read.format("graft-table").option("path", t.root).load()
+        .agg(count(lit(1)), min(col("k")), max(col("k")), sum(col("k")))
+      assert(q.queryExecution.executedPlan.toString
+        .contains("PushedAggregates (metadata-only)"),
+        q.queryExecution.executedPlan.toString.take(800))
+      val live = (1L to 99L).filterNot(_ == 50L) ++ Seq(250L, 300L)
+      SnapshotTable.deleteRecursively(catRoot.resolve("d").resolve("data"))
+      val r = q.head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        ((live.size.toLong, 1L, 300L, live.sum)))
     } finally SnapshotTable.drop(t)
   }
 
@@ -228,15 +258,21 @@ class DvMaintenanceSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
-  test("metaSum forfeits loudly where sums could be stale (update, SQL DML, non-integral keys)") {
+  test("metaSum survives updates (sums re-mint); refuses on non-integral keys") {
     val t = SnapshotTable.temp(spark, "graft_dvmaint_sum_forfeit_")
     try {
       t.commitClustered((1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 4)
-      // UPDATE appends stat-less post-images and tombstones — refuse
+      // UPDATE tombstones + post-images: the touched file's sum
+      // re-mints over its live remainder, the post-image file mints
+      // its own — zero-IO SUM keeps answering
       t.update(col("k") === 5L, Map("v" -> lit(99.0)))
-      intercept[IllegalArgumentException] { t.metaSum(t.currentVersion) }
-      // the exact scan is still right, of course
-      assert(t.read().agg(sum(col("k"))).head.getLong(0) == (1L to 100L).sum)
+      assert(t.metaSum(t.currentVersion) == ((Some((1L to 100L).sum), 100L)))
+      // an update that rewrites the KEY moves mass between files —
+      // a stale per-file sum would answer 5050, not 5050+95
+      t.update(col("k") === 5L, Map("k" -> lit(100L)))
+      assert(t.metaSum(t.currentVersion) == ((Some((1L to 100L).sum + 95L), 100L)))
+      // the exact scan agrees, of course
+      assert(t.read().agg(sum(col("k"))).head.getLong(0) == (1L to 100L).sum + 95L)
     } finally SnapshotTable.drop(t)
     // timestamp-keyed clustered commits mint no #sum (epoch sums are
     // meaningless) — coverage check refuses

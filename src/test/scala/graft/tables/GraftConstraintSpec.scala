@@ -163,6 +163,51 @@ class GraftConstraintSpec extends SparkSpec {
     }
   }
 
+  test("NOT NULL: SET validates existing rows; every write path then rejects nulls; SQL ALTER surface") {
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_cons_nn_")
+    spark.conf.set("spark.sql.catalog.consnn", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.consnn.root", catRoot.toString)
+    val t = new SnapshotTable(spark, catRoot.resolve("d").toString)
+    t.commit(Seq((1L, Some(1.0)), (2L, Some(2.0))).toDF("k", "v"))
+
+    // a column that already holds nulls refuses the marker
+    val t2 = SnapshotTable.temp(spark, "graft_cons_nn2_")
+    try {
+      t2.commit(Seq((1L, Some(1.0)), (2L, None)).toDF("k", "v"))
+      rejects("CHECK constraint")(t2.setNotNull("v"))
+    } finally SnapshotTable.drop(t2)
+
+    // SQL surface: CALL set_not_null (Spark's analyzer refuses a
+    // nullable→non-nullable ALTER before it can reach any catalog,
+    // so SET rides the procedure catalog like add_constraint)
+    spark.sql("CALL consnn.set_not_null(table => 'd', column => 'v')")
+    assert(t.constraints == Map("__notnull_v" -> "v IS NOT NULL"))
+    val v = t.currentVersion
+    // instance append with a NULL aborts inside the write job —
+    // CHECK's null-passes rule cannot mask it (IS NOT NULL is FALSE)
+    rejects("__notnull_v")(
+      t.appendOnce(Seq((3L, None: Option[Double])).toDF("k", "v"), 3L))
+    assert(t.currentVersion == v)
+    // SQL INSERT of a NULL refuses; a good row lands
+    rejects("__notnull_v")(spark.sql("INSERT INTO consnn.d VALUES (4, NULL)"))
+    spark.sql("INSERT INTO consnn.d VALUES (4, 4.0)")
+    // SQL row-level DML writing NULL post-images refuses
+    rejects("__notnull_v")(
+      spark.sql("UPDATE consnn.d SET v = NULL WHERE k = 1"))
+    // the marker auto-carries across commits and survives maintenance
+    t.compact(1)
+    assert(t.constraints == Map("__notnull_v" -> "v IS NOT NULL"))
+    // rename of the guarded column refuses while the marker stands
+    rejects("constraint")(
+      spark.sql("ALTER TABLE consnn.d RENAME COLUMN v TO w"))
+    // DROP NOT NULL removes the marker; nulls land again
+    spark.sql("ALTER TABLE consnn.d ALTER COLUMN v DROP NOT NULL")
+    assert(t.constraints.isEmpty)
+    spark.sql("INSERT INTO consnn.d VALUES (5, NULL)")
+    assert(spark.sql("SELECT count(*) FROM consnn.d WHERE v IS NULL")
+      .head.getLong(0) == 1L)
+  }
+
   test("streaming sink enforces constraints per micro-batch; CALL detail reports them") {
     val catRoot = java.nio.file.Files.createTempDirectory("graft_cons_stream_")
     spark.conf.set("spark.sql.catalog.consstr", classOf[GraftCatalog].getName)

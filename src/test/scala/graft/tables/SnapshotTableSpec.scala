@@ -592,6 +592,52 @@ class SnapshotTableSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("N-dim z-ordered commit: 3-D box reads open only intersecting files") {
+    import org.apache.spark.sql.functions._
+    val t = freshTable("zordern")
+    try {
+      // 16x16x16 cube — any single-key (or 2-D) layout leaves the
+      // remaining dimension's per-file span ~full-width
+      val rows = spark.range(0, 4096).select(
+        (col("id") % 16).as("x"),
+        ((col("id") / 16) % 16).cast("long").as("y"),
+        (col("id") / 256).cast("long").as("z"),
+        col("id").cast("double").as("v"))
+      val v = t.commitZOrderedN(rows, Seq("x", "y", "z"), 16)
+      val all = t.prunedFilesN(v, Seq((Long.MinValue, Long.MaxValue),
+        (Long.MinValue, Long.MaxValue), (Long.MinValue, Long.MaxValue)))
+      assert(all.size == 16, all.toString)
+      // a small cube: far fewer than all files (z-locality in all 3)
+      val few = t.prunedFilesN(v, Seq((0L, 3L), (0L, 3L), (0L, 3L)))
+      assert(few.size <= 4, s"expected <=4 of 16 files, got ${few.size}")
+      // row-exactness vs the brute-force filter
+      val got = t.readWhereN(v, Seq(("x", 2L, 9L), ("y", 4L, 11L), ("z", 1L, 6L)))
+        .agg(count(lit(1)), sum("v")).head()
+      val want = t.read(v)
+        .filter(col("x").between(2, 9) && col("y").between(4, 11) &&
+          col("z").between(1, 6))
+        .agg(count(lit(1)), sum("v")).head()
+      assert(got == want, s"$got != $want")
+      // pruning bites on EACH dimension alone
+      val full = (Long.MinValue, Long.MaxValue)
+      assert(t.prunedFilesN(v, Seq((0L, 3L), full, full)).size < 16)
+      assert(t.prunedFilesN(v, Seq(full, (0L, 3L), full)).size < 16)
+      assert(t.prunedFilesN(v, Seq(full, full, (0L, 3L))).size < 16)
+      // DV delete then OPTIMIZE ZORDER BY 3 keys: tombstones fold in,
+      // content identical, stats re-minted for the new layout
+      t.delete(col("v") < 100.0)
+      val before = t.read().orderBy("x", "y", "z").collect().toSeq
+      val v2 = t.optimizeZOrderedN(Seq("x", "y", "z"), 8)
+      assert(t.read(v2).orderBy("x", "y", "z").collect().toSeq == before)
+      assert(t.rowChangesBetween(v2 - 1, v2).count() == 0L)
+      assert(t.prunedFilesN(v2, Seq((12L, 15L), (12L, 15L), (12L, 15L))).size < 8)
+      // wrong box arity / un-z-ordered version refuse loudly
+      intercept[IllegalArgumentException] {
+        t.readWhereN(v2, Seq(("x", 0L, 1L), ("y", 0L, 1L)))
+      }
+    } finally SnapshotTable.drop(t)
+  }
+
   test("vacuum reclaims crash garbage without touching committed state") {
     val t = freshTable("vacuum")
     try {
