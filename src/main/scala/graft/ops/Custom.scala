@@ -256,6 +256,37 @@ object Custom extends QueryPack {
     q
   }
 
+  /** GROUPING-EXPRESSION containment (the calendar-hierarchy rollup,
+    * oracle-gated): the view is grouped by DAY (the bare
+    * `o_orderdate` key); the query groups by
+    * `date_trunc('month', o_orderdate)` — an expression the view
+    * never stored. The matcher accepts any DETERMINISTIC expression
+    * whose base columns are bare view group keys, remaps it over the
+    * view's key column, and re-aggregates: grouping by f(day) merely
+    * COARSENS the view's partition, so COUNT/SUM/MIN/MAX roll up
+    * exactly (plans/MaterializedViews.attempt, KeyExpr). The most
+    * common warehouse MV ask after join shapes — day-grained views
+    * answering month/quarter/year queries. The `require` proves the
+    * rewrite fired; the DuckDB hash gates the remapped arithmetic. */
+  private def mvContainedExpr(s: SparkSession, d: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_mvce_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+    val wide = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    val fp = graft.plans.MaterializedViews.register(wide, path)
+    val q = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy("mon")
+    try require(q.queryExecution.executedPlan.toString.contains("graft_mvce_"),
+      "grouping-expression containment did not fire: the month rollup still scans orders")
+    finally graft.plans.MaterializedViews.deregister(fp)
+    q
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_udaf_wavg"        -> udafWavg,
     "q_sim_search_native" -> simSearchNative,
@@ -267,6 +298,7 @@ object Custom extends QueryPack {
     "q_mv_contained_star" -> mvContainedStar,
     "q_mv_contained_having" -> mvContainedHaving,
     "q_mv_contained_avg" -> mvContainedAvg,
+    "q_mv_contained_expr" -> mvContainedExpr,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -307,6 +339,11 @@ object Custom extends QueryPack {
       """SELECT o_orderpriority AS pri, AVG(o_custkey) AS avg_cust,
         |       COUNT(*) AS n
         |FROM orders GROUP BY pri ORDER BY pri""".stripMargin,
+    "q_mv_contained_expr" ->
+      """SELECT date_trunc('month', o_orderdate) AS mon, COUNT(*) AS n,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+        |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY mon ORDER BY mon""".stripMargin,
     "q_udaf_wavg" ->
       s"""SELECT l_returnflag,
         |       ${graft.Det.r4Sql("SUM(l_extendedprice * l_quantity) / SUM(l_quantity)")} AS wavg_price

@@ -677,7 +677,43 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
     * never fire on real plans. Everything — base lookup, grouping,
     * aggregate operands — is remapped through [[MaterializedViews
     * .toRelSpace]] and compared in relation ordinal space. */
-  private def rewriteByContainment(agg: Aggregate): Option[LogicalPlan] = {
+  /** Reverse Catalyst's PullOutGroupingExpressions: grouping by a
+    * complex expression leaves `Aggregate(_ge#N, ..., Project(attrs ++
+    * [expr AS _ge#N], child))` in the optimized plan — the expression
+    * lives BELOW the aggregate, where the attribute-only peel cannot
+    * see it. Inlining the pulled aliases back into the grouping and
+    * output lists (sound: pullout only extracts deterministic,
+    * analyzer-built expressions) restores the `Aggregate(f(keys), …,
+    * child)` shape the grouping-expression containment matches on.
+    * Output exprIds are preserved, so the rebuilt plan's parents keep
+    * resolving. Identity when no pulled alias is present. */
+  private def inlinePulledGroupingExprs(agg: Aggregate): Aggregate = agg.child match {
+    case p: Project if p.projectList.exists(_.isInstanceOf[Alias]) &&
+        p.projectList.forall {
+          case _: AttributeReference => true
+          case a: Alias => a.child.deterministic
+          case _ => false
+        } =>
+      val aliasMap: Map[Long, Expression] = p.projectList.collect {
+        case a: Alias => a.exprId.id -> a.child
+      }.toMap
+      def inline(e: Expression): Expression = e.transformUp {
+        case ar: AttributeReference if aliasMap.contains(ar.exprId.id) =>
+          aliasMap(ar.exprId.id)
+      }
+      Aggregate(
+        agg.groupingExpressions.map(inline),
+        agg.aggregateExpressions.map {
+          case ar: AttributeReference if aliasMap.contains(ar.exprId.id) =>
+            Alias(aliasMap(ar.exprId.id), ar.name)(exprId = ar.exprId)
+          case ne => inline(ne).asInstanceOf[NamedExpression]
+        },
+        p.child)
+    case _ => agg
+  }
+
+  private def rewriteByContainment(agg0: Aggregate): Option[LogicalPlan] = {
+    val agg = inlinePulledGroupingExprs(agg0)
     val aggC = agg.canonicalized match {
       case a: Aggregate => a
       case _ => return None
@@ -838,12 +874,43 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
       realCond: Option[Expression], realBase: LogicalPlan,
       shape: MaterializedViews.ViewShape, path: String): Option[LogicalPlan] = {
     import MaterializedViews.toRelSpace
+    // base-relation output ordinal of a REAL attribute, remappable
+    // through the view's bare-column group keys — the namespace the
+    // grouping-EXPRESSION fallback and the filter remap share
+    def baseOrdOf(a: AttributeReference): Option[Long] = {
+      val i = realBase.output.indexWhere(_.exprId == a.exprId)
+      if (i < 0) None else Some(i.toLong)
+    }
     // every query grouping expr must be one the view grouped AND
     // output (G₂ ⊆ G₁, with the key readable back from the view) —
-    // compared in relation space, like the index stores them
-    val groupingOrds: Seq[Int] = aggC.groupingExpressions.map { g =>
-      shape.groupingByRender.getOrElse(toRelSpace(g, projC).toString, return None)
-    }
+    // compared in relation space, like the index stores them — OR a
+    // GROUPING-EXPRESSION ROLLUP: a deterministic expression whose
+    // every base column is a bare view group key (the calendar
+    // hierarchy: view by day, query by date_trunc('month', day)).
+    // Grouping by f(k) over a view grouped by k merely COARSENS the
+    // partition of rows, and the rewrite re-aggregates the view's
+    // partial states under the remapped expression, so SUM/MIN/MAX/
+    // COUNT/AVG roll up exactly; non-deterministic f would change
+    // its evaluation count (per base row → per view row) — refuse.
+    sealed trait Key
+    case class KeyOrd(viewOrd: Int) extends Key
+    case class KeyExpr(real: Expression) extends Key
+    val keySpecs: Seq[Key] =
+      aggC.groupingExpressions.zip(agg.groupingExpressions).map {
+        case (gc, gReal) =>
+          shape.groupingByRender.get(toRelSpace(gc, projC).toString) match {
+            case Some(ord) => KeyOrd(ord)
+            case None =>
+              if (!gReal.deterministic) return None
+              if (gReal.references.isEmpty) return None
+              gReal.references.foreach { a =>
+                val ord = baseOrdOf(a.asInstanceOf[AttributeReference])
+                  .getOrElse(return None)
+                if (!shape.childOrdinalToOutput.contains(ord)) return None
+              }
+              KeyExpr(gReal)
+          }
+      }
     // the filter may only reference bare base columns that are view
     // group keys — remap each through base-relation ordinal → view
     // output ordinal
@@ -860,25 +927,42 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
     // view-stored SUM + COUNT partials of the same operand
     sealed trait Out
     case class Pass(viewOrd: Int) extends Out
+    case class PassExpr(real: Expression) extends Out
     case class Roll(fn: String, viewOrd: Int) extends Out
     case class RollAvg(sumOrd: Int, cntOrd: Int) extends Out
-    val outs: Seq[Out] = aggC.aggregateExpressions.map { ne =>
-      toRelSpace(ne match { case Alias(c, _) => c; case e => e }, projC) match {
-        case ae: AggregateExpression
-            if !ae.isDistinct && ae.filter.isEmpty &&
-              ae.aggregateFunction.isInstanceOf[Average] &&
-              MaterializedViews.avgOkType(
-                ae.aggregateFunction.asInstanceOf[Average].child) =>
-          val e = ae.aggregateFunction.asInstanceOf[Average].child
-          RollAvg(shape.aggByRender.getOrElse(s"sum|$e", return None),
-            shape.aggByRender.getOrElse(s"count|$e", return None))
-        case ae: AggregateExpression =>
-          val (fn, rendered) = MaterializedViews.aggRender(ae).getOrElse(return None)
-          Roll(fn, shape.aggByRender.getOrElse(rendered, return None))
-        case e =>
-          Pass(shape.groupingByRender.getOrElse(e.toString, return None))
+    val outs: Seq[Out] =
+      aggC.aggregateExpressions.zip(agg.aggregateExpressions).map { case (ne, neReal) =>
+        toRelSpace(ne match { case Alias(c, _) => c; case e => e }, projC) match {
+          case ae: AggregateExpression
+              if !ae.isDistinct && ae.filter.isEmpty &&
+                ae.aggregateFunction.isInstanceOf[Average] &&
+                MaterializedViews.avgOkType(
+                  ae.aggregateFunction.asInstanceOf[Average].child) =>
+            val e = ae.aggregateFunction.asInstanceOf[Average].child
+            RollAvg(shape.aggByRender.getOrElse(s"sum|$e", return None),
+              shape.aggByRender.getOrElse(s"count|$e", return None))
+          case ae: AggregateExpression =>
+            val (fn, rendered) = MaterializedViews.aggRender(ae).getOrElse(return None)
+            Roll(fn, shape.aggByRender.getOrElse(rendered, return None))
+          case e =>
+            shape.groupingByRender.get(e.toString) match {
+              case Some(ord) => Pass(ord)
+              case None =>
+                // expression-rollup passthrough: the analyzer already
+                // guaranteed this output is composed of the query's
+                // grouping expressions, so the same remap that made
+                // the grouping sound makes the passthrough sound
+                val real = neReal match { case Alias(c, _) => c; case other => other }
+                if (!real.deterministic) return None
+                real.references.foreach { a =>
+                  val ord = baseOrdOf(a.asInstanceOf[AttributeReference])
+                    .getOrElse(return None)
+                  if (!shape.childOrdinalToOutput.contains(ord)) return None
+                }
+                PassExpr(real)
+            }
+        }
       }
-    }
 
     val mv = spark.read.parquet(path).queryExecution.analyzed
     val filtered = (realCond, condOrdMap) match {
@@ -889,11 +973,18 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
         }, mv)
       case _ => mv
     }
+    // remap a REAL expression over base group-key columns into view
+    // space: each attribute → the view output holding that key
+    def remapReal(e: Expression): Expression = e.transform {
+      case a: AttributeReference if baseOrdOf(a).isDefined =>
+        filtered.output(shape.childOrdinalToOutput(baseOrdOf(a).get))
+    }
     val rebuilt = agg.output.zip(outs).map { case (orig, out) =>
       def ae(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction) =
         AggregateExpression(f, Complete, isDistinct = false)
       val expr: Expression = out match {
         case Pass(v) => filtered.output(v)
+        case PassExpr(real) => remapReal(real)
         case Roll(fn, v) =>
           val col = filtered.output(v)
           fn match {
@@ -913,7 +1004,10 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       Alias(Cast(expr, orig.dataType), orig.name)(exprId = orig.exprId)
     }
-    val groupKeys: Seq[Expression] = groupingOrds.map(filtered.output(_))
+    val groupKeys: Seq[Expression] = keySpecs.map {
+      case KeyOrd(v) => filtered.output(v)
+      case KeyExpr(real) => remapReal(real)
+    }
     Some(Aggregate(groupKeys, rebuilt, filtered))
   }
 }

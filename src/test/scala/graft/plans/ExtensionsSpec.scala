@@ -170,6 +170,53 @@ class ExtensionsSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("MV grouping-expression containment: month rollup over a day view; non-key/non-det refuse") {
+    val mvPath = java.nio.file.Files.createTempDirectory("graft_mv_gexpr_").toString + "/mv"
+    // view grouped by the bare day key
+    def wide() = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sc"),
+        max(col("o_totalprice")).as("hi"))
+    MaterializedViews.register(wide(), mvPath)
+    try {
+      // the calendar rollup: GROUP BY date_trunc('month', day) is an
+      // expression over the view key — rewritten and re-aggregated
+      val monthly = graft.Tables.orders(spark, sf)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sc"),
+          max(col("o_totalprice")).as("hi"))
+      val mPlan = monthly.queryExecution.executedPlan.toString
+      assert(mPlan.contains("graft_mv_gexpr_"), s"no MV in plan:\n${mPlan.take(800)}")
+      assert(!mPlan.contains("orders.parquet"), mPlan.take(800))
+      MaterializedViews.clear()
+      val expect = graft.Tables.orders(spark, sf)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)), sum(col("o_custkey")), max(col("o_totalprice")))
+        .orderBy("mon").collect().toSeq.map(_.toSeq)
+      MaterializedViews.register(wide(), mvPath)
+      assert(monthly.orderBy("mon").collect().toSeq.map(_.toSeq) == expect)
+      // a second calendar grain from the SAME view (year) — the point
+      // of the hierarchy: one day-grained view serves every rollup
+      val yearly = graft.Tables.orders(spark, sf)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"))
+      assert(yearly.queryExecution.executedPlan.toString.contains("graft_mv_gexpr_"))
+      // an expression over a NON-key column refuses (the view never
+      // grouped by custkey — rows with equal f(custkey) straddle view
+      // rows in ways partial aggregates cannot reconstruct)
+      val nonKey = graft.Tables.orders(spark, sf)
+        .groupBy((col("o_custkey") % 7).as("b"))
+        .agg(count(lit(1)).as("n"))
+      assert(!nonKey.queryExecution.executedPlan.toString.contains("graft_mv_gexpr_"))
+      // a NON-DETERMINISTIC grouping expression refuses: its
+      // evaluation count would change (per base row → per view row)
+      val nonDet = graft.Tables.orders(spark, sf)
+        .groupBy(when(rand(7) < 2.0, col("o_orderdate")).as("g"))
+        .agg(count(lit(1)).as("n"))
+      assert(!nonDet.queryExecution.executedPlan.toString.contains("graft_mv_gexpr_"))
+    } finally MaterializedViews.clear()
+  }
+
   test("MV join containment: same join rewrites; different keys/filters/joins refuse") {
     val mvPath = java.nio.file.Files.createTempDirectory("graft_mv_join_").toString + "/mvj"
     def approxEq(a: Seq[Seq[Any]], b: Seq[Seq[Any]]): Boolean =
