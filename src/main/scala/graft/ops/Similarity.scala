@@ -155,10 +155,12 @@ object Similarity extends QueryPack {
       .limit(5)
   }
 
-  /** The IVF candidate set: coarse-quantizer clusters built with one
-    * deterministic k-means round, the probe's 2 nearest partitions
-    * joined back — (candidates(vec_id, label, embedding), probe). */
-  private def ivfCandidates(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** The IVF index content: coarse-quantizer clusters built with one
+    * deterministic k-means round — (assignments(vec_id, label,
+    * embedding, cluster), centroids(cluster, cvec)). The build half
+    * of IVF, shared by the per-query path ([[ivfCandidates]]) and the
+    * persisted index ([[buildIvfIndex]]). */
+  private[ops] def ivfBuild(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import graft.functions.CosineSimilarity.cosine_sim
     val k = 8
     val e = Tables.embeddings(s, d)
@@ -179,9 +181,14 @@ object Similarity extends QueryPack {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
     }
-    // one assignment + centroid-update round (k-means step)
+    // one assignment + centroid-update round (k-means step). The
+    // cluster id is cast to int so the PERSISTED index's inferred
+    // partition-column type matches the in-memory one — a long/int
+    // mismatch would wrap the partition column in a cast and break
+    // dynamic partition pruning on the probe join.
     val assigned = nearest(e, seeds, "cid0", "cvec0")
-      .select(col("vec_id"), col("label"), col("embedding"), col("cid0").as("cluster"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("cid0").cast("int").as("cluster"))
     val centroids = assigned
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
       // decimal-exact mean (r7 — plain avg's double partial sums are
@@ -190,8 +197,17 @@ object Similarity extends QueryPack {
       .groupBy("cluster")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m").cast("float")).as("cvec"))
+    (assigned, centroids)
+  }
+
+  /** The IVF candidate set: coarse-quantizer clusters built with one
+    * deterministic k-means round, the probe's 2 nearest partitions
+    * joined back — (candidates(vec_id, label, embedding), probe). */
+  private def ivfCandidates(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.functions.CosineSimilarity.cosine_sim
+    val (assigned, centroids) = ivfBuild(s, d)
     // probe: its 2 nearest centroids -> search only those clusters
-    val probe = e.filter(col("vec_id") === ProbeId)
+    val probe = Tables.embeddings(s, d).filter(col("vec_id") === ProbeId)
       .select(col("embedding").as("probe"))
     val probedClusters = probe.crossJoin(broadcast(centroids))
       .select(col("cluster"),
@@ -203,6 +219,71 @@ object Similarity extends QueryPack {
       .filter(col("vec_id") =!= ProbeId)
       .select(col("vec_id"), col("label"), col("embedding")),
       probe)
+  }
+
+  /** PERSIST the IVF index: cluster assignments land as a parquet
+    * table PARTITIONED BY cluster id (each inverted list is a
+    * directory), centroids as a k-row sidecar table. Lloyd runs HERE,
+    * at build time — never again per query. Idempotent overwrite.
+    * Returns the two read schemas: an EMPTY corpus writes no files
+    * and a schema-inferring read would throw UNABLE_TO_INFER_SCHEMA —
+    * empty indexes must probe as zero candidates, not crash (the same
+    * contract as q_sim_ann_indexed's explicit-schema read). */
+  private[ops] def buildIvfIndex(s: SparkSession, d: String, dir: String)
+      : (org.apache.spark.sql.types.StructType, org.apache.spark.sql.types.StructType) = {
+    val (assigned, centroids) = ivfBuild(s, d)
+    assigned.write.partitionBy("cluster").mode("overwrite")
+      .parquet(s"$dir/vectors")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    (assigned.schema, centroids.schema)
+  }
+
+  /** Probe the PERSISTED IVF index: the k-row centroid table ranks
+    * the probe's `nprobe` nearest clusters (broadcast — O(k) work),
+    * and the candidate scan reads only those clusters' partition
+    * directories via dynamic partition pruning on the broadcast join
+    * (the q_sim_ann_indexed plan shape: no driver lookup, the same
+    * plan serves a probe TABLE). Exact cosine ranks the candidates. */
+  private[ops] def probeIvfIndex(s: SparkSession, dir: String,
+      probe: DataFrame, probeId: Long, nprobe: Int, k: Int,
+      vectorsSchema: org.apache.spark.sql.types.StructType,
+      centroidsSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import graft.functions.CosineSimilarity.cosine_sim
+    val centroids = s.read.schema(centroidsSchema).parquet(s"$dir/centroids")
+    val vectors = s.read.schema(vectorsSchema).parquet(s"$dir/vectors")
+    val probedClusters = probe.crossJoin(broadcast(centroids))
+      .select(col("cluster"),
+        cosine_sim(col("probe"), col("cvec")).as("csim"))
+      .orderBy(col("csim").desc, col("cluster").asc)
+      .limit(nprobe)
+    vectors
+      .join(broadcast(probedClusters.select("cluster")), "cluster")
+      .filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        graft.Det.r4(cosine_sim(col("embedding"), col("probe"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** PERSISTED IVF — the missing durability half of q_sim_ann_ivf:
+    * at 100 TB the coarse quantizer (Lloyd over the corpus) must be a
+    * committed artifact, not a per-query computation. The index build
+    * (idempotent overwrite, honest amortized-cost accounting — same
+    * convention as q_sim_ann_indexed) writes centroids + partitioned
+    * inverted lists; the PROBE phase touches only persisted data and
+    * reads exactly the probed clusters' directories (partition
+    * pruning asserted in SimilaritySpec, which also proves
+    * probe-phase row-equality with the per-query q_sim_ann_ivf).
+    * Same quantizer and scoring as q_sim_ann_ivf, so the same DuckDB
+    * oracle gates the persisted path bit-exactly. */
+  private def annIvfPersisted(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ann_ivf_idx_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+    val (vecSchema, centSchema) = buildIvfIndex(s, d, dir)
+    val probe = Tables.embeddings(s, d).filter(col("vec_id") === ProbeId)
+      .select(col("embedding").as("probe"))
+    probeIvfIndex(s, dir, probe, ProbeId, nprobe = 2, k = 5, vecSchema, centSchema)
   }
 
   /** Persisted-index ANN: the LSH bucket is a PARTITION COLUMN of a
@@ -448,6 +529,7 @@ object Similarity extends QueryPack {
     "q_sim_ann_indexed_multiprobe" -> annIndexedMultiprobe,
     "q_sim_ann_ivf"     -> annIvf,
     "q_sim_ann_ivf_sq8" -> annIvfSq8,
+    "q_sim_ann_ivf_persisted" -> annIvfPersisted,
     "q_sim_ann_indexed" -> annIndexed,
     "q_kmeans"          -> kmeans,
     "q_embed_project"   -> embedProject,
@@ -693,6 +775,10 @@ object Similarity extends QueryPack {
     "q_sim_ann_indexed" -> annLshSql,
     "q_sim_ann_ivf" -> annIvfSql,
     "q_sim_ann_ivf_sq8" -> annIvfSq8Sql,
+    // the persisted path is the SAME quantizer + scoring with the
+    // index round-tripped through parquet — the identical oracle
+    // gates that the round trip is bit-exact
+    "q_sim_ann_ivf_persisted" -> annIvfSql,
     "q_sim_search" ->
       """WITH p AS (SELECT embedding AS probe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,

@@ -22,6 +22,36 @@ class SimilaritySpec extends SparkSpec {
       s"IVF recall too low: $ivf vs $brute")
   }
 
+  test("persisted IVF: probe phase partition-prunes, equals the per-query path, no Lloyd") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx_spec_").toString
+    // build ONCE; every probe below touches only the persisted index
+    val (vecSchema, centSchema) = Similarity.buildIvfIndex(spark, sf, dir)
+    val probe = graft.Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("probe"))
+    val probed = Similarity.probeIvfIndex(spark, dir, probe, 0L,
+      nprobe = 2, k = 5, vecSchema, centSchema)
+    // the candidate scan is pruned to the probed clusters' partition
+    // directories at RUNTIME — the DPP subquery is in the plan
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") && plan.contains("cluster"),
+      s"probe scan does not partition-prune:\n${plan.take(1200)}")
+    // row-equality with the per-query IVF path (same quantizer,
+    // same scoring — only the access path differs)
+    val perQuery = SparkEntry_queries("q_sim_ann_ivf")
+      .collect().map(_.toSeq).toSeq
+    val persisted = probed.collect().map(_.toSeq).toSeq
+    assert(persisted == perQuery, s"persisted $persisted != per-query $perQuery")
+    // the probe phase's candidates and centroids come from the
+    // PERSISTED index (the base table contributes only the 1-row
+    // probe vector — the query input); Lloyd never re-runs
+    val idxFiles = probed.inputFiles.filterNot(_.contains("embeddings.parquet"))
+    assert(idxFiles.nonEmpty && idxFiles.forall(_.contains("graft_ivf_idx_spec_")),
+      probed.inputFiles.mkString(", "))
+    assert(idxFiles.exists(_.contains("/centroids/")),
+      s"centroids not read from the persisted index: ${idxFiles.mkString(", ")}")
+  }
+
   test("int8 scalar-quantized top-10 recalls most of the exact top-10") {
     val exact = ids("q_sim_search", 10).toSet
     val sq8 = ids("q_sim_ann_sq8", 10)
