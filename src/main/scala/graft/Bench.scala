@@ -169,6 +169,17 @@ object Bench {
     val (calibPre, sink1) = calibrate()
     val calibMulti = Seq.newBuilder[Double]
     var multiSink = 0L
+    // the FIRST parallel spawn pays thread-creation + lambda JIT,
+    // not co-resident load — two untimed warmup probes keep the
+    // baseline honest (the r14 run's pre-sweep probe read 1.4× its
+    // mid-sweep successors on an idle machine, flagging a clean
+    // sweep as inflated; max/min over warmed probes measures what
+    // the metric means: load ARRIVING during the sweep)
+    locally {
+      val (_, a1) = calibrateParallel(nThreads)
+      val (_, a2) = calibrateParallel(nThreads)
+      multiSink += a1 + a2
+    }
     locally {
       val (s, a) = calibrateParallel(nThreads); calibMulti += s; multiSink += a
     }

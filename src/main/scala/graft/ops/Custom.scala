@@ -287,6 +287,33 @@ object Custom extends QueryPack {
     q
   }
 
+  /** Grouping-expression containment on the JOIN path (oracle-gated):
+    * the view aggregates orders⋈customer by (day, segment); the query
+    * — same join, filtered to one segment, grouped by
+    * `date_trunc('month', day)` — composes all three containment
+    * moves at once: join-shape match, key-filter commute, and the
+    * calendar rollup's expression remap (r14,
+    * plans/MaterializedViews.attemptJoin KeyExpr). */
+  private def mvContainedJoinExpr(s: SparkSession, d: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_mvcje_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+    def joined = Tables.orders(s, d).join(Tables.customer(s, d),
+      col("o_custkey") === col("c_custkey"))
+    val wide = joined
+      .groupBy(col("o_orderdate").as("day"), col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"))
+    val fp = graft.plans.MaterializedViews.register(wide, path)
+    val q = joined
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"))
+      .orderBy("mon")
+    try require(q.queryExecution.executedPlan.toString.contains("graft_mvcje_"),
+      "join grouping-expression containment did not fire: the month rollup still joins base tables")
+    finally graft.plans.MaterializedViews.deregister(fp)
+    q
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_udaf_wavg"        -> udafWavg,
     "q_sim_search_native" -> simSearchNative,
@@ -299,6 +326,7 @@ object Custom extends QueryPack {
     "q_mv_contained_having" -> mvContainedHaving,
     "q_mv_contained_avg" -> mvContainedAvg,
     "q_mv_contained_expr" -> mvContainedExpr,
+    "q_mv_contained_join_expr" -> mvContainedJoinExpr,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -344,6 +372,12 @@ object Custom extends QueryPack {
         |       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
         |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
         |FROM orders GROUP BY mon ORDER BY mon""".stripMargin,
+    "q_mv_contained_join_expr" ->
+      """SELECT date_trunc('month', o_orderdate) AS mon, COUNT(*) AS n,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY mon ORDER BY mon""".stripMargin,
     "q_udaf_wavg" ->
       s"""SELECT l_returnflag,
         |       ${graft.Det.r4Sql("SUM(l_extendedprice * l_quantity) / SUM(l_quantity)")} AS wavg_price

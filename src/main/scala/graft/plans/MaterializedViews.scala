@@ -802,12 +802,27 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
         if (!shape.baseOrdinalToOutput.contains(ord)) return None
       }
     }
-    val groupingOrds: Seq[Int] = agg.groupingExpressions.map { g =>
-      shape.groupingByRender.getOrElse(
-        relRender(g, anatomy.ordOf).getOrElse(return None), return None)
+    // grouping: a render the view stored, or the GROUPING-EXPRESSION
+    // ROLLUP fallback — a deterministic expression whose every base
+    // column is a bare view group key (the calendar hierarchy on the
+    // join shape: star view by day, query by month) remaps over the
+    // view's key columns; re-aggregation makes the coarsening exact
+    sealed trait Key
+    case class KeyOrd(viewOrd: Int) extends Key
+    case class KeyExpr(real: Expression) extends Key
+    def exprOverViewKeys(e: Expression): Boolean =
+      e.deterministic && e.references.nonEmpty && e.references.forall { a =>
+        anatomy.ordOf(a).exists(shape.baseOrdinalToOutput.contains)
+      }
+    val keySpecs: Seq[Key] = agg.groupingExpressions.map { g =>
+      relRender(g, anatomy.ordOf).flatMap(shape.groupingByRender.get) match {
+        case Some(ord) => KeyOrd(ord)
+        case None => if (exprOverViewKeys(g)) KeyExpr(g) else return None
+      }
     }
     sealed trait Out
     case class Pass(viewOrd: Int) extends Out
+    case class PassExpr(real: Expression) extends Out
     case class Roll(fn: String, viewOrd: Int) extends Out
     case class RollAvg(sumOrd: Int, cntOrd: Int) extends Out
     val outs: Seq[Out] = agg.aggregateExpressions.map { ne =>
@@ -834,8 +849,13 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
             case _ => return None
           }
         case e =>
-          Pass(shape.groupingByRender.getOrElse(
-            relRender(e, anatomy.ordOf).getOrElse(return None), return None))
+          relRender(e, anatomy.ordOf).flatMap(shape.groupingByRender.get) match {
+            case Some(ord) => Pass(ord)
+            case None =>
+              // expression-rollup passthrough (see attempt's twin)
+              val real = ne match { case Alias(c, _) => c; case other => other }
+              if (exprOverViewKeys(real)) PassExpr(real) else return None
+          }
       }
     }
     val mv = spark.read.parquet(path).queryExecution.analyzed
@@ -845,11 +865,18 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
         case a: AttributeReference if anatomy.ordOf(a).isDefined =>
           mv.output(shape.baseOrdinalToOutput(anatomy.ordOf(a).get))
       }).reduce(And), mv)
+    // remap a REAL expression over base group-key columns into view
+    // space — the grouping-expression rollup's rebuild
+    def remapReal(e: Expression): Expression = e.transform {
+      case a: AttributeReference if anatomy.ordOf(a).isDefined =>
+        filtered.output(shape.baseOrdinalToOutput(anatomy.ordOf(a).get))
+    }
     val rebuilt = agg.output.zip(outs).map { case (orig, out) =>
       def ae(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction) =
         AggregateExpression(f, Complete, isDistinct = false)
       val expr: Expression = out match {
         case Pass(v) => filtered.output(v)
+        case PassExpr(real) => remapReal(real)
         case Roll(fn, v) =>
           val colRef = filtered.output(v)
           fn match {
@@ -866,7 +893,11 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       Alias(Cast(expr, orig.dataType), orig.name)(exprId = orig.exprId)
     }
-    Some(Aggregate(groupingOrds.map(filtered.output(_)), rebuilt, filtered))
+    val groupKeys: Seq[Expression] = keySpecs.map {
+      case KeyOrd(v) => filtered.output(v)
+      case KeyExpr(real) => remapReal(real)
+    }
+    Some(Aggregate(groupKeys, rebuilt, filtered))
   }
 
   private def attempt(agg: Aggregate, aggC: Aggregate,

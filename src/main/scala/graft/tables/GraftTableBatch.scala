@@ -235,6 +235,9 @@ private[tables] object ManifestPruning {
         used ++= longBounds(lg(x), filters)._2
         used ++= longBounds(lg(y), filters)._2
     }
+    meta.collectFirst { case SnapshotTable.ZClusterNMeta(ks) => ks }.foreach { ks =>
+      ks.split('|').foreach(k => used ++= longBounds(lg(k), filters)._2)
+    }
     meta.collectFirst { case SnapshotTable.BloomKMeta(k, _) => k }.foreach { k =>
       used ++= filters.filter(f => bloomValues(lg(k), f).isDefined)
     }
@@ -308,6 +311,26 @@ private[tables] object ManifestPruning {
           }
         }
     }
+
+    meta.collectFirst { case SnapshotTable.ZClusterNMeta(ks) => ks.split('|').toSeq }
+      .foreach { keys =>
+        val bs = keys.map(k => longBounds(lg(k), filters)._1)
+        if (bs.exists(_.isBounded)) {
+          val rects: Map[String, Seq[Long]] = meta.collect {
+            case SnapshotTable.RangeNMeta(rel, b) =>
+              rel -> b.split('|').toSeq.map(_.toLong)
+          }.toMap
+          kept = kept.filter { rel =>
+            rects.get(rel) match {
+              case Some(b) if b.length == 2 * keys.length =>
+                bs.zipWithIndex.forall { case (bb, j) =>
+                  bb.hi.forall(b(2 * j) <= _) && bb.lo.forall(b(2 * j + 1) >= _)
+                }
+              case _ => true // stat-less or arity-drifted: keep
+            }
+          }
+        }
+      }
 
     meta.collectFirst { case SnapshotTable.BucketMeta(n, k) => (n.toInt, k) }.foreach {
       case (n, k) =>
@@ -636,7 +659,9 @@ class GraftTableScan(root: String, version: Long, tableSchema: StructType,
       meta.collectFirst { case SnapshotTable.BloomKMeta(k, _) => k } ++
       meta.collectFirst { case SnapshotTable.BucketMeta(_, k) => k } ++
       meta.collectFirst { case SnapshotTable.ZClusterMeta(x, y) => x } ++
-      meta.collectFirst { case SnapshotTable.ZClusterMeta(x, y) => y })
+      meta.collectFirst { case SnapshotTable.ZClusterMeta(x, y) => y } ++
+      meta.collectFirst { case SnapshotTable.ZClusterNMeta(ks) => ks }
+        .toSeq.flatMap(_.split('|').toSeq))
       .toArray.distinct
       // stat lines carry commit-era (physical) names; queries filter
       // on the CURRENT logical ones

@@ -214,6 +214,28 @@ class ExtensionsSpec extends SparkSpec {
         .groupBy(when(rand(7) < 2.0, col("o_orderdate")).as("g"))
         .agg(count(lit(1)).as("n"))
       assert(!nonDet.queryExecution.executedPlan.toString.contains("graft_mv_gexpr_"))
+
+      // the SAME fallback on the JOIN containment path: star view by
+      // (day, segment), query filtered to one segment and rolled up
+      // to month — expression over a view key + key filter compose
+      val jPath = java.nio.file.Files.createTempDirectory("graft_mv_gexprj_")
+        .toString + "/mv"
+      def joined = graft.Tables.orders(spark, sf).join(
+        graft.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      def jWide() = joined
+        .groupBy(col("o_orderdate").as("day"), col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sc"))
+      MaterializedViews.register(jWide(), jPath)
+      def jq() = joined.filter(col("c_mktsegment") === "BUILDING")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sc"))
+      val jPlan = jq().queryExecution.executedPlan.toString
+      assert(jPlan.contains("graft_mv_gexprj_"), s"join-path rollup missed:\n${jPlan.take(800)}")
+      assert(!jPlan.contains("orders.parquet"), jPlan.take(800))
+      MaterializedViews.clear()
+      val jExpect = jq().orderBy("mon").collect().toSeq.map(_.toSeq)
+      MaterializedViews.register(jWide(), jPath)
+      assert(jq().orderBy("mon").collect().toSeq.map(_.toSeq) == jExpect)
     } finally MaterializedViews.clear()
   }
 

@@ -157,6 +157,21 @@ class GraftTableBatchSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
+  test("N-dim z-order pushdown: 3-D box read opens only intersecting files") {
+    val t = freshTable("prune_zn")
+    try {
+      val df = (for (x <- 0L until 16L; y <- 0L until 16L; z <- 0L until 16L)
+        yield (x, y, z, x * 256 + y * 16 + z)).toDF("x", "y", "z", "v")
+      val v = t.commitZOrderedN(df, Seq("x", "y", "z"), 16)
+      val q = load(t).filter(col("x") >= 2L && col("x") <= 5L &&
+        col("y") >= 2L && col("y") <= 5L && col("z") >= 2L && col("z") <= 5L)
+      val expected = t.prunedFilesN(v, Seq((2L, 5L), (2L, 5L), (2L, 5L))).size
+      assert(q.rdd.getNumPartitions == expected)
+      assert(expected <= 6, s"4x4x4 box should open <=6 of 16 files, got $expected")
+      assert(q.count() == 64)
+    } finally SnapshotTable.drop(t)
+  }
+
   test("deletion vectors apply to batch reads") {
     val t = freshTable("dv")
     try {
