@@ -267,9 +267,19 @@ object Bench {
     // all-cores fixed-work probe proportionally), or surviving
     // quiet>2x-interleaved inversions
     val calibSamples = calibMulti.result()
+    // inflation over the MID/POST-sweep probes only: the pre-sweep
+    // probe is systematically slow on an IDLE machine (CPU frequency
+    // ramp from the idle governor — measured 0.32s vs 0.13s steady on
+    // loadavg 0.01, surviving two untimed warmups), so including it
+    // flags exactly the quiet machines the metric is meant to
+    // certify. Load ARRIVING DURING the sweep — the thing that
+    // corrupts query timings — still shows as mid-probe divergence
+    // (the genuinely contended r14 run read 1.30s vs 0.12s there).
+    // The pre probe stays recorded in calib_multi for audit.
+    val sweepProbes = if (calibSamples.size > 2) calibSamples.drop(1) else calibSamples
     val calibInflation =
-      if (calibSamples.size < 2 || calibSamples.min == 0.0) 1.0
-      else calibSamples.max / calibSamples.min
+      if (sweepProbes.size < 2 || sweepProbes.min == 0.0) 1.0
+      else sweepProbes.max / sweepProbes.min
     val contended =
       loadPre > 2.0 || calibInflation > 1.5 || inversionsLeft.nonEmpty
     val contentionJson =

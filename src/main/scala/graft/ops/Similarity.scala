@@ -238,6 +238,28 @@ object Similarity extends QueryPack {
     (assigned.schema, centroids.schema)
   }
 
+  /** INCREMENTAL maintenance of the persisted IVF index: assign NEW
+    * vectors to their nearest PERSISTED centroid — no Lloyd, the
+    * quantizer is fixed at build time, which is the standard IVF
+    * ingest contract (recall drifts only as the corpus distribution
+    * does; rebuild is the explicit, separate operation) — and APPEND
+    * them into their clusters' partition directories. Existing
+    * inverted lists are untouched; the probe path needs no change. */
+  private[ops] def appendToIvfIndex(s: SparkSession, dir: String,
+      fresh: DataFrame,
+      centroidsSchema: org.apache.spark.sql.types.StructType): Unit = {
+    import graft.functions.CosineSimilarity.cosine_sim
+    val centroids = s.read.schema(centroidsSchema).parquet(s"$dir/centroids")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim").desc, col("cluster").asc)
+    fresh.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosine_sim(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cluster"))
+      .write.partitionBy("cluster").mode("append").parquet(s"$dir/vectors")
+  }
+
   /** Probe the PERSISTED IVF index: the k-row centroid table ranks
     * the probe's `nprobe` nearest clusters (broadcast — O(k) work),
     * and the candidate scan reads only those clusters' partition

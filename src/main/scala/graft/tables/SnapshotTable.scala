@@ -833,6 +833,7 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * history/timestampAsOf sequences. */
   private[tables] var nowMs: () => Long = () => System.currentTimeMillis()
 
+
   /** Step 2: write the complete manifest under a reader-invisible tmp
     * name. Crash after this step leaves a stray `.tmp-` — invisible.
     * Every manifest self-describes with an `#op=<verb> ts=<millis>`
@@ -2015,6 +2016,11 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         validateStagedConstraints(relPaths, schemaOut)
         validatedCs = Some(curCs)
       }
+      // spec interposition point: lets GraftConstraintSpec land a
+      // concurrent addConstraint between validation and publish
+      // deterministically (the race the validated-set guard closes);
+      // static because the SQL write path constructs its own instance
+      SnapshotTable.beforePublishHook()
       // a replacing commit is a REWRITING writer: the marker keeps the
       // change feed from misreading its #batchId as an append
       val replaceLine = if (carry) Seq.empty else Seq(SnapshotTable.ReplaceMarker)
@@ -3551,6 +3557,12 @@ object SnapshotTable {
     * by (file name, row index) address. */
   private[tables] val DvFileCol: String = "__graft_dv_file"
   private[tables] val DvPosCol: String = "__graft_dv_pos"
+  /** Spec-injectable interposition run by [[commitFilesOnce]] between
+    * staged-constraint validation and the publish CAS — how the
+    * concurrent-addConstraint race is tested deterministically.
+    * No-op outside tests. */
+  private[tables] var beforePublishHook: () => Unit = () => ()
+
   private[tables] val DvSchema: StructType = StructType(Seq(
     StructField(DvFileCol, org.apache.spark.sql.types.StringType, nullable = false),
     StructField(DvPosCol, org.apache.spark.sql.types.LongType, nullable = false)))

@@ -50,6 +50,17 @@ class SimilaritySpec extends SparkSpec {
       probed.inputFiles.mkString(", "))
     assert(idxFiles.exists(_.contains("/centroids/")),
       s"centroids not read from the persisted index: ${idxFiles.mkString(", ")}")
+    // INCREMENTAL ingest: a new vector identical to the probe is
+    // assigned against the PERSISTED centroids (no Lloyd) and appended
+    // into its cluster's directory — the next probe finds it at the
+    // top with cosine 1.0, through the same pruned plan
+    val fresh = graft.Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select(lit(999999L).as("vec_id"), col("label"), col("embedding"))
+    Similarity.appendToIvfIndex(spark, dir, fresh, centSchema)
+    val after = Similarity.probeIvfIndex(spark, dir, probe, 0L,
+      nprobe = 2, k = 5, vecSchema, centSchema).collect()
+    assert(after.head.getLong(0) == 999999L, after.map(_.toSeq).mkString("; "))
+    assert(after.head.getDouble(2) == 1.0, after.head.toString)
   }
 
   test("int8 scalar-quantized top-10 recalls most of the exact top-10") {

@@ -208,6 +208,44 @@ class GraftConstraintSpec extends SparkSpec {
       .head.getLong(0) == 1L)
   }
 
+  test("a constraint added between validation and publish is re-validated on the CAS retry") {
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_cons_race_")
+    spark.conf.set("spark.sql.catalog.consrace", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.consrace.root", catRoot.toString)
+    val t = new SnapshotTable(spark, catRoot.resolve("d").toString)
+    t.commit(kv(1L -> 1.0))
+    // interpose EXACTLY ONCE: a concurrent writer adds a constraint
+    // the staged rows violate, after this INSERT validated (against
+    // the then-empty set) and before its publish — the addConstraint
+    // takes the version, so the INSERT's CAS loses and the retry must
+    // re-validate against the NEW set instead of republishing
+    var fired = false
+    SnapshotTable.beforePublishHook = () => {
+      if (!fired) {
+        fired = true
+        new SnapshotTable(spark, catRoot.resolve("d").toString)
+          .addConstraint("v_pos", "v > 0.0")
+      }
+    }
+    try rejects("v_pos")(spark.sql("INSERT INTO consrace.d VALUES (2, -2.0)"))
+    finally SnapshotTable.beforePublishHook = () => ()
+    assert(fired, "interposition hook never ran")
+    // nothing published; the violating staged rows never became a row
+    assert(spark.sql("SELECT count(*) FROM consrace.d").head.getLong(0) == 1L)
+    // and a CONFORMING insert retried under the same race lands
+    var fired2 = false
+    SnapshotTable.beforePublishHook = () => {
+      if (!fired2) {
+        fired2 = true
+        new SnapshotTable(spark, catRoot.resolve("d").toString)
+          .addConstraint("k_pos", "k > 0")
+      }
+    }
+    try spark.sql("INSERT INTO consrace.d VALUES (3, 3.0)")
+    finally SnapshotTable.beforePublishHook = () => ()
+    assert(spark.sql("SELECT count(*) FROM consrace.d").head.getLong(0) == 2L)
+  }
+
   test("streaming sink enforces constraints per micro-batch; CALL detail reports them") {
     val catRoot = java.nio.file.Files.createTempDirectory("graft_cons_stream_")
     spark.conf.set("spark.sql.catalog.consstr", classOf[GraftCatalog].getName)
