@@ -142,22 +142,22 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     if (!isTableDir(p)) throw new NoSuchTableException(ident)
     val t = new SnapshotTable(SparkSession.active, p.toString)
     // ALTER COLUMN ... SET/DROP NOT NULL rides the CHECK-constraint
-    // machinery (SnapshotTable.setNotNull): add-time validation +
-    // write-time enforcement on every path, as a metadata-only
-    // commit per change — not a schema rewrite
+    // machinery: add-time validation + write-time enforcement on
+    // every path, as a metadata-only commit — translated here and
+    // folded into the SAME single commit as the schema changes below
     val (nullability, rest) =
       changes.partition(_.isInstanceOf[TableChange.UpdateColumnNullability])
-    nullability.foreach { case u: TableChange.UpdateColumnNullability =>
-      require(u.fieldNames().length == 1,
-        "graft tables alter top-level column nullability only")
-      if (!u.nullable()) t.setNotNull(u.fieldNames()(0))
-      else t.dropNotNull(u.fieldNames()(0))
-    }
-    if (rest.isEmpty) return loadTable(ident)
+    val nullOps: Seq[(String, Boolean)] =
+      nullability.map { case u: TableChange.UpdateColumnNullability =>
+        require(u.fieldNames().length == 1,
+          "graft tables alter top-level column nullability only")
+        u.fieldNames()(0) -> !u.nullable()
+      }
     // translate + validate EVERY change first, then publish ONE
-    // schema-change commit ([[SnapshotTable.alterSchema]] re-validates
-    // each op against the schema as evolved by its predecessors) — a
-    // multi-action ALTER that fails partway leaves NOTHING committed
+    // commit ([[SnapshotTable.alterAtomic]] validates the nullability
+    // half and each schema op against the schema as evolved by its
+    // predecessors) — a multi-action ALTER that fails partway leaves
+    // NOTHING committed, nullability changes included
     val ops: Seq[SnapshotTable.SchemaOp] = rest.map {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
@@ -186,8 +186,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported by graft tables: $other")
     }
-    t.alterSchema(ops,
-      if (ops.length == 1) ops.head match {
+    if (ops.isEmpty && nullOps.isEmpty) return loadTable(ident)
+    t.alterAtomic(ops, nullOps,
+      if (nullOps.isEmpty && ops.length == 1) ops.head match {
         case _: SnapshotTable.SchemaOp.Rename => "RENAME"
         case _: SnapshotTable.SchemaOp.Drop => "DROP"
         case _: SnapshotTable.SchemaOp.Add => "ADDCOL"

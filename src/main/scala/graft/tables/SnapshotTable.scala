@@ -760,30 +760,37 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
       .agg(min(keyStat).as("lo"), max(keyStat).as("hi"),
         count(lit(1)).as("n"), sumAgg.as("s"), count(col(keyPhys)).as("nn"))
       .collect() // ≤ |rels| rows — bounded driver metadata
+    // key stat rows by the dvAddressOf 2-segment suffix, NOT the bare
+    // basename: a commitDelta's rels span insert and update-post-image
+    // directories, and a basename collision across them would
+    // silently cross-assign one file's stats to both (UUID part names
+    // make that improbable; the parent segment makes it impossible —
+    // the same disambiguation the DV ledger uses)
+    def addr(p: String) = p.split('/').takeRight(2).mkString("/")
     val byName = statRows.filterNot(r => r.isNullAt(1) || r.isNullAt(2)).map { r =>
-      r.getString(0).split('/').last -> (r.getLong(1), r.getLong(2))
+      addr(r.getString(0)) -> (r.getLong(1), r.getLong(2))
     }.toMap
     val rowsByName = statRows.map { r =>
-      r.getString(0).split('/').last -> r.getLong(3)
+      addr(r.getString(0)) -> r.getLong(3)
     }.toMap
     val sumByName: Map[String, Option[(Long, Long)]] = statRows.map { r =>
       val nn = r.getLong(5)
-      r.getString(0).split('/').last ->
+      addr(r.getString(0)) ->
         (if (r.isNullAt(4)) { if (nn == 0L) Some((0L, 0L)) else None }
          else Some((r.getLong(4), nn)))
     }.toMap
     val rangeLines = rels.flatMap { rel =>
-      byName.get(rel.split('/').last).map { case (lo, hi) => s"#range=$rel|$lo|$hi" }
+      byName.get(dvAddressOf(rel)).map { case (lo, hi) => s"#range=$rel|$lo|$hi" }
     }
     val sumLines =
       if (!integralKey) Seq.empty[String]
       else rels.flatMap { rel =>
-        sumByName.getOrElse(rel.split('/').last, Some((0L, 0L)))
+        sumByName.getOrElse(dvAddressOf(rel), Some((0L, 0L)))
           .map { case (sm, nn) => s"#sum=$rel|$sm|$nn" }
       }
     // a file the stats scan attributed no rows to is empty — record 0
     val rowLines = rels.map { rel =>
-      s"#rows=$rel|${rowsByName.getOrElse(rel.split('/').last, 0L)}"
+      s"#rows=$rel|${rowsByName.getOrElse(dvAddressOf(rel), 0L)}"
     }
     (rangeLines, sumLines, rowLines)
   }
@@ -1391,19 +1398,15 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * committed schema keeps `nullable = true` — a conservative READER
     * contract (decode paths stay unchanged); the WRITE contract is
     * the constraint, exactly where enforcement lives. */
-  def setNotNull(colName: String): Long = {
-    require(colName.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"setNotNull needs a plain identifier, got '$colName'")
-    val cur = currentVersion
-    require(cur > 0, s"table at $root has no committed version")
-    require(schemaOf(manifestLines(cur)).fieldNames.contains(colName),
-      s"setNotNull: no column '$colName' at $root")
-    addConstraint(s"__notnull_$colName", s"$colName IS NOT NULL")
-  }
+  def setNotNull(colName: String): Long =
+    alterAtomic(Seq.empty, Seq(colName -> true))
 
-  /** Drop a [[setNotNull]] marker — `ALTER COLUMN ... DROP NOT NULL`. */
+  /** Drop a [[setNotNull]] marker — `ALTER COLUMN ... DROP NOT NULL`.
+    * A column with no `__notnull_` marker (already nullable) is a
+    * NO-OP returning the current version, Delta/Spark's semantics —
+    * not a 'no constraint' refusal. */
   def dropNotNull(colName: String): Long =
-    dropConstraint(s"__notnull_$colName")
+    alterAtomic(Seq.empty, Seq(colName -> false))
 
   /** DROP a CHECK constraint: metadata-only commit without the line
     * (opting out of the auto-carry that would resurrect it). */
@@ -3087,24 +3090,6 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * rule as [[restore]]) under the NEW schema, plus any newly
     * retired physical names. One manifest write — O(1) whatever the
     * table size. */
-  private def commitSchemaChange(newSchema: StructType,
-      newlyRetired: Seq[String], op: String): Long = {
-    val cur = currentVersion
-    require(cur > 0, s"table at $root has no committed version")
-    val lines = manifestLines(cur)
-    require(!lines.drop(2).exists(_.startsWith("#buckets=")),
-      s"$op on a bucketed table requires a rewrite (commitBucketed) at $root")
-    val body = lines.drop(2).filterNot(l =>
-      l.startsWith("#batchId=") || l.startsWith("#writer=") ||
-        l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
-        l.startsWith("#op=") || l == SnapshotTable.CdcTracked) ++
-      newlyRetired.map(n => s"#retired=$n")
-    val version = cur + 1
-    val tmp = writeTmpManifest(version, newSchema, body, op = op)
-    publish(version, tmp)
-    version
-  }
-
   /** RENAME COLUMN, metadata-only (no data file touched): the field's
     * PHYSICAL name is pinned to what the files already say and only
     * the logical name changes — every read path translates through
@@ -3151,20 +3136,65 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * by `ADD COLUMN a` in the same statement still mints a fresh
     * physical identity for the re-used name. */
   def alterSchema(ops: Seq[SnapshotTable.SchemaOp], opTag: String = "ALTER"): Long = {
-    import SnapshotTable.SchemaOp
     require(ops.nonEmpty, s"alterSchema at $root needs at least one change")
-    val lines = manifestLines(currentVersion)
+    alterAtomic(ops, Seq.empty, opTag)
+  }
+
+  /** One multi-action `ALTER TABLE`, schema ops AND column-nullability
+    * changes together, as ONE commit: everything validates first
+    * (pure checks, then the add-time NOT-NULL data scan), and a
+    * failure anywhere leaves NOTHING committed — including the
+    * nullability half, which per-change [[setNotNull]]/[[dropNotNull]]
+    * calls would have published eagerly. `nullOps` is
+    * `(column, makeNotNull)`; a DROP NOT NULL on a column with no
+    * `__notnull_` marker is a no-op (Delta's semantics). Rename/drop
+    * validation sees the constraint set AS EVOLVED by the nullability
+    * half, so `DROP NOT NULL a` + `RENAME a TO b` in one statement
+    * composes, while `SET NOT NULL a` + `RENAME a TO b` refuses
+    * loudly. */
+  def alterAtomic(ops: Seq[SnapshotTable.SchemaOp],
+      nullOps: Seq[(String, Boolean)], opTag: String = "ALTER"): Long = {
+    import SnapshotTable.SchemaOp
+    require(ops.nonEmpty || nullOps.nonEmpty,
+      s"alterAtomic at $root needs at least one change")
+    val cur = currentVersion
+    require(cur > 0, s"table at $root has no committed version")
+    val lines = manifestLines(cur)
     var schema = schemaOf(lines)
     var retired = SnapshotTable.retiredOf(lines)
     val newlyRetired = Seq.newBuilder[String]
+    val csNow = SnapshotTable.constraintsOf(lines)
+    // translate the nullability half FIRST (pure metadata checks —
+    // the data scan for freshly-set NOT NULLs runs after every pure
+    // check below has passed, still before anything publishes)
+    val added = Seq.newBuilder[(String, String)]
+    val droppedNames = Seq.newBuilder[String]
+    nullOps.foreach { case (colName, makeNotNull) =>
+      require(schema.fieldNames.contains(colName),
+        s"${if (makeNotNull) "setNotNull" else "dropNotNull"}: " +
+          s"no column '$colName' at $root")
+      val marker = s"__notnull_$colName"
+      if (makeNotNull) {
+        require(colName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"setNotNull needs a plain identifier, got '$colName'")
+        require(!csNow.exists(_._1 == marker),
+          s"constraint '$marker' already exists at $root")
+        added += marker -> s"$colName IS NOT NULL"
+      } else if (csNow.exists(_._1 == marker)) droppedNames += marker
+      // no marker -> already nullable: DROP NOT NULL is a no-op
+    }
+    val addedCs = added.result()
+    val dropped = droppedNames.result().toSet
     // a CHECK constraint stores its expression as SQL text over
     // LOGICAL names — renaming or dropping a referenced column would
     // silently break or falsify it. Refuse (Delta's rule): drop the
     // constraint first. Widening is fine (the expression still
     // resolves; lossless promotion cannot flip its verdict's domain).
-    val csNow = SnapshotTable.constraintsOf(lines)
+    // The set checked is the one AS EVOLVED by this statement's own
+    // nullability half.
+    val csEffective = csNow.filterNot(c => dropped(c._1)) ++ addedCs
     def requireUnconstrained(colName: String, what: String): Unit =
-      csNow.foreach { case (n, sql) =>
+      csEffective.foreach { case (n, sql) =>
         require(!constraintRefs(sql).contains(
           colName.toLowerCase(java.util.Locale.ROOT)),
           s"cannot $what column $colName: referenced by CHECK constraint " +
@@ -3212,7 +3242,43 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         schema = StructType(schema.fields.map(f =>
           if (f.name == name) f.copy(dataType = newType) else f))
     }
-    commitSchemaChange(schema, newlyRetired.result(), opTag)
+    if (ops.isEmpty && addedCs.isEmpty && dropped.isEmpty)
+      return cur // every nullability change was a no-op drop
+    // every pure check has passed — now the one data scan add-time
+    // NOT NULL validation needs (all freshly-set columns in a single
+    // pass; IS NOT NULL never evaluates to SQL NULL, so no
+    // constraintPass coalesce subtlety applies)
+    if (addedCs.nonEmpty) {
+      val anyNull = addedCs.map(c => col(c._1.stripPrefix("__notnull_")).isNull)
+        .reduce(_ || _)
+      val violations = read(cur).filter(anyNull).limit(1).count()
+      require(violations == 0L, s"cannot add CHECK constraint " +
+        addedCs.map { case (n, sql) => s"$n ($sql)" }.mkString(", ") +
+        s": existing rows violate it at $root")
+    }
+    if (ops.nonEmpty)
+      require(!lines.drop(2).exists(_.startsWith("#buckets=")),
+        s"$opTag on a bucketed table requires a rewrite (commitBucketed) at $root")
+    // ONE commit carrying both halves: constraint lines managed
+    // explicitly (carryConstraints=false — dropped markers must not
+    // be auto-resurrected at the choke point); a pure-constraint
+    // commit stays CdcTracked (zero row-level changes, change feeds
+    // pass through) exactly like addConstraint/dropConstraint
+    val kept = lines.drop(2).filterNot {
+      case SnapshotTable.ConstraintMeta(n, _) if dropped(n) => true
+      case l => l.startsWith("#batchId=") || l.startsWith("#writer=") ||
+        l.startsWith("#cdc=") || l.startsWith("#quarantine=") ||
+        l.startsWith("#op=") || l == SnapshotTable.CdcTracked
+    }
+    val tracked: Seq[String] =
+      if (ops.isEmpty) Seq(SnapshotTable.CdcTracked) else Seq.empty
+    val body = tracked ++ kept ++
+      addedCs.map { case (n, sql) => s"#constraint=$n|$sql" } ++
+      newlyRetired.result().map(n => s"#retired=$n")
+    val version = cur + 1
+    publish(version, writeTmpManifest(version, schema, body, op = opTag,
+      carryConstraints = false))
+    version
   }
 
   /** RESTORE: make `toVersion`'s exact content the CURRENT version by

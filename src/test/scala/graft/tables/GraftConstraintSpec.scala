@@ -298,4 +298,70 @@ class GraftConstraintSpec extends SparkSpec {
       assert(t.rowChangesBetween(v2, v3).count() == 0L)
     } finally SnapshotTable.drop(t)
   }
+
+  test("DROP NOT NULL on an already-nullable column is a no-op, not a refusal") {
+    val t = SnapshotTable.temp(spark, "graft_cons_nnnoop_")
+    try {
+      t.commit(kv(1L -> 1.0))
+      val v = t.currentVersion
+      // no __notnull_v marker exists: Delta/Spark semantics say no-op
+      assert(t.dropNotNull("v") == v, "no-op drop must not commit")
+      assert(t.currentVersion == v)
+      // the column-existence check stays loud
+      rejects("no column")(t.dropNotNull("nope"))
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("multi-action ALTER mixing nullability with a failing change commits NOTHING") {
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_cons_atomic_")
+    spark.conf.set("spark.sql.catalog.consatomic", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.consatomic.root", catRoot.toString)
+    val t = new SnapshotTable(spark, catRoot.resolve("d").toString)
+    try {
+      t.commit(Seq((1L, Some(1.0)), (2L, Some(2.0))).toDF("k", "v"))
+      t.setNotNull("v")
+      val v = t.currentVersion
+      // DROP NOT NULL (valid alone) + an invalid rename in ONE call:
+      // the old per-change path would publish the nullability commit
+      // before the rename validated — now nothing may publish
+      import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+      val cat = spark.sessionState.catalogManager.catalog("consatomic")
+        .asInstanceOf[GraftCatalog]
+      val ident = Identifier.of(Array.empty, "d")
+      rejects("no column")(cat.alterTable(ident,
+        TableChange.updateColumnNullability(Array("v"), true),
+        TableChange.renameColumn(Array("nope"), "w")))
+      assert(t.currentVersion == v, "partial ALTER published a commit")
+      assert(t.constraints == Map("__notnull_v" -> "v IS NOT NULL"),
+        "nullability half leaked out of a failed ALTER")
+      // two nullability changes are atomic among themselves too: the
+      // second failing (nonexistent column) must roll back the first
+      rejects("no column")(cat.alterTable(ident,
+        TableChange.updateColumnNullability(Array("v"), true),
+        TableChange.updateColumnNullability(Array("nope"), false)))
+      assert(t.constraints == Map("__notnull_v" -> "v IS NOT NULL"))
+      // the happy path lands BOTH halves in ONE commit
+      cat.alterTable(ident,
+        TableChange.updateColumnNullability(Array("v"), true),
+        TableChange.addColumn(Array("w"), org.apache.spark.sql.types.LongType))
+      assert(t.currentVersion == v + 1, "mixed ALTER must be one commit")
+      assert(t.constraints.isEmpty)
+      assert(t.read().columns.contains("w"))
+      // DROP NOT NULL a + RENAME a composes (the drop clears the
+      // reference the rename would otherwise trip on)...
+      t.setNotNull("v")
+      cat.alterTable(ident,
+        TableChange.updateColumnNullability(Array("v"), true),
+        TableChange.renameColumn(Array("v"), "v2"))
+      assert(t.constraints.isEmpty)
+      assert(t.read().columns.contains("v2"))
+      // ...while SET NOT NULL a + RENAME a refuses loudly
+      rejects("constraint")(cat.alterTable(ident,
+        TableChange.updateColumnNullability(Array("v2"), false),
+        TableChange.renameColumn(Array("v2"), "v3")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS consatomic.d")
+      SnapshotTable.deleteRecursively(catRoot)
+    }
+  }
 }
