@@ -221,58 +221,77 @@ object Similarity extends QueryPack {
       probe)
   }
 
-  /** PERSIST the IVF index: cluster assignments land as a parquet
-    * table PARTITIONED BY cluster id (each inverted list is a
-    * directory), centroids as a k-row sidecar table. Lloyd runs HERE,
-    * at build time — never again per query. Idempotent overwrite.
-    * Returns the two read schemas: an EMPTY corpus writes no files
-    * and a schema-inferring read would throw UNABLE_TO_INFER_SCHEMA —
-    * empty indexes must probe as zero candidates, not crash (the same
-    * contract as q_sim_ann_indexed's explicit-schema read). */
-  private[ops] def buildIvfIndex(s: SparkSession, d: String, dir: String)
-      : (org.apache.spark.sql.types.StructType, org.apache.spark.sql.types.StructType) = {
+  /** PERSIST the IVF index ON THE TABLE LAYER: cluster assignments
+    * land as a graft table CLUSTERED on the cluster id (range-
+    * partitioned into one file per inverted list, per-file `#range`
+    * stats in the manifest), centroids as a k-row graft sidecar
+    * table. Lloyd runs HERE, at build time — never again per query.
+    * Riding [[graft.tables.SnapshotTable]] means build and ingest get
+    * what every other persisted artifact in this repo has: ATOMIC
+    * manifest commits (a torn build/ingest leaves an orphaned staged
+    * directory readers can never see — vacuum garbage, not a half
+    * index), versioning/time travel, and zero-IO stats. Each build is
+    * a fresh commit — idempotent-overwrite semantics with history.
+    * The empty-corpus contract comes free: the manifest carries the
+    * schema, so an empty index probes as zero candidates instead of
+    * throwing UNABLE_TO_INFER_SCHEMA. */
+  private[graft] def buildIvfIndex(s: SparkSession, d: String, dir: String): Unit = {
     val (assigned, centroids) = ivfBuild(s, d)
-    assigned.write.partitionBy("cluster").mode("overwrite")
-      .parquet(s"$dir/vectors")
-    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    (assigned.schema, centroids.schema)
+    new graft.tables.SnapshotTable(s, s"$dir/vectors")
+      .commitClustered(assigned, "cluster", IvfK)
+    new graft.tables.SnapshotTable(s, s"$dir/centroids").commit(centroids)
   }
+
+  private val IvfK = 8 // must match ivfBuild's k
 
   /** INCREMENTAL maintenance of the persisted IVF index: assign NEW
     * vectors to their nearest PERSISTED centroid — no Lloyd, the
     * quantizer is fixed at build time, which is the standard IVF
     * ingest contract (recall drifts only as the corpus distribution
     * does; rebuild is the explicit, separate operation) — and APPEND
-    * them into their clusters' partition directories. Existing
-    * inverted lists are untouched; the probe path needs no change. */
-  private[ops] def appendToIvfIndex(s: SparkSession, dir: String,
-      fresh: DataFrame,
-      centroidsSchema: org.apache.spark.sql.types.StructType): Unit = {
+    * them into their clusters' files via the table layer's
+    * exactly-once [[graft.tables.SnapshotTable.appendOnce]]: the
+    * ingest is ATOMIC (visible entirely or not at all — never the
+    * torn half-append a bare `mode("append")` parquet write risks)
+    * and idempotent under `batchId` retry. The staged batch is
+    * range-repartitioned on the cluster id so each new file covers a
+    * narrow cluster range, and the append MINTS per-file `#range`
+    * stats ([[graft.tables.SnapshotTable]] write-time stats), so the
+    * full cluster claim — and the probe's file pruning — survives
+    * every ingest. Existing inverted lists are untouched. */
+  private[graft] def appendToIvfIndex(s: SparkSession, dir: String,
+      fresh: DataFrame, batchId: Long): Unit = {
     import graft.functions.CosineSimilarity.cosine_sim
-    val centroids = s.read.schema(centroidsSchema).parquet(s"$dir/centroids")
+    val centroids = s.read.format("graft-table")
+      .option("path", s"$dir/centroids").load()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("sim").desc, col("cluster").asc)
-    fresh.crossJoin(broadcast(centroids))
+    val assignedFresh = fresh.crossJoin(broadcast(centroids))
       .withColumn("sim", cosine_sim(col("embedding"), col("cvec")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("embedding"), col("cluster"))
-      .write.partitionBy("cluster").mode("append").parquet(s"$dir/vectors")
+      .repartitionByRange(IvfK, col("cluster"))
+    new graft.tables.SnapshotTable(s, s"$dir/vectors")
+      .appendOnce(assignedFresh, batchId)
   }
 
   /** Probe the PERSISTED IVF index: the k-row centroid table ranks
     * the probe's `nprobe` nearest clusters (broadcast — O(k) work),
-    * and the candidate scan reads only those clusters' partition
-    * directories via dynamic partition pruning on the broadcast join
-    * (the q_sim_ann_indexed plan shape: no driver lookup, the same
-    * plan serves a probe TABLE). Exact cosine ranks the candidates. */
-  private[ops] def probeIvfIndex(s: SparkSession, dir: String,
-      probe: DataFrame, probeId: Long, nprobe: Int, k: Int,
-      vectorsSchema: org.apache.spark.sql.types.StructType,
-      centroidsSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    * and the candidate scan reads only the probed clusters' FILES:
+    * the graft-table DSv2 scan advertises the cluster key for
+    * RUNTIME V2 filtering, so the broadcast join ships the probed
+    * cluster set into the scan and whole files drop at the manifest
+    * (`#range` intersection) before any data IO — the DSv2 analog of
+    * dynamic partition pruning, with no driver lookup (the same plan
+    * serves a probe TABLE). Exact cosine ranks the candidates. */
+  private[graft] def probeIvfIndex(s: SparkSession, dir: String,
+      probe: DataFrame, probeId: Long, nprobe: Int, k: Int): DataFrame = {
     import graft.functions.CosineSimilarity.cosine_sim
-    val centroids = s.read.schema(centroidsSchema).parquet(s"$dir/centroids")
-    val vectors = s.read.schema(vectorsSchema).parquet(s"$dir/vectors")
+    val centroids = s.read.format("graft-table")
+      .option("path", s"$dir/centroids").load()
+    val vectors = s.read.format("graft-table")
+      .option("path", s"$dir/vectors").load()
     val probedClusters = probe.crossJoin(broadcast(centroids))
       .select(col("cluster"),
         cosine_sim(col("probe"), col("cvec")).as("csim"))
@@ -302,10 +321,10 @@ object Similarity extends QueryPack {
   private def annIvfPersisted(s: SparkSession, d: String): DataFrame = {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_ann_ivf_idx_" +
       d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
-    val (vecSchema, centSchema) = buildIvfIndex(s, d, dir)
+    buildIvfIndex(s, d, dir)
     val probe = Tables.embeddings(s, d).filter(col("vec_id") === ProbeId)
       .select(col("embedding").as("probe"))
-    probeIvfIndex(s, dir, probe, ProbeId, nprobe = 2, k = 5, vecSchema, centSchema)
+    probeIvfIndex(s, dir, probe, ProbeId, nprobe = 2, k = 5)
   }
 
   /** Persisted-index ANN: the LSH bucket is a PARTITION COLUMN of a

@@ -1176,6 +1176,90 @@ object GraftTableBatchReaderFactory {
     * streaming reader ([[GraftTableReaderFactory]]), minus the
     * per-row dispatch. */
   private[tables] def decoderFor(gType: org.apache.parquet.schema.GroupType,
+      idx: Int, f: StructField): Group => Any = f.dataType match {
+    case at: org.apache.spark.sql.types.ArrayType =>
+      arrayDecoder(gType, idx, at, f.name)
+    case _ => primitiveDecoderFor(gType, idx, f)
+  }
+
+  /** Decode a ONE-LEVEL array column (e.g. an embedding vector) from
+    * the Group API. Handles the standard 3-level list layout Spark
+    * writes (`optional group (LIST) { repeated group list { optional
+    * element } }`) plus the 2-level legacy variants (repeated
+    * primitive directly, or inside the outer group). Element decode
+    * resolves ONCE at construction, like the primitive decoders. */
+  private[tables] def arrayDecoder(gType: org.apache.parquet.schema.GroupType,
+      idx: Int, at: org.apache.spark.sql.types.ArrayType,
+      colName: String): Group => Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def elemReader(owner: org.apache.parquet.schema.GroupType,
+        eIdx: Int): (Group, Int) => Any = {
+      val prim = owner.getType(eIdx).asPrimitiveType().getPrimitiveTypeName
+      (at.elementType, prim) match {
+        case (BooleanType, _) => (g, i) => g.getBoolean(eIdx, i)
+        case (ByteType, _) => (g, i) => g.getInteger(eIdx, i).toByte
+        case (ShortType, _) => (g, i) => g.getInteger(eIdx, i).toShort
+        case (IntegerType, _) => (g, i) => g.getInteger(eIdx, i)
+        case (LongType, INT32) => (g, i) => g.getInteger(eIdx, i).toLong
+        case (LongType, _) => (g, i) => g.getLong(eIdx, i)
+        case (FloatType, _) => (g, i) => g.getFloat(eIdx, i)
+        case (DoubleType, FLOAT) => (g, i) => g.getFloat(eIdx, i).toDouble
+        case (DoubleType, _) => (g, i) => g.getDouble(eIdx, i)
+        case (StringType, _) =>
+          (g, i) => UTF8String.fromBytes(g.getBinary(eIdx, i).getBytes)
+        case (BinaryType, _) => (g, i) => g.getBinary(eIdx, i).getBytes
+        case (dt, pt) => throw new UnsupportedOperationException(
+          s"graft-table reader: array column $colName element $dt from parquet $pt")
+      }
+    }
+    val fieldType = gType.getType(idx)
+    if (fieldType.isPrimitive) {
+      // legacy 2-level: repeated primitive directly on the row group
+      val rd = elemReader(gType, idx)
+      (g: Group) => {
+        val n = g.getFieldRepetitionCount(idx)
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) { out(i) = rd(g, i); i += 1 }
+        new GenericArrayData(out)
+      }
+    } else {
+      val outer = fieldType.asGroupType()
+      require(outer.getFieldCount == 1,
+        s"graft-table reader: unsupported list layout for $colName: $outer")
+      val repType = outer.getType(0)
+      if (repType.isPrimitive) {
+        // 2-level: optional group { repeated primitive element }
+        val rd = elemReader(outer, 0)
+        (g: Group) => {
+          val og = g.getGroup(idx, 0)
+          val n = og.getFieldRepetitionCount(0)
+          val out = new Array[Any](n)
+          var i = 0
+          while (i < n) { out(i) = rd(og, i); i += 1 }
+          new GenericArrayData(out)
+        }
+      } else {
+        // standard 3-level: repeated group list { optional element }
+        val rd = elemReader(repType.asGroupType(), 0)
+        (g: Group) => {
+          val og = g.getGroup(idx, 0)
+          val n = og.getFieldRepetitionCount(0)
+          val out = new Array[Any](n)
+          var i = 0
+          while (i < n) {
+            val eg = og.getGroup(0, i)
+            out(i) = if (eg.getFieldRepetitionCount(0) == 0) null else rd(eg, 0)
+            i += 1
+          }
+          new GenericArrayData(out)
+        }
+      }
+    }
+  }
+
+  private def primitiveDecoderFor(gType: org.apache.parquet.schema.GroupType,
       idx: Int, f: StructField): Group => Any = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val prim = gType.getType(idx).asPrimitiveType().getPrimitiveTypeName

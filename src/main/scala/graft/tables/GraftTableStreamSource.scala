@@ -480,11 +480,20 @@ case class GraftTableFilePartition(absPath: String,
     literalChangeType: Option[String] = None) extends InputPartition
 
 object GraftTableReaderFactory {
-  /** Primitive types the Group-API decoder handles. */
+  /** Types the Group-API decoder handles: the primitive set, plus
+    * ONE-LEVEL arrays of those primitives (embedding vectors are a
+    * first-class table column — an ANN index's inverted lists live in
+    * graft tables). Deeper nesting stays rejected at inference time
+    * rather than silently mis-read. */
   def supported(dt: DataType): Boolean = dt match {
     case BooleanType | IntegerType | LongType | FloatType | DoubleType |
          StringType | BinaryType | DateType | TimestampType |
          ByteType | ShortType => true
+    case org.apache.spark.sql.types.ArrayType(et, _) => et match {
+      case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+           StringType | BinaryType | ByteType | ShortType => true
+      case _ => false
+    }
     case _ => false
   }
 
@@ -556,6 +565,9 @@ class GraftTableReaderFactory(schemaJson: String,
           else {
           val idx = gType.getFieldIndex(f.name)
           if (g.getFieldRepetitionCount(idx) == 0) null
+          else if (f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+            GraftTableBatchReaderFactory.arrayDecoder(gType, idx,
+              f.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType], f.name)(g)
           else {
             val prim = gType.getType(idx).asPrimitiveType().getPrimitiveTypeName
             import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._

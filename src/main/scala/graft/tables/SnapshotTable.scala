@@ -1900,6 +1900,10 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
         (s"#batchId=$batchId" +: (manifestDvLines(curPrev) ++ retiredLines ++
           statCarry ++ mintedLines ++ newRowsLines)) ++ (carriedFiles ++ files),
         op = "APPEND")
+      // same deterministic-crash injection point as the DSv2 commit
+      // path: a hook that throws simulates dying between the data
+      // write and visibility (torn-ingest specs)
+      SnapshotTable.beforePublishHook()
       try { publish(curVersion, tmp); return Some(curVersion) }
       catch { case e: CommitConflictException =>
         rebases += 1

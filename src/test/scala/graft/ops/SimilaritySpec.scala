@@ -22,20 +22,22 @@ class SimilaritySpec extends SparkSpec {
       s"IVF recall too low: $ivf vs $brute")
   }
 
-  test("persisted IVF: probe phase partition-prunes, equals the per-query path, no Lloyd") {
+  test("persisted IVF: probe phase runtime-prunes the graft index, equals the per-query path, no Lloyd") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx_spec_").toString
     // build ONCE; every probe below touches only the persisted index
-    val (vecSchema, centSchema) = Similarity.buildIvfIndex(spark, sf, dir)
+    Similarity.buildIvfIndex(spark, sf, dir)
     val probe = graft.Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
       .select(col("embedding").as("probe"))
     val probed = Similarity.probeIvfIndex(spark, dir, probe, 0L,
-      nprobe = 2, k = 5, vecSchema, centSchema)
-    // the candidate scan is pruned to the probed clusters' partition
-    // directories at RUNTIME — the DPP subquery is in the plan
+      nprobe = 2, k = 5)
+    // the candidate scan is pruned to the probed clusters' files at
+    // RUNTIME — the broadcast join ships the probed cluster set into
+    // the graft-table scan (SupportsRuntimeV2Filtering) as a
+    // dynamic-pruning subquery
     val plan = probed.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning") && plan.contains("cluster"),
-      s"probe scan does not partition-prune:\n${plan.take(1200)}")
+      s"probe scan does not runtime-prune:\n${plan.take(1200)}")
     // row-equality with the per-query IVF path (same quantizer,
     // same scoring — only the access path differs)
     val perQuery = SparkEntry_queries("q_sim_ann_ivf")
@@ -43,24 +45,35 @@ class SimilaritySpec extends SparkSpec {
     val persisted = probed.collect().map(_.toSeq).toSeq
     assert(persisted == perQuery, s"persisted $persisted != per-query $perQuery")
     // the probe phase's candidates and centroids come from the
-    // PERSISTED index (the base table contributes only the 1-row
-    // probe vector — the query input); Lloyd never re-runs
-    val idxFiles = probed.inputFiles.filterNot(_.contains("embeddings.parquet"))
-    assert(idxFiles.nonEmpty && idxFiles.forall(_.contains("graft_ivf_idx_spec_")),
-      probed.inputFiles.mkString(", "))
-    assert(idxFiles.exists(_.contains("/centroids/")),
-      s"centroids not read from the persisted index: ${idxFiles.mkString(", ")}")
+    // PERSISTED index tables (the base table contributes only the
+    // 1-row probe vector — the query input); Lloyd never re-runs
+    val graftScans = probed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.filter(_.startsWith("graft-table"))
+    assert(graftScans.size == 2 &&
+      graftScans.forall(_.contains("graft_ivf_idx_spec_")),
+      s"index not read through graft tables: $graftScans")
+    assert(probed.inputFiles.forall(_.contains("embeddings.parquet")),
+      s"unexpected file-scan inputs: ${probed.inputFiles.mkString(", ")}")
     // INCREMENTAL ingest: a new vector identical to the probe is
     // assigned against the PERSISTED centroids (no Lloyd) and appended
-    // into its cluster's directory — the next probe finds it at the
-    // top with cosine 1.0, through the same pruned plan
+    // into its cluster's files via an ATOMIC exactly-once table
+    // commit — the next probe finds it at the top with cosine 1.0,
+    // through the same pruned plan
     val fresh = graft.Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
       .select(lit(999999L).as("vec_id"), col("label"), col("embedding"))
-    Similarity.appendToIvfIndex(spark, dir, fresh, centSchema)
+    Similarity.appendToIvfIndex(spark, dir, fresh, batchId = 1L)
     val after = Similarity.probeIvfIndex(spark, dir, probe, 0L,
-      nprobe = 2, k = 5, vecSchema, centSchema).collect()
+      nprobe = 2, k = 5).collect()
     assert(after.head.getLong(0) == 999999L, after.map(_.toSeq).mkString("; "))
     assert(after.head.getDouble(2) == 1.0, after.head.toString)
+    // replaying the SAME ingest batch is a no-op (exactly-once), not
+    // a duplicate row in the inverted list
+    Similarity.appendToIvfIndex(spark, dir, fresh, batchId = 1L)
+    val replay = Similarity.probeIvfIndex(spark, dir, probe, 0L,
+      nprobe = 2, k = 5).collect()
+    assert(replay.count(_.getLong(0) == 999999L) == 1, replay.mkString("; "))
   }
 
   test("int8 scalar-quantized top-10 recalls most of the exact top-10") {

@@ -257,10 +257,31 @@ class GraftTableStreamSpec extends SparkSpec {
     } finally SnapshotTable.drop(t)
   }
 
-  test("unsupported (nested) columns are rejected at schema inference, not mis-read") {
+  test("one-level primitive arrays stream identically to the batch read") {
+    val t = tempTable("arrays")
+    try {
+      // embedding-style columns: float/long/string arrays, incl. an
+      // empty array and a NULL array
+      t.commit(spark.sql(
+        """SELECT * FROM VALUES
+          |  (1, array(cast(0.5 as float), cast(-1.25 as float)), array(7L, 8L), array('a', 'b')),
+          |  (2, array(cast(2.0 as float)), array(), array('c')),
+          |  (3, cast(NULL as array<float>), array(9L), cast(NULL as array<string>))
+          |AS t(i, emb, ls, ss)""".stripMargin))
+      val q = spark.readStream.format("graft-table").option("path", t.root).load()
+        .writeStream.format("memory").queryName("gt_arrays").start()
+      q.processAllAvailable(); q.stop()
+      val norm = (rows: Seq[org.apache.spark.sql.Row]) => rows.map(_.toSeq)
+      val streamed = norm(spark.table("gt_arrays").orderBy("i").collect().toSeq)
+      val batch = norm(t.read().orderBy("i").collect().toSeq)
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally SnapshotTable.drop(t)
+  }
+
+  test("deeper-nested columns are rejected at schema inference, not mis-read") {
     val t = tempTable("nested")
     try {
-      t.commit(spark.sql("SELECT 1 AS k, array(1, 2) AS xs"))
+      t.commit(spark.sql("SELECT 1 AS k, array(struct(1 AS a)) AS xs"))
       val e = intercept[IllegalArgumentException] {
         spark.readStream.format("graft-table").option("path", t.root).load()
       }
