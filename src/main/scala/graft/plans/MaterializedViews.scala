@@ -484,6 +484,7 @@ object MaterializedViews {
     Option(registry.put(fp, Entry(path)))
       .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
     indexShape(fp, df)
+    persist()
     reapSuperseded(all = false)
     fp
   }
@@ -494,6 +495,7 @@ object MaterializedViews {
     Option(incremental.remove(fingerprint))
       .foreach(e => superseded.add((e.statePath, System.currentTimeMillis())))
     dropShapes(fingerprint)
+    persist()
   }
 
   // ---- incremental (SnapshotTable-backed) views ----
@@ -556,6 +558,7 @@ object MaterializedViews {
       query, partial, combine, finalize, partialDelta)))
       .foreach(o => superseded.add((o.statePath, System.currentTimeMillis())))
     withRewriteDisabled { indexShape(fp, query(table.read(version))) }
+    persist()
     fp
   }
 
@@ -616,6 +619,7 @@ object MaterializedViews {
         .foreach(o => superseded.add((o.statePath, System.currentTimeMillis())))
       dropShapes(fp)
     }
+    persist()
     reapSuperseded(all = false)
     Some(RefreshResult(newFp, mode, inputs))
   }
@@ -631,6 +635,154 @@ object MaterializedViews {
     containment.clear()
     joinContainment.clear()
     reapSuperseded(all = true)
+    persist()
+  }
+
+  // ---- durable registry --------------------------------------------------
+  //
+  // A production MV outlives the session that registered it. When a
+  // durable registry file is ATTACHED (e.g. under a GraftCatalog
+  // root), every register/deregister WRITES THROUGH to it atomically
+  // (tmp + atomic move — a torn write can never half-publish), and
+  // attaching in a fresh session LOADS yesterday's fingerprints,
+  // materialization paths and containment shapes back — the rewrite
+  // rule fires against existing materializations with no
+  // re-registration. This is sound because everything persisted is
+  // built from CANONICALIZED plans: renders and canonical exprIds are
+  // position-based, so the same view query in a new session produces
+  // byte-identical keys. The in-memory maps remain the only thing
+  // lookups touch — attach cost is one file read, lookup cost is
+  // unchanged. Incremental-view REFRESH state (the query closure) is
+  // not portable across sessions; a reloaded incremental view still
+  // rewrites exactly (fp → path), and re-calling registerIncremental
+  // restores refreshability.
+
+  @volatile private var durableFile: Option[java.nio.file.Path] = None
+  private val durableLock = new Object
+
+  /** Attach `dir/_mv_registry` as the durable backing store: load
+    * what's there (merging into the in-memory cache), then write
+    * through on every mutation. Returns the number of entries loaded. */
+  def attachDurableRegistry(dir: String): Int = durableLock.synchronized {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    val f = d.resolve("_mv_registry")
+    durableFile = Some(f)
+    val loaded = if (java.nio.file.Files.exists(f)) loadFrom(f) else 0
+    persist()
+    loaded
+  }
+
+  /** Stop writing through (the file keeps its last state). */
+  def detachDurableRegistry(): Unit =
+    durableLock.synchronized { durableFile = None }
+
+  /** TEST SEAM: forget all in-memory state WITHOUT touching the
+    * durable file or reclaiming any materialization directory — the
+    * closest one JVM gets to "a brand-new session process". */
+  private[graft] def resetMemoryForTest(): Unit = {
+    registry.clear(); incremental.clear()
+    containment.clear(); joinContainment.clear()
+    durableFile = None
+  }
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+  private def encSeq(xs: Iterable[String]): String =
+    if (xs.isEmpty) "-" else xs.map(b64).mkString(",")
+  private def decSeq(s: String): Seq[String] =
+    if (s == "-") Seq.empty else s.split(',').toSeq.map(unb64)
+  private def encSMap(m: Map[String, Int]): String =
+    if (m.isEmpty) "-" else m.map { case (k, v) => s"${b64(k)}:$v" }.mkString(",")
+  private def decSMap(s: String): Map[String, Int] =
+    if (s == "-") Map.empty else s.split(',').map { kv =>
+      val i = kv.lastIndexOf(':'); unb64(kv.substring(0, i)) -> kv.substring(i + 1).toInt
+    }.toMap
+  private def encNMap[K](m: Map[K, Int]): String =
+    if (m.isEmpty) "-" else m.map { case (k, v) => s"$k:$v" }.mkString(",")
+  private def decLMap(s: String): Map[Long, Int] =
+    if (s == "-") Map.empty else s.split(',').map { kv =>
+      val p = kv.split(':'); p(0).toLong -> p(1).toInt
+    }.toMap
+  private def decIMap(s: String): Map[Int, Int] =
+    if (s == "-") Map.empty else s.split(',').map { kv =>
+      val p = kv.split(':'); p(0).toInt -> p(1).toInt
+    }.toMap
+
+  /** Write the whole registry state to the attached file, atomically.
+    * Called under every mutation; no-op when detached. O(views) —
+    * the registry is fingerprints and paths, never data. */
+  private def persist(): Unit = durableFile.foreach { f =>
+    durableLock.synchronized {
+      import scala.jdk.CollectionConverters._
+      val sb = new StringBuilder
+      registry.asScala.foreach { case (fp, e) =>
+        sb ++= s"ENTRY ${b64(fp)} ${b64(e.path)}\n"
+      }
+      containment.asScala.foreach { case (key, q) =>
+        q.iterator().asScala.foreach { s =>
+          sb ++= s"SHAPE ${b64(key)} ${b64(s.fp)} ${encSeq(s.groupingRenders)} " +
+            s"${encSMap(s.groupingByRender)} ${encSMap(s.aggByRender)} " +
+            s"${encNMap(s.childOrdinalToOutput)}\n"
+        }
+      }
+      joinContainment.asScala.foreach { case (key, q) =>
+        q.iterator().asScala.foreach { s =>
+          sb ++= s"JSHAPE ${b64(key)} ${b64(s.fp)} ${encSMap(s.groupingByRender)} " +
+            s"${encSMap(s.aggByRender)} ${encNMap(s.baseOrdinalToOutput)} " +
+            s"${encSeq(s.condRenders)}\n"
+        }
+      }
+      val tmp = f.resolveSibling(s".tmp-mvreg-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp, sb.toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Merge the file's records into the in-memory cache. A
+    * materialization path that no longer exists on disk is SKIPPED
+    * (its files were reclaimed outside the registry's control) —
+    * rewriting to a missing path would fail every query it fires
+    * on. Shapes dedupe by (key, fp). */
+  private def loadFrom(f: java.nio.file.Path): Int = {
+    import scala.jdk.CollectionConverters._
+    var n = 0
+    val deadFps = scala.collection.mutable.Set.empty[String]
+    java.nio.file.Files.readAllLines(f).asScala.foreach { line =>
+      val parts = line.split(' ')
+      parts(0) match {
+        case "ENTRY" =>
+          val fp = unb64(parts(1)); val path = unb64(parts(2))
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+            registry.putIfAbsent(fp, Entry(path)); n += 1
+          } else deadFps += fp
+        case "SHAPE" =>
+          val key = unb64(parts(1)); val fp = unb64(parts(2))
+          if (!deadFps.contains(fp)) {
+            val q = containment.computeIfAbsent(key,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[ViewShape]())
+            if (!q.iterator().asScala.exists(_.fp == fp))
+              q.add(ViewShape(fp, decSeq(parts(3)).toSet, decSMap(parts(4)),
+                decSMap(parts(5)), decLMap(parts(6))))
+          }
+        case "JSHAPE" =>
+          val key = unb64(parts(1)); val fp = unb64(parts(2))
+          if (!deadFps.contains(fp)) {
+            val q = joinContainment.computeIfAbsent(key,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[JoinViewShape]())
+            if (!q.iterator().asScala.exists(_.fp == fp))
+              q.add(JoinViewShape(fp, decSMap(parts(3)), decSMap(parts(4)),
+                decIMap(parts(5)), decSeq(parts(6)).toSet))
+          }
+        case other =>
+          throw new IllegalStateException(s"corrupt _mv_registry line: $other")
+      }
+    }
+    n
   }
 }
 

@@ -47,6 +47,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       s"catalog $name requires spark.sql.catalog.$name.root=<dir>")
     root = Paths.get(r)
     Files.createDirectories(root)
+    // spark.sql.catalog.<name>.mvRegistry=true: the catalog root also
+    // carries the DURABLE materialized-view registry (_mv_registry) —
+    // a fresh session initializing this catalog transparently rewrites
+    // against materializations registered by earlier sessions
+    if (options.getBoolean("mvRegistry", false))
+      graft.plans.MaterializedViews.attachDurableRegistry(root.toString)
   }
 
   private def pathOf(ident: Identifier): Path = {

@@ -483,4 +483,51 @@ class ExtensionsSpec extends SparkSpec {
     assert(!optimized.toLowerCase.contains("cosinesimilarity"), optimized)
     assert(df.collect().forall(_.getDouble(0) > 0))
   }
+
+  test("durable MV registry: a rebuilt session rewrites against a prior session's materializations") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_durable_").toString
+    def wide() = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+    def rollup() = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"))
+    val expectWide = wide().orderBy("pri", "st").collect().toSeq
+    val expectRoll = rollup().orderBy("pri").collect().toSeq
+    try {
+      // SESSION 1: the catalog root carries the registry; register
+      MaterializedViews.attachDurableRegistry(dir)
+      MaterializedViews.register(wide(), s"$dir/mv")
+      // "PROCESS DEATH": wipe every in-memory map — the only state a
+      // brand-new JVM would not have. The rewrite goes cold.
+      MaterializedViews.resetMemoryForTest()
+      val cold = wide().queryExecution.executedPlan.toString
+      assert(!cold.contains("graft_mv_durable_"), "stale in-memory state survived reset")
+      // SESSION 2: initializing a GraftCatalog with mvRegistry=true on
+      // the same root transparently reloads the registry
+      spark.conf.set("spark.sql.catalog.mvdur",
+        classOf[graft.tables.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.mvdur.root", dir)
+      spark.conf.set("spark.sql.catalog.mvdur.mvRegistry", "true")
+      spark.sql("SHOW TABLES IN mvdur").collect() // forces catalog init
+      // exact-match rewrite fires from the reloaded registry
+      val hot = wide()
+      val hPlan = hot.queryExecution.executedPlan.toString
+      assert(hPlan.contains("graft_mv_durable_") && !hPlan.contains("orders.parquet"),
+        s"reloaded registry did not fire:\n${hPlan.take(800)}")
+      assert(hot.orderBy("pri", "st").collect().toSeq == expectWide)
+      // containment shapes reloaded too: the COUNT rollup answers
+      // from the view (counts re-aggregate exactly — no double sums)
+      val roll = rollup()
+      val rPlan = roll.queryExecution.executedPlan.toString
+      assert(rPlan.contains("graft_mv_durable_") && !rPlan.contains("orders.parquet"),
+        s"reloaded shape did not fire:\n${rPlan.take(800)}")
+      assert(roll.orderBy("pri").collect().toSeq == expectRoll)
+    } finally {
+      MaterializedViews.detachDurableRegistry()
+      MaterializedViews.clear()
+      spark.conf.unset("spark.sql.catalog.mvdur")
+      graft.tables.SnapshotTable.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
 }
