@@ -697,28 +697,41 @@ final class SnapshotTable(private[graft] val spark: SparkSession, val root: Stri
     * pushdown — keep answering with zero data IO through commits,
     * appends, updates and SQL DML alike.
     *
-    * Since r14 this driver-side pass is the FALLBACK, not the norm:
-    * the DSv2 batch/streaming/delta writers ship per-file counts in
-    * their write-task COMMIT MESSAGES (zero extra IO anywhere), and
-    * every clustered-table write collects counts inside the same
-    * executor stats pass that mints `#range`/`#sum`
-    * ([[mintStagedStats]]). What remains here are the instance-verb
-    * conveniences on UNCLUSTERED tables (commit/appendOnce/update
-    * post-images through [[writeData]], whose `df.write.parquet`
-    * surfaces no per-task metadata) — O(staged files) parallel
-    * footer reads, bounded by one write's task count, never O(table). */
-  private def footerRowsLines(rels: Seq[String]): Seq[String] =
-    if (rels.lengthCompare(8) <= 0)
-      rels.map(rel =>
-        s"#rows=$rel|${SnapshotTable.parquetRowCount(rootPath.resolve(rel))}")
-    else {
-      // many files: footer reads are independent metadata IO — fan
-      // them out on the common pool instead of paying them serially
+    * This footer pass is the FALLBACK, not the norm: the DSv2
+    * batch/streaming/delta writers ship per-file counts in their
+    * write-task COMMIT MESSAGES (zero extra IO anywhere), and every
+    * clustered-table write collects counts inside the same executor
+    * stats pass that mints `#range`/`#sum` ([[mintStagedStats]]).
+    * What remains here are the instance-verb conveniences on
+    * UNCLUSTERED tables (commit/appendOnce/update post-images through
+    * [[writeData]], whose `df.write.parquet` surfaces no per-task
+    * metadata). Since r15 a WIDE write's footer reads run ON
+    * EXECUTORS — one small RDD job over the staged rels — so the
+    * cluster-scale profile (hundreds-thousands of staged files) never
+    * funnels per-file IO through the driver; only a NARROW write
+    * (≤32 files, one local write's task count) keeps the in-process
+    * parallel footer loop, because an RDD job costs ~50ms of
+    * scheduling — measured r15 — which dwarfs a handful of
+    * metadata-sized reads and would tax every commit in a multi-commit
+    * query. Driver-side IO is therefore capped at 32 footer reads
+    * (KBs each) per commit, never O(table); anything wider
+    * distributes and the driver receives ≤|staged files| strings. */
+  private def footerRowsLines(rels: Seq[String]): Seq[String] = {
+    if (rels.isEmpty) return Seq.empty
+    if (rels.lengthCompare(32) <= 0) {
       import scala.jdk.CollectionConverters._
       rels.asJava.parallelStream().map[String] { rel =>
         s"#rows=$rel|${SnapshotTable.parquetRowCount(rootPath.resolve(rel))}"
       }.collect(java.util.stream.Collectors.toList[String]).asScala.toSeq
+    } else {
+      val rootStr = root // closure must not capture `this` (holds the session)
+      spark.sparkContext
+        .parallelize(rels, math.min(rels.size, 32))
+        .map(rel => s"#rows=$rel|${SnapshotTable.parquetRowCount(
+          java.nio.file.Paths.get(rootStr).resolve(rel))}")
+        .collect().toSeq // ≤ |staged files| strings — bounded metadata
     }
+  }
 
   /** Write-time per-file stats for FRESHLY STAGED files under an
     * existing cluster claim: `#range=` bounds (+ `#sum=` key sums for

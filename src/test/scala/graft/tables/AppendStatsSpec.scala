@@ -17,6 +17,20 @@ class AppendStatsSpec extends SparkSpec {
 
   private def kv(rows: (Long, Double)*) = rows.toDF("k", "v")
 
+  test("a WIDE commit's footer counts come from the executor-side pass and stay exact") {
+    // >32 staged files takes the distributed footer-read path (a
+    // narrow write keeps the driver's ≤32 metadata-sized reads) —
+    // the per-file #rows lines must be complete and exact either way
+    val t = SnapshotTable.temp(spark, "graft_appstats_wide_")
+    try {
+      t.commit((1L to 500L).map(k => (k, k * 1.0)).toDF("k", "v").repartition(40))
+      assert(t.metaCount(1L) == 500L)
+      t.appendOnce((501L to 540L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .repartition(40), 0L)
+      assert(t.metaCount(t.currentVersion) == 540L)
+    } finally SnapshotTable.drop(t)
+  }
+
   test("metaCount stays zero-IO through commit/append/delete/update/merge/compactSmall") {
     val t = SnapshotTable.temp(spark, "graft_appstats_count_")
     try {
