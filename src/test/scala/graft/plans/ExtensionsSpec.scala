@@ -239,6 +239,45 @@ class ExtensionsSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("MV grouping-expression containment composes with HAVING; mixed key/non-key refuses") {
+    val mvPath = java.nio.file.Files.createTempDirectory("graft_mv_gexprh_").toString + "/mv"
+    def wide() = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sc"))
+    MaterializedViews.register(wide(), mvPath)
+    try {
+      // month rollup (expression over the view key) + HAVING on the
+      // ROLLED-UP aggregate: the Filter sits above the rewritten
+      // Aggregate and must keep filtering the re-aggregated values —
+      // counts and integral sums are exact, so equality is exact
+      def q() = graft.Tables.orders(spark, sf)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sc"))
+        .filter(col("n") > 15)
+      val plan = q().queryExecution.executedPlan.toString
+      assert(plan.contains("graft_mv_gexprh_"), s"no MV in plan:\n${plan.take(800)}")
+      assert(!plan.contains("orders.parquet"), plan.take(800))
+      MaterializedViews.clear()
+      val expect = q().orderBy("mon").collect().toSeq.map(_.toSeq)
+      val allMonths = graft.Tables.orders(spark, sf)
+        .groupBy(date_trunc("month", col("o_orderdate"))).count().count()
+      assert(expect.nonEmpty, "HAVING threshold filtered everything — test is vacuous")
+      assert(expect.size < allMonths, "HAVING threshold filtered nothing — test is vacuous")
+      MaterializedViews.register(wide(), mvPath)
+      assert(q().orderBy("mon").collect().toSeq.map(_.toSeq) == expect)
+      // an expression over a MIXED key/non-key reference list refuses:
+      // f(day, custkey) groups base rows across view rows (the view
+      // never grouped by custkey), so partial aggregates cannot
+      // reconstruct it
+      val mixed = graft.Tables.orders(spark, sf)
+        .groupBy(concat(col("o_orderdate").cast("string"),
+          (col("o_custkey") % 7).cast("string")).as("g"))
+        .agg(count(lit(1)).as("n"))
+      assert(!mixed.queryExecution.executedPlan.toString.contains("graft_mv_gexprh_"),
+        "mixed key/non-key grouping expression must not rewrite")
+    } finally MaterializedViews.clear()
+  }
+
   test("MV join containment: same join rewrites; different keys/filters/joins refuse") {
     val mvPath = java.nio.file.Files.createTempDirectory("graft_mv_join_").toString + "/mvj"
     def approxEq(a: Seq[Seq[Any]], b: Seq[Seq[Any]]): Boolean =
