@@ -155,6 +155,89 @@ object Similarity extends QueryPack {
       .limit(5)
   }
 
+  /** Fixed-order exact squared-L2 over two float arrays, in doubles:
+    * Spark's `aggregate` folds left-to-right and DuckDB's `list_sum`
+    * sums in list order over bit-identical doubles, so both engines
+    * agree (the q_sim_ann_ivf cosine precedent). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0d), (acc, v) => acc + v)
+
+  private val PqM = 8 // subspaces (64 dims -> 8 × 8)
+  private val PqSub = 8
+  private val PqK = 64 // codes per subspace
+  private val PqStride = 7 // seed stride: >=64 seeds from 500-row tables up
+
+  /** PRODUCT QUANTIZATION ANN (Jégou et al., PAMI'11) — the
+    * compression tier past int8: each 64-dim vector splits into m=8
+    * subvectors, each subspace learns its own k=64-entry codebook
+    * (stride seeds + one Lloyd round, the q_sim_ann_ivf recipe per
+    * subspace), and a vector's index entry is just its m code ids —
+    * 8 byte-sized ids against 256 float bytes, 32× less index
+    * memory before codebook overhead (m·k·8 floats, constant). Search is
+    * ASYMMETRIC DISTANCE COMPUTATION: the probe precomputes an m×k
+    * table of exact probe-to-centroid squared-L2 distances (the probe
+    * is never quantized — Jégou's ADC, the accuracy-preserving
+    * variant), and each candidate scores as the sum of its m looked-up
+    * cells — table lookups, no float math per candidate, the reason
+    * PQ serves billion-vector indexes from RAM. Determinism
+    * end-to-end: decimal-exact centroid means (Det.davg), fixed-order
+    * double L2 folds, and the final m-cell sum through DECIMAL — so
+    * the DuckDB oracle gates codebook learning, encoding AND scoring
+    * bit-exactly, not approximately. */
+  private def annPq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    // the m subvectors of every vector: (vec_id, label, s, sv)
+    val subs = e.select(col("vec_id"), col("label"),
+      explode(array((0 until PqM).map(i =>
+        struct(lit(i).as("s"),
+          slice(col("embedding"), i * PqSub + 1, PqSub).as("sv"))): _*)).as("x"))
+      .select(col("vec_id"), col("label"), col("x.s").as("s"), col("x.sv").as("sv"))
+    // deterministic per-subspace seeds: stride vec_ids, pinned order
+    val seeds = subs.filter(pmod(col("vec_id"), lit(PqStride)) === 0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("s").orderBy("vec_id")))
+      .filter(col("rn") <= PqK)
+      .select(col("s").as("s0"), col("vec_id").as("cid0"), col("sv").as("cvec0"))
+    // one Lloyd round per subspace: nearest-seed assignment...
+    val wa = Window.partitionBy("vec_id", "s")
+      .orderBy(col("d2").asc, col("cid0").asc)
+    val assigned = subs.join(broadcast(seeds), col("s") === col("s0"))
+      .withColumn("d2", l2sq(col("sv"), col("cvec0")))
+      .withColumn("rn", row_number().over(wa)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("sv"), col("cid0").as("cid"))
+    // ...then the decimal-exact centroid update — the CODEBOOK
+    val codebook = assigned
+      .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("s", "cid", "pos")
+      .agg(graft.Det.davg(col("v").cast("double")).as("mv"))
+      .groupBy("s", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+        x => x.getField("mv").cast("float")).as("cvec"))
+    // ENCODE: every subvector to its nearest codebook entry (m small
+    // ids per vector — the compressed index)
+    val wc = Window.partitionBy("vec_id", "s")
+      .orderBy(col("d2").asc, col("cid").asc)
+    val codes = subs.join(broadcast(codebook), "s")
+      .withColumn("d2", l2sq(col("sv"), col("cvec")))
+      .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("s"), col("cid"))
+    // ADC: the probe's m×k distance table, broadcast; candidates rank
+    // by the exact decimal sum of their m cells
+    val probeSubs = subs.filter(col("vec_id") === ProbeId)
+      .select(col("s").as("ps"), col("sv").as("psv"))
+    val dtab = codebook.join(broadcast(probeSubs), col("s") === col("ps"))
+      .select(col("s"), col("cid"), l2sq(col("psv"), col("cvec")).as("dist"))
+    codes.filter(col("vec_id") =!= ProbeId)
+      .join(broadcast(dtab), Seq("s", "cid"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(graft.Det.r4(graft.Det.dsum(col("dist"), 9)).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(5)
+  }
+
   /** The IVF index content: coarse-quantizer clusters built with one
     * deterministic k-means round — (assignments(vec_id, label,
     * embedding, cluster), centroids(cluster, cvec)). The build half
@@ -570,6 +653,7 @@ object Similarity extends QueryPack {
     "q_sim_ann_indexed_multiprobe" -> annIndexedMultiprobe,
     "q_sim_ann_ivf"     -> annIvf,
     "q_sim_ann_ivf_sq8" -> annIvfSq8,
+    "q_sim_ann_pq" -> annPq,
     "q_sim_ann_ivf_persisted" -> annIvfPersisted,
     "q_sim_ann_indexed" -> annIndexed,
     "q_kmeans"          -> kmeans,
@@ -687,6 +771,63 @@ object Similarity extends QueryPack {
        |  SELECT cluster FROM cent, p
        |  ORDER BY ${ivfCosf("p.probe", "cent.cvec")} DESC, cluster ASC
        |  LIMIT 2)""".stripMargin
+
+  /** PQ oracle: the identical subspace split (list slices), stride
+    * seeds, one Lloyd round with decimal-exact means, nearest-code
+    * encoding, and the decimal-summed ADC scoring — the same
+    * fixed-order double L2 both engines fold identically. */
+  private def pqL2(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |        t -> (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))
+       |           * (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))))""".stripMargin
+
+  private def annPqSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, label, CAST(s AS INT) AS s,
+       |         embedding[CAST(s * $PqSub + 1 AS INT) : CAST(s * $PqSub + $PqSub AS INT)] AS sv
+       |  FROM e, range(0, $PqM) t(s)),
+       |seeds AS (
+       |  SELECT s, vec_id AS cid0, sv AS cvec0 FROM (
+       |    SELECT s, vec_id, sv,
+       |           ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) AS rn
+       |    FROM sub WHERE vec_id % $PqStride = 0)
+       |  WHERE rn <= $PqK),
+       |assigned AS (
+       |  SELECT vec_id, s, sv, cid0 AS cid FROM (
+       |    SELECT sub.vec_id, sub.s, sub.sv, seeds.cid0,
+       |           ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+       |             ORDER BY ${pqL2("sub.sv", "seeds.cvec0")} ASC, seeds.cid0 ASC) AS rn
+       |    FROM sub JOIN seeds USING (s))
+       |  WHERE rn = 1),
+       |cb AS (
+       |  SELECT s, cid, list(CAST(mv AS FLOAT) ORDER BY pos) AS cvec
+       |  FROM (
+       |    SELECT s, cid, pos,
+       |           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(CAST(v AS DOUBLE)) AS mv
+       |    FROM (SELECT s, cid, unnest(sv) AS v,
+       |                 generate_subscripts(sv, 1) - 1 AS pos
+       |          FROM assigned)
+       |    GROUP BY s, cid, pos)
+       |  GROUP BY s, cid),
+       |codes AS (
+       |  SELECT vec_id, label, s, cid FROM (
+       |    SELECT sub.vec_id, sub.label, sub.s, cb.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+       |             ORDER BY ${pqL2("sub.sv", "cb.cvec")} ASC, cb.cid ASC) AS rn
+       |    FROM sub JOIN cb USING (s))
+       |  WHERE rn = 1),
+       |p AS (SELECT s, sv AS psv FROM sub WHERE vec_id = $ProbeId),
+       |dtab AS (
+       |  SELECT cb.s, cb.cid, ${pqL2("p.psv", "cb.cvec")} AS dist
+       |  FROM cb JOIN p USING (s))
+       |SELECT c.vec_id, c.label,
+       |       ${graft.Det.r4Sql("CAST(SUM(CAST(dist AS DECIMAL(18,9))) AS DOUBLE)")} AS adist
+       |FROM codes c JOIN dtab USING (s, cid)
+       |WHERE c.vec_id <> $ProbeId
+       |GROUP BY 1, 2
+       |ORDER BY adist ASC, vec_id ASC
+       |LIMIT 5""".stripMargin
 
   private def annIvfSql: String =
     s"""$ivfCtes
@@ -816,6 +957,7 @@ object Similarity extends QueryPack {
     "q_sim_ann_indexed" -> annLshSql,
     "q_sim_ann_ivf" -> annIvfSql,
     "q_sim_ann_ivf_sq8" -> annIvfSq8Sql,
+    "q_sim_ann_pq" -> annPqSql,
     // the persisted path is the SAME quantizer + scoring with the
     // index round-tripped through parquet — the identical oracle
     // gates that the round trip is bit-exact

@@ -76,6 +76,38 @@ class SimilaritySpec extends SparkSpec {
     assert(replay.count(_.getLong(0) == 999999L) == 1, replay.mkString("; "))
   }
 
+  test("PQ ADC top-5 lands in the exact L2 top decile; ADC distances are ranked, non-negative") {
+    import org.apache.spark.sql.functions._
+    // the exact (unquantized) squared-L2 top-5 — PQ is an L2-metric
+    // index, so the honest differential is against L2, not cosine
+    val e = graft.Tables.embeddings(spark, sf)
+    val probe = e.filter(col("vec_id") === 0L).select(col("embedding").as("probe"))
+    val l2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0d), (acc, v) => acc + v)
+    val n = e.count() - 1
+    val exactTop = e.filter(col("vec_id") =!= 0L).crossJoin(broadcast(probe))
+      .select(col("vec_id"), l2(col("embedding"), col("probe")).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit((n / 10).toInt)
+      .collect().map(_.getLong(0)).toSet
+    val pq = SparkEntry_queries("q_sim_ann_pq").collect()
+    assert(pq.length == 5)
+    val pqIds = pq.map(_.getLong(0)).toSet
+    // these embeddings are near-random unit vectors (top-5 L2 margins
+    // of ~2%), which is PQ's worst case — the honest invariant for a
+    // 64-code/8-subspace quantizer here is percentile quality: every
+    // pick lands in the exact top-10% of the corpus (random picks
+    // would average the 50th percentile), not top-5 equality
+    assert((pqIds -- exactTop).isEmpty,
+      s"PQ picks outside the exact top-10%: $pqIds vs top ${exactTop.size}")
+    // ADC distances are genuine squared distances: non-negative and
+    // ranked ascending
+    val dists = pq.map(_.getDouble(2)).toSeq
+    assert(dists == dists.sorted)
+    assert(dists.forall(_ >= 0.0))
+  }
+
   test("int8 scalar-quantized top-10 recalls most of the exact top-10") {
     val exact = ids("q_sim_search", 10).toSet
     val sq8 = ids("q_sim_ann_sq8", 10)
