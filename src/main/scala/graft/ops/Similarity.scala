@@ -201,13 +201,18 @@ object Similarity extends QueryPack {
         Window.partitionBy("s").orderBy("vec_id")))
       .filter(col("rn") <= PqK)
       .select(col("s").as("s0"), col("vec_id").as("cid0"), col("sv").as("cvec0"))
-    // one Lloyd round per subspace: nearest-seed assignment...
-    val wa = Window.partitionBy("vec_id", "s")
-      .orderBy(col("d2").asc, col("cid0").asc)
+    // one Lloyd round per subspace: nearest-seed assignment. The
+    // argmin is MIN_BY over the total order (d2, cid) — a partially-
+    // aggregatable groupBy (map-side combine collapses the k seed
+    // candidates before the shuffle), not a window sort of n×k rows;
+    // the tie-break matches the oracle's ROW_NUMBER exactly
     val assigned = subs.join(broadcast(seeds), col("s") === col("s0"))
       .withColumn("d2", l2sq(col("sv"), col("cvec0")))
-      .withColumn("rn", row_number().over(wa)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("s"), col("sv"), col("cid0").as("cid"))
+      .groupBy("vec_id", "s")
+      .agg(min_by(struct(col("sv"), col("cid0")),
+        struct(col("d2"), col("cid0"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.sv").as("sv"),
+        col("m.cid0").as("cid"))
     // ...then the decimal-exact centroid update — the CODEBOOK
     val codebook = assigned
       .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
@@ -217,12 +222,11 @@ object Similarity extends QueryPack {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
         x => x.getField("mv").cast("float")).as("cvec"))
     // ENCODE: every subvector to its nearest codebook entry (m small
-    // ids per vector — the compressed index)
-    val wc = Window.partitionBy("vec_id", "s")
-      .orderBy(col("d2").asc, col("cid").asc)
+    // ids per vector — the compressed index); same MIN_BY argmin
     val codes = subs.join(broadcast(codebook), "s")
       .withColumn("d2", l2sq(col("sv"), col("cvec")))
-      .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+      .groupBy("vec_id", "label", "s") // label is functionally dependent on vec_id
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
       .select(col("vec_id"), col("label"), col("s"), col("cid"))
     // ADC: the probe's m×k distance table, broadcast; candidates rank
     // by the exact decimal sum of their m cells
