@@ -242,6 +242,90 @@ object Similarity extends QueryPack {
       .limit(5)
   }
 
+  /** RESIDUAL IVF+PQ — FAISS's IndexIVFPQ, the standard
+    * billion-vector index: the IVF coarse quantizer prunes the
+    * candidate set to the probe's nprobe nearest clusters, and PQ
+    * encodes each vector's RESIDUAL (x − centroid of its cluster) —
+    * residuals concentrate around the origin, so the same m×k
+    * codebook budget quantizes them far more finely than raw
+    * vectors. Search is per-cluster ADC: the probe forms ITS residual
+    * against each probed cluster's centroid and precomputes that
+    * cluster's m×k distance table; candidates score as the
+    * decimal-exact sum of their m cells. Everything is deterministic
+    * (decimal-exact Lloyd means in both quantizers, fixed-order
+    * double folds, exact float−float residuals in doubles), so the
+    * DuckDB oracle gates the COMPOSED pipeline — coarse quantizer,
+    * residual codebooks, encoding, per-cluster tables — bit-exactly. */
+  private def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CosineSimilarity.cosine_sim
+    import org.apache.spark.sql.expressions.Window
+    val (assigned, centroids) = ivfBuild(s, d)
+    // residual space: x − centroid(cluster), float−float in doubles
+    val resid = assigned.join(broadcast(centroids), "cluster")
+      .select(col("vec_id"), col("label"), col("cluster"),
+        zip_with(col("embedding"), col("cvec"),
+          (x, c) => x.cast("double") - c.cast("double")).as("rvec"))
+    val subs = resid.select(col("vec_id"), col("label"), col("cluster"),
+      explode(array((0 until PqM).map(i =>
+        struct(lit(i).as("s"),
+          slice(col("rvec"), i * PqSub + 1, PqSub).as("sv"))): _*)).as("x"))
+      .select(col("vec_id"), col("label"), col("cluster"),
+        col("x.s").as("s"), col("x.sv").as("sv"))
+    val seeds = subs.filter(pmod(col("vec_id"), lit(PqStride)) === 0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("s").orderBy("vec_id")))
+      .filter(col("rn") <= PqK)
+      .select(col("s").as("s0"), col("vec_id").as("cid0"), col("sv").as("cvec0"))
+    val assignedPq = subs.join(broadcast(seeds), col("s") === col("s0"))
+      .withColumn("d2", l2sq(col("sv"), col("cvec0")))
+      .groupBy("vec_id", "s")
+      .agg(min_by(struct(col("sv"), col("cid0")),
+        struct(col("d2"), col("cid0"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.sv").as("sv"),
+        col("m.cid0").as("cid"))
+    // residual codebooks (kept in doubles — no narrowing this time:
+    // residual magnitudes are small and the extra bits are free)
+    val codebook = assignedPq
+      .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("s", "cid", "pos").agg(graft.Det.davg(col("v")).as("mv"))
+      .groupBy("s", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+        x => x.getField("mv")).as("cvec"))
+    val codes = subs.join(broadcast(codebook), "s")
+      .withColumn("d2", l2sq(col("sv"), col("cvec")))
+      .groupBy("vec_id", "label", "cluster", "s")
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+    // probe side: coarse ranking (same as q_sim_ann_ivf), then a
+    // PER-PROBED-CLUSTER probe residual and its m×k ADC table
+    val probe = Tables.embeddings(s, d).filter(col("vec_id") === ProbeId)
+      .select(col("embedding").as("probe"))
+    val probedClusters = probe.crossJoin(broadcast(centroids))
+      .select(col("cluster"), col("cvec"),
+        cosine_sim(col("probe"), col("cvec")).as("csim"))
+      .orderBy(col("csim").desc, col("cluster").asc)
+      .limit(2)
+    val prSubs = probedClusters.crossJoin(broadcast(probe))
+      .select(col("cluster").as("pc"),
+        zip_with(col("probe"), col("cvec"),
+          (x, c) => x.cast("double") - c.cast("double")).as("prv"))
+      .select(col("pc"),
+        explode(array((0 until PqM).map(i =>
+          struct(lit(i).as("s"),
+            slice(col("prv"), i * PqSub + 1, PqSub).as("psv"))): _*)).as("x"))
+      .select(col("pc"), col("x.s").as("ps"), col("x.psv").as("psv"))
+    val dtab = codebook.join(broadcast(prSubs), col("s") === col("ps"))
+      .select(col("pc").as("cluster"), col("s"), col("cid"),
+        l2sq(col("psv"), col("cvec")).as("dist"))
+    // inner join on (cluster, s, cid) both looks up the table cells
+    // AND prunes to the probed clusters in one step
+    codes.filter(col("vec_id") =!= ProbeId)
+      .join(broadcast(dtab), Seq("cluster", "s", "cid"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(graft.Det.r4(graft.Det.dsum(col("dist"), 9)).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(5)
+  }
+
   /** The IVF index content: coarse-quantizer clusters built with one
     * deterministic k-means round — (assignments(vec_id, label,
     * embedding, cluster), centroids(cluster, cvec)). The build half
@@ -658,6 +742,7 @@ object Similarity extends QueryPack {
     "q_sim_ann_ivf"     -> annIvf,
     "q_sim_ann_ivf_sq8" -> annIvfSq8,
     "q_sim_ann_pq" -> annPq,
+    "q_sim_ann_ivf_pq" -> annIvfPq,
     "q_sim_ann_ivf_persisted" -> annIvfPersisted,
     "q_sim_ann_indexed" -> annIndexed,
     "q_kmeans"          -> kmeans,
@@ -833,6 +918,75 @@ object Similarity extends QueryPack {
        |ORDER BY adist ASC, vec_id ASC
        |LIMIT 5""".stripMargin
 
+  /** Residual IVF+PQ oracle: the shared IVF CTE chain through `pc`,
+    * then the residual PQ pipeline — residual lists, per-subspace
+    * stride seeds, one decimal-exact Lloyd round, nearest-code
+    * encoding, per-probed-cluster probe residual tables, decimal-
+    * summed ADC — every fold the same fixed-order double arithmetic
+    * the Spark side runs. */
+  private def annIvfPqSql: String =
+    s"""$ivfCtes,
+       |r AS (
+       |  SELECT a.vec_id, a.label, a.cluster,
+       |         list_transform(list_zip(a.embedding, c.cvec),
+       |           t -> CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE)) AS rvec
+       |  FROM assigned a JOIN cent c USING (cluster)),
+       |rsub AS (
+       |  SELECT vec_id, label, cluster, CAST(s AS INT) AS s,
+       |         rvec[CAST(s * $PqSub + 1 AS INT) : CAST(s * $PqSub + $PqSub AS INT)] AS sv
+       |  FROM r, range(0, $PqM) t(s)),
+       |pseeds AS (
+       |  SELECT s, vec_id AS cid0, sv AS cvec0 FROM (
+       |    SELECT s, vec_id, sv,
+       |           ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) AS rn
+       |    FROM rsub WHERE vec_id % $PqStride = 0)
+       |  WHERE rn <= $PqK),
+       |passigned AS (
+       |  SELECT vec_id, s, sv, cid0 AS cid FROM (
+       |    SELECT rsub.vec_id, rsub.s, rsub.sv, pseeds.cid0,
+       |           ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.s
+       |             ORDER BY ${pqL2("rsub.sv", "pseeds.cvec0")} ASC, pseeds.cid0 ASC) AS rn
+       |    FROM rsub JOIN pseeds USING (s))
+       |  WHERE rn = 1),
+       |pcb AS (
+       |  SELECT s, cid, list(mv ORDER BY pos) AS cvec
+       |  FROM (
+       |    SELECT s, cid, pos,
+       |           CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(v) AS mv
+       |    FROM (SELECT s, cid, unnest(sv) AS v,
+       |                 generate_subscripts(sv, 1) - 1 AS pos
+       |          FROM passigned)
+       |    GROUP BY s, cid, pos)
+       |  GROUP BY s, cid),
+       |pcodes AS (
+       |  SELECT vec_id, label, cluster, s, cid FROM (
+       |    SELECT rsub.vec_id, rsub.label, rsub.cluster, rsub.s, pcb.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.s
+       |             ORDER BY ${pqL2("rsub.sv", "pcb.cvec")} ASC, pcb.cid ASC) AS rn
+       |    FROM rsub JOIN pcb USING (s))
+       |  WHERE rn = 1),
+       |prr AS (
+       |  SELECT pc.cluster,
+       |         list_transform(list_zip(p.probe, cent.cvec),
+       |           t -> CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE)) AS prv
+       |  FROM pc JOIN cent USING (cluster), p),
+       |prsub AS (
+       |  SELECT cluster, CAST(s AS INT) AS s,
+       |         prv[CAST(s * $PqSub + 1 AS INT) : CAST(s * $PqSub + $PqSub AS INT)] AS psv
+       |  FROM prr, range(0, $PqM) t(s)),
+       |dtab AS (
+       |  SELECT prsub.cluster, pcb.s, pcb.cid,
+       |         ${pqL2("prsub.psv", "pcb.cvec")} AS dist
+       |  FROM pcb JOIN prsub USING (s))
+       |SELECT c.vec_id, c.label,
+       |       ${graft.Det.r4Sql("CAST(SUM(CAST(dist AS DECIMAL(18,9))) AS DOUBLE)")} AS adist
+       |FROM pcodes c
+       |JOIN dtab ON c.cluster = dtab.cluster AND c.s = dtab.s AND c.cid = dtab.cid
+       |WHERE c.vec_id <> $ProbeId
+       |GROUP BY 1, 2
+       |ORDER BY adist ASC, vec_id ASC
+       |LIMIT 5""".stripMargin
+
   private def annIvfSql: String =
     s"""$ivfCtes
        |SELECT vec_id, label, ${graft.Det.r4Sql(s"(${ivfCosf("a.embedding", "p.probe")})")} AS cos
@@ -962,6 +1116,7 @@ object Similarity extends QueryPack {
     "q_sim_ann_ivf" -> annIvfSql,
     "q_sim_ann_ivf_sq8" -> annIvfSq8Sql,
     "q_sim_ann_pq" -> annPqSql,
+    "q_sim_ann_ivf_pq" -> annIvfPqSql,
     // the persisted path is the SAME quantizer + scoring with the
     // index round-tripped through parquet — the identical oracle
     // gates that the round trip is bit-exact

