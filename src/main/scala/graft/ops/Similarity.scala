@@ -447,6 +447,98 @@ object Similarity extends QueryPack {
       .appendOnce(assignedFresh, batchId)
   }
 
+  /** GENERALIZED persisted-IVF build for ANY (id, float-vector)
+    * relation — the SQL `CALL ann_build` backend. Same recipe as the
+    * oracle-pinned [[buildIvfIndex]] (deterministic seeds, one Lloyd
+    * round with decimal-exact means, cluster-clustered vectors table
+    * + centroid sidecar committed through the table layer), with the
+    * seed selection generalized to arbitrary id spaces: a
+    * deterministic hash-stride filter nominates ~2k candidate rows
+    * (no global sort — the only ordering is over the nominated
+    * handful), pinned by (id) order. Ids must be integral and the
+    * vector column ARRAY<FLOAT> (refused loudly otherwise — a silent
+    * double→float cast would corrupt scores). */
+  private[graft] def buildIvfIndexFor(s: SparkSession, df: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      vectorsPath: String, centroidsPath: String): Unit = {
+    import graft.functions.CosineSimilarity.cosine_sim
+    import org.apache.spark.sql.types._
+    require(k >= 1, s"ann_build needs k >= 1, got $k")
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"ann_build id column $idCol must be integral, got ${other.simpleString}")
+    }
+    df.schema(vecCol).dataType match {
+      case ArrayType(FloatType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"ann_build vector column $vecCol must be ARRAY<FLOAT>, " +
+          s"got ${other.simpleString} (cast explicitly — a silent " +
+          "narrowing would corrupt scores)")
+    }
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val n = base.count()
+    require(n > 0, "ann_build: empty input relation")
+    // deterministic seed nomination WITHOUT a global sort: a hash
+    // stride admits ~2k candidates, the tiny candidate set sorts by id
+    val stride = math.max(1L, n / math.max(1, 2 * k))
+    var seeds = base.filter(pmod(xxhash64(col("id")), lit(stride)) === 0)
+      .orderBy("id").limit(k)
+      .select(col("id").as("cid0"), col("vec").as("cvec0"))
+    if (seeds.count() == 0) // degenerate hash stride: fall back to smallest ids
+      seeds = base.orderBy("id").limit(k)
+        .select(col("id").as("cid0"), col("vec").as("cvec0"))
+    // one Lloyd round: cosine argmax assignment (min_by over
+    // (-sim, cid) — map-side combinable), then decimal-exact means
+    val assigned = base.crossJoin(broadcast(seeds))
+      .withColumn("sim", cosine_sim(col("vec"), col("cvec0")))
+      .groupBy("id")
+      .agg(min_by(struct(col("vec"), col("cid0")),
+        struct((-col("sim")).as("o1"), col("cid0").as("o2"))).as("m"))
+      .select(col("id"), col("m.vec").as("vec"),
+        col("m.cid0").cast("int").as("cluster"))
+    val centroids = assigned
+      .select(col("cluster"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(graft.Det.davg(col("v").cast("double")).as("m"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m").cast("float")).as("cvec"))
+    new graft.tables.SnapshotTable(s, vectorsPath)
+      .commitClustered(assigned, "cluster", k)
+    new graft.tables.SnapshotTable(s, centroidsPath).commit(centroids)
+  }
+
+  /** Probe a [[buildIvfIndexFor]] index by a member id: rank the
+    * probe's `nprobe` nearest clusters from the broadcast centroid
+    * table, read only those clusters' files (runtime V2 filtering on
+    * the graft-table scan), exact-cosine rank the candidates. Returns
+    * (id, score) top-k. */
+  private[graft] def probeIvfIndexFor(s: SparkSession,
+      vectorsPath: String, centroidsPath: String,
+      probeId: Long, nprobe: Int, topK: Int): DataFrame = {
+    import graft.functions.CosineSimilarity.cosine_sim
+    val centroids = s.read.format("graft-table")
+      .option("path", centroidsPath).load()
+    val vectors = s.read.format("graft-table")
+      .option("path", vectorsPath).load()
+    val probe = vectors.filter(col("id") === probeId)
+      .select(col("vec").as("probe"))
+    val probedClusters = probe.crossJoin(broadcast(centroids))
+      .select(col("cluster"),
+        cosine_sim(col("probe"), col("cvec")).as("csim"))
+      .orderBy(col("csim").desc, col("cluster").asc)
+      .limit(nprobe)
+    vectors
+      .join(broadcast(probedClusters.select("cluster")), "cluster")
+      .filter(col("id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("id"),
+        graft.Det.r4(cosine_sim(col("vec"), col("probe"))).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(topK)
+  }
+
   /** Probe the PERSISTED IVF index: the k-row centroid table ranks
     * the probe's `nprobe` nearest clusters (broadcast — O(k) work),
     * and the candidate scan reads only the probed clusters' FILES:

@@ -426,6 +426,61 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       Seq(param("table", StringType)),
       in => oneRow(VersionOut,
         snapshotOf(in.getUTF8String(0).toString).compactDvs())),
+    "ann_build" -> proc("ann_build",
+      // CALL cat.ann_build('docs', 'id', 'emb', 8) — build a
+      // persisted IVF ANN index over a catalog table's float-vector
+      // column. The index IS two ordinary catalog tables
+      // (<t>__ann_vectors clustered on the cluster id — one file per
+      // inverted list — and <t>__ann_centroids), so it is SELECTable,
+      // DESCRIBEable, versioned, vacuumable, and crash-safe like
+      // every other table. Rebuild = CALL again (fresh commit).
+      Seq(param("table", StringType), param("id_col", StringType),
+        param("vec_col", StringType), param("k",
+          org.apache.spark.sql.types.IntegerType)),
+      in => {
+        val tbl = in.getUTF8String(0).toString
+        val t = snapshotOf(tbl)
+        val vPath = procTablePath(s"${tbl}__ann_vectors")
+        val cPath = procTablePath(s"${tbl}__ann_centroids")
+        graft.ops.Similarity.buildIvfIndexFor(SparkSession.active, t.read(),
+          in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+          in.getInt(3), vPath.toString, cPath.toString)
+        def utf(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        oneRow(StructType(Seq(
+          org.apache.spark.sql.types.StructField("vectors", StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("centroids", StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("k", LongType, nullable = false))),
+          utf(s"${tbl}__ann_vectors"), utf(s"${tbl}__ann_centroids"),
+          in.getInt(3).toLong)
+      }),
+    "ann_probe" -> proc("ann_probe",
+      // CALL cat.ann_probe('docs', 42, 2, 5) — top-k cosine
+      // neighbors of member row 42 from the persisted index: the
+      // broadcast centroid table ranks the nprobe nearest clusters,
+      // the candidate scan reads only those clusters' files (runtime
+      // V2 filtering); returns (id, score). k rows cross the driver —
+      // a top-k is small by definition.
+      Seq(param("table", StringType), param("probe_id", LongType),
+        param("nprobe", org.apache.spark.sql.types.IntegerType),
+        param("k", org.apache.spark.sql.types.IntegerType)),
+      in => {
+        val tbl = in.getUTF8String(0).toString
+        val vPath = procTablePath(s"${tbl}__ann_vectors")
+        val cPath = procTablePath(s"${tbl}__ann_centroids")
+        require(isTableDir(vPath) && isTableDir(cPath),
+          s"no ANN index for '$tbl' — run CALL ann_build first")
+        val top = graft.ops.Similarity.probeIvfIndexFor(SparkSession.active,
+          vPath.toString, cPath.toString, in.getLong(1), in.getInt(2),
+          in.getInt(3)).collect() // ≤ k rows — the procedure's result
+        java.util.List.of[Scan](new LocalScan {
+          override def readSchema(): StructType = StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("score",
+              org.apache.spark.sql.types.DoubleType, nullable = true)))
+          override def rows(): Array[InternalRow] = top.map(r =>
+            InternalRow(r.getLong(0), r.getDouble(1)))
+        }).iterator()
+      }),
     "optimize_zorder" -> proc("optimize_zorder",
       Seq(param("table", StringType), param("key_x", StringType),
         param("key_y", StringType), param("n_files",
