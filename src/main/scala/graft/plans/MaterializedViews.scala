@@ -481,6 +481,7 @@ object MaterializedViews {
     // materialization — copying stale bytes forward forever instead
     // of recomputing from base data
     withRewriteDisabled { df.write.parquet(path) }
+    deadFps.remove(fp) // a re-register revives a tombstoned fingerprint
     Option(registry.put(fp, Entry(path)))
       .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
     indexShape(fp, df)
@@ -490,6 +491,7 @@ object MaterializedViews {
   }
 
   def deregister(fingerprint: String): Unit = {
+    deadFps.add(fingerprint)
     Option(registry.remove(fingerprint))
       .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
     Option(incremental.remove(fingerprint))
@@ -552,6 +554,7 @@ object MaterializedViews {
       combine(partial(table.read(version))).write.parquet(statePath)
       finalize(table.spark.read.parquet(statePath)).write.parquet(viewPath)
     }
+    deadFps.remove(fp)
     Option(registry.put(fp, Entry(viewPath)))
       .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
     Option(incremental.put(fp, IncEntry(table, version, statePath, basePath,
@@ -608,11 +611,13 @@ object MaterializedViews {
     }
     // swap: new fingerprint answers current-version queries; the old
     // fingerprint (now stale) and its dirs are superseded
+    deadFps.remove(newFp)
     Option(registry.put(newFp, Entry(newViewPath)))
       .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
     incremental.put(newFp, e.copy(version = newVersion, statePath = newStatePath))
     withRewriteDisabled { indexShape(newFp, e.query(t.read(newVersion))) }
     if (newFp != fp) {
+      deadFps.add(fp)
       Option(registry.remove(fp))
         .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
       Option(incremental.remove(fp))
@@ -630,6 +635,7 @@ object MaterializedViews {
     * REGISTERED at clear() time are left on disk: a concurrently
     * planned query may reference them, and they are tmp-dir scoped. */
   def clear(): Unit = {
+    registry.keySet().forEach(fp => deadFps.add(fp))
     registry.clear()
     incremental.clear()
     containment.clear()
@@ -659,6 +665,10 @@ object MaterializedViews {
 
   @volatile private var durableFile: Option[java.nio.file.Path] = None
   private val durableLock = new Object
+  /** Fingerprints THIS session deregistered/cleared since attach —
+    * the merge in [[persist]] must not resurrect them from the file
+    * (a re-register removes the tombstone). */
+  private val deadFps = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Attach `dir/_mv_registry` as the durable backing store: load
     * what's there (merging into the in-memory cache), then write
@@ -668,6 +678,7 @@ object MaterializedViews {
     java.nio.file.Files.createDirectories(d)
     val f = d.resolve("_mv_registry")
     durableFile = Some(f)
+    deadFps.clear() // a fresh attach adopts the file as truth
     val loaded = if (java.nio.file.Files.exists(f)) loadFrom(f) else 0
     persist()
     loaded
@@ -684,6 +695,7 @@ object MaterializedViews {
     registry.clear(); incremental.clear()
     containment.clear(); joinContainment.clear()
     durableFile = None
+    deadFps.clear()
   }
 
   private def b64(s: String): String =
@@ -713,10 +725,20 @@ object MaterializedViews {
 
   /** Write the whole registry state to the attached file, atomically.
     * Called under every mutation; no-op when detached. O(views) —
-    * the registry is fingerprints and paths, never data. */
+    * the registry is fingerprints and paths, never data.
+    *
+    * Cross-PROCESS concurrency: before writing, the file's current
+    * entries are re-read and merged into memory (putIfAbsent — this
+    * session's own view of a fingerprint wins), so two sessions
+    * registering different views against the same catalog root
+    * CONVERGE instead of last-writer-wins dropping one; the atomic
+    * replace keeps readers off torn files. A true CAS loop is not
+    * needed: entries are add-mostly and idempotent by fingerprint. */
   private def persist(): Unit = durableFile.foreach { f =>
     durableLock.synchronized {
       import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(f))
+        try loadFrom(f) catch { case _: Exception => () } // merge, best-effort
       val sb = new StringBuilder
       registry.asScala.foreach { case (fp, e) =>
         sb ++= s"ENTRY ${b64(fp)} ${b64(e.path)}\n"
@@ -751,18 +773,19 @@ object MaterializedViews {
   private def loadFrom(f: java.nio.file.Path): Int = {
     import scala.jdk.CollectionConverters._
     var n = 0
-    val deadFps = scala.collection.mutable.Set.empty[String]
+    val skipFps = scala.collection.mutable.Set.empty[String]
     java.nio.file.Files.readAllLines(f).asScala.foreach { line =>
       val parts = line.split(' ')
       parts(0) match {
         case "ENTRY" =>
           val fp = unb64(parts(1)); val path = unb64(parts(2))
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+          if (deadFps.contains(fp)) ()
+          else if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
             registry.putIfAbsent(fp, Entry(path)); n += 1
-          } else deadFps += fp
+          } else skipFps += fp
         case "SHAPE" =>
           val key = unb64(parts(1)); val fp = unb64(parts(2))
-          if (!deadFps.contains(fp)) {
+          if (!skipFps.contains(fp) && !deadFps.contains(fp)) {
             val q = containment.computeIfAbsent(key,
               _ => new java.util.concurrent.ConcurrentLinkedQueue[ViewShape]())
             if (!q.iterator().asScala.exists(_.fp == fp))
@@ -771,7 +794,7 @@ object MaterializedViews {
           }
         case "JSHAPE" =>
           val key = unb64(parts(1)); val fp = unb64(parts(2))
-          if (!deadFps.contains(fp)) {
+          if (!skipFps.contains(fp) && !deadFps.contains(fp)) {
             val q = joinContainment.computeIfAbsent(key,
               _ => new java.util.concurrent.ConcurrentLinkedQueue[JoinViewShape]())
             if (!q.iterator().asScala.exists(_.fp == fp))

@@ -569,4 +569,37 @@ class ExtensionsSpec extends SparkSpec {
       graft.tables.SnapshotTable.deleteRecursively(java.nio.file.Paths.get(dir))
     }
   }
+
+  test("durable MV registry: deregistration is durable; concurrent sessions' entries merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_dur2_").toString
+    def viewA() = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("pri")).agg(count(lit(1)).as("n"))
+    def viewB() = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus").as("st")).agg(count(lit(1)).as("n"))
+    try {
+      // session 1 registers A and then DEREGISTERS it — the tombstone
+      // must survive the write-through merge, so a later session does
+      // not resurrect A from the file
+      MaterializedViews.attachDurableRegistry(dir)
+      val fpA = MaterializedViews.register(viewA(), s"$dir/a")
+      MaterializedViews.deregister(fpA)
+      MaterializedViews.resetMemoryForTest()
+      MaterializedViews.attachDurableRegistry(dir)
+      assert(!viewA().queryExecution.executedPlan.toString.contains("graft_mv_dur2_"),
+        "deregistered view resurrected from the durable file")
+      // "concurrent" session 2 (same file, fresh memory) registers B;
+      // session 3 then sees BOTH its own state and survivors — and
+      // after session 1's deregistration, only B
+      MaterializedViews.register(viewB(), s"$dir/b")
+      MaterializedViews.resetMemoryForTest()
+      MaterializedViews.attachDurableRegistry(dir)
+      assert(viewB().queryExecution.executedPlan.toString.contains("graft_mv_dur2_"),
+        "merged entry lost")
+      assert(!viewA().queryExecution.executedPlan.toString.contains("graft_mv_dur2_"))
+    } finally {
+      MaterializedViews.detachDurableRegistry()
+      MaterializedViews.clear()
+      graft.tables.SnapshotTable.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
 }
