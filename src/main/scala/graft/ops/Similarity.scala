@@ -509,6 +509,40 @@ object Similarity extends QueryPack {
     new graft.tables.SnapshotTable(s, centroidsPath).commit(centroids)
   }
 
+  /** Incremental ingest for a [[buildIvfIndexFor]] index — the SQL
+    * `CALL ann_ingest` backend: assign fresh rows against the
+    * PERSISTED centroids (no Lloyd — the standard IVF ingest
+    * contract) and append them into their clusters' files through the
+    * exactly-once table commit. Returns None when `batchId` already
+    * landed (idempotent replay). */
+  private[graft] def appendToIvfIndexFor(s: SparkSession,
+      vectorsPath: String, centroidsPath: String, fresh: DataFrame,
+      idCol: String, vecCol: String, batchId: Long): Option[Long] = {
+    import graft.functions.CosineSimilarity.cosine_sim
+    import org.apache.spark.sql.types._
+    fresh.schema(vecCol).dataType match {
+      case ArrayType(FloatType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"ann_ingest vector column $vecCol must be ARRAY<FLOAT>, " +
+          s"got ${other.simpleString}")
+    }
+    val centroids = s.read.format("graft-table")
+      .option("path", centroidsPath).load()
+    val k = centroids.count().toInt max 1
+    val assigned = fresh
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", cosine_sim(col("vec"), col("cvec")))
+      .groupBy("id")
+      .agg(min_by(struct(col("vec"), col("cluster")),
+        struct((-col("sim")).as("o1"), col("cluster").as("o2"))).as("m"))
+      .select(col("id"), col("m.vec").as("vec"),
+        col("m.cluster").as("cluster"))
+      .repartitionByRange(k, col("cluster"))
+    new graft.tables.SnapshotTable(s, vectorsPath)
+      .appendOnce(assigned, batchId)
+  }
+
   /** Probe a [[buildIvfIndexFor]] index by a member id: rank the
     * probe's `nprobe` nearest clusters from the broadcast centroid
     * table, read only those clusters' files (runtime V2 filtering on

@@ -453,6 +453,31 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           utf(s"${tbl}__ann_vectors"), utf(s"${tbl}__ann_centroids"),
           in.getInt(3).toLong)
       }),
+    "ann_ingest" -> proc("ann_ingest",
+      // CALL cat.ann_ingest('docs', 'docs_staging', 'id', 'emb', 7)
+      // — incremental index maintenance: assign the staging table's
+      // rows against the PERSISTED centroids (no Lloyd) and append
+      // them into their clusters' files atomically; batch_id makes
+      // the call exactly-once under retry (a replay returns the
+      // current version unchanged). Rebuild remains the explicit
+      // separate op (ann_build again).
+      Seq(param("table", StringType), param("source_table", StringType),
+        param("id_col", StringType), param("vec_col", StringType),
+        param("batch_id", LongType)),
+      in => {
+        val tbl = in.getUTF8String(0).toString
+        val vPath = procTablePath(s"${tbl}__ann_vectors")
+        val cPath = procTablePath(s"${tbl}__ann_centroids")
+        require(isTableDir(vPath) && isTableDir(cPath),
+          s"no ANN index for '$tbl' — run CALL ann_build first")
+        val src = snapshotOf(in.getUTF8String(1).toString)
+        val v = graft.ops.Similarity.appendToIvfIndexFor(SparkSession.active,
+          vPath.toString, cPath.toString, src.read(),
+          in.getUTF8String(2).toString, in.getUTF8String(3).toString,
+          in.getLong(4))
+        oneRow(VersionOut, v.getOrElse(
+          new SnapshotTable(SparkSession.active, vPath.toString).currentVersion))
+      }),
     "ann_probe" -> proc("ann_probe",
       // CALL cat.ann_probe('docs', 42, 2, 5) — top-k cosine
       // neighbors of member row 42 from the persisted index: the

@@ -53,6 +53,31 @@ class AnnProcedureSpec extends SparkSpec {
       assert(scores == scores.sorted.reverse)
       assert(scores.forall(s => s >= -1.0 && s <= 1.0))
 
+      // INCREMENTAL ingest from a staging table: a second planted
+      // duplicate lands through CALL ann_ingest (no Lloyd) and the
+      // next probe surfaces it; replaying the same batch_id is a
+      // no-op (exactly-once), not a duplicate entry
+      val staging = new SnapshotTable(spark, catRoot.resolve("stage").toString)
+      staging.commit(base.filter(col("id") === 1L)
+        .select(lit(900002L).as("id"), col("emb")))
+      val vIngest = spark.sql(
+        "CALL annproc.ann_ingest(table => 'docs', source_table => 'stage', " +
+          "id_col => 'id', vec_col => 'emb', batch_id => 7)").head.getLong(0)
+      val top2 = spark.sql(
+        "CALL annproc.ann_probe(table => 'docs', probe_id => 1, " +
+          "nprobe => 2, k => 5)").collect()
+      assert(top2.take(2).map(_.getLong(0)).toSet == Set(900001L, 900002L),
+        top2.mkString("; "))
+      assert(top2.take(2).forall(_.getDouble(1) == 1.0))
+      val vReplay = spark.sql(
+        "CALL annproc.ann_ingest(table => 'docs', source_table => 'stage', " +
+          "id_col => 'id', vec_col => 'emb', batch_id => 7)").head.getLong(0)
+      assert(vReplay == vIngest, "batch_id replay must be a no-op")
+      val replayTop = spark.sql(
+        "CALL annproc.ann_probe(table => 'docs', probe_id => 1, " +
+          "nprobe => 2, k => 5)").collect()
+      assert(replayTop.count(_.getLong(0) == 900002L) == 1)
+
       // probing without an index refuses loudly
       val e = intercept[Exception](spark.sql(
         "CALL annproc.ann_probe(table => 'nosuch', probe_id => 1, " +
