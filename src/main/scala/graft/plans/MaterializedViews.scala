@@ -482,6 +482,7 @@ object MaterializedViews {
     // of recomputing from base data
     withRewriteDisabled { df.write.parquet(path) }
     deadFps.remove(fp) // a re-register revives a tombstoned fingerprint
+    rebornFps.add(fp) // ...and outranks any persisted DEAD line for it
     Option(registry.put(fp, Entry(path)))
       .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
     indexShape(fp, df)
@@ -492,6 +493,7 @@ object MaterializedViews {
 
   def deregister(fingerprint: String): Unit = {
     deadFps.add(fingerprint)
+    rebornFps.remove(fingerprint)
     Option(registry.remove(fingerprint))
       .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
     Option(incremental.remove(fingerprint))
@@ -555,6 +557,7 @@ object MaterializedViews {
       finalize(table.spark.read.parquet(statePath)).write.parquet(viewPath)
     }
     deadFps.remove(fp)
+    rebornFps.add(fp)
     Option(registry.put(fp, Entry(viewPath)))
       .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
     Option(incremental.put(fp, IncEntry(table, version, statePath, basePath,
@@ -612,12 +615,14 @@ object MaterializedViews {
     // swap: new fingerprint answers current-version queries; the old
     // fingerprint (now stale) and its dirs are superseded
     deadFps.remove(newFp)
+    rebornFps.add(newFp)
     Option(registry.put(newFp, Entry(newViewPath)))
       .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
     incremental.put(newFp, e.copy(version = newVersion, statePath = newStatePath))
     withRewriteDisabled { indexShape(newFp, e.query(t.read(newVersion))) }
     if (newFp != fp) {
       deadFps.add(fp)
+      rebornFps.remove(fp)
       Option(registry.remove(fp))
         .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
       Option(incremental.remove(fp))
@@ -636,6 +641,7 @@ object MaterializedViews {
     * planned query may reference them, and they are tmp-dir scoped. */
   def clear(): Unit = {
     registry.keySet().forEach(fp => deadFps.add(fp))
+    rebornFps.clear()
     registry.clear()
     incremental.clear()
     containment.clear()
@@ -665,20 +671,48 @@ object MaterializedViews {
 
   @volatile private var durableFile: Option[java.nio.file.Path] = None
   private val durableLock = new Object
-  /** Fingerprints THIS session deregistered/cleared since attach —
-    * the merge in [[persist]] must not resurrect them from the file
-    * (a re-register removes the tombstone). */
+  /** Fingerprints deregistered — by THIS session, or adopted from
+    * another session's persisted DEAD tombstone — that the merge in
+    * [[persist]] must never resurrect. Tombstones PERSIST as `DEAD`
+    * lines in the registry file, so a deregistration survives into
+    * sessions that still hold the fingerprint in memory: their next
+    * persist() adopts the tombstone instead of writing the dead entry
+    * back. */
   private val deadFps = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Fingerprints THIS session registered but has NOT yet durably
+    * persisted — [[loadFrom]] must not adopt an older persisted DEAD
+    * line for them (re-register wins over a pre-existing tombstone;
+    * the in-flight persist clears the DEAD line and writes the fresh
+    * ENTRY). Cleared at the end of every successful persist: from then
+    * on any DEAD line a merge sees postdates our write and wins. */
+  private val rebornFps = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** TEST SEAM: runs inside [[persist]]'s critical section, after the
+    * cross-process lock is acquired and before the merge-read — a
+    * race spec injects "another process finished a write just before
+    * we locked" here and asserts the merge picks it up. */
+  private[graft] var persistRaceHook: () => Unit = () => ()
 
   /** Attach `dir/_mv_registry` as the durable backing store: load
     * what's there (merging into the in-memory cache), then write
-    * through on every mutation. Returns the number of entries loaded. */
+    * through on every mutation. Returns the number of entries loaded.
+    * Attaching while ALREADY attached to a DIFFERENT directory is
+    * refused loudly — it would silently drop write-through for the
+    * first root (every later mutation persisting elsewhere); detach
+    * explicitly to move roots. Re-attaching the same directory is an
+    * idempotent refresh. */
   def attachDurableRegistry(dir: String): Int = durableLock.synchronized {
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)
     val f = d.resolve("_mv_registry")
+    durableFile.filter(_ != f).foreach { prev =>
+      throw new IllegalStateException(
+        s"MV registry already attached at ${prev.getParent}; refusing to " +
+          s"re-attach at $dir — call detachDurableRegistry() first " +
+          "(a silent re-attach would drop write-through for the first root)")
+    }
     durableFile = Some(f)
     deadFps.clear() // a fresh attach adopts the file as truth
+    rebornFps.clear()
     val loaded = if (java.nio.file.Files.exists(f)) loadFrom(f) else 0
     persist()
     loaded
@@ -696,6 +730,7 @@ object MaterializedViews {
     containment.clear(); joinContainment.clear()
     durableFile = None
     deadFps.clear()
+    rebornFps.clear()
   }
 
   private def b64(s: String): String =
@@ -727,19 +762,36 @@ object MaterializedViews {
     * Called under every mutation; no-op when detached. O(views) —
     * the registry is fingerprints and paths, never data.
     *
-    * Cross-PROCESS concurrency: before writing, the file's current
-    * entries are re-read and merged into memory (putIfAbsent — this
-    * session's own view of a fingerprint wins), so two sessions
-    * registering different views against the same catalog root
-    * CONVERGE instead of last-writer-wins dropping one; the atomic
-    * replace keeps readers off torn files. A true CAS loop is not
-    * needed: entries are add-mostly and idempotent by fingerprint. */
+    * Cross-PROCESS concurrency: the read-merge-write runs under an OS
+    * ADVISORY LOCK on a `.lck` sibling (FileChannel.lock — chosen
+    * over a create-exclusive lock FILE because the OS releases it on
+    * process death; a crashed holder can never wedge the registry),
+    * so two JVMs' persists serialize: each merges the file's current
+    * entries into memory (putIfAbsent — this session's own view of a
+    * fingerprint wins) before replacing it, and an interleaved write
+    * can no longer be last-writer-wins dropped. Deregistrations
+    * persist as DEAD tombstone lines, honored by every merge, so a
+    * second still-attached session cannot write a dropped fingerprint
+    * back. The atomic replace keeps lock-free READERS off torn files.
+    * durableLock (in-JVM) still guards the channel: two threads of
+    * one JVM would otherwise hit OverlappingFileLockException. */
   private def persist(): Unit = durableFile.foreach { f =>
     durableLock.synchronized {
       import scala.jdk.CollectionConverters._
+      val lck = f.resolveSibling(f.getFileName.toString + ".lck")
+      val ch = java.nio.channels.FileChannel.open(lck,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val osLock = ch.lock() // blocks until any other process's persist completes
+        try {
+      persistRaceHook()
       if (java.nio.file.Files.exists(f))
         try loadFrom(f) catch { case _: Exception => () } // merge, best-effort
       val sb = new StringBuilder
+      deadFps.asScala.toSeq.sorted.foreach { fp =>
+        sb ++= s"DEAD ${b64(fp)}\n"
+      }
       registry.asScala.foreach { case (fp, e) =>
         sb ++= s"ENTRY ${b64(fp)} ${b64(e.path)}\n"
       }
@@ -762,6 +814,15 @@ object MaterializedViews {
       java.nio.file.Files.move(tmp, f,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // every in-memory registration is now durable and any stale DEAD
+      // line for it was just rewritten away — so a tombstone a LATER
+      // merge encounters must postdate this write and genuinely wins.
+      // (rebornFps = "re-registered but not yet persisted", nothing more:
+      // leaving entries here would let a session that ever registered a
+      // view ignore other sessions' deregistrations forever.)
+      rebornFps.clear()
+        } finally osLock.release()
+      } finally ch.close()
     }
   }
 
@@ -777,6 +838,19 @@ object MaterializedViews {
     java.nio.file.Files.readAllLines(f).asScala.foreach { line =>
       val parts = line.split(' ')
       parts(0) match {
+        case "DEAD" =>
+          // another session's (or our own persisted) deregistration
+          // tombstone: adopt it and drop any in-memory state for the
+          // fingerprint — UNLESS this session re-registered it after
+          // the tombstone (re-register wins; our persist clears the
+          // DEAD line). Not counted as a loaded entry.
+          val fp = unb64(parts(1))
+          if (!rebornFps.contains(fp)) {
+            deadFps.add(fp)
+            registry.remove(fp)
+            incremental.remove(fp)
+            dropShapes(fp)
+          }
         case "ENTRY" =>
           val fp = unb64(parts(1)); val path = unb64(parts(2))
           if (deadFps.contains(fp)) ()

@@ -556,55 +556,34 @@ class GraftTableReaderFactory(schemaJson: String,
           .withConf(new Configuration()).build()
       private var current: InternalRow = _
 
-      private def convert(g: Group): InternalRow = {
-        val gType = g.getType
-        InternalRow.fromSeq(schema.fields.toSeq.map[Any] { f =>
+      // per-field decoders resolve ONCE (index, physical type, list
+      // layout, timestamp unit) from the first row's file schema —
+      // constant for every row of the file — and the per-row loop is
+      // null-check + direct accessor, the same resolve-once design as
+      // the batch reader (GraftTableBatch.scala). Built lazily because
+      // the Group API only surfaces the file schema with a row in hand.
+      private var decoders: Array[Group => Any] = _
+      private def buildDecoders(
+          gType: org.apache.parquet.schema.GroupType): Array[Group => Any] =
+        schema.fields.map { f =>
           // a file older than a schema evolution lacks the new column
           // entirely — surface NULL, like the batch reader
-          if (!gType.containsField(f.name)) null
+          if (!gType.containsField(f.name)) (_: Group) => null
           else {
-          val idx = gType.getFieldIndex(f.name)
-          if (g.getFieldRepetitionCount(idx) == 0) null
-          else if (f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
-            GraftTableBatchReaderFactory.arrayDecoder(gType, idx,
-              f.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType], f.name)(g)
-          else {
-            val prim = gType.getType(idx).asPrimitiveType().getPrimitiveTypeName
-            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-            (f.dataType, prim) match {
-              case (BooleanType, _) => g.getBoolean(idx, 0)
-              case (ByteType, _) => g.getInteger(idx, 0).toByte
-              case (ShortType, _) => g.getInteger(idx, 0).toShort
-              case (IntegerType | DateType, _) => g.getInteger(idx, 0)
-              // type-widening decode (see the batch reader's twin)
-              case (LongType, INT32) => g.getInteger(idx, 0).toLong
-              case (DoubleType, FLOAT) => g.getFloat(idx, 0).toDouble
-              case (DoubleType, INT32) => g.getInteger(idx, 0).toDouble
-              case (LongType, _) => g.getLong(idx, 0)
-              case (FloatType, _) => g.getFloat(idx, 0)
-              case (DoubleType, _) => g.getDouble(idx, 0)
-              case (StringType, _) => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
-              case (BinaryType, _) => g.getBinary(idx, 0).getBytes
-              case (TimestampType, INT96) =>
-                GraftTableReaderFactory.int96ToMicros(g.getInt96(idx, 0).getBytes)
-              case (TimestampType, INT64) =>
-                val ann = gType.getType(idx).asPrimitiveType().getLogicalTypeAnnotation
-                val micros = ann match {
-                  case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-                      if t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS =>
-                    g.getLong(idx, 0) * 1000L
-                  case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-                      if t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS =>
-                    g.getLong(idx, 0) / 1000L
-                  case _ => g.getLong(idx, 0) // MICROS (Spark's default)
-                }
-                micros
-              case (dt, pt) => throw new UnsupportedOperationException(
-                s"graft-table reader: column ${f.name} $dt from parquet $pt")
-            }
+            val idx = gType.getFieldIndex(f.name)
+            val leaf = GraftTableBatchReaderFactory.decoderFor(gType, idx, f)
+            (g: Group) =>
+              if (g.getFieldRepetitionCount(idx) == 0) null else leaf(g)
           }
-          }
-        } ++ literal.toSeq)
+        }
+
+      private def convert(g: Group): InternalRow = {
+        if (decoders == null) decoders = buildDecoders(g.getType)
+        val out = new Array[Any](decoders.length + (if (literal.isDefined) 1 else 0))
+        var i = 0
+        while (i < decoders.length) { out(i) = decoders(i)(g); i += 1 }
+        literal.foreach(out(decoders.length) = _)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
       }
 
       override def next(): Boolean = {

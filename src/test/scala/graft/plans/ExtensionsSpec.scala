@@ -602,4 +602,112 @@ class ExtensionsSpec extends SparkSpec {
       graft.tables.SnapshotTable.deleteRecursively(java.nio.file.Paths.get(dir))
     }
   }
+
+  test("durable MV registry: a persisted DEAD tombstone stops a still-attached session from resurrecting the entry") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_dead_").toString
+    def viewA() = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("pri")).agg(count(lit(1)).as("n"))
+    def viewB() = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus").as("st")).agg(count(lit(1)).as("n"))
+    def b64(x: String) = java.util.Base64.getEncoder.encodeToString(x.getBytes("UTF-8"))
+    val reg = java.nio.file.Paths.get(dir, "_mv_registry")
+    try {
+      MaterializedViews.attachDurableRegistry(dir)
+      val fpA = MaterializedViews.register(viewA(), s"$dir/a")
+      assert(new String(java.nio.file.Files.readAllBytes(reg), "UTF-8")
+        .contains(s"ENTRY ${b64(fpA)}"))
+      // ANOTHER PROCESS deregisters A: its persist leaves a DEAD
+      // tombstone line in the file (simulated by editing the file the
+      // way that process's persist() would have written it)
+      val edited = new String(java.nio.file.Files.readAllBytes(reg), "UTF-8")
+        .linesIterator.filterNot(_.startsWith(s"ENTRY ${b64(fpA)}"))
+        .mkString("", "\n", "\n") + s"DEAD ${b64(fpA)}\n"
+      java.nio.file.Files.write(reg, edited.getBytes("UTF-8"))
+      // THIS session still holds fpA in memory; its next persist
+      // (triggered by registering B) must ADOPT the tombstone, not
+      // write the dead fingerprint back
+      MaterializedViews.register(viewB(), s"$dir/b")
+      val after = new String(java.nio.file.Files.readAllBytes(reg), "UTF-8")
+      assert(!after.contains(s"ENTRY ${b64(fpA)}"),
+        "still-attached session resurrected a tombstoned entry")
+      assert(after.contains(s"DEAD ${b64(fpA)}"), "tombstone dropped")
+      assert(!viewA().queryExecution.executedPlan.toString.contains("graft_mv_dead_"),
+        "in-memory rewrite survived an adopted tombstone")
+      // RE-REGISTER outranks the tombstone: the fresh registration
+      // persists as an ENTRY and the DEAD line is cleared
+      MaterializedViews.register(viewA(), s"$dir/a2")
+      val reborn = new String(java.nio.file.Files.readAllBytes(reg), "UTF-8")
+      assert(reborn.contains(s"ENTRY ${b64(fpA)}"), "re-registration lost")
+      assert(!reborn.contains(s"DEAD ${b64(fpA)}"), "stale tombstone kept")
+      assert(viewA().queryExecution.executedPlan.toString.contains("graft_mv_dead_"))
+    } finally {
+      MaterializedViews.detachDurableRegistry()
+      MaterializedViews.clear()
+      graft.tables.SnapshotTable.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
+  test("durable MV registry: persist holds an OS file lock and merges writes that land before it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_lock_").toString
+    def viewA() = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("pri")).agg(count(lit(1)).as("n"))
+    def b64(x: String) = java.util.Base64.getEncoder.encodeToString(x.getBytes("UTF-8"))
+    val reg = java.nio.file.Paths.get(dir, "_mv_registry")
+    val lck = java.nio.file.Paths.get(dir, "_mv_registry.lck")
+    // a foreign materialization dir that EXISTS (the merge skips
+    // entries whose paths are gone)
+    val foreignPath = java.nio.file.Files.createTempDirectory("graft_mv_foreign_").toString
+    val foreignFp = "foreign-session-fingerprint"
+    @volatile var sawLocked = false
+    try {
+      MaterializedViews.attachDurableRegistry(dir)
+      MaterializedViews.persistRaceHook = () => {
+        // 1) the .lck is HELD for the whole read-merge-write: a second
+        //    locker (what another process's persist would do first)
+        //    cannot enter the critical section
+        val ch2 = java.nio.channels.FileChannel.open(lck,
+          java.nio.file.StandardOpenOption.WRITE)
+        try intercept[java.nio.channels.OverlappingFileLockException](ch2.tryLock())
+        finally ch2.close()
+        sawLocked = true
+        // 2) an interleaved write that COMPLETED before we locked (the
+        //    r15 lost-update window): the merge must pick it up
+        val prev = if (java.nio.file.Files.exists(reg))
+          new String(java.nio.file.Files.readAllBytes(reg), "UTF-8") else ""
+        java.nio.file.Files.write(reg,
+          (prev + s"ENTRY ${b64(foreignFp)} ${b64(foreignPath)}\n").getBytes("UTF-8"))
+      }
+      MaterializedViews.register(viewA(), s"$dir/a") // triggers persist
+      assert(sawLocked, "race hook never ran inside the lock")
+      val after = new String(java.nio.file.Files.readAllBytes(reg), "UTF-8")
+      assert(after.contains(s"ENTRY ${b64(foreignFp)}"),
+        "interleaved foreign registration was last-writer-wins dropped")
+      assert(after.contains("ENTRY "), after)
+    } finally {
+      MaterializedViews.persistRaceHook = () => ()
+      MaterializedViews.detachDurableRegistry()
+      MaterializedViews.clear()
+      graft.tables.SnapshotTable.deleteRecursively(java.nio.file.Paths.get(dir))
+      graft.tables.SnapshotTable.deleteRecursively(java.nio.file.Paths.get(foreignPath))
+    }
+  }
+
+  test("durable MV registry: re-attaching a different root while attached refuses loudly") {
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_mv_att1_").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_mv_att2_").toString
+    try {
+      MaterializedViews.attachDurableRegistry(dir1)
+      MaterializedViews.attachDurableRegistry(dir1) // same root: idempotent refresh
+      val e = intercept[IllegalStateException](
+        MaterializedViews.attachDurableRegistry(dir2))
+      assert(e.getMessage.contains("detachDurableRegistry"), e.getMessage)
+      MaterializedViews.detachDurableRegistry()
+      MaterializedViews.attachDurableRegistry(dir2) // explicit detach unblocks
+    } finally {
+      MaterializedViews.detachDurableRegistry()
+      MaterializedViews.clear()
+      graft.tables.SnapshotTable.deleteRecursively(java.nio.file.Paths.get(dir1))
+      graft.tables.SnapshotTable.deleteRecursively(java.nio.file.Paths.get(dir2))
+    }
+  }
 }
