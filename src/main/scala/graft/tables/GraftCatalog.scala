@@ -272,6 +272,36 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       }
     }
 
+  /** The ANN index's dispatch record: one `<t>__ann_meta` row
+    * (tier, column names, PQ geometry) committed by ann_build so
+    * ann_probe / ann_ingest run the right tier without the caller
+    * restating build parameters. An ordinary one-row catalog table. */
+  private final case class AnnMeta(tier: String, idCol: String,
+    vecCol: String, k: Int, m: Int, codes: Int, dims: Int)
+
+  private def writeAnnMeta(tbl: String, tier: String, idCol: String,
+      vecCol: String, k: Int, m: Int, codes: Int, dims: Int): Unit = {
+    val s = SparkSession.active
+    def q(x: String) = x.replace("'", "''")
+    val df = s.sql(s"SELECT '${q(tier)}' AS tier, '${q(idCol)}' AS id_col, " +
+      s"'${q(vecCol)}' AS vec_col, $k AS k, $m AS m, $codes AS codes, " +
+      s"$dims AS dims")
+    new SnapshotTable(s, procTablePath(s"${tbl}__ann_meta").toString).commit(df)
+  }
+
+  /** None for indexes that predate the meta table — treated as the
+    * original IVF tier (the only one that existed then). */
+  private def readAnnMeta(tbl: String): Option[AnnMeta] = {
+    val p = procTablePath(s"${tbl}__ann_meta")
+    if (!isTableDir(p)) None
+    else {
+      val r = SparkSession.active.read.format("graft-table")
+        .option("path", p.toString).load().head()
+      Some(AnnMeta(r.getString(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6)))
+    }
+  }
+
   private lazy val procedures: Map[String, UnboundProcedure] = Map(
     "compact" -> proc("compact",
       Seq(param("table", StringType), param("target_files",
@@ -427,31 +457,71 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       in => oneRow(VersionOut,
         snapshotOf(in.getUTF8String(0).toString).compactDvs())),
     "ann_build" -> proc("ann_build",
-      // CALL cat.ann_build('docs', 'id', 'emb', 8) — build a
-      // persisted IVF ANN index over a catalog table's float-vector
-      // column. The index IS two ordinary catalog tables
-      // (<t>__ann_vectors clustered on the cluster id — one file per
-      // inverted list — and <t>__ann_centroids), so it is SELECTable,
-      // DESCRIBEable, versioned, vacuumable, and crash-safe like
-      // every other table. Rebuild = CALL again (fresh commit).
+      // CALL cat.ann_build('docs', 'id', 'emb', 8[, tier[, m[, codes]]])
+      // — build a persisted ANN index over a catalog table's
+      // float-vector column, in one of three tiers:
+      //  * 'ivf' (default): <t>__ann_vectors clustered on the coarse
+      //    cluster id (one file per inverted list) + <t>__ann_centroids;
+      //  * 'pq': <t>__ann_codes (8-byte-per-vector ARRAY<TINYINT>) +
+      //    <t>__ann_codebooks (m×codes rows) — probe is ADC over the
+      //    code table only, never a raw vector;
+      //  * 'ivf_pq': residual PQ (FAISS IndexIVFPQ) — centroids +
+      //    residual codebooks + cluster-clustered codes.
+      // Every artifact IS an ordinary catalog table — SELECTable,
+      // DESCRIBEable, versioned, vacuumable, crash-safe — plus a
+      // <t>__ann_meta row (tier, columns, m, codes, dims) that
+      // ann_probe/ann_ingest dispatch on. Training (Lloyd) runs HERE,
+      // never per query. Rebuild = CALL again (fresh commits).
       Seq(param("table", StringType), param("id_col", StringType),
         param("vec_col", StringType), param("k",
-          org.apache.spark.sql.types.IntegerType)),
+          org.apache.spark.sql.types.IntegerType),
+        ProcedureParameter.in("tier", StringType).defaultValue("'ivf'").build(),
+        ProcedureParameter.in("m",
+          org.apache.spark.sql.types.IntegerType).defaultValue("8").build(),
+        ProcedureParameter.in("codes",
+          org.apache.spark.sql.types.IntegerType).defaultValue("64").build()),
       in => {
         val tbl = in.getUTF8String(0).toString
         val t = snapshotOf(tbl)
-        val vPath = procTablePath(s"${tbl}__ann_vectors")
-        val cPath = procTablePath(s"${tbl}__ann_centroids")
-        graft.ops.Similarity.buildIvfIndexFor(SparkSession.active, t.read(),
-          in.getUTF8String(1).toString, in.getUTF8String(2).toString,
-          in.getInt(3), vPath.toString, cPath.toString)
+        val idCol = in.getUTF8String(1).toString
+        val vecCol = in.getUTF8String(2).toString
+        val k = in.getInt(3)
+        val tier = in.getUTF8String(4).toString
+        val m = in.getInt(5)
+        val codes = in.getInt(6)
+        val spark = SparkSession.active
+        val tables: Seq[String] = tier match {
+          case "ivf" =>
+            graft.ops.Similarity.buildIvfIndexFor(spark, t.read(), idCol,
+              vecCol, k, procTablePath(s"${tbl}__ann_vectors").toString,
+              procTablePath(s"${tbl}__ann_centroids").toString)
+            writeAnnMeta(tbl, "ivf", idCol, vecCol, k, 0, 0, 0)
+            Seq(s"${tbl}__ann_vectors", s"${tbl}__ann_centroids")
+          case "pq" =>
+            val dims = graft.ops.Similarity.buildPqIndexFor(spark, t.read(),
+              idCol, vecCol, m, codes,
+              procTablePath(s"${tbl}__ann_codes").toString,
+              procTablePath(s"${tbl}__ann_codebooks").toString)
+            writeAnnMeta(tbl, "pq", idCol, vecCol, k, m, codes, dims)
+            Seq(s"${tbl}__ann_codes", s"${tbl}__ann_codebooks")
+          case "ivf_pq" =>
+            val dims = graft.ops.Similarity.buildIvfPqIndexFor(spark, t.read(),
+              idCol, vecCol, k, m, codes,
+              procTablePath(s"${tbl}__ann_codes").toString,
+              procTablePath(s"${tbl}__ann_codebooks").toString,
+              procTablePath(s"${tbl}__ann_centroids").toString)
+            writeAnnMeta(tbl, "ivf_pq", idCol, vecCol, k, m, codes, dims)
+            Seq(s"${tbl}__ann_codes", s"${tbl}__ann_codebooks",
+              s"${tbl}__ann_centroids")
+          case other => throw new IllegalArgumentException(
+            s"ann_build tier must be 'ivf', 'pq' or 'ivf_pq', got '$other'")
+        }
         def utf(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
         oneRow(StructType(Seq(
-          org.apache.spark.sql.types.StructField("vectors", StringType, nullable = false),
-          org.apache.spark.sql.types.StructField("centroids", StringType, nullable = false),
-          org.apache.spark.sql.types.StructField("k", LongType, nullable = false))),
-          utf(s"${tbl}__ann_vectors"), utf(s"${tbl}__ann_centroids"),
-          in.getInt(3).toLong)
+          org.apache.spark.sql.types.StructField("tables", StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("k", LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("tier", StringType, nullable = false))),
+          utf(tables.mkString(",")), k.toLong, utf(tier))
       }),
     "ann_ingest" -> proc("ann_ingest",
       // CALL cat.ann_ingest('docs', 'docs_staging', 'id', 'emb', 7)
@@ -466,17 +536,42 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         param("batch_id", LongType)),
       in => {
         val tbl = in.getUTF8String(0).toString
-        val vPath = procTablePath(s"${tbl}__ann_vectors")
-        val cPath = procTablePath(s"${tbl}__ann_centroids")
-        require(isTableDir(vPath) && isTableDir(cPath),
-          s"no ANN index for '$tbl' — run CALL ann_build first")
         val src = snapshotOf(in.getUTF8String(1).toString)
-        val v = graft.ops.Similarity.appendToIvfIndexFor(SparkSession.active,
-          vPath.toString, cPath.toString, src.read(),
-          in.getUTF8String(2).toString, in.getUTF8String(3).toString,
-          in.getLong(4))
+        val idCol = in.getUTF8String(2).toString
+        val vecCol = in.getUTF8String(3).toString
+        val batchId = in.getLong(4)
+        val spark = SparkSession.active
+        val meta = readAnnMeta(tbl)
+        val (v, mainPath) = meta.map(_.tier).getOrElse("ivf") match {
+          case "ivf" =>
+            val vPath = procTablePath(s"${tbl}__ann_vectors")
+            val cPath = procTablePath(s"${tbl}__ann_centroids")
+            require(isTableDir(vPath) && isTableDir(cPath),
+              s"no ANN index for '$tbl' — run CALL ann_build first")
+            (graft.ops.Similarity.appendToIvfIndexFor(spark, vPath.toString,
+              cPath.toString, src.read(), idCol, vecCol, batchId), vPath)
+          case "pq" =>
+            val md = meta.get
+            val codesPath = procTablePath(s"${tbl}__ann_codes")
+            require(isTableDir(codesPath),
+              s"no ANN index for '$tbl' — run CALL ann_build first")
+            (graft.ops.Similarity.appendToPqIndexFor(spark,
+              codesPath.toString,
+              procTablePath(s"${tbl}__ann_codebooks").toString,
+              src.read(), idCol, vecCol, md.m, md.dims, batchId), codesPath)
+          case "ivf_pq" =>
+            val md = meta.get
+            val codesPath = procTablePath(s"${tbl}__ann_codes")
+            require(isTableDir(codesPath),
+              s"no ANN index for '$tbl' — run CALL ann_build first")
+            (graft.ops.Similarity.appendToIvfPqIndexFor(spark,
+              codesPath.toString,
+              procTablePath(s"${tbl}__ann_codebooks").toString,
+              procTablePath(s"${tbl}__ann_centroids").toString,
+              src.read(), idCol, vecCol, md.m, md.dims, batchId), codesPath)
+        }
         oneRow(VersionOut, v.getOrElse(
-          new SnapshotTable(SparkSession.active, vPath.toString).currentVersion))
+          new SnapshotTable(SparkSession.active, mainPath.toString).currentVersion))
       }),
     "ann_probe" -> proc("ann_probe",
       // CALL cat.ann_probe('docs', 42, 2, 5) — top-k cosine
@@ -490,17 +585,51 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         param("k", org.apache.spark.sql.types.IntegerType)),
       in => {
         val tbl = in.getUTF8String(0).toString
-        val vPath = procTablePath(s"${tbl}__ann_vectors")
-        val cPath = procTablePath(s"${tbl}__ann_centroids")
-        require(isTableDir(vPath) && isTableDir(cPath),
-          s"no ANN index for '$tbl' — run CALL ann_build first")
-        val top = graft.ops.Similarity.probeIvfIndexFor(SparkSession.active,
-          vPath.toString, cPath.toString, in.getLong(1), in.getInt(2),
-          in.getInt(3)).collect() // ≤ k rows — the procedure's result
+        val probeId = in.getLong(1)
+        val nprobe = in.getInt(2)
+        val topK = in.getInt(3)
+        val spark = SparkSession.active
+        val meta = readAnnMeta(tbl)
+        val tier = meta.map(_.tier).getOrElse("ivf")
+        // ≤ k rows cross the driver — a top-k is small by definition.
+        // ivf returns (id, score=cosine, higher=closer); the PQ tiers
+        // return (id, adist=ADC squared-L2, lower=closer) — honest
+        // column names instead of one name with tier-dependent meaning
+        val (scoreCol, top) = tier match {
+          case "ivf" =>
+            val vPath = procTablePath(s"${tbl}__ann_vectors")
+            val cPath = procTablePath(s"${tbl}__ann_centroids")
+            require(isTableDir(vPath) && isTableDir(cPath),
+              s"no ANN index for '$tbl' — run CALL ann_build first")
+            ("score", graft.ops.Similarity.probeIvfIndexFor(spark,
+              vPath.toString, cPath.toString, probeId, nprobe, topK).collect())
+          case _ =>
+            val md = meta.get
+            val codesPath = procTablePath(s"${tbl}__ann_codes")
+            require(isTableDir(codesPath),
+              s"no ANN index for '$tbl' — run CALL ann_build first")
+            // the probe vector is the single id-filtered row of the
+            // SOURCE table; candidates never touch a raw vector
+            val probeVec = snapshotOf(tbl).read()
+              .filter(org.apache.spark.sql.functions.col(md.idCol)
+                .cast("long") === probeId)
+              .select(org.apache.spark.sql.functions.col(md.vecCol).as("vec"))
+            val df =
+              if (tier == "pq")
+                graft.ops.Similarity.probePqIndexFor(spark, probeVec, probeId,
+                  md.m, md.dims, codesPath.toString,
+                  procTablePath(s"${tbl}__ann_codebooks").toString, topK)
+              else
+                graft.ops.Similarity.probeIvfPqIndexFor(spark, probeVec,
+                  probeId, nprobe, md.m, md.dims, codesPath.toString,
+                  procTablePath(s"${tbl}__ann_codebooks").toString,
+                  procTablePath(s"${tbl}__ann_centroids").toString, topK)
+            ("adist", df.collect())
+        }
         java.util.List.of[Scan](new LocalScan {
           override def readSchema(): StructType = StructType(Seq(
             org.apache.spark.sql.types.StructField("id", LongType, nullable = false),
-            org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.StructField(scoreCol,
               org.apache.spark.sql.types.DoubleType, nullable = true)))
           override def rows(): Array[InternalRow] = top.map(r =>
             InternalRow(r.getLong(0), r.getDouble(1)))

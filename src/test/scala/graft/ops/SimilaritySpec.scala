@@ -76,6 +76,50 @@ class SimilaritySpec extends SparkSpec {
     assert(replay.count(_.getLong(0) == 999999L) == 1, replay.mkString("; "))
   }
 
+  test("persisted PQ / IVF+PQ: probe is ADC over committed 8-byte code tables only, equals the per-query paths") {
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    def graftScans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.filter(_.startsWith("graft-table"))
+    val pid = ProcessHandle.current().pid()
+    val sfx = sf.replaceAll("[^A-Za-z0-9]", "_") + "_" + pid
+
+    // PQ: bit-identical to the per-query path (order-preserving byte
+    // remap), candidates from the code table + broadcast codebook only
+    val pq = SparkEntry_queries("q_sim_ann_pq").collect().map(_.toSeq).toSeq
+    val pqP = SparkEntry_queries("q_sim_ann_pq_persisted")
+    assert(pqP.collect().map(_.toSeq).toSeq == pq,
+      "persisted PQ != per-query PQ")
+    val pqScans = graftScans(pqP)
+    assert(pqScans.size == 2 && pqScans.forall(_.contains("graft_ann_pq_idx_")),
+      s"PQ probe not served from the persisted index: $pqScans")
+    // the only FILE scan is the probe row's source — never a raw
+    // candidate vector
+    assert(pqP.inputFiles.forall(_.contains("embeddings.parquet")),
+      s"unexpected file-scan inputs: ${pqP.inputFiles.mkString(", ")}")
+    // the committed index really is 8 bytes per vector: ARRAY<TINYINT>
+    val pqCodes = spark.read.format("graft-table")
+      .option("path", s"${sys.props("java.io.tmpdir")}/graft_ann_pq_idx_$sfx/codes")
+      .load()
+    assert(pqCodes.schema("codes").dataType.asInstanceOf[ArrayType]
+      .elementType == ByteType, pqCodes.schema.simpleString)
+    assert(pqCodes.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("codes"))).head.getInt(0) == 8)
+
+    // residual IVF+PQ: same contract, plus the centroid sidecar
+    val ivfpq = SparkEntry_queries("q_sim_ann_ivf_pq").collect().map(_.toSeq).toSeq
+    val ivfpqP = SparkEntry_queries("q_sim_ann_ivf_pq_persisted")
+    assert(ivfpqP.collect().map(_.toSeq).toSeq == ivfpq,
+      "persisted IVF+PQ != per-query IVF+PQ")
+    val ipqScans = graftScans(ivfpqP)
+    assert(ipqScans.size == 3 && ipqScans.forall(_.contains("graft_ann_ivfpq_idx_")),
+      s"IVF+PQ probe not served from the persisted index: $ipqScans")
+    assert(ivfpqP.inputFiles.forall(_.contains("embeddings.parquet")),
+      s"unexpected file-scan inputs: ${ivfpqP.inputFiles.mkString(", ")}")
+  }
+
   test("PQ ADC top-5 lands in the exact L2 top decile; ADC distances are ranked, non-negative") {
     import org.apache.spark.sql.functions._
     // the exact (unquantized) squared-L2 top-5 — PQ is an L2-metric

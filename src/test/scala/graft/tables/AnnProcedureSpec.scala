@@ -29,8 +29,8 @@ class AnnProcedureSpec extends SparkSpec {
       val built = spark.sql(
         "CALL annproc.ann_build(table => 'docs', id_col => 'id', " +
           "vec_col => 'emb', k => 8)").head
-      assert(built.getString(0) == "docs__ann_vectors")
-      assert(built.getString(1) == "docs__ann_centroids")
+      assert(built.getString(0) == "docs__ann_vectors,docs__ann_centroids")
+      assert(built.getLong(1) == 8L && built.getString(2) == "ivf", built.toString)
       // the index is ordinary catalog tables: SELECTable, and the
       // vectors table covers every row exactly once
       val nVec = spark.sql("SELECT count(*) FROM annproc.docs__ann_vectors")
@@ -96,6 +96,128 @@ class AnnProcedureSpec extends SparkSpec {
       assert(chain(e2).exists(_.contains("ARRAY<FLOAT>")), e2.toString)
     } finally {
       spark.conf.unset("spark.sql.catalog.annproc")
+      SnapshotTable.deleteRecursively(catRoot)
+    }
+  }
+
+  test("PQ tier lifecycle: ann_build persists codebooks + 8-byte codes; probe is codes-only ADC; ingest encodes without Lloyd; replay is a no-op") {
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_ann_pq_proc_")
+    spark.conf.set("spark.sql.catalog.annpq", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.annpq.root", catRoot.toString)
+    try {
+      // planted duplicate: row 900001 carries row 1's vector — its ADC
+      // distance equals the probe's own quantization error, the minimum
+      val base = graft.Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      val planted = base.filter(col("id") === 1L)
+        .select(lit(900001L).as("id"), col("emb"))
+      val t = new SnapshotTable(spark, catRoot.resolve("docs").toString)
+      t.commit(base.unionAll(planted))
+
+      val built = spark.sql(
+        "CALL annpq.ann_build(table => 'docs', id_col => 'id', " +
+          "vec_col => 'emb', k => 8, tier => 'pq')").head
+      assert(built.getString(0) == "docs__ann_codes,docs__ann_codebooks")
+      assert(built.getString(2) == "pq", built.toString)
+      // the committed index: one ARRAY<TINYINT> row per vector (8
+      // bytes), codebooks m*codes rows, and the meta dispatch row
+      val codes = spark.sql("SELECT * FROM annpq.docs__ann_codes")
+      assert(codes.count() == t.read().count())
+      assert(codes.schema("codes").dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ByteType, containsNull = true),
+        codes.schema.simpleString)
+      val nCb = spark.sql("SELECT count(*) FROM annpq.docs__ann_codebooks")
+        .head.getLong(0)
+      assert(nCb >= 8 && nCb <= 8 * 64, s"codebooks: $nCb")
+      val meta = spark.sql("SELECT * FROM annpq.docs__ann_meta").head
+      assert(meta.getString(0) == "pq" && meta.getInt(4) == 8 &&
+        meta.getInt(6) == 64, meta.toString)
+
+      // probe: the planted duplicate ranks FIRST (minimal ADC distance)
+      val top = spark.sql(
+        "CALL annpq.ann_probe(table => 'docs', probe_id => 1, " +
+          "nprobe => 2, k => 5)").collect()
+      assert(top.length == 5, top.mkString("; "))
+      assert(top.head.getLong(0) == 900001L, top.mkString("; "))
+      val dists = top.map(_.getDouble(1)).toSeq
+      assert(dists == dists.sorted, s"adist not ascending: $dists")
+      assert(dists.forall(_ >= 0.0))
+
+      // ingest: encode-only (no Lloyd), atomic, exactly-once by batch
+      val staging = new SnapshotTable(spark, catRoot.resolve("stage").toString)
+      staging.commit(base.filter(col("id") === 1L)
+        .select(lit(900002L).as("id"), col("emb")))
+      val v1 = spark.sql(
+        "CALL annpq.ann_ingest(table => 'docs', source_table => 'stage', " +
+          "id_col => 'id', vec_col => 'emb', batch_id => 3)").head.getLong(0)
+      val top2 = spark.sql(
+        "CALL annpq.ann_probe(table => 'docs', probe_id => 1, " +
+          "nprobe => 2, k => 5)").collect()
+      assert(top2.take(2).map(_.getLong(0)).toSet == Set(900001L, 900002L),
+        top2.mkString("; "))
+      val vReplay = spark.sql(
+        "CALL annpq.ann_ingest(table => 'docs', source_table => 'stage', " +
+          "id_col => 'id', vec_col => 'emb', batch_id => 3)").head.getLong(0)
+      assert(vReplay == v1, "batch_id replay must be a no-op")
+      assert(spark.sql(
+        "CALL annpq.ann_probe(table => 'docs', probe_id => 1, " +
+          "nprobe => 2, k => 5)").collect()
+        .count(_.getLong(0) == 900002L) == 1)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.annpq")
+      SnapshotTable.deleteRecursively(catRoot)
+    }
+  }
+
+  test("IVF+PQ tier lifecycle: residual codes cluster-clustered; probe prunes to probed clusters; ingest assigns + encodes against persisted artifacts") {
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_ann_ivfpq_proc_")
+    spark.conf.set("spark.sql.catalog.annipq", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.annipq.root", catRoot.toString)
+    try {
+      val base = graft.Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      val planted = base.filter(col("id") === 1L)
+        .select(lit(900001L).as("id"), col("emb"))
+      val t = new SnapshotTable(spark, catRoot.resolve("docs").toString)
+      t.commit(base.unionAll(planted))
+
+      val built = spark.sql(
+        "CALL annipq.ann_build(table => 'docs', id_col => 'id', " +
+          "vec_col => 'emb', k => 8, tier => 'ivf_pq')").head
+      assert(built.getString(0) ==
+        "docs__ann_codes,docs__ann_codebooks,docs__ann_centroids")
+      assert(built.getString(2) == "ivf_pq", built.toString)
+      val codes = spark.sql("SELECT * FROM annipq.docs__ann_codes")
+      assert(codes.count() == t.read().count())
+      assert(codes.schema.fieldNames.contains("cluster"), codes.schema.simpleString)
+
+      // probe: a residual-identical duplicate has the probe's own code
+      // word in the probe's own cluster — minimal ADC distance
+      val top = spark.sql(
+        "CALL annipq.ann_probe(table => 'docs', probe_id => 1, " +
+          "nprobe => 2, k => 5)").collect()
+      assert(top.length == 5, top.mkString("; "))
+      assert(top.head.getLong(0) == 900001L, top.mkString("; "))
+
+      // ingest → probe finds it → replay no-op
+      val staging = new SnapshotTable(spark, catRoot.resolve("stage").toString)
+      staging.commit(base.filter(col("id") === 1L)
+        .select(lit(900002L).as("id"), col("emb")))
+      val v1 = spark.sql(
+        "CALL annipq.ann_ingest(table => 'docs', source_table => 'stage', " +
+          "id_col => 'id', vec_col => 'emb', batch_id => 11)").head.getLong(0)
+      val top2 = spark.sql(
+        "CALL annipq.ann_probe(table => 'docs', probe_id => 1, " +
+          "nprobe => 2, k => 5)").collect()
+      assert(top2.take(2).map(_.getLong(0)).toSet == Set(900001L, 900002L),
+        top2.mkString("; "))
+      val vReplay = spark.sql(
+        "CALL annipq.ann_ingest(table => 'docs', source_table => 'stage', " +
+          "id_col => 'id', vec_col => 'emb', batch_id => 11)").head.getLong(0)
+      assert(vReplay == v1, "batch_id replay must be a no-op")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.annipq")
       SnapshotTable.deleteRecursively(catRoot)
     }
   }
