@@ -31,7 +31,7 @@ object RecallSweep {
     Math.floorMod(a * 1609587929392839161L + b * 2654435761L + c * 97531L,
       1000003L).toDouble / 1000003.0 * 2.0 - 1.0
 
-  private def planted(spark: SparkSession): DataFrame = {
+  private[ops] def planted(spark: SparkSession): DataFrame = {
     import spark.implicits._
     (for { c <- 0 until 16; m <- 0 until 24 } yield {
       val id = (c * 24 + m).toLong
@@ -40,6 +40,69 @@ object RecallSweep {
       }.toArray
       (id, c.toLong, emb)
     }).toDF("vec_id", "label", "embedding")
+  }
+
+  /** Exact SQUARED-L2 top-10 — the reference metric for the PQ
+    * tiers, whose ADC approximates L2 (cosine would conflate metric
+    * mismatch with quantization loss). */
+  private def bruteL2Top10(emb: DataFrame, probeId: Long): Set[Long] = {
+    val probeVec = emb.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe"))
+    emb.filter(col("vec_id") =!= probeId).crossJoin(broadcast(probeVec))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("embedding"), col("probe"), (x, y) =>
+          (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0d), (acc, v) => acc + v).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  /** PQ tier recall@10 vs the exact-L2 baseline: codebooks trained
+    * ONCE per corpus (m=8 x 64 codes, the engine's geometry), then
+    * one ADC ranking per probe. */
+  private[ops] def pqRecall(emb: DataFrame, probeIds: Seq[Long]): Double = {
+    val e = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val (subs, codebook, codes) = Similarity.pqTrain(e)
+    val cbC = codebook.cache(); cbC.count()
+    val codesC = codes.cache(); codesC.count()
+    val r = probeIds.map { pid =>
+      val brute = bruteL2Top10(emb, pid)
+      val got = Similarity.pqAdc(subs.filter(col("vec_id") === pid), cbC,
+        codesC.filter(col("vec_id") =!= pid), topK = 10)
+        .collect().map(_.getLong(0)).toSet
+      (brute & got).size / 10.0
+    }.sum / probeIds.size
+    cbC.unpersist(); codesC.unpersist()
+    r
+  }
+
+  /** Residual IVF+PQ recall@10 vs nprobe (coarse k=8, the engine's
+    * geometry): quantizers trained once per corpus, probes sweep the
+    * nprobe budget — the coarse-pruning/recall trade-off surface. */
+  private[ops] def ivfPqRecall(emb: DataFrame, probeIds: Seq[Long],
+      nprobes: Seq[Int]): Map[Int, Double] = {
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val n = base.count()
+    val (assigned0, centroids0) = Similarity.ivfTrainFor(base, n, 8)
+    val assigned = assigned0.select(col("id").as("vec_id"),
+      lit(0L).as("label"), col("vec").as("embedding"), col("cluster"))
+    val centroids = centroids0.cache(); centroids.count()
+    val (_, codebook, codes) = Similarity.ivfPqTrain(assigned, centroids)
+    val cbC = codebook.cache(); cbC.count()
+    val codesC = codes.cache(); codesC.count()
+    val perProbe = probeIds.map { pid =>
+      val brute = bruteL2Top10(emb, pid)
+      val probe = emb.filter(col("vec_id") === pid)
+        .select(col("embedding").as("probe"))
+      nprobes.map { np =>
+        val got = Similarity.ivfPqAdc(probe, centroids, cbC,
+          codesC.filter(col("vec_id") =!= pid), nprobe = np, topK = 10)
+          .collect().map(_.getLong(0)).toSet
+        np -> (brute & got).size / 10.0
+      }.toMap
+    }
+    centroids.unpersist(); cbC.unpersist(); codesC.unpersist()
+    nprobes.map(np => np -> perProbe.map(_(np)).sum / perProbe.size).toMap
   }
 
   private def bruteTop10(emb: DataFrame, probeId: Long): Set[Long] = {
@@ -85,12 +148,30 @@ object RecallSweep {
       cached.unpersist()
       s
     }
+    // PQ tier rows (r16): recall@10 vs the exact-L2 baseline, and
+    // the residual IVF+PQ nprobe sweep — the compression tiers'
+    // committed quality surface, like multi-probe LSH above
+    val nprobes = Seq(1, 2, 4, 8)
+    val pqSections = Seq(
+      ("planted_locality", planted(spark)),
+      ("sf0.01", Tables.embeddings(spark, "/root/testdata/sf0.01")),
+      ("sf0.1", Tables.embeddings(spark, "/root/testdata/sf0.1")),
+    ).map { case (name, df) =>
+      val cached = df.cache(); cached.count()
+      val pq = math.rint(pqRecall(cached, probeIds) * 1000) / 1000
+      val ipq = ivfPqRecall(cached, probeIds, nprobes)
+      cached.unpersist()
+      s""""$name":{"pq_recall_at_10":$pq,"ivf_pq_recall_at_10":{${
+        nprobes.map(np => s""""nprobe$np":${math.rint(ipq(np) * 1000) / 1000}""").mkString(",")}}}"""
+    }
     val json =
       s"""{"artifact":"multi-probe LSH recall sweep","k":10,"planes":4,
          |"budget_semantics":"T buckets probed = own bucket + T-1 margin-ordered Hamming-1 flips",
          |"note":"with 4 hyperplanes there are only 4 Hamming-1 flips, so budgets beyond T5 clamp to 5 distinct buckets; isotropic sf corpora have no locality, so their recall tracks the probed fraction of the 16 buckets (the honest adversarial baseline), while planted_locality shows the structured-corpus regime",
          |"probe_ids":[${probeIds.mkString(",")}],
-         |${sections.mkString(",\n")}}""".stripMargin
+         |${sections.mkString(",\n")},
+         |"pq_tiers":{"m":8,"codes":64,"coarse_k":8,"baseline":"exact squared-L2 top-10 (ADC's metric); coarse ranking stays cosine, matching q_sim_ann_ivf_pq",
+         |${pqSections.mkString(",\n")}}}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     println(json)

@@ -289,6 +289,65 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new SnapshotTable(s, procTablePath(s"${tbl}__ann_meta").toString).commit(df)
   }
 
+  /** Shared tier dispatch for ann_probe (member id) and
+    * ann_probe_vec (arbitrary vector). ≤ k rows cross the driver — a
+    * top-k is small by definition. ivf returns (id, score=cosine,
+    * higher=closer); the PQ tiers return (id, adist=ADC squared-L2,
+    * lower=closer) — honest column names instead of one name with
+    * tier-dependent meaning. */
+  private def annProbeScan(tbl: String,
+      probeVec: Option[org.apache.spark.sql.DataFrame],
+      probeId: Option[Long], nprobe: Int,
+      topK: Int): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val meta = readAnnMeta(tbl)
+    val tier = meta.map(_.tier).getOrElse("ivf")
+    val (scoreCol, top) = tier match {
+      case "ivf" =>
+        val vPath = procTablePath(s"${tbl}__ann_vectors")
+        val cPath = procTablePath(s"${tbl}__ann_centroids")
+        require(isTableDir(vPath) && isTableDir(cPath),
+          s"no ANN index for '$tbl' — run CALL ann_build first")
+        val df = probeVec match {
+          case Some(v) => graft.ops.Similarity.probeIvfIndexVecFor(spark,
+            vPath.toString, cPath.toString, v, nprobe, topK)
+          case None => graft.ops.Similarity.probeIvfIndexFor(spark,
+            vPath.toString, cPath.toString, probeId.get, nprobe, topK)
+        }
+        ("score", df.collect())
+      case _ =>
+        val md = meta.get
+        val codesPath = procTablePath(s"${tbl}__ann_codes")
+        require(isTableDir(codesPath),
+          s"no ANN index for '$tbl' — run CALL ann_build first")
+        // by-id probes fetch the single id-filtered row of the SOURCE
+        // table; candidates never touch a raw vector either way
+        val pv = probeVec.getOrElse(snapshotOf(tbl).read()
+          .filter(org.apache.spark.sql.functions.col(md.idCol)
+            .cast("long") === probeId.get)
+          .select(org.apache.spark.sql.functions.col(md.vecCol).as("vec")))
+        val df =
+          if (tier == "pq")
+            graft.ops.Similarity.probePqIndexFor(spark, pv, probeId,
+              md.m, md.dims, codesPath.toString,
+              procTablePath(s"${tbl}__ann_codebooks").toString, topK)
+          else
+            graft.ops.Similarity.probeIvfPqIndexFor(spark, pv,
+              probeId, nprobe, md.m, md.dims, codesPath.toString,
+              procTablePath(s"${tbl}__ann_codebooks").toString,
+              procTablePath(s"${tbl}__ann_centroids").toString, topK)
+        ("adist", df.collect())
+    }
+    java.util.List.of[Scan](new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(scoreCol,
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+      override def rows(): Array[InternalRow] = top.map(r =>
+        InternalRow(r.getLong(0), r.getDouble(1)))
+    }).iterator()
+  }
+
   /** None for indexes that predate the meta table — treated as the
     * original IVF tier (the only one that existed then). */
   private def readAnnMeta(tbl: String): Option[AnnMeta] = {
@@ -583,57 +642,32 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       Seq(param("table", StringType), param("probe_id", LongType),
         param("nprobe", org.apache.spark.sql.types.IntegerType),
         param("k", org.apache.spark.sql.types.IntegerType)),
+      in => annProbeScan(in.getUTF8String(0).toString, None,
+        Some(in.getLong(1)), in.getInt(2), in.getInt(3))),
+    "ann_probe_vec" -> proc("ann_probe_vec",
+      // CALL cat.ann_probe_vec('docs', array(0.1, ...), 2, 5) — top-k
+      // neighbors of an ARBITRARY query vector (real query vectors
+      // are usually NOT corpus members): the same tier dispatch and
+      // pruned plans as ann_probe, with no member exclusion. The
+      // vector arrives as ARRAY<DOUBLE> (SQL's natural literal) and
+      // is cast to FLOAT at this explicit boundary to match the
+      // index; its length is validated against the index's dims.
+      Seq(param("table", StringType),
+        param("vec", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+        param("nprobe", org.apache.spark.sql.types.IntegerType),
+        param("k", org.apache.spark.sql.types.IntegerType)),
       in => {
         val tbl = in.getUTF8String(0).toString
-        val probeId = in.getLong(1)
-        val nprobe = in.getInt(2)
-        val topK = in.getInt(3)
-        val spark = SparkSession.active
-        val meta = readAnnMeta(tbl)
-        val tier = meta.map(_.tier).getOrElse("ivf")
-        // ≤ k rows cross the driver — a top-k is small by definition.
-        // ivf returns (id, score=cosine, higher=closer); the PQ tiers
-        // return (id, adist=ADC squared-L2, lower=closer) — honest
-        // column names instead of one name with tier-dependent meaning
-        val (scoreCol, top) = tier match {
-          case "ivf" =>
-            val vPath = procTablePath(s"${tbl}__ann_vectors")
-            val cPath = procTablePath(s"${tbl}__ann_centroids")
-            require(isTableDir(vPath) && isTableDir(cPath),
-              s"no ANN index for '$tbl' — run CALL ann_build first")
-            ("score", graft.ops.Similarity.probeIvfIndexFor(spark,
-              vPath.toString, cPath.toString, probeId, nprobe, topK).collect())
-          case _ =>
-            val md = meta.get
-            val codesPath = procTablePath(s"${tbl}__ann_codes")
-            require(isTableDir(codesPath),
-              s"no ANN index for '$tbl' — run CALL ann_build first")
-            // the probe vector is the single id-filtered row of the
-            // SOURCE table; candidates never touch a raw vector
-            val probeVec = snapshotOf(tbl).read()
-              .filter(org.apache.spark.sql.functions.col(md.idCol)
-                .cast("long") === probeId)
-              .select(org.apache.spark.sql.functions.col(md.vecCol).as("vec"))
-            val df =
-              if (tier == "pq")
-                graft.ops.Similarity.probePqIndexFor(spark, probeVec, probeId,
-                  md.m, md.dims, codesPath.toString,
-                  procTablePath(s"${tbl}__ann_codebooks").toString, topK)
-              else
-                graft.ops.Similarity.probeIvfPqIndexFor(spark, probeVec,
-                  probeId, nprobe, md.m, md.dims, codesPath.toString,
-                  procTablePath(s"${tbl}__ann_codebooks").toString,
-                  procTablePath(s"${tbl}__ann_centroids").toString, topK)
-            ("adist", df.collect())
+        val arr = in.getArray(1).toDoubleArray().map(_.toFloat)
+        readAnnMeta(tbl).filter(_.dims > 0).foreach { md =>
+          require(arr.length == md.dims,
+            s"ann_probe_vec: query vector has ${arr.length} dims; " +
+              s"the '$tbl' index was built over ${md.dims}")
         }
-        java.util.List.of[Scan](new LocalScan {
-          override def readSchema(): StructType = StructType(Seq(
-            org.apache.spark.sql.types.StructField("id", LongType, nullable = false),
-            org.apache.spark.sql.types.StructField(scoreCol,
-              org.apache.spark.sql.types.DoubleType, nullable = true)))
-          override def rows(): Array[InternalRow] = top.map(r =>
-            InternalRow(r.getLong(0), r.getDouble(1)))
-        }).iterator()
+        val probeVec = SparkSession.active.range(1)
+          .select(org.apache.spark.sql.functions.typedlit(arr).as("vec"))
+        annProbeScan(tbl, Some(probeVec), None, in.getInt(2), in.getInt(3))
       }),
     "optimize_zorder" -> proc("optimize_zorder",
       Seq(param("table", StringType), param("key_x", StringType),

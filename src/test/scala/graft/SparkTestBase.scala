@@ -14,6 +14,14 @@ object SparkTestBase {
       .config("spark.sql.codegen.fallback", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // TEST-ONLY: the ≤100-row rank windows several specs drive on
+    // purpose each emit "No Partition Defined for Window operation!"
+    // at WARN — thousands of lines burying real signal in the suite
+    // log. Silence exactly that package's WARNs here (never in main:
+    // on a cluster that warning is load-bearing).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }

@@ -76,6 +76,38 @@ class SimilaritySpec extends SparkSpec {
     assert(replay.count(_.getLong(0) == 999999L) == 1, replay.mkString("; "))
   }
 
+  test("NSW graph ANN: navigable on planted-locality data; sane beam behavior on the isotropic table") {
+    import org.apache.spark.sql.functions._
+    // structured corpus — the regime a navigable graph is FOR: the
+    // probe's cluster mates must dominate the beam's answer
+    val emb = RecallSweep.planted(spark).cache(); emb.count()
+    def bruteTop(probeId: Long, k: Int): Seq[Long] = {
+      val p = emb.filter(col("vec_id") === probeId)
+        .select(col("embedding").as("probe"))
+      emb.filter(col("vec_id") =!= probeId).crossJoin(broadcast(p))
+        .select(col("vec_id"),
+          graft.functions.CosineSimilarity.cosine_sim(
+            col("embedding"), col("probe")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(k)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val recalls = Seq(0L, 30L, 120L, 241L).map { pid =>
+      val brute = bruteTop(pid, 10).toSet
+      val nsw = Similarity.nswTopK(emb, pid, 10).collect().map(_.getLong(0)).toSet
+      (brute & nsw).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"planted-locality NSW recall@10 fell to $mean ($recalls)")
+    emb.unpersist()
+    // isotropic table: 5 ranked rows, genuine cosines, probe excluded
+    val iso = SparkEntry_queries("q_sim_ann_nsw").collect()
+    assert(iso.length == 5)
+    assert(!iso.exists(_.getLong(0) == 0L))
+    val scores = iso.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(scores.forall(c => c >= -1.0 && c <= 1.0))
+  }
+
   test("persisted PQ / IVF+PQ: probe is ADC over committed 8-byte code tables only, equals the per-query paths") {
     import org.apache.spark.sql.types.{ArrayType, ByteType}
     def graftScans(df: org.apache.spark.sql.DataFrame): Seq[String] =
@@ -118,6 +150,22 @@ class SimilaritySpec extends SparkSpec {
       s"IVF+PQ probe not served from the persisted index: $ipqScans")
     assert(ivfpqP.inputFiles.forall(_.contains("embeddings.parquet")),
       s"unexpected file-scan inputs: ${ivfpqP.inputFiles.mkString(", ")}")
+  }
+
+  test("PQ tiers hold the planted-locality recall floor (RECALL.json's committed surface)") {
+    // the structured-corpus regime both compression tiers are built
+    // for: recall@10 vs the exact-L2 baseline on the 16-cluster
+    // planted fixture. Floors sit under the measured 0.96 / 0.94
+    // (RECALL.json r16) with slack for fixture evolution — a drop
+    // below 0.85 means a quantizer regression, not noise.
+    val emb = RecallSweep.planted(spark).cache()
+    emb.count()
+    val probeIds = Seq(0L, 30L, 61L, 120L, 241L)
+    val pq = RecallSweep.pqRecall(emb, probeIds)
+    assert(pq >= 0.85, s"PQ planted-locality recall@10 fell to $pq")
+    val ipq = RecallSweep.ivfPqRecall(emb, probeIds, Seq(2))
+    assert(ipq(2) >= 0.85, s"IVF+PQ planted-locality recall@10 fell to ${ipq(2)}")
+    emb.unpersist()
   }
 
   test("PQ ADC top-5 lands in the exact L2 top decile; ADC distances are ranked, non-negative") {

@@ -53,6 +53,18 @@ class AnnProcedureSpec extends SparkSpec {
       assert(scores == scores.sorted.reverse)
       assert(scores.forall(s => s >= -1.0 && s <= 1.0))
 
+      // probe by an ARBITRARY query vector (not a member): row 1's
+      // vector as a SQL array literal — row 1 AND its planted
+      // duplicate both rank at cosine exactly 1.0 (no exclusion)
+      val vlit = base.filter(col("id") === 1L).head.getSeq[Float](1)
+        .map(x => s"CAST($x AS DOUBLE)").mkString("array(", ", ", ")")
+      val topV = spark.sql(
+        s"CALL annproc.ann_probe_vec(table => 'docs', vec => $vlit, " +
+          "nprobe => 2, k => 5)").collect()
+      assert(topV.take(2).map(_.getLong(0)).toSet == Set(1L, 900001L),
+        topV.mkString("; "))
+      assert(topV.take(2).forall(_.getDouble(1) == 1.0))
+
       // INCREMENTAL ingest from a staging table: a second planted
       // duplicate lands through CALL ann_ingest (no Lloyd) and the
       // next probe surfaces it; replaying the same batch_id is a
@@ -144,6 +156,23 @@ class AnnProcedureSpec extends SparkSpec {
       assert(dists == dists.sorted, s"adist not ascending: $dists")
       assert(dists.forall(_ >= 0.0))
 
+      // probe by vector on the PQ tier: identical codes -> equal ADC
+      // distance -> id tie-break puts row 1 first, the duplicate second
+      val vlit = base.filter(col("id") === 1L).head.getSeq[Float](1)
+        .map(x => s"CAST($x AS DOUBLE)").mkString("array(", ", ", ")")
+      val topV = spark.sql(
+        s"CALL annpq.ann_probe_vec(table => 'docs', vec => $vlit, " +
+          "nprobe => 2, k => 5)").collect()
+      assert(topV.take(2).map(_.getLong(0)).toSeq == Seq(1L, 900001L),
+        topV.mkString("; "))
+      // a wrong-dims query vector refuses loudly against the meta row
+      def chain2(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain2(t.getCause)
+      val eDims = intercept[Exception](spark.sql(
+        "CALL annpq.ann_probe_vec(table => 'docs', vec => array(1.0), " +
+          "nprobe => 2, k => 5)").collect())
+      assert(chain2(eDims).exists(_.contains("dims")), eDims.toString)
+
       // ingest: encode-only (no Lloyd), atomic, exactly-once by batch
       val staging = new SnapshotTable(spark, catRoot.resolve("stage").toString)
       staging.commit(base.filter(col("id") === 1L)
@@ -219,6 +248,83 @@ class AnnProcedureSpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.sql.catalog.annipq")
       SnapshotTable.deleteRecursively(catRoot)
+    }
+  }
+
+  test("streaming ANN ingest: graft-table stream -> foreachBatch -> CALL ann_ingest(batch_id = epoch), exactly-once across a checkpoint restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_ann_stream_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ann_stream_ck_").toString
+    spark.conf.set("spark.sql.catalog.annstr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.annstr.root", catRoot.toString)
+    try {
+      val base = graft.Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      new SnapshotTable(spark, catRoot.resolve("docs").toString).commit(base)
+      spark.sql("CALL annstr.ann_build(table => 'docs', id_col => 'id', " +
+        "vec_col => 'emb', k => 8)").collect()
+      val baseCount = spark.sql(
+        "SELECT count(*) FROM annstr.docs__ann_vectors").head.getLong(0)
+
+      // the live FEED table new vectors stream out of (a planted
+      // duplicate of row 1 per appended version, so probes can find
+      // each at cosine exactly 1.0)
+      val feed = new SnapshotTable(spark, catRoot.resolve("feed").toString)
+      def dupe(id: Long) = base.filter(col("id") === 1L)
+        .select(lit(id).as("id"), col("emb"))
+      feed.commit(dupe(910001L))
+
+      // the composition under test: stream the feed, land each
+      // micro-batch in a staging catalog table, CALL ann_ingest with
+      // the EPOCH as the batch id — Structured Streaming's replayed
+      // epoch ids compose with the table layer's batch-id ledger into
+      // end-to-end exactly-once index maintenance
+      def run(): Unit = {
+        val q = spark.readStream.format("graft-table")
+          .option("path", catRoot.resolve("feed").toString).load()
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+            new SnapshotTable(spark, catRoot.resolve("stage").toString)
+              .commit(batch.select("id", "emb"))
+            spark.sql("CALL annstr.ann_ingest(table => 'docs', " +
+              "source_table => 'stage', id_col => 'id', vec_col => 'emb', " +
+              s"batch_id => $epoch)").collect()
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      run() // epoch 0: 910001
+      val top1 = spark.sql("CALL annstr.ann_probe(table => 'docs', " +
+        "probe_id => 1, nprobe => 2, k => 5)").collect()
+      assert(top1.head.getLong(0) == 910001L && top1.head.getDouble(1) == 1.0,
+        top1.mkString("; "))
+
+      // restart with nothing new: the checkpoint replays NO epoch and
+      // the index is unchanged
+      run()
+      assert(spark.sql("SELECT count(*) FROM annstr.docs__ann_vectors")
+        .head.getLong(0) == baseCount + 1, "empty restart mutated the index")
+
+      // second epoch arrives after a restart from the same checkpoint
+      feed.appendOnce(dupe(910002L), 1L)
+      run() // epoch 1: 910002
+      val top2 = spark.sql("CALL annstr.ann_probe(table => 'docs', " +
+        "probe_id => 1, nprobe => 2, k => 5)").collect()
+      assert(top2.take(2).map(_.getLong(0)).toSet == Set(910001L, 910002L),
+        top2.mkString("; "))
+      assert(top2.take(2).forall(_.getDouble(1) == 1.0))
+      // NO duplicates anywhere in the index — every streamed id landed
+      // exactly once
+      val dups = spark.sql("SELECT id, count(*) AS n FROM " +
+        "annstr.docs__ann_vectors GROUP BY id HAVING count(*) > 1").collect()
+      assert(dups.isEmpty, s"duplicate index rows: ${dups.mkString("; ")}")
+      assert(spark.sql("SELECT count(*) FROM annstr.docs__ann_vectors")
+        .head.getLong(0) == baseCount + 2)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.annstr")
+      SnapshotTable.deleteRecursively(catRoot)
+      SnapshotTable.deleteRecursively(java.nio.file.Paths.get(ckpt))
     }
   }
 }
