@@ -562,15 +562,17 @@ object Similarity extends QueryPack {
 
   private[graft] def buildIvfIndexFor(s: SparkSession, df: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      vectorsPath: String, centroidsPath: String): Unit = {
+      vectorsPath: String, centroidsPath: String): Int = {
     require(k >= 1, s"ann_build needs k >= 1, got $k")
     val base = annBaseFor(df, idCol, vecCol, "ann_build")
     val n = base.count()
     require(n > 0, "ann_build: empty input relation")
+    val dims = annDimsFor(base, "vec", 1) // uniform-length check + meta dims
     val (assigned, centroids) = ivfTrainFor(base, n, k)
     new graft.tables.SnapshotTable(s, vectorsPath)
       .commitClustered(assigned, "cluster", k)
     new graft.tables.SnapshotTable(s, centroidsPath).commit(centroids)
+    dims
   }
 
   /** Incremental ingest for a [[buildIvfIndexFor]] index — the SQL
@@ -799,6 +801,147 @@ object Similarity extends QueryPack {
     new graft.tables.SnapshotTable(s, codesPath)
       .commitClustered(annEncodeFor(subs, cb, Seq("cluster")), "cluster", k)
     dims
+  }
+
+  /** `CALL ann_build(tier => 'nsw')`: the navigable-small-world graph
+    * as three catalog tables — `__ann_edges` (u, v) CLUSTERED on u
+    * (a probe round's frontier join prunes to the frontier's edge
+    * files via `#range`), `__ann_hubs` (h, hvec — the entry layer, a
+    * hash-stride sample of `k` rows), and `__ann_buckets` (id,
+    * bucket — the LSH assignment future ingests generate candidates
+    * from). Base-layer links: top-`m` same-bucket neighbors,
+    * UNDIRECTED (directed top-M graphs concentrate into sinks — see
+    * [[nswTopK]]), plus 2 directed hub links per node. Vectors stay
+    * in the source table: the graph is a pure index. Returns dims. */
+  private[graft] def buildNswIndexFor(s: SparkSession, df: DataFrame,
+      idCol: String, vecCol: String, hubCount: Int, m: Int,
+      edgesPath: String, hubsPath: String, bucketsPath: String): Int = {
+    import graft.functions.CosineSimilarity.cosine_sim
+    import org.apache.spark.sql.expressions.Window
+    require(hubCount >= 1 && m >= 1,
+      s"ann_build nsw needs k (hubs) >= 1 and m (degree) >= 1, got k=$hubCount m=$m")
+    val base = annBaseFor(df, idCol, vecCol, "ann_build")
+    val n = base.count()
+    require(n > 0, "ann_build: empty input relation")
+    val dims = annDimsFor(base, "vec", 1)
+    val buckets = base.withColumn("bucket",
+      hyperplaneBucket(col("vec"), 4, dims))
+    val wU = Window.partitionBy("u").orderBy(col("cos").desc, col("v").asc)
+    val bEdges = buckets.select(col("id").as("u"), col("vec").as("uvec"),
+        col("bucket"))
+      .join(buckets.select(col("id").as("v"), col("vec").as("vvec"),
+        col("bucket")), "bucket")
+      .filter(col("u") =!= col("v"))
+      .select(col("u"), col("v"), cosine_sim(col("uvec"), col("vvec")).as("cos"))
+      .withColumn("rn", row_number().over(wU)).filter(col("rn") <= m)
+      .select("u", "v")
+    val hubs = annSeedRowsFor(base, n, hubCount)
+      .select(col("id").as("h"), col("vec").as("hvec"))
+    val hEdges = base.select(col("id").as("u"), col("vec").as("uvec"))
+      .crossJoin(broadcast(hubs)).filter(col("u") =!= col("h"))
+      .select(col("u"), col("h").as("v"),
+        cosine_sim(col("uvec"), col("hvec")).as("cos"))
+      .withColumn("rn", row_number().over(wU)).filter(col("rn") <= 2)
+      .select("u", "v")
+    val edges = bEdges
+      .unionAll(bEdges.select(col("v").as("u"), col("u").as("v")))
+      .unionAll(hEdges).dropDuplicates("u", "v")
+    new graft.tables.SnapshotTable(s, edgesPath)
+      .commitClustered(edges, "u", 16)
+    new graft.tables.SnapshotTable(s, hubsPath).commit(hubs)
+    new graft.tables.SnapshotTable(s, bucketsPath)
+      .commit(buckets.select("id", "bucket"))
+    dims
+  }
+
+  private val NswForBeam = 10  // generalized-tier beam width
+  private val NswForRounds = 4 // generalized-tier expansion rounds
+
+  /** `CALL ann_probe` on the NSW tier: batch beam search over the
+    * PERSISTED graph — score the hub table, then R rounds of
+    * frontier-edge expansion (each a small-side join pruned to the
+    * frontier's edge files) + candidate-vector fetches from the
+    * id-keyed SOURCE table. Probe cost is |hubs| + R·B·(m+2) vector
+    * reads — independent of n at fixed parameters. */
+  private[graft] def probeNswIndexFor(s: SparkSession, baseDf: DataFrame,
+      idCol: String, vecCol: String, probeVec: DataFrame,
+      excludeId: Option[Long], edgesPath: String, hubsPath: String,
+      topK: Int): DataFrame = {
+    import graft.functions.CosineSimilarity.cosine_sim
+    val base = baseDf.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("bvec"))
+    val edges = s.read.format("graft-table").option("path", edgesPath).load()
+    val hubs = s.read.format("graft-table").option("path", hubsPath).load()
+    val probe = probeVec.select(col("vec").as("probe"))
+    def score(ids: DataFrame): DataFrame =
+      base.join(ids, "id").crossJoin(broadcast(probe))
+        .select(col("id"), cosine_sim(col("bvec"), col("probe")).as("cos"))
+        .filter(!isnan(col("cos")))
+    var visited = hubs.select(col("h").as("id"))
+    var frontier = score(visited)
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(NswForBeam).select("id")
+    for (_ <- 1 to NswForRounds) {
+      val neigh = edges.join(frontier.select(col("id").as("u")), "u")
+        .select(col("v").as("id"))
+      visited = visited.unionAll(neigh).distinct()
+      frontier = score(visited)
+        .orderBy(col("cos").desc, col("id").asc)
+        .limit(NswForBeam).select("id")
+    }
+    excludeId.foldLeft(score(visited))((df, ex) => df.filter(col("id") =!= ex))
+      .select(col("id"), graft.Det.r4(col("cos")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(topK)
+  }
+
+  /** `CALL ann_ingest` on the NSW tier — HNSW-style insertion,
+    * append-only: each staged row buckets by the pure LSH arithmetic,
+    * generates candidates from the PERSISTED bucket assignment plus
+    * the hub layer, links to its top-`m` by cosine, and both
+    * directions of every new link land as APPENDED edge rows (an
+    * edge table never rewrites old files — bidirectional insertion
+    * without read-modify-write; popular nodes' degree can grow past
+    * m until the next rebuild, the documented trade). The bucket
+    * append makes the new rows candidates for FUTURE ingests. Both
+    * appends share the batch id; a torn retry self-heals (each
+    * table's ledger skips its own landed half). */
+  private[graft] def appendToNswIndexFor(s: SparkSession, baseDf: DataFrame,
+      fresh: DataFrame, idCol: String, vecCol: String, m: Int, dims: Int,
+      edgesPath: String, hubsPath: String, bucketsPath: String,
+      batchId: Long): Option[Long] = {
+    import graft.functions.CosineSimilarity.cosine_sim
+    import org.apache.spark.sql.expressions.Window
+    val freshBase = annBaseFor(fresh, idCol, vecCol, "ann_ingest")
+      .withColumn("bucket", hyperplaneBucket(col("vec"), 4, dims))
+    val base = baseDf.select(col(idCol).cast("long").as("cid"),
+      col(vecCol).as("cvec"))
+    val buckets = s.read.format("graft-table").option("path", bucketsPath).load()
+    val hubs = s.read.format("graft-table").option("path", hubsPath).load()
+    val bucketCands = freshBase
+      .join(buckets.select(col("id").as("cid"), col("bucket")), "bucket")
+      .select(col("id").as("u"), col("vec").as("uvec"), col("cid"))
+      .join(base, "cid")
+    val hubCands = freshBase
+      .select(col("id").as("u"), col("vec").as("uvec"))
+      .crossJoin(broadcast(hubs.select(col("h").as("cid"), col("hvec").as("cvec"))))
+    val wU = Window.partitionBy("u").orderBy(col("cos").desc, col("v").asc)
+    val links = bucketCands.unionByName(hubCands)
+      .filter(col("u") =!= col("cid"))
+      .select(col("u"), col("cid").as("v"),
+        cosine_sim(col("uvec"), col("cvec")).as("cos"))
+      .filter(!isnan(col("cos")))
+      .dropDuplicates("u", "v")
+      .withColumn("rn", row_number().over(wU)).filter(col("rn") <= m + 2)
+      .select("u", "v")
+    val edges2 = links
+      .unionAll(links.select(col("v").as("u"), col("u").as("v")))
+      .dropDuplicates("u", "v")
+    val v = new graft.tables.SnapshotTable(s, edgesPath)
+      .appendOnce(edges2.repartitionByRange(4, col("u")), batchId)
+    new graft.tables.SnapshotTable(s, bucketsPath)
+      .appendOnce(freshBase.select("id", "bucket"), batchId)
+    v
   }
 
   /** `CALL ann_probe` on the PQ tier: the probe vector (one

@@ -315,6 +315,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             vPath.toString, cPath.toString, probeId.get, nprobe, topK)
         }
         ("score", df.collect())
+      case "nsw" =>
+        val md = meta.get
+        val edgesPath = procTablePath(s"${tbl}__ann_edges")
+        require(isTableDir(edgesPath),
+          s"no ANN index for '$tbl' — run CALL ann_build first")
+        val baseDf = snapshotOf(tbl).read()
+        val pv = probeVec.getOrElse(baseDf
+          .filter(org.apache.spark.sql.functions.col(md.idCol)
+            .cast("long") === probeId.get)
+          .select(org.apache.spark.sql.functions.col(md.vecCol).as("vec")))
+        ("score", graft.ops.Similarity.probeNswIndexFor(spark, baseDf,
+          md.idCol, md.vecCol, pv, probeId, edgesPath.toString,
+          procTablePath(s"${tbl}__ann_hubs").toString, topK).collect())
       case _ =>
         val md = meta.get
         val codesPath = procTablePath(s"${tbl}__ann_codes")
@@ -525,7 +538,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       //    <t>__ann_codebooks (m×codes rows) — probe is ADC over the
       //    code table only, never a raw vector;
       //  * 'ivf_pq': residual PQ (FAISS IndexIVFPQ) — centroids +
-      //    residual codebooks + cluster-clustered codes.
+      //    residual codebooks + cluster-clustered codes;
+      //  * 'nsw': navigable-small-world graph — <t>__ann_edges
+      //    (clustered on u), <t>__ann_hubs (entry layer, k rows),
+      //    <t>__ann_buckets; probe = batch beam search, vectors stay
+      //    in the source table (k = hub count, m = graph degree).
       // Every artifact IS an ordinary catalog table — SELECTable,
       // DESCRIBEable, versioned, vacuumable, crash-safe — plus a
       // <t>__ann_meta row (tier, columns, m, codes, dims) that
@@ -551,10 +568,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         val spark = SparkSession.active
         val tables: Seq[String] = tier match {
           case "ivf" =>
-            graft.ops.Similarity.buildIvfIndexFor(spark, t.read(), idCol,
-              vecCol, k, procTablePath(s"${tbl}__ann_vectors").toString,
+            val dims = graft.ops.Similarity.buildIvfIndexFor(spark, t.read(),
+              idCol, vecCol, k, procTablePath(s"${tbl}__ann_vectors").toString,
               procTablePath(s"${tbl}__ann_centroids").toString)
-            writeAnnMeta(tbl, "ivf", idCol, vecCol, k, 0, 0, 0)
+            writeAnnMeta(tbl, "ivf", idCol, vecCol, k, 0, 0, dims)
             Seq(s"${tbl}__ann_vectors", s"${tbl}__ann_centroids")
           case "pq" =>
             val dims = graft.ops.Similarity.buildPqIndexFor(spark, t.read(),
@@ -572,8 +589,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             writeAnnMeta(tbl, "ivf_pq", idCol, vecCol, k, m, codes, dims)
             Seq(s"${tbl}__ann_codes", s"${tbl}__ann_codebooks",
               s"${tbl}__ann_centroids")
+          case "nsw" =>
+            val dims = graft.ops.Similarity.buildNswIndexFor(spark, t.read(),
+              idCol, vecCol, k, m,
+              procTablePath(s"${tbl}__ann_edges").toString,
+              procTablePath(s"${tbl}__ann_hubs").toString,
+              procTablePath(s"${tbl}__ann_buckets").toString)
+            writeAnnMeta(tbl, "nsw", idCol, vecCol, k, m, 0, dims)
+            Seq(s"${tbl}__ann_edges", s"${tbl}__ann_hubs",
+              s"${tbl}__ann_buckets")
           case other => throw new IllegalArgumentException(
-            s"ann_build tier must be 'ivf', 'pq' or 'ivf_pq', got '$other'")
+            s"ann_build tier must be 'ivf', 'pq', 'ivf_pq' or 'nsw', got '$other'")
         }
         def utf(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
         oneRow(StructType(Seq(
@@ -628,6 +654,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
               procTablePath(s"${tbl}__ann_codebooks").toString,
               procTablePath(s"${tbl}__ann_centroids").toString,
               src.read(), idCol, vecCol, md.m, md.dims, batchId), codesPath)
+          case "nsw" =>
+            val md = meta.get
+            val edgesPath = procTablePath(s"${tbl}__ann_edges")
+            require(isTableDir(edgesPath),
+              s"no ANN index for '$tbl' — run CALL ann_build first")
+            (graft.ops.Similarity.appendToNswIndexFor(spark,
+              snapshotOf(tbl).read(), src.read(), idCol, vecCol,
+              md.m, md.dims, edgesPath.toString,
+              procTablePath(s"${tbl}__ann_hubs").toString,
+              procTablePath(s"${tbl}__ann_buckets").toString, batchId),
+              edgesPath)
         }
         oneRow(VersionOut, v.getOrElse(
           new SnapshotTable(SparkSession.active, mainPath.toString).currentVersion))

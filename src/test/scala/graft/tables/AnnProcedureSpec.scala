@@ -251,6 +251,82 @@ class AnnProcedureSpec extends SparkSpec {
     }
   }
 
+  test("NSW tier lifecycle: ann_build persists the graph; probe is beam search over committed edges; ingest appends bidirectional links") {
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_ann_nsw_proc_")
+    spark.conf.set("spark.sql.catalog.annnsw", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.annnsw.root", catRoot.toString)
+    try {
+      val base = graft.Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      val planted = base.filter(col("id") === 1L)
+        .select(lit(900001L).as("id"), col("emb"))
+      val t = new SnapshotTable(spark, catRoot.resolve("docs").toString)
+      t.commit(base.unionAll(planted))
+
+      // k = hub count, m = graph degree for the nsw tier
+      val built = spark.sql(
+        "CALL annnsw.ann_build(table => 'docs', id_col => 'id', " +
+          "vec_col => 'emb', k => 64, tier => 'nsw', m => 4)").head
+      assert(built.getString(0) ==
+        "docs__ann_edges,docs__ann_hubs,docs__ann_buckets")
+      assert(built.getString(2) == "nsw", built.toString)
+      val nHubs = spark.sql("SELECT count(*) FROM annnsw.docs__ann_hubs")
+        .head.getLong(0)
+      assert(nHubs >= 1 && nHubs <= 64, s"hubs: $nHubs")
+      assert(spark.sql("SELECT count(*) FROM annnsw.docs__ann_buckets")
+        .head.getLong(0) == t.read().count())
+      // undirected base layer: every bucket edge exists both ways
+      val asym = spark.sql(
+        """SELECT count(*) FROM annnsw.docs__ann_edges e
+          |LEFT JOIN annnsw.docs__ann_hubs h ON e.v = h.h
+          |LEFT JOIN annnsw.docs__ann_edges r ON r.u = e.v AND r.v = e.u
+          |WHERE h.h IS NULL AND r.u IS NULL""".stripMargin).head.getLong(0)
+      assert(asym == 0, s"$asym one-way non-hub edges")
+
+      // probe by member id: the planted duplicate (cosine exactly 1.0,
+      // mutually linked with row 1 in the graph) surfaces on top
+      val top = spark.sql(
+        "CALL annnsw.ann_probe(table => 'docs', probe_id => 1, " +
+          "nprobe => 2, k => 5)").collect()
+      assert(top.length == 5, top.mkString("; "))
+      assert(top.head.getLong(0) == 900001L, top.mkString("; "))
+      assert(top.head.getDouble(1) == 1.0)
+
+      // ingest: a third duplicate lands in docs AND the index; its
+      // appended bidirectional links make it findable immediately
+      val extra = base.filter(col("id") === 1L)
+        .select(lit(900002L).as("id"), col("emb"))
+      t.appendOnce(extra, 99L) // the base row itself
+      val staging = new SnapshotTable(spark, catRoot.resolve("stage").toString)
+      staging.commit(extra)
+      val v1 = spark.sql(
+        "CALL annnsw.ann_ingest(table => 'docs', source_table => 'stage', " +
+          "id_col => 'id', vec_col => 'emb', batch_id => 5)").head.getLong(0)
+      val top2 = spark.sql(
+        "CALL annnsw.ann_probe(table => 'docs', probe_id => 1, " +
+          "nprobe => 2, k => 5)").collect()
+      assert(top2.take(2).map(_.getLong(0)).toSet == Set(900001L, 900002L),
+        top2.mkString("; "))
+      val vReplay = spark.sql(
+        "CALL annnsw.ann_ingest(table => 'docs', source_table => 'stage', " +
+          "id_col => 'id', vec_col => 'emb', batch_id => 5)").head.getLong(0)
+      assert(vReplay == v1, "batch_id replay must be a no-op")
+
+      // probe by arbitrary vector on the graph tier too
+      val vlit = base.filter(col("id") === 1L).head.getSeq[Float](1)
+        .map(x => s"CAST($x AS DOUBLE)").mkString("array(", ", ", ")")
+      val topV = spark.sql(
+        s"CALL annnsw.ann_probe_vec(table => 'docs', vec => $vlit, " +
+          "nprobe => 2, k => 5)").collect()
+      assert(topV.take(3).map(_.getLong(0)).toSet == Set(1L, 900001L, 900002L),
+        topV.mkString("; "))
+      assert(topV.take(3).forall(_.getDouble(1) == 1.0))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.annnsw")
+      SnapshotTable.deleteRecursively(catRoot)
+    }
+  }
+
   test("streaming ANN ingest: graft-table stream -> foreachBatch -> CALL ann_ingest(batch_id = epoch), exactly-once across a checkpoint restart") {
     import org.apache.spark.sql.streaming.Trigger
     val catRoot = java.nio.file.Files.createTempDirectory("graft_ann_stream_")
