@@ -193,13 +193,11 @@ object Similarity extends QueryPack {
       codes.filter(col("vec_id") =!= ProbeId))
   }
 
-  /** The m subvectors of every vector: (vec_id, label, s, sv). */
+  /** The m subvectors of every vector: (vec_id, label, s, sv) — the
+    * [[annSubsFor]] geometry at the oracle-pinned PQ constants (ONE
+    * slice/explode implementation; both paths share one oracle). */
   private def pqSubvectors(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("label"),
-      explode(array((0 until PqM).map(i =>
-        struct(lit(i).as("s"),
-          slice(col("embedding"), i * PqSub + 1, PqSub).as("sv"))): _*)).as("x"))
-      .select(col("vec_id"), col("label"), col("x.s").as("s"), col("x.sv").as("sv"))
+    annSubsFor(e, "embedding", PqM, PqSub, Seq("vec_id", "label"))
 
   /** The TRAINING half of [[annPq]], shared verbatim with the
     * persisted twin ([[buildPqIndex]]): per-subspace stride seeds, one
@@ -833,6 +831,7 @@ object Similarity extends QueryPack {
         col("bucket")), "bucket")
       .filter(col("u") =!= col("v"))
       .select(col("u"), col("v"), cosine_sim(col("uvec"), col("vvec")).as("cos"))
+      .filter(!isnan(col("cos"))) // zero-norm guard — see nswTopK
       .withColumn("rn", row_number().over(wU)).filter(col("rn") <= m)
       .select("u", "v")
     val hubs = annSeedRowsFor(base, n, hubCount)
@@ -841,6 +840,7 @@ object Similarity extends QueryPack {
       .crossJoin(broadcast(hubs)).filter(col("u") =!= col("h"))
       .select(col("u"), col("h").as("v"),
         cosine_sim(col("uvec"), col("hvec")).as("cos"))
+      .filter(!isnan(col("cos")))
       .withColumn("rn", row_number().over(wU)).filter(col("rn") <= 2)
       .select("u", "v")
     val edges = bEdges
@@ -905,7 +905,11 @@ object Similarity extends QueryPack {
     * m until the next rebuild, the documented trade). The bucket
     * append makes the new rows candidates for FUTURE ingests. Both
     * appends share the batch id; a torn retry self-heals (each
-    * table's ledger skips its own landed half). */
+    * table's ledger skips its own landed half). Rows WITHIN one
+    * batch don't link to each other (candidates come from the
+    * PERSISTED bucket table) — the standard sequential-insertion
+    * simplification; they interconnect through shared pre-existing
+    * neighbors and the next rebuild. */
   private[graft] def appendToNswIndexFor(s: SparkSession, baseDf: DataFrame,
       fresh: DataFrame, idCol: String, vecCol: String, m: Int, dims: Int,
       edgesPath: String, hubsPath: String, bucketsPath: String,
@@ -926,14 +930,20 @@ object Similarity extends QueryPack {
       .select(col("id").as("u"), col("vec").as("uvec"))
       .crossJoin(broadcast(hubs.select(col("h").as("cid"), col("hvec").as("cvec"))))
     val wU = Window.partitionBy("u").orderBy(col("cos").desc, col("v").asc)
-    val links = bucketCands.unionByName(hubCands)
+    // mirror the BUILD's link budget exactly: top-m bucket links PLUS
+    // 2 guaranteed hub links per ingested node (one combined window
+    // would let a dense bucket crowd out the long-range links that
+    // keep fresh rows reachable from distant beam entries)
+    def topLinks(cands: DataFrame, n: Int): DataFrame = cands
       .filter(col("u") =!= col("cid"))
       .select(col("u"), col("cid").as("v"),
         cosine_sim(col("uvec"), col("cvec")).as("cos"))
       .filter(!isnan(col("cos")))
-      .dropDuplicates("u", "v")
-      .withColumn("rn", row_number().over(wU)).filter(col("rn") <= m + 2)
+      .withColumn("rn", row_number().over(wU)).filter(col("rn") <= n)
       .select("u", "v")
+    val links = topLinks(bucketCands, m)
+      .unionAll(topLinks(hubCands, 2))
+      .dropDuplicates("u", "v")
     val edges2 = links
       .unionAll(links.select(col("v").as("u"), col("u").as("v")))
       .dropDuplicates("u", "v")
@@ -1340,6 +1350,10 @@ object Similarity extends QueryPack {
         col("embedding").as("vvec"), col("bucket")), "bucket")
       .filter(col("u") =!= col("v"))
       .select(col("u"), col("v"), cosine_sim(col("uvec"), col("vvec")).as("cos"))
+      // zero-norm vectors cosine to NaN, and NaN outranks every real
+      // score in a descending window — without this guard a single
+      // degenerate vector would win a link slot in EVERY bucket-mate
+      .filter(!isnan(col("cos")))
       .withColumn("rn", row_number().over(wU)).filter(col("rn") <= NswM)
       .select("u", "v")
     val hubs = e.filter(pmod(col("vec_id"), lit(NswHubStride)) === 0)
@@ -1348,6 +1362,7 @@ object Similarity extends QueryPack {
       .crossJoin(broadcast(hubs)).filter(col("u") =!= col("h"))
       .select(col("u"), col("h").as("v"),
         cosine_sim(col("uvec"), col("hvec")).as("cos"))
+      .filter(!isnan(col("cos")))
       .withColumn("rn", row_number().over(wU)).filter(col("rn") <= NswHubM)
       .select("u", "v")
     // bucket links are UNDIRECTED (the NSW norm): a directed top-M

@@ -492,7 +492,7 @@ object MaterializedViews {
   }
 
   def deregister(fingerprint: String): Unit = {
-    deadFps.add(fingerprint)
+    deadFps.putIfAbsent(fingerprint, System.currentTimeMillis())
     rebornFps.remove(fingerprint)
     Option(registry.remove(fingerprint))
       .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
@@ -621,7 +621,7 @@ object MaterializedViews {
     incremental.put(newFp, e.copy(version = newVersion, statePath = newStatePath))
     withRewriteDisabled { indexShape(newFp, e.query(t.read(newVersion))) }
     if (newFp != fp) {
-      deadFps.add(fp)
+      deadFps.putIfAbsent(fp, System.currentTimeMillis())
       rebornFps.remove(fp)
       Option(registry.remove(fp))
         .foreach(old => superseded.add((old.path, System.currentTimeMillis())))
@@ -640,7 +640,8 @@ object MaterializedViews {
     * REGISTERED at clear() time are left on disk: a concurrently
     * planned query may reference them, and they are tmp-dir scoped. */
   def clear(): Unit = {
-    registry.keySet().forEach(fp => deadFps.add(fp))
+    registry.keySet().forEach(fp =>
+      deadFps.putIfAbsent(fp, System.currentTimeMillis()))
     rebornFps.clear()
     registry.clear()
     incremental.clear()
@@ -678,7 +679,14 @@ object MaterializedViews {
     * sessions that still hold the fingerprint in memory: their next
     * persist() adopts the tombstone instead of writing the dead entry
     * back. */
-  private val deadFps = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val deadFps =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Tombstones older than this stop being rewritten into the file —
+    * the GC bound on a churning registry. A session that stayed
+    * attached with a stale in-memory entry for LONGER than the TTL
+    * may resurrect it; documented non-goal (the same class of bound
+    * as vacuum retention). */
+  private val TombstoneTtlMs = 24L * 3600 * 1000
   /** Fingerprints THIS session registered but has NOT yet durably
     * persisted — [[loadFrom]] must not adopt an older persisted DEAD
     * line for them (re-register wins over a pre-existing tombstone;
@@ -789,8 +797,10 @@ object MaterializedViews {
       if (java.nio.file.Files.exists(f))
         try loadFrom(f) catch { case _: Exception => () } // merge, best-effort
       val sb = new StringBuilder
-      deadFps.asScala.toSeq.sorted.foreach { fp =>
-        sb ++= s"DEAD ${b64(fp)}\n"
+      val cutoff = System.currentTimeMillis() - TombstoneTtlMs
+      deadFps.asScala.toSeq.sortBy(_._1).foreach { case (fp, ts) =>
+        if (ts >= cutoff) sb ++= s"DEAD ${b64(fp)} $ts\n"
+        // expired tombstones are simply not rewritten — the file GC
       }
       registry.asScala.foreach { case (fp, e) =>
         sb ++= s"ENTRY ${b64(fp)} ${b64(e.path)}\n"
@@ -821,6 +831,13 @@ object MaterializedViews {
       // leaving entries here would let a session that ever registered a
       // view ignore other sessions' deregistrations forever.)
       rebornFps.clear()
+      // ...and symmetrically: the tombstones are now FILE-backed (the
+      // DEAD lines above), so pinning them in memory would let a
+      // session that ever DEREGISTERED a view destroy other sessions'
+      // later legitimate re-registrations (its merge would skip their
+      // fresh ENTRY and re-emit DEAD forever). The next merge re-adopts
+      // whatever tombstones still stand in the file.
+      deadFps.clear()
         } finally osLock.release()
       } finally ch.close()
     }
@@ -835,7 +852,9 @@ object MaterializedViews {
     import scala.jdk.CollectionConverters._
     var n = 0
     val skipFps = scala.collection.mutable.Set.empty[String]
-    java.nio.file.Files.readAllLines(f).asScala.foreach { line =>
+    java.nio.file.Files.readAllLines(f).asScala
+      .filter(_.trim.nonEmpty) // a blank line must not abort the merge
+      .foreach { line =>
       val parts = line.split(' ')
       parts(0) match {
         case "DEAD" =>
@@ -843,23 +862,27 @@ object MaterializedViews {
           // tombstone: adopt it and drop any in-memory state for the
           // fingerprint — UNLESS this session re-registered it after
           // the tombstone (re-register wins; our persist clears the
-          // DEAD line). Not counted as a loaded entry.
+          // DEAD line), or the tombstone aged past the GC TTL (it
+          // stops being honored AND rewritten). Not a loaded entry.
           val fp = unb64(parts(1))
-          if (!rebornFps.contains(fp)) {
-            deadFps.add(fp)
+          val ts = if (parts.length > 2) parts(2).toLong
+                   else System.currentTimeMillis() // legacy line: fresh
+          if (!rebornFps.contains(fp) &&
+              ts >= System.currentTimeMillis() - TombstoneTtlMs) {
+            deadFps.putIfAbsent(fp, ts)
             registry.remove(fp)
             incremental.remove(fp)
             dropShapes(fp)
           }
         case "ENTRY" =>
           val fp = unb64(parts(1)); val path = unb64(parts(2))
-          if (deadFps.contains(fp)) ()
+          if (deadFps.containsKey(fp)) ()
           else if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
             registry.putIfAbsent(fp, Entry(path)); n += 1
           } else skipFps += fp
         case "SHAPE" =>
           val key = unb64(parts(1)); val fp = unb64(parts(2))
-          if (!skipFps.contains(fp) && !deadFps.contains(fp)) {
+          if (!skipFps.contains(fp) && !deadFps.containsKey(fp)) {
             val q = containment.computeIfAbsent(key,
               _ => new java.util.concurrent.ConcurrentLinkedQueue[ViewShape]())
             if (!q.iterator().asScala.exists(_.fp == fp))
@@ -868,7 +891,7 @@ object MaterializedViews {
           }
         case "JSHAPE" =>
           val key = unb64(parts(1)); val fp = unb64(parts(2))
-          if (!skipFps.contains(fp) && !deadFps.contains(fp)) {
+          if (!skipFps.contains(fp) && !deadFps.containsKey(fp)) {
             val q = joinContainment.computeIfAbsent(key,
               _ => new java.util.concurrent.ConcurrentLinkedQueue[JoinViewShape]())
             if (!q.iterator().asScala.exists(_.fp == fp))

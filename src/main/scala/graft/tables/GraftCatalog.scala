@@ -302,6 +302,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val spark = SparkSession.active
     val meta = readAnnMeta(tbl)
     val tier = meta.map(_.tier).getOrElse("ivf")
+    // the single id-filtered probe row of the source table (by-id
+    // probes on the tiers whose index carries no raw vectors)
+    def probeRowOf(baseDf: org.apache.spark.sql.DataFrame,
+        md: AnnMeta): org.apache.spark.sql.DataFrame = baseDf
+      .filter(org.apache.spark.sql.functions.col(md.idCol)
+        .cast("long") === probeId.get)
+      .select(org.apache.spark.sql.functions.col(md.vecCol).as("vec"))
     val (scoreCol, top) = tier match {
       case "ivf" =>
         val vPath = procTablePath(s"${tbl}__ann_vectors")
@@ -321,24 +328,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         require(isTableDir(edgesPath),
           s"no ANN index for '$tbl' — run CALL ann_build first")
         val baseDf = snapshotOf(tbl).read()
-        val pv = probeVec.getOrElse(baseDf
-          .filter(org.apache.spark.sql.functions.col(md.idCol)
-            .cast("long") === probeId.get)
-          .select(org.apache.spark.sql.functions.col(md.vecCol).as("vec")))
+        val pv = probeVec.getOrElse(probeRowOf(baseDf, meta.get))
         ("score", graft.ops.Similarity.probeNswIndexFor(spark, baseDf,
           md.idCol, md.vecCol, pv, probeId, edgesPath.toString,
           procTablePath(s"${tbl}__ann_hubs").toString, topK).collect())
-      case _ =>
+      case "pq" | "ivf_pq" =>
         val md = meta.get
         val codesPath = procTablePath(s"${tbl}__ann_codes")
         require(isTableDir(codesPath),
           s"no ANN index for '$tbl' — run CALL ann_build first")
         // by-id probes fetch the single id-filtered row of the SOURCE
         // table; candidates never touch a raw vector either way
-        val pv = probeVec.getOrElse(snapshotOf(tbl).read()
-          .filter(org.apache.spark.sql.functions.col(md.idCol)
-            .cast("long") === probeId.get)
-          .select(org.apache.spark.sql.functions.col(md.vecCol).as("vec")))
+        val pv = probeVec.getOrElse(probeRowOf(snapshotOf(tbl).read(), md))
         val df =
           if (tier == "pq")
             graft.ops.Similarity.probePqIndexFor(spark, pv, probeId,
@@ -350,6 +351,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
               procTablePath(s"${tbl}__ann_codebooks").toString,
               procTablePath(s"${tbl}__ann_centroids").toString, topK)
         ("adist", df.collect())
+      case other => throw new IllegalArgumentException(
+        s"ANN index for '$tbl' has unrecognized tier '$other' in " +
+          "__ann_meta — rebuild with CALL ann_build")
     }
     java.util.List.of[Scan](new LocalScan {
       override def readSchema(): StructType = StructType(Seq(
@@ -665,6 +669,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
               procTablePath(s"${tbl}__ann_hubs").toString,
               procTablePath(s"${tbl}__ann_buckets").toString, batchId),
               edgesPath)
+          case other => throw new IllegalArgumentException(
+            s"ANN index for '$tbl' has unrecognized tier '$other' in " +
+              "__ann_meta — rebuild with CALL ann_build")
         }
         oneRow(VersionOut, v.getOrElse(
           new SnapshotTable(SparkSession.active, mainPath.toString).currentVersion))

@@ -647,6 +647,43 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("durable MV registry: a deregistering session cannot destroy another session's later re-registration") {
+    // the r16 review's failure case: A deregisters V (tombstone
+    // persisted), B re-registers V (clears the DEAD line, writes
+    // ENTRY). A's NEXT persist must adopt B's fresh ENTRY — not skip
+    // it through a stale in-memory tombstone and re-emit DEAD.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_regain_").toString
+    def viewA() = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("pri")).agg(count(lit(1)).as("n"))
+    def viewB() = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus").as("st")).agg(count(lit(1)).as("n"))
+    def b64(x: String) = java.util.Base64.getEncoder.encodeToString(x.getBytes("UTF-8"))
+    val reg = java.nio.file.Paths.get(dir, "_mv_registry")
+    try {
+      MaterializedViews.attachDurableRegistry(dir)
+      val fpA = MaterializedViews.register(viewA(), s"$dir/a")
+      MaterializedViews.deregister(fpA) // session A: tombstone persisted
+      // session B re-registers V: simulate its completed persist —
+      // DEAD line gone, fresh ENTRY present (at a path that exists)
+      val bPath = java.nio.file.Files.createTempDirectory("graft_mv_bmat_").toString
+      val edited = new String(java.nio.file.Files.readAllBytes(reg), "UTF-8")
+        .linesIterator.filterNot(_.startsWith(s"DEAD ${b64(fpA)}"))
+        .mkString("", "\n", "\n") + s"ENTRY ${b64(fpA)} ${b64(bPath)}\n"
+      java.nio.file.Files.write(reg, edited.getBytes("UTF-8"))
+      // session A mutates again: its persist must ADOPT B's entry
+      MaterializedViews.register(viewB(), s"$dir/b")
+      val after = new String(java.nio.file.Files.readAllBytes(reg), "UTF-8")
+      assert(after.contains(s"ENTRY ${b64(fpA)}"),
+        "stale in-memory tombstone destroyed a re-registration")
+      assert(!after.contains(s"DEAD ${b64(fpA)}"), "tombstone resurrected")
+      graft.tables.SnapshotTable.deleteRecursively(java.nio.file.Paths.get(bPath))
+    } finally {
+      MaterializedViews.detachDurableRegistry()
+      MaterializedViews.clear()
+      graft.tables.SnapshotTable.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("durable MV registry: persist holds an OS file lock and merges writes that land before it") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mv_lock_").toString
     def viewA() = graft.Tables.orders(spark, sf)
