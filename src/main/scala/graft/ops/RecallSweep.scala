@@ -105,6 +105,18 @@ object RecallSweep {
     nprobes.map(np => np -> perProbe.map(_(np)).sum / perProbe.size).toMap
   }
 
+  /** NSW graph-ANN recall@10 vs the exact-cosine baseline (the
+    * graph's metric): graph built once per corpus by [[Similarity
+    * .nswTopK]]'s own recipe per probe (the per-query key's honest
+    * shape — build rides every probe there too). */
+  private[ops] def nswRecall(emb: DataFrame, probeIds: Seq[Long]): Double =
+    probeIds.map { pid =>
+      val brute = bruteTop10(emb, pid)
+      val got = Similarity.nswTopK(emb, pid, 10)
+        .collect().map(_.getLong(0)).toSet
+      (brute & got).size / 10.0
+    }.sum / probeIds.size
+
   private def bruteTop10(emb: DataFrame, probeId: Long): Set[Long] = {
     val probeVec = emb.filter(col("vec_id") === probeId)
       .select(col("embedding").as("probe"))
@@ -160,8 +172,9 @@ object RecallSweep {
       val cached = df.cache(); cached.count()
       val pq = math.rint(pqRecall(cached, probeIds) * 1000) / 1000
       val ipq = ivfPqRecall(cached, probeIds, nprobes)
+      val nsw = math.rint(nswRecall(cached, probeIds) * 1000) / 1000
       cached.unpersist()
-      s""""$name":{"pq_recall_at_10":$pq,"ivf_pq_recall_at_10":{${
+      s""""$name":{"pq_recall_at_10":$pq,"nsw_recall_at_10":$nsw,"ivf_pq_recall_at_10":{${
         nprobes.map(np => s""""nprobe$np":${math.rint(ipq(np) * 1000) / 1000}""").mkString(",")}}}"""
     }
     val json =
@@ -170,7 +183,7 @@ object RecallSweep {
          |"note":"with 4 hyperplanes there are only 4 Hamming-1 flips, so budgets beyond T5 clamp to 5 distinct buckets; isotropic sf corpora have no locality, so their recall tracks the probed fraction of the 16 buckets (the honest adversarial baseline), while planted_locality shows the structured-corpus regime",
          |"probe_ids":[${probeIds.mkString(",")}],
          |${sections.mkString(",\n")},
-         |"pq_tiers":{"m":8,"codes":64,"coarse_k":8,"baseline":"exact squared-L2 top-10 (ADC's metric); coarse ranking stays cosine, matching q_sim_ann_ivf_pq",
+         |"pq_tiers":{"m":8,"codes":64,"coarse_k":8,"baseline":"exact squared-L2 top-10 (ADC's metric) for pq/ivf_pq; exact cosine top-10 for nsw (the graph's metric; hub stride 16, B=10, R=4)",
          |${pqSections.mkString(",\n")}}}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
