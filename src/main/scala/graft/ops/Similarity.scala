@@ -22,6 +22,25 @@ object Similarity extends QueryPack {
 
   private val ProbeId = 0L
 
+  /** Spread a compute-amplified kernel stage across the cluster
+    * (optimization r16). The vector tables scan as ONE input split at
+    * bench scale (a single small parquet file), and AQE's coalescing
+    * is bytes-driven, so every downstream stage whose per-row cost is
+    * k-fold amplified (an O(n·k·d) quantizer assignment, encode, or
+    * pairwise kernel riding a broadcast join) would otherwise run in
+    * ONE task regardless of cores — measured: the two Lloyd/encode
+    * stages of q_sim_ann_ivf_pq ran 2.7 s each single-task on 32
+    * cores. A round-robin exchange of the n·d input bytes is
+    * amortized k-fold by the compute it unlocks and is
+    * scale-adaptive (defaultParallelism = cluster cores); at 100 TB
+    * the same spread protects against few-file vector tables and
+    * costs one bytes-proportional shuffle of the SMALL (vector) side,
+    * never the corpus. Row order is irrelevant downstream: every
+    * consumer aggregates with order-independent exact arithmetic or
+    * total-order argmins (partition-invariance is driver-audited). */
+  private def par(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private def probeDf(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") === ProbeId)
       .select(col("embedding").as("probe"))
@@ -207,7 +226,10 @@ object Similarity extends QueryPack {
     * cid)). */
   private[ops] def pqTrain(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val subs = pqSubvectors(e)
+    // par(): the assignment and encode below each do k=64 l2sq folds
+    // per subvector behind broadcast joins — without the spread they
+    // run inside the single-split scan stage (one task)
+    val subs = pqSubvectors(par(e))
     // deterministic per-subspace seeds: stride vec_ids, pinned order
     val seeds = subs.filter(pmod(col("vec_id"), lit(PqStride)) === 0)
       .withColumn("rn", row_number().over(
@@ -293,8 +315,12 @@ object Similarity extends QueryPack {
   private[ops] def ivfPqTrain(assigned: DataFrame,
       centroids: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    // residual space: x − centroid(cluster), float−float in doubles
-    val resid = assigned.join(broadcast(centroids), "cluster")
+    // residual space: x − centroid(cluster), float−float in doubles.
+    // par(): same single-task hazard as pqTrain — the coarse window's
+    // exchange upstream is AQE-coalesced to one partition (tiny
+    // bytes), and both the seed assignment and the encode below are
+    // k=64-fold compute over these rows
+    val resid = par(assigned).join(broadcast(centroids), "cluster")
       .select(col("vec_id"), col("label"), col("cluster"),
         zip_with(col("embedding"), col("cvec"),
           (x, c) => x.cast("double") - c.cast("double")).as("rvec"))
@@ -395,6 +421,11 @@ object Similarity extends QueryPack {
     // partition-column type matches the in-memory one — a long/int
     // mismatch would wrap the partition column in a cast and break
     // dynamic partition pruning on the probe join.
+    // (r16 note: both par() and a lazy localCheckpoint here were
+    // tried and REJECTED — the k=8 assignment kernel is too cheap to
+    // amortize an extra exchange/materialization: q_sim_ann_ivf
+    // 0.72 → 1.2 s either way. The k=64 PQ kernels downstream spread
+    // instead — see pqTrain/ivfPqTrain.)
     val assigned = nearest(e, seeds, "cid0", "cvec0")
       .select(col("vec_id"), col("label"), col("embedding"),
         col("cid0").cast("int").as("cluster"))
@@ -763,7 +794,8 @@ object Similarity extends QueryPack {
     val n = base.count()
     require(n > 0, "ann_build: empty input relation")
     val dims = annDimsFor(base, "vec", m)
-    val subs = annSubsFor(base, "vec", m, dims / m, Seq("id"))
+    // par(): codebook train + encode are k-fold kernels — see [[par]]
+    val subs = annSubsFor(par(base), "vec", m, dims / m, Seq("id"))
     val cb = annTrainCodebooksFor(subs,
       annSeedRowsFor(base, n, kCodes).select("id"), kCodes, toFloat = true)
     new graft.tables.SnapshotTable(s, codebooksPath).commit(cb)
@@ -788,7 +820,8 @@ object Similarity extends QueryPack {
     val dims = annDimsFor(base, "vec", m)
     val (assigned, centroids) = ivfTrainFor(base, n, k)
     new graft.tables.SnapshotTable(s, centroidsPath).commit(centroids)
-    val resid = assigned.join(broadcast(centroids), "cluster")
+    // par(): same k-fold train/encode hazard — see [[par]]
+    val resid = par(assigned).join(broadcast(centroids), "cluster")
       .select(col("id"), col("cluster"),
         zip_with(col("vec"), col("cvec"),
           (x, c) => x.cast("double") - c.cast("double")).as("rvec"))
@@ -822,8 +855,10 @@ object Similarity extends QueryPack {
     val n = base.count()
     require(n > 0, "ann_build: empty input relation")
     val dims = annDimsFor(base, "vec", 1)
+    // spread + co-partition on the link-join key — see [[nswTopK]]
     val buckets = base.withColumn("bucket",
       hyperplaneBucket(col("vec"), 4, dims))
+      .repartition(s.sparkContext.defaultParallelism, col("bucket"))
     val wU = Window.partitionBy("u").orderBy(col("cos").desc, col("v").asc)
     val bEdges = buckets.select(col("id").as("u"), col("vec").as("uvec"),
         col("bucket"))
@@ -836,7 +871,7 @@ object Similarity extends QueryPack {
       .select("u", "v")
     val hubs = annSeedRowsFor(base, n, hubCount)
       .select(col("id").as("h"), col("vec").as("hvec"))
-    val hEdges = base.select(col("id").as("u"), col("vec").as("uvec"))
+    val hEdges = par(base).select(col("id").as("u"), col("vec").as("uvec"))
       .crossJoin(broadcast(hubs)).filter(col("u") =!= col("h"))
       .select(col("u"), col("h").as("v"),
         cosine_sim(col("uvec"), col("hvec")).as("cos"))
@@ -1341,8 +1376,14 @@ object Similarity extends QueryPack {
   private[ops] def nswTopK(e: DataFrame, probeId: Long, k: Int): DataFrame = {
     import graft.functions.CosineSimilarity.cosine_sim
     import org.apache.spark.sql.expressions.Window
+    // par(): both link builders run pairwise cosine kernels (bucket²
+    // and n×hubs) that would otherwise execute inside the single-split
+    // scan stage — see [[par]]; the bucket spread doubles as the
+    // bucket join's exchange (both sides co-partition on it)
+    val p = e.sparkSession.sparkContext.defaultParallelism
     val bucketed = e
       .withColumn("bucket", hyperplaneBucket(col("embedding"), 4, 64))
+      .repartition(p, col("bucket"))
     val wU = Window.partitionBy("u").orderBy(col("cos").desc, col("v").asc)
     val bEdges = bucketed
       .select(col("vec_id").as("u"), col("embedding").as("uvec"), col("bucket"))
@@ -1358,7 +1399,7 @@ object Similarity extends QueryPack {
       .select("u", "v")
     val hubs = e.filter(pmod(col("vec_id"), lit(NswHubStride)) === 0)
       .select(col("vec_id").as("h"), col("embedding").as("hvec"))
-    val hEdges = e.select(col("vec_id").as("u"), col("embedding").as("uvec"))
+    val hEdges = par(e).select(col("vec_id").as("u"), col("embedding").as("uvec"))
       .crossJoin(broadcast(hubs)).filter(col("u") =!= col("h"))
       .select(col("u"), col("h").as("v"),
         cosine_sim(col("uvec"), col("hvec")).as("cos"))
@@ -1372,9 +1413,16 @@ object Similarity extends QueryPack {
     // hubs unbounded fan-out. Reverse bucket degree is bounded by how
     // many bucket-mates rank u in their top-M (≤ bucket size; HNSW
     // prunes the same way via neighbor selection).
+    // localCheckpoint (lazy): the beam loop references the edge table
+    // once per round PLUS the final scoring — without the truncation
+    // the unrolled plan re-derives the whole graph build per
+    // reference (measured: a 6300-line physical plan at R=4, the
+    // graph built 5×; the checkpoint builds it once and bounds
+    // per-round planning, the connected-components pattern)
     val edges = bEdges
       .unionAll(bEdges.select(col("v").as("u"), col("u").as("v")))
       .unionAll(hEdges).dropDuplicates("u", "v")
+      .localCheckpoint(eager = false)
     val probe = e.filter(col("vec_id") === probeId)
       .select(col("embedding").as("probe"))
     def score(ids: DataFrame): DataFrame =
@@ -1382,7 +1430,10 @@ object Similarity extends QueryPack {
         .select(col("vec_id"), col("label"),
           cosine_sim(col("embedding"), col("probe")).as("cos"))
     // entry: the hub layer is scored in full (HNSW scans its sparse
-    // top layer), the beam starts from its best B
+    // top layer), the beam starts from its best B. Visited/frontier
+    // are beam-bounded (≤ |hubs| + R·B·(M+2) rows) — lazy
+    // localCheckpoints keep the unrolled-round plan flat without
+    // forcing per-round jobs
     var visited = hubs.select(col("h").as("vec_id"))
     var frontier = score(visited)
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -1391,6 +1442,7 @@ object Similarity extends QueryPack {
       val neigh = edges.join(frontier.select(col("vec_id").as("u")), "u")
         .select(col("v").as("vec_id"))
       visited = visited.unionAll(neigh).distinct()
+        .localCheckpoint(eager = false)
       frontier = score(visited)
         .orderBy(col("cos").desc, col("vec_id").asc)
         .limit(NswBeam).select("vec_id")
