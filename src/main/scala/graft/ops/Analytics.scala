@@ -238,8 +238,15 @@ object Analytics extends QueryPack {
   private def winsorize(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice"))
+    // lazy localCheckpoint (r16): the per-value table has three
+    // consumers split across broadcast-subquery jobs (cum, totals,
+    // final roll-up) — ReuseExchange cannot collapse subtrees that
+    // execute in separate jobs, so the scan+aggregate ran per
+    // consumer; the checkpoint computes the value-domain-sized table
+    // once (same fix as q_mad, measured there)
     val counts = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
     val cum = Dist.prefixSumKeyed(counts, Seq("l_returnflag"),
       "l_extendedprice", "cnt", "cum")
     val totals = counts.groupBy(col("l_returnflag"))
@@ -398,8 +405,16 @@ object Analytics extends QueryPack {
     * corpus size), and the top-20 cut orders by (r4 lift, item_a,
     * item_b) — total. */
   private def assocRules(s: SparkSession, d: String): DataFrame = {
+    // lazy localCheckpoint (r16): the basket table has FOUR consumers
+    // (n, freq — whose two broadcast projections each ran the
+    // scan+distinct as their own job, measured twin 0.6 s jobs — and
+    // both sides of the pair self-join); the checkpoint runs the
+    // distinct once. Reused-4x materialization is the guide §5 persist
+    // criterion; at scale this is one shuffle-sized spill, cheaper
+    // than three recomputes of a corpus-wide distinct.
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("i")).distinct()
+      .localCheckpoint(eager = false)
     val n = items.agg(countDistinct(col("o")).as("n_baskets"))
     val freq = items.groupBy("i").agg(count(lit(1)).as("cnt"))
     val pairs = items.as("a")

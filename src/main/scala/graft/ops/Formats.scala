@@ -38,6 +38,12 @@ object Formats extends QueryPack {
   private def roundtrip(s: SparkSession, d: String, fmt: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_rt_${fmt}_" +
       d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+    // (r16: a pre-write repartition to parallelize the read-back
+    // parse was tried and REJECTED for csv/json/orc — the extra
+    // shuffle of the 600k-row projection cost more than the parse
+    // serialization it removed, q_source_csv 1.0 -> 1.7 s. XML keeps
+    // it — see roundtripXml — because its per-tag parse is ~10x
+    // heavier than its write.)
     val src = Tables.lineitem(s, d).select(RtCols.map(col): _*)
     withHeader(src.write.mode("overwrite"), fmt).format(fmt).save(out)
     val back = withHeader(s.read.schema(RtSchema), fmt).format(fmt).load(out)
@@ -68,6 +74,13 @@ object Formats extends QueryPack {
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderpriority"))
+      // repartition (r16): the source is one split at bench scale, so
+      // the write emitted ONE file and the read-back parsed it in ONE
+      // task. XML's per-tag parse is the dominant cost (14 s of task
+      // time here, ~10x the write) — spreading the write parallelizes
+      // the parse; csv/json/orc skip this (see roundtrip: their parse
+      // is too cheap to amortize the extra exchange).
+      .repartition(s.sparkContext.defaultParallelism)
       .write.mode("overwrite").option("rowTag", "row").format("xml").save(out)
     s.read.schema(XmlSchema).option("rowTag", "row").format("xml").load(out)
       .groupBy("o_orderstatus", "o_orderpriority")

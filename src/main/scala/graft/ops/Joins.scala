@@ -169,7 +169,16 @@ object Joins extends QueryPack {
         .withColumn(s"${p}_bkt", explode(expr(
           s"sequence(unix_timestamp(${p}_s) div $IntervalBucketSec," +
             s" (unix_timestamp(${p}_e) - 1) div $IntervalBucketSec)")))
-    side("1-URGENT", "a").join(side("5-LOW", "b"),
+    // explicit bucket-keyed repartition (r16): the per-bucket pair
+    // search is compute-amplified (|a_bkt|·|b_bkt| predicate evals per
+    // bucket) while the shuffled bytes are tiny, so AQE's bytes-driven
+    // coalescing serialized the whole pair stage into one task
+    // (measured 1.7 s single-task). Pinning both sides to
+    // cluster-parallelism bucket partitions keeps the pairwise work
+    // spread; parallelism is bounded by distinct buckets either way.
+    val p = s.sparkContext.defaultParallelism
+    side("1-URGENT", "a").repartition(p, col("a_bkt"))
+      .join(side("5-LOW", "b").repartition(p, col("b_bkt")),
         col("a_bkt") === col("b_bkt") &&
           col("a_s") < col("b_e") && col("b_s") < col("a_e") &&
           expr(s"unix_timestamp(greatest(a_s, b_s)) div $IntervalBucketSec")

@@ -404,12 +404,17 @@ object ScaleOps extends QueryPack {
     val ev = Tables.events(s, d)
       .filter(col("value").isNotNull) // pin NULL semantics explicitly
       .select(col("event_type"), col("value"))
-    // value-domain-sized; consumed by med, dev, and the outlier count —
-    // all inside ONE final plan, where ReuseExchange collapses the
-    // identical aggregate subtrees to a single scan+shuffle (persist
-    // would re-materialize per run and defeat AQE below the cache)
+    // value-domain-sized; consumed by med, dev, and the outlier count.
+    // Lazy localCheckpoint (r16): the three consumers sit in SEPARATE
+    // broadcast-subquery jobs (med/bounds broadcast before the final
+    // plan exists), so ReuseExchange never sees them side by side and
+    // the scan+aggregate re-executed per consumer — measured as ~6
+    // serialized single-task jobs of 0.2-0.35 s each. The checkpoint
+    // computes the value-domain table once; it is value-domain-sized
+    // (≪ fact table) at any scale.
     val vCounts = ev.groupBy(col("event_type"), col("value"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
     val med = quantileByRank(vCounts, "event_type", "value", "0.5", "med")
     val dCounts = vCounts.join(broadcast(med), "event_type")
       .groupBy(col("event_type"), abs(col("value") - col("med")).as("dv"))
