@@ -36,27 +36,18 @@ object GraftSession {
     // the loop a cloned `spark.newSession()` (shared context, private
     // conf) instead.
     //
-    // AQE is scoped OFF alongside codegen (optimization r16): every
-    // call site is an iterative loop body whose rounds materialize
-    // eagerly over vertex/edge-bounded state with FIXED, hint-pinned
-    // stage shapes (SHUFFLE_HASH vertex joins, keyed aggregates) —
-    // there is nothing for AQE to re-optimize, and its per-job
-    // re-planning/stats collection is pure per-round overhead.
-    // Measured at sf0.1: pagerank 5.21 -> 4.61 s, bfs 5.32 -> 4.48,
-    // kcore 5.07 -> 4.63, dedup_cluster 4.91 -> 4.25, label_prop
-    // 2.89 -> 2.62. Scoped to the loop body only — everything outside
-    // keeps AQE (coalescing/skew handling stay on for the data-sized
-    // assembly), same scoping argument as the codegen toggle.
+    // (r16: scoping spark.sql.adaptive.enabled=false here alongside
+    // codegen was tried and REJECTED. Isolated single-query runs
+    // looked ~10% faster, but in-harness filtered sweeps could not
+    // reproduce a win in either direction — four identical-code runs
+    // of the 7 loop queries spread 26.8..32.3 s, larger than the
+    // claimed effect. A change that cannot demonstrate a win inside
+    // the measurement harness does not ship; stock AQE behavior
+    // outside the codegen toggle is kept.)
     val key = "spark.sql.codegen.wholeStage"
-    val aqeKey = "spark.sql.adaptive.enabled"
     val prev = s.conf.get(key, "true")
-    val prevAqe = s.conf.get(aqeKey, "true")
     s.conf.set(key, "false")
-    s.conf.set(aqeKey, "false")
-    try f finally {
-      s.conf.set(key, prev)
-      s.conf.set(aqeKey, prevAqe)
-    }
+    try f finally s.conf.set(key, prev)
   }
 
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =

@@ -71,6 +71,12 @@ object Graph extends QueryPack {
     val raw = rawPairs(s, d)
     val dir = raw.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(raw.select(col("v").as("src"), col("u").as("dst")))
+    // (r16: dropping the explicit .repartition(col("src")) as a
+    // "redundant second exchange" was tried and REJECTED — without it
+    // AQE coalesces the aggregate's exchange before the cache and the
+    // whole loop family loses its parallelism: kcore 4.2 -> 5.9 s,
+    // bfs 4.8 -> 6.2, modularity 4.0 -> 5.1. The repartition is the
+    // parallelism PIN for the cached adjacency, not dead weight.)
     dir.groupBy("src").agg(collect_set(col("dst")).as("dsts"))
       .select(col("src"), size(col("dsts")).cast("long").as("deg"), col("dsts"))
       .repartition(col("src")).sortWithinPartitions("src").persist()
