@@ -41,6 +41,19 @@ object Similarity extends QueryPack {
   private def par(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Per-subspace candidate array for the fused nearest-entry argmin
+    * ([[graft.functions.ArgMinL2]]): (s0, cands) with cands =
+    * collect_list(struct(cid, cvec)) — k rows folded into one
+    * broadcast row per subspace. Array order is irrelevant: the
+    * argmin's (d2, cid) order is total, so the result is
+    * order-independent (and the driver's partition-invariance audit
+    * covers it). */
+  private def argminCands(df: DataFrame, sCol: String, cidCol: String,
+      vecCol: String): DataFrame =
+    df.groupBy(col(sCol).as("s0"))
+      .agg(collect_list(struct(col(cidCol).cast("long").as("cid"),
+        col(vecCol).as("cvec"))).as("cands"))
+
   private def probeDf(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") === ProbeId)
       .select(col("embedding").as("probe"))
@@ -174,14 +187,17 @@ object Similarity extends QueryPack {
       .limit(5)
   }
 
-  /** Fixed-order exact squared-L2 over two float arrays, in doubles:
-    * Spark's `aggregate` folds left-to-right and DuckDB's `list_sum`
-    * sums in list order over bit-identical doubles, so both engines
-    * agree (the q_sim_ann_ivf cosine precedent). */
+  /** Fixed-order exact squared-L2 over two float/double arrays, in
+    * doubles: terms accumulate left-to-right exactly as Spark's
+    * `aggregate` fold and DuckDB's `list_sum` (both engines agree —
+    * the q_sim_ann_ivf cosine precedent). Since optimization r17 this
+    * is the native fused-loop expression [[graft.functions.L2SqDistance]]
+    * (whole-stage codegen, no per-evaluation zip_with array) — the
+    * HOF twin it replaces bit-for-bit is documented there; the PQ
+    * kernels evaluate it k=64× per subvector, where the lambda
+    * interpretation was 49 s of the ivf_pq task time at sf0.1. */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0d), (acc, v) => acc + v)
+    graft.functions.L2SqDistance.l2sq_dist(a, b)
 
   private val PqM = 8 // subspaces (64 dims -> 8 × 8)
   private val PqSub = 8
@@ -228,8 +244,18 @@ object Similarity extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     // par(): the assignment and encode below each do k=64 l2sq folds
     // per subvector behind broadcast joins — without the spread they
-    // run inside the single-split scan stage (one task)
-    val subs = pqSubvectors(par(e))
+    // run inside the single-split scan stage (one task).
+    // Lazy localCheckpoint (r17): subs has FOUR consumers (seeds,
+    // assignment, encode, and the caller's probe filter), and stage
+    // probing showed each consumer job not only re-running the slice
+    // pipeline but RE-JANINO-COMPILING its fused stage — the thread
+    // dump had all 31 workers blocked in CodeGenerator.compile, ~1 s
+    // per hot stage, the actual cost of this family at bench scale.
+    // The checkpoint is one n·m-row pass over the (small) vector side
+    // — the §5 persist criterion, not a fact-table cache; at 100 TB
+    // the train path necessarily materializes this much anyway (it is
+    // what the persisted tier commits as the index).
+    val subs = pqSubvectors(par(e)).localCheckpoint(eager = false)
     // deterministic per-subspace seeds: stride vec_ids, pinned order
     val seeds = subs.filter(pmod(col("vec_id"), lit(PqStride)) === 0)
       .withColumn("rn", row_number().over(
@@ -237,18 +263,22 @@ object Similarity extends QueryPack {
       .filter(col("rn") <= PqK)
       .select(col("s").as("s0"), col("vec_id").as("cid0"), col("sv").as("cvec0"))
     // one Lloyd round per subspace: nearest-seed assignment. The
-    // argmin is MIN_BY over the total order (d2, cid) — a partially-
-    // aggregatable groupBy (map-side combine collapses the k seed
-    // candidates before the shuffle), not a window sort of n×k rows;
-    // the tie-break matches the oracle's ROW_NUMBER exactly
-    val assigned = subs.join(broadcast(seeds), col("s") === col("s0"))
-      .withColumn("d2", l2sq(col("sv"), col("cvec0")))
-      .groupBy("vec_id", "s")
-      .agg(min_by(struct(col("sv"), col("cid0")),
-        struct(col("d2"), col("cid0"))).as("m"))
-      .select(col("vec_id"), col("s"), col("m.sv").as("sv"),
-        col("m.cid0").as("cid"))
-    // ...then the decimal-exact centroid update — the CODEBOOK
+    // argmin is the FUSED candidate scan (ArgMinL2) over the k seeds
+    // collapsed into one broadcast array row per subspace — same (d2,
+    // cid) total order as the former min_by-over-exploded-rows (the
+    // tie-break matches the oracle's ROW_NUMBER exactly), but no
+    // n·m×k join-row materialization and no hash aggregate at all
+    // (optimization r17: the exploded shape carried 27 s + 22 s of
+    // task time in q_sim_ann_ivf_pq's twin kernels at sf0.1)
+    val assigned = subs
+      .join(broadcast(argminCands(seeds, "s0", "cid0", "cvec0")),
+        col("s") === col("s0"))
+      .select(col("vec_id"), col("s"), col("sv"),
+        graft.functions.ArgMinL2.argmin_l2(col("sv"), col("cands")).as("cid"))
+    // ...then the decimal-exact centroid update — the CODEBOOK.
+    // Lazy localCheckpoint (r17): two consumers (the encode join and
+    // the caller's ADC distance table) each re-ran — and re-compiled —
+    // the whole train chain; m×k ≤ 512 rows, the §5 criterion.
     val codebook = assigned
       .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
       .groupBy("s", "cid", "pos")
@@ -256,13 +286,14 @@ object Similarity extends QueryPack {
       .groupBy("s", "cid")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
         x => x.getField("mv").cast("float")).as("cvec"))
+      .localCheckpoint(eager = false)
     // ENCODE: every subvector to its nearest codebook entry (m small
-    // ids per vector — the compressed index); same MIN_BY argmin
-    val codes = subs.join(broadcast(codebook), "s")
-      .withColumn("d2", l2sq(col("sv"), col("cvec")))
-      .groupBy("vec_id", "label", "s") // label is functionally dependent on vec_id
-      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
-      .select(col("vec_id"), col("label"), col("s"), col("cid"))
+    // ids per vector — the compressed index); same fused argmin
+    val codes = subs
+      .join(broadcast(argminCands(codebook, "s", "cid", "cvec")),
+        col("s") === col("s0"))
+      .select(col("vec_id"), col("label"), col("s"),
+        graft.functions.ArgMinL2.argmin_l2(col("sv"), col("cands")).as("cid"))
     (subs, codebook, codes)
   }
 
@@ -298,7 +329,12 @@ object Similarity extends QueryPack {
     * DuckDB oracle gates the COMPOSED pipeline — coarse quantizer,
     * residual codebooks, encoding, per-cluster tables — bit-exactly. */
   private def annIvfPq(s: SparkSession, d: String): DataFrame = {
-    val (assigned, centroids) = ivfBuild(s, d)
+    val (assigned, centroids0) = ivfBuild(s, d)
+    // lazy checkpoint (r17): the k-row centroid table has two broadcast
+    // consumers (the residual join and the probe's coarse ranking),
+    // each otherwise re-running — and re-Janino-compiling — the whole
+    // coarse-quantizer chain (see pqTrain's subs note)
+    val centroids = centroids0.localCheckpoint(eager = false)
     val (_, codebook, codes) = ivfPqTrain(assigned, centroids)
     val probe = Tables.embeddings(s, d).filter(col("vec_id") === ProbeId)
       .select(col("embedding").as("probe"))
@@ -324,36 +360,47 @@ object Similarity extends QueryPack {
       .select(col("vec_id"), col("label"), col("cluster"),
         zip_with(col("embedding"), col("cvec"),
           (x, c) => x.cast("double") - c.cast("double")).as("rvec"))
+    // Lazy localCheckpoint (r17): three consumers (seeds, assignment,
+    // encode) each re-ran the residual pipeline INCLUDING the coarse
+    // quantizer upstream, and re-Janino-compiled its fused stages —
+    // the pqTrain subs note has the thread-dump evidence. n·m rows of
+    // the small vector side, the §5 criterion.
     val subs = resid.select(col("vec_id"), col("label"), col("cluster"),
       explode(array((0 until PqM).map(i =>
         struct(lit(i).as("s"),
           slice(col("rvec"), i * PqSub + 1, PqSub).as("sv"))): _*)).as("x"))
       .select(col("vec_id"), col("label"), col("cluster"),
         col("x.s").as("s"), col("x.sv").as("sv"))
+      .localCheckpoint(eager = false)
     val seeds = subs.filter(pmod(col("vec_id"), lit(PqStride)) === 0)
       .withColumn("rn", row_number().over(
         Window.partitionBy("s").orderBy("vec_id")))
       .filter(col("rn") <= PqK)
       .select(col("s").as("s0"), col("vec_id").as("cid0"), col("sv").as("cvec0"))
-    val assignedPq = subs.join(broadcast(seeds), col("s") === col("s0"))
-      .withColumn("d2", l2sq(col("sv"), col("cvec0")))
-      .groupBy("vec_id", "s")
-      .agg(min_by(struct(col("sv"), col("cid0")),
-        struct(col("d2"), col("cid0"))).as("m"))
-      .select(col("vec_id"), col("s"), col("m.sv").as("sv"),
-        col("m.cid0").as("cid"))
+    // fused argmin over the broadcast candidate array — the pqTrain
+    // kernel note applies verbatim (r17: was min_by over k=64
+    // exploded join rows)
+    val assignedPq = subs
+      .join(broadcast(argminCands(seeds, "s0", "cid0", "cvec0")),
+        col("s") === col("s0"))
+      .select(col("vec_id"), col("s"), col("sv"),
+        graft.functions.ArgMinL2.argmin_l2(col("sv"), col("cands")).as("cid"))
     // residual codebooks (kept in doubles — no narrowing this time:
     // residual magnitudes are small and the extra bits are free)
+    // lazy checkpoint: two consumers (encode + the caller's per-cluster
+    // ADC tables), m×k ≤ 512 rows — the pqTrain codebook note
     val codebook = assignedPq
       .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
       .groupBy("s", "cid", "pos").agg(graft.Det.davg(col("v")).as("mv"))
       .groupBy("s", "cid")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
         x => x.getField("mv")).as("cvec"))
-    val codes = subs.join(broadcast(codebook), "s")
-      .withColumn("d2", l2sq(col("sv"), col("cvec")))
-      .groupBy("vec_id", "label", "cluster", "s")
-      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+      .localCheckpoint(eager = false)
+    val codes = subs
+      .join(broadcast(argminCands(codebook, "s", "cid", "cvec")),
+        col("s") === col("s0"))
+      .select(col("vec_id"), col("label"), col("cluster"), col("s"),
+        graft.functions.ArgMinL2.argmin_l2(col("sv"), col("cands")).as("cid"))
     (subs, codebook, codes)
   }
 
@@ -747,12 +794,13 @@ object Similarity extends QueryPack {
         Window.partitionBy("s").orderBy("id")))
       .filter(col("rn") <= kCodes)
       .select(col("s").as("s0"), col("id").as("cid0"), col("sv").as("cvec0"))
-    val assigned = subs.join(broadcast(seeds), col("s") === col("s0"))
-      .withColumn("d2", l2sq(col("sv"), col("cvec0")))
-      .groupBy("id", "s")
-      .agg(min_by(struct(col("sv"), col("cid0")),
-        struct(col("d2"), col("cid0"))).as("m"))
-      .select(col("s"), col("m.sv").as("sv"), col("m.cid0").as("cid"))
+    // fused argmin over the broadcast candidate array (r17 — see
+    // pqTrain); the subvector rides the row, no k-fold join blowup
+    val assigned = subs
+      .join(broadcast(argminCands(seeds, "s0", "cid0", "cvec0")),
+        col("s") === col("s0"))
+      .select(col("s"), col("sv"),
+        graft.functions.ArgMinL2.argmin_l2(col("sv"), col("cands")).as("cid"))
     val mv = assigned
       .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
       .groupBy("s", "cid", "pos")
@@ -768,15 +816,20 @@ object Similarity extends QueryPack {
   }
 
   /** Encode every vector against a trained/persisted codebook: m
-    * nearest-entry argmins (min_by — map-side combinable), packed to
-    * ONE ARRAY<TINYINT> row per vector in subspace order. */
+    * nearest-entry argmins (fused ArgMinL2 candidate scan — r17, was
+    * min_by over k exploded join rows), packed to ONE ARRAY<TINYINT>
+    * row per vector in subspace order. The tinyint codes pass through
+    * the argmin's long lane and cast back — 0..126 is loss-free and
+    * order-preserving, so tie-breaks are unchanged. */
   private def annEncodeFor(subs: DataFrame, cb: DataFrame,
       keep: Seq[String]): DataFrame = {
     val idKeep = Seq("id") ++ keep
-    subs.join(broadcast(cb), "s")
-      .withColumn("d2", l2sq(col("sv"), col("cvec")))
-      .groupBy((idKeep :+ "s").map(col): _*)
-      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    subs
+      .join(broadcast(argminCands(cb, "s", "code", "cvec")),
+        col("s") === col("s0"))
+      .select((idKeep.map(col) :+ col("s") :+
+        graft.functions.ArgMinL2.argmin_l2(col("sv"), col("cands"))
+          .cast("tinyint").as("code")): _*)
       .groupBy(idKeep.map(col): _*)
       .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
         x => x.getField("code")).as("codes"))
