@@ -54,6 +54,24 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // Codegen class cache (optimization r17). The default cache
+      // holds only 100 compiled sources, while ONE run of a
+      // multi-stage query emits dozens of codegen units (whole-stage
+      // subtrees + unsafe projections + orderings), so consecutive
+      // runs of even the SAME query evict each other and re-Janino-
+      // compile everything: thread dumps showed all 31 workers blocked
+      // in CodeGenerator.compile on warm reruns, and the generated
+      // bodies diff empty across runs (only exprId comments differ —
+      // the cache key is the body, so every one of those compiles was
+      // a capacity miss). 10k entries ≈ tens of MB of classes/source —
+      // cheap at any deployment size, and on a long-lived session
+      // serving repeated query shapes (the 100 TB posture) the same
+      // eviction thrash costs real executor time per query. Measured:
+      // q_sim_ann_ivf_pq warm 4.3 → 2.2 s, q_table_sql_merge
+      // 6.2 → 4.2 s; no query regressed outside noise. Env-overridable
+      // for A/B runs and for memory-constrained deployments.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.ts is physically TIMESTAMP(NANOS), which the vectorized
