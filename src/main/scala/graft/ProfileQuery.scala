@@ -57,16 +57,25 @@ object ProfileQuery {
       val df = SparkEntry.queries(q)(spark, dir)
       if (noop) df.write.format("noop").mode("overwrite").save() else df.count()
     }
+    // warmup fixture: smallest sibling of the configured sfDir (r16
+    // advisor: the hardcoded /root/testdata path broke the profiler on
+    // any machine where only SPARK_GRAFT_SF_DIR exists). Skipped if
+    // absent — first-query JIT noise is acceptable for a dev tool.
+    val warmDir = new java.io.File(sfDir).getParent + "/sf0.001"
     args.foreach { q =>
-      run(q, "/root/testdata/sf0.001") // warmup
+      if (new java.io.File(warmDir).isDirectory) run(q, warmDir) // warmup
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       listener.reset()
       val t0 = System.nanoTime()
       run(q, sfDir)
       val wall = (System.nanoTime() - t0) / 1e9
-      // let listener events drain (listenerBus is private[spark])
-      Thread.sleep(300)
+      // let listener events drain: poll for job-end completeness with
+      // a bounded wait (r16 advisor: a fixed 300 ms sleep under load
+      // silently under-reported job wall / task sums)
+      val deadline = System.nanoTime() + 3000000000L
+      while (listener.jobs.values.exists(_.end == 0L) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
       val js = listener.jobs.values.toSeq
       val jobWall = js.map(j => math.max(0L, j.end - j.start)).sum / 1e3
       println(f"\n=== $q wall=$wall%.3f s, jobs=${js.size}, " +

@@ -77,9 +77,29 @@ object Graph extends QueryPack {
     // whole loop family loses its parallelism: kcore 4.2 -> 5.9 s,
     // bfs 4.8 -> 6.2, modularity 4.0 -> 5.1. The repartition is the
     // parallelism PIN for the cached adjacency, not dead weight.)
+    //
+    // Scale-adaptive partition COUNT (optimization r17 — the
+    // connectedComponents loopParts precedent): pinning at the session
+    // default (32) makes every iterative consumer schedule 32
+    // near-empty tasks per stage per round — and the per-round label/
+    // frontier exchanges inherit that width from the join's required
+    // co-partitioning — measured as pure scheduling floor at bench
+    // scale. Derive the count from the EDGE data instead: the
+    // generator emits 2·Fanout directed edges (~16 B each) per order
+    // row, so edge bytes ≈ 7× the orders parquet footprint; target
+    // ~4 MB per partition, floor 4. One metadata read, no extra job;
+    // at 100 TB the same formula grows the loop width with the graph
+    // (driver partition-invariance audits pin that the COUNT cannot
+    // change results).
+    val parts = {
+      val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+      val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      math.max(4, (bytes * 7 / (4L << 20)).toInt)
+    }
     dir.groupBy("src").agg(collect_set(col("dst")).as("dsts"))
       .select(col("src"), size(col("dsts")).cast("long").as("deg"), col("dsts"))
-      .repartition(col("src")).sortWithinPartitions("src").persist()
+      .repartition(parts, col("src")).sortWithinPartitions("src").persist()
   }
 
   /** Undirected degree per vertex of a (u < v) distinct edge list. */
