@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g, optimization r17): a full bench sweep in one
+  // JVM accumulates localCheckpoint blocks, broadcast relations and
+  // (since r17) up to 10k cached codegen classes; at 8g the r16 sweep
+  // logged an isolated 44.5 s q_dedup_cluster sample — a full-GC
+  // pause — and medians wobbled under heap pressure. The sandbox has
+  // 128 GiB; SPARK_DRIVER_MEM still overrides for constrained hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
